@@ -1,0 +1,117 @@
+"""Benchmark harness — one JSON line to stdout.
+
+Mirrors the reference benchmark (benchmark.py: 1 M sinusoid points, hot
+1-hour / cold 24-hour range queries, storage efficiency — BASELINE.md)
+plus this engine's headline analytical queries at $SPARK_GRAFT_SF_DIR.
+
+  {"metric": "suite_sec", "value": <total>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <dir>, "extra": {...}}
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry_mod
+from time_series_databse_engine_spark import TimeSeriesStore, get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+N_POINTS = 1_000_000  # reference workload size (benchmark.py:11)
+START_MS = 1_700_000_000_000
+
+HEADLINE = [
+    "range_scan",
+    "downsample_1h",
+    "metric_stats",
+    "pricing_summary",
+    "revenue_by_nation",
+    "moving_avg",
+    "asof_join",
+    "sessionize",
+    "dedup_exact",
+    "minhash_lsh",
+    "cosine_topk",
+    "text_stats",
+]
+
+
+def timed(fn):
+    t0 = time.perf_counter()
+    out = fn()
+    return time.perf_counter() - t0, out
+
+
+def main():
+    spark = get_spark(app_name="bench")
+    queries = entry_mod.queries()
+    times: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    tmp = tempfile.mkdtemp(prefix="bench_store_")
+    try:
+        # --- ingest: 1M-point sinusoid batch (reference: 5,500 pts/s FFI loop)
+        store = TimeSeriesStore(spark, tmp + "/points")
+        pts = spark.range(N_POINTS).select(
+            F.lit("cpu.load.avg").alias("metric"),
+            (F.lit(START_MS) + F.col("id") * 1000).alias("ts_ms"),
+            (
+                50.0
+                + 20.0 * F.sin(F.col("id") / 100.0)
+                + (F.rand(42) * 2.0 - 1.0)
+            ).alias("value"),
+        )
+        t, _ = timed(lambda: store.ingest(pts))
+        times["ingest_1m_points"] = round(t, 3)
+        extra["ingest_points_per_sec"] = round(N_POINTS / t)
+
+        # --- storage efficiency (reference: ~8.2 B/pt)
+        nbytes = sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fs in os.walk(tmp + "/points")
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        extra["storage_bytes_per_point"] = round(nbytes / N_POINTS, 2)
+
+        # --- hot / cold range queries (reference: 1h newest-10% / 24h oldest-50%)
+        end_ms = START_MS + (N_POINTS - 1) * 1000
+        hot_lo = end_ms - int(0.05 * N_POINTS) * 1000
+        t, n = timed(lambda: store.query_range(hot_lo, hot_lo + 3_600_000).count())
+        times["query_hot_1h"] = round(t, 3)
+        t, n = timed(lambda: store.query_range(START_MS, START_MS + 86_400_000).count())
+        times["query_cold_24h"] = round(t, 3)
+
+        # --- headline analytical queries at SF_DIR
+        for name in HEADLINE:
+            t, _ = timed(lambda: queries[name](spark, SF_DIR).write.format("noop").mode("overwrite").save())
+            times[name] = round(t, 3)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "suite_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": SF_DIR,
+                "extra": extra,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,61 @@
+"""Dedup family on crafted documents with known duplicate structure."""
+
+from pyspark.sql import functions as F
+
+from time_series_databse_engine_spark.operators.dedup import (
+    exact_dedup,
+    hamming64,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash64,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog"),          # exact dup of 1
+    (3, "the quick brown fox jumps over the lazy cat"),          # near dup of 1
+    (4, "lorem ipsum dolor sit amet consectetur adipiscing elit"),
+    (5, "dog lazy the over jumps fox brown quick the"),          # reordered 1
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup(spark):
+    out = exact_dedup(_docs(spark)).collect()
+    by_keeper = {r.keeper_id: r.dup_count for r in out}
+    assert by_keeper[1] == 2          # docs 1,2 collapse
+    assert by_keeper[3] == 1
+    assert len(out) == 4
+
+
+def test_jaccard_pairs(spark):
+    out = jaccard_pairs(_docs(spark), threshold=0.5)
+    pairs = {(r.id1, r.id2): r.jaccard for r in out.collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert pairs[(1, 5)] == 1.0       # same token set, reordered
+    assert 0.5 < pairs[(1, 3)] < 1.0  # one-token difference
+    assert (1, 4) not in pairs
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    sigs = minhash_signatures(_docs(spark), num_hashes=8, shingle_n=2)
+    pairs = {(r.id1, r.id2) for r in lsh_candidate_pairs(sigs, 4, 2).collect()}
+    assert (1, 2) in pairs            # identical shingle sets always collide
+    assert (1, 4) not in pairs
+
+
+def test_simhash_near_dup_distance(spark):
+    sh = simhash64(_docs(spark))
+    a = sh.alias("a").join(sh.alias("b"), F.col("a.doc_id") < F.col("b.doc_id")).select(
+        F.col("a.doc_id").alias("id1"),
+        F.col("b.doc_id").alias("id2"),
+        hamming64("a.simhash", "b.simhash").alias("d"),
+    )
+    d = {(r.id1, r.id2): r.d for r in a.collect()}
+    assert d[(1, 2)] == 0             # identical
+    assert d[(1, 5)] == 0             # token-set identical
+    assert d[(1, 3)] < d[(1, 4)]      # near-dup closer than unrelated

@@ -1,0 +1,29 @@
+"""Driver-contract smoke: entry() runs, queries()/oracle_sql() are aligned."""
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entry_mod
+
+
+def test_entry_runs(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) >= {"bucket_ms", "event_type", "n"}
+
+
+def test_oracle_keys_subset_of_queries():
+    q = set(entry_mod.queries())
+    o = set(entry_mod.oracle_sql())
+    assert o <= q
+    # all but explicitly non-SQL-expressible ops have oracles
+    assert len(o) >= len(q) - 2
+
+
+def test_three_representative_queries_run(spark, sf_dir):
+    qs = entry_mod.queries()
+    for name in ["range_scan", "downsample_1h", "cosine_topk"]:
+        df = qs[name](spark, sf_dir)
+        assert df.count() >= 0

@@ -1,0 +1,43 @@
+"""Similarity search on crafted vectors with known nearest neighbours."""
+
+import math
+
+from time_series_databse_engine_spark.operators.similarity import (
+    cosine_topk,
+    lsh_bucket_topk,
+)
+
+VECS = [
+    (0, [1.0, 0.0, 0.0]),
+    (1, [0.9, 0.1, 0.0]),   # closest to 0
+    (2, [0.0, 1.0, 0.0]),
+    (3, [0.0, 0.9, 0.1]),   # closest to 2
+    (4, [-1.0, 0.0, 0.0]),  # opposite of 0
+]
+
+
+def _emb(spark):
+    return spark.createDataFrame(VECS, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_ranks(spark):
+    emb = _emb(spark)
+    out = cosine_topk(emb, emb.filter("vec_id = 0"), k=4)
+    ranked = [r.cand_id for r in sorted(out.collect(), key=lambda r: r.rank)]
+    assert ranked[0] == 1            # nearest
+    assert ranked[-1] == 4           # antipode last
+    sims = {r.cand_id: r.cosine_sim for r in out.collect()}
+    assert abs(sims[1] - 0.9 / math.sqrt(0.82)) < 1e-5
+    assert sims[4] == -1.0
+
+
+def test_lsh_bucket_is_subset_of_exact(spark):
+    emb = _emb(spark)
+    q = emb.filter("vec_id = 0")
+    exact = {(r.query_id, r.cand_id, r.cosine_sim) for r in cosine_topk(emb, q, k=4).collect()}
+    approx = {
+        (r.query_id, r.cand_id, r.cosine_sim)
+        for r in lsh_bucket_topk(emb, q, k=4, num_planes=2).collect()
+    }
+    assert approx  # bucket containing the query is non-trivial
+    assert approx <= exact or all(s in {e[2] for e in exact} for *_, s in approx)

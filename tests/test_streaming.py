@@ -1,0 +1,76 @@
+"""Structured Streaming: file source → watermark → windows → sinks,
+driven synchronously with processAllAvailable/availableNow."""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from time_series_databse_engine_spark import TimeSeriesStore
+from time_series_databse_engine_spark.sources import load_table
+from time_series_databse_engine_spark.streaming import (
+    sessionized_counts,
+    stream_events,
+    stream_to_store,
+    windowed_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def staged_events(spark, sf_dir):
+    d = tempfile.mkdtemp()
+    load_table(spark, sf_dir, "events").drop("ts_ns", "ts_ms").coalesce(2).write.mode(
+        "overwrite"
+    ).parquet(d + "/src")
+    yield d + "/src"
+    shutil.rmtree(d)
+
+
+def test_windowed_counts(spark, staged_events, sf_dir):
+    stream = stream_events(spark, staged_events)
+    q = (
+        windowed_counts(stream, "1 hour", "10 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("win_counts")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT sum(n) AS n FROM win_counts").collect()[0].n
+    batch = load_table(spark, sf_dir, "events")
+    # append mode emits only watermark-closed windows; the final (max-ts)
+    # window may be withheld, so compare against the closable prefix
+    total = batch.count()
+    assert got is not None and 0 < got <= total
+    assert got >= total * 0.9
+
+
+def test_sessionized_counts(spark, staged_events):
+    stream = stream_events(spark, staged_events)
+    q = (
+        sessionized_counts(stream, "30 minutes", "10 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_counts")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM sess_counts").collect()
+    assert rows and all(r.session_end_ms > r.session_start_ms for r in rows)
+
+
+def test_stream_to_store(spark, staged_events):
+    d = tempfile.mkdtemp()
+    try:
+        store = TimeSeriesStore(spark, d + "/points")
+        stream = stream_events(spark, staged_events)
+        q = stream_to_store(stream, store, d + "/ckpt").start()
+        q.awaitTermination(120)
+        n = store.points().count()
+        src = spark.read.parquet(staged_events).count()
+        assert n == src
+    finally:
+        shutil.rmtree(d)

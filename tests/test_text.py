@@ -1,0 +1,47 @@
+"""Text-analysis operators."""
+
+from time_series_databse_engine_spark.operators.text import (
+    doc_fingerprint,
+    lang_id,
+    text_stats,
+    token_count,
+)
+
+
+def test_text_stats(spark):
+    df = spark.createDataFrame([(1, "Hello, world! 42 times.")], "doc_id long, text string")
+    r = text_stats(df).collect()[0]
+    assert r.n_chars == 23
+    assert r.n_tokens == 4
+    assert r.n_words == 3           # Hello, world, times
+    assert r.n_punct == 3           # , ! .
+
+
+def test_token_count(spark):
+    df = spark.createDataFrame([(1, "foo bar-baz 12x")], "doc_id long, text string")
+    r = token_count(df).collect()[0]
+    assert r.ws_tokens == 3
+    assert r.bpe_tokens == 6        # foo, bar, -, baz, 12, x
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of the house"),
+            (2, "der hund und die katze ist gut"),
+            (3, "el perro y la casa de que"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.lang_guess for r in lang_id(df).collect()}
+    assert got == {1: "en", 2: "de", 3: "es"}
+
+
+def test_fingerprint_order_invariant(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma alpha beta"), (3, "alpha beta delta")],
+        "doc_id long, text string",
+    )
+    fps = {r.doc_id: r.fingerprint for r in doc_fingerprint(df).collect()}
+    assert fps[1] == fps[2]
+    assert fps[1] != fps[3]

@@ -1,0 +1,90 @@
+"""Reference-parity tests: the fixtures and assertions of the reference's
+own suites (engine/test_engine.cpp:28-62, tests/test_api.py:37-66) run
+against the Parquet-backed store."""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from time_series_databse_engine_spark import TimeSeriesStore
+
+CPP_FIXTURE = [  # engine/test_engine.cpp:28-35 — 5 points across 3 hour-shards
+    ("cpu.load.avg", 1000, 10.0),
+    ("cpu.load.avg", 2000, 20.0),
+    ("cpu.load.avg", 3_600_000, 30.0),
+    ("cpu.load.avg", 4_000_000, 40.0),
+    ("cpu.load.avg", 8_000_000, 50.0),
+]
+
+
+@pytest.fixture(scope="module")
+def store(spark):
+    d = tempfile.mkdtemp()
+    s = TimeSeriesStore(spark, d + "/points")
+    s.ingest(
+        spark.createDataFrame(CPP_FIXTURE, "metric string, ts_ms long, value double"),
+        target_partitions=2,
+    )
+    yield s
+    shutil.rmtree(d)
+
+
+def test_single_shard_range(store):
+    rows = store.query_range(0, 3000).collect()  # test_engine.cpp:45-48
+    assert [(r.ts_ms, r.value) for r in rows] == [(1000, 10.0), (2000, 20.0)]
+
+
+def test_cross_shard_range(store):
+    rows = store.query_range(1500, 3_700_000).collect()  # test_engine.cpp:51-54
+    assert [(r.ts_ms, r.value) for r in rows] == [(2000, 20.0), (3_600_000, 30.0)]
+
+
+def test_full_range_count(store):
+    assert store.query_range(0, 9_000_000).count() == 5  # test_engine.cpp:57-58
+
+
+def test_empty_range(store):
+    assert store.query_range(12_000_000, 13_000_000).count() == 0  # :61-62
+
+
+def test_inclusive_bounds_api_fixture(spark):
+    # tests/test_api.py:37-57 — query [100,250] over 4 points excludes 300
+    d = tempfile.mkdtemp()
+    try:
+        s = TimeSeriesStore(spark, d + "/points")
+        pts = [("m", 100, 10.0), ("m", 150, 15.0), ("m", 200, 20.0), ("m", 300, 30.0)]
+        s.ingest(spark.createDataFrame(pts, "metric string, ts_ms long, value double"))
+        rows = s.query_range(100, 250).collect()
+        assert [(r.ts_ms, r.value) for r in rows] == [(100, 10.0), (150, 15.0), (200, 20.0)]
+    finally:
+        shutil.rmtree(d)
+
+
+def test_limit_truncation(store):
+    # api/main.py:85 caps at 10k; semantics = top-n in ts order
+    assert store.query_range(0, 9_000_000, limit=3).count() == 3
+
+
+def test_metric_filter(spark):
+    d = tempfile.mkdtemp()
+    try:
+        s = TimeSeriesStore(spark, d + "/points")
+        pts = [("a", 1000, 1.0), ("b", 1000, 2.0), ("a", 2000, 3.0)]
+        s.ingest(spark.createDataFrame(pts, "metric string, ts_ms long, value double"))
+        rows = s.query_range(0, 10_000, metrics=["a"]).collect()
+        assert [r.value for r in rows] == [1.0, 3.0]
+    finally:
+        shutil.rmtree(d)
+
+
+def test_partition_pruning_in_plan(store):
+    plan = store.query_range(0, 3000)._jdf.queryExecution().executedPlan().toString()
+    # the hour-bucket predicate must reach the scan as a partition filter
+    assert "hour_bucket" in plan
+
+
+def test_downsample(store):
+    rows = {r.bucket_ms: r.n for r in store.downsample("1 hour").collect()}
+    assert rows == {0: 2, 3_600_000: 2, 7_200_000: 1}

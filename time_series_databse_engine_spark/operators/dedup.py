@@ -1,0 +1,174 @@
+"""Deduplication family for large-scale document pipelines (north-star ops,
+BASELINE.json; no reference analogue — SURVEY.md §2.2 "LLM-pipeline ops").
+
+Scale stance: every variant avoids a cross join.  Exact dedup is a
+hash-groupBy; Jaccard uses an inverted token index (explode + equi-join);
+MinHash-LSH buckets signatures into bands and equi-joins on the band key.
+The only shuffles are on content-derived keys; hot tokens (stopwords) are
+the skew risk and are cut by document frequency before the join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+
+def fingerprint(col, normalize: bool = False) -> F.Column:
+    """Deterministic content fingerprint (md5).  With ``normalize``, token
+    order and multiplicity are canonicalized first, so reordered copies of
+    the same vocabulary collide — a cheap near-dup canonical form."""
+    c = F.col(col) if isinstance(col, str) else col
+    if normalize:
+        c = F.concat_ws(" ", F.array_sort(F.array_distinct(F.split(F.lower(c), "\\s+"))))
+    return F.md5(c)
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup via content-hash groupBy: one row per distinct text,
+    keeping the smallest id (deterministic keeper) and the duplicate count."""
+    return (
+        df.groupBy(fingerprint(text_col).alias("fp"))
+        .agg(F.min(id_col).alias("keeper_id"), F.count("*").alias("dup_count"))
+    )
+
+
+def token_sets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, token) pairs over the distinct lowercase tokens of each doc."""
+    return df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(F.split(F.lower(F.col(text_col)), "\\s+"))).alias("token"),
+    ).filter(F.col("token") != "")
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_token_df: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by token-set Jaccard, via inverted index:
+    explode distinct tokens → self equi-join on token (id1 < id2) → count
+    intersections → |A∩B| / (|A|+|B|−|A∩B|).  No cross join; shuffle keys
+    are tokens then pairs.  ``max_token_df`` drops tokens appearing in more
+    than that many docs (stopword/skew cut) — at billions of docs this is
+    what keeps the token join tractable.
+    """
+    toks = token_sets(df, text_col, id_col)
+    if max_token_df is not None:
+        dfreq = toks.groupBy("token").agg(F.count("*").alias("df"))
+        toks = toks.join(F.broadcast(dfreq.filter(F.col("df") <= max_token_df)), "token")
+    sizes = toks.groupBy(id_col).agg(F.count("*").alias("set_size"))
+
+    t1 = toks.select(F.col(id_col).alias("id1"), "token")
+    t2 = toks.select(F.col(id_col).alias("id2"), "token")
+    inter = (
+        t1.join(t2, "token")
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count("*").alias("inter"))
+    )
+    s1 = sizes.select(F.col(id_col).alias("id1"), F.col("set_size").alias("size1"))
+    s2 = sizes.select(F.col(id_col).alias("id2"), F.col("set_size").alias("size2"))
+    return (
+        inter.join(F.broadcast(s1), "id1")
+        .join(F.broadcast(s2), "id2")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("size1") + F.col("size2") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
+    )
+
+
+def shingles(df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, shingle) pairs: n-word shingles from the whitespace tokens.
+    Documents shorter than n words contribute their full text as one shingle."""
+    toks = F.split(F.lower(F.col(text_col)), "\\s+")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return df.select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle"))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash signature per doc: hash_i(doc) = min over shingles of
+    md5(shingle ‖ ':' ‖ i) (lexicographic min of hex digests — md5 is
+    available in every SQL engine, which keeps the oracle exact).
+    One explode + one groupBy; signature width is a column count, not a join.
+    """
+    sh = shingles(df, shingle_n, text_col, id_col)
+    aggs = [
+        F.min(F.md5(F.concat_ws(":", F.col("shingle"), F.lit(str(i))))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LSH banding: docs agreeing on ALL hashes inside any band become a
+    candidate pair.  Implemented as explode-to-(band, band_hash) + groupBy
+    equi-join — never a cross join.  Pairs are distinct (id1 < id2)."""
+    banded = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)],
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bh"),
+    ).select(id_col, "bh.band", "bh.band_hash")
+    a = banded.select(F.col(id_col).alias("id1"), "band", "band_hash")
+    b = banded.select(F.col(id_col).alias("id2"), "band", "band_hash")
+    return (
+        a.join(b, ["band", "band_hash"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )
+
+
+def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per doc: per-token xxhash64, sum ±1 per bit position,
+    collapse sign bits.  Spark-side only (xxhash64 has no cross-engine
+    oracle); verified by unit tests on hand-built near-identical docs."""
+    toks = token_sets(df, text_col, id_col).withColumn("h", F.xxhash64("token"))
+    bit_cols = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(1 << i) if i < 63 else F.lit(-(1 << 63))) != 0, 1)
+            .otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    per_doc = toks.groupBy(id_col).agg(*bit_cols)
+    sim = None
+    for i in range(64):
+        term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i) if i < 63 else F.lit(-(1 << 63))).otherwise(0)
+        sim = term if sim is None else sim.bitwiseOR(term)
+    return per_doc.select(F.col(id_col), sim.alias("simhash"))
+
+
+def hamming64(a: str, b: str) -> F.Column:
+    """Population count of XOR — Hamming distance between two simhashes."""
+    return F.bit_count(F.col(a).bitwiseXOR(F.col(b)))

@@ -1,0 +1,132 @@
+"""Similarity search over embedding columns (north-star op, BASELINE.json).
+
+Baseline: brute-force cosine top-k with a broadcast query set — JVM-side
+``zip_with``/``aggregate`` expressions, no Python in the hot path.  Scale
+path: LSH bucketing by random-hyperplane signs reduces candidates from N to
+a bucket before exact re-scoring (same top-k shape, bucket-equi-join
+instead of broadcast-nested-loop).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+
+def as_double(col) -> F.Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a, b) -> F.Column:
+    """Sequential left-to-right sum — same evaluation order as the SQL
+    oracle's list functions, so doubles agree to rounding."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a) -> F.Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a, b) -> F.Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbours for each query vector.
+
+    ``broadcast(queries)`` → each candidate partition scores all queries
+    locally (the classic brute-force ANN baseline: one pass over N
+    candidates, no shuffle of the big side); per-query row_number keeps k.
+    Returns (query_id, cand_id, cosine_sim, rank).
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), as_double(vec_col).alias("qvec")
+        )
+    )
+    c = embeddings.select(F.col(id_col).alias("cand_id"), as_double(vec_col).alias("cvec"))
+    scored = (
+        c.crossJoin(q)
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            cosine(F.col("qvec"), F.col("cvec")).alias("_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("_sim").desc(), F.col("cand_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", F.round("_sim", 6).alias("cosine_sim"), "rank")
+    )
+
+
+def lsh_bucket_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane LSH — bucket = sign pattern of
+    ``num_planes`` fixed random projections; candidates equi-join queries on
+    the bucket key, then exact cosine re-scoring inside the bucket.
+
+    At 100 TB the bucket join replaces the all-pairs scoring with a
+    shuffle-on-bucket; recall is tuned by ``num_planes`` (fewer planes →
+    bigger buckets → higher recall, more work).
+    """
+    import numpy as np
+
+    dim = len(embeddings.select(vec_col).first()[0])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((num_planes, dim))
+
+    def bucket_expr(vec):
+        bits = [
+            F.when(
+                F.aggregate(
+                    F.zip_with(
+                        vec,
+                        F.array(*[F.lit(float(x)) for x in planes[p]]),
+                        lambda x, y: x * y,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                >= 0,
+                F.lit("1"),
+            ).otherwise(F.lit("0"))
+            for p in range(num_planes)
+        ]
+        return F.concat(*bits)
+
+    c = embeddings.select(
+        F.col(id_col).alias("cand_id"),
+        as_double(vec_col).alias("cvec"),
+    ).withColumn("bucket", bucket_expr(F.col("cvec")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double(vec_col).alias("qvec"),
+    ).withColumn("bucket", bucket_expr(F.col("qvec")))
+
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", cosine(F.col("qvec"), F.col("cvec")).alias("_sim"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("_sim").desc(), F.col("cand_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", F.round("_sim", 6).alias("cosine_sim"), "rank")
+    )

@@ -1,0 +1,85 @@
+"""Text analysis operators for document pipelines (north-star ops).
+
+Everything is built-in-function only (regexp_extract_all / split /
+aggregate) — JVM-side, codegen'd, no Python UDFs — so a 100 TB documents
+table is one scan + narrow projections.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+TOKEN_RE = "[^\\s]+"          # whitespace tokens
+WORD_RE = "[A-Za-z]+"          # alphabetic words
+BPE_ISH_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"  # words / numbers / single punct — a BPE-ish pre-tokenizer
+
+# tiny per-language stopword profiles for the n-gram/stopword language
+# heuristic; deliberately minimal — the point is the operator shape.
+LANG_PROFILES = {
+    "en": ["the", "and", "of", "to", "a"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "es": ["el", "la", "de", "que", "y"],
+    "fr": ["le", "la", "et", "les", "des"],
+}
+
+
+def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document quality metrics: char/token/word counts, punctuation and
+    whitespace ratios, mean token length."""
+    t = F.col(text_col)
+    toks = F.regexp_extract_all(t, F.lit(TOKEN_RE), 0)
+    words = F.regexp_extract_all(t, F.lit(WORD_RE), 0)
+    n_tok = F.size(toks)
+    return df.select(
+        F.col(id_col),
+        F.length(t).alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        F.size(words).alias("n_words"),
+        F.size(F.regexp_extract_all(t, F.lit("[^A-Za-z0-9\\s]"), 0)).alias("n_punct"),
+        F.round(
+            F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
+            / F.greatest(n_tok, F.lit(1)),
+            6,
+        ).alias("avg_token_len"),
+    )
+
+
+def token_count(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace + BPE-ish token counts (the usual 'how many tokens will
+    this cost' pre-check in a training-data pipeline)."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.size(F.regexp_extract_all(t, F.lit(TOKEN_RE), 0)).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(t, F.lit(BPE_ISH_RE), 0)).alias("bpe_tokens"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-profile language guess: count profile hits per language,
+    argmax (ties → lexicographically first language, deterministic)."""
+    t = F.lower(F.col(text_col))
+    scores = [
+        F.size(
+            F.filter(
+                F.split(t, "\\s+"), lambda w: w.isin([*LANG_PROFILES[lang]])
+            )
+        ).alias(f"score_{lang}")
+        for lang in sorted(LANG_PROFILES)
+    ]
+    scored = df.select(F.col(id_col), *scores)
+    langs = sorted(LANG_PROFILES)
+    best = F.greatest(*[F.col(f"score_{l}") for l in langs])
+    guess = F.coalesce(
+        *[F.when(F.col(f"score_{l}") == best, F.lit(l)) for l in langs]
+    )
+    return scored.select(id_col, guess.alias("lang_guess"), best.alias("lang_score"))
+
+
+def doc_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Canonical content fingerprint: md5 over the sorted distinct token
+    set — robust to token order, exact-SQL-reproducible."""
+    canon = F.concat_ws(
+        " ", F.array_sort(F.array_distinct(F.split(F.lower(F.col(text_col)), "\\s+")))
+    )
+    return df.select(F.col(id_col), F.md5(canon).alias("fingerprint"))

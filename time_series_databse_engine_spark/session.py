@@ -1,0 +1,54 @@
+"""SparkSession factory tuned for this engine.
+
+Local testing runs a single JVM (``local[N]``); the configuration is chosen
+so the same code scales to a multi-executor cluster: AQE for runtime
+re-planning (skew joins, partition coalescing), UTC session time zone so
+event-time arithmetic matches the ANSI-SQL oracle, Arrow for any
+Python-side exchange, ZSTD Parquet as the storage codec.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "time_series_databse_engine_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) the tuned SparkSession.
+
+    ``shuffle_partitions`` should be ~cores locally; on a real cluster it is
+    sized so a shuffle partition stays well under executor memory
+    (AQE coalescing then trims small ones at runtime).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    shuffle = str(shuffle_partitions or cpus)
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", shuffle)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        # Read parquet TIMESTAMP (isAdjustedToUTC=false) as TimestampType so
+        # event-time functions (window, unix_millis) work uniformly; with a
+        # UTC session TZ this matches DuckDB's naive-UTC interpretation.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # The driver's events table carries parquet TIMESTAMP(NANOS), which
+        # Spark's converter rejects; read it as int64 nanoseconds and let the
+        # loader derive (ts: TimestampType µs, ts_ms: long) — see sources.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,83 @@
+"""Sources & sinks.
+
+The reference has exactly one source and one sink: its hour-shard binary
+format (reference engine/shard.cpp).  Here the native table format is
+Parquet (columnar, min/max pruning, DELTA_BINARY_PACKED / BYTE_STREAM_SPLIT
+encodings give the codec the reference hand-rolled — SURVEY.md §1.5), and
+the driver test tables are plain parquet files read with
+``spark.read.parquet``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver test table (TESTDATA.md) as a DataFrame.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS) — Spark reads it as int64
+    nanoseconds (``spark.sql.legacy.parquet.nanosAsLong``); normalize to
+    ``ts`` TimestampType (µs, truncated like DuckDB's parquet-ns read) plus
+    ``ts_ms``/``ts_ns`` longs for exact integer time arithmetic.  Integer
+    ``DIV`` keeps the math in int64 (a double round-trip would lose
+    precision at epoch-nanosecond magnitude).
+    """
+    # Defensive: the caller's session may not carry our builder configs
+    # (the correctness driver builds its own session).  Both are
+    # runtime-settable and required for correct oracle comparison.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = (
+            df.withColumnRenamed("ts", "ts_ns")
+            .withColumn("ts_ms", F.expr("ts_ns DIV 1000000"))
+            .withColumn("ts", F.timestamp_micros(F.expr("ts_ns DIV 1000")))
+        )
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
+    """Register each table as a temp view so SQL-form queries can run."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_csv(spark: SparkSession, path: str, schema=None, header: bool = True) -> DataFrame:
+    """CSV source; pass an explicit schema in production (inference = 2 scans)."""
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """JSON-lines source; explicit schema avoids a full inference pass."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_parquet(df: DataFrame, path: str, partition_by: tuple[str, ...] = (), mode: str = "append") -> None:
+    """Partitioned ZSTD parquet sink (the engine's native table layout)."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

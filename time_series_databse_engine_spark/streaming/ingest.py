@@ -1,0 +1,89 @@
+"""Streaming ingestion & windowed aggregation.
+
+Local tests drive these with a file source over a staged parquet directory
+and a memory sink (`processAllAvailable()` makes it synchronous); on a real
+cluster the same plans run against kafka with checkpointed exactly-once
+``foreachBatch`` sinks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, src_dir: str, schema: T.StructType = EVENT_SCHEMA) -> DataFrame:
+    """File-based micro-batch source (schema must be explicit for streams)."""
+    return spark.readStream.schema(schema).parquet(src_dir)
+
+
+def windowed_counts(
+    stream: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+    slide: str | None = None,
+) -> DataFrame:
+    """Tumbling (or sliding) event-time window counts per event_type with a
+    watermark bounding state — the streaming twin of the batch downsample
+    (and of the reference's hour shards)."""
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(win.alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(
+            F.unix_millis(F.col("w.start")).alias("bucket_ms"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sessionized_counts(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Session windows per user: state closes ``gap`` after the last event."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.unix_millis(F.col("w.start")).alias("session_start_ms"),
+            F.unix_millis(F.col("w.end")).alias("session_end_ms"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def stream_to_store(stream: DataFrame, store, checkpoint_dir: str, metric_col: str = "event_type"):
+    """``foreachBatch`` sink into the hour-partitioned Parquet TimeSeriesStore:
+    each micro-batch becomes one immutable sorted append (idempotent per
+    epoch when paired with the checkpoint)."""
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        pts = batch_df.select(
+            F.col(metric_col).alias("metric"),
+            F.unix_millis(F.col("ts")).alias("ts_ms"),
+            F.col("value"),
+        )
+        store.ingest(pts)
+
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )

@@ -1,0 +1,156 @@
+"""Core time-series store: the reference's entire public surface, Spark-first.
+
+Reference semantics being reproduced (citations into /root/reference):
+  * point schema ``(timestamp ms, double value)`` — engine/shard.h:9-12;
+    we keep the ``metric`` field the reference's API accepts then drops
+    (api/main.py:48, api/main.py:70) as a first-class series column.
+  * hour-bucket partitioning ``floor(ts_ms / 3600000)`` — engine/insight.cpp:9-14
+    → a Parquet partition column, so Catalyst partition pruning replaces the
+    reference's manual shard enumeration (engine/insight.cpp:28-35).
+  * inclusive range scan ``start <= ts <= end`` — engine/insight.cpp:42.
+  * limit/truncation at a caller cap (HTTP layer: 10,000) — api/main.py:85.
+  * delta + XOR compression — engine/shard.cpp:107-126 → Parquet v2 encodings
+    (DELTA_BINARY_PACKED for int64 ts, BYTE_STREAM_SPLIT/ZSTD for doubles);
+    no user-space codec.
+
+Deliberate divergences (SURVEY.md §1.4): results are ordered by ``ts_ms``
+(the reference returns shard-then-insertion order, unreproducible and
+undesirable); ``ts_ms == 0`` is a legal value (the reference reserves it as
+a codec sentinel); `metric` is preserved per point.
+
+Scale posture (100 TB): ingest repartitions by range on
+``(hour_bucket, metric)`` so one task writes one partition's files in sorted
+runs; queries express bucket + ts predicates declaratively so partition
+pruning and row-group min/max pushdown bound I/O to the queried window
+regardless of total table size.  No driver-side loops anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+SHARD_DURATION_MS = 3_600_000  # one-hour buckets, reference engine/insight.cpp:6
+
+POINT_SCHEMA = T.StructType(
+    [
+        T.StructField("metric", T.StringType(), False),
+        T.StructField("ts_ms", T.LongType(), False),
+        T.StructField("value", T.DoubleType(), False),
+    ]
+)
+
+
+class TimeSeriesStore:
+    """Hour-partitioned Parquet time-series table with the reference's two
+    operations (ingest, inclusive range scan) plus the aggregation surface a
+    real TSDB needs (downsample etc.)."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    # ------------------------------------------------------------------ write
+    def ingest(self, df: DataFrame, target_partitions: int | None = None) -> None:
+        """Batch ingest: the Spark-native replacement for the reference's
+        per-point ``ingest_point`` FFI loop (engine/insight.cpp:18-23), which
+        re-decoded a whole shard per appended point.  One immutable sorted
+        Parquet append per batch.
+
+        Accepts any df with (metric, ts_ms, value) or (metric, ts, value);
+        derives the hour bucket and range-partitions on (hour_bucket, metric)
+        so each output file covers one bucket in ts order — at 100 TB this
+        keeps file counts linear in hours×parallelism and files internally
+        sorted for min/max pruning.
+        """
+        if "ts_ms" not in df.columns:
+            df = df.withColumn("ts_ms", F.unix_millis(F.col("ts")))
+        pts = df.select(
+            F.col("metric").cast("string"),
+            F.col("ts_ms").cast("long"),
+            F.col("value").cast("double"),
+            (F.floor(F.col("ts_ms") / SHARD_DURATION_MS)).cast("long").alias("hour_bucket"),
+        )
+        n = target_partitions or self.spark.sparkContext.defaultParallelism
+        (
+            pts.repartitionByRange(n, "hour_bucket", "metric", "ts_ms")
+            .sortWithinPartitions("hour_bucket", "metric", "ts_ms")
+            .write.mode("append")
+            .partitionBy("hour_bucket")
+            .parquet(self.path)
+        )
+
+    # ------------------------------------------------------------------- read
+    def points(self) -> DataFrame:
+        try:
+            df = self.spark.read.parquet(self.path)
+        except Exception:
+            # empty database → empty result, matching the reference's
+            # query-on-empty behaviour (tests/test_api.py:59-66), not an error
+            empty = self.spark.createDataFrame([], POINT_SCHEMA)
+            df = empty.withColumn("hour_bucket", F.lit(0).cast("long"))
+        return df.withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+
+    def query_range(
+        self,
+        start_ms: int,
+        end_ms: int,
+        metrics: list[str] | None = None,
+        limit: int | None = None,
+    ) -> DataFrame:
+        """Inclusive time-range scan (reference engine/insight.cpp:26-49).
+
+        The ``hour_bucket`` predicate hits the Parquet partition column →
+        Catalyst prunes to the buckets intersecting [start, end] at plan
+        time, exactly the reference's shard loop but O(matching partitions)
+        on any cluster size; the ``ts_ms`` predicate additionally prunes row
+        groups via min/max stats (which the reference lacked — SURVEY §4.2).
+        """
+        lo = start_ms // SHARD_DURATION_MS
+        hi = end_ms // SHARD_DURATION_MS
+        df = (
+            self.points()
+            .filter(F.col("hour_bucket").between(lo, hi))
+            .filter(F.col("ts_ms").between(start_ms, end_ms))
+        )
+        if metrics:
+            df = df.filter(F.col("metric").isin(metrics))
+        df = df.orderBy("ts_ms", "metric")
+        if limit is not None:
+            # reference truncates at buffer capacity (api/main.py:85); here the
+            # limit composes with the sort → TakeOrderedAndProject (top-k),
+            # which short-circuits instead of scanning on (SURVEY §4.2).
+            df = df.limit(limit)
+        return df
+
+    def downsample(
+        self,
+        bucket: str = "1 hour",
+        start_ms: int | None = None,
+        end_ms: int | None = None,
+    ) -> DataFrame:
+        """Time-bucketed aggregation per metric — the canonical TSDB op the
+        reference lacks (SURVEY §2.2).  Tumbling window → single shuffle on
+        (window, metric); partial aggregation is map-side (HashAggregateExec).
+        """
+        df = self.points()
+        if start_ms is not None and end_ms is not None:
+            df = self.query_range(start_ms, end_ms)
+        return (
+            df.groupBy(F.window("ts", bucket).alias("w"), "metric")
+            .agg(
+                F.count("*").alias("n"),
+                F.min("value").alias("min_value"),
+                F.max("value").alias("max_value"),
+                F.avg("value").alias("avg_value"),
+                F.sum("value").alias("sum_value"),
+            )
+            .select(
+                F.unix_millis(F.col("w.start")).alias("bucket_ms"),
+                "metric",
+                "n",
+                "min_value",
+                "max_value",
+                "avg_value",
+                "sum_value",
+            )
+        )
