@@ -424,6 +424,152 @@ def q_lang_id(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# batch 2: percentiles, pivot, ranking, scalar functions, subqueries,
+# sliding windows, grouping sets, embedding centroids, rows-only ops
+# --------------------------------------------------------------------------
+
+def q_value_percentiles(spark, sf_dir):
+    """Exact continuous percentiles per series (Spark SQL `percentile` ↔
+    DuckDB `quantile_cont`)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
+def q_event_pivot(spark, sf_dir):
+    """Pivot: user-decile × event_type count matrix."""
+    e = _t(spark, sf_dir, "events").withColumn("user_mod", F.col("user_id") % 10)
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        e.groupBy("user_mod")
+        .pivot("event_type", types)
+        .count()
+        .na.fill(0, types)
+    )
+
+
+def q_rank_family(spark, sf_dir):
+    """rank / dense_rank / ntile over values per series."""
+    e = _t(spark, sf_dir, "events").filter(F.col("ts_ms").between(T1, T2))
+    w = W.partitionBy("event_type").orderBy(F.col("value").desc(), F.col("event_id").asc())
+    return e.select(
+        "event_id",
+        "event_type",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+def q_string_funcs(spark, sf_dir):
+    """Scalar string surface: upper/substring/length/replace/LIKE."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%a%"))
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_u"),
+        F.substring("p_name", 1, 10).alias("name10"),
+        F.length("p_name").alias("name_len"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_u"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+    )
+
+
+def q_date_parts(spark, sf_dir):
+    """Scalar date surface: year/quarter/month/weekday extraction + agg.
+    weekday is normalized to 0=Monday on both engines."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("yr"),
+            F.quarter("o_orderdate").alias("qtr"),
+            F.month("o_orderdate").alias("mo"),
+            F.weekday("o_orderdate").alias("dow"),
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+def q_orders_above_avg(spark, sf_dir):
+    """Correlated-subquery shape: orders > 1.5× their customer's average
+    (decorrelated to an aggregate + equi-join — what Catalyst does anyway)."""
+    o = _t(spark, sf_dir, "orders")
+    avg = o.groupBy("o_custkey").agg(F.avg("o_totalprice").alias("cust_avg"))
+    return (
+        o.join(avg, "o_custkey")
+        .filter(F.col("o_totalprice") > 1.5 * F.col("cust_avg"))
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+def q_sliding_downsample(spark, sf_dir):
+    """Sliding window (10 min window, 5 min slide): each event lands in
+    exactly two overlapping buckets."""
+    e = _t(spark, sf_dir, "events").filter(
+        (F.col("ts_ms") >= T1) & (F.col("ts_ms") < T2)
+    )
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.unix_millis(F.col("w.start")).alias("bucket_ms"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def q_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS: per-status, per-priority, and grand total."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("_orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM _orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+def q_embedding_centroids(spark, sf_dir):
+    """Per-label centroid, one row per (label, dimension): posexplode +
+    groupBy — elementwise mean without collecting vectors."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode(sim_ops.as_double("embedding")).alias("pos", "x"))
+        .withColumn("dim", F.col("pos") + 1)
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg("x"), 6).alias("centroid"))
+    )
+
+
+def q_resample_1m(spark, sf_dir):
+    """Gap-fill/interpolate to a 1-min grid per series over one day
+    (applyInPandas + numpy.interp — not SQL-expressible → rows-only check)."""
+    e = _t(spark, sf_dir, "events").filter(F.col("ts_ms").between(T1, T2))
+    return ts_ops.resample_interpolate(
+        e.select("event_type", "ts_ms", "value"), "event_type", 60_000
+    )
+
+
+def q_simhash(spark, sf_dir):
+    """64-bit SimHash per doc (xxhash64-based — rows-only check)."""
+    return dedup_ops.simhash64(_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200))
+
+
+def q_lsh_ann_topk(spark, sf_dir):
+    """Approximate NN via random-hyperplane LSH buckets (rows-only check;
+    exactness covered by cosine_topk)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim_ops.lsh_bucket_topk(emb, emb.filter(F.col("vec_id") < 5), k=5, num_planes=4)
+
+
+# --------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -477,6 +623,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "token_counts_by_lang": q_token_counts_by_lang,
         "lang_id": q_lang_id,
+        "value_percentiles": q_value_percentiles,
+        "event_pivot": q_event_pivot,
+        "rank_family": q_rank_family,
+        "string_funcs": q_string_funcs,
+        "date_parts": q_date_parts,
+        "orders_above_avg": q_orders_above_avg,
+        "sliding_downsample": q_sliding_downsample,
+        "grouping_sets": q_grouping_sets,
+        "embedding_centroids": q_embedding_centroids,
+        "resample_1m": q_resample_1m,
+        "simhash": q_simhash,
+        "lsh_ann_topk": q_lsh_ann_topk,
     }
 
 
@@ -744,4 +902,58 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": f"""
             SELECT doc_id, {guess_case} AS lang_guess, {best} AS lang_score
             FROM (SELECT doc_id, {lang_scores} FROM documents)""",
+        "value_percentiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 6) AS p50,
+                   round(quantile_cont(value, 0.9), 6) AS p90,
+                   round(quantile_cont(value, 0.99), 6) AS p99
+            FROM events GROUP BY event_type""",
+        "event_pivot": """
+            SELECT user_id % 10 AS user_mod,
+                   count(*) FILTER (event_type = 'click') AS click,
+                   count(*) FILTER (event_type = 'error') AS error,
+                   count(*) FILTER (event_type = 'purchase') AS purchase,
+                   count(*) FILTER (event_type = 'signup') AS signup,
+                   count(*) FILTER (event_type = 'view') AS view
+            FROM events GROUP BY 1""",
+        "rank_family": f"""
+            SELECT event_id, event_type,
+                   rank() OVER w AS rnk, dense_rank() OVER w AS drnk,
+                   ntile(4) OVER w AS quartile
+            FROM events WHERE {_EV_MS} BETWEEN {T1} AND {T2}
+            WINDOW w AS (PARTITION BY event_type ORDER BY value DESC, event_id ASC)""",
+        "string_funcs": """
+            SELECT p_partkey, upper(p_brand) AS brand_u,
+                   substring(p_name, 1, 10) AS name10, length(p_name) AS name_len,
+                   replace(p_type, ' ', '_') AS type_u,
+                   p_brand || '/' || p_type AS brand_type
+            FROM part WHERE p_name LIKE '%a%'""",
+        "date_parts": """
+            SELECT year(o_orderdate) AS yr, quarter(o_orderdate) AS qtr,
+                   month(o_orderdate) AS mo,
+                   CAST(isodow(o_orderdate) - 1 AS INT) AS dow,
+                   count(*) AS n, round(sum(o_totalprice), 2) AS total
+            FROM orders GROUP BY 1, 2, 3, 4""",
+        "orders_above_avg": """
+            SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
+            FROM (SELECT *, avg(o_totalprice) OVER (PARTITION BY o_custkey) AS cust_avg
+                  FROM orders)
+            WHERE o_totalprice > 1.5 * cust_avg
+            GROUP BY o_orderpriority""",
+        "sliding_downsample": f"""
+            SELECT bucket_ms, event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+            FROM (SELECT ({_EV_MS} - {_EV_MS} % 300000) - 300000 * i AS bucket_ms,
+                         event_type, value
+                  FROM events, unnest([0, 1]) AS t(i)
+                  WHERE {_EV_MS} >= {T1} AND {_EV_MS} < {T2})
+            GROUP BY bucket_ms, event_type""",
+        "grouping_sets": """
+            SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                   round(sum(o_totalprice), 2) AS total
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""",
+        "embedding_centroids": """
+            SELECT label, i AS dim, round(avg(embedding[i]::DOUBLE), 6) AS centroid
+            FROM embeddings, generate_series(1, 64) AS t(i)
+            GROUP BY label, i""",
     }

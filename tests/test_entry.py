@@ -18,8 +18,9 @@ def test_oracle_keys_subset_of_queries():
     q = set(entry_mod.queries())
     o = set(entry_mod.oracle_sql())
     assert o <= q
-    # all but explicitly non-SQL-expressible ops have oracles
-    assert len(o) >= len(q) - 2
+    # all but the explicitly non-SQL-expressible ops have oracles
+    rows_only = q - o
+    assert rows_only <= {"resample_1m", "simhash", "lsh_ann_topk"}
 
 
 def test_three_representative_queries_run(spark, sf_dir):

@@ -13,6 +13,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W, functions as F
 
 
+def _parallelize(df: DataFrame) -> DataFrame:
+    """Ensure the doc table has ≥ default parallelism before CPU-heavy
+    shingling/hashing.  A small local parquet file arrives as one partition
+    and would serialize the whole pipeline on one core; at scale the input
+    already has more partitions than cores and this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def fingerprint(col, normalize: bool = False) -> F.Column:
     """Deterministic content fingerprint (md5).  With ``normalize``, token
     order and multiplicity are canonicalized first, so reordered copies of
@@ -54,7 +65,7 @@ def jaccard_pairs(
     than that many docs (stopword/skew cut) — at billions of docs this is
     what keeps the token join tractable.
     """
-    toks = token_sets(df, text_col, id_col)
+    toks = token_sets(_parallelize(df), text_col, id_col)
     if max_token_df is not None:
         dfreq = toks.groupBy("token").agg(F.count("*").alias("df"))
         toks = toks.join(F.broadcast(dfreq.filter(F.col("df") <= max_token_df)), "token")
@@ -103,7 +114,7 @@ def minhash_signatures(
     available in every SQL engine, which keeps the oracle exact).
     One explode + one groupBy; signature width is a column count, not a join.
     """
-    sh = shingles(df, shingle_n, text_col, id_col)
+    sh = shingles(_parallelize(df), shingle_n, text_col, id_col)
     aggs = [
         F.min(F.md5(F.concat_ws(":", F.col("shingle"), F.lit(str(i))))).alias(f"mh_{i}")
         for i in range(num_hashes)
