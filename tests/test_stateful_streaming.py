@@ -1,0 +1,45 @@
+"""Custom stateful streaming operator (applyInPandasWithState EMA):
+state carries across micro-batches."""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from time_series_databse_engine_spark.streaming.stateful import ema_stream
+
+
+@pytest.fixture()
+def two_batch_source(spark):
+    """Two parquet files → two micro-batches with maxFilesPerTrigger=1."""
+    d = tempfile.mkdtemp()
+    b1 = [("m", 1000, 10.0), ("m", 2000, 20.0)]
+    b2 = [("m", 3000, 30.0)]
+    schema = "metric string, ts_ms long, value double"
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(d + "/src/b1")
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(d + "/src/b2")
+    yield d
+    shutil.rmtree(d)
+
+
+def test_ema_carries_state_across_batches(spark, two_batch_source):
+    d = two_batch_source
+    stream = (
+        spark.readStream.schema("metric string, ts_ms long, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d + "/src/*")
+    )
+    q = (
+        ema_stream(stream, alpha=0.5)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ema_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = {r.ts_ms: r.ema for r in spark.sql("SELECT * FROM ema_out").collect()}
+    assert rows[1000] == 10.0                      # seed
+    assert rows[2000] == 15.0                      # 0.5*20 + 0.5*10
+    assert rows[3000] == 22.5                      # 0.5*30 + 0.5*15 — state crossed batches

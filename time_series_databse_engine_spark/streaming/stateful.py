@@ -1,0 +1,57 @@
+"""Custom stateful streaming operator: per-series exponential moving
+average via ``applyInPandasWithState`` — the shape to use when built-in
+windowed aggregates can't express the semantics (SURVEY.md §2.2 'UDF/UDAF
+surface' + streaming stateful ops).
+
+State per series is O(1) (the last EMA + last ts), so state size is bounded
+by series cardinality regardless of throughput — the property that matters
+at cluster scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F, types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("metric", T.StringType(), False),
+        T.StructField("ts_ms", T.LongType(), False),
+        T.StructField("value", T.DoubleType(), False),
+        T.StructField("ema", T.DoubleType(), False),
+    ]
+)
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("ema", T.DoubleType(), True),
+        T.StructField("last_ts_ms", T.LongType(), True),
+    ]
+)
+
+
+def ema_stream(stream: DataFrame, alpha: float = 0.2) -> DataFrame:
+    """stream must have (metric, ts_ms, value).  Emits one row per input
+    point with the running EMA carried across micro-batches in group state."""
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (metric,) = key
+        ema, last_ts = state.get if state.exists else (None, None)
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts_ms")
+            for ts_ms, value in zip(pdf["ts_ms"], pdf["value"]):
+                ema = value if ema is None else alpha * value + (1 - alpha) * ema
+                last_ts = int(ts_ms)
+                out.append((metric, last_ts, float(value), float(ema)))
+        state.update((ema, last_ts))
+        yield pd.DataFrame(out, columns=["metric", "ts_ms", "value", "ema"])
+
+    return stream.groupBy("metric").applyInPandasWithState(
+        update,
+        outputStructType=OUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
