@@ -461,6 +461,8 @@ def q_rank_family(spark, sf_dir):
         F.rank().over(w).alias("rnk"),
         F.dense_rank().over(w).alias("drnk"),
         F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
     )
 
 
@@ -548,6 +550,83 @@ def q_embedding_centroids(spark, sf_dir):
     )
 
 
+def q_full_outer_join(spark, sf_dir):
+    """Full outer join: every customer with their order count, plus any
+    orders whose customer is missing (coalesced key)."""
+    c = _t(spark, sf_dir, "customer")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+    joined = c.join(o, c.c_custkey == o.o_custkey, "full_outer")
+    return joined.select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("total", F.lit(0.0)).alias("total"),
+        F.col("c_mktsegment").alias("mktsegment"),
+    )
+
+
+def q_union_all_scans(spark, sf_dir):
+    """UNION ALL of two overlapping range scans — duplicates preserved."""
+    e = _t(spark, sf_dir, "events")
+    a = e.filter(F.col("ts_ms").between(T1, T2))
+    b = e.filter(F.col("ts_ms").between(T1 + 43_200_000, WEEK_END))
+    return (
+        a.unionByName(b)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+
+def q_distinct_aggs(spark, sf_dir):
+    """DISTINCT aggregates: exact distinct counts + sum over distinct values."""
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        F.countDistinct("event_type").alias("n_types"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum_distinct(F.floor(F.col("value"))).alias("sum_distinct_floor"),
+    )
+
+
+def q_window_first_last(spark, sf_dir):
+    """first_value / last_value / nth_value over the whole series frame."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("ts_ms", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return (
+        e.select(
+            "event_type",
+            F.round(F.first_value("value").over(w), 6).alias("first_v"),
+            F.round(F.last_value("value").over(w), 6).alias("last_v"),
+            F.round(F.nth_value("value", 2).over(w), 6).alias("second_v"),
+        )
+        .distinct()
+    )
+
+
+def q_value_histogram(spark, sf_dir):
+    """Equi-width histogram per series (integer bucket arithmetic)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type", F.floor(F.col("value") / 10).cast("long").alias("bucket"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_corr_stats(spark, sf_dir):
+    """Bivariate aggregates: correlation / covariance per series."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.corr("value", "user_id"), 6).alias("corr_vu"),
+        F.round(F.covar_samp("value", "user_id"), 4).alias("covar_vu"),
+    )
+
+
 def q_resample_1m(spark, sf_dir):
     """Gap-fill/interpolate to a 1-min grid per series over one day
     (applyInPandas + numpy.interp — not SQL-expressible → rows-only check)."""
@@ -632,6 +711,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_downsample": q_sliding_downsample,
         "grouping_sets": q_grouping_sets,
         "embedding_centroids": q_embedding_centroids,
+        "full_outer_join": q_full_outer_join,
+        "union_all_scans": q_union_all_scans,
+        "distinct_aggs": q_distinct_aggs,
+        "window_first_last": q_window_first_last,
+        "value_histogram": q_value_histogram,
+        "corr_stats": q_corr_stats,
         "resample_1m": q_resample_1m,
         "simhash": q_simhash,
         "lsh_ann_topk": q_lsh_ann_topk,
@@ -919,7 +1004,9 @@ def oracle_sql() -> dict[str, str]:
         "rank_family": f"""
             SELECT event_id, event_type,
                    rank() OVER w AS rnk, dense_rank() OVER w AS drnk,
-                   ntile(4) OVER w AS quartile
+                   ntile(4) OVER w AS quartile,
+                   round(percent_rank() OVER w, 6) AS pct_rank,
+                   round(cume_dist() OVER w, 6) AS cdist
             FROM events WHERE {_EV_MS} BETWEEN {T1} AND {T2}
             WINDOW w AS (PARTITION BY event_type ORDER BY value DESC, event_id ASC)""",
         "string_funcs": """
@@ -956,4 +1043,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT label, i AS dim, round(avg(embedding[i]::DOUBLE), 6) AS centroid
             FROM embeddings, generate_series(1, 64) AS t(i)
             GROUP BY label, i""",
+        "full_outer_join": """
+            SELECT coalesce(c_custkey, o_custkey) AS custkey,
+                   coalesce(n_orders, 0) AS n_orders,
+                   coalesce(total, 0.0) AS total,
+                   c_mktsegment AS mktsegment
+            FROM customer
+            FULL OUTER JOIN (SELECT o_custkey, count(*) AS n_orders,
+                                    round(sum(o_totalprice), 2) AS total
+                             FROM orders GROUP BY o_custkey) o
+              ON c_custkey = o_custkey""",
+        "union_all_scans": f"""
+            SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+            FROM (SELECT event_type, value FROM events
+                  WHERE {_EV_MS} BETWEEN {T1} AND {T2}
+                  UNION ALL
+                  SELECT event_type, value FROM events
+                  WHERE {_EV_MS} BETWEEN {T1 + 43_200_000} AND {WEEK_END})
+            GROUP BY event_type""",
+        "distinct_aggs": """
+            SELECT count(DISTINCT event_type) AS n_types,
+                   count(DISTINCT user_id) AS n_users,
+                   CAST(sum(DISTINCT floor(value)) AS BIGINT) AS sum_distinct_floor
+            FROM events""",
+        "window_first_last": f"""
+            SELECT DISTINCT event_type,
+                   round(first_value(value) OVER w, 6) AS first_v,
+                   round(last_value(value) OVER w, 6) AS last_v,
+                   round(nth_value(value, 2) OVER w, 6) AS second_v
+            FROM events
+            WINDOW w AS (PARTITION BY event_type ORDER BY {_EV_MS}, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""",
+        "value_histogram": """
+            SELECT event_type, CAST(floor(value / 10) AS BIGINT) AS bucket,
+                   count(*) AS n
+            FROM events GROUP BY 1, 2""",
+        "corr_stats": """
+            SELECT event_type,
+                   round(corr(value, user_id), 6) AS corr_vu,
+                   round(covar_samp(value, user_id), 4) AS covar_vu
+            FROM events GROUP BY event_type""",
     }

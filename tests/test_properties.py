@@ -1,0 +1,64 @@
+"""Property-based tests (hypothesis): storage roundtrip and operator
+invariants over randomized inputs — including the t=0 timestamp the
+reference's codec reserves as a sentinel (shard.cpp:36,111) and we
+deliberately support (SURVEY.md §1.4)."""
+
+import shutil
+import tempfile
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from time_series_databse_engine_spark import TimeSeriesStore
+from time_series_databse_engine_spark.operators.dedup import jaccard_pairs
+
+point = st.tuples(
+    st.sampled_from(["a", "b"]),
+    st.integers(min_value=0, max_value=10 * 3_600_000),  # includes t=0
+    st.floats(allow_nan=False, allow_infinity=False, width=32),
+)
+
+fast = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(pts=st.lists(point, min_size=1, max_size=30, unique_by=lambda p: (p[0], p[1])))
+@fast
+def test_store_roundtrip_lossless(spark, pts):
+    d = tempfile.mkdtemp()
+    try:
+        store = TimeSeriesStore(spark, d + "/p")
+        df = spark.createDataFrame(pts, "metric string, ts_ms long, value double")
+        store.ingest(df, target_partitions=2)
+        lo = min(p[1] for p in pts)
+        hi = max(p[1] for p in pts)
+        out = sorted(
+            (r.metric, r.ts_ms, r.value)
+            for r in store.query_range(lo, hi).collect()
+        )
+        assert out == sorted((m, t, float(v)) for m, t, v in pts)
+        # inclusive-bound invariant: shrinking either bound by 1 drops
+        # exactly the points at that bound
+        inner = store.query_range(lo + 1, hi).count()
+        n_at_lo = sum(1 for p in pts if p[1] == lo)
+        assert inner == len(pts) - n_at_lo
+    finally:
+        shutil.rmtree(d)
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=1, max_size=20).filter(str.strip),
+        min_size=2,
+        max_size=6,
+    )
+)
+@fast
+def test_jaccard_pairs_bounded_and_symmetric_free(spark, texts):
+    docs = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    rows = jaccard_pairs(docs, threshold=0.0).collect()
+    for r in rows:
+        assert 0.0 <= r.jaccard <= 1.0
+        assert r.id1 < r.id2  # each pair exactly once
