@@ -627,6 +627,26 @@ def q_corr_stats(spark, sf_dir):
     )
 
 
+def q_event_sequences(spark, sf_dir):
+    """Ordered list aggregation: each user's first-10 event-type journey as
+    a string (collect_list over a sorted window ↔ list(... ORDER BY ...))."""
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    ranked = e.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(w).alias("rn"),
+    ).filter(F.col("rn") <= 10)
+    return (
+        ranked.groupBy("user_id")
+        .agg(
+            F.concat_ws(">", F.array_sort(F.collect_list(F.struct("rn", "event_type")))
+                        .getField("event_type")).alias("journey"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
 def q_resample_1m(spark, sf_dir):
     """Gap-fill/interpolate to a 1-min grid per series over one day
     (applyInPandas + numpy.interp — not SQL-expressible → rows-only check)."""
@@ -717,6 +737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_first_last": q_window_first_last,
         "value_histogram": q_value_histogram,
         "corr_stats": q_corr_stats,
+        "event_sequences": q_event_sequences,
         "resample_1m": q_resample_1m,
         "simhash": q_simhash,
         "lsh_ann_topk": q_lsh_ann_topk,
@@ -1083,4 +1104,13 @@ def oracle_sql() -> dict[str, str]:
                    round(corr(value, user_id), 6) AS corr_vu,
                    round(covar_samp(value, user_id), 4) AS covar_vu
             FROM events GROUP BY event_type""",
+        "event_sequences": f"""
+            SELECT user_id,
+                   array_to_string(list(event_type ORDER BY rn), '>') AS journey,
+                   count(*) AS n
+            FROM (SELECT user_id, event_type,
+                         row_number() OVER (PARTITION BY user_id
+                                            ORDER BY {_EV_MS}, event_id) AS rn
+                  FROM events)
+            WHERE rn <= 10 GROUP BY user_id""",
     }
