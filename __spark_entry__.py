@@ -423,6 +423,28 @@ def q_lang_id(spark, sf_dir):
     return text_ops.lang_id(_t(spark, sf_dir, "documents"))
 
 
+def q_quality_score(spark, sf_dir):
+    return text_ops.quality_score(_t(spark, sf_dir, "documents"))
+
+
+def q_ivf_ann_topk(spark, sf_dir):
+    """IVF-style ANN: coarse cells + probe — the scale path beside the LSH
+    variant (rows-only; exactness is covered by cosine_topk)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim_ops.ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
+
+
+def q_approx_stats(spark, sf_dir):
+    """Sketch aggregates (HLL distinct, approximate percentile) — engine
+    sketches differ, so rows-only; accuracy is asserted in tests against
+    the exact values."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.round(F.percentile_approx("value", 0.5), 2).alias("approx_p50"),
+    )
+
+
 # --------------------------------------------------------------------------
 # batch 2: percentiles, pivot, ranking, scalar functions, subqueries,
 # sliding windows, grouping sets, embedding centroids, rows-only ops
@@ -722,6 +744,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "token_counts_by_lang": q_token_counts_by_lang,
         "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "ivf_ann_topk": q_ivf_ann_topk,
+        "approx_stats": q_approx_stats,
         "value_percentiles": q_value_percentiles,
         "event_pivot": q_event_pivot,
         "rank_family": q_rank_family,
@@ -1113,4 +1138,20 @@ def oracle_sql() -> dict[str, str]:
                                             ORDER BY {_EV_MS}, event_id) AS rn
                   FROM events)
             WHERE rn <= 10 GROUP BY user_id""",
+        "quality_score": f"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '[^\\s]+')) AS n_tokens,
+                   round(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
+                         / greatest(length(text), 1), 6) AS punct_ratio,
+                   round(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                         x -> x IN ({", ".join(repr(w) for w in text_ops.STOPWORDS)})))
+                         / greatest(len(regexp_extract_all(text, '[^\\s]+')), 1), 6) AS stop_ratio,
+                   round(0.4 * least(len(regexp_extract_all(text, '[^\\s]+')) / 100.0, 1.0)
+                         + 0.3 * (1 - len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
+                                      / greatest(length(text), 1))
+                         + 0.3 * (len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                                  x -> x IN ({", ".join(repr(w) for w in text_ops.STOPWORDS)})))
+                                  / greatest(len(regexp_extract_all(text, '[^\\s]+')), 1)),
+                         6) AS quality
+            FROM documents""",
     }

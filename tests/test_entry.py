@@ -20,7 +20,13 @@ def test_oracle_keys_subset_of_queries():
     assert o <= q
     # all but the explicitly non-SQL-expressible ops have oracles
     rows_only = q - o
-    assert rows_only <= {"resample_1m", "simhash", "lsh_ann_topk"}
+    assert rows_only <= {
+        "resample_1m",
+        "simhash",
+        "lsh_ann_topk",
+        "ivf_ann_topk",
+        "approx_stats",
+    }
 
 
 def test_three_representative_queries_run(spark, sf_dir):

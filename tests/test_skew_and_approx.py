@@ -1,0 +1,70 @@
+"""Salted join correctness, IVF ANN recall, quality score, approx-sketch accuracy."""
+
+from pyspark.sql import functions as F
+
+from time_series_databse_engine_spark.operators.similarity import cosine_topk, ivf_topk
+from time_series_databse_engine_spark.operators.skew import salted_join
+from time_series_databse_engine_spark.operators.text import quality_score
+from time_series_databse_engine_spark.sources import load_table
+
+
+def test_salted_join_equals_plain_join(spark):
+    # one hot key (90% of rows) — the case salting exists for
+    big = spark.createDataFrame(
+        [(1 if i < 90 else i % 5, float(i)) for i in range(100)], "k int, v double"
+    )
+    small = spark.createDataFrame([(i, f"dim{i}") for i in range(5)], "k int, name string")
+    plain = sorted((r.k, r.v, r.name) for r in big.join(small, "k").collect())
+    salted = sorted((r.k, r.v, r.name) for r in salted_join(big, small, "k", salt=4).collect())
+    assert salted == plain
+
+
+def test_ivf_recall_vs_exact(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = {(r.query_id, r.cand_id) for r in cosine_topk(emb, q, k=5).collect()}
+    approx = {(r.query_id, r.cand_id) for r in ivf_topk(emb, q, k=5).collect()}
+    assert len(approx) == len(exact) == 25
+    # probing 4/16 cells should still recover a meaningful share of true NNs
+    assert len(exact & approx) / len(exact) >= 0.3
+
+
+def test_quality_score_ranges(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the and of to a " * 30),           # long, stopword-dense → high
+            (2, "!!! ??? ### $$$"),                  # punctuation junk → low
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in quality_score(df).collect()}
+    assert got[1].quality > got[2].quality
+    assert 0.0 <= got[2].quality <= 1.0
+    assert got[1].stop_ratio > 0.9
+    assert got[2].punct_ratio > 0.5
+
+
+def test_approx_sketches_close_to_exact(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    exact = {
+        r.event_type: (r.u, r.p50)
+        for r in e.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("u"),
+            F.expr("percentile(value, 0.5)").alias("p50"),
+        )
+        .collect()
+    }
+    approx = {
+        r.event_type: (r.au, r.ap50)
+        for r in e.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id").alias("au"),
+            F.percentile_approx("value", 0.5).alias("ap50"),
+        )
+        .collect()
+    }
+    for k, (u, p50) in exact.items():
+        au, ap50 = approx[k]
+        assert abs(au - u) / u < 0.1
+        assert abs(ap50 - p50) <= abs(p50) * 0.2 + 1.0

@@ -68,6 +68,62 @@ def cosine_topk(
     )
 
 
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: coarse-quantize candidates to their
+    nearest of ``n_cells`` centroids (deterministic: the first ``n_cells``
+    vectors by id serve as centroids — swap in trained k-means centroids in
+    production), then score each query only against its ``n_probe`` nearest
+    cells.
+
+    Scale shape: candidate table is scanned once to assign cells (broadcast
+    centroids), the probe join is an equi-join on cell id — candidate volume
+    drops to ~n_probe/n_cells of N versus brute force, and the shuffle key
+    is the cell id, not the pair.
+    """
+    cents = F.broadcast(
+        embeddings.orderBy(id_col).limit(n_cells)
+        .select(F.col(id_col).alias("cell_id"), as_double(vec_col).alias("cent"))
+    )
+
+    def nearest_cells(df, vec, n):
+        scored = df.crossJoin(cents).select(
+            "*", cosine(vec, F.col("cent")).alias("_csim")
+        )
+        w = W.partitionBy(df.columns[0]).orderBy(
+            F.col("_csim").desc(), F.col("cell_id").asc()
+        )
+        return (
+            scored.withColumn("_crank", F.row_number().over(w))
+            .filter(F.col("_crank") <= n)
+            .drop("cent", "_csim", "_crank")
+        )
+
+    c = embeddings.select(F.col(id_col).alias("cand_id"), as_double(vec_col).alias("cvec"))
+    c_assigned = nearest_cells(c, F.col("cvec"), 1)
+    q = queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qvec"))
+    q_probes = nearest_cells(q, F.col("qvec"), n_probe)
+
+    scored = (
+        c_assigned.join(F.broadcast(q_probes), "cell_id")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", cosine(F.col("qvec"), F.col("cvec")).alias("_sim"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("_sim").desc(), F.col("cand_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", F.round("_sim", 6).alias("cosine_sim"), "rank")
+    )
+
+
 def lsh_bucket_topk(
     embeddings: DataFrame,
     queries: DataFrame,

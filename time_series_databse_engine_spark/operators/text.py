@@ -76,6 +76,34 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     return scored.select(id_col, guess.alias("lang_guess"), best.alias("lang_score"))
 
 
+STOPWORDS = sorted({w for prof in LANG_PROFILES.values() for w in prof})
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Composite document-quality heuristic (training-data filtering):
+    length signal (saturating at 100 tokens), low-punctuation signal, and
+    stopword-density signal, weighted 0.4/0.3/0.3.  Pure built-in
+    expressions — one scan, no shuffle."""
+    t = F.col(text_col)
+    n_tok = F.size(F.regexp_extract_all(t, F.lit(TOKEN_RE), 0))
+    n_punct = F.size(F.regexp_extract_all(t, F.lit("[^A-Za-z0-9\\s]"), 0))
+    stops = F.size(F.filter(F.split(F.lower(t), "\\s+"), lambda w: w.isin(STOPWORDS)))
+    punct_ratio = n_punct / F.greatest(F.length(t), F.lit(1))
+    stop_ratio = stops / F.greatest(n_tok, F.lit(1))
+    quality = (
+        0.4 * F.least(n_tok / F.lit(100.0), F.lit(1.0))
+        + 0.3 * (1 - punct_ratio)
+        + 0.3 * stop_ratio
+    )
+    return df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(quality, 6).alias("quality"),
+    )
+
+
 def doc_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Canonical content fingerprint: md5 over the sorted distinct token
     set — robust to token order, exact-SQL-reproducible."""
