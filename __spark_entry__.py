@@ -427,6 +427,46 @@ def q_quality_score(spark, sf_dir):
     return text_ops.quality_score(_t(spark, sf_dir, "documents"))
 
 
+def q_winnow_fingerprint(spark, sf_dir):
+    """Rolling-hash (winnowing) document fingerprint — Schleimer et al. 2003."""
+    return text_ops.winnow_fingerprint(_t(spark, sf_dir, "documents"))
+
+
+def q_cosine_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (exact baseline; LSH-bucketed
+    variant is the 100 TB path — see similarity.cosine_near_dup docstring)."""
+    return sim_ops.cosine_near_dup(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing end-to-end over real testdata: documents become
+    binary media payloads (utf-8 encode stands in for image bytes), features
+    come from the mapInPandas extractor (deterministic fake decoder — the
+    container has no codec libs; SURVEY §2.2 multimodal).  Rows-only: binary
+    + mapInPandas has no SQL oracle."""
+    from time_series_databse_engine_spark.operators import multimodal as mm_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.length("text").cast("int").alias("width"),
+            F.lit(1).alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    feats = mm_ops.extract_features(media, fake=True)
+    return feats.select(
+        "media_id",
+        "kind",
+        F.size("features").alias("n_features"),
+        F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 6).alias("f_sum"),
+    )
+
+
 def q_ivf_ann_topk(spark, sf_dir):
     """IVF-style ANN: coarse cells + probe — the scale path beside the LSH
     variant (rows-only; exactness is covered by cosine_topk)."""
@@ -745,6 +785,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts_by_lang": q_token_counts_by_lang,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
+        "winnow_fingerprint": q_winnow_fingerprint,
+        "cosine_near_dup": q_cosine_near_dup,
+        "multimodal_features": q_multimodal_features,
         "ivf_ann_topk": q_ivf_ann_topk,
         "approx_stats": q_approx_stats,
         "value_percentiles": q_value_percentiles,
@@ -1138,6 +1181,29 @@ def oracle_sql() -> dict[str, str]:
                                             ORDER BY {_EV_MS}, event_id) AS rn
                   FROM events)
             WHERE rn <= 10 GROUP BY user_id""",
+        "winnow_fingerprint": """
+            WITH h AS (
+              SELECT doc_id,
+                     list_transform(
+                       generate_series(1, greatest(len(string_split_regex(lower(text), '\\s+')) - 2, 1)),
+                       i -> md5(array_to_string(
+                              list_slice(string_split_regex(lower(text), '\\s+'), i, i + 2), ' '))) AS hs
+              FROM documents),
+            f AS (
+              SELECT doc_id,
+                     list_sort(list_distinct(list_transform(
+                       generate_series(1, greatest(len(hs) - 3, 1)),
+                       j -> list_min(list_slice(hs, j, j + 3))))) AS fp
+              FROM h)
+            SELECT doc_id, len(fp) AS n_fp, array_to_string(fp, '|') AS fingerprint FROM f""",
+        "cosine_near_dup": """
+            SELECT id1, id2, s AS cosine_sim FROM (
+              SELECT a.vec_id AS id1, b.vec_id AS id2,
+                     round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+                       (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                        sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS s
+              FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
+            WHERE s >= 0.4""",
         "quality_score": f"""
             SELECT doc_id,
                    len(regexp_extract_all(text, '[^\\s]+')) AS n_tokens,

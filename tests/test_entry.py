@@ -26,6 +26,7 @@ def test_oracle_keys_subset_of_queries():
         "lsh_ann_topk",
         "ivf_ann_topk",
         "approx_stats",
+        "multimodal_features",
     }
 
 

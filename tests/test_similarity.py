@@ -41,3 +41,17 @@ def test_lsh_bucket_is_subset_of_exact(spark):
     }
     assert approx  # bucket containing the query is non-trivial
     assert approx <= exact or all(s in {e[2] for e in exact} for *_, s in approx)
+
+
+def test_cosine_near_dup_finds_planted_pair(spark):
+    from time_series_databse_engine_spark.operators.similarity import cosine_near_dup
+
+    base = [1.0, 2.0, 3.0, 4.0]
+    near = [1.01, 2.0, 3.0, 4.0]          # cosine ~ 1
+    ortho = [4.0, -3.0, 2.0, -1.5]        # low cosine vs base
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, ortho)], "vec_id long, embedding array<float>"
+    )
+    pairs = {(r.id1, r.id2): r.cosine_sim for r in cosine_near_dup(df, threshold=0.9).collect()}
+    assert set(pairs) == {(1, 2)}
+    assert pairs[(1, 2)] > 0.999

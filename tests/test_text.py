@@ -45,3 +45,24 @@ def test_fingerprint_order_invariant(spark):
     fps = {r.doc_id: r.fingerprint for r in doc_fingerprint(df).collect()}
     assert fps[1] == fps[2]
     assert fps[1] != fps[3]
+
+
+def test_winnow_fingerprint_shared_run(spark):
+    from time_series_databse_engine_spark.operators.text import winnow_fingerprint
+
+    # docs 1 and 2 share a 7-token run (>= k+w-1 = 6) -> guaranteed common
+    # fingerprint entry; doc 3 is disjoint vocabulary
+    shared = "alpha beta gamma delta epsilon zeta eta"
+    df = spark.createDataFrame(
+        [
+            (1, f"intro words {shared} trailing bits here"),
+            (2, f"{shared} completely different ending tokens now"),
+            (3, "unrelated content about something else entirely ok"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: set(r.fingerprint.split("|")) for r in winnow_fingerprint(df).collect()}
+    assert got[1] & got[2], "docs sharing a long run must share a fingerprint hash"
+    assert not (got[1] & got[3])
+    for r in winnow_fingerprint(df).collect():
+        assert r.n_fp == len(set(r.fingerprint.split("|")))

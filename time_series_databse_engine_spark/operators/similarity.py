@@ -68,6 +68,32 @@ def cosine_topk(
     )
 
 
+def cosine_near_dup(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all (id1 < id2) pairs with
+    cosine similarity ≥ ``threshold``.
+
+    This is the exact O(n²) baseline (broadcast-nested-loop on id1 < id2) —
+    correct at any n, affordable only when one side broadcasts.  The 100 TB
+    path is the same scoring over LSH-bucketed candidates
+    (``lsh_bucket_topk``'s hyperplane buckets: equi-join on bucket id keeps
+    candidate volume ~n²/2^bits per bucket), trading recall for the n²
+    pair-join; both return the identical (id1, id2, cosine_sim) shape.
+    """
+    a = embeddings.select(F.col(id_col).alias("id1"), as_double(vec_col).alias("v1"))
+    b = embeddings.select(F.col(id_col).alias("id2"), as_double(vec_col).alias("v2"))
+    sim = F.round(cosine(F.col("v1"), F.col("v2")), 6)
+    return (
+        a.join(F.broadcast(b), F.col("id1") < F.col("id2"))
+        .select("id1", "id2", sim.alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,

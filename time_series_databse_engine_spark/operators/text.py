@@ -104,6 +104,45 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def winnow_fingerprint(
+    df: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprint (Schleimer et al., SIGMOD 2003 — the
+    rolling-hash local-fingerprinting scheme behind MOSS): hash every
+    k-token shingle in position order, then keep the minimum hash of each
+    sliding window of ``w`` consecutive shingle hashes; the sorted distinct
+    minima are the fingerprint.  Two documents sharing a run of ≥ k+w-1
+    tokens are guaranteed a common fingerprint entry.
+
+    Hash = md5 of the shingle text (lexicographic min), chosen so the DuckDB
+    oracle reproduces values exactly; at scale swap in ``xxhash64`` — the
+    winnowing algebra is unchanged.  Everything is per-row array expressions:
+    one scan, zero shuffles, whole-stage codegen.
+    """
+    toks = F.split(F.lower(F.col(text_col)), "\\s+")
+    hs = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1))),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k))),
+    )
+    fp = F.array_sort(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(hs) - (w - 1), F.lit(1))),
+                lambda j: F.array_min(F.slice(hs, j, w)),
+            )
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(fp).alias("n_fp"),
+        F.concat_ws("|", fp).alias("fingerprint"),
+    )
+
+
 def doc_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Canonical content fingerprint: md5 over the sorted distinct token
     set — robust to token order, exact-SQL-reproducible."""
