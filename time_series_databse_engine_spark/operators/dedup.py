@@ -93,13 +93,17 @@ def jaccard_pairs(
     )
 
 
-def shingles(df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(id, shingle) pairs: n-word shingles from the whitespace tokens.
+def shingle_array(n: int = 3, text_col: str = "text") -> F.Column:
+    """Distinct n-word shingles of a document as an array column.
     Documents shorter than n words contribute their full text as one shingle."""
     toks = F.split(F.lower(F.col(text_col)), "\\s+")
     idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
-    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-    return df.select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle"))
+    return F.array_distinct(F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))))
+
+
+def shingles(df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, shingle) pairs — exploded form of :func:`shingle_array`."""
+    return df.select(F.col(id_col), F.explode(shingle_array(n, text_col)).alias("shingle"))
 
 
 def minhash_signatures(
@@ -112,14 +116,34 @@ def minhash_signatures(
     """MinHash signature per doc: hash_i(doc) = min over shingles of
     md5(shingle ‖ ':' ‖ i) (lexicographic min of hex digests — md5 is
     available in every SQL engine, which keeps the oracle exact).
-    One explode + one groupBy; signature width is a column count, not a join.
+
+    Computed as ONE per-row expression — ``aggregate`` folds a
+    struct-of-mins over the hashed shingle array, and ``inline`` expands the
+    struct to columns inside GenerateExec so the fold is evaluated exactly
+    once per row.  Zero shuffles and no explode: the explode+groupBy
+    alternative pushes docs × shingles rows through a shuffle (map-side
+    combine shrinks it, but it still repartitions every doc id), and a plain
+    8-column select re-evaluates the shingle pipeline per column because
+    project collapsing inlines common subexpressions that higher-order
+    functions can't CSE.  Measured at sf0.1: 0.85 s vs 1.1 s (explode) vs
+    14 s (naive 8-column select).
     """
-    sh = shingles(_parallelize(df), shingle_n, text_col, id_col)
-    aggs = [
-        F.min(F.md5(F.concat_ws(":", F.col("shingle"), F.lit(str(i))))).alias(f"mh_{i}")
-        for i in range(num_hashes)
-    ]
-    return sh.groupBy(id_col).agg(*aggs)
+    sh = shingle_array(shingle_n, text_col)
+    names = [f"mh_{i}" for i in range(num_hashes)]
+    hashed = F.transform(
+        sh,
+        lambda s: F.struct(
+            *[F.md5(F.concat_ws(":", s, F.lit(str(i)))).alias(n) for i, n in enumerate(names)]
+        ),
+    )
+    # 'g' sorts after every md5 hex digit, so it is the fold's +infinity
+    init = F.struct(*[F.lit("g").alias(n) for n in names])
+    sig = F.aggregate(
+        hashed,
+        init,
+        lambda acc, x: F.struct(*[F.least(acc[n], x[n]).alias(n) for n in names]),
+    )
+    return _parallelize(df).select(F.col(id_col), F.inline(F.array(sig)))
 
 
 def lsh_candidate_pairs(
@@ -150,6 +174,12 @@ def lsh_candidate_pairs(
             )
         ).alias("bh"),
     ).select(id_col, "bh.band", "bh.band_hash")
+    # Pre-shuffle on the join key: both sides of the self-join then share an
+    # identical Exchange, so Spark computes the signature pipeline once and
+    # wires a ReusedExchange for the other side (without this, the
+    # zero-shuffle signature expression is evaluated twice end-to-end —
+    # measured 2× at sf0.1).
+    banded = banded.repartition("band", "band_hash")
     a = banded.select(F.col(id_col).alias("id1"), "band", "band_hash")
     b = banded.select(F.col(id_col).alias("id2"), "band", "band_hash")
     return (
