@@ -427,6 +427,32 @@ def q_quality_score(spark, sf_dir):
     return text_ops.quality_score(_t(spark, sf_dir, "documents"))
 
 
+def q_redact_pii(spark, sf_dir):
+    """PII redaction pass (emails/URLs/phones → placeholders).  The synthetic
+    corpus contains no PII, so the pass is observably a no-op here — the
+    regex machinery still runs and is hash-compared; planted-fixture tests
+    in test_text cover the positive cases."""
+    return text_ops.redact_pii(_t(spark, sf_dir, "documents"))
+
+
+def q_deterministic_sample(spark, sf_dir):
+    """Reproducible 1/16 hash-gated sample of documents."""
+    from time_series_databse_engine_spark.operators import sampling as samp_ops
+
+    return samp_ops.deterministic_sample(
+        _t(spark, sf_dir, "documents"), rate_16ths=1
+    ).select("doc_id", "lang", "n_chars")
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic 10-per-language stratified sample."""
+    from time_series_databse_engine_spark.operators import sampling as samp_ops
+
+    return samp_ops.stratified_sample(
+        _t(spark, sf_dir, "documents"), "lang", n_per_stratum=10
+    ).select("doc_id", "lang", "source")
+
+
 def q_winnow_fingerprint(spark, sf_dir):
     """Rolling-hash (winnowing) document fingerprint — Schleimer et al. 2003."""
     return text_ops.winnow_fingerprint(_t(spark, sf_dir, "documents"))
@@ -785,6 +811,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts_by_lang": q_token_counts_by_lang,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
+        "redact_pii": q_redact_pii,
+        "deterministic_sample": q_deterministic_sample,
+        "stratified_sample": q_stratified_sample,
         "winnow_fingerprint": q_winnow_fingerprint,
         "cosine_near_dup": q_cosine_near_dup,
         "multimodal_features": q_multimodal_features,
@@ -1181,6 +1210,26 @@ def oracle_sql() -> dict[str, str]:
                                             ORDER BY {_EV_MS}, event_id) AS rn
                   FROM events)
             WHERE rn <= 10 GROUP BY user_id""",
+        "redact_pii": """
+            WITH c AS (
+              SELECT doc_id, text,
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                         'https?://[^\\s]+', '[URL]', 'g'),
+                       '\\+?[0-9][0-9()\\-. ]{7,}[0-9]', '[PHONE]', 'g') AS clean_text
+              FROM documents)
+            SELECT doc_id, clean_text, clean_text <> text AS was_redacted FROM c""",
+        "deterministic_sample": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'""",
+        "stratified_sample": """
+            SELECT doc_id, lang, source FROM (
+              SELECT doc_id, lang, source,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+              FROM documents) WHERE rk <= 10""",
         "winnow_fingerprint": """
             WITH h AS (
               SELECT doc_id,

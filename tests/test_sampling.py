@@ -1,0 +1,32 @@
+"""Deterministic and stratified sampling properties."""
+
+from pyspark.sql import functions as F
+
+from time_series_databse_engine_spark.operators.sampling import (
+    deterministic_sample,
+    stratified_sample,
+)
+from time_series_databse_engine_spark.sources import load_table
+
+
+def test_deterministic_sample_reproducible_and_near_rate(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    s1 = {r.doc_id for r in deterministic_sample(docs, 2).select("doc_id").collect()}
+    s2 = {r.doc_id for r in deterministic_sample(docs, 2).select("doc_id").collect()}
+    assert s1 == s2
+    # 2/16 expected rate, loose binomial bound
+    assert 0.05 < len(s1) / n < 0.22
+    # membership is stable under subsetting (incremental-rerun property)
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    s_half = {r.doc_id for r in deterministic_sample(half, 2).select("doc_id").collect()}
+    assert s_half == {d for d in s1 if d % 2 == 0}
+
+
+def test_stratified_sample_exact_counts(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = stratified_sample(docs, "lang", n_per_stratum=7)
+    counts = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    sizes = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, sz in sizes.items():
+        assert counts[lang] == min(7, sz)

@@ -66,3 +66,23 @@ def test_winnow_fingerprint_shared_run(spark):
     assert not (got[1] & got[3])
     for r in winnow_fingerprint(df).collect():
         assert r.n_fp == len(set(r.fingerprint.split("|")))
+
+
+def test_redact_pii_planted_fixtures(spark):
+    from time_series_databse_engine_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "contact jane.doe+x@example.co.uk for details"),
+            (2, "see https://example.com/a?b=1 and http://foo.io"),
+            (3, "call +1 (555) 123-4567 now"),
+            (4, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in redact_pii(df).collect()}
+    assert got[1].clean_text == "contact [EMAIL] for details"
+    assert got[2].clean_text == "see [URL] and [URL]"
+    assert got[3].clean_text == "call [PHONE] now"
+    assert got[4].clean_text == "nothing sensitive here"
+    assert [got[i].was_redacted for i in (1, 2, 3, 4)] == [True, True, True, False]

@@ -1,0 +1,57 @@
+"""Deterministic sampling for training-data pipelines (north-star tier;
+no reference analogue — the reference has no sampling of any kind).
+
+Both samplers key on a content hash, not ``rand()``: at 100 TB a sample
+must be reproducible across retries, AQE re-plans, and incremental reruns,
+and hash-gating composes with incremental ingestion (a doc's membership
+never changes as the table grows).  md5 is used so the DuckDB oracle
+reproduces membership exactly; swap ``xxhash64`` at scale for cheaper
+hashing with the same algebra.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+HEX = "0123456789abcdef"
+
+
+def deterministic_sample(
+    df: DataFrame,
+    rate_16ths: int = 1,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep rows whose md5(id) starts with one of the first ``rate_16ths``
+    hex digits — a reproducible ``rate_16ths``/16 Bernoulli sample.
+
+    One scan, zero shuffles; the predicate is evaluated inside codegen and
+    combines with pushed column pruning (only ``id_col`` plus the projected
+    columns are read).
+    """
+    digit = F.substring(F.md5(F.col(id_col).cast("string")), 1, 1)
+    return df.filter(digit.isin(*HEX[:rate_16ths]))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    n_per_stratum: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exactly ``n_per_stratum`` rows per stratum (fewer if the stratum is
+    smaller), chosen by md5-of-id order — deterministic and uniform within
+    each stratum.
+
+    One shuffle on the stratum key; per-stratum ordering is a window sort.
+    A skewed stratum sorts more rows than it keeps — at extreme skew,
+    pre-gate with :func:`deterministic_sample` at a rate that leaves
+    ~10 × ``n_per_stratum`` expected survivors before ranking.
+    """
+    w = W.partitionBy(strata_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n_per_stratum)
+        .drop("_rk")
+    )

@@ -78,6 +78,30 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
 
 STOPWORDS = sorted({w for prof in LANG_PROFILES.values() for w in prof})
 
+# RE2- and Java-regex-compatible subset (no lookarounds/backrefs) so the
+# same patterns run in Spark and the DuckDB oracle
+PII_PATTERNS = [
+    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("https?://[^\\s]+", "[URL]"),
+    ("\\+?[0-9][0-9()\\-. ]{7,}[0-9]", "[PHONE]"),
+]
+
+
+def redact_pii(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Scrub emails, URLs, and phone-shaped digit runs from documents —
+    the standard pre-training redaction pass.  Chained ``regexp_replace``
+    (global, JVM-side): one scan, zero shuffles, order matters (URLs first
+    would leave their mailto parts; emails are scrubbed before phones so
+    digit-bearing addresses don't half-match)."""
+    cleaned = F.col(text_col)
+    for pat, repl in PII_PATTERNS:
+        cleaned = F.regexp_replace(cleaned, pat, repl)
+    return df.select(
+        F.col(id_col),
+        cleaned.alias("clean_text"),
+        (cleaned != F.col(text_col)).alias("was_redacted"),
+    )
+
 
 def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Composite document-quality heuristic (training-data filtering):
