@@ -427,6 +427,23 @@ def q_quality_score(spark, sf_dir):
     return text_ops.quality_score(_t(spark, sf_dir, "documents"))
 
 
+def q_doc_chunks(spark, sf_dir):
+    """Fixed-size token chunking for LLM context windows."""
+    return text_ops.chunk_documents(_t(spark, sf_dir, "documents"), chunk_size=50)
+
+
+def q_series_trend(spark, sf_dir):
+    """Per-series linear trend (OLS slope/intercept over hours) — built-in
+    regr_* aggregates, exact in both engines."""
+    e = _t(spark, sf_dir, "events")
+    x = F.col("ts_ms") / 3600000.0
+    return e.groupBy("event_type").agg(
+        F.round(F.regr_slope("value", x), 6).alias("slope_per_hour"),
+        F.round(F.regr_intercept("value", x), 4).alias("intercept"),
+        F.count("*").alias("n"),
+    )
+
+
 def q_redact_pii(spark, sf_dir):
     """PII redaction pass (emails/URLs/phones → placeholders).  The synthetic
     corpus contains no PII, so the pass is observably a no-op here — the
@@ -811,6 +828,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts_by_lang": q_token_counts_by_lang,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
+        "doc_chunks": q_doc_chunks,
+        "series_trend": q_series_trend,
         "redact_pii": q_redact_pii,
         "deterministic_sample": q_deterministic_sample,
         "stratified_sample": q_stratified_sample,
@@ -1210,6 +1229,23 @@ def oracle_sql() -> dict[str, str]:
                                             ORDER BY {_EV_MS}, event_id) AS rn
                   FROM events)
             WHERE rn <= 10 GROUP BY user_id""",
+        "doc_chunks": """
+            WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+                       FROM documents),
+                 e AS (SELECT doc_id, toks,
+                              unnest(generate_series(1,
+                                greatest((len(toks) + 49) // 50, 1))) AS i
+                       FROM t)
+            SELECT doc_id, i AS chunk_idx,
+                   array_to_string(list_slice(toks, (i-1)*50 + 1, i*50), ' ') AS chunk_text,
+                   least(50, len(toks) - (i-1)*50) AS n_tokens
+            FROM e""",
+        "series_trend": f"""
+            SELECT event_type,
+                   round(regr_slope(value, {_EV_MS}/3600000.0), 6) AS slope_per_hour,
+                   round(regr_intercept(value, {_EV_MS}/3600000.0), 4) AS intercept,
+                   count(*) AS n
+            FROM events GROUP BY event_type""",
         "redact_pii": """
             WITH c AS (
               SELECT doc_id, text,

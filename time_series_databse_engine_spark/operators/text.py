@@ -167,6 +167,60 @@ def winnow_fingerprint(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    chunk_size: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into fixed-size token chunks — the standard
+    LLM-context-window chunking pass.  Pure array expressions (transform +
+    slice + explode): one scan, zero shuffles, output rows = Σ⌈tokens/size⌉.
+    A UDTF variant exists for API parity (`ChunkDocumentsUDTF`); this
+    expression form is the production path (JVM-side, codegen)."""
+    toks = F.split(F.col(text_col), "\\s+")
+    n_chunks = F.greatest(
+        F.floor((F.size(toks) + (chunk_size - 1)) / chunk_size).cast("int"), F.lit(1)
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(1), n_chunks),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_idx"),
+            F.concat_ws(" ", F.slice(toks, (i - 1) * chunk_size + 1, chunk_size)).alias(
+                "chunk_text"
+            ),
+            F.least(F.lit(chunk_size), F.size(toks) - (i - 1) * chunk_size)
+            .cast("int")
+            .alias("n_tokens"),
+        ),
+    )
+    return df.select(F.col(id_col), F.explode(chunks).alias("c")).select(
+        id_col, "c.chunk_idx", "c.chunk_text", "c.n_tokens"
+    )
+
+
+def make_chunk_udtf():
+    """Python UDTF (Spark 3.5+) mirroring :func:`chunk_documents` — exists to
+    cover the UDTF API surface (SURVEY §2.2 "UDF/UDAF/UDTF"); row-at-a-time
+    Python, so prefer the expression form in hot paths.  Returned lazily so
+    importing this module never requires UDTF support."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, chunk_text string, n_tokens int")
+    class ChunkDocumentsUDTF:
+        def eval(self, text: str, chunk_size: int):
+            import re
+
+            # re.split matches Spark's split(text, '\s+') exactly, including
+            # the [''] result for empty text
+            toks = re.split(r"\s+", text or "")
+            for i in range(0, len(toks), chunk_size):
+                part = toks[i : i + chunk_size]
+                yield i // chunk_size + 1, " ".join(part), len(part)
+
+    return ChunkDocumentsUDTF
+
+
 def doc_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Canonical content fingerprint: md5 over the sorted distinct token
     set — robust to token order, exact-SQL-reproducible."""
