@@ -88,3 +88,55 @@ def test_partition_pruning_in_plan(store):
 def test_downsample(store):
     rows = {r.bucket_ms: r.n for r in store.downsample("1 hour").collect()}
     assert rows == {0: 2, 3_600_000: 2, 7_200_000: 1}
+
+
+def test_compact_reduces_files_preserves_data(spark, tmp_path):
+    import glob
+
+    from time_series_databse_engine_spark import TimeSeriesStore
+
+    store = TimeSeriesStore(spark, str(tmp_path / "c"))
+    # two appends into the same hours -> at least 2 files per touched bucket
+    for batch in range(2):
+        store.ingest(
+            spark.createDataFrame(
+                [("m", t * 1000 + batch, float(t)) for t in range(0, 7200, 60)],
+                "metric string, ts_ms long, value double",
+            ),
+            target_partitions=4,
+        )
+    before_files = glob.glob(str(tmp_path / "c" / "hour_bucket=*" / "*.parquet"))
+    before_data = sorted(tuple(r) for r in store.points().select("metric", "ts_ms", "value").collect())
+    store.compact(target_partitions=2)
+    after_files = glob.glob(str(tmp_path / "c" / "hour_bucket=*" / "*.parquet"))
+    after_data = sorted(tuple(r) for r in store.points().select("metric", "ts_ms", "value").collect())
+    assert len(after_files) < len(before_files)
+    assert after_data == before_data
+
+
+def test_expire_drops_only_old_partitions(spark, tmp_path):
+    from time_series_databse_engine_spark import TimeSeriesStore
+
+    store = TimeSeriesStore(spark, str(tmp_path / "e"))
+    store.ingest(
+        spark.createDataFrame(
+            [("m", 1000, 1.0), ("m", 3_600_500, 2.0), ("m", 7_300_000, 3.0)],
+            "metric string, ts_ms long, value double",
+        )
+    )
+    # cutoff mid-bucket-1: only bucket 0 (ends 3.6e6) is fully expired
+    assert store.expire(5_000_000) == 1
+    left = sorted(r.ts_ms for r in store.points().collect())
+    assert left == [3_600_500, 7_300_000]
+    # exact-boundary cutoff expires bucket 1 (ends exactly 7.2e6)
+    assert store.expire(7_200_000) == 1
+    assert [r.ts_ms for r in store.points().collect()] == [7_300_000]
+    assert store.expire(2_000_000) == 0
+
+
+def test_compact_empty_store_is_noop(spark, tmp_path):
+    from time_series_databse_engine_spark import TimeSeriesStore
+
+    store = TimeSeriesStore(spark, str(tmp_path / "nope"))
+    store.compact()
+    assert store.expire(10**15) == 0

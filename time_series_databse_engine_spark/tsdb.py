@@ -83,6 +83,67 @@ class TimeSeriesStore:
             .parquet(self.path)
         )
 
+    def compact(self, target_partitions: int | None = None) -> None:
+        """Rewrite the table into large, sorted files — the maintenance op
+        that keeps a 100 TB table healthy after many small appends (each
+        micro-batch/streaming append adds files per touched hour; scan cost
+        grows with file count, not data size).
+
+        Rewrites into a temp location then swaps partition directories, since
+        Spark refuses to overwrite a path it is reading.  The swap is the
+        driver-side metadata commit step (same shape as Iceberg/Delta
+        rewrite-commit); data movement is fully distributed.  Idempotent —
+        crash before the swap leaves the table untouched.
+        """
+        import os
+        import shutil
+
+        try:
+            df = self.spark.read.parquet(self.path)
+        except Exception:
+            return  # empty store — nothing to compact
+        tmp = self.path.rstrip("/") + ".compact-tmp"
+        n = target_partitions or self.spark.sparkContext.defaultParallelism
+        (
+            df.repartitionByRange(n, "hour_bucket", "metric", "ts_ms")
+            .sortWithinPartitions("hour_bucket", "metric", "ts_ms")
+            .write.mode("overwrite")
+            .option("parquet.writer.version", "v2")
+            .partitionBy("hour_bucket")
+            .parquet(tmp)
+        )
+        for entry in os.listdir(tmp):
+            src = os.path.join(tmp, entry)
+            if not entry.startswith("hour_bucket="):
+                continue
+            dst = os.path.join(self.path, entry)
+            if os.path.isdir(dst):
+                shutil.rmtree(dst)
+            shutil.move(src, dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    def expire(self, before_ms: int) -> int:
+        """Retention: drop every hour partition that ends at or before
+        ``before_ms``.  Pure partition-directory removal — O(expired
+        partitions) metadata work, zero data scanned, exactly how TTL must
+        work at 100 TB (a filtering rewrite would read the whole table).
+        Returns the number of partitions dropped."""
+        import os
+        import shutil
+
+        if not os.path.isdir(self.path):
+            return 0
+        # bucket b covers [b·H, (b+1)·H): expired iff (b+1)·H <= before_ms
+        cutoff_bucket = before_ms // SHARD_DURATION_MS - 1
+        dropped = 0
+        for entry in os.listdir(self.path):
+            if not entry.startswith("hour_bucket="):
+                continue
+            if int(entry.split("=", 1)[1]) <= cutoff_bucket:
+                shutil.rmtree(os.path.join(self.path, entry))
+                dropped += 1
+        return dropped
+
     # ------------------------------------------------------------------- read
     def points(self) -> DataFrame:
         try:
