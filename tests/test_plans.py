@@ -46,3 +46,57 @@ def test_windowed_agg_single_shuffle(spark, sf_dir):
 
     df = moving_avg(ev, ["event_type"], ["ts_ms"])
     assert num_shuffles(df) <= 1
+
+
+def test_minhash_signatures_zero_shuffle_no_groupby(spark, sf_dir):
+    from time_series_databse_engine_spark.operators.dedup import minhash_signatures
+    from time_series_databse_engine_spark.plans import num_shuffle_exchanges, simple_plan
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs)
+    # the signature fold is pure per-row expression work — no aggregation
+    # shuffle anywhere (a repartition for CPU spread is the only exchange
+    # allowed, and only when the input arrives under-parallel)
+    assert "HashAggregate" not in simple_plan(sigs)
+    assert num_shuffle_exchanges(sigs) <= 1
+
+
+def test_lsh_self_join_reuses_exchange(spark, sf_dir):
+    from time_series_databse_engine_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from time_series_databse_engine_spark.plans import simple_plan
+
+    pairs = lsh_candidate_pairs(minhash_signatures(load_table(spark, sf_dir, "documents")))
+    pairs.collect()  # reuse is wired at AQE runtime; inspect the final plan
+    p = simple_plan(pairs)
+    assert "isFinalPlan=true" in p
+    assert "ReusedExchange" in p, "signature pipeline must be computed once, not per join side"
+
+
+def test_scan_shaped_ops_have_zero_shuffles(spark, sf_dir):
+    from time_series_databse_engine_spark.operators.sampling import deterministic_sample
+    from time_series_databse_engine_spark.operators.text import (
+        quality_score,
+        redact_pii,
+        winnow_fingerprint,
+    )
+    from time_series_databse_engine_spark.plans import num_shuffle_exchanges
+
+    docs = load_table(spark, sf_dir, "documents")
+    for op in (deterministic_sample, quality_score, redact_pii, winnow_fingerprint):
+        assert num_shuffle_exchanges(op(docs)) == 0, op.__name__
+
+
+def test_cosine_topk_streams_candidates_once(spark, sf_dir):
+    from time_series_databse_engine_spark.operators.similarity import cosine_topk
+    from time_series_databse_engine_spark.plans import num_shuffle_exchanges, simple_plan
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    df = cosine_topk(emb, emb.filter(F.col("vec_id") < 3))
+    p = simple_plan(df)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p  # query set broadcast, big side streamed
+    # the only shuffle is the per-query top-k rank over scored triples
+    assert num_shuffle_exchanges(df) == 1

@@ -61,3 +61,17 @@ def num_shuffles(df: DataFrame) -> int:
     """Count of exchange operators — the scale-limiting resource.
     Uses the simple plan string (formatted mode lists every node twice)."""
     return simple_plan(df).count("Exchange")
+
+
+def num_shuffle_exchanges(df: DataFrame) -> int:
+    """Shuffle exchanges only — excludes BroadcastExchange (cheap dim-side
+    move) and ReusedExchange (free)."""
+    import re
+
+    return len(re.findall(r"\bExchange (hash|range|rounds|SinglePartition)", simple_plan(df)))
+
+
+def has_reused_exchange(df: DataFrame) -> bool:
+    """True when Spark wired one computed Exchange into multiple consumers
+    (self-join both sides computed once)."""
+    return "ReusedExchange" in simple_plan(df)
