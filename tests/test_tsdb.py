@@ -140,3 +140,19 @@ def test_compact_empty_store_is_noop(spark, tmp_path):
     store = TimeSeriesStore(spark, str(tmp_path / "nope"))
     store.compact()
     assert store.expire(10**15) == 0
+
+
+def test_compact_dedupe_collapses_retried_batch(spark, tmp_path):
+    from time_series_databse_engine_spark import TimeSeriesStore
+
+    store = TimeSeriesStore(spark, str(tmp_path / "d"))
+    batch = spark.createDataFrame(
+        [("m", 1000, 1.0), ("m", 2000, 2.0), ("n", 1000, 9.0)],
+        "metric string, ts_ms long, value double",
+    )
+    store.ingest(batch)
+    store.ingest(batch)  # retried batch -> exact duplicates
+    assert store.points().count() == 6
+    store.compact(dedupe=True)
+    pts = sorted(tuple(r) for r in store.points().select("metric", "ts_ms", "value").collect())
+    assert pts == [("m", 1000, 1.0), ("m", 2000, 2.0), ("n", 1000, 9.0)]

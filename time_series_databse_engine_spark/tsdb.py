@@ -83,7 +83,7 @@ class TimeSeriesStore:
             .parquet(self.path)
         )
 
-    def compact(self, target_partitions: int | None = None) -> None:
+    def compact(self, target_partitions: int | None = None, dedupe: bool = False) -> None:
         """Rewrite the table into large, sorted files — the maintenance op
         that keeps a 100 TB table healthy after many small appends (each
         micro-batch/streaming append adds files per touched hour; scan cost
@@ -94,6 +94,12 @@ class TimeSeriesStore:
         driver-side metadata commit step (same shape as Iceberg/Delta
         rewrite-commit); data movement is fully distributed.  Idempotent —
         crash before the swap leaves the table untouched.
+
+        ``dedupe=True`` additionally drops exact-duplicate points — the
+        cleanup for retried ingest batches (append-only storage makes
+        re-ingestion duplicate rather than corrupt, unlike the reference's
+        append-to-shard path); identical rows collapse deterministically,
+        conflicting values for the same (metric, ts) are both kept.
         """
         import os
         import shutil
@@ -102,6 +108,8 @@ class TimeSeriesStore:
             df = self.spark.read.parquet(self.path)
         except Exception:
             return  # empty store — nothing to compact
+        if dedupe:
+            df = df.dropDuplicates(["metric", "ts_ms", "value", "hour_bucket"])
         tmp = self.path.rstrip("/") + ".compact-tmp"
         n = target_partitions or self.spark.sparkContext.defaultParallelism
         (
