@@ -471,8 +471,10 @@ def q_stratified_sample(spark, sf_dir):
 
 
 def q_winnow_fingerprint(spark, sf_dir):
-    """Rolling-hash (winnowing) document fingerprint — Schleimer et al. 2003."""
-    return text_ops.winnow_fingerprint(_t(spark, sf_dir, "documents"))
+    """Rolling-hash (winnowing) document fingerprint — Schleimer et al. 2003.
+    Arrow fast path; the pure-expression form is equality-tested against it
+    (test_text) and both are hash-checked against the DuckDB oracle."""
+    return text_ops.winnow_fingerprint_pandas(_t(spark, sf_dir, "documents"))
 
 
 def q_cosine_near_dup(spark, sf_dir):

@@ -42,6 +42,10 @@ HEADLINE = [
     "minhash_lsh",
     "cosine_topk",
     "text_stats",
+    "winnow_fingerprint",
+    "doc_chunks",
+    "quality_score",
+    "deterministic_sample",
 ]
 
 

@@ -86,3 +86,16 @@ def test_redact_pii_planted_fixtures(spark):
     assert got[3].clean_text == "call [PHONE] now"
     assert got[4].clean_text == "nothing sensitive here"
     assert [got[i].was_redacted for i in (1, 2, 3, 4)] == [True, True, True, False]
+
+
+def test_winnow_pandas_fast_path_matches_expression(spark, sf_dir):
+    from time_series_databse_engine_spark.operators.text import (
+        winnow_fingerprint,
+        winnow_fingerprint_pandas,
+    )
+    from time_series_databse_engine_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = {tuple(r) for r in winnow_fingerprint(docs).collect()}
+    b = {tuple(r) for r in winnow_fingerprint_pandas(docs).collect()}
+    assert a == b

@@ -145,26 +145,78 @@ def winnow_fingerprint(
     Hash = md5 of the shingle text (lexicographic min), chosen so the DuckDB
     oracle reproduces values exactly; at scale swap in ``xxhash64`` — the
     winnowing algebra is unchanged.  Everything is per-row array expressions:
-    one scan, zero shuffles, whole-stage codegen.
+    one scan, zero shuffles.
+
+    The shingle-hash array is bound as a lambda variable (a one-element
+    ``transform``) before the winnow step references it: referencing the
+    raw expression from inside the winnow lambda re-evaluates every md5
+    per window position — O(m²) per doc, measured 232 s vs 6 s at sf0.1.
+    Higher-order functions evaluate interpreted (no codegen); for the hot
+    path see :func:`winnow_fingerprint_pandas` (identical output, ~6×
+    faster via Arrow-batched Python).
     """
     toks = F.split(F.lower(F.col(text_col)), "\\s+")
     hs = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1))),
         lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k))),
     )
-    fp = F.array_sort(
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(F.size(hs) - (w - 1), F.lit(1))),
-                lambda j: F.array_min(F.slice(hs, j, w)),
-            )
-        )
+    fp = F.element_at(
+        F.transform(
+            F.array(hs),  # bind once; hsx below is the materialized array
+            lambda hsx: F.array_sort(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.greatest(F.size(hsx) - (w - 1), F.lit(1))),
+                        lambda j: F.array_min(F.slice(hsx, j, w)),
+                    )
+                )
+            ),
+        ),
+        1,
     )
     return df.select(
         F.col(id_col),
         F.size(fp).alias("n_fp"),
         F.concat_ws("|", fp).alias("fingerprint"),
     )
+
+
+def winnow_fingerprint_pandas(
+    df: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Arrow-batched fast path of :func:`winnow_fingerprint` — bit-identical
+    output (same md5/split/lower algebra), ~6× faster because the winnow
+    loop runs compiled C (hashlib) instead of interpreted Catalyst HOFs.
+    Still one scan, zero shuffles; parallelism = input partitions."""
+    out_schema = f"{id_col} long, n_fp int, fingerprint string"
+
+    def run(batches):
+        import hashlib
+        import re
+
+        import pandas as pd
+
+        for pdf in batches:
+            ids, nfps, fps = [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                toks = re.split(r"\s+", (text or "").lower())
+                m = max(len(toks) - (k - 1), 1)
+                hs = [
+                    hashlib.md5(" ".join(toks[i : i + k]).encode()).hexdigest()
+                    for i in range(m)
+                ]
+                nwin = max(len(hs) - (w - 1), 1)
+                sel = sorted({min(hs[j : j + w]) for j in range(nwin)})
+                ids.append(doc_id)
+                nfps.append(len(sel))
+                fps.append("|".join(sel))
+            yield pd.DataFrame({id_col: ids, "n_fp": nfps, "fingerprint": fps})
+
+    return df.select(id_col, text_col).mapInPandas(run, out_schema)
 
 
 def chunk_documents(
