@@ -427,6 +427,34 @@ def q_quality_score(spark, sf_dir):
     return text_ops.quality_score(_t(spark, sf_dir, "documents"))
 
 
+def q_asof_join_forward(spark, sf_dir):
+    """Forward as-of join: each purchase matched to the user's NEXT click at
+    or after it (same one-shuffle union+window plan as backward)."""
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_ms"
+    )
+    clicks = _t(spark, sf_dir, "events").filter(F.col("event_type") == "click").select(
+        "user_id", "ts_ms", "value"
+    )
+    joined = asof_ops.asof_join(
+        purchases,
+        clicks,
+        on="ts_ms",
+        by=["user_id"],
+        right_cols=["value"],
+        suffix="_click",
+        direction="forward",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts_ms",
+        F.col("ts_ms_click").alias("click_ts_ms"),
+        F.round("value_click", 6).alias("click_value"),
+    )
+
+
 def q_doc_chunks(spark, sf_dir):
     """Fixed-size token chunking for LLM context windows."""
     return text_ops.chunk_documents(_t(spark, sf_dir, "documents"), chunk_size=50)
@@ -830,6 +858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts_by_lang": q_token_counts_by_lang,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
+        "asof_join_forward": q_asof_join_forward,
         "doc_chunks": q_doc_chunks,
         "series_trend": q_series_trend,
         "redact_pii": q_redact_pii,
@@ -1053,6 +1082,12 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT * FROM events WHERE event_type = 'purchase') p
             ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
               ON p.user_id = c.user_id AND p.ts >= c.ts""",
+        "asof_join_forward": """
+            SELECT p.event_id, p.user_id, epoch_ms(p.ts) AS ts_ms,
+                   epoch_ms(c.ts) AS click_ts_ms, round(c.value, 6) AS click_value
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+              ON p.user_id = c.user_id AND p.ts <= c.ts""",
         "first_last_per_series": f"""
             SELECT event_type,
                    min({_EV_MS}) AS first_ts_ms, max({_EV_MS}) AS last_ts_ms,

@@ -49,3 +49,85 @@ def test_asof_matches_pandas_impl(spark):
     ka = sorted([(r.metric, r.ts_ms, r.value_right) for r in a.collect()])
     kb = sorted([(r.metric, r.ts_ms, r.value_right) for r in b.collect()])
     assert ka == kb
+
+
+def test_asof_forward_fixture(spark):
+    from time_series_databse_engine_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("m", 100), ("m", 250), ("m", 500)], "metric string, ts_ms long"
+    )
+    right = spark.createDataFrame(
+        [("m", 100, 1.0), ("m", 300, 3.0), ("m", 400, 4.0)],
+        "metric string, ts_ms long, value double",
+    )
+    got = {
+        r.ts_ms: (r.ts_ms_right, r.value_right)
+        for r in asof_join(left, right, by=["metric"], direction="forward").collect()
+    }
+    # inclusive >=: 100 matches the equal-ts right row
+    assert got == {100: (100, 1.0), 250: (300, 3.0), 500: (None, None)}
+
+
+def test_asof_nearest_fixture_and_ties(spark):
+    from time_series_databse_engine_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("m", 200), ("m", 240), ("m", 350)], "metric string, ts_ms long"
+    )
+    right = spark.createDataFrame(
+        [("m", 100, 1.0), ("m", 300, 3.0)], "metric string, ts_ms long, value double"
+    )
+    got = {
+        r.ts_ms: (r.ts_ms_right, r.value_right)
+        for r in asof_join(left, right, by=["metric"], direction="nearest").collect()
+    }
+    assert got[240] == (300, 3.0)          # 60 forward beats 140 backward
+    assert got[350] == (300, 3.0)          # backward only side
+    assert got[200] == (100, 1.0)          # exact tie (100 each) -> backward
+
+
+def test_asof_nearest_tolerance_disqualifies_sides(spark):
+    from time_series_databse_engine_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([("m", 1000)], "metric string, ts_ms long")
+    right = spark.createDataFrame(
+        [("m", 100, 1.0), ("m", 1900, 9.0)], "metric string, ts_ms long, value double"
+    )
+    got = asof_join(
+        left, right, by=["metric"], direction="nearest", tolerance_ms=500
+    ).collect()[0]
+    assert got.ts_ms_right is None and got.value_right is None
+
+
+def test_asof_forward_matches_pandas(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from time_series_databse_engine_spark.operators.asof import asof_join, asof_join_pandas
+    from time_series_databse_engine_spark.sources import load_table
+
+    # load twice: cogroup over two branches of ONE scan hits Spark's
+    # self-join attribute-id collision inside FlatMapCoGroupsInPandas
+    purchases = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts_ms")
+    )
+    clicks = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select("user_id", "ts_ms", "value")
+    )
+    a = {
+        (r.event_id, r.value_right)
+        for r in asof_join(
+            purchases, clicks, by=["user_id"], right_cols=["value"], direction="forward"
+        ).select("event_id", "value_right").collect()
+    }
+    b = {
+        (r.event_id, r.value_right)
+        for r in asof_join_pandas(
+            purchases, clicks, by="user_id", right_cols=["value"], direction="forward"
+        ).select("event_id", "value_right").collect()
+    }
+    assert a == b

@@ -30,13 +30,23 @@ def asof_join(
     right_cols: list[str] | None = None,
     suffix: str = "_right",
     tolerance_ms: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """Union + window implementation.  ``on`` must be a long (ms) column
-    present in both; ``right_cols`` are the right columns to carry."""
+    present in both; ``right_cols`` are the right columns to carry.
+
+    ``direction``: ``backward`` (greatest right.ts <= left.ts, the default),
+    ``forward`` (smallest right.ts >= left.ts), or ``nearest`` (closer of
+    the two; exact-distance ties prefer backward).  All three are the same
+    one-shuffle plan — nearest evaluates two window frames over one
+    partitioning (one exchange, two in-partition sorts).
+    """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward|forward|nearest, got {direction!r}")
     by = by or []
     right_cols = right_cols or [c for c in right.columns if c != on and c not in by]
 
-    carried = [f"{c}{suffix}" for c in right_cols]
+    carried = [f"{c}{suffix}" for c in right_cols] + [f"{on}{suffix}"]
     r = right.select(
         *by,
         F.col(on).alias(on),
@@ -47,25 +57,62 @@ def asof_join(
         "*",
         F.lit(1).alias("_side"),
         *[F.lit(None).cast(r.schema[c].dataType).alias(c) for c in carried],
-        F.lit(None).cast("long").alias(f"{on}{suffix}"),
     )
     unioned = l.unionByName(r, allowMissingColumns=True)
 
-    # right rows sort before left rows at the same ts → inclusive "<="
-    w = (
+    # backward: right rows sort before left at the same ts → inclusive "<=",
+    # carry the last non-null backward.  forward: left rows sort first at
+    # the same ts → inclusive ">=", take the first non-null forward.
+    w_back = (
         W.partitionBy(*by)
         .orderBy(F.col(on).asc(), F.col("_side").asc())
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    for c in [*carried, f"{on}{suffix}"]:
-        unioned = unioned.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    w_fwd = (
+        W.partitionBy(*by)
+        .orderBy(F.col(on).asc(), F.col("_side").desc())
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
 
+    def staleness(match_ts):
+        if direction == "backward":
+            return F.col(on) - match_ts
+        if direction == "forward":
+            return match_ts - F.col(on)
+        return F.abs(match_ts - F.col(on))
+
+    if direction in ("backward", "forward"):
+        pick = (
+            (lambda c: F.last(c, ignorenulls=True).over(w_back))
+            if direction == "backward"
+            else (lambda c: F.first(c, ignorenulls=True).over(w_fwd))
+        )
+        for c in carried:
+            unioned = unioned.withColumn(c, pick(c))
+        out = unioned.filter(F.col("_side") == 1).drop("_side")
+        if tolerance_ms is not None:
+            stale = staleness(F.col(f"{on}{suffix}")) > F.lit(tolerance_ms)
+            for c in carried:
+                out = out.withColumn(c, F.when(stale, F.lit(None)).otherwise(F.col(c)))
+        return out
+
+    # nearest: both carries, then choose per row by |Δts| (ties → backward)
+    for c in carried:
+        unioned = unioned.withColumn(f"{c}__b", F.last(c, ignorenulls=True).over(w_back))
+        unioned = unioned.withColumn(f"{c}__f", F.first(c, ignorenulls=True).over(w_fwd))
     out = unioned.filter(F.col("_side") == 1).drop("_side")
+    ts_b, ts_f = F.col(f"{on}{suffix}__b"), F.col(f"{on}{suffix}__f")
+    d_b, d_f = F.col(on) - ts_b, ts_f - F.col(on)
     if tolerance_ms is not None:
-        # void the match when it is older than the tolerance
-        stale = F.col(on) - F.col(f"{on}{suffix}") > F.lit(tolerance_ms)
-        for c in [*carried, f"{on}{suffix}"]:
-            out = out.withColumn(c, F.when(stale, F.lit(None)).otherwise(F.col(c)))
+        d_b = F.when(d_b <= tolerance_ms, d_b)  # else NULL → side disqualified
+        d_f = F.when(d_f <= tolerance_ms, d_f)
+    use_fwd = d_b.isNull() & d_f.isNotNull() | d_b.isNotNull() & d_f.isNotNull() & (d_f < d_b)
+    use_back = d_b.isNotNull() & ~F.coalesce(use_fwd, F.lit(False))
+    for c in carried:
+        out = out.withColumn(
+            c,
+            F.when(use_fwd, F.col(f"{c}__f")).when(use_back, F.col(f"{c}__b")),
+        ).drop(f"{c}__b", f"{c}__f")
     return out
 
 
@@ -76,6 +123,7 @@ def asof_join_pandas(
     by: str = "metric",
     right_cols: list[str] | None = None,
     suffix: str = "_right",
+    direction: str = "backward",
 ) -> DataFrame:
     """``applyInPandas`` + ``pandas.merge_asof`` cross-check implementation.
 
@@ -100,7 +148,7 @@ def asof_join_pandas(
             for c in right_cols:
                 l_pdf[f"{c}{suffix}"] = None
             return l_pdf
-        return pd.merge_asof(l_pdf, r_pdf, on=on, direction="backward")
+        return pd.merge_asof(l_pdf, r_pdf, on=on, direction=direction)
 
     return left.groupBy(by).cogroup(right.groupBy(by)).applyInPandas(
         lambda l, r: merge(l, r), schema=out_schema
