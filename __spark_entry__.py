@@ -427,6 +427,26 @@ def q_quality_score(spark, sf_dir):
     return text_ops.quality_score(_t(spark, sf_dir, "documents"))
 
 
+def q_sql_supplier_revenue(spark, sf_dir):
+    """Pure spark.sql() path (the engine's second query API beside the
+    DataFrame builders): per-supplier revenue, broadcast hint on the dim,
+    deterministic top-10."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("v_supplier")
+    return spark.sql(
+        """
+        SELECT /*+ BROADCAST(s) */
+               s.s_name,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+               count(*) AS n_items
+        FROM v_lineitem l JOIN v_supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY s.s_name
+        ORDER BY revenue DESC, s.s_name
+        LIMIT 10
+        """
+    )
+
+
 def q_asof_join_forward(spark, sf_dir):
     """Forward as-of join: each purchase matched to the user's NEXT click at
     or after it (same one-shuffle union+window plan as backward)."""
@@ -858,6 +878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts_by_lang": q_token_counts_by_lang,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
+        "sql_supplier_revenue": q_sql_supplier_revenue,
         "asof_join_forward": q_asof_join_forward,
         "doc_chunks": q_doc_chunks,
         "series_trend": q_series_trend,
@@ -1082,6 +1103,14 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT * FROM events WHERE event_type = 'purchase') p
             ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
               ON p.user_id = c.user_id AND p.ts >= c.ts""",
+        "sql_supplier_revenue": """
+            SELECT s.s_name,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            GROUP BY s.s_name
+            ORDER BY revenue DESC, s.s_name
+            LIMIT 10""",
         "asof_join_forward": """
             SELECT p.event_id, p.user_id, epoch_ms(p.ts) AS ts_ms,
                    epoch_ms(c.ts) AS click_ts_ms, round(c.value, 6) AS click_value
