@@ -156,3 +156,48 @@ def test_compact_dedupe_collapses_retried_batch(spark, tmp_path):
     store.compact(dedupe=True)
     pts = sorted(tuple(r) for r in store.points().select("metric", "ts_ms", "value").collect())
     assert pts == [("m", 1000, 1.0), ("m", 2000, 2.0), ("n", 1000, 9.0)]
+
+
+def test_rollup_matches_on_the_fly_downsample(spark, tmp_path):
+    from time_series_databse_engine_spark import TimeSeriesStore
+
+    store = TimeSeriesStore(spark, str(tmp_path / "r"))
+    store.ingest(
+        spark.createDataFrame(
+            [("m", t * 60_000, float(t % 7)) for t in range(0, 26 * 60)],  # 26h of minutes
+            "metric string, ts_ms long, value double",
+        )
+    )
+    store.materialize_rollup("1 hour")
+    live = sorted(tuple(r) for r in store.downsample("1 hour").collect())
+    mat = sorted(tuple(r) for r in store.rollup("1 hour").collect())
+    assert mat == live
+
+    # incremental refresh: new points in the last day only
+    store.ingest(
+        spark.createDataFrame(
+            [("m", 25 * 3_600_000 + 30_000, 99.0)], "metric string, ts_ms long, value double"
+        )
+    )
+    store.materialize_rollup("1 hour", since_ms=25 * 3_600_000)
+    live2 = sorted(tuple(r) for r in store.downsample("1 hour").collect())
+    mat2 = sorted(tuple(r) for r in store.rollup("1 hour").collect())
+    assert mat2 == live2
+    assert mat2 != mat
+
+
+def test_rollup_range_serves_pruned_window(spark, tmp_path):
+    from time_series_databse_engine_spark import TimeSeriesStore
+
+    store = TimeSeriesStore(spark, str(tmp_path / "r2"))
+    store.ingest(
+        spark.createDataFrame(
+            [("m", h * 3_600_000, float(h)) for h in range(50)],
+            "metric string, ts_ms long, value double",
+        )
+    )
+    store.materialize_rollup("1 hour")
+    got = store.rollup("1 hour", start_ms=0, end_ms=10 * 3_600_000 - 1)
+    assert got.count() == 10
+    # fallback path when no materialization exists for the bucket
+    assert store.rollup("5 minutes").count() == 50

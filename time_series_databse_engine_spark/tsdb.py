@@ -203,6 +203,60 @@ class TimeSeriesStore:
             df = df.limit(limit)
         return df
 
+    # --------------------------------------------------------------- rollups
+    DAY_MS = 86_400_000
+
+    def _rollup_path(self, bucket: str) -> str:
+        return self.path.rstrip("/") + "_rollup_" + bucket.replace(" ", "_")
+
+    def materialize_rollup(self, bucket: str = "1 hour", since_ms: int | None = None) -> None:
+        """Materialized continuous aggregate (the hypertable-rollup pattern):
+        persist :meth:`downsample`'s output partitioned by day so dashboards
+        read the small rollup table instead of re-aggregating raw points.
+
+        ``since_ms`` makes the refresh incremental: only day partitions at or
+        after it are recomputed and swapped in via dynamic partition
+        overwrite — at 100 TB a full rebuild is a once-ever event, the
+        steady state is "refresh the days the last ingest touched".
+        """
+        agg = self.downsample(bucket)
+        if since_ms is not None:
+            lo_day = since_ms // self.DAY_MS
+            agg = agg.filter(F.col("bucket_ms") >= lo_day * self.DAY_MS)
+        out = agg.withColumn(
+            "day_bucket", F.floor(F.col("bucket_ms") / self.DAY_MS).cast("long")
+        )
+        (
+            out.repartitionByRange(
+                max(2, self.spark.sparkContext.defaultParallelism // 4),
+                "day_bucket", "metric", "bucket_ms",
+            )
+            .sortWithinPartitions("day_bucket", "metric", "bucket_ms")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("day_bucket")
+            .parquet(self._rollup_path(bucket))
+        )
+
+    def rollup(
+        self,
+        bucket: str = "1 hour",
+        start_ms: int | None = None,
+        end_ms: int | None = None,
+    ) -> DataFrame:
+        """Serve a downsample from the materialized rollup when one exists
+        (day-partition pruning bounds the read to the queried window),
+        falling back to on-the-fly aggregation of raw points."""
+        try:
+            df = self.spark.read.parquet(self._rollup_path(bucket))
+        except Exception:
+            return self.downsample(bucket, start_ms, end_ms)
+        if start_ms is not None and end_ms is not None:
+            df = df.filter(
+                F.col("day_bucket").between(start_ms // self.DAY_MS, end_ms // self.DAY_MS)
+            ).filter(F.col("bucket_ms").between(start_ms, end_ms))
+        return df.drop("day_bucket")
+
     def downsample(
         self,
         bucket: str = "1 hour",
