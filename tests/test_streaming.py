@@ -74,3 +74,17 @@ def test_stream_to_store(spark, staged_events):
         assert n == src
     finally:
         shutil.rmtree(d)
+
+
+def test_stream_to_store_refreshes_rollup(spark, tmp_path, staged_events):
+    store = TimeSeriesStore(spark, str(tmp_path / "store"))
+    q = stream_to_store(
+        stream_events(spark, staged_events),
+        store,
+        str(tmp_path / "ckpt"),
+        rollup_bucket="1 hour",
+    ).start()
+    q.awaitTermination(120)
+    live = sorted(tuple(r) for r in store.downsample("1 hour").collect())
+    mat = sorted(tuple(r) for r in store.rollup("1 hour").collect())
+    assert live and mat == live

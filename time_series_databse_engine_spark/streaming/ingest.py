@@ -69,10 +69,22 @@ def sessionized_counts(
     )
 
 
-def stream_to_store(stream: DataFrame, store, checkpoint_dir: str, metric_col: str = "event_type"):
+def stream_to_store(
+    stream: DataFrame,
+    store,
+    checkpoint_dir: str,
+    metric_col: str = "event_type",
+    rollup_bucket: str | None = None,
+):
     """``foreachBatch`` sink into the hour-partitioned Parquet TimeSeriesStore:
     each micro-batch becomes one immutable sorted append (idempotent per
-    epoch when paired with the checkpoint)."""
+    epoch when paired with the checkpoint).
+
+    With ``rollup_bucket`` set, each batch also refreshes the materialized
+    rollup incrementally for just the days the batch touched — the
+    streaming continuous-aggregate pattern: O(batch window) refresh work
+    per micro-batch, never a re-aggregation of the table.
+    """
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
         pts = batch_df.select(
@@ -81,6 +93,10 @@ def stream_to_store(stream: DataFrame, store, checkpoint_dir: str, metric_col: s
             F.col("value"),
         )
         store.ingest(pts)
+        if rollup_bucket is not None:
+            lo = pts.agg(F.min("ts_ms")).collect()[0][0]
+            if lo is not None:
+                store.materialize_rollup(rollup_bucket, since_ms=lo)
 
     return (
         stream.writeStream.foreachBatch(write_batch)
