@@ -88,7 +88,11 @@ def main():
         extra["storage_bytes_per_point"] = round(nbytes / N_POINTS, 2)
 
         # --- hot / cold range queries (reference: 1h newest-10% / 24h oldest-50%)
+        # the reference's "hot" p99 is a warm-page-cache number (README.md:100);
+        # warm the file-listing equivalently so hot vs cold measures data
+        # volume (1 h vs 24 h), not first-touch directory listing
         end_ms = START_MS + (N_POINTS - 1) * 1000
+        store.query_range(end_ms - 1000, end_ms).count()
         hot_lo = end_ms - int(0.05 * N_POINTS) * 1000
         t, n = timed(lambda: store.query_range(hot_lo, hot_lo + 3_600_000).count())
         times["query_hot_1h"] = round(t, 3)
