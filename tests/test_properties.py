@@ -62,3 +62,27 @@ def test_jaccard_pairs_bounded_and_symmetric_free(spark, texts):
     for r in rows:
         assert 0.0 <= r.jaccard <= 1.0
         assert r.id1 < r.id2  # each pair exactly once
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    lefts=st.lists(st.integers(0, 2000), min_size=1, max_size=12, unique=True),
+    rights=st.lists(st.integers(0, 2000), min_size=0, max_size=12, unique=True),
+)
+def test_asof_nearest_matches_bruteforce(spark, lefts, rights):
+    from time_series_databse_engine_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([("m", t) for t in lefts], "metric string, ts_ms long")
+    right = spark.createDataFrame(
+        [("m", t, float(t)) for t in rights], "metric string, ts_ms long, value double"
+    )
+    got = {
+        r.ts_ms: r.ts_ms_right
+        for r in asof_join(left, right, by=["metric"], direction="nearest").collect()
+    }
+    for t in lefts:
+        if not rights:
+            assert got[t] is None
+            continue
+        best = min(rights, key=lambda r: (abs(r - t), 0 if r <= t else 1))
+        assert got[t] == best, (t, sorted(rights))
