@@ -201,3 +201,19 @@ def test_rollup_range_serves_pruned_window(spark, tmp_path):
     assert got.count() == 10
     # fallback path when no materialization exists for the bucket
     assert store.rollup("5 minutes").count() == 50
+
+
+def test_ingest_layouts_equivalent(spark, tmp_path):
+    from time_series_databse_engine_spark import TimeSeriesStore
+
+    batch = spark.createDataFrame(
+        [(f"m{i % 3}", i * 120_000, float(i)) for i in range(200)],
+        "metric string, ts_ms long, value double",
+    )
+    a = TimeSeriesStore(spark, str(tmp_path / "hash"))
+    a.ingest(batch, layout="hash")
+    b = TimeSeriesStore(spark, str(tmp_path / "range"))
+    b.ingest(batch, layout="range")
+    pa = sorted(tuple(r) for r in a.points().select("metric", "ts_ms", "value").collect())
+    pb = sorted(tuple(r) for r in b.points().select("metric", "ts_ms", "value").collect())
+    assert pa == pb and len(pa) == 200
