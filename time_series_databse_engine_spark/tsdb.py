@@ -18,11 +18,12 @@ Deliberate divergences (SURVEY.md §1.4): results are ordered by ``ts_ms``
 undesirable); ``ts_ms == 0`` is a legal value (the reference reserves it as
 a codec sentinel); `metric` is preserved per point.
 
-Scale posture (100 TB): ingest repartitions by range on
-``(hour_bucket, metric)`` so one task writes one partition's files in sorted
-runs; queries express bucket + ts predicates declaratively so partition
-pruning and row-group min/max pushdown bound I/O to the queried window
-regardless of total table size.  No driver-side loops anywhere.
+Scale posture (100 TB): ingest shuffles once on ``(hour_bucket, metric)``
+(hash by default — no sampling pass; range with ``ts_ms`` in the key as the
+hot-series split option) so each task writes whole bucket×metric groups in
+sorted runs; queries express bucket + ts predicates declaratively so
+partition pruning and row-group min/max pushdown bound I/O to the queried
+window regardless of total table size.  No driver-side loops anywhere.
 """
 
 from __future__ import annotations
