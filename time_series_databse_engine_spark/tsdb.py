@@ -248,9 +248,11 @@ class TimeSeriesStore:
             "day_bucket", F.floor(F.col("bucket_ms") / self.DAY_MS).cast("long")
         )
         (
-            out.repartitionByRange(
+            # hash, not range: the range sampler would re-run the whole
+            # downsample aggregation a second time just to pick boundaries
+            out.repartition(
                 max(2, self.spark.sparkContext.defaultParallelism // 4),
-                "day_bucket", "metric", "bucket_ms",
+                "day_bucket", "metric",
             )
             .sortWithinPartitions("day_bucket", "metric", "bucket_ms")
             .write.mode("overwrite")
