@@ -427,6 +427,11 @@ def q_quality_score(spark, sf_dir):
     return text_ops.quality_score(_t(spark, sf_dir, "documents"))
 
 
+def q_lang_id_ngram(spark, sf_dir):
+    """Char-bigram language ID (n-gram heuristic variant of lang_id)."""
+    return text_ops.lang_id_ngram(_t(spark, sf_dir, "documents"))
+
+
 def q_sql_supplier_revenue(spark, sf_dir):
     """Pure spark.sql() path (the engine's second query API beside the
     DataFrame builders): per-supplier revenue, broadcast hint on the dim,
@@ -877,6 +882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "token_counts_by_lang": q_token_counts_by_lang,
         "lang_id": q_lang_id,
+        "lang_id_ngram": q_lang_id_ngram,
         "quality_score": q_quality_score,
         "sql_supplier_revenue": q_sql_supplier_revenue,
         "asof_join_forward": q_asof_join_forward,
@@ -1355,6 +1361,25 @@ def oracle_sql() -> dict[str, str]:
                         sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS s
               FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
             WHERE s >= 0.4""",
+        "lang_id_ngram": (lambda _langs=sorted(text_ops.NGRAM_PROFILES): f"""
+            WITH g AS (
+              SELECT doc_id,
+                     list_transform(generate_series(1, greatest(length(lower(text)) - 1, 1)),
+                                    i -> substr(lower(text), i, 2)) AS grams
+              FROM documents),
+            s AS (
+              SELECT doc_id,
+                     {", ".join(
+                         "round(len(list_filter(grams, x -> list_contains(["
+                         + ", ".join(repr(b) for b in text_ops.NGRAM_PROFILES[lang])
+                         + "], x))) / greatest(len(grams), 1), 6) AS score_" + lang
+                         for lang in _langs)}
+              FROM g)
+            SELECT doc_id,
+                   CASE {" ".join(f"WHEN score_{lang} = greatest({', '.join('score_' + x for x in _langs)}) THEN '{lang}'" for lang in _langs)}
+                   END AS lang_guess,
+                   greatest({", ".join("score_" + lang for lang in _langs)}) AS lang_score
+            FROM s""")(),
         "quality_score": f"""
             SELECT doc_id,
                    len(regexp_extract_all(text, '[^\\s]+')) AS n_tokens,

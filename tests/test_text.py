@@ -99,3 +99,19 @@ def test_winnow_pandas_fast_path_matches_expression(spark, sf_dir):
     a = {tuple(r) for r in winnow_fingerprint(docs).collect()}
     b = {tuple(r) for r in winnow_fingerprint_pandas(docs).collect()}
     assert a == b
+
+
+def test_lang_id_ngram_planted_fixtures(spark):
+    from time_series_databse_engine_spark.operators.text import lang_id_ngram
+
+    df = spark.createDataFrame(
+        [
+            (1, "The weather there is rather pleasant in the north"),
+            (2, "Ich schreibe ein schönes Beispiel und scheue nichts"),
+            (3, "El niño pequeño añora los árboles del barrio"),
+            (4, "Beaucoup d'amour et de bonheur heureux autour de nous"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.lang_guess for r in lang_id_ngram(df).collect()}
+    assert got == {1: "en", 2: "de", 3: "es", 4: "fr"}

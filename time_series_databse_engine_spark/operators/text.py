@@ -76,6 +76,43 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     return scored.select(id_col, guess.alias("lang_guess"), best.alias("lang_score"))
 
 
+# distinctive char-bigram profiles for the n-gram language heuristic;
+# deliberately minimal — the operator shape (n-gram extraction + profile
+# overlap + deterministic argmax) is the point
+NGRAM_PROFILES = {
+    "en": ["th", "he", "an", "in", "er"],
+    "de": ["ch", "ei", "ie", "un", "sc"],
+    "es": ["ño", "os", "rr", "ll", "ón"],
+    "fr": ["ée", "ai", "ou", "eu", "ux"],
+}
+
+
+def lang_id_ngram(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Char-bigram language guess: extract every character bigram, score
+    each language by the fraction of bigrams found in its profile, argmax
+    (ties → lexicographically first language).  Like :func:`lang_id` but
+    n-gram-based — robust to languages without whitespace-delimited words.
+    One scan, zero shuffles."""
+    t = F.lower(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(t) - 1, F.lit(1))),
+        lambda i: F.substring(t, i, 2),
+    )
+    langs = sorted(NGRAM_PROFILES)
+    scores = [
+        F.round(
+            F.size(F.filter(grams, lambda g: g.isin([*NGRAM_PROFILES[lang]])))
+            / F.greatest(F.size(grams), F.lit(1)),
+            6,
+        ).alias(f"score_{lang}")
+        for lang in langs
+    ]
+    scored = df.select(F.col(id_col), *scores)
+    best = F.greatest(*[F.col(f"score_{l}") for l in langs])
+    guess = F.coalesce(*[F.when(F.col(f"score_{l}") == best, F.lit(l)) for l in langs])
+    return scored.select(id_col, guess.alias("lang_guess"), best.alias("lang_score"))
+
+
 STOPWORDS = sorted({w for prof in LANG_PROFILES.values() for w in prof})
 
 # RE2- and Java-regex-compatible subset (no lookarounds/backrefs) so the
