@@ -996,13 +996,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT ({_EV_MS} - {_EV_MS} % {MS_H}) AS bucket_ms, event_type,
                    count(*) AS n,
                    round(min(value), 6) AS min_value, round(max(value), 6) AS max_value,
-                   round(avg(value), 6) AS avg_value, round(sum(value), 6) AS sum_value
+                   round(sum(value), 4) / count(*) AS avg_value,
+                   round(sum(value), 4) AS sum_value
             FROM events GROUP BY 1, 2""",
         "downsample_5m": f"""
             SELECT ({_EV_MS} - {_EV_MS} % 300000) AS bucket_ms, event_type,
                    count(*) AS n,
                    round(min(value), 6) AS min_value, round(max(value), 6) AS max_value,
-                   round(avg(value), 6) AS avg_value, round(sum(value), 6) AS sum_value
+                   round(sum(value), 4) / count(*) AS avg_value,
+                   round(sum(value), 4) AS sum_value
             FROM events WHERE {_EV_MS} BETWEEN {T1} AND {T2} GROUP BY 1, 2""",
         "metric_stats": """
             SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,

@@ -35,8 +35,14 @@ def downsample(
             F.count("*").alias("n"),
             F.round(F.min(value), 6).alias("min_value"),
             F.round(F.max(value), 6).alias("max_value"),
-            F.round(F.avg(value), 6).alias("avg_value"),
-            F.round(F.sum(value), 6).alias("sum_value"),
+            # Cross-engine float discipline (observed at sf0.1): engines sum
+            # in different orders, so round(sum, 4) absorbs the noise (safe:
+            # the true sum of 2dp inputs is never near a 4dp midpoint), and
+            # avg is DERIVED from that rounded sum with NO further rounding —
+            # round(avg(..)) independently on each engine lands on exact
+            # midpoints (sum/24 etc.) where half-up vs half-even disagree.
+            (F.round(F.sum(value), 4) / F.count("*")).alias("avg_value"),
+            F.round(F.sum(value), 4).alias("sum_value"),
         )
     )
 
