@@ -828,6 +828,54 @@ def q_lsh_ann_topk(spark, sf_dir):
     return sim_ops.lsh_bucket_topk(emb, emb.filter(F.col("vec_id") < 5), k=5, num_planes=4)
 
 
+def q_ohlc_1h(spark, sf_dir):
+    """OHLC candlestick bars: 1h buckets per series (min_by/max_by on a
+    row_number total order — deterministic under timestamp ties)."""
+    return ts_ops.ohlc_bars(
+        _t(spark, sf_dir, "events"), MS_H, ["event_type"], tiebreak=["event_id"]
+    )
+
+
+def q_counter_rate_1h(spark, sf_dir):
+    """PromQL-style counter increase/rate per series per hour, with
+    counter-reset detection (value < previous → restart from zero)."""
+    return ts_ops.counter_rate(
+        _t(spark, sf_dir, "events"), MS_H, ["event_type"], ["ts_ms", "event_id"]
+    )
+
+
+def q_time_weighted_avg(spark, sf_dir):
+    """Time-weighted (LOCF step-integration) average per series over the
+    first week — the TimescaleDB time_weight('LOCF') semantics."""
+    return ts_ops.time_weighted_avg(
+        _t(spark, sf_dir, "events"), ["event_type"], T1, WEEK_END, tiebreak=["event_id"]
+    )
+
+
+def q_zscore_anomaly(spark, sf_dir):
+    """Anomaly detection: rows > 3 sigma from the trailing-100-row mean of
+    their series (baseline excludes the current row)."""
+    df = ts_ops.zscore_anomalies(
+        _t(spark, sf_dir, "events"), ["event_type"], ["ts_ms", "event_id"]
+    )
+    return df.select("event_id", "event_type", "zscore")
+
+
+def q_autocorr(spark, sf_dir):
+    """Lag-1 autocorrelation per series: corr(value, lag(value))."""
+    return ts_ops.autocorrelation(
+        _t(spark, sf_dir, "events"), ["event_type"], ["ts_ms", "event_id"], lag=1
+    )
+
+
+def q_ewma(spark, sf_dir):
+    """Batch EWMA per series (pandas ewm recursion via applyInPandas —
+    not SQL-expressible → rows-only check; exactness covered by
+    tests/test_timeseries.py against the closed-form recursion)."""
+    e = _t(spark, sf_dir, "events").filter(F.col("ts_ms").between(T1, T2))
+    return ts_ops.ewma(e, "event_type", alpha=0.3, tiebreak="event_id")
+
+
 # --------------------------------------------------------------------------
 
 
@@ -915,6 +963,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_1m": q_resample_1m,
         "simhash": q_simhash,
         "lsh_ann_topk": q_lsh_ann_topk,
+        "ohlc_1h": q_ohlc_1h,
+        "counter_rate_1h": q_counter_rate_1h,
+        "time_weighted_avg": q_time_weighted_avg,
+        "zscore_anomaly": q_zscore_anomaly,
+        "autocorr": q_autocorr,
+        "ewma": q_ewma,
     }
 
 
@@ -1398,4 +1452,60 @@ def oracle_sql() -> dict[str, str]:
                                   / greatest(len(regexp_extract_all(text, '[^\\s]+')), 1)),
                          6) AS quality
             FROM documents""",
+        "ohlc_1h": f"""
+            WITH r AS (
+              SELECT {_EV_MS} - ({_EV_MS} % {MS_H}) AS bucket_ms, event_type, value,
+                     row_number() OVER (PARTITION BY {_EV_MS} - ({_EV_MS} % {MS_H}), event_type
+                                        ORDER BY {_EV_MS}, event_id) AS rn
+              FROM events)
+            SELECT bucket_ms, event_type,
+                   arg_min(value, rn) AS open, max(value) AS high,
+                   min(value) AS low, arg_max(value, rn) AS close,
+                   count(*) AS n
+            FROM r GROUP BY bucket_ms, event_type""",
+        "counter_rate_1h": f"""
+            WITH d AS (
+              SELECT event_type, {_EV_MS} AS ts_ms,
+                     CASE WHEN lag(value) OVER w IS NULL THEN 0.0
+                          WHEN value >= lag(value) OVER w THEN value - lag(value) OVER w
+                          ELSE value END AS inc
+              FROM events
+              WINDOW w AS (PARTITION BY event_type ORDER BY {_EV_MS}, event_id))
+            SELECT ts_ms - (ts_ms % {MS_H}) AS bucket_ms, event_type,
+                   round(sum(inc), 4) AS increase,
+                   round(sum(inc), 4) / 3600.0 AS rate_per_sec,
+                   count(*) AS n_samples
+            FROM d GROUP BY 1, 2""",
+        "time_weighted_avg": f"""
+            WITH s AS (
+              SELECT event_type, {_EV_MS} AS ts_ms, event_id, value
+              FROM events WHERE {_EV_MS} BETWEEN {T1} AND {WEEK_END - 1}),
+            d AS (
+              SELECT event_type, value,
+                     coalesce(lead(ts_ms) OVER (PARTITION BY event_type
+                                                ORDER BY ts_ms, event_id),
+                              {WEEK_END}) - ts_ms AS dur
+              FROM s)
+            SELECT event_type,
+                   round(sum(value * dur), 2) / CAST(sum(dur) AS BIGINT) AS time_weighted_avg,
+                   CAST(sum(dur) AS BIGINT) AS covered_ms,
+                   count(*) AS n_points
+            FROM d GROUP BY event_type""",
+        "zscore_anomaly": f"""
+            SELECT event_id, event_type, zscore FROM (
+              SELECT event_id, event_type,
+                     count(value) OVER w AS n, stddev_samp(value) OVER w AS sd,
+                     round((value - avg(value) OVER w) / stddev_samp(value) OVER w, 4) AS zscore
+              FROM events
+              WINDOW w AS (PARTITION BY event_type ORDER BY {_EV_MS}, event_id
+                           ROWS BETWEEN 100 PRECEDING AND 1 PRECEDING))
+            WHERE n >= 30 AND sd > 0 AND abs(zscore) > 3.0""",
+        "autocorr": f"""
+            SELECT event_type, round(corr(value, prev), 6) AS autocorr,
+                   count(prev) AS n_pairs
+            FROM (SELECT event_type, value,
+                         lag(value) OVER (PARTITION BY event_type
+                                          ORDER BY {_EV_MS}, event_id) AS prev
+                  FROM events)
+            GROUP BY event_type""",
     }

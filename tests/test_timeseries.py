@@ -1,13 +1,19 @@
 """Window operators on crafted series."""
 
 from time_series_databse_engine_spark.operators.timeseries import (
+    autocorrelation,
+    counter_rate,
     deltas,
     detect_gaps,
     downsample,
+    ewma,
     moving_avg,
+    ohlc_bars,
     resample_interpolate,
     sessionize,
+    time_weighted_avg,
     topk_per_group,
+    zscore_anomalies,
 )
 
 
@@ -61,3 +67,70 @@ def test_resample_interpolate(spark):
     out = resample_interpolate(df, "metric", 1000)
     got = {r.ts_ms: r.value for r in out.collect()}
     assert got == {0: 0.0, 1000: 1.0, 2000: 2.0, 3000: 5.0, 4000: 8.0}
+
+
+def test_ohlc_bars(spark):
+    # two buckets of 10s; first bucket has a ts tie broken by the id column
+    rows = [
+        ("m", 1000, 1, 5.0),
+        ("m", 1000, 2, 9.0),   # same ts, higher id → not the open
+        ("m", 9000, 3, 1.0),   # low + close of bucket 0
+        ("m", 12000, 4, 7.0),
+    ]
+    df = spark.createDataFrame(rows, "metric string, ts_ms long, event_id long, value double")
+    out = ohlc_bars(df, 10_000, ["metric"], tiebreak=["event_id"])
+    got = {r.bucket_ms: (r.open, r.high, r.low, r.close, r.n) for r in out.collect()}
+    assert got[0] == (5.0, 9.0, 1.0, 1.0, 3)
+    assert got[10_000] == (7.0, 7.0, 7.0, 7.0, 1)
+
+
+def test_counter_rate_reset(spark):
+    # counter: 10 → 15 → 3 (reset) → 6 ; increase = 0 + 5 + 3 + 3 = 11
+    rows = [("m", t * 1000, v) for t, v in [(0, 10.0), (1, 15.0), (2, 3.0), (3, 6.0)]]
+    df = spark.createDataFrame(rows, "metric string, ts_ms long, value double")
+    out = counter_rate(df, 3_600_000, ["metric"], ["ts_ms"]).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.increase == 11.0 and r.n_samples == 4
+    assert abs(r.rate_per_sec - 11.0 / 3600.0) < 1e-12
+
+
+def test_time_weighted_avg(spark):
+    # step function: value 2 for 1s, value 10 for 3s over window [0, 4000)
+    rows = [("m", 0, 2.0), ("m", 1000, 10.0)]
+    df = spark.createDataFrame(rows, "metric string, ts_ms long, value double")
+    r = time_weighted_avg(df, ["metric"], 0, 4000).collect()[0]
+    assert r.covered_ms == 4000 and r.n_points == 2
+    assert abs(r.time_weighted_avg - (2.0 * 1 + 10.0 * 3) / 4.0) < 1e-9
+
+
+def test_zscore_anomalies(spark):
+    # 50 flat points then one spike; baseline excludes the current row so
+    # sd>0 comes from tiny noise; the spike is the only flagged row
+    rows = [("m", i * 1000, 10.0 + (0.01 if i % 2 else -0.01)) for i in range(50)]
+    rows.append(("m", 50_000, 100.0))
+    df = spark.createDataFrame(rows, "metric string, ts_ms long, value double")
+    out = zscore_anomalies(df, ["metric"], ["ts_ms"], lookback=100, min_points=30).collect()
+    assert [r.ts_ms for r in out] == [50_000]
+    assert out[0].zscore > 3
+
+
+def test_autocorrelation_alternating(spark):
+    # perfectly alternating series → lag-1 autocorrelation ≈ -1
+    rows = [("m", i * 1000, float(i % 2)) for i in range(40)]
+    df = spark.createDataFrame(rows, "metric string, ts_ms long, value double")
+    r = autocorrelation(df, ["metric"], ["ts_ms"], lag=1).collect()[0]
+    assert r.n_pairs == 39
+    assert abs(r.autocorr - (-1.0)) < 1e-3
+
+
+def test_ewma_matches_recursion(spark):
+    vals = [1.0, 5.0, 3.0, 9.0, 2.0]
+    rows = [("m", i * 1000, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "metric string, ts_ms long, value double")
+    out = ewma(df, "metric", alpha=0.3).orderBy("ts_ms").collect()
+    s, expect = None, []
+    for v in vals:
+        s = v if s is None else 0.3 * v + 0.7 * s
+        expect.append(round(s, 6))
+    assert [r.ewma for r in out] == expect

@@ -128,6 +128,201 @@ def topk_per_group(
     return df.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
 
 
+def ohlc_bars(
+    df: DataFrame,
+    bucket_ms: int,
+    keys: list[str],
+    value: str = "value",
+    ts_ms: str = "ts_ms",
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """OHLC (open/high/low/close) candlestick downsample per series+bucket.
+
+    Open/close are picked with ``min_by``/``max_by`` on a ``row_number``
+    ordering key — a deterministic total order even under timestamp ties —
+    rather than a struct ordering (DuckDB's ``arg_min`` can't compare rows,
+    and an int key is cheaper anyway).  The window is partitioned by the
+    same (bucket, series) keys the aggregation groups on, so Catalyst
+    plans ONE shuffle: the window's sort partitioning satisfies the agg.
+    Open/close are raw value picks (no arithmetic) — exact cross-engine;
+    high/low likewise.
+    """
+    bucket = (F.col(ts_ms) - (F.col(ts_ms) % F.lit(bucket_ms))).alias("bucket_ms")
+    order = [F.col(ts_ms)] + [F.col(c) for c in (tiebreak or [])]
+    w = W.partitionBy(F.col("bucket_ms"), *keys).orderBy(*order)
+    return (
+        df.select(bucket, *keys, ts_ms, value, *(tiebreak or []))
+        .withColumn("_rn", F.row_number().over(w))
+        .groupBy("bucket_ms", *keys)
+        .agg(
+            F.min_by(value, "_rn").alias("open"),
+            F.max(value).alias("high"),
+            F.min(value).alias("low"),
+            F.max_by(value, "_rn").alias("close"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+def counter_rate(
+    df: DataFrame,
+    bucket_ms: int,
+    keys: list[str],
+    order: list[str],
+    value: str = "value",
+    ts_ms: str = "ts_ms",
+) -> DataFrame:
+    """PromQL-style counter ``increase``/``rate`` with reset detection.
+
+    Per series ordered by time: increment = value - lag(value), except on a
+    counter reset (value < previous) where the counter restarted from zero,
+    so the increment is the raw value — PromQL's extrapolation-free
+    ``increase`` semantics.  One window shuffle on the series key, then a
+    map-side-partial aggregation per bucket.  At 100 TB the window
+    partitions by series only (not bucket), so a single series spanning
+    years still sorts once; skewed series fall to AQE.
+    """
+    w = W.partitionBy(*keys).orderBy(*order)
+    prev = F.lag(value).over(w)
+    inc = (
+        F.when(prev.isNull(), F.lit(0.0))
+        .when(F.col(value) >= prev, F.col(value) - prev)
+        .otherwise(F.col(value))
+    )
+    bucket = (F.col(ts_ms) - (F.col(ts_ms) % F.lit(bucket_ms))).alias("bucket_ms")
+    # round(sum,4)-then-derive discipline: see downsample() on why the
+    # dependent ratio must come from the already-rounded sum
+    increase = F.round(F.sum("_inc"), 4)
+    return (
+        df.withColumn("_inc", inc)
+        .groupBy(bucket, *keys)
+        .agg(
+            increase.alias("increase"),
+            (increase / F.lit(bucket_ms / 1000.0)).alias("rate_per_sec"),
+            F.count("*").alias("n_samples"),
+        )
+    )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    keys: list[str],
+    start_ms: int,
+    end_ms: int,
+    value: str = "value",
+    ts_ms: str = "ts_ms",
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Time-weighted average over ``[start_ms, end_ms)`` per series.
+
+    Each point holds its value until the next point (step-function /
+    last-observation-carried-forward integration, the TimescaleDB
+    ``time_weight('LOCF')`` semantics); the final point is weighted to the
+    window end.  Duration sums are exact int64; the value·duration sum is
+    rounded before the ratio (cross-engine float discipline, see
+    downsample()).  Ties on ts are totally ordered by ``tiebreak`` so both
+    engines assign identical durations.
+    """
+    w = W.partitionBy(*keys).orderBy(ts_ms, *(tiebreak or []))
+    scoped = df.filter(F.col(ts_ms).between(start_ms, end_ms - 1))
+    dur = F.coalesce(F.lead(ts_ms).over(w), F.lit(end_ms)) - F.col(ts_ms)
+    weighted_sum = F.round(F.sum(F.col(value) * F.col("_dur")), 2)
+    return (
+        scoped.withColumn("_dur", dur)
+        .groupBy(*keys)
+        .agg(
+            (weighted_sum / F.sum("_dur")).alias("time_weighted_avg"),
+            F.sum("_dur").alias("covered_ms"),
+            F.count("*").alias("n_points"),
+        )
+    )
+
+
+def zscore_anomalies(
+    df: DataFrame,
+    keys: list[str],
+    order: list[str],
+    value: str = "value",
+    lookback: int = 100,
+    min_points: int = 30,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Rows whose value deviates > ``threshold`` sigmas from the trailing
+    ``lookback``-row mean of their series (current row excluded from the
+    baseline so an outlier can't mask itself).  Pure window pass — one
+    shuffle on the series key; the frame is rows-based so skewed series
+    cost O(rows), not O(rows·lookback).
+    """
+    w = W.partitionBy(*keys).orderBy(*order).rowsBetween(-lookback, -1)
+    df = (
+        df.withColumn("_mu", F.avg(value).over(w))
+        .withColumn("_sd", F.stddev_samp(value).over(w))
+        .withColumn("_n", F.count(value).over(w))
+    )
+    z = (F.col(value) - F.col("_mu")) / F.col("_sd")
+    return (
+        df.filter((F.col("_n") >= min_points) & (F.col("_sd") > 0))
+        .withColumn("zscore", F.round(z, 4))
+        .filter(F.abs(F.col("zscore")) > threshold)
+        .drop("_mu", "_sd", "_n")
+    )
+
+
+def autocorrelation(
+    df: DataFrame,
+    keys: list[str],
+    order: list[str],
+    value: str = "value",
+    lag: int = 1,
+) -> DataFrame:
+    """Per-series autocorrelation at ``lag`` rows: corr(value, lag(value)).
+    One window shuffle + one partial-aggregated corr — the seasonality /
+    self-similarity probe of a TSDB's analytics tier.
+    """
+    w = W.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("_lagged", F.lag(value, lag).over(w))
+        .groupBy(*keys)
+        .agg(
+            F.round(F.corr(value, "_lagged"), 6).alias("autocorr"),
+            F.count("_lagged").alias("n_pairs"),
+        )
+    )
+
+
+def ewma(
+    df: DataFrame,
+    key: str,
+    alpha: float,
+    ts_ms: str = "ts_ms",
+    value: str = "value",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Exponentially-weighted moving average per series (batch form of
+    streaming.stateful.ema_stream).  The recursion s_i = α·x_i + (1-α)·s_{i-1}
+    isn't expressible with SQL window frames without overflow-prone
+    pow(1-α, -i) tricks, so it runs as an Arrow-batched ``applyInPandas``
+    (pandas C kernel).  Per-series data must fit a worker; at scale,
+    range-chunk long series with a coarse time bucket in the key and chain
+    the boundary state like the streaming variant does.
+    """
+    import pandas as pd  # noqa: F401
+
+    sort_cols = [ts_ms] + ([tiebreak] if tiebreak else [])
+
+    def _ewma(pdf):
+        pdf = pdf.sort_values(sort_cols)
+        pdf["ewma"] = pdf[value].ewm(alpha=alpha, adjust=False).mean().round(6)
+        return pdf
+
+    out_schema = df.select(key, *sort_cols, value).schema.add("ewma", "double")
+    return (
+        df.select(key, *sort_cols, value)
+        .groupBy(key)
+        .applyInPandas(_ewma, schema=out_schema)
+    )
+
+
 def resample_interpolate(
     df: DataFrame,
     key: str,
