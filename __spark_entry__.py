@@ -18,6 +18,7 @@ from time_series_databse_engine_spark import TimeSeriesStore
 from time_series_databse_engine_spark.operators import (
     asof as asof_ops,
     dedup as dedup_ops,
+    packing as packing_ops,
     similarity as sim_ops,
     text as text_ops,
     timeseries as ts_ops,
@@ -868,6 +869,37 @@ def q_autocorr(spark, sf_dir):
     )
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition signals: duplicate-word / top-word /
+    duplicate-bigram fractions per document."""
+    return text_ops.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    """Top-3 TF-IDF terms per doc (smoothed idf; rounded-score ranking)."""
+    return text_ops.tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
+def q_contamination(spark, sf_dir):
+    """Benchmark decontamination: 5-gram overlap of training docs
+    (doc_id % 20 != 0) against the held-out benchmark slice (% 20 == 0)."""
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.contamination_overlap(
+        docs.filter(F.col("doc_id") % 20 != 0),
+        docs.filter(F.col("doc_id") % 20 == 0),
+        n=5,
+    )
+
+
+def q_pack_sequences(spark, sf_dir):
+    """First-fit-decreasing sequence packing into 512-token bins per hash
+    group (greedy bin packing via applyInPandas — rows-only check;
+    capacity/determinism invariants in tests/test_packing.py)."""
+    return packing_ops.pack_sequences(
+        _t(spark, sf_dir, "documents"), max_tokens=512, num_groups=8
+    )
+
+
 def q_ewma(spark, sf_dir):
     """Batch EWMA per series (pandas ewm recursion via applyInPandas —
     not SQL-expressible → rows-only check; exactness covered by
@@ -969,6 +1001,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zscore_anomaly": q_zscore_anomaly,
         "autocorr": q_autocorr,
         "ewma": q_ewma,
+        "repetition_stats": q_repetition_stats,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "contamination": q_contamination,
+        "pack_sequences": q_pack_sequences,
     }
 
 
@@ -1508,4 +1544,69 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY {_EV_MS}, event_id) AS prev
                   FROM events)
             GROUP BY event_type""",
+        "repetition_stats": """
+            WITH ws AS (
+              SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM documents),
+            wc AS (
+              SELECT doc_id, unnest(w) AS t FROM ws),
+            wcc AS (
+              SELECT doc_id, t, count(*) AS c FROM wc GROUP BY 1, 2),
+            wstat AS (
+              SELECT doc_id, sum(c) AS n_words, count(*) AS nd, max(c) AS tw
+              FROM wcc GROUP BY doc_id),
+            bg AS (
+              SELECT doc_id,
+                     unnest(CASE WHEN len(w) >= 2
+                            THEN list_transform(generate_series(1, len(w) - 1),
+                                                i -> w[i] || ' ' || w[i + 1])
+                            ELSE [] END) AS t
+              FROM ws),
+            bcc AS (
+              SELECT doc_id, t, count(*) AS c FROM bg GROUP BY 1, 2),
+            bstat AS (
+              SELECT doc_id, sum(c) AS n_bigrams, count(*) AS nbd
+              FROM bcc GROUP BY doc_id)
+            SELECT w.doc_id, CAST(w.n_words AS BIGINT) AS n_words,
+                   round(1 - w.nd / w.n_words, 6) AS dup_word_frac,
+                   round(w.tw / w.n_words, 6) AS top_word_frac,
+                   round(1 - b.nbd / greatest(b.n_bigrams, 1), 6) AS dup_bigram_frac
+            FROM wstat w LEFT JOIN bstat b ON w.doc_id = b.doc_id""",
+        "tfidf_top_terms": """
+            WITH tf AS (
+              SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS t
+              FROM documents),
+            tfc AS (
+              SELECT doc_id, t, count(*) AS c FROM tf GROUP BY 1, 2),
+            dl AS (SELECT doc_id, sum(c) AS len FROM tfc GROUP BY doc_id),
+            dfreq AS (SELECT t, count(DISTINCT doc_id) AS df_t FROM tfc GROUP BY t),
+            n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+            scored AS (
+              SELECT tfc.doc_id, tfc.t,
+                     round((tfc.c / dl.len) * (ln((n.n_docs + 1) / (dfreq.df_t + 1)) + 1),
+                           6) AS score
+              FROM tfc JOIN dl USING (doc_id) JOIN dfreq USING (t) CROSS JOIN n)
+            SELECT doc_id, t AS term, score, rank FROM (
+              SELECT doc_id, t, score,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY score DESC, t ASC) AS rank
+              FROM scored)
+            WHERE rank <= 3""",
+        "contamination": """
+            WITH g AS (
+              SELECT doc_id,
+                     unnest(list_distinct(
+                       CASE WHEN len(w) >= 5
+                       THEN list_transform(generate_series(1, len(w) - 4),
+                                           i -> array_to_string(w[i:i+4], ' '))
+                       ELSE [] END)) AS g
+              FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w
+                    FROM documents)),
+            bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 20 = 0),
+            train AS (SELECT * FROM g WHERE doc_id % 20 != 0)
+            SELECT t.doc_id, count(*) AS n_grams,
+                   sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS n_contaminated,
+                   round(sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) / count(*),
+                         6) AS contamination_frac
+            FROM train t LEFT JOIN bench b ON t.g = b.g
+            GROUP BY t.doc_id""",
     }

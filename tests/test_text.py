@@ -115,3 +115,61 @@ def test_lang_id_ngram_planted_fixtures(spark):
     )
     got = {r.doc_id: r.lang_guess for r in lang_id_ngram(df).collect()}
     assert got == {1: "en", 2: "de", 3: "es", 4: "fr"}
+
+
+def test_repetition_stats_planted(spark):
+    from time_series_databse_engine_spark.operators.text import repetition_stats
+
+    rows = [
+        (1, "a a a a"),            # 4 words, 1 distinct → dup 0.75, top 1.0
+        (2, "a b c d"),            # all unique words AND bigrams
+        (3, "x y x y x y"),        # bigrams: "x y"×3, "y x"×2 → dup 3/5... see below
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert got[1].dup_word_frac == 0.75 and got[1].top_word_frac == 1.0
+    # doc1 bigrams: "a a"×3 → dup 1 - 1/3
+    assert abs(got[1].dup_bigram_frac - (1 - 1 / 3)) < 1e-6
+    assert got[2].dup_word_frac == 0.0 and got[2].dup_bigram_frac == 0.0
+    # doc3: 6 words {x,y} → dup 4/6; bigrams 5 total 2 distinct → 3/5
+    assert abs(got[3].dup_word_frac - 4 / 6) < 1e-6
+    assert abs(got[3].dup_bigram_frac - 3 / 5) < 1e-6
+
+
+def test_tfidf_rare_term_wins(spark):
+    from time_series_databse_engine_spark.operators.text import tfidf_top_terms
+
+    rows = [
+        (1, "rare rare common"),
+        (2, "common common common"),
+        (3, "common other words"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tfidf_top_terms(df, k=1).collect()
+    top = {r.doc_id: r.term for r in out}
+    # tf(rare)=2/3 with idf ln(4/2)+1 beats tf(common)=1/3 with idf 1
+    assert top[1] == "rare"
+    assert top[2] == "common"
+    # doc3: "other"/"words" tie on score → lexicographic tiebreak
+    assert top[3] == "other"
+    assert all(r.rank == 1 for r in out)
+
+
+def test_contamination_overlap_planted(spark):
+    from time_series_databse_engine_spark.operators.text import contamination_overlap
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps somewhere else entirely now"),
+            (2, "completely different words with no shared fivegram at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in contamination_overlap(train, bench, n=5).collect()}
+    # doc1 shares exactly one 5-gram: "the quick brown fox jumps"
+    assert got[1].n_contaminated == 1 and got[1].n_grams == 5
+    assert got[2].n_contaminated == 0

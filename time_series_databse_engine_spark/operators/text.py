@@ -310,6 +310,147 @@ def make_chunk_udtf():
     return ChunkDocumentsUDTF
 
 
+def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1):
+    duplicate-word fraction, top-word fraction, duplicate-bigram fraction.
+
+    Explode → count per (doc, term) → re-aggregate per doc: two narrow
+    shuffles on ``doc_id`` (word and bigram pipelines) joined on the same
+    key — at 100 TB each pipeline is a partial-aggregated groupBy, never a
+    per-doc collect.  The bigram array is built from a *materialized* words
+    column (separate select below the Generate) so the split() isn't
+    re-evaluated per lambda iteration (see HOF trap notes in SCALE.md).
+    """
+    words = F.split(F.lower(F.col(text_col)), "\\s+")
+    base = df.select(id_col, words.alias("ws"))
+    # element_at is 1-based, mirroring DuckDB list indexing in the oracle
+    bigrams = F.when(
+        F.size("ws") >= 2,
+        F.expr("transform(sequence(1, size(ws) - 1), i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"),
+    ).otherwise(F.array().cast("array<string>"))
+
+    wc = (
+        base.select(id_col, F.explode("ws").alias("t"))
+        .groupBy(id_col, "t")
+        .agg(F.count("*").alias("c"))
+    )
+    word_stats = wc.groupBy(id_col).agg(
+        F.sum("c").alias("n_words"),
+        F.count("*").alias("n_distinct_words"),
+        F.max("c").alias("top_word_n"),
+    )
+    bc = (
+        base.select(id_col, F.explode(bigrams).alias("t"))
+        .groupBy(id_col, "t")
+        .agg(F.count("*").alias("c"))
+    )
+    bigram_stats = bc.groupBy(id_col).agg(
+        F.sum("c").alias("n_bigrams"),
+        F.count("*").alias("n_distinct_bigrams"),
+    )
+    out = word_stats.join(bigram_stats, id_col, "left")
+    return out.select(
+        id_col,
+        "n_words",
+        F.round(1 - F.col("n_distinct_words") / F.col("n_words"), 6).alias("dup_word_frac"),
+        F.round(F.col("top_word_n") / F.col("n_words"), 6).alias("top_word_frac"),
+        F.round(
+            1 - F.col("n_distinct_bigrams") / F.greatest("n_bigrams", F.lit(1)), 6
+        ).alias("dup_bigram_frac"),
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Top-k TF-IDF terms per document.
+
+    tf = count/doc_len, idf = ln((N+1)/(df+1)) + 1 (smoothed).  The term
+    document-frequency table is tiny relative to the corpus (vocab-sized)
+    and partial-aggregates map-side; the scalar corpus count joins by
+    broadcast.  Ranking uses the ROUNDED score (6 dp) with a term tiebreak
+    so a 1-ulp ln() difference between engines can't flip the top-k.
+    """
+    words = F.split(F.lower(F.col(text_col)), "\\s+")
+    tf = (
+        df.select(id_col, F.explode(words).alias("t"))
+        .groupBy(id_col, "t")
+        .agg(F.count("*").alias("c"))
+    )
+    doc_len = tf.groupBy(id_col).agg(F.sum("c").alias("len"))
+    dfreq = tf.groupBy("t").agg(F.countDistinct(id_col).alias("df_t"))
+    n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
+    scored = (
+        tf.join(doc_len, id_col)
+        .join(F.broadcast(dfreq), "t")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                (F.col("c") / F.col("len"))
+                * (F.log((F.col("n_docs") + 1) / (F.col("df_t") + 1)) + 1),
+                6,
+            ),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("t").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, F.col("t").alias("term"), "score", "rank")
+    )
+
+
+def contamination_overlap(
+    df: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark-contamination check: fraction of each training doc's
+    distinct word ``n``-grams that appear in any benchmark document (the
+    standard n-gram-overlap decontamination test, cf. GPT-3 appendix C).
+
+    The benchmark n-gram set is deduplicated then broadcast (benchmarks are
+    small by construction); training docs stream through one explode +
+    groupBy(``doc_id``) — no shuffle of the corpus by n-gram needed.
+    """
+    def grams(frame):
+        words = F.split(F.lower(F.col(text_col)), "\\s+")
+        base = frame.select(id_col, words.alias("ws"))
+        g = F.when(
+            F.size("ws") >= n,
+            F.expr(
+                f"transform(sequence(1, size(ws) - {n} + 1),"
+                f" i -> array_join(slice(ws, i, {n}), ' '))"
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return base.select(id_col, F.explode(F.array_distinct(g)).alias("g"))
+
+    bench_set = grams(benchmark).select("g").distinct()
+    train = grams(df)
+    hit = F.when(F.col("hit_g").isNotNull(), 1).otherwise(0)
+    return (
+        train.join(
+            F.broadcast(bench_set.withColumnRenamed("g", "hit_g")),
+            train["g"] == F.col("hit_g"),
+            "left",
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(hit).alias("n_contaminated"),
+        )
+        .withColumn(
+            "contamination_frac",
+            F.round(F.col("n_contaminated") / F.col("n_grams"), 6),
+        )
+    )
+
+
 def doc_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Canonical content fingerprint: md5 over the sorted distinct token
     set — robust to token order, exact-SQL-reproducible."""
