@@ -323,39 +323,44 @@ def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     """
     words = F.split(F.lower(F.col(text_col)), "\\s+")
     base = df.select(id_col, words.alias("ws"))
-    # element_at is 1-based, mirroring DuckDB list indexing in the oracle
-    bigrams = F.when(
-        F.size("ws") >= 2,
-        F.expr("transform(sequence(1, size(ws) - 1), i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"),
-    ).otherwise(F.array().cast("array<string>"))
-
-    wc = (
-        base.select(id_col, F.explode("ws").alias("t"))
-        .groupBy(id_col, "t")
+    # words and bigrams tagged into ONE array so the corpus is scanned and
+    # exploded once (not one pipeline per n-gram order + a join).
+    # element_at is 1-based, mirroring DuckDB list indexing in the oracle.
+    tagged = F.concat(
+        F.expr("transform(ws, x -> named_struct('k', 'w', 't', x))"),
+        F.expr(
+            "CASE WHEN size(ws) >= 2 THEN "
+            "transform(sequence(1, size(ws) - 1), "
+            " i -> named_struct('k', 'b', 't',"
+            "      concat(element_at(ws, i), ' ', element_at(ws, i + 1)))) "
+            "ELSE array() END"
+        ),
+    )
+    cnt = (
+        base.select(id_col, F.explode(tagged).alias("kv"))
+        .select(id_col, F.col("kv.k").alias("k"), F.col("kv.t").alias("t"))
+        .groupBy(id_col, "k", "t")
         .agg(F.count("*").alias("c"))
     )
-    word_stats = wc.groupBy(id_col).agg(
-        F.sum("c").alias("n_words"),
-        F.count("*").alias("n_distinct_words"),
-        F.max("c").alias("top_word_n"),
+    is_w = F.col("k") == "w"
+    stats = cnt.groupBy(id_col).agg(
+        F.sum(F.when(is_w, F.col("c"))).alias("n_words"),
+        F.count(F.when(is_w, 1)).alias("ndw"),
+        F.max(F.when(is_w, F.col("c"))).alias("tw"),
+        F.sum(F.when(~is_w, F.col("c"))).alias("n_bigrams"),
+        F.count(F.when(~is_w, 1)).alias("ndb"),
     )
-    bc = (
-        base.select(id_col, F.explode(bigrams).alias("t"))
-        .groupBy(id_col, "t")
-        .agg(F.count("*").alias("c"))
-    )
-    bigram_stats = bc.groupBy(id_col).agg(
-        F.sum("c").alias("n_bigrams"),
-        F.count("*").alias("n_distinct_bigrams"),
-    )
-    out = word_stats.join(bigram_stats, id_col, "left")
-    return out.select(
+    return stats.select(
         id_col,
         "n_words",
-        F.round(1 - F.col("n_distinct_words") / F.col("n_words"), 6).alias("dup_word_frac"),
-        F.round(F.col("top_word_n") / F.col("n_words"), 6).alias("top_word_frac"),
+        F.round(1 - F.col("ndw") / F.col("n_words"), 6).alias("dup_word_frac"),
+        F.round(F.col("tw") / F.col("n_words"), 6).alias("top_word_frac"),
         F.round(
-            1 - F.col("n_distinct_bigrams") / F.greatest("n_bigrams", F.lit(1)), 6
+            F.when(
+                F.col("n_bigrams").isNotNull(),
+                1 - F.col("ndb") / F.col("n_bigrams"),
+            ),
+            6,
         ).alias("dup_bigram_frac"),
     )
 
@@ -372,14 +377,21 @@ def tfidf_top_terms(
     so a 1-ulp ln() difference between engines can't flip the top-k.
     """
     words = F.split(F.lower(F.col(text_col)), "\\s+")
+    # ONE corpus scan: tf is the only child of every downstream branch.
+    # The explicit repartition(id) gives doc_len a shuffle-free partial agg
+    # AND an identical Exchange subtree on both sides of the doc_len join,
+    # which AQE wires as a ReusedExchange (see SCALE.md exchange-reuse note);
+    # dfreq/n_docs are derived from tf, not fresh scans of the corpus.
     tf = (
         df.select(id_col, F.explode(words).alias("t"))
         .groupBy(id_col, "t")
         .agg(F.count("*").alias("c"))
+        .repartition(id_col)
     )
     doc_len = tf.groupBy(id_col).agg(F.sum("c").alias("len"))
-    dfreq = tf.groupBy("t").agg(F.countDistinct(id_col).alias("df_t"))
-    n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
+    # tf already holds one row per (doc, term) → count(*) == distinct docs
+    dfreq = tf.groupBy("t").agg(F.count("*").alias("df_t"))
+    n_docs = doc_len.agg(F.count("*").alias("n_docs"))
     scored = (
         tf.join(doc_len, id_col)
         .join(F.broadcast(dfreq), "t")
