@@ -19,6 +19,7 @@ from time_series_databse_engine_spark.operators import (
     asof as asof_ops,
     dedup as dedup_ops,
     packing as packing_ops,
+    sketches as sketch_ops,
     similarity as sim_ops,
     text as text_ops,
     timeseries as ts_ops,
@@ -869,6 +870,16 @@ def q_autocorr(spark, sf_dir):
     )
 
 
+def q_hll_distinct_daily(spark, sf_dir):
+    """Mergeable HLL sketch rollup: per-day per-series user sketches unioned
+    into a per-series distinct estimate (DataSketches binary state — not
+    SQL-reproducible → rows-only; accuracy vs exact is asserted in
+    tests/test_sketches_upsert_bucketing.py at <5% error)."""
+    ev = _t(spark, sf_dir, "events")
+    sk = sketch_ops.hll_daily_sketches(ev, ["event_type"], "user_id")
+    return sketch_ops.hll_estimate(sk, ["event_type"])
+
+
 def q_repetition_stats(spark, sf_dir):
     """Gopher-style repetition signals: duplicate-word / top-word /
     duplicate-bigram fractions per document."""
@@ -1005,6 +1016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "contamination": q_contamination,
         "pack_sequences": q_pack_sequences,
+        "hll_distinct_daily": q_hll_distinct_daily,
     }
 
 

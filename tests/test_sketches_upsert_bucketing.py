@@ -1,0 +1,124 @@
+"""HLL sketch rollups, store upsert, and bucketed co-located joins."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from time_series_databse_engine_spark import TimeSeriesStore
+from time_series_databse_engine_spark.operators.sketches import (
+    DAY_MS,
+    hll_daily_sketches,
+    hll_estimate,
+)
+from time_series_databse_engine_spark.plans import num_shuffle_exchanges
+from time_series_databse_engine_spark.sources import load_table, write_bucketed
+
+
+# ------------------------------------------------------------------ sketches
+
+def test_hll_estimate_accuracy(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    sk = hll_daily_sketches(ev, ["event_type"], "user_id")
+    est = {r.event_type: r.approx_distinct for r in hll_estimate(sk, ["event_type"]).collect()}
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for k, n in exact.items():
+        assert abs(est[k] - n) / n < 0.05, (k, est[k], n)
+
+
+def test_hll_range_union_vs_exact(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    lo = ev.agg(F.min("ts_ms")).collect()[0][0]
+    lo_day = lo - lo % DAY_MS
+    hi_day = lo_day + 3 * DAY_MS
+    sk = hll_daily_sketches(ev, ["event_type"], "user_id")
+    est = {
+        r.event_type: r.approx_distinct
+        for r in hll_estimate(sk, ["event_type"], lo_day, hi_day).collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in ev.filter((F.col("ts_ms") >= lo_day) & (F.col("ts_ms") < hi_day))
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for k, n in exact.items():
+        assert abs(est[k] - n) / max(n, 1) < 0.05
+    # the union read only 3 sketch rows per series, not the raw table
+    assert sk.filter((F.col("day_ms") >= lo_day) & (F.col("day_ms") < hi_day)).count() <= 3 * len(exact)
+
+
+# -------------------------------------------------------------------- upsert
+
+def _mk_store(spark, tmp_path):
+    store = TimeSeriesStore(spark, str(tmp_path / "pts"))
+    rows = [("m", 1000, 1.0), ("m", 2000, 2.0), ("m", 3_600_000 + 500, 3.0), ("x", 1000, 9.0)]
+    store.ingest(spark.createDataFrame(rows, "metric string, ts_ms long, value double"))
+    return store
+
+
+def test_upsert_replaces_and_inserts(spark, tmp_path):
+    store = _mk_store(spark, tmp_path)
+    up = [
+        ("m", 2000, 20.0),       # replace existing
+        ("m", 2500, 25.0),       # new point, existing hour
+        ("y", 7_200_000, 7.0),   # new metric, new hour partition
+    ]
+    store.upsert(spark.createDataFrame(up, "metric string, ts_ms long, value double"))
+    got = {(r.metric, r.ts_ms): r.value for r in store.points().collect()}
+    assert got[("m", 2000)] == 20.0          # replaced
+    assert got[("m", 2500)] == 25.0          # inserted
+    assert got[("m", 1000)] == 1.0           # carried over in touched hour
+    assert got[("x", 1000)] == 9.0           # other series in touched hour intact
+    assert got[("m", 3_600_000 + 500)] == 3.0  # untouched hour intact
+    assert got[("y", 7_200_000)] == 7.0      # new partition created
+    assert len(got) == 6
+
+
+def test_upsert_batch_duplicates_deterministic(spark, tmp_path):
+    store = _mk_store(spark, tmp_path)
+    up = [("m", 2000, 5.0), ("m", 2000, 7.0)]  # same key twice in one batch
+    store.upsert(spark.createDataFrame(up, "metric string, ts_ms long, value double"))
+    got = store.points().filter((F.col("metric") == "m") & (F.col("ts_ms") == 2000)).collect()
+    assert len(got) == 1 and got[0].value == 7.0  # max wins, documented
+
+
+def test_upsert_preserves_roundtrip_query(spark, tmp_path):
+    store = _mk_store(spark, tmp_path)
+    store.upsert(
+        spark.createDataFrame([("m", 1500, 1.5)], "metric string, ts_ms long, value double")
+    )
+    vals = [r.value for r in store.query_range(0, 3000, metrics=["m"]).collect()]
+    assert vals == [1.0, 1.5, 2.0]  # ordered by ts, inclusive bounds
+
+
+# ------------------------------------------------------------ bucketed joins
+
+@pytest.mark.usefixtures("spark")
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    write_bucketed(cust, "t_cust_b", ("c_custkey",), num_buckets=4, sort_cols=("c_custkey",))
+    write_bucketed(
+        orders, "t_orders_b", ("o_custkey",), num_buckets=4, sort_cols=("o_custkey",)
+    )
+    try:
+        with_bucketing = spark.table("t_cust_b").join(
+            spark.table("t_orders_b"),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        # force SMJ so the assertion is about bucketing, not broadcast
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            assert num_shuffle_exchanges(with_bucketing) == 0
+            assert with_bucketing.count() == orders.count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_cust_b")
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")

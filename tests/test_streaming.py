@@ -88,3 +88,39 @@ def test_stream_to_store_refreshes_rollup(spark, tmp_path, staged_events):
     live = sorted(tuple(r) for r in store.downsample("1 hour").collect())
     mat = sorted(tuple(r) for r in store.rollup("1 hour").collect())
     assert live and mat == live
+
+
+def test_stream_stream_join_matches_batch(spark, staged_events, sf_dir):
+    from time_series_databse_engine_spark.streaming import stream_stream_join
+
+    clicks = stream_events(spark, staged_events).filter(F.col("event_type") == "click")
+    purchases = stream_events(spark, staged_events).filter(
+        F.col("event_type") == "purchase"
+    )
+    q = (
+        stream_stream_join(clicks, purchases, by="user_id", max_delay="1 hour")
+        .select("event_id", "l_ts", "ts")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssj")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT count(*) AS n FROM ssj").collect()[0].n
+
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase")
+    batch = p.join(
+        c,
+        (F.col("cu") == F.col("user_id"))
+        & (F.col("cts") <= F.col("ts"))
+        & (F.col("cts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR")),
+    ).count()
+    # watermark may withhold pairs near the stream tail; everything emitted
+    # must be a real pair, and coverage should be near-complete
+    assert 0 < got <= batch
+    assert got >= batch * 0.8

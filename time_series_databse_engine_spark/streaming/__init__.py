@@ -10,9 +10,16 @@ re-open-and-re-encode-the-shard path (engine/shard.cpp:79-105).
 
 from time_series_databse_engine_spark.streaming.ingest import (
     stream_events,
+    stream_stream_join,
     windowed_counts,
     sessionized_counts,
     stream_to_store,
 )
 
-__all__ = ["stream_events", "windowed_counts", "sessionized_counts", "stream_to_store"]
+__all__ = [
+    "stream_events",
+    "stream_stream_join",
+    "windowed_counts",
+    "sessionized_counts",
+    "stream_to_store",
+]

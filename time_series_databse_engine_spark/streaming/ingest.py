@@ -69,6 +69,37 @@ def sessionized_counts(
     )
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str = "user_id",
+    max_delay: str = "1 hour",
+    watermark: str = "10 minutes",
+    left_prefix: str = "l_",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: each right-side event pairs
+    with same-key left-side events from the preceding ``max_delay``.
+
+    Both sides carry watermarks so Spark can bound the join state: left rows
+    are dropped from state once the right watermark passes
+    ``l_ts + max_delay`` — without the time-range condition the state would
+    grow forever.  This is the streaming twin of the batch range join
+    (``range_join`` query) and of the as-of join's candidate window.
+    """
+    l = left.withWatermark("ts", watermark).select(
+        F.col(by).alias(f"{left_prefix}{by}"),
+        F.col("ts").alias(f"{left_prefix}ts"),
+        F.col("value").alias(f"{left_prefix}value"),
+    )
+    r = right.withWatermark("ts", watermark)
+    cond = (
+        (F.col(f"{left_prefix}{by}") == F.col(by))
+        & (F.col(f"{left_prefix}ts") <= F.col("ts"))
+        & (F.col(f"{left_prefix}ts") >= F.col("ts") - F.expr(f"INTERVAL {max_delay}"))
+    )
+    return r.join(l, cond, "inner")
+
+
 def stream_to_store(
     stream: DataFrame,
     store,

@@ -141,6 +141,17 @@ class TimeSeriesStore:
             .partitionBy("hour_bucket")
             .parquet(tmp)
         )
+        self._swap_in_partitions(tmp)
+
+    def _swap_in_partitions(self, tmp: str) -> None:
+        """Move every ``hour_bucket=`` directory from ``tmp`` into the table,
+        replacing existing ones — the driver-side metadata commit used by
+        :meth:`compact` and :meth:`upsert` (Spark refuses to overwrite a path
+        it is also reading, so rewrites stage to a sibling dir first).
+        Partitions not present in ``tmp`` are untouched."""
+        import os
+        import shutil
+
         for entry in os.listdir(tmp):
             src = os.path.join(tmp, entry)
             if not entry.startswith("hour_bucket="):
@@ -150,6 +161,61 @@ class TimeSeriesStore:
                 shutil.rmtree(dst)
             shutil.move(src, dst)
         shutil.rmtree(tmp, ignore_errors=True)
+
+    def upsert(self, df: DataFrame, target_partitions: int | None = None) -> None:
+        """Backfill/correction merge: new points REPLACE existing points with
+        the same ``(metric, ts_ms)``; everything else in the touched hour
+        partitions is carried over, and untouched partitions never move.
+
+        The reference had no update path at all (append corrupts nothing but
+        duplicates, engine/shard.cpp:79-105); this is the missing op done the
+        only way that scales: rewrite O(touched hour partitions), not the
+        table.  Duplicate keys *within the incoming batch* collapse to the
+        max value (deterministic regardless of partitioning).
+        """
+        if "ts_ms" not in df.columns:
+            df = df.withColumn("ts_ms", F.unix_millis(F.col("ts")))
+        new = (
+            df.select(
+                F.col("metric").cast("string"),
+                F.col("ts_ms").cast("long"),
+                F.col("value").cast("double"),
+                (F.floor(F.col("ts_ms") / SHARD_DURATION_MS)).cast("long").alias("hour_bucket"),
+            )
+            .groupBy("hour_bucket", "metric", "ts_ms")
+            .agg(F.max("value").alias("value"))
+            .withColumn("pri", F.lit(1))
+        )
+        # touched-partition list: O(hours in the batch) driver-side metadata,
+        # same cost class as expire(); NOT a data collect
+        buckets = [r[0] for r in new.select("hour_bucket").distinct().collect()]
+        if not buckets:
+            return
+        existing = (
+            self.points()
+            .filter(F.col("hour_bucket").isin(buckets))
+            .select("hour_bucket", "metric", "ts_ms", "value")
+            .withColumn("pri", F.lit(0))
+        )
+        merged = (
+            existing.unionByName(new)
+            .groupBy("hour_bucket", "metric", "ts_ms")
+            .agg(F.max_by("value", "pri").alias("value"))
+        )
+        tmp = self.path.rstrip("/") + ".upsert-tmp"
+        n = target_partitions or max(
+            2, min(len(buckets), self.spark.sparkContext.defaultParallelism)
+        )
+        (
+            merged.repartition(n, "hour_bucket", "metric")
+            .sortWithinPartitions("hour_bucket", "metric", "ts_ms")
+            .select("metric", "ts_ms", "value", "hour_bucket")
+            .write.mode("overwrite")
+            .option("parquet.writer.version", "v2")
+            .partitionBy("hour_bucket")
+            .parquet(tmp)
+        )
+        self._swap_in_partitions(tmp)
 
     def expire(self, before_ms: int) -> int:
         """Retention: drop every hour partition that ends at or before
