@@ -870,6 +870,41 @@ def q_autocorr(spark, sf_dir):
     )
 
 
+def q_moving_avg_time(spark, sf_dir):
+    """Time-range (not row-count) trailing moving average: 5-minute RANGE
+    frame on the ms axis per series."""
+    df = ts_ops.moving_avg_time(
+        _t(spark, sf_dir, "events"), ["event_type"], window_ms=300_000
+    )
+    return df.select("event_id", "event_type", "mov_avg_time", "n_in_window")
+
+
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: 3-way join, date predicates both sides of the cutoff,
+    revenue top-10 with full deterministic tiebreak."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-01-01")
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-01-01")
+    j = l.join(o, F.col("l_orderkey") == F.col("o_orderkey")).join(
+        F.broadcast(c), F.col("o_custkey") == F.col("c_custkey")
+    )
+    agg = j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
+    return (
+        agg.orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_orderpriority",
+            "revenue",
+        )
+    )
+
+
 def q_hll_distinct_daily(spark, sf_dir):
     """Mergeable HLL sketch rollup: per-day per-series user sketches unioned
     into a per-series distinct estimate (DataSketches binary state — not
@@ -1017,6 +1052,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "pack_sequences": q_pack_sequences,
         "hll_distinct_daily": q_hll_distinct_daily,
+        "moving_avg_time": q_moving_avg_time,
+        "shipping_priority": q_shipping_priority,
     }
 
 
@@ -1556,6 +1593,25 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY {_EV_MS}, event_id) AS prev
                   FROM events)
             GROUP BY event_type""",
+        "moving_avg_time": f"""
+            SELECT event_id, event_type,
+                   round(avg(value) OVER w, 6) AS mov_avg_time,
+                   count(value) OVER w AS n_in_window
+            FROM events
+            WINDOW w AS (PARTITION BY event_type ORDER BY {_EV_MS}
+                         RANGE BETWEEN 300000 PRECEDING AND CURRENT ROW)""",
+        "shipping_priority": """
+            SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+                   o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM customer, orders, lineitem
+            WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+              AND l_orderkey = o_orderkey
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+              AND l_shipdate > TIMESTAMP '1998-01-01'
+            GROUP BY 1, 2, 3
+            ORDER BY revenue DESC, order_date ASC, l_orderkey ASC
+            LIMIT 10""",
         "repetition_stats": """
             WITH ws AS (
               SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM documents),

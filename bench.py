@@ -46,6 +46,14 @@ HEADLINE = [
     "doc_chunks",
     "quality_score",
     "deterministic_sample",
+    "ohlc_1h",
+    "counter_rate_1h",
+    "zscore_anomaly",
+    "repetition_stats",
+    "tfidf_top_terms",
+    "contamination",
+    "pack_sequences",
+    "hll_distinct_daily",
 ]
 
 

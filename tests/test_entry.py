@@ -27,6 +27,9 @@ def test_oracle_keys_subset_of_queries():
         "ivf_ann_topk",
         "approx_stats",
         "multimodal_features",
+        "ewma",
+        "pack_sequences",
+        "hll_distinct_daily",
     }
 
 

@@ -60,6 +60,24 @@ def moving_avg(
     return df.withColumn(out, F.round(F.avg(value).over(w), 6))
 
 
+def moving_avg_time(
+    df: DataFrame,
+    keys: list[str],
+    ts_ms: str = "ts_ms",
+    value: str = "value",
+    window_ms: int = 300_000,
+    out: str = "mov_avg_time",
+) -> DataFrame:
+    """Trailing TIME-range moving average: all points of the series within
+    the last ``window_ms`` (RANGE frame on the ms axis, vs :func:`moving_avg`'s
+    ROWS frame).  The frame is defined by the ts value, so timestamp ties
+    share one frame — deterministic without a tiebreak column."""
+    w = W.partitionBy(*keys).orderBy(ts_ms).rangeBetween(-window_ms, W.currentRow)
+    return df.withColumn(out, F.round(F.avg(value).over(w), 6)).withColumn(
+        "n_in_window", F.count(value).over(w)
+    )
+
+
 def deltas(
     df: DataFrame,
     keys: list[str],
