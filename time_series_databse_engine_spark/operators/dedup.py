@@ -226,3 +226,63 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
 def hamming64(a: str, b: str) -> F.Column:
     """Population count of XOR — Hamming distance between two simhashes."""
     return F.bit_count(F.col(a).bitwiseXOR(F.col(b)))
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    id1: str = "id1",
+    id2: str = "id2",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Duplicate-cluster formation: connected components over near-dup pairs.
+
+    The step every real dedup pipeline needs after pair generation —
+    near-duplication is transitive in intent (A≈B, B≈C ⇒ one cluster even
+    if A,C never paired), so the purge list must come from components, not
+    raw pairs.  Returns ``(doc_id, cluster_id)`` for every doc appearing in
+    a pair, where ``cluster_id`` is the smallest doc id in the component —
+    keep rows with ``doc_id == cluster_id``, purge the rest.
+
+    Algorithm: min-label propagation to fixpoint.  Each round pushes every
+    node's current label across its edges and takes the min; labels only
+    decrease, so convergence is exact and detected by a zero changed-count.
+    Rounds = graph diameter; near-dup clusters are dense, so 2-4 rounds in
+    practice.  Each round is one shuffle (edge join + min agg) over
+    edge-cardinality rows — never a cross join, no driver-side graph.
+    Lineage is truncated per round with ``localCheckpoint`` so the plan
+    doesn't grow superlinearly.  At extreme diameter, swap the loop body
+    for large-star/small-star contraction (Kiveris et al. 2014) for
+    O(log n) rounds; the interface is unchanged.
+    """
+    edges = (
+        pairs.select(F.col(id1).alias("src"), F.col(id2).alias("dst"))
+        .union(pairs.select(F.col(id2).alias("src"), F.col(id1).alias("dst")))
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        prop = edges.join(labels, edges["src"] == labels["id"]).select(
+            F.col("dst").alias("id"), "label"
+        )
+        new_labels = (
+            prop.union(labels.select("id", "label"))
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.join(
+                labels.select("id", F.col("label").alias("old")), "id"
+            )
+            .filter(F.col("label") < F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
