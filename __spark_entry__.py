@@ -1233,7 +1233,8 @@ def oracle_sql() -> dict[str, str]:
                                                     ORDER BY {_EV_MS}) AS gap_ms
               FROM events) WHERE gap_ms > {MS_H}""",
         "sessionize": f"""
-            SELECT user_id, 1 + sum(new_sess) AS n_sessions, count(*) AS n_events FROM (
+            SELECT user_id, CAST(1 + sum(new_sess) AS BIGINT) AS n_sessions,
+                   count(*) AS n_events FROM (
               SELECT user_id,
                      CASE WHEN {_EV_MS} - lag({_EV_MS}) OVER (PARTITION BY user_id
                           ORDER BY {_EV_MS}) > 1800000 THEN 1 ELSE 0 END AS new_sess
@@ -1329,9 +1330,11 @@ def oracle_sql() -> dict[str, str]:
             FROM documents""",
         "token_counts_by_lang": """
             SELECT lang, count(*) AS n_docs,
-                   sum(len(regexp_extract_all(text, '[^\\s]+'))) AS total_ws_tokens,
-                   sum(len(regexp_extract_all(text,
-                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS total_bpe_tokens,
+                   CAST(sum(len(regexp_extract_all(text, '[^\\s]+'))) AS BIGINT)
+                       AS total_ws_tokens,
+                   CAST(sum(len(regexp_extract_all(text,
+                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT)
+                       AS total_bpe_tokens,
                    round(avg(n_chars), 4) AS avg_chars
             FROM documents GROUP BY lang""",
         "lang_id": f"""
@@ -1672,7 +1675,8 @@ def oracle_sql() -> dict[str, str]:
             bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 20 = 0),
             train AS (SELECT * FROM g WHERE doc_id % 20 != 0)
             SELECT t.doc_id, count(*) AS n_grams,
-                   sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS n_contaminated,
+                   CAST(sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_contaminated,
                    round(sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) / count(*),
                          6) AS contamination_frac
             FROM train t LEFT JOIN bench b ON t.g = b.g
