@@ -1,4 +1,7 @@
-"""Multimodal plumbing: real Spark shapes, stubbed codec."""
+"""Multimodal plumbing: real Spark shapes; BMP/WAV stdlib codecs decode for
+real, library-needing formats (JPEG/PNG/...) stay honestly stubbed."""
+
+import math
 
 import pytest
 from pyspark.sql import Row
@@ -6,6 +9,11 @@ from pyspark.sql import Row
 from time_series_databse_engine_spark.operators.multimodal import (
     FEATURE_DIM,
     MEDIA_SCHEMA,
+    decode_bmp,
+    decode_media,
+    decode_wav,
+    encode_bmp,
+    encode_wav,
     extract_features,
     frame_sample_plan,
 )
@@ -23,6 +31,18 @@ def _media(spark):
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def _real_media(spark):
+    bmp = encode_bmp(3, 2, bytes(range(3 * 2 * 3)))
+    wav = encode_wav([int(8000 * math.sin(i / 7)) for i in range(320)], 16_000, 1)
+    rows = [
+        Row(media_id=1, kind="image", payload=bmp,
+            meta=Row(width=3, height=2, sample_rate=None, duration_ms=None)),
+        Row(media_id=2, kind="audio", payload=wav,
+            meta=Row(width=None, height=None, sample_rate=16_000, duration_ms=20)),
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
 def test_fake_features_deterministic(spark):
     df = _media(spark)
     a = {r.media_id: r.features for r in extract_features(df, fake=True).collect()}
@@ -32,8 +52,55 @@ def test_fake_features_deterministic(spark):
     assert a[1] != a[2]
 
 
-def test_real_decode_is_stubbed(spark):
-    with pytest.raises(Exception, match="NotImplementedError|PIL|ffmpeg"):
+def test_bmp_roundtrip():
+    w, h = 5, 3
+    pixels = bytes((i * 7) % 256 for i in range(w * h * 3))
+    d = decode_bmp(encode_bmp(w, h, pixels))
+    assert (d["width"], d["height"], d["bpp"]) == (w, h, 24)
+    # channel means match a direct computation over the BGR triples
+    for ch, key in enumerate(["mean_b", "mean_g", "mean_r"]):
+        exp = sum(pixels[ch::3]) / (w * h)
+        assert abs(d[key] - exp) < 1e-9
+
+
+def test_bmp_rows_are_padded_independently():
+    # width 3 → row stride 12 with 3 pad bytes; pads must not leak into stats
+    w, h = 3, 2
+    pixels = bytes([255] * (w * h * 3))
+    d = decode_bmp(encode_bmp(w, h, pixels))
+    assert d["mean_b"] == d["mean_g"] == d["mean_r"] == 255.0
+
+
+def test_wav_roundtrip():
+    samples = [int(10_000 * math.sin(i / 10)) for i in range(1600)]
+    d = decode_wav(encode_wav(samples, 16_000, 1))
+    assert (d["channels"], d["sample_rate"], d["bits"]) == (1, 16_000, 16)
+    assert d["n_samples"] == 1600 and d["duration_ms"] == 100
+    assert abs(d["mean"] - sum(samples) / len(samples)) < 1e-9
+    assert abs(d["rms"] - math.sqrt(sum(s * s for s in samples) / len(samples))) < 1e-9
+    assert d["peak"] == max(abs(s) for s in samples)
+
+
+def test_decode_media_dispatch():
+    bmp = encode_bmp(2, 2, bytes(12))
+    wav = encode_wav([0, 1, -1, 2], 8000)
+    assert decode_media(bmp)["kind"] == "image"
+    assert decode_media(wav)["kind"] == "audio"
+    with pytest.raises(NotImplementedError, match="PIL|ffmpeg"):
+        decode_media(b"\x89PNG\r\n\x1a\n" + bytes(16))
+
+
+def test_real_extract_features_in_spark(spark):
+    feats = {r.media_id: r.features for r in extract_features(_real_media(spark), fake=False).collect()}
+    assert len(feats[1]) == FEATURE_DIM and len(feats[2]) == FEATURE_DIM
+    # image row: [1, width, height, bpp, ...]
+    assert feats[1][:4] == [1.0, 3.0, 2.0, 24.0]
+    # audio row: [2, channels, sample_rate, bits, n_samples, duration_ms, ...]
+    assert feats[2][:6] == [2.0, 1.0, 16_000.0, 16.0, 320.0, 20.0]
+
+
+def test_real_decode_unknown_codec_raises(spark):
+    with pytest.raises(Exception, match="NotImplementedError|ValueError|PIL|ffmpeg|too short"):
         extract_features(_media(spark), fake=False).collect()
 
 

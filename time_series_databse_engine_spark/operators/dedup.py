@@ -223,6 +223,48 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     return _parallelize(df).select(F.col(id_col), sig.alias("simhash"))
 
 
+def simhash64_md5(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash with md5-derived bit streams — the oracle-checkable
+    twin of :func:`simhash64` (xxhash64 exists only in Spark; md5 exists in
+    every SQL engine, so this variant hash-compares exactly cross-engine).
+
+    Bit ``i`` of token ``t`` is the parity of the first hex char of
+    ``md5(t ‖ ':' ‖ i)`` — 64 independent deterministic bits per token,
+    reproducible in ANSI SQL with ``md5``/``substr``/``ascii``.  ~64× more
+    hashing than the xxhash64 form, so production keeps ``simhash64``; this
+    one anchors its correctness (same fold, same sign-collapse) under the
+    driver's typed hash-compare.  Zero shuffles either way.
+    """
+    bits = F.array(*[F.lit(b) for b in _SIMHASH_BITS])
+    toks = F.filter(
+        F.array_distinct(F.split(F.lower(F.col(text_col)), "\\s+")), lambda t: t != ""
+    )
+    tok_bits = F.transform(
+        toks,
+        lambda t: F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda i: F.when(
+                F.ascii(
+                    F.substring(F.md5(F.concat_ws(":", t, i.cast("string"))), 1, 1)
+                ) % 2
+                == 1,
+                F.lit(1),
+            ).otherwise(F.lit(-1)),
+        ),
+    )
+    counts = F.aggregate(
+        tok_bits,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, tb: F.zip_with(acc, tb, lambda c, b: c + b),
+    )
+    sig = F.aggregate(
+        F.zip_with(counts, bits, lambda c, b: F.when(c > 0, b).otherwise(0)),
+        F.lit(0).cast("long"),
+        lambda a, x: a.bitwiseOR(x),
+    )
+    return _parallelize(df).select(F.col(id_col), sig.alias("simhash"))
+
+
 def hamming64(a: str, b: str) -> F.Column:
     """Population count of XOR — Hamming distance between two simhashes."""
     return F.bit_count(F.col(a).bitwiseXOR(F.col(b)))

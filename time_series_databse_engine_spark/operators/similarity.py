@@ -150,6 +150,38 @@ def ivf_topk(
     )
 
 
+def random_planes(num_planes: int, dim: int, seed: int = 42):
+    """Fixed random hyperplanes for sign-LSH — deterministic in (seed, shape)
+    so a driver, an executor retry, and a SQL oracle all derive the same
+    bucket function."""
+    import numpy as np
+
+    return np.random.default_rng(seed).standard_normal((num_planes, dim))
+
+
+def hyperplane_bucket(vec, planes) -> F.Column:
+    """Sign-pattern bucket id: one char per plane, '1' if the projection is
+    ≥ 0.  Sequential left-to-right fold per plane (same evaluation order as
+    the SQL oracle's list functions)."""
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.array(*[F.lit(float(x)) for x in p]),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            >= 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0"))
+        for p in planes
+    ]
+    return F.concat(*bits)
+
+
 def lsh_bucket_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -158,6 +190,7 @@ def lsh_bucket_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane LSH — bucket = sign pattern of
     ``num_planes`` fixed random projections; candidates equi-join queries on
@@ -165,41 +198,22 @@ def lsh_bucket_topk(
 
     At 100 TB the bucket join replaces the all-pairs scoring with a
     shuffle-on-bucket; recall is tuned by ``num_planes`` (fewer planes →
-    bigger buckets → higher recall, more work).
+    bigger buckets → higher recall, more work).  Pass ``dim`` explicitly —
+    the ``.first()`` fallback is a driver-side action kept only for ad-hoc
+    use.
     """
-    import numpy as np
-
-    dim = len(embeddings.select(vec_col).first()[0])
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((num_planes, dim))
-
-    def bucket_expr(vec):
-        bits = [
-            F.when(
-                F.aggregate(
-                    F.zip_with(
-                        vec,
-                        F.array(*[F.lit(float(x)) for x in planes[p]]),
-                        lambda x, y: x * y,
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                >= 0,
-                F.lit("1"),
-            ).otherwise(F.lit("0"))
-            for p in range(num_planes)
-        ]
-        return F.concat(*bits)
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
+    planes = random_planes(num_planes, dim, seed)
 
     c = embeddings.select(
         F.col(id_col).alias("cand_id"),
         as_double(vec_col).alias("cvec"),
-    ).withColumn("bucket", bucket_expr(F.col("cvec")))
+    ).withColumn("bucket", hyperplane_bucket(F.col("cvec"), planes))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         as_double(vec_col).alias("qvec"),
-    ).withColumn("bucket", bucket_expr(F.col("qvec")))
+    ).withColumn("bucket", hyperplane_bucket(F.col("qvec"), planes))
 
     scored = (
         c.join(F.broadcast(q), "bucket")
@@ -211,4 +225,43 @@ def lsh_bucket_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", F.round("_sim", 6).alias("cosine_sim"), "rank")
+    )
+
+
+def cosine_near_dup_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    num_planes: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via sign-LSH bucketing — the
+    100 TB path beside :func:`cosine_near_dup`'s exact O(n²) baseline.
+
+    Candidates are generated by a self equi-join on the hyperplane bucket
+    (vectors within cosine ≥ threshold rarely disagree on many projection
+    signs), then re-scored with the exact cosine and cut at ``threshold``.
+    Same output shape as the exact form, but the plan is a shuffle on the
+    bucket key — candidate volume ~n²/2^planes per bucket — instead of a
+    broadcast-nested-loop over all pairs.  Recall < 1 by construction
+    (pairs split across buckets are missed); tune ``num_planes`` down or
+    OR multiple plane sets for higher recall.
+    """
+    planes = random_planes(num_planes, dim, seed)
+    e = embeddings.select(
+        F.col(id_col).alias("id"), as_double(vec_col).alias("v")
+    ).withColumn("bucket", hyperplane_bucket(F.col("v"), planes))
+    # Pre-shuffle on the join key so both sides of the self-join share one
+    # Exchange and the bucket pipeline is computed once (ReusedExchange).
+    e = e.repartition("bucket")
+    a = e.select(F.col("id").alias("id1"), F.col("v").alias("v1"), "bucket")
+    b = e.select(F.col("id").alias("id2"), F.col("v").alias("v2"), "bucket")
+    sim = F.round(cosine(F.col("v1"), F.col("v2")), 6)
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", sim.alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
     )

@@ -22,12 +22,18 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join ``big ⋈ small`` on ``on`` with ``salt``-way key scattering.
 
-    big gets a random salt in [0, salt); small is exploded to all salts —
-    small side grows ×salt (must stay broadcast-size × salt), big side's
-    shuffle keys become (key, salt) so a hot key spreads over ``salt``
-    reducers.  Result equals the unsalted join.
+    big gets a content-derived salt in [0, salt); small is exploded to all
+    salts — small side grows ×salt (must stay broadcast-size × salt), big
+    side's shuffle keys become (key, salt) so a hot key spreads over
+    ``salt`` reducers.  Result equals the unsalted join.
+
+    The salt is ``pmod(xxhash64(key, row-content), salt)``, not ``rand()``:
+    deterministic under AQE re-planning and task retries (a retried task
+    re-derives identical salts, so no row is double-counted or lost), while
+    still scattering a hot key because the hash mixes the non-key columns.
     """
-    big_s = big.withColumn("_salt", (F.rand(seed=7) * salt).cast("int"))
+    mix = [F.col(c) for c in big.columns]
+    big_s = big.withColumn("_salt", F.pmod(F.xxhash64(*mix), F.lit(salt)).cast("int"))
     small_s = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
     )

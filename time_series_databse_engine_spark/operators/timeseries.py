@@ -319,18 +319,30 @@ def ewma(
     """Exponentially-weighted moving average per series (batch form of
     streaming.stateful.ema_stream).  The recursion s_i = α·x_i + (1-α)·s_{i-1}
     isn't expressible with SQL window frames without overflow-prone
-    pow(1-α, -i) tricks, so it runs as an Arrow-batched ``applyInPandas``
-    (pandas C kernel).  Per-series data must fit a worker; at scale,
-    range-chunk long series with a coarse time bucket in the key and chain
-    the boundary state like the streaming variant does.
+    pow(1-α, -i) tricks, so it runs as an Arrow-batched ``applyInPandas``.
+    Per-series data must fit a worker; at scale, range-chunk long series
+    with a coarse time bucket in the key and chain the boundary state like
+    the streaming variant does.
+
+    The recursion is written out explicitly as ``s = α·x + (1−α)·s`` (not
+    ``pandas.ewm``, whose adjust=False kernel renormalizes by ``old_wt +
+    new_wt`` each step) so a SQL recursive-CTE oracle computing the same two
+    multiplies and one add per step agrees bit-for-bit before rounding.
     """
-    import pandas as pd  # noqa: F401
+    import numpy as np
 
     sort_cols = [ts_ms] + ([tiebreak] if tiebreak else [])
+    beta = 1.0 - alpha
 
     def _ewma(pdf):
         pdf = pdf.sort_values(sort_cols)
-        pdf["ewma"] = pdf[value].ewm(alpha=alpha, adjust=False).mean().round(6)
+        vals = pdf[value].to_numpy(dtype="float64")
+        out = np.empty(len(vals))
+        s = 0.0
+        for i, x in enumerate(vals):
+            s = x if i == 0 else alpha * x + beta * s
+            out[i] = s
+        pdf["ewma"] = np.round(out, 6)
         return pdf
 
     out_schema = df.select(key, *sort_cols, value).schema.add("ewma", "double")
