@@ -811,23 +811,95 @@ def q_event_sequences(spark, sf_dir):
 
 def q_resample_1m(spark, sf_dir):
     """Gap-fill/interpolate to a 1-min grid per series over one day
-    (applyInPandas + numpy.interp — not SQL-expressible → rows-only check)."""
+    (applyInPandas + numpy.interp).  Same-timestamp samples are collapsed
+    to min(value) first so the sample axis is strictly increasing — that
+    makes np.interp's neighbour choice deterministic AND lets a pure-SQL
+    ASOF-join + lerp oracle reproduce it exactly."""
     e = _t(spark, sf_dir, "events").filter(F.col("ts_ms").between(T1, T2))
-    return ts_ops.resample_interpolate(
-        e.select("event_type", "ts_ms", "value"), "event_type", 60_000
+    dedup = (
+        e.groupBy("event_type", "ts_ms").agg(F.min("value").alias("value"))
     )
+    return ts_ops.resample_interpolate(dedup, "event_type", 60_000)
 
 
 def q_simhash(spark, sf_dir):
-    """64-bit SimHash per doc (xxhash64-based — rows-only check)."""
+    """64-bit SimHash per doc (xxhash64-based — rows-only check; exact
+    cross-engine anchor is `simhash_md5`)."""
     return dedup_ops.simhash64(_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200))
+
+
+def q_simhash_md5(spark, sf_dir):
+    """64-bit SimHash with md5-derived bits — same fold and sign-collapse as
+    `simhash`, but every bit is reproducible in ANSI SQL, so this one gets
+    the exact typed hash-compare (dedup.simhash64_md5 docstring)."""
+    return dedup_ops.simhash64_md5(_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200))
 
 
 def q_lsh_ann_topk(spark, sf_dir):
     """Approximate NN via random-hyperplane LSH buckets (rows-only check;
     exactness covered by cosine_topk)."""
     emb = _t(spark, sf_dir, "embeddings")
-    return sim_ops.lsh_bucket_topk(emb, emb.filter(F.col("vec_id") < 5), k=5, num_planes=4)
+    return sim_ops.lsh_bucket_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=5, num_planes=4, dim=64
+    )
+
+
+def q_cosine_near_dup_lsh(spark, sf_dir):
+    """Embedding near-dup pairs via sign-LSH buckets + exact re-score — the
+    100 TB plan shape (bucket equi-join, no broadcast-nested-loop over all
+    pairs).  Oracle reproduces the bucket function from the same seed-42
+    hyperplanes as SQL literals; `cosine_near_dup` (the exact n² form)
+    doubles as its recall reference."""
+    return sim_ops.cosine_near_dup_lsh(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4, num_planes=4, dim=64
+    )
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Duplicate-cluster formation: connected components (min-label
+    propagation) over the minhash_lsh candidate pairs — the purge-list step
+    of a real dedup pipeline.  Oracle: recursive-CTE reachability."""
+    docs = _t(spark, sf_dir, "documents")
+    sigs = dedup_ops.minhash_signatures(docs, num_hashes=8, shingle_n=3)
+    pairs = dedup_ops.lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
+    return dedup_ops.dedup_clusters(pairs)
+
+
+def q_multimodal_decode(spark, sf_dir):
+    """REAL multimodal decode end-to-end: documents → 4×4 24-bit BMP
+    payloads (first 48 utf-8 bytes as BGR pixels, zero-padded) via one
+    mapInPandas encode stage, then the stdlib BMP parser inside
+    extract_features(fake=False) recovers dimensions + channel means.
+    Rows-only: binary construction has no SQL oracle; the codec itself is
+    exactness-tested in tests/test_multimodal.py."""
+    from time_series_databse_engine_spark.operators import multimodal as mm_ops
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for t in pdf["text"]:
+                b = t.encode("utf-8")[:48]
+                payloads.append(mm_ops.encode_bmp(4, 4, b + bytes(48 - len(b))))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "kind": "image", "payload": payloads}
+            )
+
+    media = docs.select("doc_id", "text").mapInPandas(
+        encode, schema="media_id long, kind string, payload binary"
+    )
+    feats = mm_ops.extract_features(media, fake=False)
+    return feats.select(
+        "media_id",
+        F.col("features")[1].cast("int").alias("width"),
+        F.col("features")[2].cast("int").alias("height"),
+        F.round(F.col("features")[4], 4).alias("mean_b"),
+        F.round(F.col("features")[5], 4).alias("mean_g"),
+        F.round(F.col("features")[6], 4).alias("mean_r"),
+    )
 
 
 def q_ohlc_1h(spark, sf_dir):
@@ -971,57 +1043,30 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Ordered so the driver's correctness window (first 50 keys in round 1)
+    covers every SURVEY §2 category: positions 1-12 are one green anchor per
+    category from round 1, 13-14 the round-1 hash-fails (HUGEINT oracle
+    casts fixed), 15-46 the 32 queries the round-1 report never reached,
+    47-50 this round's new operators.  Keys 51+ are redundant variants and
+    near-duplicates, all already verified in CORRECTNESS_r01."""
     return {
+        # -- category anchors (r1 green) --------------------------------
         "range_scan": q_range_scan,
-        "range_scan_empty": q_range_scan_empty,
-        "range_scan_metric": q_range_scan_metric,
-        "range_limit": q_range_limit,
         "tsdb_roundtrip": q_tsdb_roundtrip,
         "downsample_1h": q_downsample_1h,
-        "downsample_5m": q_downsample_5m,
-        "metric_stats": q_metric_stats,
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
-        "top_customers": q_top_customers,
-        "customers_no_orders": q_customers_no_orders,
-        "customer_order_counts_semi": q_customer_order_counts_semi,
-        "order_rollup": q_order_rollup,
-        "part_cube": q_part_cube,
-        "users_intersect": q_users_intersect,
-        "users_except": q_users_except,
-        "json_props": q_json_props,
-        "range_join": q_range_join,
-        "moving_avg": q_moving_avg,
-        "value_deltas": q_value_deltas,
-        "gap_detect": q_gap_detect,
-        "sessionize": q_sessionize,
-        "topk_per_series": q_topk_per_series,
         "asof_join": q_asof_join,
-        "first_last_per_series": q_first_last_per_series,
-        "dedup_exact": q_dedup_exact,
-        "doc_fingerprint": q_doc_fingerprint,
-        "jaccard_pairs": q_jaccard_pairs,
         "minhash_lsh": q_minhash_lsh,
-        "minhash_signatures": q_minhash_signatures,
         "cosine_topk": q_cosine_topk,
-        "embedding_norms": q_embedding_norms,
-        "text_stats": q_text_stats,
-        "token_counts_by_lang": q_token_counts_by_lang,
-        "lang_id": q_lang_id,
-        "lang_id_ngram": q_lang_id_ngram,
+        "jaccard_pairs": q_jaccard_pairs,
+        "moving_avg": q_moving_avg,
+        "dedup_exact": q_dedup_exact,
         "quality_score": q_quality_score,
-        "sql_supplier_revenue": q_sql_supplier_revenue,
-        "asof_join_forward": q_asof_join_forward,
-        "doc_chunks": q_doc_chunks,
-        "series_trend": q_series_trend,
-        "redact_pii": q_redact_pii,
-        "deterministic_sample": q_deterministic_sample,
-        "stratified_sample": q_stratified_sample,
-        "winnow_fingerprint": q_winnow_fingerprint,
-        "cosine_near_dup": q_cosine_near_dup,
-        "multimodal_features": q_multimodal_features,
-        "ivf_ann_topk": q_ivf_ann_topk,
-        "approx_stats": q_approx_stats,
+        # -- r1 driver hash-fails, oracles fixed ------------------------
+        "sessionize": q_sessionize,
+        "token_counts_by_lang": q_token_counts_by_lang,
+        # -- unchecked in the r1 driver window --------------------------
         "value_percentiles": q_value_percentiles,
         "event_pivot": q_event_pivot,
         "rank_family": q_rank_family,
@@ -1054,6 +1099,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_daily": q_hll_distinct_daily,
         "moving_avg_time": q_moving_avg_time,
         "shipping_priority": q_shipping_priority,
+        # -- new this round ---------------------------------------------
+        "dedup_clusters": q_dedup_clusters,
+        "simhash_md5": q_simhash_md5,
+        "cosine_near_dup_lsh": q_cosine_near_dup_lsh,
+        "multimodal_decode": q_multimodal_decode,
+        # ---- position 51+: r1-verified variants ------------------------
+        "range_scan_empty": q_range_scan_empty,
+        "range_scan_metric": q_range_scan_metric,
+        "range_limit": q_range_limit,
+        "downsample_5m": q_downsample_5m,
+        "metric_stats": q_metric_stats,
+        "top_customers": q_top_customers,
+        "customers_no_orders": q_customers_no_orders,
+        "customer_order_counts_semi": q_customer_order_counts_semi,
+        "order_rollup": q_order_rollup,
+        "part_cube": q_part_cube,
+        "users_intersect": q_users_intersect,
+        "users_except": q_users_except,
+        "json_props": q_json_props,
+        "range_join": q_range_join,
+        "value_deltas": q_value_deltas,
+        "gap_detect": q_gap_detect,
+        "topk_per_series": q_topk_per_series,
+        "first_last_per_series": q_first_last_per_series,
+        "doc_fingerprint": q_doc_fingerprint,
+        "minhash_signatures": q_minhash_signatures,
+        "embedding_norms": q_embedding_norms,
+        "text_stats": q_text_stats,
+        "lang_id": q_lang_id,
+        "lang_id_ngram": q_lang_id_ngram,
+        "sql_supplier_revenue": q_sql_supplier_revenue,
+        "asof_join_forward": q_asof_join_forward,
+        "doc_chunks": q_doc_chunks,
+        "series_trend": q_series_trend,
+        "redact_pii": q_redact_pii,
+        "deterministic_sample": q_deterministic_sample,
+        "stratified_sample": q_stratified_sample,
+        "winnow_fingerprint": q_winnow_fingerprint,
+        "cosine_near_dup": q_cosine_near_dup,
+        "multimodal_features": q_multimodal_features,
+        "ivf_ann_topk": q_ivf_ann_topk,
+        "approx_stats": q_approx_stats,
     }
 
 
@@ -1063,8 +1150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _EV_MS = "epoch_ms(ts)"
 
-_SHINGLE_CTE = """
-WITH docs AS (
+_SHINGLE_CTE_BODY = """docs AS (
   SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM documents{flt}
 ), sh AS (
   SELECT doc_id,
@@ -1072,6 +1158,8 @@ WITH docs AS (
                                for i in generate_series(1, greatest(len(w)-2, 1))])) AS shingle
   FROM docs
 )"""
+
+_SHINGLE_CTE = "\nWITH " + _SHINGLE_CTE_BODY
 
 
 def _minhash_sig_select(num_hashes: int) -> str:
@@ -1085,20 +1173,74 @@ def _minhash_sig_sql(num_hashes: int, flt: str) -> str:
     return _SHINGLE_CTE.format(flt=flt) + "\n" + _minhash_sig_select(num_hashes)
 
 
-def _minhash_lsh_sql() -> str:
+def _minhash_lsh_ctes() -> str:
+    """CTE chain (no leading WITH) ending in a ``pairs`` CTE of distinct
+    LSH candidate pairs — shared by the minhash_lsh and dedup_clusters
+    oracles."""
     bands_sql = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, md5(mh_{2*b} || '|' || mh_{2*b+1}) AS band_hash FROM sig"
         for b in range(4)
     )
     return (
-        _SHINGLE_CTE.format(flt="")
+        _SHINGLE_CTE_BODY.format(flt="")
         + f", sig AS ({_minhash_sig_select(8)})"
         + f", banded AS ({bands_sql})"
-        + """
+        + """, pairs AS (
         SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
         FROM banded a JOIN banded b
-          ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id"""
+          ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)"""
     )
+
+
+def _minhash_lsh_sql() -> str:
+    return "\nWITH " + _minhash_lsh_ctes() + "\nSELECT id1, id2 FROM pairs"
+
+
+def _dedup_clusters_sql() -> str:
+    """Connected components as recursive reachability: a node's cluster id
+    is the minimum doc id among everything reachable over the (symmetric)
+    pair edges — the declarative twin of the engine's min-label
+    propagation loop."""
+    return (
+        "\nWITH RECURSIVE "
+        + _minhash_lsh_ctes()
+        + """,
+        edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+                  UNION SELECT id2, id1 FROM pairs),
+        reach AS (
+          SELECT src AS id, src AS r FROM edges
+          UNION
+          SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+        )
+        SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id"""
+    )
+
+
+def _near_dup_lsh_sql(threshold=0.4, num_planes=4, dim=64, seed=42) -> str:
+    """Reproduces cosine_near_dup_lsh's bucket function in SQL: the same
+    seed-42 hyperplanes (similarity.random_planes) inlined as DOUBLE-array
+    literals, sign pattern per vector, equi-join on bucket, exact cosine
+    re-score.  list_dot_product's summation agrees with the Spark-side
+    sequential fold to well past the 6-dp rounding (same pairing as the
+    r1-green cosine_near_dup oracle)."""
+    planes = sim_ops.random_planes(num_planes, dim, seed)
+
+    def proj(p):
+        arr = ", ".join(repr(float(x)) for x in p)
+        return f"list_dot_product(embedding::DOUBLE[], [{arr}]::DOUBLE[])"
+
+    bucket = "concat(" + ", ".join(
+        f"CASE WHEN {proj(p)} >= 0 THEN '1' ELSE '0' END" for p in planes
+    ) + ")"
+    return f"""
+        WITH b AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings)
+        SELECT id1, id2, s AS cosine_sim FROM (
+          SELECT a.vec_id AS id1, e.vec_id AS id2,
+                 round(list_dot_product(a.embedding::DOUBLE[], e.embedding::DOUBLE[]) /
+                   (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                    sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 6) AS s
+          FROM b a JOIN b e ON a.bucket = e.bucket AND a.vec_id < e.vec_id)
+        WHERE s >= {threshold}"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1681,4 +1823,70 @@ def oracle_sql() -> dict[str, str]:
                          6) AS contamination_frac
             FROM train t LEFT JOIN bench b ON t.g = b.g
             GROUP BY t.doc_id""",
+        "simhash_md5": """
+            WITH docs AS (
+              SELECT doc_id,
+                     list_filter(list_distinct(string_split_regex(lower(text), '\\s+')),
+                                 x -> x != '') AS toks
+              FROM documents WHERE doc_id < 200
+            ), counts AS (
+              SELECT doc_id,
+                     list_transform(generate_series(0, 63), i ->
+                       list_sum(list_transform(toks, t ->
+                         CASE WHEN ascii(substr(md5(t || ':' || CAST(i AS VARCHAR)), 1, 1))
+                                   % 2 = 1
+                              THEN 1 ELSE -1 END))) AS cnt
+              FROM docs)
+            SELECT doc_id,
+                   CAST(list_sum(list_transform(generate_series(0, 63), i ->
+                     CASE WHEN cnt[i + 1] > 0
+                          THEN (CASE WHEN i < 63 THEN (1::BIGINT << i)
+                                     ELSE (-9223372036854775807 - 1) END)
+                          ELSE 0 END)) AS BIGINT) AS simhash
+            FROM counts""",
+        "dedup_clusters": _dedup_clusters_sql(),
+        "cosine_near_dup_lsh": _near_dup_lsh_sql(threshold=0.4, num_planes=4, dim=64),
+        "ewma": f"""
+            WITH RECURSIVE base AS (
+              SELECT event_type, {_EV_MS} AS ts_ms, event_id, value,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY {_EV_MS}, event_id) AS rn
+              FROM events WHERE {_EV_MS} BETWEEN {T1} AND {T2}
+            ), rec AS (
+              SELECT event_type, ts_ms, event_id, value, rn, value AS s
+              FROM base WHERE rn = 1
+              UNION ALL
+              SELECT b.event_type, b.ts_ms, b.event_id, b.value, b.rn,
+                     {0.3!r}::DOUBLE * b.value + {1.0 - 0.3!r}::DOUBLE * r.s
+              FROM base b JOIN rec r ON b.event_type = r.event_type AND b.rn = r.rn + 1
+            )
+            SELECT event_type, ts_ms, event_id, value, round(s, 6) AS ewma FROM rec""",
+        "resample_1m": f"""
+            WITH e AS (
+              SELECT event_type, ts_ms, min(value) AS value
+              FROM (SELECT event_type, {_EV_MS} AS ts_ms, value FROM events
+                    WHERE {_EV_MS} BETWEEN {T1} AND {T2})
+              GROUP BY event_type, ts_ms
+            ), bounds AS (
+              SELECT event_type, (min(ts_ms) // 60000) * 60000 AS lo, max(ts_ms) AS hi
+              FROM e GROUP BY event_type
+            ), grid AS (
+              SELECT event_type, unnest(generate_series(lo, hi, 60000)) AS g FROM bounds
+            ), p AS (
+              SELECT grid.event_type, grid.g, e.ts_ms AS pts, e.value AS pv
+              FROM grid ASOF LEFT JOIN e
+                ON grid.event_type = e.event_type AND grid.g >= e.ts_ms
+            ), pn AS (
+              SELECT p.event_type, p.g, p.pts, p.pv, e.ts_ms AS nts, e.value AS nv
+              FROM p ASOF LEFT JOIN e
+                ON p.event_type = e.event_type AND p.g <= e.ts_ms
+            )
+            SELECT event_type, g AS ts_ms,
+                   round(CASE
+                     WHEN pts IS NULL THEN nv
+                     WHEN nts IS NULL THEN pv
+                     WHEN nts = pts THEN pv
+                     ELSE pv + (nv - pv) / (nts - pts) * (g - pts)
+                   END, 6) AS value
+            FROM pn""",
     }

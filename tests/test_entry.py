@@ -19,15 +19,16 @@ def test_oracle_keys_subset_of_queries():
     o = set(entry_mod.oracle_sql())
     assert o <= q
     # all but the explicitly non-SQL-expressible ops have oracles
+    # (resample_1m and ewma gained SQL oracles in round 2; simhash's exact
+    # anchor is simhash_md5)
     rows_only = q - o
     assert rows_only <= {
-        "resample_1m",
         "simhash",
         "lsh_ann_topk",
         "ivf_ann_topk",
         "approx_stats",
         "multimodal_features",
-        "ewma",
+        "multimodal_decode",
         "pack_sequences",
         "hll_distinct_daily",
     }

@@ -370,31 +370,38 @@ def tfidf_top_terms(
 ) -> DataFrame:
     """Top-k TF-IDF terms per document.
 
-    tf = count/doc_len, idf = ln((N+1)/(df+1)) + 1 (smoothed).  The term
-    document-frequency table is tiny relative to the corpus (vocab-sized)
-    and partial-aggregates map-side; the scalar corpus count joins by
-    broadcast.  Ranking uses the ROUNDED score (6 dp) with a term tiebreak
-    so a 1-ulp ln() difference between engines can't flip the top-k.
+    tf = count/doc_len, idf = ln((N+1)/(df+1)) + 1 (smoothed).  Ranking
+    uses the ROUNDED score (6 dp) with a term tiebreak so a 1-ulp ln()
+    difference between engines can't flip the top-k.
+
+    Plan shape (the round-1 formulation shuffled the corpus-sized (doc,
+    term) explode through groupBy(doc, term) AND a repartition(doc) — two
+    corpus-volume exchanges): per-doc term counts and doc length are now
+    computed INSIDE the row with higher-order functions (array_distinct +
+    per-term size(filter(...))), so the corpus crosses exactly ONE exchange
+    — the final per-doc rank window.  dfreq aggregates map-side to a
+    vocab-sized table and broadcasts back; n_docs is a scalar broadcast.
+    Per-row cost is O(distinct_terms × tokens); for pathological documents
+    (≫10⁴ tokens) the explode+groupBy form wins — keep docs chunked first
+    (doc_chunks) as a real pipeline does.
     """
     words = F.split(F.lower(F.col(text_col)), "\\s+")
-    # ONE corpus scan: tf is the only child of every downstream branch.
-    # The explicit repartition(id) gives doc_len a shuffle-free partial agg
-    # AND an identical Exchange subtree on both sides of the doc_len join,
-    # which AQE wires as a ReusedExchange (see SCALE.md exchange-reuse note);
-    # dfreq/n_docs are derived from tf, not fresh scans of the corpus.
-    tf = (
-        df.select(id_col, F.explode(words).alias("t"))
-        .groupBy(id_col, "t")
-        .agg(F.count("*").alias("c"))
-        .repartition(id_col)
+    ents = F.transform(
+        F.array_distinct(words),
+        lambda t: F.struct(
+            t.alias("t"), F.size(F.filter(words, lambda x: x == t)).alias("c")
+        ),
     )
-    doc_len = tf.groupBy(id_col).agg(F.sum("c").alias("len"))
-    # tf already holds one row per (doc, term) → count(*) == distinct docs
+    # (doc, term, count, doc_len) with zero shuffles: explode is GenerateExec
+    tf = df.select(
+        F.col(id_col), F.size(words).alias("len"), F.explode(ents).alias("e")
+    ).select(id_col, "len", F.col("e.t").alias("t"), F.col("e.c").alias("c"))
+    # one row per (doc, term) already → count(*) == distinct docs; partial
+    # aggregation shrinks this to vocab size map-side before its exchange
     dfreq = tf.groupBy("t").agg(F.count("*").alias("df_t"))
-    n_docs = doc_len.agg(F.count("*").alias("n_docs"))
+    n_docs = df.agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
     scored = (
-        tf.join(doc_len, id_col)
-        .join(F.broadcast(dfreq), "t")
+        tf.join(F.broadcast(dfreq), "t")
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "score",
