@@ -1216,22 +1216,29 @@ def _dedup_clusters_sql() -> str:
     )
 
 
-def _near_dup_lsh_sql(threshold=0.4, num_planes=4, dim=64, seed=42) -> str:
-    """Reproduces cosine_near_dup_lsh's bucket function in SQL: the same
-    seed-42 hyperplanes (similarity.random_planes) inlined as DOUBLE-array
-    literals, sign pattern per vector, equi-join on bucket, exact cosine
-    re-score.  list_dot_product's summation agrees with the Spark-side
-    sequential fold to well past the 6-dp rounding (same pairing as the
-    r1-green cosine_near_dup oracle)."""
+def _bucket_sql(num_planes=4, dim=64, seed=42) -> str:
+    """Sign-LSH bucket expression over a column named ``embedding`` — the
+    same seed-42 hyperplanes as similarity.random_planes, inlined as
+    DOUBLE-array literals so Spark and DuckDB compute identical buckets.
+    list_dot_product's summation agrees with the Spark-side sequential fold
+    to well past any decision boundary that matters (a sign flip would need
+    a projection within float noise of exactly 0)."""
     planes = sim_ops.random_planes(num_planes, dim, seed)
 
     def proj(p):
         arr = ", ".join(repr(float(x)) for x in p)
         return f"list_dot_product(embedding::DOUBLE[], [{arr}]::DOUBLE[])"
 
-    bucket = "concat(" + ", ".join(
+    return "concat(" + ", ".join(
         f"CASE WHEN {proj(p)} >= 0 THEN '1' ELSE '0' END" for p in planes
     ) + ")"
+
+
+def _near_dup_lsh_sql(threshold=0.4, num_planes=4, dim=64, seed=42) -> str:
+    """cosine_near_dup_lsh oracle: identical bucket function (see
+    _bucket_sql), equi-join on bucket, exact cosine re-score — the same
+    pairing as the r1-green cosine_near_dup oracle."""
+    bucket = _bucket_sql(num_planes, dim, seed)
     return f"""
         WITH b AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings)
         SELECT id1, id2, s AS cosine_sim FROM (
@@ -1846,6 +1853,52 @@ def oracle_sql() -> dict[str, str]:
             FROM counts""",
         "dedup_clusters": _dedup_clusters_sql(),
         "cosine_near_dup_lsh": _near_dup_lsh_sql(threshold=0.4, num_planes=4, dim=64),
+        "lsh_ann_topk": f"""
+            WITH b AS (SELECT vec_id, embedding, {_bucket_sql(4, 64)} AS bucket
+                       FROM embeddings),
+            q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, bucket
+                  FROM b WHERE vec_id < 5),
+            c AS (SELECT vec_id AS cand_id, embedding::DOUBLE[] AS cv, bucket FROM b),
+            s AS (SELECT query_id, cand_id,
+                         list_dot_product(qv, cv) /
+                         (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS sim
+                  FROM q JOIN c USING (bucket) WHERE cand_id <> query_id)
+            SELECT query_id, cand_id, round(sim, 6) AS cosine_sim, rank FROM (
+              SELECT query_id, cand_id, sim,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY sim DESC, cand_id ASC) AS rank
+              FROM s) WHERE rank <= 5""",
+        "ivf_ann_topk": """
+            WITH cents AS (SELECT vec_id AS cell_id, embedding::DOUBLE[] AS cent
+                           FROM embeddings ORDER BY vec_id LIMIT 16),
+            c AS (SELECT vec_id AS cand_id, embedding::DOUBLE[] AS cv FROM embeddings),
+            ca AS (SELECT cand_id, cv, cell_id FROM (
+              SELECT cand_id, cv, cell_id,
+                     row_number() OVER (PARTITION BY cand_id
+                                        ORDER BY csim DESC, cell_id ASC) AS r
+              FROM (SELECT cand_id, cv, cell_id,
+                           list_dot_product(cv, cent) /
+                           (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(cent, cent))) AS csim
+                    FROM c, cents)) WHERE r = 1),
+            q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                  FROM embeddings WHERE vec_id < 5),
+            qp AS (SELECT query_id, qv, cell_id FROM (
+              SELECT query_id, qv, cell_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY csim DESC, cell_id ASC) AS r
+              FROM (SELECT query_id, qv, cell_id,
+                           list_dot_product(qv, cent) /
+                           (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cent, cent))) AS csim
+                    FROM q, cents)) WHERE r <= 4),
+            s AS (SELECT query_id, cand_id,
+                         list_dot_product(qv, cv) /
+                         (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS sim
+                  FROM qp JOIN ca USING (cell_id) WHERE cand_id <> query_id)
+            SELECT query_id, cand_id, round(sim, 6) AS cosine_sim, rank FROM (
+              SELECT query_id, cand_id, sim,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY sim DESC, cand_id ASC) AS rank
+              FROM s) WHERE rank <= 5""",
         "ewma": f"""
             WITH RECURSIVE base AS (
               SELECT event_type, {_EV_MS} AS ts_ms, event_id, value,

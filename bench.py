@@ -54,7 +54,23 @@ HEADLINE = [
     "contamination",
     "pack_sequences",
     "hll_distinct_daily",
+    "cosine_near_dup_lsh",
+    "dedup_clusters",
+    "resample_1m",
+    "multimodal_decode",
 ]
+
+# repeated-run latency distribution for the reference's hot/cold point
+# queries (benchmark.py:98-124 reports p99 over 100 runs; 40/20 runs keep
+# the suite under its time budget while still pinning the tail)
+HOT_RUNS = 40
+COLD_RUNS = 20
+
+
+def _pctl(xs: list[float], q: float) -> float:
+    s = sorted(xs)
+    idx = min(len(s) - 1, max(0, int(math.ceil(q * len(s))) - 1))
+    return s[idx]
 
 
 def timed(fn):
@@ -119,10 +135,20 @@ def main():
         end_ms = START_MS + (N_POINTS - 1) * 1000
         store.query_range(end_ms - 1000, end_ms).count()
         hot_lo = end_ms - int(0.05 * N_POINTS) * 1000
-        t, n = timed(lambda: store.query_range(hot_lo, hot_lo + 3_600_000).count())
-        times["query_hot_1h"] = round(t, 3)
-        t, n = timed(lambda: store.query_range(START_MS, START_MS + 86_400_000).count())
-        times["query_cold_24h"] = round(t, 3)
+        hot_ts = []
+        for _ in range(HOT_RUNS):
+            t, n = timed(lambda: store.query_range(hot_lo, hot_lo + 3_600_000).count())
+            hot_ts.append(t)
+        times["query_hot_1h"] = round(hot_ts[0], 3)
+        extra["query_hot_1h_p50"] = round(_pctl(hot_ts, 0.50), 4)
+        extra["query_hot_1h_p99"] = round(_pctl(hot_ts, 0.99), 4)
+        cold_ts = []
+        for _ in range(COLD_RUNS):
+            t, n = timed(lambda: store.query_range(START_MS, START_MS + 86_400_000).count())
+            cold_ts.append(t)
+        times["query_cold_24h"] = round(cold_ts[0], 3)
+        extra["query_cold_24h_p50"] = round(_pctl(cold_ts, 0.50), 4)
+        extra["query_cold_24h_p99"] = round(_pctl(cold_ts, 0.99), 4)
 
         # --- headline analytical queries at SF_DIR (warmed above)
         for name in HEADLINE:

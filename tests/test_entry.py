@@ -23,14 +23,12 @@ def test_oracle_keys_subset_of_queries():
     # anchor is simhash_md5)
     rows_only = q - o
     assert rows_only <= {
-        "simhash",
-        "lsh_ann_topk",
-        "ivf_ann_topk",
-        "approx_stats",
-        "multimodal_features",
-        "multimodal_decode",
-        "pack_sequences",
-        "hll_distinct_daily",
+        "simhash",            # xxhash64 — no cross-engine hash; anchored by simhash_md5
+        "approx_stats",       # engine-specific sketch values
+        "multimodal_features",  # binary mapInPandas, fake decoder
+        "multimodal_decode",  # binary construction — codec exactness in tests
+        "pack_sequences",     # greedy FFD recursion, invariant-tested
+        "hll_distinct_daily",  # DataSketches binary state, accuracy-tested
     }
 
 
