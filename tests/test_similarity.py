@@ -55,3 +55,48 @@ def test_cosine_near_dup_finds_planted_pair(spark):
     pairs = {(r.id1, r.id2): r.cosine_sim for r in cosine_near_dup(df, threshold=0.9).collect()}
     assert set(pairs) == {(1, 2)}
     assert pairs[(1, 2)] > 0.999
+
+
+def test_cosine_near_dup_lsh_subset_and_agrees(spark):
+    """LSH near-dup pairs are a subset of the exact n² pairs with identical
+    scores, and the planted near-identical pair (same bucket with high
+    probability at 2 planes) is found."""
+    from time_series_databse_engine_spark.operators.similarity import (
+        cosine_near_dup,
+        cosine_near_dup_lsh,
+    )
+
+    base = [1.0, 2.0, 3.0, 4.0]
+    near = [1.01, 2.0, 3.0, 4.0]
+    ortho = [4.0, -3.0, 2.0, -1.5]
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, ortho)], "vec_id long, embedding array<float>"
+    )
+    exact = {(r.id1, r.id2): r.cosine_sim for r in cosine_near_dup(df, threshold=0.9).collect()}
+    lsh = {
+        (r.id1, r.id2): r.cosine_sim
+        for r in cosine_near_dup_lsh(df, threshold=0.9, num_planes=2, dim=4).collect()
+    }
+    assert set(lsh) <= set(exact)
+    for k, v in lsh.items():
+        assert v == exact[k]
+    assert (1, 2) in lsh  # identical-direction vectors share every sign bucket
+
+
+def test_kmeans_lloyd_partitions_and_is_deterministic(spark):
+    from time_series_databse_engine_spark.operators.similarity import kmeans_lloyd
+
+    vecs = [
+        (i, [float((i * 7 + j * 3) % 11) - 5.0 for j in range(8)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = kmeans_lloyd(df, k=4, iters=2)
+    rows = out.collect()
+    sizes = {r.cluster_id: r.n for r in rows}
+    assert sum(sizes.values()) == 40  # every vector assigned exactly once
+    dims = {}
+    for r in rows:
+        dims.setdefault(r.cluster_id, set()).add(r.dim)
+    assert all(d == set(range(8)) for d in dims.values())  # full centroids
+    again = {(r.cluster_id, r.dim): (r.c, r.n) for r in kmeans_lloyd(df, k=4, iters=2).collect()}
+    assert {(r.cluster_id, r.dim): (r.c, r.n) for r in rows} == again

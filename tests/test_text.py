@@ -173,3 +173,21 @@ def test_contamination_overlap_planted(spark):
     # doc1 shares exactly one 5-gram: "the quick brown fox jumps"
     assert got[1].n_contaminated == 1 and got[1].n_grams == 5
     assert got[2].n_contaminated == 0
+
+
+def test_unigram_logprob_ranks_rare_below_common(spark):
+    """Docs of corpus-common tokens outscore docs of one-off tokens; all
+    log-probs are negative and deterministic."""
+    from time_series_databse_engine_spark.operators.text import unigram_logprob
+
+    docs = [(i, "the cat sat on the mat") for i in range(5)]
+    docs.append((5, "zyzzyva qwertyuiop"))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in unigram_logprob(df).collect()}
+    assert out[0].n_tokens == 6 and out[5].n_tokens == 2
+    assert all(r.avg_logprob < 0 for r in out.values())
+    assert out[0].avg_logprob > out[5].avg_logprob
+    again = {r.doc_id: r for r in unigram_logprob(df).collect()}
+    assert {k: (v.n_tokens, v.avg_logprob) for k, v in out.items()} == {
+        k: (v.n_tokens, v.avg_logprob) for k, v in again.items()
+    }

@@ -265,3 +265,66 @@ def cosine_near_dup_lsh(
         .select("id1", "id2", sim.alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
     )
+
+
+def kmeans_lloyd(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Spherical k-means, ``iters`` Lloyd rounds, fully deterministic:
+    initial centroids are the first ``k`` vectors by id, assignment is
+    cosine-argmax with a centroid-id tiebreak, and each round's centroids
+    are element-wise means QUANTIZED to 6 dp — the quantization is what
+    makes the iteration reproducible across engines and re-runs (raw float
+    means differ in summation order; rounded ones don't).
+
+    Scale shape per round: one broadcast of k centroids (tiny), one
+    cosine-argmax over N (no shuffle of the big side beyond the per-id
+    rank window), one posexplode + (cid, dim) mean — shuffle keys are
+    (id) then (cid, dim), never pairs.  Returns one row per
+    (cluster_id, dim): the centroid component ``c`` plus the cluster size
+    ``n``.
+    """
+    e = embeddings.select(F.col(id_col).alias("id"), as_double(vec_col).alias("v"))
+    cents = e.orderBy("id").limit(k).select(
+        F.col("id").alias("cid"), F.col("v").alias("c")
+    )
+
+    def assign(points, centroids):
+        scored = points.crossJoin(F.broadcast(centroids)).select(
+            "id", "v", "cid", cosine(F.col("v"), F.col("c")).alias("_csim")
+        )
+        w = W.partitionBy("id").orderBy(F.col("_csim").desc(), F.col("cid").asc())
+        return (
+            scored.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") == 1)
+            .select("id", "v", "cid")
+        )
+
+    assigned = None
+    for _ in range(iters):
+        assigned = assign(e, cents)
+        means = (
+            assigned.select("cid", F.posexplode("v").alias("dim", "x"))
+            .groupBy("cid", "dim")
+            .agg(F.round(F.avg("x"), 6).alias("m"))
+        )
+        cents = means.groupBy("cid").agg(
+            F.array_sort(F.collect_list(F.struct("dim", "m")))
+            .getField("m")
+            .alias("c")
+        )
+    sizes = assigned.groupBy("cid").agg(F.count("*").alias("n"))
+    out = (
+        assigned.select("cid", F.posexplode("v").alias("dim", "x"))
+        .groupBy("cid", "dim")
+        .agg(F.round(F.avg("x"), 6).alias("c"))
+        .join(F.broadcast(sizes), "cid")
+    )
+    # dim as long: SQL engines' generate_series/ordinality yield 64-bit
+    return out.select(
+        F.col("cid").alias("cluster_id"), F.col("dim").cast("long").alias("dim"), "c", "n"
+    )

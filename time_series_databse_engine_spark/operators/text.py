@@ -477,3 +477,39 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
         " ", F.array_sort(F.array_distinct(F.split(F.lower(F.col(text_col)), "\\s+")))
     )
     return df.select(F.col(id_col), F.md5(canon).alias("fingerprint"))
+
+
+def unigram_logprob(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Unigram language-model score per document — the perplexity-proxy
+    quality filter of LLM data pipelines (CCNet-style: rank documents by
+    mean token log-probability under a corpus LM; here the LM is the
+    corpus's own add-one-smoothed unigram model, so the op is
+    self-contained and exactly SQL-reproducible).
+
+    score(doc) = mean over tokens t of ln((count(t) + 1) / (N + V))
+    with N = total corpus tokens, V = vocabulary size.
+
+    Scale shape: one corpus explode aggregated map-side to a vocab-sized
+    frequency table that broadcasts back; the (N, V) scalars ride the same
+    broadcast.  The corpus shuffles once — on doc_id for the final mean.
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), "\\s+"), lambda t: t != "")
+    exploded = df.select(F.col(id_col), F.explode(toks).alias("t"))
+    freq = exploded.groupBy("t").agg(F.count("*").alias("c"))
+    totals = freq.agg(
+        F.sum("c").alias("n_total"), F.count("*").alias("v_size")
+    )
+    scored = (
+        exploded.join(F.broadcast(freq), "t")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            id_col,
+            F.log((F.col("c") + 1) / (F.col("n_total") + F.col("v_size"))).alias("lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.round(F.avg("lp"), 6).alias("avg_logprob"),
+    )
