@@ -374,31 +374,48 @@ def tfidf_top_terms(
     uses the ROUNDED score (6 dp) with a term tiebreak so a 1-ulp ln()
     difference between engines can't flip the top-k.
 
-    Plan shape (the round-1 formulation shuffled the corpus-sized (doc,
-    term) explode through groupBy(doc, term) AND a repartition(doc) — two
-    corpus-volume exchanges): per-doc term counts and doc length are now
-    computed INSIDE the row with higher-order functions (array_distinct +
-    per-term size(filter(...))), so the corpus crosses exactly ONE exchange
-    — the final per-doc rank window.  dfreq aggregates map-side to a
-    vocab-sized table and broadcasts back; n_docs is a scalar broadcast.
-    Per-row cost is O(distinct_terms × tokens); for pathological documents
-    (≫10⁴ tokens) the explode+groupBy form wins — keep docs chunked first
-    (doc_chunks) as a real pipeline does.
+    Plan shape — the corpus crosses exactly ONE exchange, by construction
+    rather than by hoping AQE exchange-reuse dedupes shared lineage:
+
+    - tf branch: raw docs repartition by id (narrow pre-explode rows move;
+      explicit partition count so AQE can't coalesce a small input to one
+      task and serialize the explode), then explode → groupBy(id, len, t)
+      and the final rank window are both satisfied by hash(id) — no
+      further exchange.  Doc length rides along as the per-row
+      ``size(words)`` grouped as a key (functionally dependent on id), so
+      there is NO doc_len aggregate and NO doc_len join at all.
+    - dfreq branch: ``explode(array_distinct(words))`` straight off the
+      parquet scan — partial aggregation shrinks it to vocab size map-side,
+      so its exchange carries vocab partials, never the corpus.
+    - n_docs: a count-distinct off the raw table (scalar broadcast).
+
+    The three branches re-scan the (columnar, pruned) source instead of
+    sharing one exploded subtree: a rescan is sequential IO; a second
+    corpus-sized shuffle is not.
+
+    Two measured traps (sf0.1; see PLANS.md): ``size(words)`` in the SAME
+    projection as ``explode(words)`` re-evaluates the split per OUTPUT
+    token — O(tokens²) per doc, 10× slower — so the array is materialized
+    in an inner projection first (CollapseProject keeps duplicated
+    non-cheap expressions apart); and ``repartition(col)`` without a count
+    lets AQE coalesce 5 MB of docs into one task.  Round 1 paid two corpus
+    exchanges (1.33 s); this shape measures 0.63 s.
     """
     words = F.split(F.lower(F.col(text_col)), "\\s+")
-    ents = F.transform(
-        F.array_distinct(words),
-        lambda t: F.struct(
-            t.alias("t"), F.size(F.filter(words, lambda x: x == t)).alias("c")
-        ),
+    spark_parallelism = df.sparkSession.sparkContext.defaultParallelism
+    tf = (
+        df.select(id_col, text_col)
+        .repartition(spark_parallelism, F.col(id_col))
+        .select(id_col, F.size(words).alias("len"), words.alias("warr"))
+        .select(id_col, "len", F.explode("warr").alias("t"))
+        .groupBy(id_col, "len", "t")
+        .agg(F.count("*").alias("c"))
     )
-    # (doc, term, count, doc_len) with zero shuffles: explode is GenerateExec
-    tf = df.select(
-        F.col(id_col), F.size(words).alias("len"), F.explode(ents).alias("e")
-    ).select(id_col, "len", F.col("e.t").alias("t"), F.col("e.c").alias("c"))
-    # one row per (doc, term) already → count(*) == distinct docs; partial
-    # aggregation shrinks this to vocab size map-side before its exchange
-    dfreq = tf.groupBy("t").agg(F.count("*").alias("df_t"))
+    dfreq = (
+        df.select(F.explode(F.array_distinct(words)).alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("df_t"))
+    )
     n_docs = df.agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
     scored = (
         tf.join(F.broadcast(dfreq), "t")
