@@ -100,3 +100,43 @@ def test_cosine_topk_streams_candidates_once(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in p  # query set broadcast, big side streamed
     # the only shuffle is the per-query top-k rank over scored triples
     assert num_shuffle_exchanges(df) == 1
+
+
+def test_tfidf_single_corpus_exchange(spark, sf_dir):
+    """The corpus must cross exactly one exchange (the id repartition);
+    everything else is vocab-sized, scalar, or broadcast — see the
+    tfidf_top_terms docstring for the two measured traps this guards."""
+    from time_series_databse_engine_spark.operators.text import tfidf_top_terms
+    from time_series_databse_engine_spark.plans import num_shuffle_exchanges, simple_plan
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = tfidf_top_terms(docs, k=3)
+    # repartition(id) + dfreq vocab agg + n_docs scalar agg = 4 exchanges
+    # in the static plan (corpus crosses only the first)
+    assert num_shuffle_exchanges(df) <= 4
+    p = simple_plan(df)
+    assert "CartesianProduct" not in p
+
+
+def test_near_dup_lsh_is_bucketed_not_all_pairs(spark, sf_dir):
+    """The scale near-dup path must plan a bucket equi-join, never a
+    broadcast-nested-loop over all pairs (the n² baseline's shape)."""
+    from time_series_databse_engine_spark.operators.similarity import cosine_near_dup_lsh
+    from time_series_databse_engine_spark.plans import simple_plan
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    p = simple_plan(cosine_near_dup_lsh(emb, threshold=0.4, num_planes=4, dim=64))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_kmeans_never_shuffles_pairs(spark, sf_dir):
+    """Assignment broadcasts k centroids; shuffles carry id- or
+    (cluster, dim)-keyed rows only — no pairwise joins."""
+    from time_series_databse_engine_spark.operators.similarity import kmeans_lloyd
+    from time_series_databse_engine_spark.plans import simple_plan
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    p = simple_plan(kmeans_lloyd(emb, k=4, iters=1))
+    assert "CartesianProduct" not in p
+    assert "BroadcastExchange" in p  # centroids move to the data, not vice versa
