@@ -296,11 +296,12 @@ def dedup_clusters(
     for large-star/small-star contraction (Kiveris et al. 2014) for
     O(log n) rounds; the interface is unchanged.
     """
-    edges = (
-        pairs.select(F.col(id1).alias("src"), F.col(id2).alias("dst"))
-        .union(pairs.select(F.col(id2).alias("src"), F.col(id1).alias("dst")))
-        .localCheckpoint()
-    )
+    # Checkpoint the pair list BEFORE mirroring it: the union references
+    # `pairs` twice, and without the cut the (expensive) upstream pair
+    # pipeline — e.g. minhash+LSH — executes once per union branch
+    # (measured ~1.5 s extra at sf0.1).
+    p = pairs.select(F.col(id1).alias("src"), F.col(id2).alias("dst")).localCheckpoint()
+    edges = p.union(p.select(F.col("dst"), F.col("src")))
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
