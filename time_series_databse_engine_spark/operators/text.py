@@ -314,15 +314,19 @@ def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1):
     duplicate-word fraction, top-word fraction, duplicate-bigram fraction.
 
-    Explode → count per (doc, term) → re-aggregate per doc: two narrow
-    shuffles on ``doc_id`` (word and bigram pipelines) joined on the same
-    key — at 100 TB each pipeline is a partial-aggregated groupBy, never a
-    per-doc collect.  The bigram array is built from a *materialized* words
+    One corpus exchange: the raw docs repartition by id (explicit count so
+    AQE can't serialize a small input), after which both aggregation
+    levels — groupBy(id, kind, term) then groupBy(id) — are satisfied by
+    hash(id) and run exchange-free; the corpus-sized (doc, term) rows
+    never shuffle.  The bigram array is built from a *materialized* words
     column (separate select below the Generate) so the split() isn't
     re-evaluated per lambda iteration (see HOF trap notes in SCALE.md).
     """
     words = F.split(F.lower(F.col(text_col)), "\\s+")
-    base = df.select(id_col, words.alias("ws"))
+    par = df.sparkSession.sparkContext.defaultParallelism
+    base = df.select(id_col, text_col).repartition(par, F.col(id_col)).select(
+        id_col, words.alias("ws")
+    )
     # words and bigrams tagged into ONE array so the corpus is scanned and
     # exploded once (not one pipeline per n-gram order + a join).
     # element_at is 1-based, mirroring DuckDB list indexing in the oracle.
