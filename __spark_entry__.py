@@ -865,6 +865,17 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup_ops.dedup_clusters(pairs)
 
 
+def q_dedup_clusters_star(spark, sf_dir):
+    """Connected components via alternating large-star/small-star
+    contraction (O(log n) rounds — the variant for long-chain components;
+    dedup.dedup_clusters_star docstring).  Same output contract and the
+    same recursive-CTE oracle as `dedup_clusters`."""
+    docs = _t(spark, sf_dir, "documents")
+    sigs = dedup_ops.minhash_signatures(docs, num_hashes=8, shingle_n=3)
+    pairs = dedup_ops.lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
+    return dedup_ops.dedup_clusters_star(pairs)
+
+
 def q_multimodal_decode(spark, sf_dir):
     """REAL multimodal decode end-to-end: documents → 4×4 24-bit BMP
     payloads (first 48 utf-8 bytes as BGR pixels, zero-padded) via one
@@ -1124,6 +1135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the xxhash64 simhash twin were displaced to keep the window at 50)
         "moving_avg": q_moving_avg,
         "simhash": q_simhash,
+        "dedup_clusters_star": q_dedup_clusters_star,
         "range_scan_empty": q_range_scan_empty,
         "range_scan_metric": q_range_scan_metric,
         "range_limit": q_range_limit,
@@ -1871,6 +1883,7 @@ def oracle_sql() -> dict[str, str]:
                           ELSE 0 END)) AS BIGINT) AS simhash
             FROM counts""",
         "dedup_clusters": _dedup_clusters_sql(),
+        "dedup_clusters_star": _dedup_clusters_sql(),
         "cosine_near_dup_lsh": _near_dup_lsh_sql(threshold=0.4, num_planes=4, dim=64),
         "lsh_ann_topk": f"""
             WITH b AS (SELECT vec_id, embedding, {_bucket_sql(4, 64)} AS bucket

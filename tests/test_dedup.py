@@ -59,3 +59,60 @@ def test_simhash_near_dup_distance(spark):
     assert d[(1, 2)] == 0             # identical
     assert d[(1, 5)] == 0             # token-set identical
     assert d[(1, 3)] < d[(1, 4)]      # near-dup closer than unrelated
+
+
+def test_star_and_label_prop_components_agree(spark):
+    """dedup_clusters (min-label propagation) and dedup_clusters_star
+    (alternating star contraction) must produce identical components on
+    random graphs — both checked against a Python union-find."""
+    import random
+
+    from time_series_databse_engine_spark.operators.dedup import (
+        dedup_clusters,
+        dedup_clusters_star,
+    )
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 40
+        edges = sorted(
+            {
+                tuple(sorted(rng.sample(range(n), 2)))
+                for _ in range(25 + trial * 10)
+            }
+        )
+        # union-find ground truth
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent[find(a)] = find(b)
+        # ground truth: min node per root, over nodes that appear in edges
+        nodes = sorted({v for e in edges for v in e})
+        root_min = {}
+        for v in nodes:
+            r = find(v)
+            root_min[r] = min(root_min.get(r, v), v)
+        truth = {v: root_min[find(v)] for v in nodes}
+
+        df = spark.createDataFrame(edges, "id1 long, id2 long")
+        lp = {r.doc_id: r.cluster_id for r in dedup_clusters(df).collect()}
+        st = {r.doc_id: r.cluster_id for r in dedup_clusters_star(df).collect()}
+        assert lp == truth, f"label-prop trial {trial}"
+        assert st == truth, f"star trial {trial}"
+
+
+def test_star_handles_chain_graph(spark):
+    """A long path graph is the star algorithm's motivating case (diameter
+    ≈ n); it must still collapse to one cluster rooted at the minimum."""
+    from time_series_databse_engine_spark.operators.dedup import dedup_clusters_star
+
+    chain = [(i, i + 1) for i in range(30)]
+    df = spark.createDataFrame(chain, "id1 long, id2 long")
+    out = {r.doc_id: r.cluster_id for r in dedup_clusters_star(df).collect()}
+    assert out == {i: 0 for i in range(31)}

@@ -329,3 +329,81 @@ def dedup_clusters(
         if changed == 0:
             break
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def dedup_clusters_star(
+    pairs: DataFrame,
+    id1: str = "id1",
+    id2: str = "id2",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC 2014) — same contract as :func:`dedup_clusters`
+    ((doc_id, cluster_id=min id of component)), but O(log n) rounds
+    instead of O(diameter), the right algorithm when components can be
+    long chains (per-round cost is the same: a groupBy + a join over edge
+    cardinality, no cross join, no driver-side graph).
+
+    large-star: every node points its LARGER neighbours at the minimum of
+    its neighbourhood (incl. itself); small-star: orient edges
+    large→small, point each node's smaller neighbours (and itself) at the
+    neighbourhood minimum.  Both strictly reduce a monotone potential;
+    alternation converges to star graphs rooted at component minima —
+    detected here by the (count, hash-sum) edge-set signature going
+    stable.  Lineage is cut per round with ``localCheckpoint``.
+    """
+    edges = (
+        pairs.select(F.col(id1).alias("u"), F.col(id2).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .localCheckpoint()
+    )
+
+    def large_star(e):
+        und = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = und.groupBy("u").agg(F.min("v").alias("mv"))
+        m = m.select("u", F.least(F.col("mv"), F.col("u")).alias("m"))
+        return (
+            und.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+
+    def small_star(e):
+        oriented = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        m = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        pointed = (
+            oriented.join(m, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        self_edge = m.select(F.col("u"), F.col("m").alias("v"))
+        return pointed.union(self_edge).distinct()
+
+    def signature(e):
+        # count + xor-fold of edge hashes: order-insensitive, overflow-free
+        # under ANSI mode (edges are distinct, so xor can't cancel dupes)
+        row = e.agg(
+            F.count("*").alias("n"),
+            F.bit_xor(F.xxhash64(F.least("u", "v"), F.greatest("u", "v"))).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    sig = signature(edges)
+    for _ in range(max_iters):
+        edges = small_star(large_star(edges)).localCheckpoint()
+        new_sig = signature(edges)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    # converged star graph: every edge is (non-root node → component min);
+    # the root itself never appears on the pointing side, so add its
+    # (root, root) row — matching dedup_clusters' keep/purge contract
+    members = edges.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
+    roots = edges.select(
+        F.col("v").alias("doc_id"), F.col("v").alias("cluster_id")
+    ).distinct()
+    return members.union(roots).distinct()
