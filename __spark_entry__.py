@@ -865,6 +865,13 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup_ops.dedup_clusters(pairs)
 
 
+def q_minhash_jaccard_est(spark, sf_dir):
+    """Jaccard estimate (fraction of agreeing MinHash components, Broder
+    1997) for every LSH candidate pair — the banding→score→purge middle
+    step (dedup.minhash_jaccard_estimates docstring)."""
+    return dedup_ops.minhash_jaccard_estimates(_t(spark, sf_dir, "documents"))
+
+
 def q_dedup_clusters_star(spark, sf_dir):
     """Connected components via alternating large-star/small-star
     contraction (O(log n) rounds — the variant for long-chain components;
@@ -1136,6 +1143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "moving_avg": q_moving_avg,
         "simhash": q_simhash,
         "dedup_clusters_star": q_dedup_clusters_star,
+        "minhash_jaccard_est": q_minhash_jaccard_est,
         "range_scan_empty": q_range_scan_empty,
         "range_scan_metric": q_range_scan_metric,
         "range_limit": q_range_limit,
@@ -1884,6 +1892,17 @@ def oracle_sql() -> dict[str, str]:
             FROM counts""",
         "dedup_clusters": _dedup_clusters_sql(),
         "dedup_clusters_star": _dedup_clusters_sql(),
+        "minhash_jaccard_est": (
+            "\nWITH "
+            + _minhash_lsh_ctes()
+            + "\nSELECT p.id1, p.id2, round(("
+            + " + ".join(
+                f"CASE WHEN a.mh_{i} = b.mh_{i} THEN 1 ELSE 0 END" for i in range(8)
+            )
+            + ")::DOUBLE / 8, 6) AS est_jaccard"
+            + "\nFROM pairs p JOIN sig a ON p.id1 = a.doc_id"
+            + " JOIN sig b ON p.id2 = b.doc_id"
+        ),
         "cosine_near_dup_lsh": _near_dup_lsh_sql(threshold=0.4, num_planes=4, dim=64),
         "lsh_ann_topk": f"""
             WITH b AS (SELECT vec_id, embedding, {_bucket_sql(4, 64)} AS bucket

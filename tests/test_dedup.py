@@ -116,3 +116,17 @@ def test_star_handles_chain_graph(spark):
     df = spark.createDataFrame(chain, "id1 long, id2 long")
     out = {r.doc_id: r.cluster_id for r in dedup_clusters_star(df).collect()}
     assert out == {i: 0 for i in range(31)}
+
+
+def test_minhash_jaccard_estimates_bounds_and_identity(spark):
+    from time_series_databse_engine_spark.operators.dedup import (
+        minhash_jaccard_estimates,
+    )
+
+    same = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = [(1, same), (2, same), (3, "totally different words entirely here now")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    est = {(r.id1, r.id2): r.est_jaccard for r in minhash_jaccard_estimates(df).collect()}
+    # identical docs agree on every band, and every minhash component matches
+    assert est[(1, 2)] == 1.0
+    assert all(0.0 <= v <= 1.0 for v in est.values())

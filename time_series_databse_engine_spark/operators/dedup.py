@@ -407,3 +407,51 @@ def dedup_clusters_star(
         F.col("v").alias("doc_id"), F.col("v").alias("cluster_id")
     ).distinct()
     return members.union(roots).distinct()
+
+
+def minhash_jaccard_estimates(
+    df: DataFrame,
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Jaccard-similarity ESTIMATE for every LSH candidate pair — the
+    fraction of agreeing MinHash components (an unbiased estimator of the
+    shingle-set Jaccard; Broder 1997).  This is the scoring step a real
+    MinHash dedup pipeline runs between banding and the purge decision:
+    banding nominates candidates cheaply, the estimate ranks them without
+    ever touching the original text again.
+
+    Scale shape: two equi-joins of the (small) pair list against the
+    signature table on doc id — signatures are num_hashes strings per doc,
+    the corpus text is not re-read; no cross join anywhere.
+    """
+    # materialize the signature table once: it feeds the banding pipeline
+    # AND both sides of the estimate join, and it's tiny (num_hashes hex
+    # strings per doc) relative to recomputing the shingle fold 3×
+    sigs = minhash_signatures(df, num_hashes, shingle_n, text_col, id_col).localCheckpoint()
+    pairs = lsh_candidate_pairs(sigs, bands, rows_per_band, id_col)
+    a = sigs.select(
+        F.col(id_col).alias("id1"),
+        *[F.col(f"mh_{i}").alias(f"_a{i}") for i in range(num_hashes)],
+    )
+    b = sigs.select(
+        F.col(id_col).alias("id2"),
+        *[F.col(f"mh_{i}").alias(f"_b{i}") for i in range(num_hashes)],
+    )
+    agree = sum(
+        F.when(F.col(f"_a{i}") == F.col(f"_b{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    return (
+        pairs.join(a, "id1")
+        .join(b, "id2")
+        .select(
+            "id1",
+            "id2",
+            F.round(agree.cast("double") / num_hashes, 6).alias("est_jaccard"),
+        )
+    )
