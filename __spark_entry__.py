@@ -865,6 +865,17 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup_ops.dedup_clusters(pairs)
 
 
+def q_seasonal_baseline(spark, sf_dir):
+    """Seasonal decomposition: hour-of-day baseline per series + per-point
+    residual (timeseries.seasonal_baseline docstring) — seasonal-naive
+    forecasting / seasonal anomaly detection's first step."""
+    df = ts_ops.seasonal_baseline(
+        _t(spark, sf_dir, "events").select("event_type", "ts_ms", "value"),
+        ["event_type"],
+    )
+    return df
+
+
 def q_minhash_jaccard_est(spark, sf_dir):
     """Jaccard estimate (fraction of agreeing MinHash components, Broder
     1997) for every LSH candidate pair — the banding→score→purge middle
@@ -1078,11 +1089,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's correctness window (first 50 keys in round 1)
-    covers every SURVEY §2 category: positions 1-12 are one green anchor per
-    category from round 1, 13-14 the round-1 hash-fails (HUGEINT oracle
-    casts fixed), 15-46 the 32 queries the round-1 report never reached,
-    47-50 this round's new operators.  Keys 51+ are redundant variants and
-    near-duplicates, all already verified in CORRECTNESS_r01."""
+    covers every SURVEY §2 category: green anchors per category from round
+    1 first, then the round-1 hash-fails (HUGEINT oracle casts fixed),
+    then every query the round-1 report never reached, then this round's
+    new operators — 50 exactly.  Keys 51+ are redundant variants,
+    near-duplicate anchors displaced to make room (moving_avg, simhash),
+    and later additions, all verified by the local checker
+    (tools/check_correctness.py) across every entry."""
     return {
         # -- category anchors (r1 green) --------------------------------
         "range_scan": q_range_scan,
@@ -1144,6 +1157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "dedup_clusters_star": q_dedup_clusters_star,
         "minhash_jaccard_est": q_minhash_jaccard_est,
+        "seasonal_baseline": q_seasonal_baseline,
         "range_scan_empty": q_range_scan_empty,
         "range_scan_metric": q_range_scan_metric,
         "range_limit": q_range_limit,
@@ -1993,6 +2007,16 @@ def oracle_sql() -> dict[str, str]:
                      ELSE pv + (nv - pv) / (nts - pts) * (g - pts)
                    END, 6) AS value
             FROM pn""",
+        "seasonal_baseline": f"""
+            WITH p AS (
+              SELECT event_type, {_EV_MS} AS ts_ms, value,
+                     ({_EV_MS} % 86400000) // 3600000 AS phase
+              FROM events),
+            b AS (SELECT event_type, phase, round(avg(value), 6) AS baseline
+                  FROM p GROUP BY event_type, phase)
+            SELECT p.event_type, p.ts_ms, p.phase, p.value, b.baseline,
+                   round(p.value - b.baseline, 6) AS residual
+            FROM p JOIN b USING (event_type, phase)""",
         # 2 Lloyd rounds unrolled; centroids quantized to 6 dp per round —
         # the same quantization the Spark side applies, which is what makes
         # the second round's assignments engine-independent

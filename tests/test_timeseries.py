@@ -134,3 +134,25 @@ def test_ewma_matches_recursion(spark):
         s = v if s is None else 0.3 * v + 0.7 * s
         expect.append(round(s, 6))
     assert [r.ewma for r in out] == expect
+
+
+def test_seasonal_baseline_profile_and_residuals(spark):
+    """Planted diurnal pattern: phase-0 points at 10, phase-1 at 20, one
+    outlier — baseline recovers the profile, residual isolates the outlier."""
+    from time_series_databse_engine_spark.operators.timeseries import seasonal_baseline
+
+    H = 3_600_000
+    rows = []
+    for day in range(3):
+        rows.append(("m", day * 24 * H, 10.0))        # phase 0
+        rows.append(("m", day * 24 * H + H, 20.0))    # phase 1
+    rows.append(("m", 3 * 24 * H, 40.0))              # phase-0 outlier
+    df = spark.createDataFrame(rows, "event_type string, ts_ms long, value double")
+    out = seasonal_baseline(df, ["event_type"]).collect()
+    by_phase = {}
+    for r in out:
+        by_phase.setdefault(r.phase, set()).add(r.baseline)
+    assert by_phase[0] == {17.5}   # (10+10+10+40)/4
+    assert by_phase[1] == {20.0}
+    outlier = [r for r in out if r.value == 40.0][0]
+    assert outlier.residual == 22.5

@@ -380,3 +380,44 @@ def resample_interpolate(
 
     schema = f"{key} string, {ts_ms} long, {value} double"
     return df.select(key, ts_ms, value).groupBy(key).applyInPandas(interp, schema=schema)
+
+
+def seasonal_baseline(
+    df: DataFrame,
+    keys: list[str],
+    ts_ms: str = "ts_ms",
+    value: str = "value",
+    period_ms: int = 86_400_000,
+    bucket_ms: int = 3_600_000,
+) -> DataFrame:
+    """Seasonal-profile decomposition: for each series, the mean value per
+    phase-of-period bucket (default: hour-of-day over a daily period) is
+    the seasonal baseline; each point's residual is its deviation from the
+    baseline — the standard first step of seasonal anomaly detection and
+    the seasonal-naive forecast (next value ≈ baseline of its phase).
+
+    The baseline is QUANTIZED to 6 dp before residuals are formed, so
+    residuals are reproducible across engines and partitionings (raw float
+    means differ in summation order).
+
+    Scale shape: one groupBy over (series, phase) — at most |series|×24
+    rows — broadcast back onto the fact table; the fact table itself never
+    shuffles.
+    """
+    phase = ((F.col(ts_ms) % period_ms) / bucket_ms).cast("long")
+    with_phase = df.withColumn("phase", phase)
+    baseline = (
+        with_phase.groupBy(*keys, "phase")
+        .agg(F.round(F.avg(value), 6).alias("baseline"))
+    )
+    return (
+        with_phase.join(F.broadcast(baseline), [*keys, "phase"])
+        .select(
+            *keys,
+            F.col(ts_ms),
+            "phase",
+            F.col(value),
+            "baseline",
+            F.round(F.col(value) - F.col("baseline"), 6).alias("residual"),
+        )
+    )
