@@ -45,19 +45,23 @@ def cosine_topk(
     candidates, no shuffle of the big side); per-query row_number keeps k.
     Returns (query_id, cand_id, cosine_sim, rank).
     """
+    # norms are per-VECTOR: computed here once, not re-folded per
+    # (query, candidate) pair — same sqrt-of-fold value, 3× less work
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"), as_double(vec_col).alias("qvec")
-        )
+        ).withColumn("qn", norm(F.col("qvec")))
     )
-    c = embeddings.select(F.col(id_col).alias("cand_id"), as_double(vec_col).alias("cvec"))
+    c = embeddings.select(
+        F.col(id_col).alias("cand_id"), as_double(vec_col).alias("cvec")
+    ).withColumn("cn", norm(F.col("cvec")))
     scored = (
         c.crossJoin(q)
         .filter(F.col("cand_id") != F.col("query_id"))
         .select(
             "query_id",
             "cand_id",
-            cosine(F.col("qvec"), F.col("cvec")).alias("_sim"),
+            (dot(F.col("qvec"), F.col("cvec")) / (F.col("qn") * F.col("cn"))).alias("_sim"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.col("_sim").desc(), F.col("cand_id").asc())
@@ -114,14 +118,16 @@ def ivf_topk(
     drops to ~n_probe/n_cells of N versus brute force, and the shuffle key
     is the cell id, not the pair.
     """
+    # per-vector norms hoisted out of the per-pair scoring (see cosine_topk)
     cents = F.broadcast(
         embeddings.orderBy(id_col).limit(n_cells)
         .select(F.col(id_col).alias("cell_id"), as_double(vec_col).alias("cent"))
+        .withColumn("cent_n", norm(F.col("cent")))
     )
 
-    def nearest_cells(df, vec, n):
+    def nearest_cells(df, vec, vec_n, n):
         scored = df.crossJoin(cents).select(
-            "*", cosine(vec, F.col("cent")).alias("_csim")
+            "*", (dot(vec, F.col("cent")) / (vec_n * F.col("cent_n"))).alias("_csim")
         )
         w = W.partitionBy(df.columns[0]).orderBy(
             F.col("_csim").desc(), F.col("cell_id").asc()
@@ -129,18 +135,26 @@ def ivf_topk(
         return (
             scored.withColumn("_crank", F.row_number().over(w))
             .filter(F.col("_crank") <= n)
-            .drop("cent", "_csim", "_crank")
+            .drop("cent", "cent_n", "_csim", "_crank")
         )
 
-    c = embeddings.select(F.col(id_col).alias("cand_id"), as_double(vec_col).alias("cvec"))
-    c_assigned = nearest_cells(c, F.col("cvec"), 1)
-    q = queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qvec"))
-    q_probes = nearest_cells(q, F.col("qvec"), n_probe)
+    c = embeddings.select(
+        F.col(id_col).alias("cand_id"), as_double(vec_col).alias("cvec")
+    ).withColumn("cn", norm(F.col("cvec")))
+    c_assigned = nearest_cells(c, F.col("cvec"), F.col("cn"), 1)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("qvec")
+    ).withColumn("qn", norm(F.col("qvec")))
+    q_probes = nearest_cells(q, F.col("qvec"), F.col("qn"), n_probe)
 
     scored = (
         c_assigned.join(F.broadcast(q_probes), "cell_id")
         .filter(F.col("cand_id") != F.col("query_id"))
-        .select("query_id", "cand_id", cosine(F.col("qvec"), F.col("cvec")).alias("_sim"))
+        .select(
+            "query_id",
+            "cand_id",
+            (dot(F.col("qvec"), F.col("cvec")) / (F.col("qn") * F.col("cn"))).alias("_sim"),
+        )
     )
     w = W.partitionBy("query_id").orderBy(F.col("_sim").desc(), F.col("cand_id").asc())
     return (
@@ -206,19 +220,31 @@ def lsh_bucket_topk(
         dim = len(embeddings.select(vec_col).first()[0])
     planes = random_planes(num_planes, dim, seed)
 
-    c = embeddings.select(
-        F.col(id_col).alias("cand_id"),
-        as_double(vec_col).alias("cvec"),
-    ).withColumn("bucket", hyperplane_bucket(F.col("cvec"), planes))
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        as_double(vec_col).alias("qvec"),
-    ).withColumn("bucket", hyperplane_bucket(F.col("qvec"), planes))
+    c = (
+        embeddings.select(
+            F.col(id_col).alias("cand_id"),
+            as_double(vec_col).alias("cvec"),
+        )
+        .withColumn("bucket", hyperplane_bucket(F.col("cvec"), planes))
+        .withColumn("cn", norm(F.col("cvec")))
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            as_double(vec_col).alias("qvec"),
+        )
+        .withColumn("bucket", hyperplane_bucket(F.col("qvec"), planes))
+        .withColumn("qn", norm(F.col("qvec")))
+    )
 
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("cand_id") != F.col("query_id"))
-        .select("query_id", "cand_id", cosine(F.col("qvec"), F.col("cvec")).alias("_sim"))
+        .select(
+            "query_id",
+            "cand_id",
+            (dot(F.col("qvec"), F.col("cvec")) / (F.col("qn") * F.col("cn"))).alias("_sim"),
+        )
     )
     w = W.partitionBy("query_id").orderBy(F.col("_sim").desc(), F.col("cand_id").asc())
     return (
