@@ -865,6 +865,16 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup_ops.dedup_clusters(pairs)
 
 
+def q_clean_corpus(spark, sf_dir):
+    """End-to-end training-data pipeline composition: exact dedup → LSH
+    near-dup cluster purge → quality gate → deterministic sample, all
+    md5-keyed (pipeline.clean_corpus docstring).  One oracle re-derives
+    all four gates in SQL — the composition itself is hash-verified."""
+    from time_series_databse_engine_spark.pipeline import clean_corpus
+
+    return clean_corpus(_t(spark, sf_dir, "documents"))
+
+
 def q_seasonal_baseline(spark, sf_dir):
     """Seasonal decomposition: hour-of-day baseline per series + per-point
     residual (timeseries.seasonal_baseline docstring) — seasonal-naive
@@ -1158,6 +1168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_star": q_dedup_clusters_star,
         "minhash_jaccard_est": q_minhash_jaccard_est,
         "seasonal_baseline": q_seasonal_baseline,
+        "clean_corpus": q_clean_corpus,
         "range_scan_empty": q_range_scan_empty,
         "range_scan_metric": q_range_scan_metric,
         "range_limit": q_range_limit,
@@ -1301,6 +1312,49 @@ def _near_dup_lsh_sql(threshold=0.4, num_planes=4, dim=64, seed=42) -> str:
                     sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 6) AS s
           FROM b a JOIN b e ON a.bucket = e.bucket AND a.vec_id < e.vec_id)
         WHERE s >= {threshold}"""
+
+
+def _quality_expr() -> str:
+    """The quality_score composite as a SQL expression over ``text`` —
+    shared by the quality_score and clean_corpus oracles."""
+    stop_list = ", ".join(repr(w) for w in text_ops.STOPWORDS)
+    return f"""round(0.4 * least(len(regexp_extract_all(text, '[^\\s]+')) / 100.0, 1.0)
+                 + 0.3 * (1 - len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
+                              / greatest(length(text), 1))
+                 + 0.3 * (len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                          x -> x IN ({stop_list})))
+                          / greatest(len(regexp_extract_all(text, '[^\\s]+')), 1)),
+                 6)"""
+
+
+def _clean_corpus_sql(quality_threshold=0.5, rate_16ths=4) -> str:
+    """All four clean_corpus gates re-derived in one SQL statement: exact
+    keepers (min id per md5), near-dup purge (recursive reachability over
+    the LSH pairs), rounded quality gate, md5-of-id sample gate."""
+    gate_digits = ", ".join(repr(d) for d in "0123456789abcdef"[:rate_16ths])
+    return (
+        "\nWITH RECURSIVE "
+        + _minhash_lsh_ctes()
+        + f""",
+        edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+                  UNION SELECT id2, id1 FROM pairs),
+        reach AS (
+          SELECT src AS id, src AS r FROM edges
+          UNION
+          SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+        ),
+        purge AS (SELECT id AS doc_id FROM (
+          SELECT id, min(r) AS m FROM reach GROUP BY id) WHERE id != m),
+        keepers AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+        SELECT doc_id, lang, source, n_chars,
+               len(regexp_extract_all(text, '[^\\s]+')) AS n_tokens,
+               {_quality_expr()} AS quality
+        FROM documents d
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ({gate_digits})
+          AND doc_id IN (SELECT doc_id FROM keepers)
+          AND doc_id NOT IN (SELECT doc_id FROM purge)
+          AND {_quality_expr()} >= {quality_threshold}"""
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2007,6 +2061,7 @@ def oracle_sql() -> dict[str, str]:
                      ELSE pv + (nv - pv) / (nts - pts) * (g - pts)
                    END, 6) AS value
             FROM pn""",
+        "clean_corpus": _clean_corpus_sql(quality_threshold=0.5, rate_16ths=4),
         "seasonal_baseline": f"""
             WITH p AS (
               SELECT event_type, {_EV_MS} AS ts_ms, value,

@@ -1,0 +1,73 @@
+"""End-to-end training-data preparation pipeline (north-star tier).
+
+Composes the individual operators into the shape every LLM data pipeline
+runs over its raw corpus:
+
+    exact dedup → near-dup cluster purge → quality gate → deterministic
+    sample
+
+Every stage is a set-membership decision keyed on content/id hashes
+(md5), so the pipeline is reproducible across retries, AQE re-plans, and
+incremental reruns, and the whole composition is exactly reproducible in
+ANSI SQL — the `clean_corpus` driver query hash-compares against a single
+DuckDB oracle that re-derives all four gates.
+
+Scale shape: the corpus is scanned once for each derived table (keeper
+set, near-dup purge list, per-doc quality) — each of which is small or
+id-keyed — then filtered with semi/anti joins; no stage ever shuffles
+document text by anything other than its id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .operators import dedup as dedup_ops, sampling as sampling_ops, text as text_ops
+
+
+def clean_corpus(
+    docs: DataFrame,
+    quality_threshold: float = 0.5,
+    rate_16ths: int = 4,
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The standard corpus-cleaning cascade, one DataFrame in → one out.
+
+    1. **Exact dedup**: keep only each text's keeper (min id per md5).
+    2. **Near-dup purge**: MinHash→LSH→connected components; drop every
+       cluster member except the cluster minimum.
+    3. **Quality gate**: composite heuristic score ≥ ``quality_threshold``
+       (gate on the 6-dp ROUNDED score so the boundary is engine-exact).
+    4. **Deterministic sample**: md5-of-id gate at ``rate_16ths``/16.
+
+    Returns every non-text column of the input plus (n_tokens, quality)
+    for surviving documents (text is dropped — downstream tokenization
+    re-reads it by id; keeping it out of the result avoids shuffling
+    payloads through the joins).
+    """
+    keepers = dedup_ops.exact_dedup(docs, text_col, id_col).select(
+        F.col("keeper_id").alias(id_col)
+    )
+    sigs = dedup_ops.minhash_signatures(docs, num_hashes, shingle_n, text_col, id_col)
+    pairs = dedup_ops.lsh_candidate_pairs(sigs, bands, rows_per_band, id_col)
+    clusters = dedup_ops.dedup_clusters(pairs)
+    purge = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(id_col)
+
+    quality = text_ops.quality_score(docs, text_col, id_col).select(
+        id_col, "n_tokens", "quality"
+    )
+
+    survivors = (
+        sampling_ops.deterministic_sample(docs, rate_16ths, id_col)
+        .join(keepers, id_col, "semi")
+        .join(purge, id_col, "anti")
+        .join(quality, id_col)
+        .filter(F.col("quality") >= quality_threshold)
+    )
+    meta_cols = [c for c in docs.columns if c not in (id_col, text_col)]
+    return survivors.select(id_col, *meta_cols, "n_tokens", "quality")
