@@ -58,6 +58,9 @@ HEADLINE = [
     "dedup_clusters",
     "resample_1m",
     "multimodal_decode",
+    "seasonal_baseline",
+    "minhash_jaccard_est",
+    "clean_corpus",
 ]
 
 # repeated-run latency distribution for the reference's hot/cold point
