@@ -1066,10 +1066,16 @@ def q_contamination(spark, sf_dir):
 
 def q_pack_sequences(spark, sf_dir):
     """First-fit-decreasing sequence packing into 512-token bins per hash
-    group (greedy bin packing via applyInPandas — rows-only check;
-    capacity/determinism invariants in tests/test_packing.py)."""
+    group (greedy bin packing via applyInPandas).  md5 group hash + an
+    explicit regexp token count make every step ANSI-SQL-reproducible, so
+    the greedy placement hash-compares against a recursive-CTE oracle that
+    replays first-fit doc by doc; capacity/determinism invariants in
+    tests/test_packing.py."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "n_tok", F.size(F.expr(r"regexp_extract_all(text, '[^\\s]+', 0)"))
+    )
     return packing_ops.pack_sequences(
-        _t(spark, sf_dir, "documents"), max_tokens=512, num_groups=8
+        docs, max_tokens=512, num_groups=8, token_col="n_tok", group_hash="md5"
     )
 
 
@@ -1355,6 +1361,56 @@ def _clean_corpus_sql(quality_threshold=0.5, rate_16ths=4) -> str:
           AND doc_id NOT IN (SELECT doc_id FROM purge)
           AND {_quality_expr()} >= {quality_threshold}"""
     )
+
+
+def _pack_sequences_sql(cap=512, groups=8) -> str:
+    """pack_sequences oracle: a recursive CTE replays first-fit-decreasing
+    exactly — one doc per iteration per group in (n_tokens DESC, doc_id)
+    order, the running bin-fill list carried as a DuckDB LIST.  The md5
+    first-hex-digit group hash and regexp token count match the Spark
+    side's group_hash="md5" mode expression for expression."""
+    return f"""
+        WITH RECURSIVE
+        docs AS (
+          SELECT CAST((strpos('0123456789abcdef',
+                              substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1)
+                      % {groups} AS INT) AS pack_group,
+                 doc_id,
+                 CAST(len(regexp_extract_all(text, '[^\\s]+')) AS BIGINT)
+                     AS n_tokens
+          FROM documents),
+        ordered AS (
+          SELECT *, row_number() OVER (PARTITION BY pack_group
+                                       ORDER BY n_tokens DESC, doc_id) AS rn
+          FROM docs),
+        steps AS (
+          SELECT pack_group, rn, doc_id, n_tokens,
+                 0::BIGINT AS bin_id, [n_tokens] AS fills
+          FROM ordered WHERE rn = 1
+          UNION ALL
+          SELECT pack_group, rn, doc_id, n_tokens,
+                 CASE WHEN idx IS NULL THEN CAST(len(fills) AS BIGINT)
+                      ELSE CAST(idx - 1 AS BIGINT) END AS bin_id,
+                 CASE WHEN idx IS NULL THEN list_append(fills, n_tokens)
+                      ELSE list_concat(list_concat(
+                             fills[1:idx-1], [fills[idx] + n_tokens]),
+                             fills[idx+1:len(fills)]) END AS fills
+          FROM (SELECT s.pack_group, o.rn, o.doc_id, o.n_tokens, s.fills,
+                       NULLIF(list_position(list_transform(
+                         s.fills, f -> f + o.n_tokens <= {cap}), true), 0)
+                           AS idx
+                FROM steps s
+                JOIN ordered o ON o.pack_group = s.pack_group
+                              AND o.rn = s.rn + 1)),
+        final AS (
+          SELECT pack_group, fills FROM (
+            SELECT pack_group, fills,
+                   row_number() OVER (PARTITION BY pack_group
+                                      ORDER BY rn DESC) AS rk
+            FROM steps) WHERE rk = 1)
+        SELECT st.pack_group, st.doc_id, st.n_tokens, st.bin_id,
+               CAST(f.fills[CAST(st.bin_id AS INT) + 1] AS BIGINT) AS bin_fill
+        FROM steps st JOIN final f USING (pack_group)"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1958,6 +2014,7 @@ def oracle_sql() -> dict[str, str]:
                                      ELSE (-9223372036854775807 - 1) END)
                           ELSE 0 END)) AS BIGINT) AS simhash
             FROM counts""",
+        "pack_sequences": _pack_sequences_sql(cap=512, groups=8),
         "dedup_clusters": _dedup_clusters_sql(),
         "dedup_clusters_star": _dedup_clusters_sql(),
         "minhash_jaccard_est": (

@@ -26,11 +26,17 @@ def pack_sequences(
     token_col: str | None = None,
     text_col: str = "text",
     num_groups: int = 16,
+    group_hash: str = "xxhash64",
 ) -> DataFrame:
     """Assign each doc a ``(pack_group, bin_id)`` such that each bin's token
     total is ≤ ``max_tokens`` (docs longer than the budget get a bin of
-    their own — the caller truncates).  Deterministic: groups come from
-    xxhash64(id), packing order is (tokens desc, id).
+    their own — the caller truncates).  Deterministic: groups come from a
+    hash of the id, packing order is (tokens desc, id).
+
+    ``group_hash``: ``"xxhash64"`` (production — cheapest) or ``"md5"``
+    (first-hex-digit mod groups — reproducible in ANSI SQL, which lets the
+    whole greedy packing hash-compare against a recursive-CTE oracle that
+    replays first-fit step by step).
     """
     import pandas as pd
 
@@ -38,10 +44,16 @@ def pack_sequences(
         tokens = F.size(F.split(F.col(text_col), "\\s+"))
     else:
         tokens = F.col(token_col)
+    if group_hash == "md5":
+        grp = F.pmod(
+            F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 1), 16, 10)
+            .cast("int"),
+            F.lit(num_groups),
+        )
+    else:
+        grp = F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(num_groups))
     narrow = df.select(
-        F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(num_groups))
-        .cast("int")
-        .alias("pack_group"),
+        grp.cast("int").alias("pack_group"),
         F.col(id_col).cast("long").alias("doc_id"),
         tokens.cast("long").alias("n_tokens"),
     )
