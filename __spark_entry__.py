@@ -1087,6 +1087,21 @@ def q_ewma(spark, sf_dir):
     return ts_ops.ewma(e, "event_type", alpha=0.3, tiebreak="event_id")
 
 
+def q_gapfill_locf(spark, sf_dir):
+    """LOCF gap-fill onto a 5-minute grid per event_type (TimescaleDB
+    time_bucket_gapfill+locf parity) — pure built-in ops: sequence/explode
+    grid + last(ignorenulls) window; oracle is a DuckDB ASOF LEFT JOIN."""
+    e = _t(spark, sf_dir, "events").filter(F.col("ts_ms").between(T1, T2))
+    return ts_ops.gapfill_locf(e, "event_type", step_ms=300_000)
+
+
+def q_dup_spans(spark, sf_dir):
+    """Cross-document duplicate 8-token spans (window-granular exact
+    substring dedup signal, Lee et al. 2021) — one gram-partition count
+    window, one doc aggregation."""
+    return dedup_ops.duplicate_spans(_t(spark, sf_dir, "documents"), n=8)
+
+
 # --------------------------------------------------------------------------
 
 
@@ -1169,6 +1184,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         # ---- position 51+: r1-verified variants (moving_avg anchor and
         # the xxhash64 simhash twin were displaced to keep the window at 50)
+        # gapfill_locf / dup_spans are queued to rotate INTO the r3 window.
+        "gapfill_locf": q_gapfill_locf,
+        "dup_spans": q_dup_spans,
         "moving_avg": q_moving_avg,
         "simhash": q_simhash,
         "dedup_clusters_star": q_dedup_clusters_star,
@@ -2015,6 +2033,41 @@ def oracle_sql() -> dict[str, str]:
                           ELSE 0 END)) AS BIGINT) AS simhash
             FROM counts""",
         "pack_sequences": _pack_sequences_sql(cap=512, groups=8),
+        "gapfill_locf": f"""
+            WITH pts AS (
+              SELECT event_type, {_EV_MS} AS ts_ms, max(value) AS value
+              FROM events WHERE {_EV_MS} BETWEEN {T1} AND {T2}
+              GROUP BY 1, 2),
+            b AS (SELECT event_type,
+                         CAST(floor(min(ts_ms) / 300000) * 300000 AS BIGINT)
+                             AS lo,
+                         max(ts_ms) AS hi
+                  FROM pts GROUP BY 1),
+            grid AS (SELECT event_type,
+                            unnest(generate_series(lo, hi, 300000)) AS ts_ms
+                     FROM b)
+            SELECT g.event_type, g.ts_ms, p.value AS value_locf
+            FROM grid g ASOF LEFT JOIN pts p
+              ON g.event_type = p.event_type AND p.ts_ms <= g.ts_ms""",
+        "dup_spans": """
+            WITH g AS (
+              SELECT doc_id,
+                     unnest(list_distinct(
+                       CASE WHEN len(w) >= 8
+                       THEN list_transform(generate_series(1, len(w) - 7),
+                                           i -> array_to_string(w[i:i+7], ' '))
+                       ELSE [] END)) AS g
+              FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w
+                    FROM documents)),
+            c AS (SELECT doc_id,
+                         count(*) OVER (PARTITION BY g) AS gram_df
+                  FROM g)
+            SELECT doc_id, count(*) AS n_grams,
+                   CAST(sum(CASE WHEN gram_df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_dup_grams,
+                   round(sum(CASE WHEN gram_df >= 2 THEN 1 ELSE 0 END)
+                         / count(*), 6) AS dup_frac
+            FROM c GROUP BY doc_id""",
         "dedup_clusters": _dedup_clusters_sql(),
         "dedup_clusters_star": _dedup_clusters_sql(),
         "minhash_jaccard_est": (

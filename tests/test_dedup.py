@@ -130,3 +130,35 @@ def test_minhash_jaccard_estimates_bounds_and_identity(spark):
     # identical docs agree on every band, and every minhash component matches
     assert est[(1, 2)] == 1.0
     assert all(0.0 <= v <= 1.0 for v in est.values())
+
+
+def test_duplicate_spans_detects_shared_windows(spark):
+    """Docs 1/2 share an 8-token run; doc 3 is disjoint; a doc shorter than
+    n produces no grams and no row."""
+    from time_series_databse_engine_spark.operators.dedup import duplicate_spans
+
+    shared = "one two three four five six seven eight"
+    docs = [
+        (1, shared + " tail1 tail2"),
+        (2, "head0 " + shared),
+        (3, "alpha beta gamma delta epsilon zeta eta theta iota"),
+        (4, "too short"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in duplicate_spans(df, n=8).collect()}
+    assert 4 not in out
+    assert out[1].n_dup_grams == 1 and out[1].n_grams == 3
+    assert out[2].n_dup_grams == 1 and out[2].n_grams == 2
+    assert out[3].n_dup_grams == 0
+    assert out[1].dup_frac == round(1 / 3, 6)
+
+
+def test_duplicate_spans_hot_gram_cap(spark):
+    from time_series_databse_engine_spark.operators.dedup import duplicate_spans
+
+    boiler = "b1 b2 b3 b4 b5 b6 b7 b8"
+    docs = [(i, boiler) for i in range(5)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    # the boilerplate gram appears in 5 docs; cap at 4 drops it entirely
+    assert duplicate_spans(df, n=8, max_gram_df=4).count() == 0
+    assert duplicate_spans(df, n=8).filter("n_dup_grams = 1").count() == 5

@@ -156,3 +156,43 @@ def test_seasonal_baseline_profile_and_residuals(spark):
     assert by_phase[1] == {20.0}
     outlier = [r for r in out if r.value == 40.0][0]
     assert outlier.residual == 22.5
+
+
+def test_gapfill_locf_grid_carry_and_leading_null(spark):
+    """Grid spans floor(min/step)*step..max; values carry forward across
+    gaps; grid points before the first observation stay NULL; a real point
+    exactly on a grid slot wins the tie."""
+    from time_series_databse_engine_spark.operators.timeseries import gapfill_locf
+
+    rows = [
+        ("a", 150, 1.0),   # off-grid: grid starts at 100 (NULL), 200 carries 1.0
+        ("a", 400, 2.0),   # exactly on grid
+        ("a", 650, 3.0),
+        ("b", 100, 9.0),   # on-grid single point
+    ]
+    df = spark.createDataFrame(rows, "event_type string, ts_ms long, value double")
+    out = {
+        (r.event_type, r.ts_ms): r.value_locf
+        for r in gapfill_locf(df, "event_type", step_ms=100).collect()
+    }
+    assert out == {
+        ("a", 100): None,
+        ("a", 200): 1.0,
+        ("a", 300): 1.0,
+        ("a", 400): 2.0,
+        ("a", 500): 2.0,
+        ("a", 600): 2.0,
+        ("b", 100): 9.0,
+    }
+
+
+def test_gapfill_locf_duplicate_ts_collapses_deterministically(spark):
+    from time_series_databse_engine_spark.operators.timeseries import gapfill_locf
+
+    rows = [("a", 100, 5.0), ("a", 100, 7.0), ("a", 300, 1.0)]
+    df = spark.createDataFrame(rows, "event_type string, ts_ms long, value double")
+    out = {
+        r.ts_ms: r.value_locf
+        for r in gapfill_locf(df, "event_type", step_ms=100).collect()
+    }
+    assert out == {100: 7.0, 200: 7.0, 300: 1.0}  # max(value) wins the dup

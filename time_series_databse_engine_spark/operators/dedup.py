@@ -93,6 +93,55 @@ def jaccard_pairs(
     )
 
 
+def duplicate_spans(
+    df: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_gram_df: int | None = None,
+) -> DataFrame:
+    """Cross-document duplicate-span detection: for each doc, how many of
+    its distinct word ``n``-grams also appear in at least one OTHER doc —
+    a bucketed approximation of exact substring dedup (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better", which uses
+    a suffix array; sharing any length-``n`` token window is the same
+    signal at window granularity).
+
+    Shape: one explode, ONE gram-keyed exchange (a count window over the
+    gram partition replaces the count-then-join-back double shuffle), one
+    doc-keyed aggregation.  Grams never carry text payloads.
+    ``max_gram_df`` drops ultra-hot grams (boilerplate) the same way
+    ``jaccard_pairs`` cuts stopword tokens — at billions of docs that cap
+    bounds the widest gram partition.
+    """
+    words = F.split(F.lower(F.col(text_col)), "\\s+")
+    g = F.when(
+        F.size("ws") >= n,
+        F.expr(
+            f"transform(sequence(1, size(ws) - {n} + 1),"
+            f" i -> array_join(slice(ws, i, {n}), ' '))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = (
+        _parallelize(df)
+        .select(id_col, words.alias("ws"))
+        .select(id_col, F.explode(F.array_distinct(g)).alias("g"))
+    )
+    w = W.partitionBy("g")
+    tagged = grams.withColumn("gram_df", F.count("*").over(w))
+    if max_gram_df is not None:
+        tagged = tagged.filter(F.col("gram_df") <= max_gram_df)
+    dup = F.when(F.col("gram_df") >= 2, 1).otherwise(0)
+    return (
+        tagged.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(dup).alias("n_dup_grams"),
+        )
+        .withColumn("dup_frac", F.round(F.col("n_dup_grams") / F.col("n_grams"), 6))
+    )
+
+
 def shingle_array(n: int = 3, text_col: str = "text") -> F.Column:
     """Distinct n-word shingles of a document as an array column.
     Documents shorter than n words contribute their full text as one shingle."""

@@ -382,6 +382,49 @@ def resample_interpolate(
     return df.select(key, ts_ms, value).groupBy(key).applyInPandas(interp, schema=schema)
 
 
+def gapfill_locf(
+    df: DataFrame,
+    key: str,
+    step_ms: int,
+    ts_ms: str = "ts_ms",
+    value: str = "value",
+) -> DataFrame:
+    """Gap-fill each series to a regular ``step_ms`` grid, carrying the
+    last observation forward (TimescaleDB ``time_bucket_gapfill`` +
+    ``locf`` semantics; grid points before the first observation stay
+    NULL).  Entirely built-in JVM ops — ``sequence``+``explode`` builds
+    the grid, real observations union in beneath their grid slots, and one
+    ``last(ignorenulls)`` window per series does the carry; no Python in
+    the path.
+
+    Duplicate timestamps within a series collapse with ``max(value)``
+    first so the carried value is deterministic.  Scale shape: the grid is
+    |series| × buckets (tiny), the fact table shuffles once on the series
+    key for the window — the same single exchange every other window op
+    here pays.
+    """
+    pts = df.groupBy(key, ts_ms).agg(F.max(value).alias(value))
+    lo = (F.floor(F.min(ts_ms) / step_ms) * step_ms).cast("long")
+    bounds = pts.groupBy(key).agg(lo.alias("lo"), F.max(ts_ms).alias("hi"))
+    grid = bounds.select(
+        key,
+        F.explode(F.sequence("lo", "hi", F.lit(step_ms).cast("long"))).alias(ts_ms),
+        F.lit(1).alias("is_grid"),
+        F.lit(None).cast("double").alias(value),
+    )
+    union = pts.withColumn("is_grid", F.lit(0)).unionByName(grid)
+    w = (
+        W.partitionBy(key)
+        .orderBy(ts_ms, "is_grid")  # real row wins a tie with its grid slot
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        union.withColumn("value_locf", F.last(value, ignorenulls=True).over(w))
+        .filter(F.col("is_grid") == 1)
+        .select(key, ts_ms, "value_locf")
+    )
+
+
 def seasonal_baseline(
     df: DataFrame,
     keys: list[str],
