@@ -1095,6 +1095,15 @@ def q_gapfill_locf(spark, sf_dir):
     return ts_ops.gapfill_locf(e, "event_type", step_ms=300_000)
 
 
+def q_lttb(spark, sf_dir):
+    """LTTB visualization downsampling to 50 points per series
+    (TimescaleDB lttb hyperfunction parity; Steinarsson 2013).  The
+    sequential per-bucket pick recursion is replayed exactly by a DuckDB
+    recursive CTE, so this hash-compares despite being applyInPandas."""
+    e = _t(spark, sf_dir, "events").filter(F.col("ts_ms").between(T1, T2))
+    return ts_ops.lttb(e, "event_type", n_out=50)
+
+
 def q_dup_spans(spark, sf_dir):
     """Cross-document duplicate 8-token spans (window-granular exact
     substring dedup signal, Lee et al. 2021) — one gram-partition count
@@ -1187,6 +1196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # gapfill_locf / dup_spans are queued to rotate INTO the r3 window.
         "gapfill_locf": q_gapfill_locf,
         "dup_spans": q_dup_spans,
+        "lttb": q_lttb,
         "moving_avg": q_moving_avg,
         "simhash": q_simhash,
         "dedup_clusters_star": q_dedup_clusters_star,
@@ -1379,6 +1389,68 @@ def _clean_corpus_sql(quality_threshold=0.5, rate_16ths=4) -> str:
           AND doc_id NOT IN (SELECT doc_id FROM purge)
           AND {_quality_expr()} >= {quality_threshold}"""
     )
+
+
+def _lttb_sql(n_out=50) -> str:
+    """lttb oracle: recursive CTE advancing one bucket per iteration per
+    series, carrying the previously picked (x, y) as the triangle anchor.
+    Arithmetic mirrors operators/timeseries.py:lttb exactly — integer
+    floor-division bucketing, exact integer-x centroids, 6-dp-quantized
+    centroid y, the same IEEE area expression, first-max tie-break."""
+    nb = n_out - 2
+    area = (
+        "abs((ax0 - bx) * (cy[t] - ay0) - (ax0 - cx[t]) * (by - ay0))"
+    )
+    return f"""
+        WITH RECURSIVE
+        pts AS (
+          SELECT event_type AS k, {_EV_MS} AS x, max(value) AS y
+          FROM events WHERE {_EV_MS} BETWEEN {T1} AND {T2} GROUP BY 1, 2),
+        idx AS (
+          SELECT k, x, y,
+                 CAST(row_number() OVER (PARTITION BY k ORDER BY x) - 1
+                      AS BIGINT) AS i,
+                 count(*) OVER (PARTITION BY k) AS n
+          FROM pts),
+        small AS (SELECT k, x, y FROM idx WHERE n <= {n_out}),
+        big AS (SELECT * FROM idx WHERE n > {n_out}),
+        mid AS (
+          SELECT k, x, y, ((i - 1) * {nb}) // (n - 2) AS b
+          FROM big WHERE i >= 1 AND i <= n - 2),
+        buckets AS (
+          SELECT k, b, list(x ORDER BY x) AS cx, list(y ORDER BY x) AS cy,
+                 avg(x) AS mx, round(avg(y), 6) AS my
+          FROM mid GROUP BY k, b),
+        lastpt AS (SELECT k, x AS lx, y AS ly FROM big WHERE i = n - 1),
+        nbmax AS (SELECT k, max(b) AS bmax FROM buckets GROUP BY k),
+        sel AS (
+          SELECT k, CAST(-1 AS BIGINT) AS b, CAST(x AS DOUBLE) AS ax, y AS ay
+          FROM big WHERE i = 0
+          UNION ALL
+          SELECT k, b, CAST(cx[pos] AS DOUBLE) AS ax, cy[pos] AS ay FROM (
+            SELECT k, b, cx, cy,
+                   NULLIF(list_position(areas,
+                            list_aggregate(areas, 'max')), 0) AS pos
+            FROM (
+              SELECT k, b, cx, cy,
+                     list_transform(generate_series(1, len(cx)),
+                                    t -> {area}) AS areas
+              FROM (
+                SELECT s.k, c.b, c.cx, c.cy, s.ax AS ax0, s.ay AS ay0,
+                       CASE WHEN c.b < m.bmax THEN c2.mx
+                            ELSE CAST(lp.lx AS DOUBLE) END AS bx,
+                       CASE WHEN c.b < m.bmax THEN c2.my ELSE lp.ly END AS by
+                FROM sel s
+                JOIN buckets c ON c.k = s.k AND c.b = s.b + 1
+                JOIN nbmax m   ON m.k = s.k
+                JOIN lastpt lp ON lp.k = s.k
+                LEFT JOIN buckets c2 ON c2.k = s.k AND c2.b = s.b + 2))))
+        SELECT k AS event_type, CAST(x AS BIGINT) AS ts_ms, y AS value FROM (
+          SELECT k, x, y FROM small
+          UNION ALL
+          SELECT k, CAST(ax AS BIGINT) AS x, ay AS y FROM sel
+          UNION ALL
+          SELECT k, lx AS x, ly AS y FROM lastpt)"""
 
 
 def _pack_sequences_sql(cap=512, groups=8) -> str:
@@ -2033,6 +2105,7 @@ def oracle_sql() -> dict[str, str]:
                           ELSE 0 END)) AS BIGINT) AS simhash
             FROM counts""",
         "pack_sequences": _pack_sequences_sql(cap=512, groups=8),
+        "lttb": _lttb_sql(n_out=50),
         "gapfill_locf": f"""
             WITH pts AS (
               SELECT event_type, {_EV_MS} AS ts_ms, max(value) AS value

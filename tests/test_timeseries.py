@@ -196,3 +196,27 @@ def test_gapfill_locf_duplicate_ts_collapses_deterministically(spark):
         for r in gapfill_locf(df, "event_type", step_ms=100).collect()
     }
     assert out == {100: 7.0, 200: 7.0, 300: 1.0}  # max(value) wins the dup
+
+
+def test_lttb_endpoints_count_and_pick(spark):
+    """Endpoints always kept, output size = n_out, and the bucket pick is
+    the point with the largest triangle area (planted spike wins)."""
+    from time_series_databse_engine_spark.operators.timeseries import lttb
+
+    rows = [("m", i * 100, 1.0) for i in range(20)]
+    rows[7] = ("m", 700, 50.0)  # spike inside one middle bucket
+    df = spark.createDataFrame(rows, "event_type string, ts_ms long, value double")
+    out = lttb(df, "event_type", n_out=6).orderBy("ts_ms").collect()
+    assert len(out) == 6
+    ts = [r.ts_ms for r in out]
+    assert ts[0] == 0 and ts[-1] == 1900
+    assert 700 in ts  # the spike is picked
+
+
+def test_lttb_passthrough_small_series(spark):
+    from time_series_databse_engine_spark.operators.timeseries import lttb
+
+    rows = [("m", i * 100, float(i)) for i in range(5)]
+    df = spark.createDataFrame(rows, "event_type string, ts_ms long, value double")
+    out = lttb(df, "event_type", n_out=10).orderBy("ts_ms").collect()
+    assert [(r.ts_ms, r.value) for r in out] == [(i * 100, float(i)) for i in range(5)]

@@ -425,6 +425,70 @@ def gapfill_locf(
     )
 
 
+def lttb(
+    df: DataFrame,
+    key: str,
+    n_out: int,
+    ts_ms: str = "ts_ms",
+    value: str = "value",
+) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013) —
+    the standard TSDB visualization downsampler (TimescaleDB ``lttb``
+    hyperfunction parity).  Keeps first and last point per series, splits
+    the middle into ``n_out - 2`` buckets, and per bucket picks the point
+    forming the largest triangle with the previous pick and the next
+    bucket's centroid.  Series with ≤ ``n_out`` points pass through.
+
+    The pick is sequential per series → ``applyInPandas``.  Cross-engine
+    determinism: duplicate timestamps collapse with max(value) first,
+    bucket index uses integer floor division, the centroid y is quantized
+    to 6 dp, the area expression is the same IEEE double expression the
+    SQL oracle evaluates, and ties take the earliest point (np.argmax).
+
+    Scale shape: one shuffle on the series key; each series must fit a
+    worker (LTTB is inherently sequential per series — at 100 TB you
+    LTTB per (series, day) chunk and stitch, same as any per-series op).
+    """
+    import numpy as np
+    import pandas as pd
+
+    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = (
+            pdf.groupby(ts_ms, as_index=False)
+            .agg({value: "max", key: "first"})
+            .sort_values(ts_ms)
+            .reset_index(drop=True)
+        )
+        n = len(pdf)
+        if n <= n_out:
+            return pdf[[key, ts_ms, value]]
+        xs = pdf[ts_ms].to_numpy(dtype="float64")
+        ys = pdf[value].to_numpy(dtype="float64")
+        nb = n_out - 2
+        # middle points 1..n-2 → local j = i-1 in [0, n-3]; bucket k = j*nb // (n-2)
+        j = np.arange(n - 2, dtype="int64")
+        bucket = (j * nb) // (n - 2)
+        sel = [0]
+        for k in range(nb):
+            cand = np.where(bucket == k)[0] + 1  # global indices of bucket k
+            if k < nb - 1:
+                nxt = np.where(bucket == k + 1)[0] + 1
+                bx = float(np.mean(xs[nxt]))
+                by = round(float(np.mean(ys[nxt])), 6)
+            else:
+                bx, by = float(xs[n - 1]), float(ys[n - 1])
+            ax, ay = float(xs[sel[-1]]), float(ys[sel[-1]])
+            area = np.abs(
+                (ax - bx) * (ys[cand] - ay) - (ax - xs[cand]) * (by - ay)
+            )
+            sel.append(int(cand[int(np.argmax(area))]))
+        sel.append(n - 1)
+        return pdf.iloc[sel][[key, ts_ms, value]]
+
+    schema = f"{key} string, {ts_ms} long, {value} double"
+    return df.select(key, ts_ms, value).groupBy(key).applyInPandas(pick, schema=schema)
+
+
 def seasonal_baseline(
     df: DataFrame,
     keys: list[str],
