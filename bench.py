@@ -61,6 +61,9 @@ HEADLINE = [
     "seasonal_baseline",
     "minhash_jaccard_est",
     "clean_corpus",
+    "gapfill_locf",
+    "lttb",
+    "dup_spans",
 ]
 
 # repeated-run latency distribution for the reference's hot/cold point

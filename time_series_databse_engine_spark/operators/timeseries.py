@@ -398,12 +398,19 @@ def gapfill_locf(
     the path.
 
     Duplicate timestamps within a series collapse with ``max(value)``
-    first so the carried value is deterministic.  Scale shape: the grid is
-    |series| × buckets (tiny), the fact table shuffles once on the series
-    key for the window — the same single exchange every other window op
-    here pays.
+    first so the carried value is deterministic.  Scale shape: the fact
+    table moves twice — one explicit repartition on the series key that
+    the (key, ts) collapse AND the per-series bounds agg both reuse
+    (hash(key) clusters every (key, ts) group, so neither re-exchanges),
+    then the carry window's own exchange after the grid unions in; the
+    grid itself is |series| × buckets rows (tiny).
     """
-    pts = df.groupBy(key, ts_ms).agg(F.max(value).alias(value))
+    pts = (
+        df.select(key, ts_ms, value)
+        .repartition(F.col(key))
+        .groupBy(key, ts_ms)
+        .agg(F.max(value).alias(value))
+    )
     lo = (F.floor(F.min(ts_ms) / step_ms) * step_ms).cast("long")
     bounds = pts.groupBy(key).agg(lo.alias("lo"), F.max(ts_ms).alias("hi"))
     grid = bounds.select(
