@@ -482,6 +482,35 @@ def q_asof_join_forward(spark, sf_dir):
     )
 
 
+def q_asof_join_nearest(spark, sf_dir):
+    """Nearest as-of join: each purchase matched to the user's CLOSEST
+    click on either side (tie prefers backward) — completes the direction
+    trilogy; still one exchange, two in-partition window sorts."""
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_ms"
+    )
+    clicks = _t(spark, sf_dir, "events").filter(F.col("event_type") == "click").select(
+        "user_id", "ts_ms", "value"
+    )
+    joined = asof_ops.asof_join(
+        purchases,
+        clicks,
+        on="ts_ms",
+        by=["user_id"],
+        right_cols=["value"],
+        suffix="_click",
+        direction="nearest",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts_ms",
+        F.col("ts_ms_click").alias("click_ts_ms"),
+        F.round("value_click", 6).alias("click_value"),
+    )
+
+
 def q_doc_chunks(spark, sf_dir):
     """Fixed-size token chunking for LLM context windows."""
     return text_ops.chunk_documents(_t(spark, sf_dir, "documents"), chunk_size=50)
@@ -1229,6 +1258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_ngram": q_lang_id_ngram,
         "sql_supplier_revenue": q_sql_supplier_revenue,
         "asof_join_forward": q_asof_join_forward,
+        "asof_join_nearest": q_asof_join_nearest,
         "doc_chunks": q_doc_chunks,
         "series_trend": q_series_trend,
         "redact_pii": q_redact_pii,
@@ -1667,6 +1697,23 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT * FROM events WHERE event_type = 'purchase') p
             ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
               ON p.user_id = c.user_id AND p.ts <= c.ts""",
+        "asof_join_nearest": """
+            WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+            c AS (SELECT * FROM events WHERE event_type = 'click'),
+            b AS (SELECT p.event_id, epoch_ms(c.ts) AS bts, c.value AS bval
+                  FROM p ASOF LEFT JOIN c
+                    ON p.user_id = c.user_id AND p.ts >= c.ts),
+            f AS (SELECT p.event_id, epoch_ms(c.ts) AS fts, c.value AS fval
+                  FROM p ASOF LEFT JOIN c
+                    ON p.user_id = c.user_id AND p.ts <= c.ts)
+            SELECT p.event_id, p.user_id, epoch_ms(p.ts) AS ts_ms,
+                   CASE WHEN bts IS NOT NULL AND (fts IS NULL OR
+                             epoch_ms(p.ts) - bts <= fts - epoch_ms(p.ts))
+                        THEN bts ELSE fts END AS click_ts_ms,
+                   round(CASE WHEN bts IS NOT NULL AND (fts IS NULL OR
+                                   epoch_ms(p.ts) - bts <= fts - epoch_ms(p.ts))
+                              THEN bval ELSE fval END, 6) AS click_value
+            FROM p JOIN b USING (event_id) JOIN f USING (event_id)""",
         "first_last_per_series": f"""
             SELECT event_type,
                    min({_EV_MS}) AS first_ts_ms, max({_EV_MS}) AS last_ts_ms,
