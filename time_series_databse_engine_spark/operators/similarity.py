@@ -113,39 +113,75 @@ def ivf_topk(
     production), then score each query only against its ``n_probe`` nearest
     cells.
 
-    Scale shape: candidate table is scanned once to assign cells (broadcast
-    centroids), the probe join is an equi-join on cell id — candidate volume
-    drops to ~n_probe/n_cells of N versus brute force, and the shuffle key
-    is the cell id, not the pair.
+    Scale shape: candidate table is scanned once to assign cells — the
+    centroid set rides along as ONE broadcast array row and the nearest
+    cell is an argmax fold over it, so assignment costs ZERO exchanges and
+    never multiplies candidate rows (the old crossJoin+rank shape pushed
+    n_cells× the corpus through a shuffle just to keep rank 1).  The probe
+    join is an equi-join on cell id — candidate volume drops to
+    ~n_probe/n_cells of N versus brute force, and the shuffle key is the
+    cell id, not the pair.
     """
     # per-vector norms hoisted out of the per-pair scoring (see cosine_topk)
-    cents = F.broadcast(
+    cents = (
         embeddings.orderBy(id_col).limit(n_cells)
         .select(F.col(id_col).alias("cell_id"), as_double(vec_col).alias("cent"))
         .withColumn("cent_n", norm(F.col("cent")))
     )
+    cells_row = F.broadcast(
+        cents.agg(F.collect_list(F.struct("cell_id", "cent", "cent_n")).alias("_cells"))
+    )
 
-    def nearest_cells(df, vec, vec_n, n):
-        scored = df.crossJoin(cents).select(
-            "*", (dot(vec, F.col("cent")) / (vec_n * F.col("cent_n"))).alias("_csim")
+    def assign_nearest(df, vec, vec_n):
+        """Nearest cell per row via transform+fold over the broadcast
+        centroid array: same (sim DESC, cell_id ASC) choice as a rank-1
+        window — the tie rule is explicit so collect_list order is
+        irrelevant — with no row multiplication and no exchange."""
+        sims = F.transform(
+            "_cells",
+            lambda cell: F.struct(
+                (dot(vec, cell["cent"]) / (vec_n * cell["cent_n"])).alias("s"),
+                cell["cell_id"].alias("cell_id"),
+            ),
         )
-        w = W.partitionBy(df.columns[0]).orderBy(
-            F.col("_csim").desc(), F.col("cell_id").asc()
+        best = F.aggregate(
+            sims,
+            F.struct(
+                F.lit(-2.0).alias("s"), F.lit(-1).cast("long").alias("cell_id")
+            ),
+            lambda acc, x: F.when(
+                (x["s"] > acc["s"])
+                | ((x["s"] == acc["s"]) & (x["cell_id"] < acc["cell_id"])),
+                x,
+            ).otherwise(acc),
         )
         return (
-            scored.withColumn("_crank", F.row_number().over(w))
-            .filter(F.col("_crank") <= n)
-            .drop("cent", "cent_n", "_csim", "_crank")
+            df.crossJoin(cells_row)  # one-row broadcast: array column ride-along
+            .withColumn("cell_id", best["cell_id"])
+            .drop("_cells")
         )
 
     c = embeddings.select(
         F.col(id_col).alias("cand_id"), as_double(vec_col).alias("cvec")
     ).withColumn("cn", norm(F.col("cvec")))
-    c_assigned = nearest_cells(c, F.col("cvec"), F.col("cn"), 1)
+    c_assigned = assign_nearest(c, F.col("cvec"), F.col("cn"))
+
+    # query side: n_probe cells per query — tiny input, rank window is fine
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(vec_col).alias("qvec")
     ).withColumn("qn", norm(F.col("qvec")))
-    q_probes = nearest_cells(q, F.col("qvec"), F.col("qn"), n_probe)
+    q_scored = q.crossJoin(F.broadcast(cents)).select(
+        "*",
+        (dot(F.col("qvec"), F.col("cent")) / (F.col("qn") * F.col("cent_n"))).alias(
+            "_csim"
+        ),
+    )
+    wq = W.partitionBy("query_id").orderBy(F.col("_csim").desc(), F.col("cell_id").asc())
+    q_probes = (
+        q_scored.withColumn("_crank", F.row_number().over(wq))
+        .filter(F.col("_crank") <= n_probe)
+        .drop("cent", "cent_n", "_csim", "_crank")
+    )
 
     scored = (
         c_assigned.join(F.broadcast(q_probes), "cell_id")
