@@ -1140,6 +1140,19 @@ def q_dup_spans(spark, sf_dir):
     return dedup_ops.duplicate_spans(_t(spark, sf_dir, "documents"), n=8)
 
 
+def q_mad_anomaly(spark, sf_dir):
+    """Robust MAD-based anomaly flags (median ± 3·1.4826·MAD per series) —
+    one exchange, two same-partitioning percentile windows."""
+    e = _t(spark, sf_dir, "events").filter(F.col("ts_ms").between(T1, T2))
+    return ts_ops.mad_anomalies(e, ["event_type"])
+
+
+def q_top_ngrams(spark, sf_dir):
+    """Corpus-global top-20 bigrams with total and document frequency —
+    vocabulary/boilerplate profiling for tokenizer and dedup tuning."""
+    return text_ops.top_ngrams(_t(spark, sf_dir, "documents"), n=2, k=20)
+
+
 # --------------------------------------------------------------------------
 
 
@@ -1226,6 +1239,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_locf": q_gapfill_locf,
         "dup_spans": q_dup_spans,
         "lttb": q_lttb,
+        "mad_anomaly": q_mad_anomaly,
+        "top_ngrams": q_top_ngrams,
         "moving_avg": q_moving_avg,
         "simhash": q_simhash,
         "dedup_clusters_star": q_dedup_clusters_star,
@@ -2153,6 +2168,37 @@ def oracle_sql() -> dict[str, str]:
             FROM counts""",
         "pack_sequences": _pack_sequences_sql(cap=512, groups=8),
         "lttb": _lttb_sql(n_out=50),
+        "mad_anomaly": f"""
+            WITH base AS (
+              SELECT event_type, {_EV_MS} AS ts_ms, value
+              FROM events WHERE {_EV_MS} BETWEEN {T1} AND {T2}),
+            med AS (SELECT event_type,
+                           round(quantile_cont(value, 0.5), 6) AS med
+                    FROM base GROUP BY 1),
+            dev AS (SELECT b.event_type, b.ts_ms, b.value, m.med,
+                           abs(b.value - m.med) AS d
+                    FROM base b JOIN med m USING (event_type)),
+            mad AS (SELECT event_type,
+                           round(quantile_cont(d, 0.5), 6) AS mad
+                    FROM dev GROUP BY 1)
+            SELECT d.event_type, d.ts_ms, d.value, d.med, m.mad,
+                   d.d > 3.0 * 1.4826 * m.mad AS is_anomaly
+            FROM dev d JOIN mad m USING (event_type)""",
+        "top_ngrams": """
+            WITH ex AS (
+              SELECT doc_id,
+                     unnest(CASE WHEN len(w) >= 2
+                       THEN list_transform(generate_series(1, len(w) - 1),
+                                           i -> array_to_string(w[i:i+1], ' '))
+                       ELSE [] END) AS g
+              FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w
+                    FROM documents)),
+            pd AS (SELECT doc_id, g, count(*) AS c FROM ex GROUP BY 1, 2)
+            SELECT g, CAST(sum(c) AS BIGINT) AS total_count,
+                   count(*) AS doc_freq
+            FROM pd GROUP BY g
+            ORDER BY total_count DESC, g ASC
+            LIMIT 20""",
         "gapfill_locf": f"""
             WITH pts AS (
               SELECT event_type, {_EV_MS} AS ts_ms, max(value) AS value

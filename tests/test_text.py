@@ -191,3 +191,21 @@ def test_unigram_logprob_ranks_rare_below_common(spark):
     assert {k: (v.n_tokens, v.avg_logprob) for k, v in out.items()} == {
         k: (v.n_tokens, v.avg_logprob) for k, v in again.items()
     }
+
+
+def test_top_ngrams_counts_and_order(spark):
+    from time_series_databse_engine_spark.operators.text import top_ngrams
+
+    docs = [
+        (1, "a b a b c"),      # "a b" x2, "b a" x1, "b c" x1
+        (2, "a b x y"),        # "a b" x1
+        (3, "z"),              # too short for bigrams
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = top_ngrams(df, n=2, k=3).collect()
+    assert [r.g for r in out] == ["a b", "a b x", "b a"] or out[0].g == "a b"
+    top = out[0]
+    assert top.g == "a b" and top.total_count == 3 and top.doc_freq == 2
+    # deterministic tie order: count desc, gram asc
+    ties = [r.g for r in out[1:]]
+    assert ties == sorted(ties)

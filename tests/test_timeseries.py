@@ -220,3 +220,18 @@ def test_lttb_passthrough_small_series(spark):
     df = spark.createDataFrame(rows, "event_type string, ts_ms long, value double")
     out = lttb(df, "event_type", n_out=10).orderBy("ts_ms").collect()
     assert [(r.ts_ms, r.value) for r in out] == [(i * 100, float(i)) for i in range(5)]
+
+
+def test_mad_anomalies_robust_to_outlier(spark):
+    """One huge outlier: MAD flags it while leaving the baseline points
+    unflagged (a mean/stddev z-score would inflate sigma instead)."""
+    from time_series_databse_engine_spark.operators.timeseries import mad_anomalies
+
+    rows = [("m", i * 1000, 10.0 + (i % 3) * 0.1) for i in range(20)]
+    rows.append(("m", 20_000, 1000.0))
+    df = spark.createDataFrame(rows, "event_type string, ts_ms long, value double")
+    out = mad_anomalies(df, ["event_type"]).collect()
+    flagged = {r.ts_ms for r in out if r.is_anomaly}
+    assert flagged == {20_000}
+    meds = {r.med for r in out}
+    assert len(meds) == 1 and abs(next(iter(meds)) - 10.1) < 1e-9

@@ -534,3 +534,44 @@ def unigram_logprob(
         F.count("*").alias("n_tokens"),
         F.round(F.avg("lp"), 6).alias("avg_logprob"),
     )
+
+
+def top_ngrams(
+    df: DataFrame,
+    n: int = 2,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-global most-frequent word ``n``-grams (with document
+    frequency) — the vocabulary/boilerplate profiling step of a training
+    pipeline (what tokenizer merges and dedup caps should target).
+
+    Shape: one explode (grams kept per occurrence for the total count,
+    distinct-per-doc tagged inline for the doc frequency), one gram-keyed
+    partial-aggregated shuffle whose output is vocabulary-sized, then a
+    global top-k (TakeOrderedAndProject).  Deterministic order: count
+    DESC, gram ASC.
+    """
+    words = F.split(F.lower(F.col(text_col)), "\\s+")
+    g = F.when(
+        F.size("ws") >= n,
+        F.expr(
+            f"transform(sequence(1, size(ws) - {n} + 1),"
+            f" i -> array_join(slice(ws, i, {n}), ' '))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = (
+        df.select(id_col, words.alias("ws"))
+        .select(id_col, F.explode(g).alias("g"))
+    )
+    per_doc = exploded.groupBy(id_col, "g").agg(F.count("*").alias("c"))
+    return (
+        per_doc.groupBy("g")
+        .agg(
+            F.sum("c").alias("total_count"),
+            F.count("*").alias("doc_freq"),
+        )
+        .orderBy(F.col("total_count").desc(), F.col("g").asc())
+        .limit(k)
+    )

@@ -382,6 +382,41 @@ def resample_interpolate(
     return df.select(key, ts_ms, value).groupBy(key).applyInPandas(interp, schema=schema)
 
 
+def mad_anomalies(
+    df: DataFrame,
+    keys: list[str],
+    ts_ms: str = "ts_ms",
+    value: str = "value",
+    n_sigmas: float = 3.0,
+) -> DataFrame:
+    """Robust anomaly detection: flag points whose absolute deviation from
+    the per-series MEDIAN exceeds ``n_sigmas`` × 1.4826 × MAD (median
+    absolute deviation; 1.4826 scales MAD to σ under normality).  Unlike
+    the mean/stddev z-score (``zscore_anomalies``), one huge outlier can't
+    inflate its own baseline.
+
+    Shape: ONE exchange on the series key — the median and the MAD are
+    exact ``percentile`` aggregates over two Window nodes that share the
+    same partitioning (no order needed for an unbounded frame), so
+    Catalyst plans a single shuffle.  Both medians are quantized to 6 dp
+    before the deviation/threshold math so results are reproducible
+    across engines and partitionings.
+    """
+    w = W.partitionBy(*keys)
+    med = F.round(F.expr(f"percentile({value}, 0.5)").over(w), 6)
+    with_med = df.select(
+        *keys, F.col(ts_ms), F.col(value), med.alias("med")
+    ).withColumn("dev", F.abs(F.col(value) - F.col("med")))
+    mad = F.round(F.expr("percentile(dev, 0.5)").over(w), 6)
+    return (
+        with_med.withColumn("mad", mad)
+        .withColumn(
+            "is_anomaly", F.col("dev") > F.lit(n_sigmas) * F.lit(1.4826) * F.col("mad")
+        )
+        .drop("dev")
+    )
+
+
 def gapfill_locf(
     df: DataFrame,
     key: str,
