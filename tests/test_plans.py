@@ -140,3 +140,41 @@ def test_kmeans_never_shuffles_pairs(spark, sf_dir):
     p = simple_plan(kmeans_lloyd(emb, k=4, iters=1))
     assert "CartesianProduct" not in p
     assert "BroadcastExchange" in p  # centroids move to the data, not vice versa
+
+
+def test_gapfill_locf_two_exchanges(spark, sf_dir):
+    """Collapse + bounds reuse one explicit series-key exchange; only the
+    carry window re-shuffles after the grid unions in."""
+    from time_series_databse_engine_spark.operators.timeseries import gapfill_locf
+    from time_series_databse_engine_spark.plans import num_shuffle_exchanges
+
+    e = load_table(spark, sf_dir, "events").filter("ts_ms between 0 and 2000000000000")
+    assert num_shuffle_exchanges(gapfill_locf(e, "event_type", 300_000)) <= 2
+
+
+def test_ivf_assignment_never_multiplies_corpus(spark, sf_dir):
+    """Cell assignment is a broadcast-array fold: the candidate side must
+    not plan a per-centroid row explosion (crossJoin with the 16-row
+    centroid table followed by a rank window on cand_id)."""
+    from time_series_databse_engine_spark.operators.similarity import ivf_topk
+    from time_series_databse_engine_spark.plans import num_shuffle_exchanges, simple_plan
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    df = ivf_topk(emb, emb.filter("vec_id < 5"), k=5)
+    p = simple_plan(df)
+    assert "CartesianProduct" not in p
+    # windows: query probe rank + final top-k only — no cand_id rank window
+    import re
+
+    window_nodes = re.findall(r"[+:]- Window ", p)
+    assert len(window_nodes) <= 2
+    assert num_shuffle_exchanges(df) <= 6
+
+
+def test_mad_anomaly_single_series_exchange(spark, sf_dir):
+    """Median and MAD percentile windows share one series partitioning."""
+    from time_series_databse_engine_spark.operators.timeseries import mad_anomalies
+    from time_series_databse_engine_spark.plans import num_shuffle_exchanges
+
+    e = load_table(spark, sf_dir, "events")
+    assert num_shuffle_exchanges(mad_anomalies(e, ["event_type"])) == 1
