@@ -1140,6 +1140,15 @@ def q_dup_spans(spark, sf_dir):
     return dedup_ops.duplicate_spans(_t(spark, sf_dir, "documents"), n=8)
 
 
+def q_holt(spark, sf_dir):
+    """Holt level+trend smoothing per series (α=0.5, β=0.2) — the
+    recursive-CTE oracle replays both coupled recursions step by step."""
+    e = _t(spark, sf_dir, "events").filter(F.col("ts_ms").between(T1, T2))
+    return ts_ops.holt_smoothing(
+        e, "event_type", alpha=0.5, beta=0.2, tiebreak="event_id"
+    )
+
+
 def q_mad_anomaly(spark, sf_dir):
     """Robust MAD-based anomaly flags (median ± 3·1.4826·MAD per series) —
     one exchange, two same-partitioning percentile windows."""
@@ -1241,6 +1250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lttb": q_lttb,
         "mad_anomaly": q_mad_anomaly,
         "top_ngrams": q_top_ngrams,
+        "holt_smoothing": q_holt,
         "moving_avg": q_moving_avg,
         "simhash": q_simhash,
         "dedup_clusters_star": q_dedup_clusters_star,
@@ -2309,6 +2319,32 @@ def oracle_sql() -> dict[str, str]:
               FROM base b JOIN rec r ON b.event_type = r.event_type AND b.rn = r.rn + 1
             )
             SELECT event_type, ts_ms, event_id, value, round(s, 6) AS ewma FROM rec""",
+        "holt_smoothing": f"""
+            WITH RECURSIVE base AS (
+              SELECT event_type, {_EV_MS} AS ts_ms, event_id, value,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY {_EV_MS}, event_id) AS rn
+              FROM events WHERE {_EV_MS} BETWEEN {T1} AND {T2}
+            ), rec AS (
+              SELECT event_type, ts_ms, event_id, value, rn,
+                     value AS l, 0.0::DOUBLE AS b
+              FROM base WHERE rn = 1
+              UNION ALL
+              SELECT event_type, ts_ms, event_id, value, rn, lnew AS l,
+                     {0.2!r}::DOUBLE * (lnew - lprev)
+                       + {1.0 - 0.2!r}::DOUBLE * bprev AS b
+              FROM (
+                SELECT nb.event_type, nb.ts_ms, nb.event_id, nb.value, nb.rn,
+                       {0.5!r}::DOUBLE * nb.value
+                         + {1.0 - 0.5!r}::DOUBLE * (r.l + r.b) AS lnew,
+                       r.l AS lprev, r.b AS bprev
+                FROM base nb JOIN rec r
+                  ON nb.event_type = r.event_type AND nb.rn = r.rn + 1)
+            )
+            SELECT event_type, ts_ms, event_id, value,
+                   round(l, 6) AS level, round(b, 6) AS trend,
+                   round(l + b, 6) AS forecast
+            FROM rec""",
         "resample_1m": f"""
             WITH e AS (
               SELECT event_type, ts_ms, min(value) AS value

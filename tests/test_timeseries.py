@@ -235,3 +235,36 @@ def test_mad_anomalies_robust_to_outlier(spark):
     assert flagged == {20_000}
     meds = {r.med for r in out}
     assert len(meds) == 1 and abs(next(iter(meds)) - 10.1) < 1e-9
+
+
+def test_holt_constant_and_ramp(spark):
+    """Constant series: level == the constant, trend == 0 forever.  Linear
+    ramp: the explicit recursion matches a Python replay exactly."""
+    from time_series_databse_engine_spark.operators.timeseries import holt_smoothing
+
+    const = [("c", i * 1000, 5.0) for i in range(10)]
+    ramp = [("r", i * 1000, float(i)) for i in range(10)]
+    df = spark.createDataFrame(
+        const + ramp, "event_type string, ts_ms long, value double"
+    )
+    out = holt_smoothing(df, "event_type", alpha=0.5, beta=0.2).collect()
+    for r in out:
+        if r.event_type == "c":
+            assert r.level == 5.0 and r.trend == 0.0 and r.forecast == 5.0
+    # replay the ramp recursion in python
+    a, oma, bt, omb = 0.5, 0.5, 0.2, 0.8
+    l = b = 0.0
+    expect = []
+    for i, x in enumerate([float(i) for i in range(10)]):
+        if i == 0:
+            l, b = x, 0.0
+        else:
+            lp = l
+            l = a * x + oma * (lp + b)
+            b = bt * (l - lp) + omb * b
+        expect.append((round(l, 6), round(b, 6)))
+    got = sorted(
+        [(r.level, r.trend) for r in out if r.event_type == "r"],
+        key=lambda t: t[0],
+    )
+    assert sorted(expect) == got

@@ -353,6 +353,72 @@ def ewma(
     )
 
 
+def holt_smoothing(
+    df: DataFrame,
+    key: str,
+    alpha: float,
+    beta: float,
+    ts_ms: str = "ts_ms",
+    value: str = "value",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Holt double-exponential smoothing per series — level + trend, the
+    step past EWMA for drifting series (Holt 1957; the non-seasonal core
+    of Holt-Winters):
+
+        l_t = α·x_t + (1−α)·(l_{t−1} + b_{t−1})
+        b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+
+    Initialization is l_1 = x_1, b_1 = 0 (trend learned from data), so
+    single-point series are well-defined and the recursion needs no
+    lookahead.  ``forecast`` is the one-step-ahead l_t + b_t.
+
+    Like :func:`ewma`, the recursion is written out with the exact
+    constants (α, 1−α, β, 1−β precomputed as Python floats) in the exact
+    order a recursive-CTE oracle evaluates, so both engines agree
+    bit-for-bit before the 6-dp output rounding.  Same scale contract as
+    ewma: one shuffle on the series key; chain boundary state across
+    coarse time chunks for a pathological series.
+    """
+    import numpy as np
+
+    sort_cols = [ts_ms] + ([tiebreak] if tiebreak else [])
+    a, oma = alpha, 1.0 - alpha
+    bt, omb = beta, 1.0 - beta
+
+    def _holt(pdf):
+        pdf = pdf.sort_values(sort_cols)
+        vals = pdf[value].to_numpy(dtype="float64")
+        levels = np.empty(len(vals))
+        trends = np.empty(len(vals))
+        l = b = 0.0
+        for i, x in enumerate(vals):
+            if i == 0:
+                l, b = x, 0.0
+            else:
+                lp = l
+                l = a * x + oma * (lp + b)
+                b = bt * (l - lp) + omb * b
+            levels[i] = l
+            trends[i] = b
+        pdf["level"] = np.round(levels, 6)
+        pdf["trend"] = np.round(trends, 6)
+        pdf["forecast"] = np.round(levels + trends, 6)
+        return pdf
+
+    out_schema = (
+        df.select(key, *sort_cols, value)
+        .schema.add("level", "double")
+        .add("trend", "double")
+        .add("forecast", "double")
+    )
+    return (
+        df.select(key, *sort_cols, value)
+        .groupBy(key)
+        .applyInPandas(_holt, schema=out_schema)
+    )
+
+
 def resample_interpolate(
     df: DataFrame,
     key: str,
