@@ -29,12 +29,15 @@ TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver test table (TESTDATA.md) as a DataFrame.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS) — Spark reads it as int64
-    nanoseconds (``spark.sql.legacy.parquet.nanosAsLong``); normalize to
-    ``ts`` TimestampType (µs, truncated like DuckDB's parquet-ns read) plus
-    ``ts_ms``/``ts_ns`` longs for exact integer time arithmetic.  Integer
-    ``DIV`` keeps the math in int64 (a double round-trip would lose
-    precision at epoch-nanosecond magnitude).
+    ``events.ts`` arrives as parquet TIMESTAMP — either TIMESTAMP(NANOS)
+    (Spark reads int64 nanoseconds under
+    ``spark.sql.legacy.parquet.nanosAsLong``) or TIMESTAMP(MICROS) (Spark
+    reads TimestampType).  Normalize BOTH to the engine's canonical trio:
+    ``ts`` TimestampType (µs) plus ``ts_ms``/``ts_ns`` longs for exact
+    integer time arithmetic.  Integer ``DIV``/``unix_micros`` keep the math
+    in int64 (a double round-trip would lose precision at epoch-nanosecond
+    magnitude).  The session timezone is pinned to UTC so naive parquet
+    timestamps get the same epoch as DuckDB's ``epoch_ms(ts)`` oracle view.
     """
     # Defensive: the caller's session may not carry our builder configs
     # (the correctness driver builds its own session).  Both are
@@ -42,12 +45,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = (
-            df.withColumnRenamed("ts", "ts_ns")
-            .withColumn("ts_ms", F.expr("ts_ns DIV 1000000"))
-            .withColumn("ts", F.timestamp_micros(F.expr("ts_ns DIV 1000")))
-        )
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = (
+                df.withColumnRenamed("ts", "ts_ns")
+                .withColumn("ts_ms", F.expr("ts_ns DIV 1000000"))
+                .withColumn("ts", F.timestamp_micros(F.expr("ts_ns DIV 1000")))
+            )
+        elif ts_type is not None and ts_type.startswith("timestamp"):
+            # A vanilla session infers parquet TIMESTAMP(isAdjustedToUTC=
+            # false) as TIMESTAMP_NTZ (spark.sql.parquet.inferTimestampNTZ
+            # default true); with the session tz pinned to UTC the cast to
+            # TimestampType is epoch-preserving and matches DuckDB's
+            # epoch_ms(ts) view of the same file.
+            if ts_type != "timestamp":
+                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+            df = df.withColumn("ts_ms", F.unix_millis("ts")).withColumn(
+                "ts_ns", F.unix_micros("ts") * F.lit(1000)
+            )
     return df
 
 
