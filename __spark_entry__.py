@@ -1316,8 +1316,15 @@ _SHINGLE_CTE = "\nWITH " + _SHINGLE_CTE_BODY
 
 
 def _minhash_sig_select(num_hashes: int) -> str:
+    """hash_i = 8-hex-char slice (i mod 4) of md5(shingle ‖ '#'×(i div 4))
+    — the exact mirror of dedup.minhash_signatures' two-digest family."""
+
+    def digest(j: int) -> str:
+        return f"md5(shingle || '{'#' * j}')" if j else "md5(shingle)"
+
     mins = ", ".join(
-        f"min(md5(shingle || ':{i}')) AS mh_{i}" for i in range(num_hashes)
+        f"min(substr({digest(i // 4)}, {8 * (i % 4) + 1}, 8)) AS mh_{i}"
+        for i in range(num_hashes)
     )
     return f"SELECT doc_id, {mins} FROM sh GROUP BY doc_id"
 
@@ -1331,7 +1338,7 @@ def _minhash_lsh_ctes() -> str:
     LSH candidate pairs — shared by the minhash_lsh and dedup_clusters
     oracles."""
     bands_sql = " UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, md5(mh_{2*b} || '|' || mh_{2*b+1}) AS band_hash FROM sig"
+        f"SELECT doc_id, {b} AS band, mh_{2*b} || '|' || mh_{2*b+1} AS band_hash FROM sig"
         for b in range(4)
     )
     return (

@@ -162,9 +162,16 @@ def minhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """MinHash signature per doc: hash_i(doc) = min over shingles of
-    md5(shingle ‖ ':' ‖ i) (lexicographic min of hex digests — md5 is
-    available in every SQL engine, which keeps the oracle exact).
+    """MinHash signature per doc: hash_i(doc) = min over shingles of an
+    8-hex-char (32-bit) slice of an md5 digest of the shingle
+    (lexicographic min of fixed-width hex = numeric min — md5 is available
+    in every SQL engine, which keeps the oracle exact).
+
+    Hash family: digest_j(s) = md5(s ‖ '#'×j), and hash_i is hex chars
+    [8·(i mod 4), 8·(i mod 4)+8) of digest_{i div 4} — four independent
+    32-bit hashes per digest, so 8 hashes cost TWO md5 evaluations per
+    shingle instead of eight (measured 9.6 s → ~2 s for the full LSH
+    pipeline at sf0.1 after the corpus regen doubled text length).
 
     Computed as ONE per-row expression — ``aggregate`` folds a
     struct-of-mins over the hashed shingle array, and ``inline`` expands the
@@ -174,16 +181,34 @@ def minhash_signatures(
     combine shrinks it, but it still repartitions every doc id), and a plain
     8-column select re-evaluates the shingle pipeline per column because
     project collapsing inlines common subexpressions that higher-order
-    functions can't CSE.  Measured at sf0.1: 0.85 s vs 1.1 s (explode) vs
-    14 s (naive 8-column select).
+    functions can't CSE.  The md5 digests are bound once per shingle via a
+    one-element ``transform`` for the same no-CSE reason.
     """
     sh = shingle_array(shingle_n, text_col)
     names = [f"mh_{i}" for i in range(num_hashes)]
+    n_digests = (num_hashes + 3) // 4
+
+    def _digests(s):
+        return F.struct(
+            *[
+                F.md5(F.concat(s, F.lit("#" * j)) if j else s).alias(f"d{j}")
+                for j in range(n_digests)
+            ]
+        )
+
+    def _slices(d):
+        return F.struct(
+            *[
+                F.substring(d[f"d{i // 4}"], 8 * (i % 4) + 1, 8).alias(n)
+                for i, n in enumerate(names)
+            ]
+        )
+
     hashed = F.transform(
         sh,
-        lambda s: F.struct(
-            *[F.md5(F.concat_ws(":", s, F.lit(str(i)))).alias(n) for i, n in enumerate(names)]
-        ),
+        # bind the digests once per shingle (HOFs evaluate interpreted with
+        # no CSE — referencing md5 from each of the 8 slices would hash 8×)
+        lambda s: F.element_at(F.transform(F.array(_digests(s)), _slices), 1),
     )
     # 'g' sorts after every md5 hex digit, so it is the fold's +infinity
     init = F.struct(*[F.lit("g").alias(n) for n in names])
@@ -202,8 +227,12 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """LSH banding: docs agreeing on ALL hashes inside any band become a
-    candidate pair.  Implemented as explode-to-(band, band_hash) + groupBy
-    equi-join — never a cross join.  Pairs are distinct (id1 < id2)."""
+    candidate pair.  Implemented as explode-to-(band, band_key) + groupBy
+    equi-join — never a cross join.  Pairs are distinct (id1 < id2).
+
+    The band key is the plain concatenation of the band's fixed-width
+    signature components: equality of the concat IS equality of the tuple,
+    so re-hashing it (the former md5(band)) buys nothing."""
     banded = sigs.select(
         F.col(id_col),
         F.explode(
@@ -211,11 +240,9 @@ def lsh_candidate_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                "|",
-                                *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)],
-                            )
+                        F.concat_ws(
+                            "|",
+                            *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)],
                         ).alias("band_hash"),
                     )
                     for b in range(bands)
