@@ -1179,16 +1179,22 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Ordered so the driver's correctness window (first 50 keys in round 1)
-    covers every SURVEY §2 category: green anchors per category from round
-    1 first, then the round-1 hash-fails (HUGEINT oracle casts fixed),
-    then every query the round-1 report never reached, then this round's
-    new operators — 50 exactly.  Keys 51+ are redundant variants,
-    near-duplicate anchors displaced to make room (moving_avg, simhash),
-    and later additions, all verified by the local checker
+    """Ordered so the driver's correctness window (first 50 keys) covers
+    every SURVEY §2 category with an oracle-verified query.  Round-3
+    rotation: the 12 queries that had never received a driver row
+    (gapfill_locf … ivf_ann_topk, VERDICT r2 "What's missing" #1) moved
+    into the window, displacing the two no_oracle rows
+    (hll_distinct_daily, multimodal_decode — they can never hash-match)
+    and 10 redundant green anchors whose §2 category stays covered by
+    another in-window query (jaccard_pairs→minhash_lsh,
+    sliding_downsample/resample_1m→downsample_1h,
+    autocorr/corr_stats/distinct_aggs/value_histogram→pricing_summary+
+    value_percentiles, window_first_last→rank_family+moving_avg_time,
+    event_sequences→string_funcs, embedding_centroids→cosine_topk+
+    kmeans).  Keys 51+ remain verified by the local checker
     (tools/check_correctness.py) across every entry."""
     return {
-        # -- category anchors (r1 green) --------------------------------
+        # -- category anchors (driver-green r1/r2) ----------------------
         "range_scan": q_range_scan,
         "tsdb_roundtrip": q_tsdb_roundtrip,
         "downsample_1h": q_downsample_1h,
@@ -1197,66 +1203,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "minhash_lsh": q_minhash_lsh,
         "cosine_topk": q_cosine_topk,
-        "jaccard_pairs": q_jaccard_pairs,
         "dedup_exact": q_dedup_exact,
         "quality_score": q_quality_score,
-        # -- r1 driver hash-fails, oracles fixed ------------------------
         "sessionize": q_sessionize,
         "token_counts_by_lang": q_token_counts_by_lang,
-        # -- unchecked in the r1 driver window --------------------------
         "value_percentiles": q_value_percentiles,
         "event_pivot": q_event_pivot,
         "rank_family": q_rank_family,
         "string_funcs": q_string_funcs,
         "date_parts": q_date_parts,
         "orders_above_avg": q_orders_above_avg,
-        "sliding_downsample": q_sliding_downsample,
         "grouping_sets": q_grouping_sets,
-        "embedding_centroids": q_embedding_centroids,
         "full_outer_join": q_full_outer_join,
         "union_all_scans": q_union_all_scans,
-        "distinct_aggs": q_distinct_aggs,
-        "window_first_last": q_window_first_last,
-        "value_histogram": q_value_histogram,
-        "corr_stats": q_corr_stats,
-        "event_sequences": q_event_sequences,
-        "resample_1m": q_resample_1m,
         "lsh_ann_topk": q_lsh_ann_topk,
         "ohlc_1h": q_ohlc_1h,
         "counter_rate_1h": q_counter_rate_1h,
         "time_weighted_avg": q_time_weighted_avg,
         "zscore_anomaly": q_zscore_anomaly,
-        "autocorr": q_autocorr,
         "ewma": q_ewma,
         "repetition_stats": q_repetition_stats,
         "tfidf_top_terms": q_tfidf_top_terms,
         "contamination": q_contamination,
         "pack_sequences": q_pack_sequences,
-        "hll_distinct_daily": q_hll_distinct_daily,
         "moving_avg_time": q_moving_avg_time,
         "shipping_priority": q_shipping_priority,
-        # -- new this round ---------------------------------------------
         "dedup_clusters": q_dedup_clusters,
         "simhash_md5": q_simhash_md5,
         "cosine_near_dup_lsh": q_cosine_near_dup_lsh,
         "kmeans": q_kmeans,
         "unigram_logprob": q_unigram_logprob,
-        "multimodal_decode": q_multimodal_decode,
-        # ---- position 51+: r1-verified variants (moving_avg anchor and
-        # the xxhash64 simhash twin were displaced to keep the window at 50)
-        # gapfill_locf / dup_spans are queued to rotate INTO the r3 window.
+        # -- rotated IN this round: never driver-checked before ---------
         "gapfill_locf": q_gapfill_locf,
         "dup_spans": q_dup_spans,
         "lttb": q_lttb,
         "mad_anomaly": q_mad_anomaly,
         "top_ngrams": q_top_ngrams,
         "holt_smoothing": q_holt,
-        "moving_avg": q_moving_avg,
-        "simhash": q_simhash,
-        "dedup_clusters_star": q_dedup_clusters_star,
         "minhash_jaccard_est": q_minhash_jaccard_est,
         "seasonal_baseline": q_seasonal_baseline,
         "clean_corpus": q_clean_corpus,
+        "dedup_clusters_star": q_dedup_clusters_star,
+        "asof_join_nearest": q_asof_join_nearest,
+        "ivf_ann_topk": q_ivf_ann_topk,
+        # ---- position 51+: no_oracle rows (can never hash-match, so
+        # they'd waste a window slot), r1/r2-green variants displaced by
+        # the rotation, and redundant per-category twins — all still
+        # verified by the local checker each round.
+        "hll_distinct_daily": q_hll_distinct_daily,
+        "multimodal_decode": q_multimodal_decode,
+        "jaccard_pairs": q_jaccard_pairs,
+        "sliding_downsample": q_sliding_downsample,
+        "resample_1m": q_resample_1m,
+        "autocorr": q_autocorr,
+        "corr_stats": q_corr_stats,
+        "distinct_aggs": q_distinct_aggs,
+        "value_histogram": q_value_histogram,
+        "window_first_last": q_window_first_last,
+        "event_sequences": q_event_sequences,
+        "embedding_centroids": q_embedding_centroids,
+        "moving_avg": q_moving_avg,
+        "simhash": q_simhash,
         "range_scan_empty": q_range_scan_empty,
         "range_scan_metric": q_range_scan_metric,
         "range_limit": q_range_limit,
@@ -1283,7 +1290,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_ngram": q_lang_id_ngram,
         "sql_supplier_revenue": q_sql_supplier_revenue,
         "asof_join_forward": q_asof_join_forward,
-        "asof_join_nearest": q_asof_join_nearest,
         "doc_chunks": q_doc_chunks,
         "series_trend": q_series_trend,
         "redact_pii": q_redact_pii,
@@ -1292,7 +1298,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprint": q_winnow_fingerprint,
         "cosine_near_dup": q_cosine_near_dup,
         "multimodal_features": q_multimodal_features,
-        "ivf_ann_topk": q_ivf_ann_topk,
         "approx_stats": q_approx_stats,
     }
 
