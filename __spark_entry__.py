@@ -1116,6 +1116,16 @@ def q_ewma(spark, sf_dir):
     return ts_ops.ewma(e, "event_type", alpha=0.3, tiebreak="event_id")
 
 
+def q_ewma_chunked(spark, sf_dir):
+    """Chunk-and-chain EWMA — identical semantics to q_ewma with bounded
+    per-worker memory (6 h chunks force multi-chunk series at every SF);
+    shares the ewma recursive-CTE oracle verbatim."""
+    e = _t(spark, sf_dir, "events").filter(F.col("ts_ms").between(T1, T2))
+    return ts_ops.ewma_chunked(
+        e, "event_type", alpha=0.3, chunk_ms=21_600_000, tiebreak="event_id"
+    )
+
+
 def q_gapfill_locf(spark, sf_dir):
     """LOCF gap-fill onto a 5-minute grid per event_type (TimescaleDB
     time_bucket_gapfill+locf parity) — pure built-in ops: sequence/explode
@@ -1264,6 +1274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_centroids": q_embedding_centroids,
         "moving_avg": q_moving_avg,
         "simhash": q_simhash,
+        "ewma_chunked": q_ewma_chunked,
         "range_scan_empty": q_range_scan_empty,
         "range_scan_metric": q_range_scan_metric,
         "range_limit": q_range_limit,
@@ -1582,7 +1593,7 @@ def oracle_sql() -> dict[str, str]:
         f"WHEN score_{l} = {best} THEN '{l}'" for l in langs
     ) + " END"
 
-    return {
+    oracles = {
         "range_scan": f"""
             SELECT event_id, {_EV_MS} AS ts_ms, event_type, value
             FROM events WHERE {_EV_MS} BETWEEN {T1} AND {T2}""",
@@ -2443,3 +2454,7 @@ def oracle_sql() -> dict[str, str]:
             FROM toks JOIN freq USING (t) CROSS JOIN tot
             GROUP BY doc_id""",
     }
+    # chunk-and-chain EWMA computes the identical recursion, so it shares
+    # the sequential oracle verbatim
+    oracles["ewma_chunked"] = oracles["ewma"]
+    return oracles

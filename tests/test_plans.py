@@ -178,3 +178,24 @@ def test_mad_anomaly_single_series_exchange(spark, sf_dir):
 
     e = load_table(spark, sf_dir, "events")
     assert num_shuffle_exchanges(mad_anomalies(e, ["event_type"])) == 1
+
+
+def test_ewma_chunked_groups_per_chunk_not_per_series(spark, sf_dir):
+    """The chunk-and-chain EWMA's heavy stage groups on (series, chunk) —
+    each Arrow batch holds ONE chunk, bounding worker memory — and only
+    the tiny summary stage groups on the bare series key."""
+    from time_series_databse_engine_spark.operators.timeseries import ewma_chunked
+
+    import re
+
+    e = load_table(spark, sf_dir, "events")
+    df = ewma_chunked(e, "event_type", alpha=0.3, chunk_ms=3_600_000)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the heavy per-row fold groups on (series, chunk) — bounded memory
+    assert re.search(r"FlatMapGroupsInPandas \[event_type#\d+, _chunk#\d+L\]", plan)
+    # the chain stage groups on the bare series key over tiny summary rows
+    assert re.search(r"FlatMapGroupsInPandas \[event_type#\d+\],", plan)
+    # the fold output is persisted and shared by the summary agg and the
+    # final join — one execution, two InMemoryTableScan readers (without
+    # the persist, Spark re-executes the whole fold subtree twice)
+    assert plan.count("InMemoryTableScan") == 2

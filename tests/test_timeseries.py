@@ -268,3 +268,30 @@ def test_holt_constant_and_ramp(spark):
         key=lambda t: t[0],
     )
     assert sorted(expect) == got
+
+
+def test_ewma_chunked_matches_sequential(spark):
+    """Chunk-and-chain decomposition agrees with the sequential fold after
+    the 6-dp rounding, including across chunk boundaries and for the
+    init-rule first element (virtual carry-in = first value)."""
+    from time_series_databse_engine_spark.operators.timeseries import ewma_chunked
+
+    # transcendental values: recombination reorders float ops vs the
+    # sequential fold (1-ulp differences), so states must not sit on a
+    # 6-dp rounding boundary — dyadic inputs like 4.5 land exactly on
+    # 6.5390625-style midpoints and flip the rounded digit
+    import math
+
+    rows = [
+        ("a", i * 600_000, 10.0 * math.sin(i + 1)) for i in range(60)
+    ] + [("b", i * 600_000, 10.0 * math.cos(i)) for i in range(7)]
+    df = spark.createDataFrame(rows, "metric string, ts_ms long, value double")
+    # chunk_ms=3.6e6 → 6 rows per chunk for series a (10 chunks), so every
+    # chain step and the single-chunk series b are both exercised
+    seq = ewma(df, "metric", alpha=0.3).orderBy("metric", "ts_ms").collect()
+    chk = (
+        ewma_chunked(df, "metric", alpha=0.3, chunk_ms=3_600_000)
+        .orderBy("metric", "ts_ms")
+        .collect()
+    )
+    assert seq == chk

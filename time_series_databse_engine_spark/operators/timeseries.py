@@ -8,7 +8,7 @@ skewed series are handled by AQE or by pre-splitting the hot key.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window as W, functions as F
+from pyspark.sql import DataFrame, Window as W, functions as F, types as T
 
 MS_PER_HOUR = 3_600_000
 
@@ -320,9 +320,9 @@ def ewma(
     streaming.stateful.ema_stream).  The recursion s_i = α·x_i + (1-α)·s_{i-1}
     isn't expressible with SQL window frames without overflow-prone
     pow(1-α, -i) tricks, so it runs as an Arrow-batched ``applyInPandas``.
-    Per-series data must fit a worker; at scale, range-chunk long series
-    with a coarse time bucket in the key and chain the boundary state like
-    the streaming variant does.
+    Per-series data must fit a worker; for series too long for that, use
+    :func:`ewma_chunked` — the chunk-and-chain variant with O(chunk)
+    worker memory and identical output.
 
     The recursion is written out explicitly as ``s = α·x + (1−α)·s`` (not
     ``pandas.ewm``, whose adjust=False kernel renormalizes by ``old_wt +
@@ -350,6 +350,120 @@ def ewma(
         df.select(key, *sort_cols, value)
         .groupBy(key)
         .applyInPandas(_ewma, schema=out_schema)
+    )
+
+
+def ewma_chunked(
+    df: DataFrame,
+    key: str,
+    alpha: float,
+    chunk_ms: int = 86_400_000,
+    ts_ms: str = "ts_ms",
+    value: str = "value",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """:func:`ewma` with bounded per-worker memory — the chunk-and-chain
+    variant for series too long to fit one worker (the 100 TB mitigation
+    that plain ``ewma``'s docstring promises).
+
+    EWMA is a linear recurrence, so it admits the classic two-pass scan
+    decomposition (Blelloch):
+
+    1. **Local fold** per ``(key, chunk)`` where ``chunk = ts_ms div
+       chunk_ms``: run the recursion with zero carry-in, recording for
+       each row its local state ``L_i`` and decay ``β^i`` (i = 1-based
+       position in the chunk).  Each Arrow batch holds ONE chunk, not the
+       whole series — memory is O(chunk), independent of series length.
+    2. **Chain** per ``key`` over the per-chunk summaries (last local
+       state, ``β^n``, first value — one tiny row per chunk): the carry
+       into chunk k+1 is ``end_local_k + β^{n_k}·carry_k``, exactly how
+       ``streaming.stateful.ema_stream`` chains state across micro-batches.
+       The init rule ``s_1 = x_1`` is algebraically a virtual carry-in
+       equal to the first value: ``x = α·x + β·x``.
+    3. **Recombine**: join carries back on ``(key, chunk)`` and emit
+       ``s_i = L_i + β^i · carry`` — per-row arithmetic, no state.
+
+    Recombination reorders float ops vs the sequential fold, so agreement
+    with :func:`ewma` is exact-after-rounding (6 dp), not bit-for-bit
+    before it; ``tests/test_timeseries.py`` locks the equality on real
+    data and the same DuckDB recursive-CTE oracle covers both.  ``β^i``
+    underflows to 0.0 for rows deep inside a chunk — benign: the carry's
+    true influence decays identically.
+
+    Cost: one extra exchange over plain ``ewma`` (chunk-grouped fold +
+    carry join vs one series-grouped fold) — the price of bounded memory.
+    Same template applies to :func:`holt_smoothing` (2-dim linear state
+    (level, trend) — chain a 2×2 matrix product), :func:`resample_interpolate`
+    and :func:`lttb` (chunk at bucket boundaries; only boundary points
+    cross chunks).
+    """
+    import numpy as np
+
+    sort_cols = [ts_ms] + ([tiebreak] if tiebreak else [])
+    beta = 1.0 - alpha
+
+    base = df.select(key, *sort_cols, value).withColumn(
+        "_chunk", F.floor(F.col(ts_ms) / F.lit(chunk_ms)).cast("long")
+    )
+
+    def _local(pdf):
+        pdf = pdf.sort_values(sort_cols)
+        vals = pdf[value].to_numpy(dtype="float64")
+        n = len(vals)
+        loc = np.empty(n)
+        dec = np.empty(n)
+        s, d = 0.0, 1.0
+        for i, x in enumerate(vals):
+            s = alpha * x + beta * s
+            d *= beta
+            loc[i] = s
+            dec[i] = d
+        pdf["_local"] = loc
+        pdf["_decay"] = dec
+        return pdf
+
+    # StructType.add mutates in place — build a fresh schema so ``base``'s
+    # own schema object is left untouched
+    local_schema = T.StructType(
+        list(base.schema.fields)
+        + [T.StructField("_local", T.DoubleType()), T.StructField("_decay", T.DoubleType())]
+    )
+    # persist: the fold output feeds BOTH the summary agg and the final
+    # join — without it Spark re-executes the whole per-chunk fold twice
+    # (verified in the physical plan).  MEMORY_AND_DISK default spills
+    # oversized partitions instead of OOMing; at cluster scale a temp
+    # table write serves the same role.
+    rows = base.groupBy(key, "_chunk").applyInPandas(_local, schema=local_schema).persist()
+
+    # one tiny row per chunk; _decay is strictly decreasing so min = β^n
+    summaries = rows.groupBy(key, "_chunk").agg(
+        F.max_by("_local", F.struct(*sort_cols)).alias("_end_local"),
+        F.min("_decay").alias("_end_decay"),
+        F.min_by(F.col(value), F.struct(*sort_cols)).alias("_first_val"),
+    )
+
+    def _chain(pdf):
+        pdf = pdf.sort_values("_chunk")
+        carries = np.empty(len(pdf))
+        c = 0.0
+        for i, (el, ed, fv) in enumerate(
+            zip(pdf["_end_local"], pdf["_end_decay"], pdf["_first_val"])
+        ):
+            c = fv if i == 0 else c
+            carries[i] = c
+            c = el + ed * c
+        pdf["_carry"] = carries
+        return pdf[[key, "_chunk", "_carry"]]
+
+    chain_schema = T.StructType(
+        [summaries.schema[key], summaries.schema["_chunk"], T.StructField("_carry", T.DoubleType())]
+    )
+    carries = summaries.groupBy(key).applyInPandas(_chain, schema=chain_schema)
+
+    return (
+        rows.join(carries, [key, "_chunk"])
+        .withColumn("ewma", F.round(F.col("_local") + F.col("_decay") * F.col("_carry"), 6))
+        .select(key, *sort_cols, value, "ewma")
     )
 
 
