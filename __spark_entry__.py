@@ -2413,7 +2413,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans": """
             WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
             c0 AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS c
-                   FROM embeddings ORDER BY vec_id LIMIT 8),
+                   FROM embeddings ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 8),
             a1 AS (SELECT id, v, cid FROM (
               SELECT id, v, cid,
                      row_number() OVER (PARTITION BY id

@@ -140,6 +140,10 @@ def test_kmeans_never_shuffles_pairs(spark, sf_dir):
     p = simple_plan(kmeans_lloyd(emb, k=4, iters=1))
     assert "CartesianProduct" not in p
     assert "BroadcastExchange" in p  # centroids move to the data, not vice versa
+    # hash-sampled centroid seed: k-heap TakeOrderedAndProject, never a
+    # full-table range-partitioned sort
+    assert "TakeOrderedAndProject" in p
+    assert "rangepartitioning" not in p
 
 
 def test_gapfill_locf_two_exchanges(spark, sf_dir):

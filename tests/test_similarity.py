@@ -37,7 +37,7 @@ def test_lsh_bucket_is_subset_of_exact(spark):
     exact = {(r.query_id, r.cand_id, r.cosine_sim) for r in cosine_topk(emb, q, k=4).collect()}
     approx = {
         (r.query_id, r.cand_id, r.cosine_sim)
-        for r in lsh_bucket_topk(emb, q, k=4, num_planes=2).collect()
+        for r in lsh_bucket_topk(emb, q, dim=3, k=4, num_planes=2).collect()
     }
     assert approx  # bucket containing the query is non-trivial
     assert approx <= exact or all(s in {e[2] for e in exact} for *_, s in approx)

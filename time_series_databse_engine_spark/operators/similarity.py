@@ -235,12 +235,12 @@ def hyperplane_bucket(vec, planes) -> F.Column:
 def lsh_bucket_topk(
     embeddings: DataFrame,
     queries: DataFrame,
+    dim: int,
     k: int = 5,
     num_planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
-    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane LSH — bucket = sign pattern of
     ``num_planes`` fixed random projections; candidates equi-join queries on
@@ -248,12 +248,10 @@ def lsh_bucket_topk(
 
     At 100 TB the bucket join replaces the all-pairs scoring with a
     shuffle-on-bucket; recall is tuned by ``num_planes`` (fewer planes →
-    bigger buckets → higher recall, more work).  Pass ``dim`` explicitly —
-    the ``.first()`` fallback is a driver-side action kept only for ad-hoc
-    use.
+    bigger buckets → higher recall, more work).  ``dim`` is REQUIRED:
+    operator construction must stay action-free (the former ``.first()``
+    fallback ran a driver-side job just to build the plan).
     """
-    if dim is None:
-        dim = len(embeddings.select(vec_col).first()[0])
     planes = random_planes(num_planes, dim, seed)
 
     c = (
@@ -343,11 +341,16 @@ def kmeans_lloyd(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Spherical k-means, ``iters`` Lloyd rounds, fully deterministic:
-    initial centroids are the first ``k`` vectors by id, assignment is
-    cosine-argmax with a centroid-id tiebreak, and each round's centroids
-    are element-wise means QUANTIZED to 6 dp — the quantization is what
-    makes the iteration reproducible across engines and re-runs (raw float
-    means differ in summation order; rounded ones don't).
+    initial centroids are the ``k`` vectors with the smallest
+    ``md5(string(id))`` — a deterministic hash-sample, so the seed pick is
+    a TakeOrderedAndProject over k tiny per-partition heaps keyed by a
+    value that is uniform over the id space (ordering by raw id would seed
+    all centroids from one corner of the keyspace and, on a sorted table,
+    one partition).  Assignment is cosine-argmax with a centroid-id
+    tiebreak, and each round's centroids are element-wise means QUANTIZED
+    to 6 dp — the quantization is what makes the iteration reproducible
+    across engines and re-runs (raw float means differ in summation
+    order; rounded ones don't).
 
     Scale shape per round: one broadcast of k centroids (tiny), one
     cosine-argmax over N (no shuffle of the big side beyond the per-id
@@ -357,8 +360,10 @@ def kmeans_lloyd(
     ``n``.
     """
     e = embeddings.select(F.col(id_col).alias("id"), as_double(vec_col).alias("v"))
-    cents = e.orderBy("id").limit(k).select(
-        F.col("id").alias("cid"), F.col("v").alias("c")
+    cents = (
+        e.orderBy(F.md5(F.col("id").cast("string")), F.col("id"))
+        .limit(k)
+        .select(F.col("id").alias("cid"), F.col("v").alias("c"))
     )
 
     def assign(points, centroids):
