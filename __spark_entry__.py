@@ -2298,7 +2298,7 @@ def oracle_sql() -> dict[str, str]:
               FROM s) WHERE rank <= 5""",
         "ivf_ann_topk": """
             WITH cents AS (SELECT vec_id AS cell_id, embedding::DOUBLE[] AS cent
-                           FROM embeddings ORDER BY vec_id LIMIT 16),
+                           FROM embeddings ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16),
             c AS (SELECT vec_id AS cand_id, embedding::DOUBLE[] AS cv FROM embeddings),
             ca AS (SELECT cand_id, cv, cell_id FROM (
               SELECT cand_id, cv, cell_id,

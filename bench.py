@@ -135,6 +135,35 @@ def main():
         extra["ingest_points_per_sec"] = round(N_POINTS / t)
         extra["ingest_cold_sec"] = round(ingest_ts[0], 3)
 
+        # --- streaming ingest: the same 1M points through the
+        # foreachBatch micro-batch path (readStream → stream_to_store),
+        # 4 micro-batches via maxFilesPerTrigger — the only tier that had
+        # no perf number.  Measures end-to-end drain wall-clock of an
+        # availableNow run, checkpoint included.
+        from time_series_databse_engine_spark.streaming.ingest import stream_to_store
+
+        sdir = tmp + "/stream_src"
+        (
+            pts.withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+            .select("metric", "ts", "value")
+            .repartition(8)
+            .write.mode("overwrite")
+            .parquet(sdir)
+        )
+        sstore = TimeSeriesStore(spark, tmp + "/stream_store")
+        stream = (
+            spark.readStream.schema("metric string, ts timestamp, value double")
+            .option("maxFilesPerTrigger", 2)
+            .parquet(sdir)
+        )
+        writer = stream_to_store(stream, sstore, tmp + "/stream_ckpt", metric_col="metric")
+        t0 = time.perf_counter()
+        sq = writer.start()
+        sq.awaitTermination()
+        stream_dt = time.perf_counter() - t0
+        extra["stream_ingest_rows_per_sec"] = round(N_POINTS / stream_dt)
+        extra["stream_ingest_sec"] = round(stream_dt, 3)
+
         # --- storage efficiency (reference: ~8.2 B/pt)
         nbytes = sum(
             os.path.getsize(os.path.join(dp, f))

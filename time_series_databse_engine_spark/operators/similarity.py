@@ -108,10 +108,11 @@ def ivf_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """IVF-style approximate top-k: coarse-quantize candidates to their
-    nearest of ``n_cells`` centroids (deterministic: the first ``n_cells``
-    vectors by id serve as centroids — swap in trained k-means centroids in
-    production), then score each query only against its ``n_probe`` nearest
-    cells.
+    nearest of ``n_cells`` centroids (deterministic hash-sample: the
+    ``n_cells`` vectors with smallest ``md5(string(id))``, uniform over
+    the id space like the k-means seed — swap in trained k-means
+    centroids in production), then score each query only against its
+    ``n_probe`` nearest cells.
 
     Scale shape: candidate table is scanned once to assign cells — the
     centroid set rides along as ONE broadcast array row and the nearest
@@ -120,11 +121,16 @@ def ivf_topk(
     n_cells× the corpus through a shuffle just to keep rank 1).  The probe
     join is an equi-join on cell id — candidate volume drops to
     ~n_probe/n_cells of N versus brute force, and the shuffle key is the
-    cell id, not the pair.
+    cell id, not the pair.  Measured recall on isotropic sf0.1
+    embeddings (SCALE.md "Measured recall"): 0.23 at probe=1 rising
+    near-linearly to 1.00 at probe=16 of 16 cells — probe ≈ n_cells/2
+    buys 0.8 recall at half the candidate volume on this worst-case
+    data; trained centroids (via :func:`kmeans_lloyd`) raise it further.
     """
     # per-vector norms hoisted out of the per-pair scoring (see cosine_topk)
     cents = (
-        embeddings.orderBy(id_col).limit(n_cells)
+        embeddings.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n_cells)
         .select(F.col(id_col).alias("cell_id"), as_double(vec_col).alias("cent"))
         .withColumn("cent_n", norm(F.col("cent")))
     )
@@ -248,7 +254,10 @@ def lsh_bucket_topk(
 
     At 100 TB the bucket join replaces the all-pairs scoring with a
     shuffle-on-bucket; recall is tuned by ``num_planes`` (fewer planes →
-    bigger buckets → higher recall, more work).  ``dim`` is REQUIRED:
+    bigger buckets → higher recall, more work — measured 0.37→0.02 as
+    planes go 2→8 on isotropic sf0.1 embeddings; see SCALE.md "Measured
+    recall", and prefer :func:`ivf_topk` when the space is unclustered).
+    ``dim`` is REQUIRED:
     operator construction must stay action-free (the former ``.first()``
     fallback ran a driver-side job just to build the plan).
     """
@@ -307,7 +316,11 @@ def cosine_near_dup_lsh(
     bucket key — candidate volume ~n²/2^planes per bucket — instead of a
     broadcast-nested-loop over all pairs.  Recall < 1 by construction
     (pairs split across buckets are missed); tune ``num_planes`` down or
-    OR multiple plane sets for higher recall.
+    OR multiple plane sets for higher recall.  Measured at sf0.1
+    (SCALE.md "Measured recall"): 0.64→0.36 as planes go 1→4 at a
+    stress threshold of 0.5 on isotropic vectors; at the production
+    threshold (0.9) true pairs agree on nearly all signs and bucket
+    recall is ~1.
     """
     planes = random_planes(num_planes, dim, seed)
     # L2 norm is a per-VECTOR quantity: compute it once here, before the
