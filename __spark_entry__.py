@@ -1126,6 +1126,16 @@ def q_ewma_chunked(spark, sf_dir):
     )
 
 
+def q_holt_chunked(spark, sf_dir):
+    """Chunk-and-chain Holt smoothing — 2-dim state chained via 2×2
+    matrix powers, identical semantics to q_holt with bounded per-worker
+    memory (6 h chunks); shares the holt_smoothing recursive-CTE oracle."""
+    e = _t(spark, sf_dir, "events").filter(F.col("ts_ms").between(T1, T2))
+    return ts_ops.holt_chunked(
+        e, "event_type", alpha=0.5, beta=0.2, chunk_ms=21_600_000, tiebreak="event_id"
+    )
+
+
 def q_gapfill_locf(spark, sf_dir):
     """LOCF gap-fill onto a 5-minute grid per event_type (TimescaleDB
     time_bucket_gapfill+locf parity) — pure built-in ops: sequence/explode
@@ -1275,6 +1285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "moving_avg": q_moving_avg,
         "simhash": q_simhash,
         "ewma_chunked": q_ewma_chunked,
+        "holt_chunked": q_holt_chunked,
         "range_scan_empty": q_range_scan_empty,
         "range_scan_metric": q_range_scan_metric,
         "range_limit": q_range_limit,
@@ -2454,7 +2465,8 @@ def oracle_sql() -> dict[str, str]:
             FROM toks JOIN freq USING (t) CROSS JOIN tot
             GROUP BY doc_id""",
     }
-    # chunk-and-chain EWMA computes the identical recursion, so it shares
-    # the sequential oracle verbatim
+    # the chunk-and-chain variants compute the identical recursions, so
+    # they share the sequential oracles verbatim
     oracles["ewma_chunked"] = oracles["ewma"]
+    oracles["holt_chunked"] = oracles["holt_smoothing"]
     return oracles

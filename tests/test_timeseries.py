@@ -295,3 +295,31 @@ def test_ewma_chunked_matches_sequential(spark):
         .collect()
     )
     assert seq == chk
+
+
+def test_holt_chunked_matches_sequential(spark):
+    """2-dim chunk-and-chain (matrix-power carry) agrees with the
+    sequential Holt fold after 6-dp rounding, across chunk boundaries and
+    for single-chunk series."""
+    import math
+
+    from time_series_databse_engine_spark.operators.timeseries import (
+        holt_chunked,
+        holt_smoothing,
+    )
+
+    rows = [
+        ("a", i * 600_000, 10.0 * math.sin(i + 1) + 0.5 * i) for i in range(60)
+    ] + [("b", i * 600_000, 10.0 * math.cos(i)) for i in range(7)]
+    df = spark.createDataFrame(rows, "metric string, ts_ms long, value double")
+    seq = (
+        holt_smoothing(df, "metric", alpha=0.5, beta=0.2)
+        .orderBy("metric", "ts_ms")
+        .collect()
+    )
+    chk = (
+        holt_chunked(df, "metric", alpha=0.5, beta=0.2, chunk_ms=3_600_000)
+        .orderBy("metric", "ts_ms")
+        .collect()
+    )
+    assert seq == chk

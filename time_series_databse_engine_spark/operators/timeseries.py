@@ -533,6 +533,116 @@ def holt_smoothing(
     )
 
 
+def holt_chunked(
+    df: DataFrame,
+    key: str,
+    alpha: float,
+    beta: float,
+    chunk_ms: int = 86_400_000,
+    ts_ms: str = "ts_ms",
+    value: str = "value",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """:func:`holt_smoothing` with bounded per-worker memory — the 2-dim
+    instantiation of the :func:`ewma_chunked` chunk-and-chain template.
+
+    Substituting the level update into the trend update shows Holt is a
+    linear recurrence in the state vector s = (l, b):
+
+        s_t = A·s_{t−1} + (α, αβ)·x_t,   A = [[1−α, 1−α], [−αβ, 1−αβ]]
+
+    with A CONSTANT, so the scan decomposition carries a 2×2 matrix power
+    instead of ewma's scalar β^i:
+
+    1. **Local fold** per ``(key, chunk)``: zero-carry state L_i plus the
+       cumulative matrix power A^i (4 doubles per row).
+    2. **Chain** per ``key`` over per-chunk summaries: carry into chunk
+       k+1 is ``L_n + A^n·carry_k``.  The init rule (l₁, b₁) = (x₁, 0)
+       is the virtual carry s₀ = (x₁, 0): A·(x₁,0) = ((1−α)x₁, −αβx₁)
+       matches the first step exactly.
+    3. **Recombine**: ``(l_i, b_i) = L_i + A^i·carry`` per row.
+
+    Same exact-after-6-dp-rounding contract as ewma_chunked (recombination
+    reorders float ops); shares holt_smoothing's recursive-CTE oracle.
+    """
+    import numpy as np
+
+    sort_cols = [ts_ms] + ([tiebreak] if tiebreak else [])
+    a, oma = alpha, 1.0 - alpha
+    ab = alpha * beta
+
+    # A = [[1-α, 1-α], [-αβ, 1-αβ]]
+    A = np.array([[oma, oma], [-ab, 1.0 - ab]], dtype="float64")
+
+    base = df.select(key, *sort_cols, value).withColumn(
+        "_chunk", F.floor(F.col(ts_ms) / F.lit(chunk_ms)).cast("long")
+    )
+
+    def _local(pdf):
+        pdf = pdf.sort_values(sort_cols)
+        vals = pdf[value].to_numpy(dtype="float64")
+        n = len(vals)
+        out = np.empty((n, 6))
+        s = np.zeros(2)
+        P = np.eye(2)
+        for i, x in enumerate(vals):
+            s = A @ s + np.array([a * x, ab * x])
+            P = A @ P
+            out[i, 0:2] = s
+            out[i, 2:6] = P.ravel()
+        for j, c in enumerate(["_ll", "_lb", "_p11", "_p12", "_p21", "_p22"]):
+            pdf[c] = out[:, j]
+        return pdf
+
+    local_schema = T.StructType(
+        list(base.schema.fields)
+        + [T.StructField(c, T.DoubleType()) for c in ["_ll", "_lb", "_p11", "_p12", "_p21", "_p22"]]
+    )
+    rows = base.groupBy(key, "_chunk").applyInPandas(_local, schema=local_schema).persist()
+
+    last = F.struct(*sort_cols)
+    summaries = rows.groupBy(key, "_chunk").agg(
+        *[F.max_by(c, last).alias("_e" + c) for c in ["_ll", "_lb", "_p11", "_p12", "_p21", "_p22"]],
+        F.min_by(F.col(value), last).alias("_first_val"),
+    )
+
+    def _chain(pdf):
+        pdf = pdf.sort_values("_chunk")
+        n = len(pdf)
+        out = np.empty((n, 2))
+        c = np.zeros(2)
+        for i in range(n):
+            r = pdf.iloc[i]
+            if i == 0:
+                c = np.array([r["_first_val"], 0.0])
+            out[i] = c
+            P = np.array([[r["_e_p11"], r["_e_p12"]], [r["_e_p21"], r["_e_p22"]]])
+            c = np.array([r["_e_ll"], r["_e_lb"]]) + P @ c
+        pdf["_cl"] = out[:, 0]
+        pdf["_cb"] = out[:, 1]
+        return pdf[[key, "_chunk", "_cl", "_cb"]]
+
+    chain_schema = T.StructType(
+        [
+            summaries.schema[key],
+            summaries.schema["_chunk"],
+            T.StructField("_cl", T.DoubleType()),
+            T.StructField("_cb", T.DoubleType()),
+        ]
+    )
+    carries = summaries.groupBy(key).applyInPandas(_chain, schema=chain_schema)
+
+    lvl = F.col("_ll") + F.col("_p11") * F.col("_cl") + F.col("_p12") * F.col("_cb")
+    trd = F.col("_lb") + F.col("_p21") * F.col("_cl") + F.col("_p22") * F.col("_cb")
+    return (
+        rows.join(carries, [key, "_chunk"])
+        .withColumn("level", F.round(lvl, 6))
+        .withColumn("trend", F.round(trd, 6))
+        .withColumn("forecast", F.round(lvl + trd, 6))
+        .select(key, *sort_cols, value, "level", "trend", "forecast")
+    )
+
+
 def resample_interpolate(
     df: DataFrame,
     key: str,
