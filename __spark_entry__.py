@@ -1116,6 +1116,18 @@ def q_ewma(spark, sf_dir):
     return ts_ops.ewma(e, "event_type", alpha=0.3, tiebreak="event_id")
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup cluster-scoped embedding dedup (similarity.semantic_dedup,
+    Abbas 2023): nearest-of-16 hash-sampled cells, within-cell cosine ≥
+    0.3 (exercises the drop rule: ~30%/62% of rows dropped at
+    sf0.01/sf0.1; at ≥0.5 the few true pairs all straddle cells), keep
+    the min id of each duplicate chain.  Oracle replays the
+    identical assignment (csim DESC, cell_id ASC rank-1) and pair rule."""
+    return sim_ops.semantic_dedup(
+        _t(spark, sf_dir, "embeddings"), threshold=0.3, n_cells=16
+    )
+
+
 def q_ewma_chunked(spark, sf_dir):
     """Chunk-and-chain EWMA — identical semantics to q_ewma with bounded
     per-worker memory (6 h chunks force multi-chunk series at every SF);
@@ -1286,6 +1298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ewma_chunked": q_ewma_chunked,
         "holt_chunked": q_holt_chunked,
+        "semantic_dedup": q_semantic_dedup,
         "range_scan_empty": q_range_scan_empty,
         "range_scan_metric": q_range_scan_metric,
         "range_limit": q_range_limit,
@@ -2469,4 +2482,23 @@ def oracle_sql() -> dict[str, str]:
     # they share the sequential oracles verbatim
     oracles["ewma_chunked"] = oracles["ewma"]
     oracles["holt_chunked"] = oracles["holt_smoothing"]
+    oracles["semantic_dedup"] = """
+        WITH cents AS (SELECT vec_id AS cell_id, embedding::DOUBLE[] AS cent
+                       FROM embeddings ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16),
+        e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+        a AS (SELECT id, v, cell_id FROM (
+          SELECT id, v, cell_id,
+                 row_number() OVER (PARTITION BY id
+                                    ORDER BY csim DESC, cell_id ASC) AS r
+          FROM (SELECT id, v, cell_id,
+                       list_dot_product(v, cent) /
+                       (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cent, cent))) AS csim
+                FROM e, cents)) WHERE r = 1),
+        dropped AS (SELECT DISTINCT a2.id FROM a a1 JOIN a a2 USING (cell_id)
+                    WHERE a1.id < a2.id
+                      AND list_dot_product(a1.v, a2.v) /
+                          (sqrt(list_dot_product(a1.v, a1.v)) *
+                           sqrt(list_dot_product(a2.v, a2.v))) >= 0.3)
+        SELECT a.id AS vec_id, a.cell_id FROM a
+        WHERE a.id NOT IN (SELECT id FROM dropped)"""
     return oracles

@@ -100,3 +100,51 @@ def test_kmeans_lloyd_partitions_and_is_deterministic(spark):
     assert all(d == set(range(8)) for d in dims.values())  # full centroids
     again = {(r.cluster_id, r.dim): (r.c, r.n) for r in kmeans_lloyd(df, k=4, iters=2).collect()}
     assert {(r.cluster_id, r.dim): (r.c, r.n) for r in rows} == again
+
+
+def test_semantic_dedup_drops_within_cell_near_dups(spark):
+    """Two planted near-identical vectors land in the same cell; the
+    larger id is dropped, the smaller kept.  An orthogonal vector
+    survives regardless of threshold."""
+    from time_series_databse_engine_spark.operators.similarity import semantic_dedup
+
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.999, 0.001, 0.0]),   # near-dup of 0 → dropped (larger id)
+        (2, [0.0, 1.0, 0.0]),       # orthogonal → kept
+        (3, [0.0, 0.998, 0.002]),   # near-dup of 2 → dropped
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    kept = sorted(r.vec_id for r in semantic_dedup(emb, threshold=0.9, n_cells=2).collect())
+    assert kept == [0, 2]
+
+
+def test_semantic_dedup_keep_rule_is_transitive_min_id(spark):
+    """A chain a~b~c (all pairwise above threshold) keeps exactly the
+    min id: every other member has a smaller matching id in-cell."""
+    from time_series_databse_engine_spark.operators.similarity import semantic_dedup
+
+    vecs = [
+        (10, [1.0, 0.0]),
+        (11, [0.999, 0.001]),
+        (12, [0.998, 0.002]),
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    kept = [r.vec_id for r in semantic_dedup(emb, threshold=0.9, n_cells=1).collect()]
+    assert kept == [10]
+
+
+def test_semantic_dedup_self_join_reuses_exchange(spark, sf_dir):
+    """The within-cell pair join consumes ONE cell-keyed exchange (both
+    sides ReusedExchange off the explicit repartition) — never an
+    all-pairs product."""
+    from time_series_databse_engine_spark.operators.similarity import semantic_dedup
+    from time_series_databse_engine_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    df = semantic_dedup(emb, threshold=0.3)
+    df.collect()  # reuse is wired at AQE runtime; inspect the final plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "CartesianProduct" not in plan
+    assert "ReusedExchange" in plan

@@ -98,6 +98,56 @@ def cosine_near_dup(
     )
 
 
+def hash_sampled_cells(
+    embeddings: DataFrame, n_cells: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Deterministic coarse-quantizer codebook: the ``n_cells`` vectors
+    with the smallest ``md5(string(id))`` — uniform over the id space
+    (ordering by raw id would draw every cell from one corner of the
+    keyspace), a k-heap TakeOrderedAndProject, never a full sort.  Norms
+    precomputed per centroid.  Swap in trained :func:`kmeans_lloyd`
+    centroids in production."""
+    return (
+        embeddings.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n_cells)
+        .select(F.col(id_col).alias("cell_id"), as_double(vec_col).alias("cent"))
+        .withColumn("cent_n", norm(F.col("cent")))
+    )
+
+
+def assign_nearest_cell(df, cents: DataFrame, vec, vec_n):
+    """Nearest cell per row via transform+fold over the broadcast
+    centroid array: same (sim DESC, cell_id ASC) choice as a rank-1
+    window — the tie rule is explicit so collect_list order is
+    irrelevant — with no row multiplication and no exchange.  ``vec`` /
+    ``vec_n`` are the column expressions for the row's vector and its
+    precomputed norm."""
+    cells_row = F.broadcast(
+        cents.agg(F.collect_list(F.struct("cell_id", "cent", "cent_n")).alias("_cells"))
+    )
+    sims = F.transform(
+        "_cells",
+        lambda cell: F.struct(
+            (dot(vec, cell["cent"]) / (vec_n * cell["cent_n"])).alias("s"),
+            cell["cell_id"].alias("cell_id"),
+        ),
+    )
+    best = F.aggregate(
+        sims,
+        F.struct(F.lit(-2.0).alias("s"), F.lit(-1).cast("long").alias("cell_id")),
+        lambda acc, x: F.when(
+            (x["s"] > acc["s"])
+            | ((x["s"] == acc["s"]) & (x["cell_id"] < acc["cell_id"])),
+            x,
+        ).otherwise(acc),
+    )
+    return (
+        df.crossJoin(cells_row)  # one-row broadcast: array column ride-along
+        .withColumn("cell_id", best["cell_id"])
+        .drop("_cells")
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -128,49 +178,12 @@ def ivf_topk(
     data; trained centroids (via :func:`kmeans_lloyd`) raise it further.
     """
     # per-vector norms hoisted out of the per-pair scoring (see cosine_topk)
-    cents = (
-        embeddings.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
-        .limit(n_cells)
-        .select(F.col(id_col).alias("cell_id"), as_double(vec_col).alias("cent"))
-        .withColumn("cent_n", norm(F.col("cent")))
-    )
-    cells_row = F.broadcast(
-        cents.agg(F.collect_list(F.struct("cell_id", "cent", "cent_n")).alias("_cells"))
-    )
-
-    def assign_nearest(df, vec, vec_n):
-        """Nearest cell per row via transform+fold over the broadcast
-        centroid array: same (sim DESC, cell_id ASC) choice as a rank-1
-        window — the tie rule is explicit so collect_list order is
-        irrelevant — with no row multiplication and no exchange."""
-        sims = F.transform(
-            "_cells",
-            lambda cell: F.struct(
-                (dot(vec, cell["cent"]) / (vec_n * cell["cent_n"])).alias("s"),
-                cell["cell_id"].alias("cell_id"),
-            ),
-        )
-        best = F.aggregate(
-            sims,
-            F.struct(
-                F.lit(-2.0).alias("s"), F.lit(-1).cast("long").alias("cell_id")
-            ),
-            lambda acc, x: F.when(
-                (x["s"] > acc["s"])
-                | ((x["s"] == acc["s"]) & (x["cell_id"] < acc["cell_id"])),
-                x,
-            ).otherwise(acc),
-        )
-        return (
-            df.crossJoin(cells_row)  # one-row broadcast: array column ride-along
-            .withColumn("cell_id", best["cell_id"])
-            .drop("_cells")
-        )
+    cents = hash_sampled_cells(embeddings, n_cells, id_col, vec_col)
 
     c = embeddings.select(
         F.col(id_col).alias("cand_id"), as_double(vec_col).alias("cvec")
     ).withColumn("cn", norm(F.col("cvec")))
-    c_assigned = assign_nearest(c, F.col("cvec"), F.col("cn"))
+    c_assigned = assign_nearest_cell(c, cents, F.col("cvec"), F.col("cn"))
 
     # query side: n_probe cells per query — tiny input, rank window is fine
     q = queries.select(
@@ -343,6 +356,58 @@ def cosine_near_dup_lsh(
         .filter(F.col("id1") < F.col("id2"))
         .select("id1", "id2", sim.alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.5,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space coarsely, then search
+    for near-duplicate pairs ONLY within each cluster — the observation
+    that makes embedding dedup tractable at corpus scale (pairwise work
+    drops from n² to Σ|cell|²).
+
+    Pipeline: cell assignment via the shared broadcast-argmax fold
+    (:func:`assign_nearest_cell` — zero exchanges, same codebook helper
+    as :func:`ivf_topk`; swap in trained :func:`kmeans_lloyd` centroids
+    in production), one explicit repartition on ``cell_id`` so the
+    within-cell self-join REUSES a single exchange, exact cosine ≥
+    ``threshold`` inside the cell, and the deterministic keep rule: a
+    row is dropped iff a SMALLER id in its cell matches it — so exactly
+    one representative (the min id) survives each duplicate chain.
+
+    Returns the KEPT rows ``(id_col, cell_id)`` — an anti-join of the
+    corpus against the dropped-id set, id-keyed.  Missing cross-cell
+    pairs is the documented recall trade (same geometry as
+    :func:`cosine_near_dup_lsh`'s buckets; SemDeDup accepts it for the
+    n²→Σ|cell|² cut).
+    """
+    e = embeddings.select(F.col(id_col).alias("id"), as_double(vec_col).alias("v")).withColumn(
+        "nrm", norm(F.col("v"))
+    )
+    cents = hash_sampled_cells(embeddings, n_cells, id_col, vec_col)
+    a = assign_nearest_cell(e, cents, F.col("v"), F.col("nrm")).repartition("cell_id")
+    l = a.select(
+        F.col("id").alias("id1"), F.col("v").alias("v1"), F.col("nrm").alias("n1"), "cell_id"
+    )
+    r = a.select(
+        F.col("id").alias("id2"), F.col("v").alias("v2"), F.col("nrm").alias("n2"), "cell_id"
+    )
+    dropped = (
+        l.join(r, "cell_id")
+        .filter(F.col("id1") < F.col("id2"))
+        .filter(dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2")) >= threshold)
+        .select(F.col("id2").alias("id"))
+        .distinct()
+    )
+    return (
+        a.join(dropped, "id", "left_anti")
+        .select(F.col("id").alias(id_col), "cell_id")
     )
 
 
