@@ -1253,15 +1253,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "counter_rate_1h": q_counter_rate_1h,
         "time_weighted_avg": q_time_weighted_avg,
         "zscore_anomaly": q_zscore_anomaly,
-        "ewma": q_ewma,
+        "ewma_chunked": q_ewma_chunked,
         "repetition_stats": q_repetition_stats,
         "tfidf_top_terms": q_tfidf_top_terms,
         "contamination": q_contamination,
         "pack_sequences": q_pack_sequences,
         "moving_avg_time": q_moving_avg_time,
         "shipping_priority": q_shipping_priority,
-        "dedup_clusters": q_dedup_clusters,
-        "simhash_md5": q_simhash_md5,
+        "semantic_dedup": q_semantic_dedup,
+        "holt_chunked": q_holt_chunked,
         "cosine_near_dup_lsh": q_cosine_near_dup_lsh,
         "kmeans": q_kmeans,
         "unigram_logprob": q_unigram_logprob,
@@ -1280,8 +1280,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann_topk": q_ivf_ann_topk,
         # ---- position 51+: no_oracle rows (can never hash-match, so
         # they'd waste a window slot), r1/r2-green variants displaced by
-        # the rotation, and redundant per-category twins — all still
-        # verified by the local checker each round.
+        # the rotation (ewma/dedup_clusters/simhash_md5 ceded their slots
+        # to this round's ewma_chunked/semantic_dedup/holt_chunked; their
+        # categories stay covered in-window), and redundant per-category
+        # twins — all still verified by the local checker each round.
+        "ewma": q_ewma,
+        "dedup_clusters": q_dedup_clusters,
+        "simhash_md5": q_simhash_md5,
         "hll_distinct_daily": q_hll_distinct_daily,
         "multimodal_decode": q_multimodal_decode,
         "jaccard_pairs": q_jaccard_pairs,
@@ -1296,9 +1301,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_centroids": q_embedding_centroids,
         "moving_avg": q_moving_avg,
         "simhash": q_simhash,
-        "ewma_chunked": q_ewma_chunked,
-        "holt_chunked": q_holt_chunked,
-        "semantic_dedup": q_semantic_dedup,
         "range_scan_empty": q_range_scan_empty,
         "range_scan_metric": q_range_scan_metric,
         "range_limit": q_range_limit,
