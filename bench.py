@@ -64,6 +64,9 @@ HEADLINE = [
     "gapfill_locf",
     "lttb",
     "dup_spans",
+    "ewma_chunked",
+    "holt_chunked",
+    "semantic_dedup",
 ]
 
 # repeated-run latency distribution for the reference's hot/cold point
