@@ -1116,6 +1116,16 @@ def q_ewma(spark, sf_dir):
     return ts_ops.ewma(e, "event_type", alpha=0.3, tiebreak="event_id")
 
 
+def q_resample_1m_expr(spark, sf_dir):
+    """resample_1m re-expressed as pure JVM expressions (grid union +
+    bracketing-observation windows — no Python boundary, no per-series
+    memory bound); same dedup pre-step and the same ASOF+lerp oracle as
+    the applyInPandas form."""
+    e = _t(spark, sf_dir, "events").filter(F.col("ts_ms").between(T1, T2))
+    dedup = e.groupBy("event_type", "ts_ms").agg(F.min("value").alias("value"))
+    return ts_ops.resample_interpolate_expr(dedup, "event_type", 60_000)
+
+
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup cluster-scoped embedding dedup (similarity.semantic_dedup,
     Abbas 2023): nearest-of-16 hash-sampled cells, within-cell cosine ≥
@@ -1301,6 +1311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_centroids": q_embedding_centroids,
         "moving_avg": q_moving_avg,
         "simhash": q_simhash,
+        "resample_1m_expr": q_resample_1m_expr,
         "range_scan_empty": q_range_scan_empty,
         "range_scan_metric": q_range_scan_metric,
         "range_limit": q_range_limit,
@@ -2484,6 +2495,7 @@ def oracle_sql() -> dict[str, str]:
     # they share the sequential oracles verbatim
     oracles["ewma_chunked"] = oracles["ewma"]
     oracles["holt_chunked"] = oracles["holt_smoothing"]
+    oracles["resample_1m_expr"] = oracles["resample_1m"]
     oracles["semantic_dedup"] = """
         WITH cents AS (SELECT vec_id AS cell_id, embedding::DOUBLE[] AS cent
                        FROM embeddings ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16),

@@ -323,3 +323,42 @@ def test_holt_chunked_matches_sequential(spark):
         .collect()
     )
     assert seq == chk
+
+
+def test_resample_interpolate_expr_matches_pandas_variant(spark):
+    """The JVM-expression resample reproduces np.interp exactly: interior
+    lerp, clamp on both ends, grid points coincident with samples."""
+    from time_series_databse_engine_spark.operators.timeseries import (
+        resample_interpolate_expr,
+    )
+
+    rows = [
+        ("m", 500, 1.0),     # grid starts at 0 → left-clamp region
+        ("m", 2000, 2.0),    # exactly on grid
+        ("m", 4500, 9.5),
+        ("n", 1000, 3.0),    # single-point series → all clamps
+    ]
+    df = spark.createDataFrame(rows, "metric string, ts_ms long, value double")
+    a = resample_interpolate(df, "metric", 1000).orderBy("metric", "ts_ms").collect()
+    b = resample_interpolate_expr(df, "metric", 1000).orderBy("metric", "ts_ms").collect()
+    assert a == b
+
+
+def test_resample_interpolate_expr_no_python_two_exchanges(spark, sf_dir):
+    """Expression variant has NO Arrow/Python stage and at most two
+    series-keyed shuffle exchanges (bounds agg + window)."""
+    from time_series_databse_engine_spark.operators.timeseries import (
+        resample_interpolate_expr,
+    )
+    from pyspark.sql import functions as F
+
+    from time_series_databse_engine_spark.plans import num_shuffle_exchanges, simple_plan
+    from time_series_databse_engine_spark.sources import load_table
+
+    e = load_table(spark, sf_dir, "events").groupBy("event_type", "ts_ms").agg(
+        F.min("value").alias("value")
+    )
+    df = resample_interpolate_expr(e, "event_type", 60_000)
+    p = simple_plan(df)
+    assert "FlatMapGroupsInPandas" not in p and "ArrowEvalPython" not in p
+    assert num_shuffle_exchanges(df) <= 3

@@ -672,6 +672,74 @@ def resample_interpolate(
     return df.select(key, ts_ms, value).groupBy(key).applyInPandas(interp, schema=schema)
 
 
+def resample_interpolate_expr(
+    df: DataFrame,
+    key: str,
+    step_ms: int,
+    ts_ms: str = "ts_ms",
+    value: str = "value",
+) -> DataFrame:
+    """:func:`resample_interpolate` as pure JVM expressions — same output
+    (np.interp semantics: linear between bracketing observations, clamp
+    to first/last value outside the observed range), no Python boundary
+    and NO per-series-fits-a-worker constraint.
+
+    Shape (the :func:`gapfill_locf` pattern): per-series bounds → JVM
+    ``sequence``+``explode`` grid, union with the observations, then ONE
+    series-key window pass computes each grid point's bracketing
+    observation on both sides via ``last(..., ignorenulls)`` /
+    ``first(..., ignorenulls)`` ROWS frames — observations sort before
+    coincident grid points, so a grid point exactly on a sample
+    reproduces that sample bit-for-bit (the lerp term is exactly 0).
+    Two series-keyed exchanges total; rows stream through the window
+    operator, so a years-long series costs sort time, not worker memory.
+    Requires strictly increasing ``ts_ms`` per series (same contract as
+    np.interp's neighbour choice — collapse duplicates first).
+    """
+    obs = df.select(
+        key,
+        F.col(ts_ms).cast("long").alias(ts_ms),
+        F.col(value).cast("double").alias(value),
+    )
+    bounds = obs.groupBy(key).agg(
+        (F.floor(F.min(ts_ms) / step_ms).cast("long") * step_ms).alias("_lo"),
+        F.max(ts_ms).alias("_hi"),
+    )
+    grid = (
+        bounds.select(
+            key,
+            F.explode(F.sequence("_lo", "_hi", F.lit(step_ms))).alias(ts_ms),
+        )
+        .withColumn(value, F.lit(None).cast("double"))
+        .withColumn("_is_grid", F.lit(1))
+    )
+    tagged = obs.withColumn("_is_grid", F.lit(0)).unionByName(grid)
+    order = [F.col(ts_ms).asc(), F.col("_is_grid").asc()]
+    wprev = W.partitionBy(key).orderBy(*order).rowsBetween(W.unboundedPreceding, 0)
+    wnext = W.partitionBy(key).orderBy(*order).rowsBetween(0, W.unboundedFollowing)
+    obs_ts = F.when(F.col(value).isNotNull(), F.col(ts_ms))
+    lerp = F.col("_pv") + (F.col("_nv") - F.col("_pv")) / (
+        F.col("_nt") - F.col("_pt")
+    ).cast("double") * (F.col(ts_ms) - F.col("_pt")).cast("double")
+    return (
+        tagged.withColumn("_pv", F.last(value, ignorenulls=True).over(wprev))
+        .withColumn("_pt", F.last(obs_ts, ignorenulls=True).over(wprev))
+        .withColumn("_nv", F.first(value, ignorenulls=True).over(wnext))
+        .withColumn("_nt", F.first(obs_ts, ignorenulls=True).over(wnext))
+        .filter(F.col("_is_grid") == 1)
+        .select(
+            key,
+            F.col(ts_ms),
+            F.round(
+                F.when(F.col("_pv").isNull(), F.col("_nv"))
+                .when(F.col("_nv").isNull(), F.col("_pv"))
+                .otherwise(lerp),
+                6,
+            ).alias(value),
+        )
+    )
+
+
 def mad_anomalies(
     df: DataFrame,
     keys: list[str],
