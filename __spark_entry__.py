@@ -970,6 +970,43 @@ def q_multimodal_decode(spark, sf_dir):
     )
 
 
+def q_multimodal_resize(spark, sf_dir):
+    """Multimodal preprocessing chain: text → 4×4 BMP → REAL
+    nearest-neighbour resize to 2×2 (multimodal.resize_bmp, pure numpy
+    index arithmetic) → decode of the RESIZED payload.  Rows-only like
+    multimodal_decode (binary payloads have no SQL oracle); pixel-exact
+    resize behaviour is locked in tests/test_multimodal.py."""
+    from time_series_databse_engine_spark.operators import multimodal as mm_ops
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for t in pdf["text"]:
+                b = t.encode("utf-8")[:48]
+                payloads.append(mm_ops.encode_bmp(4, 4, b + bytes(48 - len(b))))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "kind": "image", "payload": payloads}
+            )
+
+    media = docs.select("doc_id", "text").mapInPandas(
+        encode, schema="media_id long, kind string, payload binary"
+    )
+    small = mm_ops.resize_images(media, 2, 2)
+    feats = mm_ops.extract_features(small, fake=False)
+    return feats.select(
+        "media_id",
+        F.col("features")[1].cast("int").alias("width"),
+        F.col("features")[2].cast("int").alias("height"),
+        F.round(F.col("features")[4], 4).alias("mean_b"),
+        F.round(F.col("features")[5], 4).alias("mean_g"),
+        F.round(F.col("features")[6], 4).alias("mean_r"),
+    )
+
+
 def q_kmeans(spark, sf_dir):
     """Spherical k-means (2 Lloyd rounds, k=8) over the embedding table —
     deterministic via first-k init, cosine-argmax with id tiebreak, and
@@ -1346,6 +1383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprint": q_winnow_fingerprint,
         "cosine_near_dup": q_cosine_near_dup,
         "multimodal_features": q_multimodal_features,
+        "multimodal_resize": q_multimodal_resize,
         "approx_stats": q_approx_stats,
     }
 

