@@ -27,6 +27,7 @@ def test_oracle_keys_subset_of_queries():
         "approx_stats",       # engine-specific sketch values
         "multimodal_features",  # binary mapInPandas, fake decoder
         "multimodal_decode",  # binary construction — codec exactness in tests
+        "multimodal_resize",  # binary payloads — pixel exactness in tests
         "pack_sequences",     # greedy FFD recursion, invariant-tested
         "hll_distinct_daily",  # DataSketches binary state, accuracy-tested
     }
