@@ -86,3 +86,51 @@ def test_asof_nearest_matches_bruteforce(spark, lefts, rights):
             continue
         best = min(rights, key=lambda r: (abs(r - t), 0 if r <= t else 1))
         assert got[t] == best, (t, sorted(rights))
+
+
+# non-dyadic floats: states never sit exactly on a 6-dp rounding midpoint,
+# so chunk-and-chain op-reordering (1-ulp) can't flip the rounded digit
+series_value = st.floats(
+    min_value=-1e3, max_value=1e3, allow_nan=False, allow_infinity=False
+).filter(lambda v: v * 1e6 != round(v * 1e6))
+
+
+@given(
+    vals=st.lists(series_value, min_size=1, max_size=40),
+    alpha=st.sampled_from([0.1, 0.3, 0.7]),
+    chunk_ms=st.sampled_from([1_000, 3_000, 7_000]),
+)
+@fast
+def test_ewma_chunked_equals_sequential_property(spark, vals, alpha, chunk_ms):
+    """Chunk-and-chain EWMA equals the sequential fold after rounding for
+    arbitrary series lengths, alphas, and chunk geometries (including
+    chunks of 1 row and single-chunk series)."""
+    from time_series_databse_engine_spark.operators.timeseries import ewma, ewma_chunked
+
+    rows = [("m", i * 1_000, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "metric string, ts_ms long, value double")
+    seq = ewma(df, "metric", alpha=alpha).orderBy("ts_ms").collect()
+    chk = ewma_chunked(df, "metric", alpha=alpha, chunk_ms=chunk_ms).orderBy("ts_ms").collect()
+    assert seq == chk
+
+
+@given(
+    vals=st.lists(series_value, min_size=1, max_size=25),
+    step=st.sampled_from([500, 1_000, 2_500]),
+)
+@fast
+def test_resample_expr_equals_pandas_property(spark, vals, step):
+    """JVM-expression resample equals the np.interp form on arbitrary
+    irregular series and grid steps (clamps, interior lerp, on-sample
+    grid points)."""
+    from time_series_databse_engine_spark.operators.timeseries import (
+        resample_interpolate,
+        resample_interpolate_expr,
+    )
+
+    # strictly increasing irregular timestamps
+    rows = [("m", 137 + i * i * 100, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "metric string, ts_ms long, value double")
+    a = resample_interpolate(df, "metric", step).orderBy("ts_ms").collect()
+    b = resample_interpolate_expr(df, "metric", step).orderBy("ts_ms").collect()
+    assert a == b

@@ -119,6 +119,24 @@ def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
     return reader.json(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source (native Spark reader — same vectorized scan, predicate
+    pushdown, and column pruning guarantees as the parquet path)."""
+    return spark.read.orc(path)
+
+
+def write_orc(
+    df: DataFrame, path: str, partition_by: tuple[str, ...] = (), mode: str = "append"
+) -> None:
+    """Partitioned ORC sink — interop with Hive/Trino warehouses where ORC
+    is the table format; ZLIB default codec, partition layout identical
+    to the parquet sink."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
 def write_parquet(df: DataFrame, path: str, partition_by: tuple[str, ...] = (), mode: str = "append") -> None:
     """Partitioned ZSTD parquet sink (the engine's native table layout)."""
     writer = df.write.mode(mode)
