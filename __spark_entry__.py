@@ -1219,6 +1219,14 @@ def q_dup_spans(spark, sf_dir):
     return dedup_ops.duplicate_spans(_t(spark, sf_dir, "documents"), n=8)
 
 
+def q_dup_span_ranges(spark, sf_dir):
+    """MAXIMAL cross-doc duplicate token ranges (gaps-and-islands merge of
+    consecutive duplicated 8-gram starts — dedup.duplicate_span_ranges);
+    oracle replays the min!=max cross-doc flag and the p - row_number()
+    run grouping."""
+    return dedup_ops.duplicate_span_ranges(_t(spark, sf_dir, "documents"), n=8)
+
+
 def q_holt(spark, sf_dir):
     """Holt level+trend smoothing per series (α=0.5, β=0.2) — the
     recursive-CTE oracle replays both coupled recursions step by step."""
@@ -1349,6 +1357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "moving_avg": q_moving_avg,
         "simhash": q_simhash,
         "resample_1m_expr": q_resample_1m_expr,
+        "dup_span_ranges": q_dup_span_ranges,
         "range_scan_empty": q_range_scan_empty,
         "range_scan_metric": q_range_scan_metric,
         "range_limit": q_range_limit,
@@ -2342,6 +2351,23 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(CASE WHEN gram_df >= 2 THEN 1 ELSE 0 END)
                          / count(*), 6) AS dup_frac
             FROM c GROUP BY doc_id""",
+        "dup_span_ranges": """
+            WITH pg AS (
+              SELECT doc_id, i AS p, array_to_string(w[i:i+7], ' ') AS g
+              FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i
+                    FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w
+                          FROM documents)
+                    WHERE len(w) >= 8)),
+            fl AS (SELECT doc_id, p,
+                          min(doc_id) OVER (PARTITION BY g) AS mn,
+                          max(doc_id) OVER (PARTITION BY g) AS mx
+                   FROM pg),
+            d AS (SELECT doc_id, p,
+                         p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+                  FROM fl WHERE mn <> mx)
+            SELECT doc_id, min(p) AS span_start, max(p) + 7 AS span_end,
+                   max(p) + 8 - min(p) AS span_tokens, count(*) AS n_dup_grams
+            FROM d GROUP BY doc_id, grp""",
         "dedup_clusters": _dedup_clusters_sql(),
         "dedup_clusters_star": _dedup_clusters_sql(),
         "minhash_jaccard_est": (

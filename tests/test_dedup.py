@@ -162,3 +162,38 @@ def test_duplicate_spans_hot_gram_cap(spark):
     # the boilerplate gram appears in 5 docs; cap at 4 drops it entirely
     assert duplicate_spans(df, n=8, max_gram_df=4).count() == 0
     assert duplicate_spans(df, n=8).filter("n_dup_grams = 1").count() == 5
+
+
+def test_duplicate_span_ranges_merges_runs(spark):
+    """A 12-token passage copied between two docs (at different offsets)
+    reports as ONE maximal span per doc covering exactly the copied
+    range; unique text around it is not flagged; a doc with no cross-doc
+    grams yields no rows."""
+    from time_series_databse_engine_spark.operators.dedup import duplicate_span_ranges
+
+    shared = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    rows = [
+        (1, "alpha beta " + shared + " gamma"),
+        (2, shared + " delta epsilon zeta"),
+        (3, "totally unique words only here nothing shared at all ok fine"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in duplicate_span_ranges(df, n=8).collect()}
+    assert set(out) == {1, 2}
+    # doc 1: shared tokens occupy positions 3..14 → gram starts 3..7
+    assert (out[1].span_start, out[1].span_end) == (3, 14)
+    assert out[1].span_tokens == 12 and out[1].n_dup_grams == 5
+    # doc 2: shared at positions 1..12
+    assert (out[2].span_start, out[2].span_end) == (1, 12)
+    assert out[2].n_dup_grams == 5
+
+
+def test_duplicate_span_ranges_within_doc_repeat_not_flagged(spark):
+    """A doc repeating its own phrase (no other doc shares it) is NOT a
+    cross-document duplicate."""
+    from time_series_databse_engine_spark.operators.dedup import duplicate_span_ranges
+
+    phrase = "p1 p2 p3 p4 p5 p6 p7 p8"
+    rows = [(1, phrase + " filler " + phrase), (2, "unrelated text entirely different")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert duplicate_span_ranges(df, n=8).count() == 0

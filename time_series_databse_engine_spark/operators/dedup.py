@@ -142,6 +142,63 @@ def duplicate_spans(
     )
 
 
+def duplicate_span_ranges(
+    df: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MAXIMAL cross-document duplicate spans per doc — the step past
+    :func:`duplicate_spans` (which only counts duplicated grams) toward
+    Lee 2021's exact-substring output: consecutive duplicated ``n``-gram
+    start positions merge into one maximal token range, so a copied
+    paragraph reports as ONE span ``[start, end]`` instead of dozens of
+    overlapping gram hits.  A span's token range is what a purge step
+    would actually cut.
+
+    Shape: positional grams (posexplode — positions matter, no distinct),
+    ONE gram-keyed exchange where ``min(doc_id) != max(doc_id)`` over the
+    gram partition decides cross-doc duplication exactly (≥2 distinct
+    docs without a count-distinct), then ONE doc-keyed window for the
+    gaps-and-islands merge (``p - row_number()`` run grouping); the final
+    per-(doc, run) aggregation reuses the doc partitioning — 2 exchanges
+    total, and grams never carry text payloads.  Within-doc repetition
+    alone is NOT flagged (min==max), matching duplicate_spans semantics.
+    """
+    words = F.split(F.lower(F.col(text_col)), "\\s+")
+    g = F.when(
+        F.size("ws") >= n,
+        F.expr(
+            f"transform(sequence(1, size(ws) - {n} + 1),"
+            f" i -> array_join(slice(ws, i, {n}), ' '))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = (
+        _parallelize(df)
+        .select(id_col, words.alias("ws"))
+        .select(id_col, F.posexplode(g).alias("pos0", "g"))
+    )
+    wg = W.partitionBy("g")
+    dup = (
+        grams.withColumn("_mn", F.min(id_col).over(wg))
+        .withColumn("_mx", F.max(id_col).over(wg))
+        .filter(F.col("_mn") != F.col("_mx"))
+        .select(id_col, (F.col("pos0") + 1).cast("long").alias("p"))
+    )
+    wd = W.partitionBy(id_col).orderBy("p")
+    runs = dup.withColumn("_grp", F.col("p") - F.row_number().over(wd))
+    return (
+        runs.groupBy(id_col, "_grp")
+        .agg(
+            F.min("p").alias("span_start"),
+            (F.max("p") + F.lit(n - 1)).alias("span_end"),
+            F.count("*").alias("n_dup_grams"),
+        )
+        .withColumn("span_tokens", F.col("span_end") - F.col("span_start") + 1)
+        .select(id_col, "span_start", "span_end", "span_tokens", "n_dup_grams")
+    )
+
+
 def shingle_array(n: int = 3, text_col: str = "text") -> F.Column:
     """Distinct n-word shingles of a document as an array column.
     Documents shorter than n words contribute their full text as one shingle."""
