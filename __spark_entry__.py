@@ -1219,6 +1219,15 @@ def q_dup_spans(spark, sf_dir):
     return dedup_ops.duplicate_spans(_t(spark, sf_dir, "documents"), n=8)
 
 
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights with lang='en' as the target domain
+    (text.dsir_importance_weights): mean ln P_target(t) − ln P_raw(t)
+    per doc under two add-one unigram LMs; oracle rebuilds both
+    frequency tables and the smoothed-floor left join."""
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.dsir_importance_weights(docs, F.col("lang") == "en")
+
+
 def q_dup_span_ranges(spark, sf_dir):
     """MAXIMAL cross-doc duplicate token ranges (gaps-and-islands merge of
     consecutive duplicated 8-gram starts — dedup.duplicate_span_ranges);
@@ -1358,6 +1367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "resample_1m_expr": q_resample_1m_expr,
         "dup_span_ranges": q_dup_span_ranges,
+        "dsir_weights": q_dsir_weights,
         "range_scan_empty": q_range_scan_empty,
         "range_scan_metric": q_range_scan_metric,
         "range_limit": q_range_limit,
@@ -2560,6 +2570,23 @@ def oracle_sql() -> dict[str, str]:
     oracles["ewma_chunked"] = oracles["ewma"]
     oracles["holt_chunked"] = oracles["holt_smoothing"]
     oracles["resample_1m_expr"] = oracles["resample_1m"]
+    oracles["dsir_weights"] = """
+        WITH toks AS (
+          SELECT doc_id, lang = 'en' AS is_t,
+                 unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                    x -> x != '')) AS t
+          FROM documents),
+        rf AS (SELECT t, count(*) AS c_raw FROM toks GROUP BY t),
+        tf AS (SELECT t, count(*) AS c_tgt FROM toks WHERE is_t GROUP BY t),
+        rt AS (SELECT sum(c_raw) AS n_raw, count(*) AS v_raw FROM rf),
+        tt AS (SELECT sum(c_tgt) AS n_tgt, count(*) AS v_tgt FROM tf)
+        SELECT doc_id, count(*) AS n_tokens,
+               round(avg(ln((coalesce(c_tgt, 0) + 1) / (n_tgt + v_tgt))
+                         - ln((c_raw + 1) / (n_raw + v_raw))), 6)
+                   AS importance_weight
+        FROM toks JOIN rf USING (t) LEFT JOIN tf USING (t)
+        CROSS JOIN rt CROSS JOIN tt
+        GROUP BY doc_id"""
     oracles["semantic_dedup"] = """
         WITH cents AS (SELECT vec_id AS cell_id, embedding::DOUBLE[] AS cent
                        FROM embeddings ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16),

@@ -209,3 +209,29 @@ def test_top_ngrams_counts_and_order(spark):
     # deterministic tie order: count desc, gram asc
     ties = [r.g for r in out[1:]]
     assert ties == sorted(ties)
+
+
+def test_dsir_weights_rank_in_domain_docs_higher(spark):
+    """Docs made of target-domain tokens get higher importance weights
+    than out-of-domain docs; weights are finite for tokens absent from
+    the target vocabulary (smoothed floor, not dropped)."""
+    from pyspark.sql import functions as F
+
+    from time_series_databse_engine_spark.operators.text import dsir_importance_weights
+
+    rows = [
+        (1, "cats cats dogs cats", "en"),      # target exemplar
+        (2, "cats dogs cats cats", "en"),      # target exemplar
+        (3, "cats dogs", "xx"),                # raw, in-domain tokens
+        (4, "zebra quark lambda", "xx"),       # raw, fully out-of-domain
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    w = {
+        r.doc_id: r.importance_weight
+        for r in dsir_importance_weights(df, F.col("lang") == "en").collect()
+    }
+    assert set(w) == {1, 2, 3, 4}
+    assert w[3] > w[4]                  # in-domain tokens outrank unseen ones
+    assert all(v == v and abs(v) < 100 for v in w.values())  # finite
+    # every token of doc 4 is absent from the target LM → strictly negative
+    assert w[4] < 0

@@ -536,6 +536,66 @@ def unigram_logprob(
     )
 
 
+def dsir_importance_weights(
+    df: DataFrame,
+    target_pred,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling", arXiv:2302.03169):
+    score every raw document by how much more likely its tokens are
+    under a TARGET-domain unigram LM than under the raw-corpus LM —
+
+        w(doc) = mean over tokens t of [ln P_target(t) − ln P_raw(t)]
+
+    with both models add-one-smoothed over their own token streams
+    (the same estimator :func:`unigram_logprob` uses, so each side is
+    exactly SQL-reproducible).  ``target_pred`` is a Column predicate
+    selecting the in-domain exemplar docs (e.g. a quality-score cut or
+    a trusted-source flag); DSIR's hashed-n-gram feature space reduces
+    to unigrams at n=1 — higher-order hashed features would reuse the
+    same two-frequency-table shape.
+
+    Scale shape: TWO vocab-sized frequency tables (target terms are a
+    filtered subset of the same single corpus explode), both broadcast
+    back with their (N, V) scalars; the corpus shuffles once on doc_id
+    for the final mean.  Tokens absent from the target vocabulary get
+    the smoothed floor ln(1/(N_t+V_t)) via a left join — never dropped,
+    so out-of-domain docs score strongly negative instead of silently
+    shrinking their token count.
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), "\\s+"), lambda t: t != "")
+    exploded = df.select(
+        F.col(id_col), target_pred.alias("_is_target"), F.explode(toks).alias("t")
+    )
+    raw_freq = exploded.groupBy("t").agg(F.count("*").alias("c_raw"))
+    tgt_freq = (
+        exploded.filter(F.col("_is_target")).groupBy("t").agg(F.count("*").alias("c_tgt"))
+    )
+    raw_tot = raw_freq.agg(
+        F.sum("c_raw").alias("n_raw"), F.count("*").alias("v_raw")
+    )
+    tgt_tot = tgt_freq.agg(
+        F.sum("c_tgt").alias("n_tgt"), F.count("*").alias("v_tgt")
+    )
+    lp_raw = F.log((F.col("c_raw") + 1) / (F.col("n_raw") + F.col("v_raw")))
+    lp_tgt = F.log(
+        (F.coalesce(F.col("c_tgt"), F.lit(0)) + 1) / (F.col("n_tgt") + F.col("v_tgt"))
+    )
+    scored = (
+        exploded.join(F.broadcast(raw_freq), "t")
+        .join(F.broadcast(tgt_freq), "t", "left")
+        .crossJoin(F.broadcast(raw_tot))
+        .crossJoin(F.broadcast(tgt_tot))
+        .select(id_col, (lp_tgt - lp_raw).alias("_diff"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.round(F.avg("_diff"), 6).alias("importance_weight"),
+    )
+
+
 def top_ngrams(
     df: DataFrame,
     n: int = 2,
