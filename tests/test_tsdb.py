@@ -217,3 +217,29 @@ def test_ingest_layouts_equivalent(spark, tmp_path):
     pa = sorted(tuple(r) for r in a.points().select("metric", "ts_ms", "value").collect())
     pb = sorted(tuple(r) for r in b.points().select("metric", "ts_ms", "value").collect())
     assert pa == pb and len(pa) == 200
+
+
+def test_tier_and_expire_keeps_rollup_coverage(spark, tmp_path):
+    """Retention with tiering: after tier_and_expire, raw partitions older
+    than the cutoff are gone, recent raw points remain, and the expired
+    range is still answerable from the rollup at bucket resolution."""
+    from pyspark.sql import functions as F
+
+    from time_series_databse_engine_spark import TimeSeriesStore
+
+    H = 3_600_000
+    store = TimeSeriesStore(spark, str(tmp_path / "tier"))
+    pts = spark.range(6 * 60).select(
+        F.lit("m").alias("metric"),
+        (F.col("id") * 60_000).alias("ts_ms"),   # one point/min over 6 hours
+        F.col("id").cast("double").alias("value"),
+    )
+    store.ingest(pts, target_partitions=4)
+    dropped = store.tier_and_expire(before_ms=3 * H)
+    assert dropped == 3                               # hours 0,1,2 gone
+    assert store.query_range(0, 3 * H - 1).count() == 0       # raw expired
+    assert store.query_range(3 * H, 6 * H).count() == 3 * 60  # raw kept
+    # expired range still served at rollup resolution with exact aggregates
+    r = {row.bucket_ms: row for row in store.rollup("1 hour", 0, 3 * H - 1).collect()}
+    assert set(r) == {0, H, 2 * H}
+    assert r[0].n == 60 and r[0].sum_value == sum(range(60))

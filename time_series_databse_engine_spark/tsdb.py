@@ -257,6 +257,30 @@ class TimeSeriesStore:
             self._invalidate()
         return dropped
 
+    def tier_and_expire(self, before_ms: int, bucket: str = "1 hour") -> int:
+        """Retention with downsample tiering (the TimescaleDB
+        retention-policy + continuous-aggregate composition): FIRST make
+        sure the rollup covers every raw point about to be dropped, THEN
+        drop the raw hour partitions older than ``before_ms``.  Old data
+        stays queryable at ``bucket`` resolution through :meth:`rollup`
+        while raw storage is reclaimed.
+
+        Ordering is the safety property: the rollup refresh runs strictly
+        before any partition delete, so a crash between the two steps
+        leaves BOTH raw and rolled-up data present (re-running is
+        idempotent), never neither.  Cost: one aggregation over the
+        expiring window (day-partition dynamic overwrite, same as any
+        incremental refresh) + O(expired partitions) metadata deletes.
+        Returns the number of raw partitions dropped.
+        """
+        # full refresh: guarantees coverage of the expiring days without a
+        # coverage watermark.  In steady state the rollup is maintained
+        # incrementally on ingest (stream_to_store's rollup_bucket), so
+        # production would track the covered-through watermark and skip
+        # this when it already passes the cutoff.
+        self.materialize_rollup(bucket)
+        return self.expire(before_ms)
+
     # ------------------------------------------------------------------- read
     def points(self) -> DataFrame:
         if self._points_cache is not None:
