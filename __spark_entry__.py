@@ -1219,6 +1219,27 @@ def q_dup_spans(spark, sf_dir):
     return dedup_ops.duplicate_spans(_t(spark, sf_dir, "documents"), n=8)
 
 
+def q_hist_sketch_daily(spark, sf_dir):
+    """Mergeable fixed-bin histogram sketch table per (day, series) —
+    unlike the HLL binary state these are exact integer bin counts, so
+    the whole sketch table is oracle-checkable (sketches.histogram_
+    sketches; [0, 500) in 64 bins)."""
+    e = _t(spark, sf_dir, "events")
+    return sketch_ops.histogram_sketches(e, ["event_type"], lo=0.0, hi=500.0, bins=64)
+
+
+def q_sketch_percentile(spark, sf_dir):
+    """p95 per series estimated ONLY from the merged histogram sketches —
+    the any-range-percentile-without-raw-rescan pattern; the midpoint
+    estimator is exact SQL so the oracle replays it verbatim (accuracy vs
+    the true percentile is test-asserted at half a bin width)."""
+    e = _t(spark, sf_dir, "events")
+    s = sketch_ops.histogram_sketches(e, ["event_type"], lo=0.0, hi=500.0, bins=64)
+    return sketch_ops.percentile_from_sketches(
+        s, ["event_type"], q=0.95, lo=0.0, hi=500.0, bins=64
+    )
+
+
 def q_dsir_weights(spark, sf_dir):
     """DSIR importance weights with lang='en' as the target domain
     (text.dsir_importance_weights): mean ln P_target(t) − ln P_raw(t)
@@ -1368,6 +1389,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_1m_expr": q_resample_1m_expr,
         "dup_span_ranges": q_dup_span_ranges,
         "dsir_weights": q_dsir_weights,
+        "hist_sketch_daily": q_hist_sketch_daily,
+        "sketch_percentile": q_sketch_percentile,
         "range_scan_empty": q_range_scan_empty,
         "range_scan_metric": q_range_scan_metric,
         "range_limit": q_range_limit,
@@ -2587,6 +2610,23 @@ def oracle_sql() -> dict[str, str]:
         FROM toks JOIN rf USING (t) LEFT JOIN tf USING (t)
         CROSS JOIN rt CROSS JOIN tt
         GROUP BY doc_id"""
+    _hist_cte = f"""
+        SELECT ({_EV_MS} - {_EV_MS} % 86400000) AS bucket_ms, event_type,
+               least(63, greatest(0, floor((value - 0.0) / {500.0 / 64!r})::INT)) AS bin,
+               count(*) AS cnt
+        FROM events GROUP BY 1, 2, 3"""
+    oracles["hist_sketch_daily"] = _hist_cte
+    oracles["sketch_percentile"] = f"""
+        WITH s AS ({_hist_cte}),
+        m AS (SELECT event_type, bin, sum(cnt)::BIGINT AS cnt FROM s GROUP BY 1, 2),
+        r AS (SELECT event_type, bin,
+                     sum(cnt) OVER (PARTITION BY event_type ORDER BY bin)::BIGINT AS cum,
+                     sum(cnt) OVER (PARTITION BY event_type)::BIGINT AS total
+              FROM m)
+        SELECT event_type, total AS n_rows,
+               round(0.0 + (bin + 0.5) * {500.0 / 64!r}::DOUBLE, 6) AS p95_est
+        FROM (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY bin) AS rn
+              FROM r WHERE cum >= ceil(0.95 * total)) WHERE rn = 1"""
     oracles["semantic_dedup"] = """
         WITH cents AS (SELECT vec_id AS cell_id, embedding::DOUBLE[] AS cent
                        FROM embeddings ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16),

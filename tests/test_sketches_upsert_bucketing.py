@@ -122,3 +122,65 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_cust_b")
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
+
+
+def test_histogram_sketch_percentile_within_half_bin(spark, sf_dir):
+    """The sketch-derived p95 is within ONE bin width of the exact
+    (interpolated) percentile per series: the midpoint is ≤ half a bin
+    from every value in its bin, and the interpolated exact percentile
+    can sit up to the adjacent order statistic across the bin edge."""
+    from pyspark.sql import functions as F
+
+    from time_series_databse_engine_spark.operators.sketches import (
+        histogram_sketches,
+        percentile_from_sketches,
+    )
+    from time_series_databse_engine_spark.sources import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    s = histogram_sketches(e, ["event_type"], lo=0.0, hi=500.0, bins=64)
+    est = {
+        r.event_type: r.p95_est
+        for r in percentile_from_sketches(
+            s, ["event_type"], q=0.95, lo=0.0, hi=500.0, bins=64
+        ).collect()
+    }
+    exact = {
+        r.event_type: r.p
+        for r in e.groupBy("event_type")
+        .agg(F.expr("percentile(value, 0.95)").alias("p"))
+        .collect()
+    }
+    bin_w = 500.0 / 64
+    assert set(est) == set(exact)
+    for k in exact:
+        assert abs(est[k] - exact[k]) <= bin_w + 1e-9, (k, est[k], exact[k])
+
+
+def test_histogram_sketches_merge_exactly(spark, sf_dir):
+    """Summing per-day sketch rows equals the sketch of the whole table —
+    the mergeable-state property, exact because counts are integers."""
+    from pyspark.sql import functions as F
+
+    from time_series_databse_engine_spark.operators.sketches import histogram_sketches
+    from time_series_databse_engine_spark.sources import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    daily = histogram_sketches(e, ["event_type"], lo=0.0, hi=500.0, bins=64)
+    merged = sorted(
+        map(
+            tuple,
+            daily.groupBy("event_type", "bin").agg(F.sum("cnt").alias("cnt")).collect(),
+        )
+    )
+    whole = sorted(
+        map(
+            tuple,
+            histogram_sketches(
+                e, ["event_type"], lo=0.0, hi=500.0, bins=64, bucket_ms=1 << 60
+            )
+            .select("event_type", "bin", "cnt")
+            .collect(),
+        )
+    )
+    assert merged == whole

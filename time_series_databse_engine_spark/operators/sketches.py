@@ -48,3 +48,89 @@ def hll_estimate(
         F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_distinct"),
         F.sum("n_rows").alias("n_rows"),
     )
+
+
+def histogram_sketches(
+    df: DataFrame,
+    keys: list[str],
+    lo: float,
+    hi: float,
+    bins: int = 64,
+    bucket_ms: int = DAY_MS,
+    ts_ms: str = "ts_ms",
+    value: str = "value",
+) -> DataFrame:
+    """Mergeable fixed-bin histogram sketches — the quantile twin of the
+    HLL pattern, with one decisive advantage: bin counts are EXACT
+    integers, so unlike the binary HLL state the whole sketch table is
+    SQL-reproducible and oracle-checkable.
+
+    One row per (time bucket, series, bin) with the count of values
+    landing in ``[lo + b·w, lo + (b+1)·w)`` (w = (hi−lo)/bins; both edge
+    bins clamp, so out-of-range values are counted, not lost).  Long-form
+    relational output merges by plain SUM-group-by — any later range
+    question unions the covering sketch rows, never the raw table.
+
+    Shape: one scan, one partial-aggregated shuffle on (bucket, series,
+    bin); output cardinality is buckets × series × ≤bins — tiny next to
+    the raw table, same as the rollup tables.
+    """
+    w = (hi - lo) / bins
+    b = F.least(
+        F.lit(bins - 1),
+        F.greatest(F.lit(0), F.floor((F.col(value) - lo) / F.lit(w)).cast("int")),
+    )
+    bucket = (F.col(ts_ms) - (F.col(ts_ms) % F.lit(bucket_ms))).alias("bucket_ms")
+    return (
+        df.groupBy(bucket, *keys, b.alias("bin"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def percentile_from_sketches(
+    sketches: DataFrame,
+    keys: list[str],
+    q: float,
+    lo: float,
+    hi: float,
+    bins: int = 64,
+    lo_ms: int | None = None,
+    hi_ms: int | None = None,
+) -> DataFrame:
+    """Estimate the q-th percentile per series from histogram sketches
+    covering ``[lo_ms, hi_ms)`` — O(covering sketch rows), no raw rescan.
+
+    Deterministic estimator: merge bins by SUM, take the first bin whose
+    cumulative count reaches ``ceil(q · total)`` (one series-keyed window
+    over ≤bins rows), report its midpoint ``lo + (bin + 0.5)·w``.  Error
+    vs the interpolated exact percentile is bounded by one bin width
+    (half a bin to any value inside the chosen bin, plus up to the
+    adjacent order statistic across the edge) — test-asserted; the
+    estimator itself is exact SQL, so the oracle replays it verbatim.
+    """
+    from pyspark.sql import Window as W
+
+    if lo_ms is not None:
+        sketches = sketches.filter(F.col("bucket_ms") >= lo_ms)
+    if hi_ms is not None:
+        sketches = sketches.filter(F.col("bucket_ms") < hi_ms)
+    w = (hi - lo) / bins
+    merged = sketches.groupBy(*keys, "bin").agg(F.sum("cnt").alias("cnt"))
+    ww = W.partitionBy(*keys).orderBy("bin")
+    tot = W.partitionBy(*keys)
+    ranked = (
+        merged.withColumn("cum", F.sum("cnt").over(ww))
+        .withColumn("total", F.sum("cnt").over(tot))
+        .withColumn("need", F.ceil(F.lit(q) * F.col("total")))
+        .filter(F.col("cum") >= F.col("need"))
+    )
+    first = W.partitionBy(*keys).orderBy("bin")
+    return (
+        ranked.withColumn("_r", F.row_number().over(first))
+        .filter(F.col("_r") == 1)
+        .select(
+            *keys,
+            F.col("total").alias("n_rows"),
+            F.round(F.lit(lo) + (F.col("bin") + 0.5) * F.lit(w), 6).alias(f"p{int(q*100)}_est"),
+        )
+    )
