@@ -1219,6 +1219,20 @@ def q_dup_spans(spark, sf_dir):
     return dedup_ops.duplicate_spans(_t(spark, sf_dir, "documents"), n=8)
 
 
+def q_hash_split(spark, sf_dir):
+    """Deterministic train/val/test split counts per split — membership
+    keyed on md5(doc_id) hex ranges so assignment survives retries and
+    corpus growth (sampling.hash_split: val=1/16, test=1/16)."""
+    from time_series_databse_engine_spark.operators import sampling as samp_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        samp_ops.hash_split(docs, val_16ths=1, test_16ths=1)
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+    )
+
+
 def q_hist_sketch_daily(spark, sf_dir):
     """Mergeable fixed-bin histogram sketch table per (day, series) —
     unlike the HLL binary state these are exact integer bin counts, so
@@ -1391,6 +1405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "hist_sketch_daily": q_hist_sketch_daily,
         "sketch_percentile": q_sketch_percentile,
+        "hash_split": q_hash_split,
         "range_scan_empty": q_range_scan_empty,
         "range_scan_metric": q_range_scan_metric,
         "range_limit": q_range_limit,
@@ -2627,6 +2642,13 @@ def oracle_sql() -> dict[str, str]:
                round(0.0 + (bin + 0.5) * {500.0 / 64!r}::DOUBLE, 6) AS p95_est
         FROM (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY bin) AS rn
               FROM r WHERE cum >= ceil(0.95 * total)) WHERE rn = 1"""
+    oracles["hash_split"] = """
+        SELECT CASE WHEN d = '0' THEN 'val'
+                    WHEN d = '1' THEN 'test'
+                    ELSE 'train' END AS split,
+               count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars
+        FROM (SELECT substr(md5(doc_id::VARCHAR), 1, 1) AS d, n_chars FROM documents)
+        GROUP BY 1"""
     oracles["semantic_dedup"] = """
         WITH cents AS (SELECT vec_id AS cell_id, embedding::DOUBLE[] AS cent
                        FROM embeddings ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16),

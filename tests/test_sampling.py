@@ -30,3 +30,23 @@ def test_stratified_sample_exact_counts(spark, sf_dir):
     sizes = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
     for lang, sz in sizes.items():
         assert counts[lang] == min(7, sz)
+
+
+def test_hash_split_disjoint_stable_and_growth_invariant(spark):
+    """Splits partition the corpus disjointly, assignment is identical on
+    re-evaluation, and adding rows never reassigns existing ids."""
+    from time_series_databse_engine_spark.operators.sampling import hash_split
+
+    df = spark.range(200).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id: r.split for r in hash_split(df).collect()}
+    b = {r.doc_id: r.split for r in hash_split(df).collect()}
+    assert a == b
+    assert set(a.values()) == {"train", "val", "test"}
+    grown = spark.range(400).withColumnRenamed("id", "doc_id")
+    g = {r.doc_id: r.split for r in hash_split(grown).collect()}
+    assert all(g[i] == a[i] for i in a)  # growth never reassigns
+    # ~1/16 val, ~1/16 test (loose bounds at n=400)
+    from collections import Counter
+
+    c = Counter(g.values())
+    assert 5 <= c["val"] <= 60 and 5 <= c["test"] <= 60

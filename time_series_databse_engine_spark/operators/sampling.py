@@ -55,3 +55,31 @@ def stratified_sample(
         .filter(F.col("_rk") <= n_per_stratum)
         .drop("_rk")
     )
+
+
+def hash_split(
+    df: DataFrame,
+    val_16ths: int = 1,
+    test_16ths: int = 1,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic train/val/test assignment — the split step every
+    training pipeline runs before packing.  The first hex digit of
+    ``md5(string(id))`` partitions the id space: the first ``val_16ths``
+    digits → val, the next ``test_16ths`` → test, the rest → train.
+
+    Hash-gated like the samplers above, and for the same reasons: a
+    doc's split NEVER changes as the corpus grows, across retries, or
+    under AQE re-planning (``randomSplit`` guarantees none of these),
+    and train/val/test are disjoint by construction because the digit
+    ranges are.  Zero shuffles — one codegen'd expression per row.
+    """
+    digit = F.substring(F.md5(F.col(id_col).cast("string")), 1, 1)
+    val_set = list(HEX[:val_16ths])
+    test_set = list(HEX[val_16ths : val_16ths + test_16ths])
+    split = (
+        F.when(digit.isin(*val_set), F.lit("val"))
+        .when(digit.isin(*test_set), F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+    return df.withColumn("split", split)
