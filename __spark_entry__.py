@@ -1219,6 +1219,13 @@ def q_dup_spans(spark, sf_dir):
     return dedup_ops.duplicate_spans(_t(spark, sf_dir, "documents"), n=8)
 
 
+def q_bpe_pairs(spark, sf_dir):
+    """Top-20 adjacent character pairs over the word-frequency table —
+    BPE's first merge-candidate count (text.bpe_pair_counts); the pair
+    stage is vocab-sized regardless of corpus size."""
+    return text_ops.bpe_pair_counts(_t(spark, sf_dir, "documents"), k=20)
+
+
 def q_hash_split(spark, sf_dir):
     """Deterministic train/val/test split counts per split — membership
     keyed on md5(doc_id) hex ranges so assignment survives retries and
@@ -1406,6 +1413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hist_sketch_daily": q_hist_sketch_daily,
         "sketch_percentile": q_sketch_percentile,
         "hash_split": q_hash_split,
+        "bpe_pairs": q_bpe_pairs,
         "range_scan_empty": q_range_scan_empty,
         "range_scan_metric": q_range_scan_metric,
         "range_limit": q_range_limit,
@@ -2649,6 +2657,17 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars
         FROM (SELECT substr(md5(doc_id::VARCHAR), 1, 1) AS d, n_chars FROM documents)
         GROUP BY 1"""
+    oracles["bpe_pairs"] = """
+        WITH wds AS (
+          SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                    x -> x != '')) AS w
+          FROM documents),
+        wf AS (SELECT w, count(*) AS f FROM wds GROUP BY w),
+        p AS (SELECT substr(w, i, 2) AS pair, f
+              FROM (SELECT w, f, unnest(generate_series(1, len(w) - 1)) AS i
+                    FROM wf WHERE len(w) >= 2)),
+        c AS (SELECT pair, sum(f)::BIGINT AS cnt FROM p GROUP BY pair)
+        SELECT pair, cnt FROM c ORDER BY cnt DESC, pair ASC LIMIT 20"""
     oracles["semantic_dedup"] = """
         WITH cents AS (SELECT vec_id AS cell_id, embedding::DOUBLE[] AS cent
                        FROM embeddings ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16),

@@ -235,3 +235,18 @@ def test_dsir_weights_rank_in_domain_docs_higher(spark):
     assert all(v == v and abs(v) < 100 for v in w.values())  # finite
     # every token of doc 4 is absent from the target LM → strictly negative
     assert w[4] < 0
+
+
+def test_bpe_pair_counts_weighted_by_word_frequency(spark):
+    """Pair counts weight each distinct word by its corpus frequency —
+    'th' from three 'the's counts 3 — and the top-k cut breaks count
+    ties by pair text deterministically."""
+    from time_series_databse_engine_spark.operators.text import bpe_pair_counts
+
+    df = spark.createDataFrame(
+        [(1, "the the"), (2, "the ab"), (3, "ba")],
+        "doc_id long, text string",
+    )
+    out = [(r.pair, r.cnt) for r in bpe_pair_counts(df, k=3).collect()]
+    # 'the'×3 → th:3, he:3 ; 'ab'×1 → ab:1 ; 'ba'×1 → ba:1
+    assert out == [("he", 3), ("th", 3), ("ab", 1)]

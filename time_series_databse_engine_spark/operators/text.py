@@ -635,3 +635,43 @@ def top_ngrams(
         .orderBy(F.col("total_count").desc(), F.col("g").asc())
         .limit(k)
     )
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Most frequent adjacent character pairs — the counting step of a
+    BPE/WordPiece tokenizer's first merge iteration (Sennrich 2016,
+    "Neural Machine Translation of Rare Words with Subword Units").
+
+    The scale trick is the same one every BPE trainer uses: aggregate to
+    the WORD-FREQUENCY table first (vocab-sized, not corpus-sized), then
+    count pairs over distinct words weighted by their frequency.  Pair
+    extraction never touches the corpus again — at 100 TB the second
+    stage processes |vocab| rows regardless of corpus size.
+
+    Shape: one corpus-sized exchange (word groupBy, map-side partial),
+    one vocab-sized exchange (pair sum), top-k with a deterministic
+    (count DESC, pair ASC) tiebreak so the cut is engine-independent.
+    """
+    words = F.explode(
+        F.filter(F.split(F.lower(F.col(text_col)), "\\s+"), lambda t: t != "")
+    ).alias("w")
+    wf = df.select(words).groupBy("w").agg(F.count("*").alias("f"))
+    pairs = wf.filter(F.length("w") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "f",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("f").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("pair").asc())
+        .limit(k)
+    )
