@@ -2628,7 +2628,7 @@ def oracle_sql() -> dict[str, str]:
         tt AS (SELECT sum(c_tgt) AS n_tgt, count(*) AS v_tgt FROM tf)
         SELECT doc_id, count(*) AS n_tokens,
                round(avg(ln((coalesce(c_tgt, 0) + 1) / (n_tgt + v_tgt))
-                         - ln((c_raw + 1) / (n_raw + v_raw))), 6)
+                         - ln((c_raw + 1) / (n_raw + v_raw))), 6) + 0.0
                    AS importance_weight
         FROM toks JOIN rf USING (t) LEFT JOIN tf USING (t)
         CROSS JOIN rt CROSS JOIN tt

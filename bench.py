@@ -67,6 +67,8 @@ HEADLINE = [
     "ewma_chunked",
     "holt_chunked",
     "semantic_dedup",
+    "dsir_weights",
+    "sketch_percentile",
 ]
 
 # repeated-run latency distribution for the reference's hot/cold point

@@ -592,7 +592,10 @@ def dsir_importance_weights(
     )
     return scored.groupBy(id_col).agg(
         F.count("*").alias("n_tokens"),
-        F.round(F.avg("_diff"), 6).alias("importance_weight"),
+        # + 0.0 canonicalizes IEEE negative zero: a ~-1e-9 mean rounds to
+        # -0.0 in some engines and +0.0 in others — same value, different
+        # sign bit, hash-compare mismatch
+        (F.round(F.avg("_diff"), 6) + F.lit(0.0)).alias("importance_weight"),
     )
 
 
