@@ -1219,6 +1219,16 @@ def q_dup_spans(spark, sf_dir):
     return dedup_ops.duplicate_spans(_t(spark, sf_dir, "documents"), n=8)
 
 
+def q_funnel(spark, sf_dir):
+    """view → click → purchase funnel per user within 24 h of the first
+    view (timeseries.funnel, earliest-anchor semantics); oracle replays
+    the three user-keyed min chains."""
+    e = _t(spark, sf_dir, "events")
+    return ts_ops.funnel(
+        e, ["view", "click", "purchase"], within_ms=86_400_000
+    )
+
+
 def q_bpe_pairs(spark, sf_dir):
     """Top-20 adjacent character pairs over the word-frequency table —
     BPE's first merge-candidate count (text.bpe_pair_counts); the pair
@@ -1414,6 +1424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_percentile": q_sketch_percentile,
         "hash_split": q_hash_split,
         "bpe_pairs": q_bpe_pairs,
+        "funnel": q_funnel,
         "range_scan_empty": q_range_scan_empty,
         "range_scan_metric": q_range_scan_metric,
         "range_limit": q_range_limit,
@@ -2668,6 +2679,22 @@ def oracle_sql() -> dict[str, str]:
                     FROM wf WHERE len(w) >= 2)),
         c AS (SELECT pair, sum(f)::BIGINT AS cnt FROM p GROUP BY pair)
         SELECT pair, cnt FROM c ORDER BY cnt DESC, pair ASC LIMIT 20"""
+    oracles["funnel"] = f"""
+        WITH ev AS (SELECT user_id, event_type, {_EV_MS} AS ms FROM events
+                    WHERE event_type IN ('view', 'click', 'purchase')),
+        s1 AS (SELECT user_id, min(ms) AS t1 FROM ev
+               WHERE event_type = 'view' GROUP BY user_id),
+        s2 AS (SELECT e.user_id, min(ms) AS t2 FROM ev e JOIN s1 USING (user_id)
+               WHERE event_type = 'click' AND ms > t1 AND ms <= t1 + 86400000
+               GROUP BY e.user_id),
+        s3 AS (SELECT e.user_id, min(ms) AS t3
+               FROM ev e JOIN s2 USING (user_id) JOIN s1 USING (user_id)
+               WHERE event_type = 'purchase' AND ms > t2 AND ms <= t1 + 86400000
+               GROUP BY e.user_id)
+        SELECT s1.user_id, t1, t2, t3,
+               (1 + CASE WHEN t2 IS NULL THEN 0 ELSE 1 END
+                  + CASE WHEN t3 IS NULL THEN 0 ELSE 1 END) AS steps_completed
+        FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)"""
     oracles["semantic_dedup"] = """
         WITH cents AS (SELECT vec_id AS cell_id, embedding::DOUBLE[] AS cent
                        FROM embeddings ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16),

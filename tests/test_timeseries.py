@@ -362,3 +362,30 @@ def test_resample_interpolate_expr_no_python_two_exchanges(spark, sf_dir):
     p = simple_plan(df)
     assert "FlatMapGroupsInPandas" not in p and "ArrowEvalPython" not in p
     assert num_shuffle_exchanges(df) <= 3
+
+
+def test_funnel_ordering_window_and_partials(spark):
+    """Funnel requires strict step ordering from the earliest anchor,
+    enforces the completion window, and reports partial users with
+    suffix-closed nulls."""
+    from time_series_databse_engine_spark.operators.timeseries import funnel
+
+    rows = [
+        # u1 completes in order
+        (1, "view", 1000), (1, "click", 2000), (1, "purchase", 3000),
+        # u2: click BEFORE first view → step 2 not satisfied by it
+        (2, "click", 500), (2, "view", 1000),
+        # u3: purchase outside the window from t1
+        (3, "view", 0), (3, "click", 100), (3, "purchase", 20_000),
+        # u4 never viewed → absent entirely
+        (4, "purchase", 50),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts_ms long")
+    out = {
+        r.user_id: (r.t1, r.t2, r.t3, r.steps_completed)
+        for r in funnel(df, ["view", "click", "purchase"], within_ms=10_000).collect()
+    }
+    assert out[1] == (1000, 2000, 3000, 3)
+    assert out[2] == (1000, None, None, 1)
+    assert out[3] == (0, 100, None, 2)
+    assert 4 not in out

@@ -353,6 +353,62 @@ def ewma(
     )
 
 
+def funnel(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_ms: str = "ts_ms",
+    within_ms: int | None = None,
+) -> DataFrame:
+    """Ordered conversion funnel per user: the earliest chain of step
+    timestamps ``t1 < t2 < … < tk`` over the given event types, anchored
+    at the user's EARLIEST step-1 event (the deterministic anchor makes
+    the whole computation SQL-replayable; ClickHouse's windowFunnel
+    slides the anchor instead — a documented semantic difference).
+    ``within_ms`` additionally requires every later step inside
+    ``t1 + within_ms``.  Greedy-earliest per prefix is exact for chain
+    EXISTENCE given the fixed anchor: taking the minimum feasible
+    timestamp at each step only loosens later constraints.
+
+    Output: one row per user who reached step 1 — ``t1 … tk`` (null
+    once a step is missed; construction guarantees nulls are suffix-
+    closed) and ``steps_completed``.
+
+    Scale shape: events are pre-filtered to the k funnel types (narrow
+    projection), then k−1 user-keyed join+min rounds over shrinking
+    step tables — every shuffle is user-keyed; nothing pairwise, and a
+    user's full history is never materialized in one place (contrast a
+    collect_list-per-user sequence scan).
+    """
+    ev = df.filter(F.col(type_col).isin(list(steps))).select(
+        F.col(user_col), F.col(type_col), F.col(ts_ms)
+    )
+    out = (
+        ev.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_ms).alias("t1"))
+    )
+    for i, s in enumerate(steps[1:], start=2):
+        cand = ev.filter(F.col(type_col) == s)
+        cond = F.col(ts_ms) > F.col(f"t{i - 1}")
+        if within_ms is not None:
+            cond = cond & (F.col(ts_ms) <= F.col("t1") + F.lit(within_ms))
+        prev_cols = [user_col, "t1"] if i == 2 else [user_col, "t1", f"t{i - 1}"]
+        nxt = (
+            cand.join(out.select(*prev_cols), user_col)
+            .filter(cond)
+            .groupBy(user_col)
+            .agg(F.min(ts_ms).alias(f"t{i}"))
+        )
+        out = out.join(nxt, user_col, "left")
+    done = sum(
+        (F.when(F.col(f"t{i}").isNotNull(), 1).otherwise(0) for i in range(2, len(steps) + 1)),
+        F.lit(1),
+    )
+    return out.withColumn("steps_completed", done)
+
+
 def ewma_chunked(
     df: DataFrame,
     key: str,
