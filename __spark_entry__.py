@@ -1340,7 +1340,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     value_percentiles, window_first_last→rank_family+moving_avg_time,
     event_sequences→string_funcs, embedding_centroids→cosine_topk+
     kmeans).  Keys 51+ remain verified by the local checker
-    (tools/check_correctness.py) across every entry."""
+    (tools/check_correctness.py) across every entry.
+
+    ROTATION QUEUE for the next round's window (oracle-backed, locally
+    green at every SF, not yet driver-checked): resample_1m_expr,
+    dup_span_ranges, dsir_weights, hist_sketch_daily, sketch_percentile,
+    hash_split, bpe_pairs, funnel — swap in for redundant green anchors
+    per category, as this round did."""
     return {
         # -- category anchors (driver-green r1/r2) ----------------------
         "range_scan": q_range_scan,
