@@ -124,3 +124,26 @@ def test_stream_stream_join_matches_batch(spark, staged_events, sf_dir):
     # must be a real pair, and coverage should be near-complete
     assert 0 < got <= batch
     assert got >= batch * 0.8
+
+
+def test_replayed_batch_dedupes_via_compact(spark, tmp_path):
+    """The documented at-least-once recovery path: a replayed micro-batch
+    duplicates its appended points; compact(dedupe=True) restores
+    exactly-once counts without touching distinct values."""
+    from pyspark.sql import functions as F
+
+    from time_series_databse_engine_spark import TimeSeriesStore
+
+    store = TimeSeriesStore(spark, str(tmp_path / "replay"))
+    batch = spark.range(100).select(
+        F.lit("m").alias("metric"),
+        (F.col("id") * 1000).alias("ts_ms"),
+        F.col("id").cast("double").alias("value"),
+    )
+    store.ingest(batch, target_partitions=2)
+    store.ingest(batch, target_partitions=2)  # simulated epoch replay
+    assert store.query_range(0, 10**12).count() == 200
+    store.compact(dedupe=True)
+    out = store.query_range(0, 10**12)
+    assert out.count() == 100
+    assert out.select("ts_ms").distinct().count() == 100

@@ -108,8 +108,16 @@ def stream_to_store(
     rollup_bucket: str | None = None,
 ):
     """``foreachBatch`` sink into the hour-partitioned Parquet TimeSeriesStore:
-    each micro-batch becomes one immutable sorted append (idempotent per
-    epoch when paired with the checkpoint).
+    each micro-batch becomes one immutable sorted append.
+
+    Delivery semantics — AT-LEAST-ONCE, stated honestly: the checkpoint
+    guarantees a committed epoch is never re-fed, but a crash BETWEEN the
+    append and the epoch commit replays that batch, duplicating its
+    points (a blind parquet append has no transactional handshake with
+    the checkpoint).  Append-only storage makes the failure duplicate
+    rather than corrupt; run ``store.compact(dedupe=True)`` as the
+    maintenance step to restore exactly-once counts, or route through a
+    transactional table format in production.
 
     With ``rollup_bucket`` set, each batch also refreshes the materialized
     rollup incrementally for just the days the batch touched — the
