@@ -391,11 +391,16 @@ def semantic_dedup(
         "nrm", norm(F.col("v"))
     )
     cents = hash_sampled_cells(embeddings, n_cells, id_col, vec_col)
-    a = assign_nearest_cell(e, cents, F.col("v"), F.col("nrm")).repartition("cell_id")
-    l = a.select(
+    a = assign_nearest_cell(e, cents, F.col("v"), F.col("nrm"))
+    # repartition ONLY the pair-join input: both self-join sides then share
+    # one cell-keyed exchange (AQE ReusedExchange), while the final
+    # anti-join consumes `a` without inheriting an extra cell shuffle in
+    # the output lineage
+    ar = a.repartition("cell_id")
+    l = ar.select(
         F.col("id").alias("id1"), F.col("v").alias("v1"), F.col("nrm").alias("n1"), "cell_id"
     )
-    r = a.select(
+    r = ar.select(
         F.col("id").alias("id2"), F.col("v").alias("v2"), F.col("nrm").alias("n2"), "cell_id"
     )
     dropped = (
