@@ -50,3 +50,13 @@ def test_hash_split_disjoint_stable_and_growth_invariant(spark):
 
     c = Counter(g.values())
     assert 5 <= c["val"] <= 60 and 5 <= c["test"] <= 60
+
+
+def test_hash_split_rejects_overallocated_ranges(spark):
+    import pytest
+
+    from time_series_databse_engine_spark.operators.sampling import hash_split
+
+    df = spark.range(5).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError, match="at least one"):
+        hash_split(df, val_16ths=10, test_16ths=6)

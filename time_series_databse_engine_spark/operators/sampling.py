@@ -74,6 +74,11 @@ def hash_split(
     and train/val/test are disjoint by construction because the digit
     ranges are.  Zero shuffles — one codegen'd expression per row.
     """
+    if val_16ths < 0 or test_16ths < 0 or val_16ths + test_16ths > 15:
+        raise ValueError(
+            "val_16ths + test_16ths must be in [0, 15] so at least one "
+            f"digit remains for train (got {val_16ths} + {test_16ths})"
+        )
     digit = F.substring(F.md5(F.col(id_col).cast("string")), 1, 1)
     val_set = list(HEX[:val_16ths])
     test_set = list(HEX[val_16ths : val_16ths + test_16ths])
