@@ -342,6 +342,33 @@ def q_asof_join(spark, sf_dir):
     )
 
 
+def q_asof_join_tolerance(spark, sf_dir):
+    """Backward as-of join with a 10-minute staleness cap: matches older
+    than tolerance_ms are nulled, the left row is kept (asof.asof_join
+    tolerance path); oracle = ASOF LEFT JOIN + CASE on the staleness."""
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_ms"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts_ms", "value")
+    joined = asof_ops.asof_join(
+        purchases,
+        clicks,
+        on="ts_ms",
+        by=["user_id"],
+        right_cols=["value"],
+        suffix="_click",
+        tolerance_ms=600_000,
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts_ms",
+        F.col("ts_ms_click").alias("click_ts_ms"),
+        F.col("value_click").alias("click_value"),
+    )
+
+
 def q_first_last_per_series(spark, sf_dir):
     """first/last value per series by event time (min_by/max_by)."""
     e = _t(spark, sf_dir, "events")
@@ -1431,6 +1458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "bpe_pairs": q_bpe_pairs,
         "funnel": q_funnel,
+        "asof_join_tolerance": q_asof_join_tolerance,
         "range_scan_empty": q_range_scan_empty,
         "range_scan_metric": q_range_scan_metric,
         "range_limit": q_range_limit,
@@ -2701,6 +2729,18 @@ def oracle_sql() -> dict[str, str]:
                (1 + CASE WHEN t2 IS NULL THEN 0 ELSE 1 END
                   + CASE WHEN t3 IS NULL THEN 0 ELSE 1 END) AS steps_completed
         FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)"""
+    oracles["asof_join_tolerance"] = """
+        SELECT event_id, user_id, ts_ms,
+               CASE WHEN ts_ms - raw_click_ts <= 600000 THEN raw_click_ts END
+                   AS click_ts_ms,
+               CASE WHEN ts_ms - raw_click_ts <= 600000 THEN raw_value END
+                   AS click_value
+        FROM (
+          SELECT p.event_id, p.user_id, epoch_ms(p.ts) AS ts_ms,
+                 epoch_ms(c.ts) AS raw_click_ts, c.value AS raw_value
+          FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+          ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+            ON p.user_id = c.user_id AND p.ts >= c.ts)"""
     oracles["semantic_dedup"] = """
         WITH cents AS (SELECT vec_id AS cell_id, embedding::DOUBLE[] AS cent
                        FROM embeddings ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16),
