@@ -1370,10 +1370,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (tools/check_correctness.py) across every entry.
 
     ROTATION QUEUE for the next round's window (oracle-backed, locally
-    green at every SF, not yet driver-checked): resample_1m_expr,
-    dup_span_ranges, dsir_weights, hist_sketch_daily, sketch_percentile,
-    hash_split, bpe_pairs, funnel — swap in for redundant green anchors
-    per category, as this round did."""
+    green at every SF, not yet driver-checked): hist_sketch_daily,
+    bpe_pairs, asof_join_tolerance, ewma_chunked's 51+ siblings as they
+    accrue — swap in for redundant green anchors per category, as this
+    round did twice (21 first-time window entries this round)."""
     return {
         # -- category anchors (driver-green r1/r2) ----------------------
         "range_scan": q_range_scan,
@@ -1392,7 +1392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_pivot": q_event_pivot,
         "rank_family": q_rank_family,
         "string_funcs": q_string_funcs,
-        "date_parts": q_date_parts,
+        "dup_span_ranges": q_dup_span_ranges,
         "orders_above_avg": q_orders_above_avg,
         "grouping_sets": q_grouping_sets,
         "full_outer_join": q_full_outer_join,
@@ -1400,20 +1400,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_topk": q_lsh_ann_topk,
         "ohlc_1h": q_ohlc_1h,
         "counter_rate_1h": q_counter_rate_1h,
-        "time_weighted_avg": q_time_weighted_avg,
+        "sketch_percentile": q_sketch_percentile,
         "zscore_anomaly": q_zscore_anomaly,
         "ewma_chunked": q_ewma_chunked,
-        "repetition_stats": q_repetition_stats,
+        "resample_1m_expr": q_resample_1m_expr,
         "tfidf_top_terms": q_tfidf_top_terms,
         "contamination": q_contamination,
         "pack_sequences": q_pack_sequences,
-        "moving_avg_time": q_moving_avg_time,
-        "shipping_priority": q_shipping_priority,
+        "funnel": q_funnel,
+        "hash_split": q_hash_split,
         "semantic_dedup": q_semantic_dedup,
         "holt_chunked": q_holt_chunked,
         "cosine_near_dup_lsh": q_cosine_near_dup_lsh,
         "kmeans": q_kmeans,
-        "unigram_logprob": q_unigram_logprob,
+        "dsir_weights": q_dsir_weights,
         # -- rotated IN this round: never driver-checked before ---------
         "gapfill_locf": q_gapfill_locf,
         "dup_spans": q_dup_spans,
@@ -1436,6 +1436,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma": q_ewma,
         "dedup_clusters": q_dedup_clusters,
         "simhash_md5": q_simhash_md5,
+        "date_parts": q_date_parts,
+        "time_weighted_avg": q_time_weighted_avg,
+        "moving_avg_time": q_moving_avg_time,
+        "shipping_priority": q_shipping_priority,
+        "repetition_stats": q_repetition_stats,
+        "unigram_logprob": q_unigram_logprob,
         "hll_distinct_daily": q_hll_distinct_daily,
         "multimodal_decode": q_multimodal_decode,
         "jaccard_pairs": q_jaccard_pairs,
@@ -1450,14 +1456,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_centroids": q_embedding_centroids,
         "moving_avg": q_moving_avg,
         "simhash": q_simhash,
-        "resample_1m_expr": q_resample_1m_expr,
-        "dup_span_ranges": q_dup_span_ranges,
-        "dsir_weights": q_dsir_weights,
         "hist_sketch_daily": q_hist_sketch_daily,
-        "sketch_percentile": q_sketch_percentile,
-        "hash_split": q_hash_split,
         "bpe_pairs": q_bpe_pairs,
-        "funnel": q_funnel,
         "asof_join_tolerance": q_asof_join_tolerance,
         "range_scan_empty": q_range_scan_empty,
         "range_scan_metric": q_range_scan_metric,
