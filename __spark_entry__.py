@@ -342,6 +342,15 @@ def q_asof_join(spark, sf_dir):
     )
 
 
+def q_bm25(spark, sf_dir):
+    """Okapi BM25 top-10 for a fixed query over the documents table
+    (text.bm25_search, k1=1.2, b=0.75) — inverted-index join shape;
+    oracle replays postings, idf, and the length-normalized tf part."""
+    return text_ops.bm25_search(
+        _t(spark, sf_dir, "documents"), "the quick data model", k=10
+    )
+
+
 def q_asof_join_tolerance(spark, sf_dir):
     """Backward as-of join with a 10-minute staleness cap: matches older
     than tolerance_ms are nulled, the left row is kept (asof.asof_join
@@ -1459,6 +1468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hist_sketch_daily": q_hist_sketch_daily,
         "bpe_pairs": q_bpe_pairs,
         "asof_join_tolerance": q_asof_join_tolerance,
+        "bm25": q_bm25,
         "range_scan_empty": q_range_scan_empty,
         "range_scan_metric": q_range_scan_metric,
         "range_limit": q_range_limit,
@@ -2741,6 +2751,30 @@ def oracle_sql() -> dict[str, str]:
           FROM (SELECT * FROM events WHERE event_type = 'purchase') p
           ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
             ON p.user_id = c.user_id AND p.ts >= c.ts)"""
+    oracles["bm25"] = """
+        WITH toks AS (
+          SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                            x -> x != '')) AS t
+          FROM documents),
+        dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+        post AS (SELECT doc_id, t, count(*) AS tf FROM toks
+                 WHERE t IN ('the', 'quick', 'data', 'model')
+                 GROUP BY doc_id, t),
+        dfq AS (SELECT t, count(*) AS df_t FROM post GROUP BY t),
+        st AS (SELECT count(*) AS n_docs,
+                      avg(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                          x -> x != ''))) AS avgdl
+               FROM documents)
+        SELECT doc_id, bm25 FROM (
+          SELECT doc_id,
+                 round(sum(ln((n_docs - df_t + 0.5::DOUBLE) / (df_t + 0.5::DOUBLE) + 1)
+                           * (tf * 2.2::DOUBLE)
+                           / (tf + 1.2::DOUBLE * (1 - 0.75::DOUBLE
+                                                  + 0.75::DOUBLE * dl / avgdl))), 6)
+                     AS bm25
+          FROM post JOIN dfq USING (t) JOIN dl USING (doc_id) CROSS JOIN st
+          GROUP BY doc_id)
+        ORDER BY bm25 DESC, doc_id ASC LIMIT 10"""
     oracles["semantic_dedup"] = """
         WITH cents AS (SELECT vec_id AS cell_id, embedding::DOUBLE[] AS cent
                        FROM embeddings ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16),

@@ -250,3 +250,21 @@ def test_bpe_pair_counts_weighted_by_word_frequency(spark):
     out = [(r.pair, r.cnt) for r in bpe_pair_counts(df, k=3).collect()]
     # 'the'×3 → th:3, he:3 ; 'ab'×1 → ab:1 ; 'ba'×1 → ba:1
     assert out == [("he", 3), ("th", 3), ("ab", 1)]
+
+
+def test_bm25_ranks_term_dense_docs_and_length_normalizes(spark):
+    """A doc with more query-term mass ranks higher; between two docs
+    with identical tf, the shorter one wins (length normalization)."""
+    from time_series_databse_engine_spark.operators.text import bm25_search
+
+    rows = [
+        (1, "data data data other words here"),
+        (2, "data other words here filler filler filler filler filler"),
+        (3, "data other words here"),
+        (4, "nothing relevant at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = [r.doc_id for r in bm25_search(df, "data", k=4).collect()]
+    assert out[0] == 1            # highest tf
+    assert out.index(3) < out.index(2)  # same tf, shorter doc first
+    assert 4 not in out           # no query terms → no row

@@ -7,7 +7,7 @@ table is one scan + narrow projections.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window as W, functions as F
 
 TOKEN_RE = "[^\\s]+"          # whitespace tokens
 WORD_RE = "[A-Za-z]+"          # alphabetic words
@@ -676,5 +676,61 @@ def bpe_pair_counts(
         pairs.groupBy("pair")
         .agg(F.sum("f").alias("cnt"))
         .orderBy(F.col("cnt").desc(), F.col("pair").asc())
+        .limit(k)
+    )
+
+
+def bm25_search(
+    df: DataFrame,
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 document ranking for a literal query string (Robertson-
+    Spärck Jones probabilistic retrieval; the Okapi BM25 formula) — the
+    retrieval primitive of RAG and data-curation pipelines:
+
+        score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+        idf(t)   = ln((N − df + 0.5)/(df + 0.5) + 1)
+
+    with tf = term count in d, df = docs containing t, dl = d's token
+    count, avgdl = mean token count.  Everything quantized to 6 dp at
+    the end; ties broken by id for an engine-independent top-k.
+
+    Scale shape: ONE corpus explode → per-(doc, term) counts (the
+    postings list, doc-and-term keyed); query terms are a tiny broadcast
+    IN-list applied BEFORE the join, so only postings of query terms
+    survive the shuffle; doc lengths ride the same explode via a window
+    on the doc key; N/avgdl are broadcast scalars.  No full-corpus
+    rescan per query term — the standard inverted-index join.
+    """
+    terms = sorted({t for t in query.lower().split() if t})
+    toks = F.filter(F.split(F.lower(F.col(text_col)), "\\s+"), lambda t: t != "")
+    exploded = df.select(F.col(id_col), F.explode(toks).alias("t"))
+    wd = W.partitionBy(id_col)
+    with_dl = exploded.withColumn("dl", F.count("*").over(wd))
+    postings = (
+        with_dl.filter(F.col("t").isin(terms))
+        .groupBy(id_col, "t", "dl")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = postings.groupBy("t").agg(F.count("*").alias("df_t"))
+    stats = df.select(
+        F.count("*").alias("n_docs"),
+        F.avg(F.size(toks)).alias("avgdl"),
+    )
+    idf = F.log((F.col("n_docs") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5) + 1)
+    tf_part = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        postings.join(F.broadcast(dfreq), "t")
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(F.round(F.sum(idf * tf_part), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
         .limit(k)
     )
