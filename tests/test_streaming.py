@@ -147,3 +147,41 @@ def test_replayed_batch_dedupes_via_compact(spark, tmp_path):
     out = store.query_range(0, 10**12)
     assert out.count() == 100
     assert out.select("ts_ms").distinct().count() == 100
+
+
+def test_windowed_distinct_users_tracks_batch_distinct(spark, staged_events, sf_dir):
+    """Streaming per-window approx distinct users lands within HLL error
+    of the batch exact distinct for the closable windows."""
+    from time_series_databse_engine_spark.streaming import (
+        stream_events,
+        windowed_distinct_users,
+    )
+
+    stream = stream_events(spark, staged_events)
+    q = (
+        windowed_distinct_users(stream, "1 hour", "10 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("win_distinct")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.bucket_ms, r.event_type): r.approx_users
+        for r in spark.sql("SELECT * FROM win_distinct").collect()
+    }
+    assert got, "no closed windows emitted"
+    e = load_table(spark, sf_dir, "events")
+    exact = {
+        (r.bucket_ms, r.event_type): r.exact
+        for r in e.groupBy(
+            (F.col("ts_ms") - F.col("ts_ms") % 3_600_000).alias("bucket_ms"),
+            "event_type",
+        )
+        .agg(F.count_distinct("user_id").alias("exact"))
+        .collect()
+    }
+    for k, approx in got.items():
+        assert k in exact
+        assert abs(approx - exact[k]) <= max(2, 0.15 * exact[k]), (k, approx, exact[k])

@@ -12,6 +12,7 @@ from time_series_databse_engine_spark.streaming.ingest import (
     stream_events,
     stream_stream_join,
     windowed_counts,
+    windowed_distinct_users,
     sessionized_counts,
     stream_to_store,
 )
@@ -20,6 +21,7 @@ __all__ = [
     "stream_events",
     "stream_stream_join",
     "windowed_counts",
+    "windowed_distinct_users",
     "sessionized_counts",
     "stream_to_store",
 ]

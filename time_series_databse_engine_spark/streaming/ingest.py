@@ -50,6 +50,41 @@ def windowed_counts(
     )
 
 
+def windowed_distinct_users(
+    stream: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+    rsd: float = 0.05,
+) -> DataFrame:
+    """Approximate distinct users per event-time window — the streaming
+    twin of the batch HLL sketch rollup (`operators.sketches`): Spark's
+    `approx_count_distinct` keeps one HyperLogLog++ register set per
+    open window in the state store (O(2^p) bytes, not O(users)), so
+    state stays bounded no matter how many distinct users a window sees;
+    the watermark closes windows and evicts their registers.
+
+    ``rsd`` is the target relative standard deviation (0.05 ≈ ±5%).  For
+    a re-queryable sketch TABLE (union distinct counts over arbitrary
+    later ranges), route the stream into the store with
+    :func:`stream_to_store` and build `hll_daily_sketches` on top — this
+    operator is the live-dashboard path, that one is the warehouse path.
+    """
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd).alias("approx_users"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            F.unix_millis(F.col("w.start")).alias("bucket_ms"),
+            "event_type",
+            "approx_users",
+            "n_events",
+        )
+    )
+
+
 def sessionized_counts(
     stream: DataFrame,
     gap: str = "30 minutes",
