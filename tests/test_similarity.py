@@ -148,3 +148,28 @@ def test_semantic_dedup_self_join_reuses_exchange(spark, sf_dir):
     assert "isFinalPlan=true" in plan
     assert "CartesianProduct" not in plan
     assert "ReusedExchange" in plan
+
+
+def test_trained_centroids_feed_ivf_and_semantic_dedup(spark, sf_dir):
+    """kmeans_lloyd output adapts into the cells codebook and drives both
+    ivf_topk and semantic_dedup end-to-end (the production path the
+    docstrings promise); cell ids come from the kmeans clusters."""
+    from pyspark.sql import functions as F
+    from time_series_databse_engine_spark.operators.similarity import (
+        ivf_topk,
+        kmeans_centroids_as_cells,
+        kmeans_lloyd,
+        semantic_dedup,
+    )
+    from time_series_databse_engine_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cells = kmeans_centroids_as_cells(kmeans_lloyd(emb, k=4, iters=1))
+    assert cells.count() == 4
+    out = ivf_topk(emb, emb.filter(F.col("vec_id") < 3), k=3, n_probe=2, cells=cells)
+    assert out.count() > 0
+    kept = semantic_dedup(emb, threshold=0.3, cells=cells)
+    assert 0 < kept.count() <= emb.count()
+    assert {r.cell_id for r in kept.select("cell_id").distinct().collect()} <= {
+        r.cell_id for r in cells.select("cell_id").collect()
+    }

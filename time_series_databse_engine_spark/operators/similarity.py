@@ -148,6 +148,25 @@ def assign_nearest_cell(df, cents: DataFrame, vec, vec_n):
     )
 
 
+def kmeans_centroids_as_cells(kmeans_out: DataFrame) -> DataFrame:
+    """Adapter: :func:`kmeans_lloyd`'s long-form output
+    ``(cluster_id, dim, c, n)`` → the ``(cell_id, cent, cent_n)``
+    codebook shape that :func:`ivf_topk` / :func:`semantic_dedup`
+    accept via their ``cells`` parameter — the 'swap in trained
+    centroids' path made concrete.  Tiny table (k rows), one k×dim
+    collect_list group."""
+    return (
+        kmeans_out.groupBy("cluster_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("dim", "c")))
+            .getField("c")
+            .alias("cent")
+        )
+        .select(F.col("cluster_id").alias("cell_id"), "cent")
+        .withColumn("cent_n", norm(F.col("cent")))
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -156,6 +175,7 @@ def ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cells: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: coarse-quantize candidates to their
     nearest of ``n_cells`` centroids (deterministic hash-sample: the
@@ -175,10 +195,12 @@ def ivf_topk(
     embeddings (SCALE.md "Measured recall"): 0.23 at probe=1 rising
     near-linearly to 1.00 at probe=16 of 16 cells — probe ≈ n_cells/2
     buys 0.8 recall at half the candidate volume on this worst-case
-    data; trained centroids (via :func:`kmeans_lloyd`) raise it further.
+    data; trained centroids (via :func:`kmeans_lloyd` +
+    :func:`kmeans_centroids_as_cells`, passed as ``cells``) raise it
+    further.
     """
     # per-vector norms hoisted out of the per-pair scoring (see cosine_topk)
-    cents = hash_sampled_cells(embeddings, n_cells, id_col, vec_col)
+    cents = cells if cells is not None else hash_sampled_cells(embeddings, n_cells, id_col, vec_col)
 
     c = embeddings.select(
         F.col(id_col).alias("cand_id"), as_double(vec_col).alias("cvec")
@@ -365,6 +387,7 @@ def semantic_dedup(
     n_cells: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cells: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space coarsely, then search
@@ -374,8 +397,10 @@ def semantic_dedup(
 
     Pipeline: cell assignment via the shared broadcast-argmax fold
     (:func:`assign_nearest_cell` — zero exchanges, same codebook helper
-    as :func:`ivf_topk`; swap in trained :func:`kmeans_lloyd` centroids
-    in production), one explicit repartition on ``cell_id`` so the
+    as :func:`ivf_topk`; pass trained :func:`kmeans_lloyd` centroids via
+    ``cells=kmeans_centroids_as_cells(...)`` in production — clustered
+    cells both raise within-cell recall and even out cell sizes), one
+    explicit repartition on ``cell_id`` so the
     within-cell self-join REUSES a single exchange, exact cosine ≥
     ``threshold`` inside the cell, and the deterministic keep rule: a
     row is dropped iff a SMALLER id in its cell matches it — so exactly
@@ -390,7 +415,7 @@ def semantic_dedup(
     e = embeddings.select(F.col(id_col).alias("id"), as_double(vec_col).alias("v")).withColumn(
         "nrm", norm(F.col("v"))
     )
-    cents = hash_sampled_cells(embeddings, n_cells, id_col, vec_col)
+    cents = cells if cells is not None else hash_sampled_cells(embeddings, n_cells, id_col, vec_col)
     a = assign_nearest_cell(e, cents, F.col("v"), F.col("nrm"))
     # repartition ONLY the pair-join input: both self-join sides then share
     # one cell-keyed exchange (AQE ReusedExchange), while the final
