@@ -351,6 +351,17 @@ def q_bm25(spark, sf_dir):
     )
 
 
+def q_bm25_many(spark, sf_dir):
+    """Batch BM25 over a two-query table (text.bm25_search_many) — the
+    N-queries retrieval shape: postings built once, query terms broadcast
+    into the join; oracle replays postings/idf per (query, doc)."""
+    qs = spark.createDataFrame(
+        [(1, "the quick data model"), (2, "hash join scan filter")],
+        "query_id long, query string",
+    )
+    return text_ops.bm25_search_many(_t(spark, sf_dir, "documents"), qs, k=10)
+
+
 def q_asof_join_tolerance(spark, sf_dir):
     """Backward as-of join with a 10-minute staleness cap: matches older
     than tolerance_ms are nulled, the left row is kept (asof.asof_join
@@ -1469,6 +1480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pairs": q_bpe_pairs,
         "asof_join_tolerance": q_asof_join_tolerance,
         "bm25": q_bm25,
+        "bm25_many": q_bm25_many,
         "range_scan_empty": q_range_scan_empty,
         "range_scan_metric": q_range_scan_metric,
         "range_limit": q_range_limit,
@@ -2775,6 +2787,40 @@ def oracle_sql() -> dict[str, str]:
           FROM post JOIN dfq USING (t) JOIN dl USING (doc_id) CROSS JOIN st
           GROUP BY doc_id)
         ORDER BY bm25 DESC, doc_id ASC LIMIT 10"""
+    oracles["bm25_many"] = """
+        WITH q(query_id, query) AS (VALUES (1, 'the quick data model'),
+                                           (2, 'hash join scan filter')),
+        qt AS (SELECT query_id,
+                      unnest(list_distinct(list_filter(
+                        string_split_regex(lower(query), '\\s+'), x -> x != ''))) AS t
+               FROM q),
+        toks AS (
+          SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                            x -> x != '')) AS t
+          FROM documents),
+        dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+        post AS (SELECT doc_id, t, count(*) AS tf FROM toks
+                 WHERE t IN (SELECT DISTINCT t FROM qt)
+                 GROUP BY doc_id, t),
+        dfq AS (SELECT t, count(*) AS df_t FROM post GROUP BY t),
+        st AS (SELECT count(*) AS n_docs,
+                      avg(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                          x -> x != ''))) AS avgdl
+               FROM documents),
+        scored AS (
+          SELECT query_id, doc_id,
+                 round(sum(ln((n_docs - df_t + 0.5::DOUBLE) / (df_t + 0.5::DOUBLE) + 1)
+                           * (tf * 2.2::DOUBLE)
+                           / (tf + 1.2::DOUBLE * (1 - 0.75::DOUBLE
+                                                  + 0.75::DOUBLE * dl / avgdl))), 6)
+                     AS bm25
+          FROM post JOIN qt USING (t) JOIN dfq USING (t)
+               JOIN dl USING (doc_id) CROSS JOIN st
+          GROUP BY query_id, doc_id)
+        SELECT query_id, doc_id, bm25, rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY bm25 DESC, doc_id ASC) AS rank
+          FROM scored) WHERE rank <= 10"""
     oracles["semantic_dedup"] = """
         WITH cents AS (SELECT vec_id AS cell_id, embedding::DOUBLE[] AS cent
                        FROM embeddings ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16),

@@ -268,3 +268,27 @@ def test_bm25_ranks_term_dense_docs_and_length_normalizes(spark):
     assert out[0] == 1            # highest tf
     assert out.index(3) < out.index(2)  # same tf, shorter doc first
     assert 4 not in out           # no query terms → no row
+
+
+def test_bm25_many_matches_single_query_form(spark):
+    """Batch BM25 reproduces the single-query scores exactly per query
+    and never leaks rows across queries."""
+    from time_series_databse_engine_spark.operators.text import (
+        bm25_search,
+        bm25_search_many,
+    )
+
+    rows = [
+        (1, "data data other words"),
+        (2, "hash join here"),
+        (3, "data hash words"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    qs = spark.createDataFrame(
+        [(10, "data"), (20, "hash join")], "query_id long, query string"
+    )
+    many = bm25_search_many(docs, qs, k=3).collect()
+    for qid, qtext in [(10, "data"), (20, "hash join")]:
+        single = {(r.doc_id, r.bm25) for r in bm25_search(docs, qtext, k=3).collect()}
+        got = {(r.doc_id, r.bm25) for r in many if r.query_id == qid}
+        assert got == single, (qid, got, single)

@@ -734,3 +734,64 @@ def bm25_search(
         .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def bm25_search_many(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_col: str = "query",
+) -> DataFrame:
+    """Batch BM25: rank the corpus for EVERY query in a query table at
+    once — the real retrieval shape (RAG backfills, eval sweeps) where
+    per-query :func:`bm25_search` would rescan the corpus N times.
+
+    Same formula and quantization as the single-query form.  Shape: the
+    corpus explode builds postings ONCE; the query table explodes to
+    (query_id, term) and BROADCASTS into the postings join (query sets
+    are tiny next to the corpus), so corpus work is term-matched
+    postings × matching queries, never corpus × queries; per-query
+    top-k is a window over scored (query, doc) rows.
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), "\\s+"), lambda t: t != "")
+    exploded = df.select(F.col(id_col), F.explode(toks).alias("t"))
+    wd = W.partitionBy(id_col)
+    qterms = queries.select(
+        F.col(query_id_col),
+        F.explode(
+            F.array_distinct(
+                F.filter(F.split(F.lower(F.col(query_col)), "\\s+"), lambda t: t != "")
+            )
+        ).alias("t"),
+    )
+    # semi-join replaces the single-query IN-list: drop non-query terms
+    # BEFORE the postings groupBy, so only matching postings shuffle
+    postings = (
+        exploded.withColumn("dl", F.count("*").over(wd))
+        .join(F.broadcast(qterms.select("t").distinct()), "t", "semi")
+        .groupBy(id_col, "t", "dl")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = postings.groupBy("t").agg(F.count("*").alias("df_t"))
+    stats = df.select(F.count("*").alias("n_docs"), F.avg(F.size(toks)).alias("avgdl"))
+    idf = F.log((F.col("n_docs") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5) + 1)
+    tf_part = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        postings.join(F.broadcast(qterms), "t")
+        .join(F.broadcast(dfreq), "t")
+        .crossJoin(F.broadcast(stats))
+        .groupBy(query_id_col, id_col)
+        .agg(F.round(F.sum(idf * tf_part), 6).alias("bm25"))
+    )
+    wq = W.partitionBy(query_id_col).orderBy(F.col("bm25").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(wq))
+        .filter(F.col("rank") <= k)
+    )
