@@ -342,6 +342,26 @@ def q_asof_join(spark, sf_dir):
     )
 
 
+def q_rolling_median(spark, sf_dir):
+    """Trailing-100-point exact median per series (robust smoother);
+    oracle: DuckDB median over the identical ROWS frame."""
+    e = _t(spark, sf_dir, "events").filter(F.col("ts_ms").between(T1, T2))
+    return ts_ops.rolling_median(
+        e, ["event_type"], lookback=100, tiebreak="event_id"
+    )
+
+
+def q_cap_events(spark, sf_dir):
+    """Rate capping: at most 2 earliest events per (user, day) —
+    deterministic survivors via (ts, event_id) rank; drops ~31% of rows
+    at every SF so the cap path is genuinely exercised; oracle replays
+    the rank window."""
+    e = _t(spark, sf_dir, "events")
+    return ts_ops.cap_events_per_key(
+        e, ["user_id"], bucket_ms=86_400_000, cap=2, tiebreak="event_id"
+    ).select("user_id", "bucket_ms", "event_id", "ts_ms", "event_type", "value")
+
+
 def q_bm25(spark, sf_dir):
     """Okapi BM25 top-10 for a fixed query over the documents table
     (text.bm25_search, k1=1.2, b=0.75) — inverted-index join shape;
@@ -1481,6 +1501,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_tolerance": q_asof_join_tolerance,
         "bm25": q_bm25,
         "bm25_many": q_bm25_many,
+        "rolling_median": q_rolling_median,
+        "cap_events": q_cap_events,
         "range_scan_empty": q_range_scan_empty,
         "range_scan_metric": q_range_scan_metric,
         "range_limit": q_range_limit,
@@ -2821,6 +2843,24 @@ def oracle_sql() -> dict[str, str]:
           SELECT *, row_number() OVER (PARTITION BY query_id
                                        ORDER BY bm25 DESC, doc_id ASC) AS rank
           FROM scored) WHERE rank <= 10"""
+    oracles["rolling_median"] = f"""
+        SELECT event_type, {_EV_MS} AS ts_ms, value,
+               round(median(value) OVER (
+                 PARTITION BY event_type ORDER BY {_EV_MS} ASC, event_id ASC
+                 ROWS BETWEEN 99 PRECEDING AND CURRENT ROW), 6) AS rolling_median,
+               count(*) OVER (
+                 PARTITION BY event_type ORDER BY {_EV_MS} ASC, event_id ASC
+                 ROWS BETWEEN 99 PRECEDING AND CURRENT ROW) AS n_window
+        FROM events WHERE {_EV_MS} BETWEEN {T1} AND {T2}"""
+    oracles["cap_events"] = f"""
+        SELECT user_id, bucket_ms, event_id, ts_ms, event_type, value FROM (
+          SELECT user_id, ms - ms % 86400000 AS bucket_ms, event_id,
+                 ms AS ts_ms, event_type, value,
+                 row_number() OVER (PARTITION BY user_id, ms - ms % 86400000
+                                    ORDER BY ms ASC, event_id ASC) AS rk
+          FROM (SELECT user_id, {_EV_MS} AS ms, event_id, event_type, value
+                FROM events))
+        WHERE rk <= 2"""
     oracles["semantic_dedup"] = """
         WITH cents AS (SELECT vec_id AS cell_id, embedding::DOUBLE[] AS cent
                        FROM embeddings ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16),

@@ -389,3 +389,36 @@ def test_funnel_ordering_window_and_partials(spark):
     assert out[2] == (1000, None, None, 1)
     assert out[3] == (0, 100, None, 2)
     assert 4 not in out
+
+
+def test_rolling_median_rejects_spike(spark):
+    """A single spike leaves the trailing median untouched (the property
+    that distinguishes it from a moving mean)."""
+    from time_series_databse_engine_spark.operators.timeseries import rolling_median
+
+    rows = [("m", i * 1000, 10.0) for i in range(9)] + [("m", 9000, 1000.0)]
+    df = spark.createDataFrame(rows, "metric string, ts_ms long, value double")
+    out = {r.ts_ms: r.rolling_median for r in rolling_median(df, ["metric"], lookback=5).collect()}
+    assert out[9000] == 10.0          # spike in-window, median unmoved
+    assert out[4000] == 10.0
+    got_n = {r.ts_ms: r.n_window for r in rolling_median(df, ["metric"], lookback=5).collect()}
+    assert got_n[0] == 1 and got_n[9000] == 5
+
+
+def test_cap_events_keeps_earliest_deterministically(spark):
+    """Cap keeps the earliest `cap` events per (key, bucket) with an id
+    tiebreak; later buckets reset the budget."""
+    from time_series_databse_engine_spark.operators.timeseries import cap_events_per_key
+
+    rows = [
+        (1, 1, 100, 0.0), (1, 2, 100, 0.0), (1, 3, 200, 0.0),  # same bucket
+        (1, 4, 10_100, 0.0),                                    # next bucket
+        (2, 5, 150, 0.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts_ms long, value double")
+    kept = {
+        r.event_id
+        for r in cap_events_per_key(df, ["user_id"], bucket_ms=10_000, cap=2, tiebreak="event_id").collect()
+    }
+    # user 1 bucket 0: ids 1,2 (ts tie → lower id) ; id 3 dropped; id 4 new bucket
+    assert kept == {1, 2, 4, 5}

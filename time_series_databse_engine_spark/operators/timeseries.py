@@ -353,6 +353,72 @@ def ewma(
     )
 
 
+def rolling_median(
+    df: DataFrame,
+    keys: list[str],
+    lookback: int = 100,
+    ts_ms: str = "ts_ms",
+    value: str = "value",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Trailing-window median per series — the robust smoother (a median
+    filter rejects spikes a moving MEAN absorbs; pair with
+    :func:`mad_anomalies` for full robust monitoring).  Exact
+    ``percentile`` over a ROWS frame of the last ``lookback`` points.
+
+    Cost model, stated plainly: an exact sliding median is
+    O(rows × frame) — Spark re-evaluates the percentile per row over the
+    frame buffer.  That is the honest price of exactness; at 100 TB keep
+    ``lookback`` modest (hundreds), or switch to the mergeable
+    histogram-sketch percentile (`operators.sketches`) when bin-width
+    error is acceptable.  One exchange on the series key, the same
+    partitioning every window op shares.
+    """
+    order = [ts_ms] + ([tiebreak] if tiebreak else [])
+    w = (
+        W.partitionBy(*keys)
+        .orderBy(*[F.col(c).asc() for c in order])
+        .rowsBetween(-(lookback - 1), 0)
+    )
+    return df.select(
+        *keys,
+        F.col(ts_ms),
+        F.col(value),
+        F.round(F.expr(f"percentile({value}, 0.5)").over(w), 6).alias("rolling_median"),
+        F.count("*").over(w).alias("n_window"),
+    )
+
+
+def cap_events_per_key(
+    df: DataFrame,
+    keys: list[str],
+    bucket_ms: int,
+    cap: int,
+    ts_ms: str = "ts_ms",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Keep at most ``cap`` earliest events per (key, time bucket) — the
+    rate-capping / contributor-throttling pass of an ingestion pipeline
+    (one hot user or device must not dominate a window's sample).
+    Deterministic: events rank by (ts, tiebreak) inside their bucket, so
+    retries keep the identical survivors.
+
+    One shuffle on (keys, bucket); the rank window's exchange IS the
+    partitioning, no second pass.  Survivor count per group ≤ cap by
+    construction — downstream joins see bounded key fan-out, which is
+    itself a skew mitigation.
+    """
+    order = [ts_ms] + ([tiebreak] if tiebreak else [])
+    bucket = (F.col(ts_ms) - F.col(ts_ms) % F.lit(bucket_ms)).alias("bucket_ms")
+    w = W.partitionBy(*keys, "bucket_ms").orderBy(*[F.col(c).asc() for c in order])
+    return (
+        df.withColumn("bucket_ms", bucket)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= cap)
+        .drop("_rk")
+    )
+
+
 def funnel(
     df: DataFrame,
     steps: list[str],
