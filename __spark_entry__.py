@@ -342,6 +342,16 @@ def q_asof_join(spark, sf_dir):
     )
 
 
+def q_cusum(spark, sf_dir):
+    """Two-sided CUSUM change-point statistic per series (κ=0.5, h=5.0,
+    μ = quantized series mean); the recursive-CTE oracle replays both
+    max(0, ·) recursions step by step."""
+    e = _t(spark, sf_dir, "events").filter(F.col("ts_ms").between(T1, T2))
+    return ts_ops.cusum_changepoints(
+        e, "event_type", k=0.5, h=5.0, tiebreak="event_id"
+    )
+
+
 def q_rolling_median(spark, sf_dir):
     """Trailing-100-point exact median per series (robust smoother);
     oracle: DuckDB median over the identical ROWS frame."""
@@ -1503,6 +1513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_many": q_bm25_many,
         "rolling_median": q_rolling_median,
         "cap_events": q_cap_events,
+        "cusum": q_cusum,
         "range_scan_empty": q_range_scan_empty,
         "range_scan_metric": q_range_scan_metric,
         "range_limit": q_range_limit,
@@ -2861,6 +2872,29 @@ def oracle_sql() -> dict[str, str]:
           FROM (SELECT user_id, {_EV_MS} AS ms, event_id, event_type, value
                 FROM events))
         WHERE rk <= 2"""
+    oracles["cusum"] = f"""
+        WITH RECURSIVE base AS (
+          SELECT event_type, {_EV_MS} AS ts_ms, event_id, value,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY {_EV_MS}, event_id) AS rn
+          FROM events WHERE {_EV_MS} BETWEEN {T1} AND {T2}),
+        mu AS (SELECT event_type, round(avg(value), 6) AS mu
+               FROM base GROUP BY event_type),
+        rec AS (
+          SELECT b.event_type, b.ts_ms, b.event_id, b.value, b.rn, m.mu,
+                 greatest(0::DOUBLE, (b.value - m.mu - 0.5)) AS sp,
+                 greatest(0::DOUBLE, - (b.value - m.mu) - 0.5) AS sn
+          FROM base b JOIN mu m USING (event_type) WHERE b.rn = 1
+          UNION ALL
+          SELECT b.event_type, b.ts_ms, b.event_id, b.value, b.rn, r.mu,
+                 greatest(0::DOUBLE, r.sp + (b.value - r.mu - 0.5)),
+                 greatest(0::DOUBLE, r.sn - (b.value - r.mu) - 0.5)
+          FROM base b JOIN rec r
+            ON b.event_type = r.event_type AND b.rn = r.rn + 1)
+        SELECT event_type, ts_ms, event_id, value,
+               round(sp, 6) AS cusum_pos, round(sn, 6) AS cusum_neg,
+               (sp > 5.0 OR sn > 5.0) AS alarm
+        FROM rec"""
     oracles["semantic_dedup"] = """
         WITH cents AS (SELECT vec_id AS cell_id, embedding::DOUBLE[] AS cent
                        FROM embeddings ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16),

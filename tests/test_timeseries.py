@@ -422,3 +422,32 @@ def test_cap_events_keeps_earliest_deterministically(spark):
     }
     # user 1 bucket 0: ids 1,2 (ts tie → lower id) ; id 3 dropped; id 4 new bucket
     assert kept == {1, 2, 4, 5}
+
+
+def test_cusum_detects_level_shift(spark):
+    """Retrospective two-sided CUSUM anchored at the GLOBAL series mean
+    (μ=11.5 for a 10→13 shift): the below-mean pre-shift segment drives
+    the negative statistic, the above-mean post-shift segment drives the
+    positive one, and each side alarms ONLY in its own regime — the sign
+    flip localizes the change point."""
+    from time_series_databse_engine_spark.operators.timeseries import cusum_changepoints
+
+    rows = [("m", i * 1000, 10.0) for i in range(20)] + [
+        ("m", (20 + i) * 1000, 13.0) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "metric string, ts_ms long, value double")
+    out = sorted(cusum_changepoints(df, "metric", k=0.5, h=5.0).collect(), key=lambda r: r.ts_ms)
+    pos_alarms = [r.ts_ms for r in out if r.cusum_pos > 5.0]
+    neg_alarms = [r.ts_ms for r in out if r.cusum_neg > 5.0]
+    # onset positions: negative side fires early in the low segment
+    # (accumulating +1/step from t=0), positive side 6 steps after the
+    # shift; the decayING tail of the negative statistic rightly persists
+    # a few points past the shift (it drains at 2/step), so only onsets
+    # are asserted
+    assert neg_alarms and min(neg_alarms) <= 7_000
+    assert pos_alarms and 25_000 <= min(pos_alarms) <= 27_000
+    # a flat series never alarms
+    flat = spark.createDataFrame(
+        [("m", i * 1000, 10.0) for i in range(40)], "metric string, ts_ms long, value double"
+    )
+    assert all(not r.alarm for r in cusum_changepoints(flat, "metric", k=0.5, h=5.0).collect())

@@ -353,6 +353,65 @@ def ewma(
     )
 
 
+def cusum_changepoints(
+    df: DataFrame,
+    key: str,
+    k: float = 0.5,
+    h: float = 5.0,
+    ts_ms: str = "ts_ms",
+    value: str = "value",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Two-sided CUSUM change-point detection per series (Page 1954):
+
+        sp_t = max(0, sp_{t−1} + (x_t − μ − κ))      (upward drift)
+        sn_t = max(0, sn_{t−1} − (x_t − μ) − κ)      (downward drift)
+        alarm when sp > h or sn > h
+
+    with μ the series mean (quantized to 6 dp so both engines anchor the
+    recursion identically), κ the slack and ``h`` the decision threshold,
+    both in value units.  The max(0, ·) reset makes the statistic
+    non-linear, so — unlike EWMA/Holt — NO exact chunk-and-chain
+    recombination exists; the op runs as an ``applyInPandas`` recursion
+    per series (same worker-memory contract as :func:`ewma`), and the
+    oracle replays the identical recursion in a recursive CTE.
+    μ rides in from ONE series-keyed aggregation joined back — the same
+    single exchange the fold's groupBy needs anyway.
+    """
+    import numpy as np
+
+    sort_cols = [ts_ms] + ([tiebreak] if tiebreak else [])
+    mu_tbl = df.groupBy(key).agg(F.round(F.avg(value), 6).alias("_mu"))
+    base = df.select(key, *sort_cols, value).join(F.broadcast(mu_tbl), key)
+
+    def _cusum(pdf):
+        pdf = pdf.sort_values(sort_cols)
+        vals = pdf[value].to_numpy(dtype="float64")
+        mu = float(pdf["_mu"].iloc[0])
+        sp = sn = 0.0
+        sps = np.empty(len(vals))
+        sns = np.empty(len(vals))
+        for i, x in enumerate(vals):
+            sp = max(0.0, sp + (x - mu - k))
+            sn = max(0.0, sn - (x - mu) - k)
+            sps[i] = sp
+            sns[i] = sn
+        pdf["cusum_pos"] = np.round(sps, 6)
+        pdf["cusum_neg"] = np.round(sns, 6)
+        pdf["alarm"] = (sps > h) | (sns > h)
+        return pdf.drop(columns=["_mu"])
+
+    out_schema = T.StructType(
+        list(df.select(key, *sort_cols, value).schema.fields)
+        + [
+            T.StructField("cusum_pos", T.DoubleType()),
+            T.StructField("cusum_neg", T.DoubleType()),
+            T.StructField("alarm", T.BooleanType()),
+        ]
+    )
+    return base.groupBy(key).applyInPandas(_cusum, schema=out_schema)
+
+
 def rolling_median(
     df: DataFrame,
     keys: list[str],
