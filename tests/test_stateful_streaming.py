@@ -43,3 +43,40 @@ def test_ema_carries_state_across_batches(spark, two_batch_source):
     assert rows[1000] == 10.0                      # seed
     assert rows[2000] == 15.0                      # 0.5*20 + 0.5*10
     assert rows[3000] == 22.5                      # 0.5*30 + 0.5*15 — state crossed batches
+
+
+def test_cusum_stream_carries_state_and_matches_sequential(spark, two_batch_source):
+    """Streaming CUSUM state (sp, sn) persists across micro-batches: the
+    statistics after the second batch equal the sequential recursion over
+    all three points."""
+    from time_series_databse_engine_spark.streaming.stateful import cusum_stream
+
+    d = two_batch_source
+    stream = (
+        spark.readStream.schema("metric string, ts_ms long, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d + "/src/*")
+    )
+    q = (
+        cusum_stream(stream, mu0=10.0, k=0.5, h=5.0)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("cusum_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = {r.ts_ms: r for r in spark.sql("SELECT * FROM cusum_out").collect()}
+    # sequential replay: values 10, 20, 30 vs mu0=10, k=0.5
+    sp = sn = 0.0
+    expect = {}
+    for ts, x in [(1000, 10.0), (2000, 20.0), (3000, 30.0)]:
+        sp = max(0.0, sp + (x - 10.0 - 0.5))
+        sn = max(0.0, sn - (x - 10.0) - 0.5)
+        expect[ts] = (sp, sn, sp > 5.0 or sn > 5.0)
+    assert set(rows) == set(expect)
+    for ts, (esp, esn, ealarm) in expect.items():
+        r = rows[ts]
+        assert (r.cusum_pos, r.cusum_neg, r.alarm) == (esp, esn, ealarm)
+    # the cross-batch point (3000) must see state from batch 1
+    assert rows[3000].cusum_pos == 9.5 + 19.5  # (20-10.5) + (30-10.5)

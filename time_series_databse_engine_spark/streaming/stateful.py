@@ -55,3 +55,66 @@ def ema_stream(stream: DataFrame, alpha: float = 0.2) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+CUSUM_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("metric", T.StringType(), False),
+        T.StructField("ts_ms", T.LongType(), False),
+        T.StructField("value", T.DoubleType(), False),
+        T.StructField("cusum_pos", T.DoubleType(), False),
+        T.StructField("cusum_neg", T.DoubleType(), False),
+        T.StructField("alarm", T.BooleanType(), False),
+    ]
+)
+CUSUM_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("sp", T.DoubleType(), True),
+        T.StructField("sn", T.DoubleType(), True),
+    ]
+)
+
+
+def cusum_stream(
+    stream: DataFrame, mu0: float, k: float = 0.5, h: float = 5.0
+) -> DataFrame:
+    """Online two-sided CUSUM against a KNOWN reference level ``mu0`` —
+    Page's original sequential monitoring form (the batch
+    ``cusum_changepoints`` anchors at the realized series mean instead,
+    which only exists in retrospect).  State per series is two doubles
+    carried across micro-batches, the same O(series) bound as
+    :func:`ema_stream`; the recursion is the identical
+    ``max(0, ·)`` pair, so batch and stream agree given the same μ.
+
+    stream must have (metric, ts_ms, value); emits one row per input
+    point with the running statistics and the alarm flag.
+    """
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (metric,) = key
+        sp, sn = state.get if state.exists else (0.0, 0.0)
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts_ms")
+            for ts_ms, value in zip(pdf["ts_ms"], pdf["value"]):
+                x = float(value)
+                sp = max(0.0, sp + (x - mu0 - k))
+                sn = max(0.0, sn - (x - mu0) - k)
+                out.append(
+                    (metric, int(ts_ms), x, sp, sn, bool(sp > h or sn > h))
+                )
+        state.update((sp, sn))
+        yield pd.DataFrame(
+            out,
+            columns=["metric", "ts_ms", "value", "cusum_pos", "cusum_neg", "alarm"],
+        )
+
+    return stream.groupBy("metric").applyInPandasWithState(
+        update,
+        outputStructType=CUSUM_OUT_SCHEMA,
+        stateStructType=CUSUM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
