@@ -38,3 +38,13 @@ def test_three_representative_queries_run(spark, sf_dir):
     for name in ["range_scan", "downsample_1h", "cosine_topk"]:
         df = qs[name](spark, sf_dir)
         assert df.count() >= 0
+
+
+def test_driver_window_is_fully_oracle_backed():
+    """The first 50 queries() keys are the driver's correctness window —
+    a rows-only query there wastes a slot that can never go green
+    (round-2 verdict, 'What's wrong' #2).  Guard the rotation."""
+    q = list(entry_mod.queries())
+    o = set(entry_mod.oracle_sql())
+    missing = [k for k in q[:50] if k not in o]
+    assert not missing, f"no-oracle queries inside the checked window: {missing}"
