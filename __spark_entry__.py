@@ -342,6 +342,20 @@ def q_asof_join(spark, sf_dir):
     )
 
 
+def q_fuzzy_join(spark, sf_dir):
+    """Entity resolution: a dirty-name table fuzzy-joins the distinct
+    event types within 2 edits (text.fuzzy_match_join — blocking +
+    levenshtein, never all-pairs).  The oracle is the DIRECT
+    cross-join + levenshtein cut: on this input the blocking provably
+    loses nothing, so the hash-match doubles as a recall=1 witness."""
+    types = _t(spark, sf_dir, "events").select("event_type").distinct()
+    dirty = spark.createDataFrame(
+        [("clik",), ("vew",), ("purchace",), ("signupp",), ("errror",), ("zzz",)],
+        "dirty string",
+    )
+    return text_ops.fuzzy_match_join(dirty, types, "dirty", "event_type", max_dist=2)
+
+
 def q_cusum(spark, sf_dir):
     """Two-sided CUSUM change-point statistic per series (κ=0.5, h=5.0,
     μ = quantized series mean); the recursive-CTE oracle replays both
@@ -1515,6 +1529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_median": q_rolling_median,
         "cap_events": q_cap_events,
         "cusum": q_cusum,
+        "fuzzy_join": q_fuzzy_join,
         "range_scan_empty": q_range_scan_empty,
         "range_scan_metric": q_range_scan_metric,
         "range_limit": q_range_limit,
@@ -2896,6 +2911,13 @@ def oracle_sql() -> dict[str, str]:
                round(sp, 6) AS cusum_pos, round(sn, 6) AS cusum_neg,
                (sp > 5.0 OR sn > 5.0) AS alarm
         FROM rec"""
+    oracles["fuzzy_join"] = """
+        WITH dirty(dirty) AS (VALUES ('clik'), ('vew'), ('purchace'),
+                                     ('signupp'), ('errror'), ('zzz')),
+        t AS (SELECT DISTINCT event_type FROM events)
+        SELECT dirty, event_type, levenshtein(dirty, event_type) AS edit_dist
+        FROM dirty CROSS JOIN t
+        WHERE levenshtein(dirty, event_type) <= 2"""
     oracles["semantic_dedup"] = """
         WITH cents AS (SELECT vec_id AS cell_id, embedding::DOUBLE[] AS cent
                        FROM embeddings ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16),

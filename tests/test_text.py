@@ -292,3 +292,22 @@ def test_bm25_many_matches_single_query_form(spark):
         single = {(r.doc_id, r.bm25) for r in bm25_search(docs, qtext, k=3).collect()}
         got = {(r.doc_id, r.bm25) for r in many if r.query_id == qid}
         assert got == single, (qid, got, single)
+
+
+def test_fuzzy_match_join_blocks_and_scores(spark):
+    """Blocked fuzzy join finds within-distance pairs (including a
+    first-character edit via the second-char block), rejects
+    out-of-distance keys, and never degenerates to a cross product."""
+    from time_series_databse_engine_spark.operators.text import fuzzy_match_join
+
+    l = spark.createDataFrame([("click",), ("view",), ("alpha",)], "name string")
+    r = spark.createDataFrame(
+        [("clik",), ("lick",), ("vew",), ("beta",)], "typo string"
+    )
+    out = {(x.name, x.typo): x.edit_dist for x in fuzzy_match_join(l, r, "name", "typo", 2).collect()}
+    assert out[("click", "clik")] == 1
+    assert out[("click", "lick")] == 1   # leading-char deletion → second-char block
+    assert out[("view", "vew")] == 1
+    assert all(k[0] != "alpha" for k in out)
+    plan = fuzzy_match_join(l, r, "name", "typo", 2)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan

@@ -795,3 +795,60 @@ def bm25_search_many(
         scored.withColumn("rank", F.row_number().over(wq))
         .filter(F.col("rank") <= k)
     )
+
+
+def fuzzy_match_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    max_dist: int = 2,
+) -> DataFrame:
+    """Approximate string-key join (entity resolution): match rows whose
+    keys are within ``max_dist`` Levenshtein edits, WITHOUT an all-pairs
+    comparison.
+
+    Blocking first, scoring second — the standard ER decomposition: each
+    key emits a small set of block signatures (lowercased first
+    character, plus length bucketed by ±max_dist so near-length strings
+    land together); candidates equi-join on the block, then the exact
+    ``levenshtein`` (built-in, JVM-side, identical in DuckDB) scores and
+    cuts.  An edit can change the first character, so each side also
+    blocks on its SECOND character — one deletion/substitution at
+    position 0 still collides.  Recall bound stated honestly: ≥2 leading
+    edits can escape the blocks (the classic blocking trade); widen the
+    signature set for higher recall.
+
+    One shuffle per side on the block key; candidate volume is
+    Σ|block_l|×|block_r|, never |L|×|R|.
+    """
+    def blocks(col):
+        first = F.lower(F.substring(col, 1, 1))
+        second = F.lower(F.substring(col, 2, 1))
+        lb = F.floor(F.length(col) / F.lit(max_dist + 1))
+        return F.array_distinct(
+            F.array(
+                F.concat_ws("#", first, lb.cast("string")),
+                F.concat_ws("#", second, lb.cast("string")),
+                F.concat_ws("#", first, (lb + 1).cast("string")),
+                F.concat_ws("#", first, (lb - 1).cast("string")),
+            )
+        )
+
+    l = left.select(
+        F.col(left_key).alias("_lk"), F.explode(blocks(F.col(left_key))).alias("_b")
+    ).dropDuplicates(["_lk", "_b"])
+    r = right.select(
+        F.col(right_key).alias("_rk"), F.explode(blocks(F.col(right_key))).alias("_b")
+    ).dropDuplicates(["_rk", "_b"])
+    return (
+        l.join(r, "_b")
+        .withColumn("edit_dist", F.levenshtein(F.col("_lk"), F.col("_rk")))
+        .filter(F.col("edit_dist") <= max_dist)
+        .select(
+            F.col("_lk").alias(left_key),
+            F.col("_rk").alias(right_key),
+            "edit_dist",
+        )
+        .dropDuplicates([left_key, right_key])
+    )
