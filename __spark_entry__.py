@@ -342,6 +342,24 @@ def q_asof_join(spark, sf_dir):
     )
 
 
+def q_funnel_rates(spark, sf_dir):
+    """Funnel rollup: per-step completion counts and median
+    time-to-convert (seconds) over the view→click→purchase funnel —
+    the dashboard summary composed on q_funnel's operator."""
+    f = ts_ops.funnel(
+        _t(spark, sf_dir, "events"), ["view", "click", "purchase"], within_ms=86_400_000
+    )
+    return f.agg(
+        F.count("*").alias("n_step1"),
+        F.count("t2").alias("n_step2"),
+        F.count("t3").alias("n_step3"),
+        F.round(F.count("t2") / F.count("*"), 6).alias("rate_step2"),
+        F.round(F.count("t3") / F.count("*"), 6).alias("rate_step3"),
+        F.round(F.expr("percentile((t2 - t1) / 1000.0, 0.5)"), 6).alias("median_s_to_click"),
+        F.round(F.expr("percentile((t3 - t1) / 1000.0, 0.5)"), 6).alias("median_s_to_purchase"),
+    )
+
+
 def q_fuzzy_join(spark, sf_dir):
     """Entity resolution: a dirty-name table fuzzy-joins the distinct
     event types within 2 edits (text.fuzzy_match_join — blocking +
@@ -1530,6 +1548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cap_events": q_cap_events,
         "cusum": q_cusum,
         "fuzzy_join": q_fuzzy_join,
+        "funnel_rates": q_funnel_rates,
         "range_scan_empty": q_range_scan_empty,
         "range_scan_metric": q_range_scan_metric,
         "range_limit": q_range_limit,
@@ -2800,6 +2819,15 @@ def oracle_sql() -> dict[str, str]:
                (1 + CASE WHEN t2 IS NULL THEN 0 ELSE 1 END
                   + CASE WHEN t3 IS NULL THEN 0 ELSE 1 END) AS steps_completed
         FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)"""
+    oracles["funnel_rates"] = (
+        oracles["funnel"].rsplit("SELECT s1.user_id", 1)[0]
+        + """SELECT count(*) AS n_step1, count(t2) AS n_step2, count(t3) AS n_step3,
+               round(count(t2) / count(*)::DOUBLE, 6) AS rate_step2,
+               round(count(t3) / count(*)::DOUBLE, 6) AS rate_step3,
+               round(median((t2 - t1) / 1000.0), 6) AS median_s_to_click,
+               round(median((t3 - t1) / 1000.0), 6) AS median_s_to_purchase
+        FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)"""
+    )
     oracles["asof_join_tolerance"] = """
         SELECT event_id, user_id, ts_ms,
                CASE WHEN ts_ms - raw_click_ts <= 600000 THEN raw_click_ts END
