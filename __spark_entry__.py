@@ -1454,7 +1454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ROTATION QUEUE for the next round's window (oracle-backed, locally
     green at every SF, not yet driver-checked): hist_sketch_daily,
     bpe_pairs, asof_join_tolerance, bm25, bm25_many, rolling_median,
-    cap_events, cusum, fuzzy_join — swap in for redundant green anchors
+    cap_events, cusum, fuzzy_join, funnel_rates — swap in for redundant green anchors
     per category, as this round did twice (21 first-time window entries
     this round)."""
     return {
