@@ -342,6 +342,18 @@ def q_asof_join(spark, sf_dir):
     )
 
 
+def q_dsir_sample(spark, sf_dir):
+    """DSIR end-to-end: importance weights (lang='en' target) →
+    derandomized Gumbel-top-50 resampling (sampling.importance_sample);
+    oracle composes the dsir CTE with the identical hash-Gumbel rank."""
+    from time_series_databse_engine_spark.operators import sampling as samp_ops
+
+    w = text_ops.dsir_importance_weights(
+        _t(spark, sf_dir, "documents"), F.col("lang") == "en"
+    )
+    return samp_ops.importance_sample(w, k=50)
+
+
 def q_funnel_rates(spark, sf_dir):
     """Funnel rollup: per-step completion counts and median
     time-to-convert (seconds) over the view→click→purchase funnel —
@@ -1454,7 +1466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ROTATION QUEUE for the next round's window (oracle-backed, locally
     green at every SF, not yet driver-checked): hist_sketch_daily,
     bpe_pairs, asof_join_tolerance, bm25, bm25_many, rolling_median,
-    cap_events, cusum, fuzzy_join, funnel_rates — swap in for redundant green anchors
+    cap_events, cusum, fuzzy_join, funnel_rates, dsir_sample — swap in for redundant green anchors
     per category, as this round did twice (21 first-time window entries
     this round)."""
     return {
@@ -1549,6 +1561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum": q_cusum,
         "fuzzy_join": q_fuzzy_join,
         "funnel_rates": q_funnel_rates,
+        "dsir_sample": q_dsir_sample,
         "range_scan_empty": q_range_scan_empty,
         "range_scan_metric": q_range_scan_metric,
         "range_limit": q_range_limit,
@@ -2773,6 +2786,14 @@ def oracle_sql() -> dict[str, str]:
                least(63, greatest(0, floor((value - 0.0) / {500.0 / 64!r})::INT)) AS bin,
                count(*) AS cnt
         FROM events GROUP BY 1, 2, 3"""
+    oracles["dsir_sample"] = f"""
+        WITH w AS ({oracles['dsir_weights']})
+        SELECT doc_id, n_tokens, importance_weight, gumbel_score FROM (
+          SELECT *, round(importance_weight / 1.0
+                          - ln(-ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                                    + 0.5) / 4294967296.0)), 6) AS gumbel_score
+          FROM w)
+        ORDER BY gumbel_score DESC, doc_id ASC LIMIT 50"""
     oracles["hist_sketch_daily"] = _hist_cte
     oracles["sketch_percentile"] = f"""
         WITH s AS ({_hist_cte}),

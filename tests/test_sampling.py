@@ -60,3 +60,28 @@ def test_hash_split_rejects_overallocated_ranges(spark):
     df = spark.range(5).withColumnRenamed("id", "doc_id")
     with pytest.raises(ValueError, match="at least one"):
         hash_split(df, val_16ths=10, test_16ths=6)
+
+
+def test_importance_sample_deterministic_and_weight_sensitive(spark):
+    """The Gumbel draw is reproducible across calls; an overwhelming
+    weight is always selected; low temperature sharpens toward the
+    top weights."""
+    from pyspark.sql import functions as F
+
+    from time_series_databse_engine_spark.operators.sampling import importance_sample
+
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") == 7, 100.0).otherwise(F.col("id") % 5 * 0.1).alias(
+            "importance_weight"
+        ),
+    )
+    a = sorted(r.doc_id for r in importance_sample(df, k=20).collect())
+    b = sorted(r.doc_id for r in importance_sample(df, k=20).collect())
+    assert a == b and len(a) == 20
+    assert 7 in a                       # overwhelming weight always survives
+    sharp = {r.doc_id for r in importance_sample(df, k=20, temperature=0.01).collect()}
+    # at near-zero temperature the draw degenerates to top-k by weight:
+    # weights 0.4 (id%5==4) dominate — count how many selected ids have max weight
+    frac_top = sum(1 for i in sharp if i == 7 or i % 5 == 4) / 20
+    assert frac_top >= 0.9

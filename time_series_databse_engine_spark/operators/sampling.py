@@ -88,3 +88,37 @@ def hash_split(
         .otherwise(F.lit("train"))
     )
     return df.withColumn("split", split)
+
+
+def importance_sample(
+    weighted: DataFrame,
+    k: int,
+    weight_col: str = "importance_weight",
+    id_col: str = "doc_id",
+    temperature: float = 1.0,
+) -> DataFrame:
+    """Gumbel-top-k importance resampling — the selection step that
+    completes DSIR (`text.dsir_importance_weights` produces the weights):
+    drawing k items WITHOUT replacement with probability ∝
+    exp(w/temperature) is exactly taking the top k of
+    ``w/temperature + Gumbel noise`` (the Gumbel-max trick).
+
+    The noise is DERANDOMIZED the same way every sampler here is: the
+    uniform comes from a hash of the id — ``u = (int(md5(id)[:8]) +
+    0.5) / 2^32``, ``g = −ln(−ln u)`` — so the draw is reproducible
+    across retries/engines (md5-hex-to-int round-trips identically in
+    Spark's ``conv`` and DuckDB's ``'0x'||…::BIGINT``) while still being
+    a faithful Gumbel sample over the id population.  One k-heap
+    TakeOrderedAndProject; zero shuffles beyond it.
+    """
+    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    u = (h + F.lit(0.5)) / F.lit(4294967296.0)
+    g = -F.log(-F.log(u))
+    score = F.col(weight_col) / F.lit(temperature) + g
+    return (
+        weighted.withColumn("gumbel_score", F.round(score, 6))
+        .orderBy(F.col("gumbel_score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
