@@ -1449,40 +1449,37 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's correctness window (first 50 keys) covers
-    every SURVEY §2 category with an oracle-verified query.  Round-3
-    rotation: the 12 queries that had never received a driver row
-    (gapfill_locf … ivf_ann_topk, VERDICT r2 "What's missing" #1) moved
-    into the window, displacing the two no_oracle rows
-    (hll_distinct_daily, multimodal_decode — they can never hash-match)
-    and 10 redundant green anchors whose §2 category stays covered by
-    another in-window query (jaccard_pairs→minhash_lsh,
-    sliding_downsample/resample_1m→downsample_1h,
-    autocorr/corr_stats/distinct_aggs/value_histogram→pricing_summary+
-    value_percentiles, window_first_last→rank_family+moving_avg_time,
-    event_sequences→string_funcs, embedding_centroids→cosine_topk+
-    kmeans).  Keys 51+ remain verified by the local checker
-    (tools/check_correctness.py) across every entry.
+    every SURVEY §2 category with an oracle-verified query.  Round-4
+    rotation (VERDICT r3 "Next round" #1): the 11 oracle-backed queries
+    that had never received a driver row (hist_sketch_daily, bpe_pairs,
+    asof_join_tolerance, bm25, bm25_many, rolling_median, cap_events,
+    cusum, fuzzy_join, funnel_rates, dsir_sample) moved into the window,
+    displacing 11 redundant green anchors whose §2 category stays covered
+    by another in-window query (asof_join→asof_join_nearest+
+    asof_join_tolerance, minhash_lsh→minhash_jaccard_est+dup_spans,
+    cosine_topk→ivf_ann_topk+lsh_ann_topk, quality_score/
+    token_counts_by_lang→tfidf_top_terms+clean_corpus, sessionize/
+    funnel→funnel_rates, pricing_summary→value_percentiles+
+    grouping_sets, zscore_anomaly→mad_anomaly, sketch_percentile→
+    hist_sketch_daily, dsir_weights→dsir_sample).  Round-4 additions
+    (rolling_median_sketch, lttb_chunked, semantic_dedup_trained)
+    displace their r3-driver-green exact twins (rolling_median was
+    itself queued — both fit; lttb→lttb_chunked keeps lttb's r3 row;
+    semantic_dedup→semantic_dedup_trained likewise).  Keys 51+ remain
+    verified by the local checker (tools/check_correctness.py) across
+    every entry.
 
-    ROTATION QUEUE for the next round's window (oracle-backed, locally
-    green at every SF, not yet driver-checked): hist_sketch_daily,
-    bpe_pairs, asof_join_tolerance, bm25, bm25_many, rolling_median,
-    cap_events, cusum, fuzzy_join, funnel_rates, dsir_sample — swap in for redundant green anchors
-    per category, as this round did twice (21 first-time window entries
-    this round)."""
+    ROTATION QUEUE for the next round's window: (empty — after this
+    round every oracle-backed query has a driver row; the designed
+    remainder is the rows-only pair simhash + multimodal_resize and the
+    no-oracle streaming/multimodal entries)."""
     return {
-        # -- category anchors (driver-green r1/r2) ----------------------
+        # -- category anchors (driver-green r1/r2/r3) -------------------
         "range_scan": q_range_scan,
         "tsdb_roundtrip": q_tsdb_roundtrip,
         "downsample_1h": q_downsample_1h,
-        "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
-        "asof_join": q_asof_join,
-        "minhash_lsh": q_minhash_lsh,
-        "cosine_topk": q_cosine_topk,
         "dedup_exact": q_dedup_exact,
-        "quality_score": q_quality_score,
-        "sessionize": q_sessionize,
-        "token_counts_by_lang": q_token_counts_by_lang,
         "value_percentiles": q_value_percentiles,
         "event_pivot": q_event_pivot,
         "rank_family": q_rank_family,
@@ -1495,21 +1492,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_topk": q_lsh_ann_topk,
         "ohlc_1h": q_ohlc_1h,
         "counter_rate_1h": q_counter_rate_1h,
-        "sketch_percentile": q_sketch_percentile,
-        "zscore_anomaly": q_zscore_anomaly,
         "ewma_chunked": q_ewma_chunked,
         "resample_1m_expr": q_resample_1m_expr,
         "tfidf_top_terms": q_tfidf_top_terms,
         "contamination": q_contamination,
         "pack_sequences": q_pack_sequences,
-        "funnel": q_funnel,
         "hash_split": q_hash_split,
         "semantic_dedup": q_semantic_dedup,
         "holt_chunked": q_holt_chunked,
         "cosine_near_dup_lsh": q_cosine_near_dup_lsh,
         "kmeans": q_kmeans,
-        "dsir_weights": q_dsir_weights,
-        # -- rotated IN this round: never driver-checked before ---------
         "gapfill_locf": q_gapfill_locf,
         "dup_spans": q_dup_spans,
         "lttb": q_lttb,
@@ -1522,12 +1514,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_star": q_dedup_clusters_star,
         "asof_join_nearest": q_asof_join_nearest,
         "ivf_ann_topk": q_ivf_ann_topk,
+        # -- rotated IN this round: never driver-checked before ---------
+        "hist_sketch_daily": q_hist_sketch_daily,
+        "bpe_pairs": q_bpe_pairs,
+        "asof_join_tolerance": q_asof_join_tolerance,
+        "bm25": q_bm25,
+        "bm25_many": q_bm25_many,
+        "rolling_median": q_rolling_median,
+        "cap_events": q_cap_events,
+        "cusum": q_cusum,
+        "fuzzy_join": q_fuzzy_join,
+        "funnel_rates": q_funnel_rates,
+        "dsir_sample": q_dsir_sample,
         # ---- position 51+: no_oracle rows (can never hash-match, so
-        # they'd waste a window slot), r1/r2-green variants displaced by
-        # the rotation (ewma/dedup_clusters/simhash_md5 ceded their slots
-        # to this round's ewma_chunked/semantic_dedup/holt_chunked; their
-        # categories stay covered in-window), and redundant per-category
-        # twins — all still verified by the local checker each round.
+        # they'd waste a window slot), and r1/r2/r3-driver-green anchors
+        # displaced by the rotations — their §2 categories stay covered
+        # in-window and their historical green rows stand.  All still
+        # verified by the local checker each round.
+        "asof_join": q_asof_join,
+        "minhash_lsh": q_minhash_lsh,
+        "cosine_topk": q_cosine_topk,
+        "quality_score": q_quality_score,
+        "sessionize": q_sessionize,
+        "token_counts_by_lang": q_token_counts_by_lang,
+        "pricing_summary": q_pricing_summary,
+        "zscore_anomaly": q_zscore_anomaly,
+        "sketch_percentile": q_sketch_percentile,
+        "funnel": q_funnel,
+        "dsir_weights": q_dsir_weights,
         "ewma": q_ewma,
         "dedup_clusters": q_dedup_clusters,
         "simhash_md5": q_simhash_md5,
@@ -1551,17 +1565,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_centroids": q_embedding_centroids,
         "moving_avg": q_moving_avg,
         "simhash": q_simhash,
-        "hist_sketch_daily": q_hist_sketch_daily,
-        "bpe_pairs": q_bpe_pairs,
-        "asof_join_tolerance": q_asof_join_tolerance,
-        "bm25": q_bm25,
-        "bm25_many": q_bm25_many,
-        "rolling_median": q_rolling_median,
-        "cap_events": q_cap_events,
-        "cusum": q_cusum,
-        "fuzzy_join": q_fuzzy_join,
-        "funnel_rates": q_funnel_rates,
-        "dsir_sample": q_dsir_sample,
         "range_scan_empty": q_range_scan_empty,
         "range_scan_metric": q_range_scan_metric,
         "range_limit": q_range_limit,
