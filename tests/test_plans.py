@@ -131,8 +131,11 @@ def test_near_dup_lsh_is_bucketed_not_all_pairs(spark, sf_dir):
 
 
 def test_kmeans_never_shuffles_pairs(spark, sf_dir):
-    """Assignment broadcasts k centroids; shuffles carry id- or
-    (cluster, dim)-keyed rows only — no pairwise joins."""
+    """Assignment broadcasts k centroids; shuffles carry
+    (cluster, dim)-keyed rows only — no pairwise joins and, since the
+    round-4 broadcast-argmax rewrite, no rank window over the N×k
+    multiplied corpus (the fold keeps assignment at one row in, one row
+    out, zero assignment-side exchange)."""
     from time_series_databse_engine_spark.operators.similarity import kmeans_lloyd
     from time_series_databse_engine_spark.plans import simple_plan
 
@@ -140,6 +143,9 @@ def test_kmeans_never_shuffles_pairs(spark, sf_dir):
     p = simple_plan(kmeans_lloyd(emb, k=4, iters=1))
     assert "CartesianProduct" not in p
     assert "BroadcastExchange" in p  # centroids move to the data, not vice versa
+    # broadcast-argmax assignment: no Window node anywhere in the plan —
+    # the old shape pushed k× the corpus through a per-id rank window
+    assert "Window" not in p
     # hash-sampled centroid seed: k-heap TakeOrderedAndProject, never a
     # full-table range-partitioned sort
     assert "TakeOrderedAndProject" in p

@@ -461,11 +461,15 @@ def kmeans_lloyd(
     order; rounded ones don't).
 
     Scale shape per round: one broadcast of k centroids (tiny), one
-    cosine-argmax over N (no shuffle of the big side beyond the per-id
-    rank window), one posexplode + (cid, dim) mean — shuffle keys are
-    (id) then (cid, dim), never pairs.  Returns one row per
-    (cluster_id, dim): the centroid component ``c`` plus the cluster size
-    ``n``.
+    cosine-argmax over N via :func:`assign_nearest_cell`'s per-row
+    transform+fold over the broadcast centroid array — ZERO row
+    multiplication and zero exchange in assignment (the previous
+    crossJoin + per-id rank window pushed k× the corpus through an
+    exchange just to keep rank 1; at 100 TB with k=1024 that is 1024×
+    the data moved for nothing) — then one posexplode + (cid, dim) mean;
+    shuffle keys are (cid, dim), never pairs and never id.  Returns one
+    row per (cluster_id, dim): the centroid component ``c`` plus the
+    cluster size ``n``.
     """
     e = embeddings.select(F.col(id_col).alias("id"), as_double(vec_col).alias("v"))
     cents = (
@@ -475,14 +479,19 @@ def kmeans_lloyd(
     )
 
     def assign(points, centroids):
-        scored = points.crossJoin(F.broadcast(centroids)).select(
-            "id", "v", "cid", cosine(F.col("v"), F.col("c")).alias("_csim")
-        )
-        w = W.partitionBy("id").orderBy(F.col("_csim").desc(), F.col("cid").asc())
+        # same (sim DESC, cid ASC) argmax the old rank-1 window computed,
+        # as a broadcast-array fold: one row in, one row out
+        codebook = centroids.select(
+            F.col("cid").alias("cell_id"), F.col("c").alias("cent")
+        ).withColumn("cent_n", norm(F.col("cent")))
         return (
-            scored.withColumn("_r", F.row_number().over(w))
-            .filter(F.col("_r") == 1)
-            .select("id", "v", "cid")
+            assign_nearest_cell(
+                points.withColumn("_vn", norm(F.col("v"))),
+                codebook,
+                F.col("v"),
+                F.col("_vn"),
+            )
+            .select("id", "v", F.col("cell_id").alias("cid"))
         )
 
     assigned = None
