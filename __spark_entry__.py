@@ -994,6 +994,17 @@ def q_lsh_ann_topk(spark, sf_dir):
     )
 
 
+def q_lsh_ann_topk_multi(spark, sf_dir):
+    """Multi-table sign-LSH ANN: OR of 8 independent 4-plane bucket
+    tables — the measured-recall mitigation for isotropic embeddings
+    (SCALE.md "Measured recall"); candidate dedup is a pair-keyed
+    max-agg, exact cosine re-score inside the bucket join."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim_ops.lsh_bucket_topk_multi(
+        emb, emb.filter(F.col("vec_id") < 5), k=5, num_planes=4, num_tables=8, dim=64
+    )
+
+
 def q_cosine_near_dup_lsh(spark, sf_dir):
     """Embedding near-dup pairs via sign-LSH buckets + exact re-score — the
     100 TB plan shape (bucket equi-join, no broadcast-nested-loop over all
@@ -1489,7 +1500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets": q_grouping_sets,
         "full_outer_join": q_full_outer_join,
         "union_all_scans": q_union_all_scans,
-        "lsh_ann_topk": q_lsh_ann_topk,
+        "lsh_ann_topk_multi": q_lsh_ann_topk_multi,
         "ohlc_1h": q_ohlc_1h,
         "counter_rate_1h": q_counter_rate_1h,
         "ewma_chunked": q_ewma_chunked,
@@ -1532,6 +1543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-window and their historical green rows stand.  All still
         # verified by the local checker each round.
         "asof_join": q_asof_join,
+        "lsh_ann_topk": q_lsh_ann_topk,
         "minhash_lsh": q_minhash_lsh,
         "cosine_topk": q_cosine_topk,
         "quality_score": q_quality_score,
@@ -1699,6 +1711,34 @@ def _bucket_sql(num_planes=4, dim=64, seed=42) -> str:
     return "concat(" + ", ".join(
         f"CASE WHEN {proj(p)} >= 0 THEN '1' ELSE '0' END" for p in planes
     ) + ")"
+
+
+def _multi_lsh_sql(num_planes=4, num_tables=8, dim=64, seed=42, k=5) -> str:
+    """lsh_ann_topk_multi oracle: T independent plane sets (seeds
+    seed..seed+T-1) inlined as DOUBLE-array literals via _bucket_sql; the
+    OR-of-tables candidate set as a DISTINCT pair join, exact cosine
+    re-score, same (sim DESC, cand_id ASC) rank rule as every ANN
+    oracle here."""
+    buckets = ", ".join(
+        f"{_bucket_sql(num_planes, dim, seed + t)} AS b{t}" for t in range(num_tables)
+    )
+    ors = " OR ".join(f"q.b{t} = c.b{t}" for t in range(num_tables))
+    return f"""
+        WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v, {buckets} FROM embeddings),
+        q AS (SELECT * FROM b WHERE vec_id < 5),
+        p AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
+              FROM q JOIN b c ON c.vec_id <> q.vec_id AND ({ors})),
+        s AS (SELECT query_id, cand_id,
+                     list_dot_product(qb.v, cb.v) /
+                     (sqrt(list_dot_product(qb.v, qb.v)) *
+                      sqrt(list_dot_product(cb.v, cb.v))) AS sim
+              FROM p JOIN b qb ON p.query_id = qb.vec_id
+                     JOIN b cb ON p.cand_id = cb.vec_id)
+        SELECT query_id, cand_id, round(sim, 6) AS cosine_sim, rank FROM (
+          SELECT query_id, cand_id, sim,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY sim DESC, cand_id ASC) AS rank
+          FROM s) WHERE rank <= {k}"""
 
 
 def _near_dup_lsh_sql(threshold=0.4, num_planes=4, dim=64, seed=42) -> str:
@@ -2604,6 +2644,7 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (PARTITION BY query_id
                                         ORDER BY sim DESC, cand_id ASC) AS rank
               FROM s) WHERE rank <= 5""",
+        "lsh_ann_topk_multi": _multi_lsh_sql(num_planes=4, num_tables=8, dim=64),
         "ivf_ann_topk": """
             WITH cents AS (SELECT vec_id AS cell_id, embedding::DOUBLE[] AS cent
                            FROM embeddings ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16),

@@ -57,6 +57,38 @@ def test_cosine_near_dup_finds_planted_pair(spark):
     assert pairs[(1, 2)] > 0.999
 
 
+def test_lsh_multi_recall_dominates_single_table(spark):
+    """ORing independent plane sets can only ADD candidates: every pair
+    the seed-42 single table surfaces is also surfaced by the multi
+    variant whose first table IS that plane set, scores agree with the
+    exact scorer, and with enough tables the multi result recovers the
+    full exact top-k on vectors a single 2-plane table splits apart."""
+    from time_series_databse_engine_spark.operators.similarity import (
+        lsh_bucket_topk_multi,
+    )
+
+    emb = _emb(spark)
+    q = emb.filter("vec_id = 0")
+    exact = {(r.query_id, r.cand_id): r.cosine_sim for r in cosine_topk(emb, q, k=4).collect()}
+    single = {
+        (r.query_id, r.cand_id): r.cosine_sim
+        for r in lsh_bucket_topk(emb, q, dim=3, k=4, num_planes=2).collect()
+    }
+    multi = {
+        (r.query_id, r.cand_id): r.cosine_sim
+        for r in lsh_bucket_topk_multi(
+            emb, q, dim=3, k=4, num_planes=2, num_tables=12
+        ).collect()
+    }
+    assert set(single) <= set(multi)          # OR never loses a candidate
+    # 12 tables recover every exact neighbour EXCEPT the antipode: an
+    # exactly-opposite vector flips every projection sign, so no number
+    # of sign-LSH tables can ever bucket it with the query
+    assert set(multi) == {p for p in exact if exact[p] > -1.0}
+    for pair, sim in multi.items():
+        assert sim == exact[pair]             # dedup max-agg kept exact scores
+
+
 def test_cosine_near_dup_lsh_subset_and_agrees(spark):
     """LSH near-dup pairs are a subset of the exact n² pairs with identical
     scores, and the planted near-identical pair (same bucket with high

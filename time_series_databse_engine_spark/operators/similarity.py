@@ -276,6 +276,7 @@ def hyperplane_bucket(vec, planes) -> F.Column:
 def lsh_bucket_topk(
     embeddings: DataFrame,
     queries: DataFrame,
+    *,
     dim: int,
     k: int = 5,
     num_planes: int = 8,
@@ -292,9 +293,11 @@ def lsh_bucket_topk(
     bigger buckets → higher recall, more work — measured 0.37→0.02 as
     planes go 2→8 on isotropic sf0.1 embeddings; see SCALE.md "Measured
     recall", and prefer :func:`ivf_topk` when the space is unclustered).
-    ``dim`` is REQUIRED:
+    ``dim`` is REQUIRED and keyword-only:
     operator construction must stay action-free (the former ``.first()``
-    fallback ran a driver-side job just to build the plan).
+    fallback ran a driver-side job just to build the plan), and a stale
+    positional call must fail loudly rather than silently bind ``k`` as
+    the vector dimension.
     """
     planes = random_planes(num_planes, dim, seed)
 
@@ -323,6 +326,78 @@ def lsh_bucket_topk(
             "cand_id",
             (dot(F.col("qvec"), F.col("cvec")) / (F.col("qn") * F.col("cn"))).alias("_sim"),
         )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("_sim").desc(), F.col("cand_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", F.round("_sim", 6).alias("cosine_sim"), "rank")
+    )
+
+
+def lsh_bucket_topk_multi(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    *,
+    dim: int,
+    k: int = 5,
+    num_planes: int = 4,
+    num_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Multi-table sign-LSH top-k: OR the bucket match across
+    ``num_tables`` INDEPENDENT plane sets (seeds ``seed .. seed+T-1``) —
+    the recall mitigation for isotropic embeddings, where a single
+    sign-pattern table's recall collapses (measured 0.02 at 8 planes on
+    the isotropic sf0.1 embeddings; SCALE.md "Measured recall").  A true
+    neighbour at angle θ collides in one b-plane table with probability
+    (1-θ/π)^b; ORing T tables lifts recall to 1-(1-(1-θ/π)^b)^T at T×
+    the per-table candidate volume.
+
+    Plan shape (the part that must survive 100 TB): each side explodes
+    to ``num_tables`` narrow (id, table, bucket) rows — the T×
+    multiplication carries a 16-char bucket string, never the vector —
+    then ONE broadcast equi-join on (table, bucket) with the exploded
+    query side; the exact cosine is re-scored inside the join row
+    (vectors ride along on the candidate side only, never shuffled:
+    the query side is broadcast, so candidates stay where the scan put
+    them); duplicate pair hits from multiple tables collapse via a
+    pair-keyed max-aggregate (sims are identical across tables, so max
+    is a pure dedup), and the final per-query top-k window re-uses the
+    usual (sim DESC, cand_id ASC) rule.  Total exchanges: one on the
+    (query_id, cand_id) pair key + the top-k window's query key — both
+    over pair-sized rows, never corpus-sized.
+    """
+    plane_sets = [random_planes(num_planes, dim, seed + t) for t in range(num_tables)]
+
+    def bucket_rows(df, out_id, tag):
+        v = as_double(vec_col)
+        return df.select(
+            F.col(id_col).alias(out_id),
+            v.alias(f"{tag}vec"),
+            F.posexplode(
+                F.array(*[hyperplane_bucket(v, ps) for ps in plane_sets])
+            ).alias("tbl", "bucket"),
+        ).withColumn(f"{tag}n", norm(F.col(f"{tag}vec")))
+
+    c = bucket_rows(embeddings, "cand_id", "c")
+    q = bucket_rows(queries, "query_id", "q")
+
+    scored = (
+        c.join(F.broadcast(q), ["tbl", "bucket"])
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            (dot(F.col("qvec"), F.col("cvec")) / (F.col("qn") * F.col("cn"))).alias("_sim"),
+        )
+        # same pair may hit in several tables with an identical sim —
+        # max() is a pure dedup (and map-side combines before the
+        # pair-keyed exchange, unlike dropDuplicates)
+        .groupBy("query_id", "cand_id")
+        .agg(F.max("_sim").alias("_sim"))
     )
     w = W.partitionBy("query_id").orderBy(F.col("_sim").desc(), F.col("cand_id").asc())
     return (
