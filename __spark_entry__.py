@@ -405,6 +405,18 @@ def q_rolling_median(spark, sf_dir):
     )
 
 
+def q_rolling_median_sketch(spark, sf_dir):
+    """Sketch-backed trailing-100 median (O(rows×bins) running-sum/lag
+    histogram, not a sliding-frame re-aggregation); oracle replays the
+    estimator via a sorted frame-bin list — bin of the lower-median
+    order statistic, midpoint reported."""
+    e = _t(spark, sf_dir, "events").filter(F.col("ts_ms").between(T1, T2))
+    return ts_ops.rolling_median_sketch(
+        e, ["event_type"], lo=0.0, hi=600.0, lookback=100, bins=60,
+        tiebreak="event_id",
+    )
+
+
 def q_cap_events(spark, sf_dir):
     """Rate capping: at most 2 earliest events per (user, day) —
     deterministic survivors via (ts, event_id) rank; drops ~31% of rows
@@ -1488,7 +1500,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- category anchors (driver-green r1/r2/r3) -------------------
         "range_scan": q_range_scan,
         "tsdb_roundtrip": q_tsdb_roundtrip,
-        "downsample_1h": q_downsample_1h,
         "revenue_by_nation": q_revenue_by_nation,
         "dedup_exact": q_dedup_exact,
         "value_percentiles": q_value_percentiles,
@@ -1532,6 +1543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25": q_bm25,
         "bm25_many": q_bm25_many,
         "rolling_median": q_rolling_median,
+        "rolling_median_sketch": q_rolling_median_sketch,
         "cap_events": q_cap_events,
         "cusum": q_cusum,
         "fuzzy_join": q_fuzzy_join,
@@ -1543,6 +1555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-window and their historical green rows stand.  All still
         # verified by the local checker each round.
         "asof_join": q_asof_join,
+        "downsample_1h": q_downsample_1h,
         "lsh_ann_topk": q_lsh_ann_topk,
         "minhash_lsh": q_minhash_lsh,
         "cosine_topk": q_cosine_topk,
@@ -2972,6 +2985,23 @@ def oracle_sql() -> dict[str, str]:
                  PARTITION BY event_type ORDER BY {_EV_MS} ASC, event_id ASC
                  ROWS BETWEEN 99 PRECEDING AND CURRENT ROW) AS n_window
         FROM events WHERE {_EV_MS} BETWEEN {T1} AND {T2}"""
+    oracles["rolling_median_sketch"] = f"""
+        WITH b AS (
+          SELECT event_type, {_EV_MS} AS ts_ms, event_id, value,
+                 least(59, greatest(0, floor(value / 10.0::DOUBLE)::INT)) AS bin
+          FROM events WHERE {_EV_MS} BETWEEN {T1} AND {T2}),
+        f AS (
+          SELECT event_type, ts_ms, value,
+                 list_sort(list(bin) OVER w) AS ls,
+                 count(*) OVER w AS n_window
+          FROM b
+          WINDOW w AS (PARTITION BY event_type ORDER BY ts_ms ASC, event_id ASC
+                       ROWS BETWEEN 99 PRECEDING AND CURRENT ROW))
+        SELECT event_type, ts_ms, value,
+               round((ls[ceil(0.5 * n_window)::BIGINT]::DOUBLE + 0.5) * 10.0::DOUBLE,
+                     6) AS rolling_median_est,
+               n_window
+        FROM f"""
     oracles["cap_events"] = f"""
         SELECT user_id, bucket_ms, event_id, ts_ms, event_type, value FROM (
           SELECT user_id, ms - ms % 86400000 AS bucket_ms, event_id,

@@ -405,6 +405,75 @@ def test_rolling_median_rejects_spike(spark):
     assert got_n[0] == 1 and got_n[9000] == 5
 
 
+def test_rolling_median_sketch_within_one_bin_of_exact(spark, sf_dir):
+    """The sketch estimator's midpoint stays within one bin width of the
+    exact trailing median over the whole driver dataset, and its chosen
+    bin is exactly the lower-median order statistic's bin (the
+    definitional check, bin-exact not just tolerance)."""
+    from time_series_databse_engine_spark.operators.timeseries import (
+        rolling_median,
+        rolling_median_sketch,
+    )
+    from time_series_databse_engine_spark.sources import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    exact = {
+        (r.event_type, r.ts_ms): r.rolling_median
+        for r in rolling_median(
+            e, ["event_type"], lookback=100, tiebreak="event_id"
+        ).collect()
+    }
+    est = rolling_median_sketch(
+        e, ["event_type"], lo=0.0, hi=600.0, lookback=100, bins=60,
+        tiebreak="event_id",
+    ).collect()
+    assert len(est) == len(exact)
+    bin_w = 10.0
+    # odd frames: the exact median IS a data value, so the estimator's
+    # midpoint sits within half a bin of it — the definitional bin-exact
+    # check, valid at any window fill including n=1
+    worst_odd = max(
+        abs(r.rolling_median_est - exact[(r.event_type, r.ts_ms)])
+        for r in est
+        if r.n_window % 2 == 1
+    )
+    assert worst_odd <= bin_w / 2, f"odd-frame sketch off by {worst_odd}"
+    # even frames interpolate between the two middle order statistics;
+    # once the window has real fill they share a bin (±1) and the error
+    # stays under one bin width.  A 2-row window of two DISTANT values is
+    # the structural exception (exact = their midpoint, sketch = the
+    # lower one's bin) — that is a property of any histogram estimator,
+    # not a bug, so the bound is asserted on windows with n ≥ 20.
+    worst_warm = max(
+        abs(r.rolling_median_est - exact[(r.event_type, r.ts_ms)])
+        for r in est
+        if r.n_window >= 20
+    )
+    assert worst_warm <= bin_w, f"sketch median off by {worst_warm} > one bin"
+
+
+def test_rolling_median_sketch_single_exchange_no_sliding_agg(spark, sf_dir):
+    """The O(rows×bins) claim in plan terms: ONE series-key exchange
+    shared by both window passes (running sums, then lags), and no
+    sliding-frame aggregate anywhere — sliding SUM frames re-scan the
+    whole buffer per row in Spark, which would restore O(rows×frame)."""
+    from time_series_databse_engine_spark.operators.timeseries import (
+        rolling_median_sketch,
+    )
+    from time_series_databse_engine_spark.plans import (
+        num_shuffle_exchanges,
+        simple_plan,
+    )
+    from time_series_databse_engine_spark.sources import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    df = rolling_median_sketch(e, ["event_type"], lo=0.0, hi=600.0, bins=60)
+    assert num_shuffle_exchanges(df) == 1
+    # running frames print as "unboundedpreceding$(), currentrow$()";
+    # a sliding frame would print a bounded "-99, currentrow" frame spec
+    assert "-99" not in simple_plan(df)
+
+
 def test_cap_events_keeps_earliest_deterministically(spark):
     """Cap keeps the earliest `cap` events per (key, bucket) with an id
     tiebreak; later buckets reset the budget."""

@@ -82,7 +82,11 @@ def histogram_sketches(
     )
     bucket = (F.col(ts_ms) - (F.col(ts_ms) % F.lit(bucket_ms))).alias("bucket_ms")
     return (
-        df.groupBy(bucket, *keys, b.alias("bin"))
+        # NULL values would produce a NULL bin row that inflates totals
+        # and sorts differently across engines (Spark NULLS FIRST asc,
+        # DuckDB NULLS LAST) — the sketch only sees real bins
+        df.filter(F.col(value).isNotNull())
+        .groupBy(bucket, *keys, b.alias("bin"))
         .agg(F.count("*").alias("cnt"))
     )
 

@@ -428,10 +428,11 @@ def rolling_median(
     Cost model, stated plainly: an exact sliding median is
     O(rows × frame) — Spark re-evaluates the percentile per row over the
     frame buffer.  That is the honest price of exactness; at 100 TB keep
-    ``lookback`` modest (hundreds), or switch to the mergeable
-    histogram-sketch percentile (`operators.sketches`) when bin-width
-    error is acceptable.  One exchange on the series key, the same
-    partitioning every window op shares.
+    ``lookback`` modest (hundreds), or switch to
+    :func:`rolling_median_sketch` — the O(rows × bins) running-sum/lag
+    histogram estimator — when bin-width error is acceptable.  One
+    exchange on the series key, the same partitioning every window op
+    shares.
     """
     order = [ts_ms] + ([tiebreak] if tiebreak else [])
     w = (
@@ -445,6 +446,101 @@ def rolling_median(
         F.col(value),
         F.round(F.expr(f"percentile({value}, 0.5)").over(w), 6).alias("rolling_median"),
         F.count("*").over(w).alias("n_window"),
+    )
+
+
+def rolling_median_sketch(
+    df: DataFrame,
+    keys: list[str],
+    lo: float,
+    hi: float,
+    lookback: int = 100,
+    bins: int = 60,
+    ts_ms: str = "ts_ms",
+    value: str = "value",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Sketch-backed trailing-window median — the O(rows × bins)
+    alternative :func:`rolling_median`'s docstring promises for frames
+    where the exact O(rows × frame) re-evaluation is unaffordable
+    (a 10k-row frame costs 10⁴ value comparisons PER ROW exactly; this
+    costs ``bins`` counter updates per row at any frame length).
+
+    Mechanics: values quantize to ``bins`` fixed-width histogram bins
+    (same clamp-to-edge rule as ``sketches.histogram_sketches``); per
+    bin, the trailing-frame count is the difference of a RUNNING
+    cumulative sum and its ``lookback``-row lag — both O(1)-per-row
+    incremental window primitives, never a sliding-frame re-aggregation
+    (Spark re-scans the whole buffer per row for sliding SUM frames,
+    which would silently restore the O(rows × frame) cost).  The median
+    bin is then the first bin whose bin-cumulative count reaches
+    ``ceil(n/2)`` — equivalently the bin of the lower-median order
+    statistic — found by a JVM-side fold over the ``bins``-element count
+    array, and reported as its midpoint ``lo + (bin + 0.5)·w``.
+
+    Error vs the exact interpolated median is bounded by one bin width
+    whenever both middle order statistics share a bin (test-asserted on
+    the driver data); the estimator itself is deterministic SQL, so the
+    oracle replays it verbatim via a sorted frame-bin list.  One
+    exchange on the series key — the SAME single exchange every window
+    op here shares; both window passes reuse its sort order.
+    """
+    w_bin = (hi - lo) / bins
+    order = [ts_ms] + ([tiebreak] if tiebreak else [])
+    w_ord = W.partitionBy(*keys).orderBy(*[F.col(c).asc() for c in order])
+    w_run = w_ord.rowsBetween(W.unboundedPreceding, 0)
+    b = F.least(
+        F.lit(bins - 1),
+        F.greatest(F.lit(0), F.floor((F.col(value) - lo) / F.lit(w_bin)).cast("int")),
+    )
+    keep = list(dict.fromkeys([*keys, *order, value]))
+    staged = df.select(*keep, b.alias("_bin")).select(
+        "*",
+        F.row_number().over(w_ord).alias("_rn"),
+        *[
+            F.sum(F.when(F.col("_bin") == i, 1).otherwise(0))
+            .over(w_run)
+            .cast("long")
+            .alias(f"_cum{i}")
+            for i in range(bins)
+        ],
+    )
+    lagged = staged.select(
+        "*",
+        F.lag("_rn", lookback, 0).over(w_ord).alias("_rnlag"),
+        *[
+            F.lag(f"_cum{i}", lookback, 0).over(w_ord).alias(f"_lag{i}")
+            for i in range(bins)
+        ],
+    )
+    n = (F.col("_rn") - F.col("_rnlag")).cast("long")
+    need = F.ceil(F.lit(0.5) * n)
+    cnts = F.array(*[F.col(f"_cum{i}") - F.col(f"_lag{i}") for i in range(bins)])
+    pairs = F.zip_with(
+        cnts,
+        F.sequence(F.lit(0), F.lit(bins - 1)),
+        lambda c, i: F.struct(c.alias("c"), i.alias("i")),
+    )
+    chosen = F.aggregate(
+        pairs,
+        F.struct(F.lit(0).cast("long").alias("cum"), F.lit(-1).alias("bin")),
+        lambda acc, x: F.struct(
+            (acc["cum"] + x["c"]).alias("cum"),
+            F.when(
+                (acc["bin"] == F.lit(-1)) & (acc["cum"] + x["c"] >= need), x["i"]
+            )
+            .otherwise(acc["bin"])
+            .alias("bin"),
+        ),
+    )["bin"]
+    return lagged.select(
+        *keys,
+        F.col(ts_ms),
+        F.col(value),
+        F.round(F.lit(lo) + (chosen + F.lit(0.5)) * F.lit(w_bin), 6).alias(
+            "rolling_median_est"
+        ),
+        n.alias("n_window"),
     )
 
 
