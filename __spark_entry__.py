@@ -1356,6 +1356,16 @@ def q_lttb(spark, sf_dir):
     return ts_ops.lttb(e, "event_type", n_out=50)
 
 
+def q_lttb_chunked(spark, sf_dir):
+    """Bounded-memory LTTB: 6-hour chunks picked independently with
+    proportional quotas (per-chunk re-anchoring) — the billion-point
+    mitigation for exact lttb's whole-series worker requirement.  The
+    oracle threads the chunk key and its quota through the same
+    recursive CTE the exact oracle uses."""
+    e = _t(spark, sf_dir, "events").filter(F.col("ts_ms").between(T1, T2))
+    return ts_ops.lttb_chunked(e, "event_type", n_out=48, chunk_ms=21_600_000)
+
+
 def q_dup_spans(spark, sf_dir):
     """Cross-document duplicate 8-token spans (window-granular exact
     substring dedup signal, Lee et al. 2021) — one gram-partition count
@@ -1526,7 +1536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans": q_kmeans,
         "gapfill_locf": q_gapfill_locf,
         "dup_spans": q_dup_spans,
-        "lttb": q_lttb,
+        "lttb_chunked": q_lttb_chunked,
         "mad_anomaly": q_mad_anomaly,
         "top_ngrams": q_top_ngrams,
         "holt_smoothing": q_holt,
@@ -1556,6 +1566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # verified by the local checker each round.
         "asof_join": q_asof_join,
         "downsample_1h": q_downsample_1h,
+        "lttb": q_lttb,
         "lsh_ann_topk": q_lsh_ann_topk,
         "minhash_lsh": q_minhash_lsh,
         "cosine_topk": q_cosine_topk,
@@ -1867,6 +1878,73 @@ def _lttb_sql(n_out=50) -> str:
                 JOIN nbmax m   ON m.k = s.k
                 JOIN lastpt lp ON lp.k = s.k
                 LEFT JOIN buckets c2 ON c2.k = s.k AND c2.b = s.b + 2))))
+        SELECT k AS event_type, CAST(x AS BIGINT) AS ts_ms, y AS value FROM (
+          SELECT k, x, y FROM small
+          UNION ALL
+          SELECT k, CAST(ax AS BIGINT) AS x, ay AS y FROM sel
+          UNION ALL
+          SELECT k, lx AS x, ly AS y FROM lastpt)"""
+
+
+def _lttb_chunked_sql(n_out=48, chunk_ms=21_600_000) -> str:
+    """lttb_chunked oracle: the exact-lttb recursive CTE with the chunk
+    key threaded through every join and a per-(series, chunk) quota
+    ``greatest(2, (n_out · cnt) // n_total)`` in place of the global
+    n_out.  A quota-2 chunk keeps endpoints only (``q > 2`` guard on the
+    mid CTE — mirrors the Spark picker's empty bucket loop at nb=0)."""
+    area = "abs((ax0 - bx) * (cy[t] - ay0) - (ax0 - cx[t]) * (by - ay0))"
+    return f"""
+        WITH RECURSIVE
+        pts AS (
+          SELECT event_type AS k,
+                 ({_EV_MS}) - ({_EV_MS}) % {chunk_ms} AS ch,
+                 {_EV_MS} AS x, max(value) AS y
+          FROM events WHERE {_EV_MS} BETWEEN {T1} AND {T2} GROUP BY 1, 2, 3),
+        quotas AS (
+          SELECT k, ch,
+                 greatest(2, CAST(({n_out} * count(*)) //
+                   (sum(count(*)) OVER (PARTITION BY k)) AS BIGINT)) AS q
+          FROM pts GROUP BY k, ch),
+        idx AS (
+          SELECT p.k, p.ch, p.x, p.y, qq.q,
+                 CAST(row_number() OVER (PARTITION BY p.k, p.ch ORDER BY p.x) - 1
+                      AS BIGINT) AS i,
+                 count(*) OVER (PARTITION BY p.k, p.ch) AS n
+          FROM pts p JOIN quotas qq ON qq.k = p.k AND qq.ch = p.ch),
+        small AS (SELECT k, ch, x, y FROM idx WHERE n <= q),
+        big AS (SELECT * FROM idx WHERE n > q),
+        mid AS (
+          SELECT k, ch, x, y, ((i - 1) * (q - 2)) // (n - 2) AS b
+          FROM big WHERE i >= 1 AND i <= n - 2 AND q > 2),
+        buckets AS (
+          SELECT k, ch, b, list(x ORDER BY x) AS cx, list(y ORDER BY x) AS cy,
+                 avg(x) AS mx, round(avg(y), 6) AS my
+          FROM mid GROUP BY k, ch, b),
+        lastpt AS (SELECT k, ch, x AS lx, y AS ly FROM big WHERE i = n - 1),
+        nbmax AS (SELECT k, ch, max(b) AS bmax FROM buckets GROUP BY k, ch),
+        sel AS (
+          SELECT k, ch, CAST(-1 AS BIGINT) AS b, CAST(x AS DOUBLE) AS ax, y AS ay
+          FROM big WHERE i = 0
+          UNION ALL
+          SELECT k, ch, b, CAST(cx[pos] AS DOUBLE) AS ax, cy[pos] AS ay FROM (
+            SELECT k, ch, b, cx, cy,
+                   NULLIF(list_position(areas,
+                            list_aggregate(areas, 'max')), 0) AS pos
+            FROM (
+              SELECT k, ch, b, cx, cy,
+                     list_transform(generate_series(1, len(cx)),
+                                    t -> {area}) AS areas
+              FROM (
+                SELECT s.k, s.ch, c.b, c.cx, c.cy, s.ax AS ax0, s.ay AS ay0,
+                       CASE WHEN c.b < m.bmax THEN c2.mx
+                            ELSE CAST(lp.lx AS DOUBLE) END AS bx,
+                       CASE WHEN c.b < m.bmax THEN c2.my ELSE lp.ly END AS by
+                FROM sel s
+                JOIN buckets c ON c.k = s.k AND c.ch = s.ch AND c.b = s.b + 1
+                JOIN nbmax m   ON m.k = s.k AND m.ch = s.ch
+                JOIN lastpt lp ON lp.k = s.k AND lp.ch = s.ch
+                LEFT JOIN buckets c2 ON c2.k = s.k AND c2.ch = s.ch
+                                    AND c2.b = s.b + 2))))
         SELECT k AS event_type, CAST(x AS BIGINT) AS ts_ms, y AS value FROM (
           SELECT k, x, y FROM small
           UNION ALL
@@ -2545,6 +2623,7 @@ def oracle_sql() -> dict[str, str]:
             FROM counts""",
         "pack_sequences": _pack_sequences_sql(cap=512, groups=8),
         "lttb": _lttb_sql(n_out=50),
+        "lttb_chunked": _lttb_chunked_sql(n_out=48, chunk_ms=21_600_000),
         "mad_anomaly": f"""
             WITH base AS (
               SELECT event_type, {_EV_MS} AS ts_ms, value

@@ -1,5 +1,7 @@
 """Window operators on crafted series."""
 
+from pyspark.sql import functions as F
+
 from time_series_databse_engine_spark.operators.timeseries import (
     autocorrelation,
     counter_rate,
@@ -220,6 +222,62 @@ def test_lttb_passthrough_small_series(spark):
     df = spark.createDataFrame(rows, "event_type string, ts_ms long, value double")
     out = lttb(df, "event_type", n_out=10).orderBy("ts_ms").collect()
     assert [(r.ts_ms, r.value) for r in out] == [(i * 100, float(i)) for i in range(5)]
+
+
+def test_lttb_chunked_divergence_vs_exact(spark):
+    """Quantifies the chunked approximation against exact LTTB at
+    sf0.01 (the driver's correctness SF): comparable output volume,
+    every chunk's endpoints kept (the re-anchoring contract), and a
+    majority of exact picks are recovered despite independent per-chunk
+    anchors.  The recovered fraction is asserted as a floor, so a
+    regression in the picker or the quota math shows up as a number,
+    not a vibe."""
+    from time_series_databse_engine_spark.operators.timeseries import lttb, lttb_chunked
+    from time_series_databse_engine_spark.sources import load_table
+
+    T1, T2 = 1_704_153_600_000, 1_704_240_000_000
+    e = load_table(spark, "/root/testdata/sf0.01", "events").filter(
+        F.col("ts_ms").between(T1, T2)
+    )
+    exact = lttb(e, "event_type", n_out=48).collect()
+    chunked = lttb_chunked(e, "event_type", n_out=48, chunk_ms=21_600_000).collect()
+    ex = {(r.event_type, r.ts_ms) for r in exact}
+    ch = {(r.event_type, r.ts_ms) for r in chunked}
+    # volume: Σ quotas ≈ n_out, within one extra point per 6h chunk (4/day)
+    per_series_ch = {}
+    for k, _ in ch:
+        per_series_ch[k] = per_series_ch.get(k, 0) + 1
+    per_series_ex = {}
+    for k, _ in ex:
+        per_series_ex[k] = per_series_ex.get(k, 0) + 1
+    for k, n_ex in per_series_ex.items():
+        assert abs(per_series_ch[k] - n_ex) <= 4
+    # divergence floor: the chunked picks recover most exact picks
+    recovered = len(ex & ch) / len(ex)
+    assert recovered >= 0.5, f"chunked LTTB recovered only {recovered:.2f} of exact picks"
+    # re-anchoring contract: both endpoints of every (series, chunk) kept
+    rows = e.select("event_type", "ts_ms").collect()
+    bounds = {}
+    for r in rows:
+        c = r.ts_ms - r.ts_ms % 21_600_000
+        lo, hi = bounds.get((r.event_type, c), (r.ts_ms, r.ts_ms))
+        bounds[(r.event_type, c)] = (min(lo, r.ts_ms), max(hi, r.ts_ms))
+    for (k, _c), (lo, hi) in bounds.items():
+        assert (k, lo) in ch and (k, hi) in ch
+
+
+def test_lttb_chunked_groups_per_chunk_not_per_series(spark, sf_dir):
+    """The bounded-memory claim in plan terms: the picker's Arrow groups
+    are (series, chunk), never a whole series."""
+    import re
+
+    from time_series_databse_engine_spark.operators.timeseries import lttb_chunked
+    from time_series_databse_engine_spark.sources import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    df = lttb_chunked(e, "event_type", n_out=48, chunk_ms=21_600_000)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"FlatMapGroupsInPandas \[event_type#\d+, _chunk#\d+L\]", plan)
 
 
 def test_mad_anomalies_robust_to_outlier(spark):

@@ -1123,47 +1123,119 @@ def lttb(
     SQL oracle evaluates, and ties take the earliest point (np.argmax).
 
     Scale shape: one shuffle on the series key; each series must fit a
-    worker (LTTB is inherently sequential per series — at 100 TB you
-    LTTB per (series, day) chunk and stitch, same as any per-series op).
+    worker (LTTB is inherently sequential per series).  At 100 TB use
+    :func:`lttb_chunked`, which bounds worker memory at one
+    (series, chunk) group via per-chunk independent anchoring.
     """
-    import numpy as np
-    import pandas as pd
-
-    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = (
-            pdf.groupby(ts_ms, as_index=False)
-            .agg({value: "max", key: "first"})
-            .sort_values(ts_ms)
-            .reset_index(drop=True)
-        )
-        n = len(pdf)
-        if n <= n_out:
-            return pdf[[key, ts_ms, value]]
-        xs = pdf[ts_ms].to_numpy(dtype="float64")
-        ys = pdf[value].to_numpy(dtype="float64")
-        nb = n_out - 2
-        # middle points 1..n-2 → local j = i-1 in [0, n-3]; bucket k = j*nb // (n-2)
-        j = np.arange(n - 2, dtype="int64")
-        bucket = (j * nb) // (n - 2)
-        sel = [0]
-        for k in range(nb):
-            cand = np.where(bucket == k)[0] + 1  # global indices of bucket k
-            if k < nb - 1:
-                nxt = np.where(bucket == k + 1)[0] + 1
-                bx = float(np.mean(xs[nxt]))
-                by = round(float(np.mean(ys[nxt])), 6)
-            else:
-                bx, by = float(xs[n - 1]), float(ys[n - 1])
-            ax, ay = float(xs[sel[-1]]), float(ys[sel[-1]])
-            area = np.abs(
-                (ax - bx) * (ys[cand] - ay) - (ax - xs[cand]) * (by - ay)
-            )
-            sel.append(int(cand[int(np.argmax(area))]))
-        sel.append(n - 1)
-        return pdf.iloc[sel][[key, ts_ms, value]]
+    def pick(pdf):
+        return _lttb_pick_pdf(pdf, n_out, key, ts_ms, value)
 
     schema = f"{key} string, {ts_ms} long, {value} double"
     return df.select(key, ts_ms, value).groupBy(key).applyInPandas(pick, schema=schema)
+
+
+def _lttb_pick_pdf(pdf, n_out: int, key: str, ts_ms: str, value: str):
+    """The sequential LTTB picker over ONE in-memory group (a whole
+    series for :func:`lttb`, one (series, chunk) for
+    :func:`lttb_chunked`) — duplicate timestamps collapse with max,
+    integer floor-division bucketing, 6-dp centroid y, first-max
+    tie-break; see the callers' docstrings for the cross-engine
+    determinism contract."""
+    import numpy as np
+
+    pdf = (
+        pdf.groupby(ts_ms, as_index=False)
+        .agg({value: "max", key: "first"})
+        .sort_values(ts_ms)
+        .reset_index(drop=True)
+    )
+    n = len(pdf)
+    if n <= n_out:
+        return pdf[[key, ts_ms, value]]
+    xs = pdf[ts_ms].to_numpy(dtype="float64")
+    ys = pdf[value].to_numpy(dtype="float64")
+    nb = n_out - 2
+    # middle points 1..n-2 → local j = i-1 in [0, n-3]; bucket k = j*nb // (n-2)
+    j = np.arange(n - 2, dtype="int64")
+    bucket = (j * nb) // (n - 2)
+    sel = [0]
+    for k in range(nb):
+        cand = np.where(bucket == k)[0] + 1  # global indices of bucket k
+        if k < nb - 1:
+            nxt = np.where(bucket == k + 1)[0] + 1
+            bx = float(np.mean(xs[nxt]))
+            by = round(float(np.mean(ys[nxt])), 6)
+        else:
+            bx, by = float(xs[n - 1]), float(ys[n - 1])
+        ax, ay = float(xs[sel[-1]]), float(ys[sel[-1]])
+        area = np.abs(
+            (ax - bx) * (ys[cand] - ay) - (ax - xs[cand]) * (by - ay)
+        )
+        sel.append(int(cand[int(np.argmax(area))]))
+    sel.append(n - 1)
+    return pdf.iloc[sel][[key, ts_ms, value]]
+
+
+def lttb_chunked(
+    df: DataFrame,
+    key: str,
+    n_out: int,
+    chunk_ms: int,
+    ts_ms: str = "ts_ms",
+    value: str = "value",
+) -> DataFrame:
+    """Bounded-memory approximate LTTB: split each series into
+    ``chunk_ms`` time chunks, run the exact sequential picker
+    INDEPENDENTLY per chunk with an output quota proportional to the
+    chunk's share of the series' (distinct-timestamp) points —
+    ``max(2, (n_out · cnt) // n_total)`` — and union the picks.
+
+    Why it exists: exact LTTB's triangle anchor is a sequential carry
+    through the whole series, so :func:`lttb` must hold ONE ENTIRE
+    SERIES in a worker's memory — a billion-point series OOMs it
+    (SCALE.md names this residual).  Chunking caps the Arrow batch at
+    one (series, chunk) group regardless of series length.  The price,
+    stated plainly: each chunk re-anchors from its own first point and
+    always keeps its own endpoints, so picks near chunk boundaries can
+    differ from exact LTTB's (a test quantifies the divergence on the
+    driver data) and total output is Σ quotas ≈ ``n_out`` + up to one
+    extra point per chunk from quota flooring and the ≥2 endpoint
+    floor.
+
+    Shape: the (series, chunk) quota table is series×chunks rows
+    (tiny); joining it back re-uses the SAME (key, chunk) hash
+    partitioning the ``applyInPandas`` grouping needs, so the corpus
+    crosses exactly one exchange, same as exact :func:`lttb`.
+    """
+    base = df.select(key, ts_ms, value).withColumn(
+        "_chunk", (F.col(ts_ms) - F.col(ts_ms) % F.lit(chunk_ms)).cast("long")
+    )
+    # quota ∝ distinct-ts count (LTTB collapses duplicate timestamps
+    # before bucketing, so proportionality must count what it keeps)
+    cnts = base.groupBy(key, "_chunk").agg(
+        F.countDistinct(ts_ms).alias("_cnt")
+    )
+    quotas = (
+        cnts.withColumn("_ntot", F.sum("_cnt").over(W.partitionBy(key)))
+        .withColumn(
+            "_quota",
+            F.greatest(
+                F.lit(2).cast("long"),
+                F.floor((F.lit(n_out) * F.col("_cnt")) / F.col("_ntot")).cast("long"),
+            ),
+        )
+        .select(key, "_chunk", "_quota")
+    )
+
+    def pick(pdf):
+        return _lttb_pick_pdf(pdf, int(pdf["_quota"].iloc[0]), key, ts_ms, value)
+
+    schema = f"{key} string, {ts_ms} long, {value} double"
+    return (
+        base.join(quotas, [key, "_chunk"])
+        .groupBy(key, "_chunk")
+        .applyInPandas(pick, schema=schema)
+    )
 
 
 def seasonal_baseline(
