@@ -1319,6 +1319,18 @@ def q_semantic_dedup(spark, sf_dir):
     )
 
 
+def q_semantic_dedup_trained(spark, sf_dir):
+    """SemDeDup with TRAINED cells: kmeans_lloyd(k=8, 2 rounds) centroids
+    flow through kmeans_centroids_as_cells into semantic_dedup's cell
+    assignment — the end-to-end proof the kmeans→SemDeDup composition
+    holds under the oracle (the SQL unrolls both Lloyd rounds, rebuilds
+    the centroid lists from the long-form output, and replays the
+    identical assignment and drop rule)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cells = sim_ops.kmeans_centroids_as_cells(sim_ops.kmeans_lloyd(emb, k=8, iters=2))
+    return sim_ops.semantic_dedup(emb, threshold=0.3, cells=cells)
+
+
 def q_ewma_chunked(spark, sf_dir):
     """Chunk-and-chain EWMA — identical semantics to q_ewma with bounded
     per-worker memory (6 h chunks force multi-chunk series at every SF);
@@ -1530,7 +1542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "pack_sequences": q_pack_sequences,
         "hash_split": q_hash_split,
-        "semantic_dedup": q_semantic_dedup,
+        "semantic_dedup_trained": q_semantic_dedup_trained,
         "holt_chunked": q_holt_chunked,
         "cosine_near_dup_lsh": q_cosine_near_dup_lsh,
         "kmeans": q_kmeans,
@@ -1566,6 +1578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # verified by the local checker each round.
         "asof_join": q_asof_join,
         "downsample_1h": q_downsample_1h,
+        "semantic_dedup": q_semantic_dedup,
         "lttb": q_lttb,
         "lsh_ann_topk": q_lsh_ann_topk,
         "minhash_lsh": q_minhash_lsh,
@@ -1735,6 +1748,42 @@ def _bucket_sql(num_planes=4, dim=64, seed=42) -> str:
     return "concat(" + ", ".join(
         f"CASE WHEN {proj(p)} >= 0 THEN '1' ELSE '0' END" for p in planes
     ) + ")"
+
+
+# Two unrolled Lloyd rounds over embeddings (k=8, seeds = smallest
+# md5-of-id), ending in m2 (6-dp centroid components, long form) and n2
+# (cluster sizes) — shared by the `kmeans` oracle and the
+# `semantic_dedup_trained` oracle, which feeds m2 into the SemDeDup cell
+# assignment exactly as kmeans_centroids_as_cells does on the Spark side.
+_KMEANS_CTES = """e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+            c0 AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS c
+                   FROM embeddings ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 8),
+            a1 AS (SELECT id, v, cid FROM (
+              SELECT id, v, cid,
+                     row_number() OVER (PARTITION BY id
+                                        ORDER BY csim DESC, cid ASC) AS r
+              FROM (SELECT e.id, e.v, c0.cid,
+                           list_dot_product(v, c) /
+                           (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(c, c))) AS csim
+                    FROM e, c0)) WHERE r = 1),
+            m1 AS (SELECT cid, dim1 - 1 AS dim, round(avg(x), 6) AS m FROM (
+                     SELECT cid, unnest(generate_series(1, len(v))) AS dim1,
+                            unnest(v) AS x FROM a1)
+                   GROUP BY cid, dim1),
+            c1 AS (SELECT cid, list(m ORDER BY dim) AS c FROM m1 GROUP BY cid),
+            a2 AS (SELECT id, v, cid FROM (
+              SELECT id, v, cid,
+                     row_number() OVER (PARTITION BY id
+                                        ORDER BY csim DESC, cid ASC) AS r
+              FROM (SELECT e.id, e.v, c1.cid,
+                           list_dot_product(v, c) /
+                           (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(c, c))) AS csim
+                    FROM e, c1)) WHERE r = 1),
+            m2 AS (SELECT cid, dim1 - 1 AS dim, round(avg(x), 6) AS c FROM (
+                     SELECT cid, unnest(generate_series(1, len(v))) AS dim1,
+                            unnest(v) AS x FROM a2)
+                   GROUP BY cid, dim1),
+            n2 AS (SELECT cid, count(*) AS n FROM a2 GROUP BY cid)"""
 
 
 def _multi_lsh_sql(num_planes=4, num_tables=8, dim=64, seed=42, k=5) -> str:
@@ -2851,36 +2900,7 @@ def oracle_sql() -> dict[str, str]:
         # 2 Lloyd rounds unrolled; centroids quantized to 6 dp per round —
         # the same quantization the Spark side applies, which is what makes
         # the second round's assignments engine-independent
-        "kmeans": """
-            WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
-            c0 AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS c
-                   FROM embeddings ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 8),
-            a1 AS (SELECT id, v, cid FROM (
-              SELECT id, v, cid,
-                     row_number() OVER (PARTITION BY id
-                                        ORDER BY csim DESC, cid ASC) AS r
-              FROM (SELECT e.id, e.v, c0.cid,
-                           list_dot_product(v, c) /
-                           (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(c, c))) AS csim
-                    FROM e, c0)) WHERE r = 1),
-            m1 AS (SELECT cid, dim1 - 1 AS dim, round(avg(x), 6) AS m FROM (
-                     SELECT cid, unnest(generate_series(1, len(v))) AS dim1,
-                            unnest(v) AS x FROM a1)
-                   GROUP BY cid, dim1),
-            c1 AS (SELECT cid, list(m ORDER BY dim) AS c FROM m1 GROUP BY cid),
-            a2 AS (SELECT id, v, cid FROM (
-              SELECT id, v, cid,
-                     row_number() OVER (PARTITION BY id
-                                        ORDER BY csim DESC, cid ASC) AS r
-              FROM (SELECT e.id, e.v, c1.cid,
-                           list_dot_product(v, c) /
-                           (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(c, c))) AS csim
-                    FROM e, c1)) WHERE r = 1),
-            m2 AS (SELECT cid, dim1 - 1 AS dim, round(avg(x), 6) AS c FROM (
-                     SELECT cid, unnest(generate_series(1, len(v))) AS dim1,
-                            unnest(v) AS x FROM a2)
-                   GROUP BY cid, dim1),
-            n2 AS (SELECT cid, count(*) AS n FROM a2 GROUP BY cid)
+        "kmeans": "\n            WITH " + _KMEANS_CTES + """
             SELECT m2.cid AS cluster_id, m2.dim, m2.c, n2.n
             FROM m2 JOIN n2 USING (cid)""",
         "unigram_logprob": """
@@ -3139,4 +3159,24 @@ def oracle_sql() -> dict[str, str]:
                            sqrt(list_dot_product(a2.v, a2.v))) >= 0.3)
         SELECT a.id AS vec_id, a.cell_id FROM a
         WHERE a.id NOT IN (SELECT id FROM dropped)"""
+    oracles["semantic_dedup_trained"] = (
+        "\n        WITH " + _KMEANS_CTES + """,
+        cents AS (SELECT cid AS cell_id, list(c ORDER BY dim) AS cent
+                  FROM m2 GROUP BY cid),
+        a AS (SELECT id, v, cell_id FROM (
+          SELECT id, v, cell_id,
+                 row_number() OVER (PARTITION BY id
+                                    ORDER BY csim DESC, cell_id ASC) AS r
+          FROM (SELECT id, v, cell_id,
+                       list_dot_product(v, cent) /
+                       (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cent, cent))) AS csim
+                FROM e, cents)) WHERE r = 1),
+        dropped AS (SELECT DISTINCT a2.id FROM a a1 JOIN a a2 USING (cell_id)
+                    WHERE a1.id < a2.id
+                      AND list_dot_product(a1.v, a2.v) /
+                          (sqrt(list_dot_product(a1.v, a1.v)) *
+                           sqrt(list_dot_product(a2.v, a2.v))) >= 0.3)
+        SELECT a.id AS vec_id, a.cell_id FROM a
+        WHERE a.id NOT IN (SELECT id FROM dropped)"""
+    )
     return oracles
