@@ -90,6 +90,58 @@ def test_stream_to_store_refreshes_rollup(spark, tmp_path, staged_events):
     assert live and mat == live
 
 
+def test_ingest_epoch_replay_is_exactly_once(spark, tmp_path):
+    """The idempotent-writer contract, attacked three ways: a clean
+    re-run of the same epoch converges to one copy; leftover files from
+    a simulated crashed attempt are swept; a DIFFERENT epoch of the same
+    data appends (epoch keying, not content dedup)."""
+    import glob
+    import os
+    import shutil
+
+    from time_series_databse_engine_spark import TimeSeriesStore
+
+    store = TimeSeriesStore(spark, str(tmp_path / "points"))
+    pts = spark.createDataFrame(
+        [("cpu", 1_700_000_000_000 + i * 1000, float(i)) for i in range(100)],
+        "metric string, ts_ms long, value double",
+    )
+    store.ingest_epoch(pts, epoch_id=7, target_partitions=2)
+    assert store.points().count() == 100
+    # replay after the checkpoint-commit hole: same epoch, same data
+    store.ingest_epoch(pts, epoch_id=7, target_partitions=2)
+    assert store.points().count() == 100  # converged, not duplicated
+    # simulated crash mid-move: a stray partial file from an old attempt
+    victim = glob.glob(str(tmp_path / "points" / "hour_bucket=*" / "epoch7-*"))[0]
+    shutil.copy(victim, victim.replace("epoch7-part", "epoch7-aaaa"))
+    store._invalidate()
+    assert store.points().count() > 100  # the partial duplicate is visible
+    store.ingest_epoch(pts, epoch_id=7, target_partitions=2)
+    assert store.points().count() == 100  # replay swept it
+    # a different epoch is an append, not a dedup
+    store.ingest_epoch(pts, epoch_id=8, target_partitions=2)
+    assert store.points().count() == 200
+
+
+def test_stream_to_store_checkpointless_replay_no_duplicates(
+    spark, tmp_path, staged_events
+):
+    """Full-stream replay (checkpoint wiped — every epoch re-fires with
+    the same ids): the exactly-once sink converges to the source count
+    instead of doubling it."""
+    from time_series_databse_engine_spark import TimeSeriesStore
+
+    store = TimeSeriesStore(spark, str(tmp_path / "points"))
+    src = spark.read.parquet(staged_events).count()
+    for _ in range(2):
+        q = stream_to_store(
+            stream_events(spark, staged_events), store, str(tmp_path / "ckpt")
+        ).start()
+        q.awaitTermination(120)
+        shutil.rmtree(str(tmp_path / "ckpt"))
+        assert store.points().count() == src
+
+
 def test_stream_stream_join_matches_batch(spark, staged_events, sf_dir):
     from time_series_databse_engine_spark.streaming import stream_stream_join
 

@@ -141,23 +141,31 @@ def stream_to_store(
     checkpoint_dir: str,
     metric_col: str = "event_type",
     rollup_bucket: str | None = None,
+    exactly_once: bool = True,
 ):
     """``foreachBatch`` sink into the hour-partitioned Parquet TimeSeriesStore:
     each micro-batch becomes one immutable sorted append.
 
-    Delivery semantics — AT-LEAST-ONCE, stated honestly: the checkpoint
-    guarantees a committed epoch is never re-fed, but a crash BETWEEN the
-    append and the epoch commit replays that batch, duplicating its
-    points (a blind parquet append has no transactional handshake with
-    the checkpoint).  Append-only storage makes the failure duplicate
-    rather than corrupt; run ``store.compact(dedupe=True)`` as the
-    maintenance step to restore exactly-once counts, or route through a
-    transactional table format in production.
+    Delivery semantics — EXACTLY-ONCE by default: each micro-batch is
+    written through :meth:`TimeSeriesStore.ingest_epoch`, which keys the
+    batch's data files by the streaming ``epoch_id`` and deletes any
+    files of a previous attempt of the same epoch before moving the new
+    ones in.  The classic at-least-once hole of a blind append — crash
+    AFTER the append but BEFORE the checkpoint commits the epoch, so the
+    restart replays the batch — becomes a self-cleaning replay: the
+    replayed epoch removes its earlier copy and converges to exactly one
+    (idempotent-writer exactly-once, the same contract Spark documents
+    for batchId-keyed foreachBatch sinks).  ``exactly_once=False`` falls
+    back to the plain blind append (no per-epoch renames; duplicates on
+    replay) — only worth it when a downstream ``compact(dedupe=True)``
+    runs anyway.
 
     With ``rollup_bucket`` set, each batch also refreshes the materialized
     rollup incrementally for just the days the batch touched — the
     streaming continuous-aggregate pattern: O(batch window) refresh work
-    per micro-batch, never a re-aggregation of the table.
+    per micro-batch, never a re-aggregation of the table.  The rollup
+    refresh recomputes its buckets from store contents, so an epoch
+    replay re-derives the same rollup rows (idempotent as well).
     """
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
@@ -166,7 +174,10 @@ def stream_to_store(
             F.unix_millis(F.col("ts")).alias("ts_ms"),
             F.col("value"),
         )
-        store.ingest(pts)
+        if exactly_once:
+            store.ingest_epoch(pts, epoch_id)
+        else:
+            store.ingest(pts)
         if rollup_bucket is not None:
             lo = pts.agg(F.min("ts_ms")).collect()[0][0]
             if lo is not None:
