@@ -2980,7 +2980,10 @@ def oracle_sql() -> dict[str, str]:
                     FROM wf WHERE len(w) >= 2)),
         c AS (SELECT pair, sum(f)::BIGINT AS cnt FROM p GROUP BY pair)
         SELECT pair, cnt FROM c ORDER BY cnt DESC, pair ASC LIMIT 20"""
-    oracles["funnel"] = f"""
+    # the shared funnel CTE prefix, factored explicitly (like _hist_cte /
+    # _KMEANS_CTES) so the two funnel oracles cannot drift apart through
+    # a hidden textual split
+    _funnel_ctes = f"""
         WITH ev AS (SELECT user_id, event_type, {_EV_MS} AS ms FROM events
                     WHERE event_type IN ('view', 'click', 'purchase')),
         s1 AS (SELECT user_id, min(ms) AS t1 FROM ev
@@ -2992,12 +2995,16 @@ def oracle_sql() -> dict[str, str]:
                FROM ev e JOIN s2 USING (user_id) JOIN s1 USING (user_id)
                WHERE event_type = 'purchase' AND ms > t2 AND ms <= t1 + 86400000
                GROUP BY e.user_id)
-        SELECT s1.user_id, t1, t2, t3,
+        """
+    oracles["funnel"] = (
+        _funnel_ctes
+        + """SELECT s1.user_id, t1, t2, t3,
                (1 + CASE WHEN t2 IS NULL THEN 0 ELSE 1 END
                   + CASE WHEN t3 IS NULL THEN 0 ELSE 1 END) AS steps_completed
         FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)"""
+    )
     oracles["funnel_rates"] = (
-        oracles["funnel"].rsplit("SELECT s1.user_id", 1)[0]
+        _funnel_ctes
         + """SELECT count(*) AS n_step1, count(t2) AS n_step2, count(t3) AS n_step3,
                round(count(t2) / count(*)::DOUBLE, 6) AS rate_step2,
                round(count(t3) / count(*)::DOUBLE, 6) AS rate_step3,

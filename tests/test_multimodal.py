@@ -86,8 +86,39 @@ def test_decode_media_dispatch():
     wav = encode_wav([0, 1, -1, 2], 8000)
     assert decode_media(bmp)["kind"] == "image"
     assert decode_media(wav)["kind"] == "audio"
-    with pytest.raises(NotImplementedError, match="PIL|ffmpeg"):
+    with pytest.raises(NotImplementedError, match="Pillow|ffmpeg"):
         decode_media(b"\x89PNG\r\n\x1a\n" + bytes(16))
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        decode_media(b"\x00\x00\x00\x20ftypmp42" + bytes(8))  # MP4 stays out
+
+
+def test_jpeg_png_optional_pil_gate_runs_either_way():
+    """The gate is decided by the environment: with Pillow installed a
+    real PNG decodes to dimensions + channel means in decode_bmp's dict
+    shape; without it the same call raises the honest
+    NotImplementedError.  Both arms are real assertions — whichever
+    environment runs this, the gate's behavior is pinned."""
+    import importlib.util
+
+    from time_series_databse_engine_spark.operators.multimodal import (
+        decode_pil_image,
+    )
+
+    if importlib.util.find_spec("PIL"):
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.new("RGB", (3, 2), (255, 0, 0)).save(buf, format="PNG")
+        d = decode_media(buf.getvalue())
+        assert (d["kind"], d["width"], d["height"]) == ("image", 3, 2)
+        assert (d["mean_r"], d["mean_g"], d["mean_b"]) == (255.0, 0.0, 0.0)
+    else:
+        with pytest.raises(NotImplementedError, match="Pillow"):
+            decode_pil_image(b"\x89PNG\r\n\x1a\n" + bytes(16))
+        with pytest.raises(NotImplementedError, match="Pillow"):
+            decode_media(b"\xff\xd8\xff\xe0" + bytes(16))  # JPEG magic
 
 
 def test_real_extract_features_in_spark(spark):

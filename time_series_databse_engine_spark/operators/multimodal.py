@@ -164,8 +164,46 @@ def decode_wav(payload: bytes) -> dict:
     }
 
 
+def decode_pil_image(payload: bytes) -> dict:
+    """JPEG/PNG decode behind an OPTIONAL-PIL gate: if Pillow is
+    importable the payload is decoded for real (dimensions + per-channel
+    pixel means, the same dict shape :func:`decode_bmp` returns, so the
+    feature layout downstream is codec-agnostic); without Pillow it
+    raises the same honest ``NotImplementedError`` as before — behavior
+    is decided by the environment, not by editing code.  The Spark plan
+    is identical either way: only the inner decode function changes."""
+    try:
+        from PIL import Image
+    except ImportError as exc:
+        raise NotImplementedError(
+            "JPEG/PNG decoding needs Pillow, which is not installed in this "
+            "environment — pass fake=True for the deterministic stand-in "
+            "decoder, or install Pillow to light up this path"
+        ) from exc
+    import io
+
+    import numpy as np
+
+    with Image.open(io.BytesIO(payload)) as im:
+        width, height = im.size
+        arr = np.asarray(im.convert("RGB"), dtype="float64")
+    means = arr.reshape(-1, 3).mean(axis=0) if arr.size else np.zeros(3)
+    return {
+        "kind": "image",
+        "width": width,
+        "height": height,
+        "bpp": 24,
+        "top_down": True,
+        # keep decode_bmp's BGR naming: PIL decodes RGB, so reverse
+        "mean_b": float(means[2]),
+        "mean_g": float(means[1]),
+        "mean_r": float(means[0]),
+    }
+
+
 def decode_media(payload: bytes) -> dict:
-    """Magic-byte dispatch to the real decoders.  JPEG/PNG/MP3/MP4 and other
+    """Magic-byte dispatch to the real decoders.  JPEG/PNG go through the
+    optional-PIL gate (:func:`decode_pil_image`); MP3/MP4 and other
     library-needing codecs stay honestly unimplemented."""
     if payload is None or len(payload) < 12:
         raise ValueError("payload too short to identify")
@@ -173,10 +211,12 @@ def decode_media(payload: bytes) -> dict:
         return decode_bmp(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return decode_wav(payload)
+    if payload[:3] == b"\xff\xd8\xff" or payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_pil_image(payload)
     raise NotImplementedError(
-        "real decoding implemented for BMP and PCM-16 WAV only; other codecs "
-        "need PIL/ffmpeg (not in this container) — pass fake=True for the "
-        "deterministic stand-in decoder"
+        "real decoding implemented for BMP, PCM-16 WAV and (with Pillow "
+        "installed) JPEG/PNG; other codecs need ffmpeg — pass fake=True for "
+        "the deterministic stand-in decoder"
     )
 
 

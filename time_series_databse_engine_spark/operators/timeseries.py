@@ -638,10 +638,21 @@ def ewma_chunked(
     ts_ms: str = "ts_ms",
     value: str = "value",
     tiebreak: str | None = None,
+    cache: bool = True,
 ) -> DataFrame:
     """:func:`ewma` with bounded per-worker memory — the chunk-and-chain
     variant for series too long to fit one worker (the 100 TB mitigation
     that plain ``ewma``'s docstring promises).
+
+    CACHING SIDE-EFFECT, stated plainly: with ``cache=True`` (default)
+    the per-chunk fold output is ``.persist()``-ed (MEMORY_AND_DISK) and
+    stays pinned on executors until the blocks age out by LRU or the
+    caller releases them (``spark.catalog.clearCache()``, or collect the
+    result and move on — one-shot pipelines never notice).  A long-lived
+    session invoking this operator repeatedly should pass
+    ``cache=False``, which trades the pinned blocks for re-executing the
+    per-chunk fold twice (once for the summary agg, once for the final
+    join).
 
     EWMA is a linear recurrence, so it admits the classic two-pass scan
     decomposition (Blelloch):
@@ -709,8 +720,11 @@ def ewma_chunked(
     # join — without it Spark re-executes the whole per-chunk fold twice
     # (verified in the physical plan).  MEMORY_AND_DISK default spills
     # oversized partitions instead of OOMing; at cluster scale a temp
-    # table write serves the same role.
-    rows = base.groupBy(key, "_chunk").applyInPandas(_local, schema=local_schema).persist()
+    # table write serves the same role.  See the docstring's caching
+    # side-effect note; cache=False trades pinned blocks for recompute.
+    rows = base.groupBy(key, "_chunk").applyInPandas(_local, schema=local_schema)
+    if cache:
+        rows = rows.persist()
 
     # one tiny row per chunk; _decay is strictly decreasing so min = β^n
     summaries = rows.groupBy(key, "_chunk").agg(
@@ -819,9 +833,13 @@ def holt_chunked(
     ts_ms: str = "ts_ms",
     value: str = "value",
     tiebreak: str | None = None,
+    cache: bool = True,
 ) -> DataFrame:
     """:func:`holt_smoothing` with bounded per-worker memory — the 2-dim
-    instantiation of the :func:`ewma_chunked` chunk-and-chain template.
+    instantiation of the :func:`ewma_chunked` chunk-and-chain template
+    (including its caching side-effect: ``cache=True`` persists the
+    per-chunk fold output until released — see ewma_chunked's note —
+    and ``cache=False`` re-executes the fold twice instead).
 
     Substituting the level update into the trend update shows Holt is a
     linear recurrence in the state vector s = (l, b):
@@ -875,7 +893,9 @@ def holt_chunked(
         list(base.schema.fields)
         + [T.StructField(c, T.DoubleType()) for c in ["_ll", "_lb", "_p11", "_p12", "_p21", "_p22"]]
     )
-    rows = base.groupBy(key, "_chunk").applyInPandas(_local, schema=local_schema).persist()
+    rows = base.groupBy(key, "_chunk").applyInPandas(_local, schema=local_schema)
+    if cache:
+        rows = rows.persist()
 
     last = F.struct(*sort_cols)
     summaries = rows.groupBy(key, "_chunk").agg(
