@@ -1167,6 +1167,27 @@ def q_unigram_logprob(spark, sf_dir):
     return text_ops.unigram_logprob(_t(spark, sf_dir, "documents"))
 
 
+def q_bigram_logprob(spark, sf_dir):
+    """Interpolated bigram-LM document score — the word-ORDER-aware rung
+    above the unigram filter (text.bigram_logprob docstring: 0.7·P_bi +
+    0.3·P_uni, both add-one-smoothed on the corpus itself)."""
+    return text_ops.bigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+def q_cms_topk(spark, sf_dir):
+    """Heavy-hitter tokens via a count-min sketch (sketches.cms_topk:
+    depth 4 x width 256 md5-hashed counter grid, estimate = min over
+    rows, top-20 by estimate with the true count beside it).  width=256
+    keeps the oracle's hex->int at a 2-hex-char strpos fold."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.filter(F.split(F.lower(F.col("text")), "\\s+"), lambda t: t != "")
+        ).alias("item")
+    )
+    return sketch_ops.cms_topk(toks, "item", k=20, depth=4, width=256)
+
+
 def q_ohlc_1h(spark, sf_dir):
     """OHLC candlestick bars: 1h buckets per series (min_by/max_by on a
     row_number total order — deterministic under timestamp ties)."""
@@ -1571,6 +1592,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_join": q_fuzzy_join,
         "funnel_rates": q_funnel_rates,
         "dsir_sample": q_dsir_sample,
+        "bigram_logprob": q_bigram_logprob,
+        "cms_topk": q_cms_topk,
         # ---- position 51+: no_oracle rows (can never hash-match, so
         # they'd waste a window slot), and r1/r2/r3-driver-green anchors
         # displaced by the rotations — their §2 categories stay covered
@@ -2914,6 +2937,70 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(ln((c + 1) / (n_total + v_size))), 6) AS avg_logprob
             FROM toks JOIN freq USING (t) CROSS JOIN tot
             GROUP BY doc_id""",
+        # interpolated bigram LM: lag() rebuilds the (prev, cur) stream the
+        # Spark side makes with shifted-slice arrays_zip; 0.7e0/0.3e0 keep
+        # the interpolation in DOUBLE (a bare 0.7 is DECIMAL in DuckDB and
+        # decimal·bigint arithmetic would diverge from Spark's double path)
+        "bigram_logprob": """
+            WITH lsts AS (
+              SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+                                         x -> x != '') AS lst
+              FROM documents),
+            toks AS (
+              SELECT doc_id, unnest(lst) AS t,
+                     generate_subscripts(lst, 1) AS ord
+              FROM lsts),
+            big AS (
+              SELECT doc_id,
+                     lag(t) OVER (PARTITION BY doc_id ORDER BY ord) AS p,
+                     t AS c
+              FROM toks QUALIFY p IS NOT NULL),
+            uni AS (SELECT t, count(*) AS c1 FROM toks GROUP BY t),
+            bifreq AS (SELECT p, c, count(*) AS c2 FROM big GROUP BY p, c),
+            tot AS (SELECT sum(c1) AS n_total, count(*) AS v_size FROM uni),
+            agg AS (
+              SELECT big.doc_id, count(*) AS n_bigrams,
+                     round(avg(ln(
+                       0.7e0 * (c2 + 1) / (up.c1 + v_size)
+                       + 0.3e0 * (uc.c1 + 1) / (n_total + v_size))), 6)
+                         AS avg_logprob
+              FROM big
+              JOIN bifreq USING (p, c)
+              JOIN uni up ON up.t = big.p
+              JOIN uni uc ON uc.t = big.c
+              CROSS JOIN tot
+              GROUP BY big.doc_id)
+            SELECT d.doc_id, coalesce(agg.n_bigrams, 0) AS n_bigrams,
+                   agg.avg_logprob
+            FROM documents d LEFT JOIN agg USING (doc_id)""",
+        # count-min sketch: col_i = conv(8-hex slice of md5, 16, 10) % 256
+        # on the Spark side == the value of the slice's LAST TWO hex chars,
+        # which is what the strpos fold below computes (width 256 chosen
+        # exactly so the oracle needs no general hex->int)
+        "cms_topk": """
+            WITH toks AS (
+              SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                        x -> x != '')) AS item
+              FROM documents),
+            it AS (SELECT item, count(*) AS true_cnt FROM toks GROUP BY item),
+            h AS (
+              SELECT item, i,
+                     (strpos('0123456789abcdef',
+                             substr(md5(item), 8 * (i % 4) + 7, 1)) - 1) * 16
+                     + (strpos('0123456789abcdef',
+                               substr(md5(item), 8 * (i % 4) + 8, 1)) - 1) AS col
+              FROM it CROSS JOIN (SELECT unnest(range(4)) AS i)),
+            counters AS (
+              SELECT h.i, h.col, count(*) AS cnt
+              FROM toks JOIN h USING (item)
+              GROUP BY h.i, h.col),
+            est AS (
+              SELECT it.item, it.true_cnt, min(c.cnt) AS est_cnt
+              FROM it JOIN h USING (item)
+              JOIN counters c ON c.i = h.i AND c.col = h.col
+              GROUP BY it.item, it.true_cnt)
+            SELECT item, true_cnt, est_cnt
+            FROM est ORDER BY est_cnt DESC, item LIMIT 20""",
     }
     # the chunk-and-chain variants compute the identical recursions, so
     # they share the sequential oracles verbatim

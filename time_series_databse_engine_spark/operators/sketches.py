@@ -138,3 +138,108 @@ def percentile_from_sketches(
             F.round(F.lit(lo) + (F.col("bin") + 0.5) * F.lit(w), 6).alias(f"p{int(q*100)}_est"),
         )
     )
+
+
+def cms_counters(
+    df: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 512,
+) -> DataFrame:
+    """Count-min sketch counter table (Cormode & Muthukrishnan 2005): a
+    depth x width grid of counters; row i counts items by
+    hash_i(item) mod width.  The sketch is MERGEABLE (counters add), so
+    shards/days sketch independently and union+sum — the same
+    incremental-rollup property as :func:`hll_daily_sketches` and
+    :func:`histogram_sketches`, here for per-item frequency instead of
+    distincts/quantiles.
+
+    hash_i = the i-th 8-hex-char slice of md5(item ‖ '#'*(i div 4)) —
+    the same two-digest md5 family as minhash_signatures, chosen so an
+    ANSI-SQL oracle reproduces every counter bit-for-bit (at production
+    scale swap in xxhash64(item, seed=i); the sketch algebra is
+    unchanged).
+
+    Scale shape: one scan exploding each row to ``depth`` (row, col)
+    keys, aggregated map-side into at most depth*width counter rows —
+    the shuffle carries the COUNTER table (KBs), never the corpus.
+    """
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat(F.col(item_col), F.lit("#" * (i // 4)))),
+                            8 * (i % 4) + 1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("bigint")
+                    % width
+                ).alias("col"),
+            )
+            for i in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(rows).alias("rc"))
+        .groupBy(F.col("rc.row").alias("row"), F.col("rc.col").alias("col"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_topk(
+    df: DataFrame,
+    item_col: str,
+    k: int = 20,
+    depth: int = 4,
+    width: int = 512,
+) -> DataFrame:
+    """Heavy hitters via a count-min sketch: estimate(item) = min over
+    sketch rows of the counter at hash_i(item) — an overestimate whose
+    error is bounded by (e/width)·N with prob 1-(1/e)^depth, never an
+    underestimate.  Returns the top-``k`` distinct items by estimated
+    count (ties broken by item, deterministic), with the true count
+    beside the estimate so the overcount is visible.
+
+    At stream scale the candidate set comes from a small heap kept
+    beside the sketch; in batch the distinct-item table plays that role.
+    Scale shape: the counter grid (depth*width rows, KBs) broadcasts
+    onto the distinct-item table — ``depth`` broadcast joins, no
+    corpus-sized shuffle beyond the distinct itself.
+    """
+    counters = cms_counters(df, item_col, depth=depth, width=width)
+    items = df.groupBy(F.col(item_col).alias("item")).agg(
+        F.count("*").alias("true_cnt")
+    )
+    est = None
+    out = items
+    for i in range(depth):
+        col_i = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("item"), F.lit("#" * (i // 4)))),
+                    8 * (i % 4) + 1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % width
+        )
+        ci = counters.filter(F.col("row") == i).select(
+            F.col("col").alias(f"_c{i}"), F.col("cnt").alias(f"_n{i}")
+        )
+        out = out.withColumn(f"_col{i}", col_i).join(
+            F.broadcast(ci), F.col(f"_col{i}") == F.col(f"_c{i}")
+        )
+        e = F.col(f"_n{i}")
+        est = e if est is None else F.least(est, e)
+    return (
+        out.select("item", "true_cnt", est.alias("est_cnt"))
+        .orderBy(F.desc("est_cnt"), "item")
+        .limit(k)
+    )

@@ -852,3 +852,83 @@ def fuzzy_match_join(
         )
         .dropDuplicates([left_key, right_key])
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.7,
+) -> DataFrame:
+    """Interpolated bigram language-model score per document — the
+    next-rung perplexity-proxy filter above :func:`unigram_logprob`
+    (CCNet/KenLM-style pipelines score with n-gram LMs; a corpus-trained
+    interpolated bigram is the smallest model that sees word ORDER, so it
+    separates shuffled-token spam from fluent text where unigrams can't).
+
+    For each in-document bigram (p, c):
+
+        P_bi(c | p)  = (count(p,c) + 1) / (count(p) + V)      add-one
+        P_uni(c)     = (count(c) + 1) / (N + V)
+        score term   = ln(lam * P_bi + (1 - lam) * P_uni)
+
+    and the document score is the mean term over its bigram positions
+    (docs with < 2 tokens score NULL, n_bigrams = 0).  Counts are the
+    corpus's own, so the op is self-contained and exactly reproducible
+    in ANSI SQL (the correctness oracle re-derives it with window lag).
+
+    Scale shape: ONE corpus tokenize feeding two frequency tables —
+    unigram (vocab-sized) and bigram (bigram-vocab-sized) — both
+    broadcast back onto the exploded bigram stream with the (N, V)
+    scalars; the corpus shuffles once, on doc_id for the final mean.
+    The bigram table is the only structure that grows super-linearly in
+    vocabulary; at 100 TB it gets a min-count floor (count >= 2 drops
+    the hapax tail, typically 60-80% of distinct bigrams) — the floor
+    changes smoothing mass, so it stays off here where the oracle must
+    match bit-for-bit.
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), "\\s+"), lambda t: t != "")
+    base = df.select(F.col(id_col), toks.alias("_ts"))
+    # (prev, cur) pairs via two shifted slices zipped — array ops only,
+    # no posexplode self-join
+    pairs = F.arrays_zip(
+        F.slice(F.col("_ts"), 1, F.greatest(F.size("_ts") - 1, F.lit(0))).alias("p"),
+        F.slice(
+            F.col("_ts"), 2, F.greatest(F.size("_ts") - 1, F.lit(0))
+        ).alias("c"),
+    )
+    big = base.select(F.col(id_col), F.explode(pairs).alias("b")).select(
+        id_col, F.col("b.p").alias("p"), F.col("b.c").alias("c")
+    )
+    uni = (
+        base.select(F.explode("_ts").alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("c1"))
+    )
+    bifreq = big.groupBy("p", "c").agg(F.count("*").alias("c2"))
+    totals = uni.agg(F.sum("c1").alias("n_total"), F.count("*").alias("v_size"))
+    scored = (
+        big.join(F.broadcast(bifreq), ["p", "c"])
+        .join(F.broadcast(uni.select(F.col("t").alias("p"), F.col("c1").alias("cp"))), "p")
+        .join(F.broadcast(uni.select(F.col("t").alias("c"), F.col("c1").alias("cc"))), "c")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            id_col,
+            F.log(
+                lam * (F.col("c2") + 1) / (F.col("cp") + F.col("v_size"))
+                + (1 - lam) * (F.col("cc") + 1) / (F.col("n_total") + F.col("v_size"))
+            ).alias("lp"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(
+            scored.groupBy(id_col).agg(
+                F.count("*").alias("n_bigrams"),
+                F.round(F.avg("lp"), 6).alias("avg_logprob"),
+            ),
+            id_col,
+            "left",
+        )
+        .withColumn("n_bigrams", F.coalesce(F.col("n_bigrams"), F.lit(0)))
+    )

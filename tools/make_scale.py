@@ -15,13 +15,21 @@ Replica handling per table:
   * nation/region keys are NOT shifted (fixed dims, 25/5 rows);
   * timestamps are NOT shifted — a 10x-ingest-volume system sees 10x
     rows per time bucket, which is the scaling we want to measure;
-  * documents get a per-replica suffix token and doc_id shift — exact
-    replicas would multiply every duplicate cluster by 10 and push the
-    pair-generating dedup ops quadratically (x100), which is NOT what a
-    real 10x corpus looks like; a suffix keeps near-dup structure while
-    making replicas distinct;
-  * embeddings get per-replica deterministic jitter (+r*1e-3 per coord)
-    for the same reason — identical vectors would collapse ANN scoring.
+  * documents get a per-replica token-list ROTATION (tokens shifted by
+    r*7 positions) — exact or suffixed replicas would stay MinHash
+    near-duplicates of each other, multiplying every duplicate cluster
+    by 10 and pushing the pair-generating dedup ops superlinearly,
+    which is NOT what a real 10x corpus looks like.  Rotation keeps
+    every within-replica statistic (token/char counts, unigram freqs,
+    intra-replica dup clusters) identical while destroying
+    cross-replica shingle overlap;
+  * embeddings get a per-replica coordinate rotation for the same
+    reason — a cyclic coordinate shift is an orthogonal transform, so
+    each replica is the SAME point cloud in a rotated basis
+    (intra-replica cosine geometry exact), while a vector and its
+    rotation are uncorrelated, so no cross-replica near-dup inflation
+    (the first attempt used +r*1e-3 jitter and the near-dup ops came
+    out 11.2x at 10x data — replicas were near-dups of each other).
 
 Output is written to a repo-local, gitignored directory (default
 scaledata/sf1).  This data feeds bench.py ONLY — the correctness gate
@@ -73,21 +81,22 @@ def build(out_dir: str, factor: int) -> None:
             if c in keys:
                 sel.append(f"{c} + r.r * {OFFSET} AS {c}")
             elif table == "documents" and c == "text":
-                # distinct per replica; r0 keeps the original text so the
-                # sf0.1 corpus is a strict subset
+                # token-rotate by r*7 (mod len); r0 keeps the original
+                # text so the sf0.1 corpus is a strict subset
                 sel.append(
-                    "CASE WHEN r.r = 0 THEN text"
-                    " ELSE text || ' rep' || r.r END AS text"
-                )
-            elif table == "documents" and c == "n_chars":
-                sel.append(
-                    "CASE WHEN r.r = 0 THEN n_chars"
-                    " ELSE n_chars + 5 END AS n_chars"
+                    "CASE WHEN r.r = 0 THEN text ELSE ("
+                    "SELECT array_to_string("
+                    "  list_concat(t[1 + (r.r * 7) % greatest(len(t), 1):],"
+                    "              t[:(r.r * 7) % greatest(len(t), 1)]), ' ')"
+                    " FROM (SELECT string_split(text, ' ') AS t)"
+                    ") END AS text"
                 )
             elif table == "embeddings" and c == "embedding":
                 sel.append(
-                    "list_transform(embedding,"
-                    " x -> CAST(x + r.r * 0.001 AS FLOAT)) AS embedding"
+                    "CASE WHEN r.r = 0 THEN embedding ELSE ("
+                    "SELECT list_concat(e[1 + r.r:], e[:r.r])"
+                    " FROM (SELECT embedding AS e)"
+                    ") END AS embedding"
                 )
             else:
                 sel.append(c)
