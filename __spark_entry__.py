@@ -1059,6 +1059,16 @@ def q_seasonal_baseline(spark, sf_dir):
     return df
 
 
+def q_stl_decompose(spark, sf_dir):
+    """Additive STL-style decomposition y = trend + seasonal + residual
+    per series (timeseries.stl_decompose: hourly means, 25-bucket
+    centered-MA trend, centered hour-of-day seasonal profile)."""
+    return ts_ops.stl_decompose(
+        _t(spark, sf_dir, "events").select("event_type", "ts_ms", "value"),
+        ["event_type"],
+    )
+
+
 def q_minhash_jaccard_est(spark, sf_dir):
     """Jaccard estimate (fraction of agreeing MinHash components, Broder
     1997) for every LSH candidate pair — the banding→score→purge middle
@@ -1172,6 +1182,31 @@ def q_bigram_logprob(spark, sf_dir):
     above the unigram filter (text.bigram_logprob docstring: 0.7·P_bi +
     0.3·P_uni, both add-one-smoothed on the corpus itself)."""
     return text_ops.bigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+def q_chunk_dedup(spark, sf_dir):
+    """Chunk-level exact dedup + reconstruction (dedup.chunk_dedup):
+    20-token chunks, first corpus-wide occurrence survives, documents
+    rebuilt from surviving chunks in order."""
+    return dedup_ops.chunk_dedup(_t(spark, sf_dir, "documents"), chunk_size=20)
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Domain-mixture rebalancing (sampling.mixture_sample): hash-gated
+    downsampling of four sources toward a 30/30/20/20 mixture of a
+    40-doc target; groups too small to fill their quota keep everything,
+    unlisted sources drop.  Aggregated to per-source kept counts."""
+    from time_series_databse_engine_spark.operators import sampling as samp_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = samp_ops.mixture_sample(
+        docs,
+        {"src0": 0.3, "src1": 0.3, "src2": 0.2, "src3": 0.2},
+        target_total=40,
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"), F.sum("n_chars").alias("total_chars")
+    )
 
 
 def q_cms_topk(spark, sf_dir):
@@ -1594,6 +1629,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_sample": q_dsir_sample,
         "bigram_logprob": q_bigram_logprob,
         "cms_topk": q_cms_topk,
+        "mixture_sample": q_mixture_sample,
+        "chunk_dedup": q_chunk_dedup,
+        "stl_decompose": q_stl_decompose,
         # ---- position 51+: no_oracle rows (can never hash-match, so
         # they'd waste a window slot), and r1/r2/r3-driver-green anchors
         # displaced by the rotations — their §2 categories stay covered
@@ -3001,6 +3039,87 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY it.item, it.true_cnt)
             SELECT item, true_cnt, est_cnt
             FROM est ORDER BY est_cnt DESC, item LIMIT 20""",
+        # mixture rebalance: integer hash gate (md5 first-8-hex mod 2^20 <
+        # floor(rate*2^20)) — e-notation literals keep every intermediate
+        # in DOUBLE to match Spark's arithmetic path exactly
+        "mixture_sample": """
+            WITH counts AS (
+              SELECT source, count(*) AS n_grp FROM documents GROUP BY source),
+            kept AS (
+              SELECT d.source, d.n_chars
+              FROM documents d JOIN counts USING (source)
+              WHERE (('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT
+                     % 1048576)
+                    < CAST(floor(least(1.0e0,
+                        40.0e0 * (CASE d.source
+                                    WHEN 'src0' THEN 0.3e0
+                                    WHEN 'src1' THEN 0.3e0
+                                    WHEN 'src2' THEN 0.2e0
+                                    WHEN 'src3' THEN 0.2e0
+                                    ELSE 0.0e0 END) / n_grp)
+                        * 1048576.0e0) AS BIGINT))
+            SELECT source, count(*) AS n_kept, sum(n_chars)::BIGINT AS total_chars
+            FROM kept GROUP BY source""",
+        # chunk-level dedup: same 20-token chunking as doc_chunks (50),
+        # first (doc_id, chunk_idx) per chunk hash survives, string_agg
+        # ORDER BY chunk_idx rebuilds what array_sort+array_join builds
+        "chunk_dedup": """
+            WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+                       FROM documents),
+            e AS (SELECT doc_id, toks,
+                         unnest(generate_series(1,
+                           greatest((len(toks) + 19) // 20, 1))) AS i
+                  FROM t),
+            chunks AS (
+              SELECT doc_id, i AS chunk_idx,
+                     array_to_string(list_slice(toks, (i-1)*20 + 1, i*20), ' ')
+                         AS chunk_text
+              FROM e),
+            k AS (
+              SELECT doc_id, chunk_idx, chunk_text,
+                     row_number() OVER (PARTITION BY md5(chunk_text)
+                                        ORDER BY doc_id, chunk_idx) = 1 AS keep
+              FROM chunks)
+            SELECT doc_id, count(*) AS n_chunks,
+                   sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+                   coalesce(string_agg(CASE WHEN keep THEN chunk_text END,
+                                       ' ' ORDER BY chunk_idx), '') AS dedup_text
+            FROM k GROUP BY doc_id""",
+        # STL decomposition: every stage quantized to 6 dp before the next
+        # (the seasonal_baseline discipline) so both engines stay in
+        # lockstep through four derived stages
+        "stl_decompose": f"""
+            WITH hourly AS (
+              SELECT event_type, {_EV_MS} // 3600000 AS bucket,
+                     round(avg(value), 6) AS y,
+                     CAST(round(round(avg(value), 6) * 1000000.0e0) AS BIGINT)
+                         AS yi
+              FROM events GROUP BY 1, 2),
+            tr AS (
+              SELECT event_type, bucket, y,
+                     round((sum(yi) OVER w / count(yi) OVER w)
+                           / 1000000.0e0, 6) AS trend,
+                     bucket % 24 AS phase
+              FROM hourly
+              WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+                           ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+            det AS (SELECT *, round(y - trend, 6) AS det FROM tr),
+            seas AS (
+              SELECT event_type, phase,
+                     round((sum(CAST(round(det * 1000000.0e0) AS BIGINT))
+                            / count(*)) / 1000000.0e0, 6) AS s_raw
+              FROM det GROUP BY 1, 2),
+            sm AS (
+              SELECT event_type,
+                     round((sum(CAST(round(s_raw * 1000000.0e0) AS BIGINT))
+                            / count(*)) / 1000000.0e0, 6) AS s_mean
+              FROM seas GROUP BY 1),
+            sc AS (SELECT s.event_type, s.phase,
+                          round(s.s_raw - m.s_mean, 6) AS seasonal
+                   FROM seas s JOIN sm m USING (event_type))
+            SELECT d.event_type, d.bucket, d.phase, d.y, d.trend, sc.seasonal,
+                   round(d.y - d.trend - sc.seasonal, 6) AS residual
+            FROM det d JOIN sc USING (event_type, phase)""",
     }
     # the chunk-and-chain variants compute the identical recursions, so
     # they share the sequential oracles verbatim

@@ -122,3 +122,54 @@ def importance_sample(
         .orderBy(F.col("gumbel_score").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    target_shares: dict[str, float],
+    target_total: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Rebalance a corpus to a target domain MIXTURE — the step between
+    per-domain curation and tokenization in every LLM data pipeline
+    (e.g. "20% code, 30% web, 50% books"): given per-group target shares
+    and a target corpus size, keep each group's documents at rate
+
+        keep_rate(g) = min(1, target_total * share(g) / n(g))
+
+    so the kept corpus approaches the requested mixture (groups too
+    small to fill their quota are kept whole — the standard behavior;
+    upsampling-with-replacement is a separate op).  Groups absent from
+    ``target_shares`` get share 0 and are dropped.
+
+    Membership is hash-gated like every sampler here — keep iff
+    ``int(md5(id)[:8]) mod 2^20 < keep_rate * 2^20`` — so a document's
+    fate is reproducible across retries, engines, and corpus growth
+    *within a group snapshot*, and thresholding is integer (no float
+    comparison at the boundary).  Scale shape: the group-count table is
+    group-cardinality-sized and broadcasts back; the corpus itself is
+    filtered in place — ONE aggregate shuffle of group keys, zero
+    corpus shuffles.
+    """
+    counts = df.groupBy(group_col).agg(F.count("*").alias("_n_grp"))
+    share = F.coalesce(
+        *[
+            F.when(F.col(group_col) == g, F.lit(float(s)))
+            for g, s in sorted(target_shares.items())
+        ],
+        F.lit(0.0),
+    )
+    rate = F.least(F.lit(1.0), F.lit(float(target_total)) * share / F.col("_n_grp"))
+    gate = F.floor(rate * F.lit(1048576.0)).cast("bigint")
+    h = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
+            "bigint"
+        )
+        % 1048576
+    )
+    return (
+        df.join(F.broadcast(counts), group_col)
+        .filter(h < gate)
+        .drop("_n_grp")
+    )

@@ -1297,3 +1297,86 @@ def seasonal_baseline(
             F.round(F.col(value) - F.col("baseline"), 6).alias("residual"),
         )
     )
+
+
+def stl_decompose(
+    df: DataFrame,
+    keys: list[str],
+    ts_ms: str = "ts_ms",
+    value: str = "value",
+    period_ms: int = 86_400_000,
+    bucket_ms: int = 3_600_000,
+    trend_buckets: int = 25,
+) -> DataFrame:
+    """STL-style seasonal-trend decomposition (Cleveland et al. 1990,
+    moving-average flavor): regularize each series to ``bucket_ms``
+    means, estimate TREND as a centered ``trend_buckets``-wide moving
+    average, SEASONAL as the per-phase mean of the detrended series
+    (centered to zero mean per series so trend and seasonal are
+    identifiable), and RESIDUAL as what's left — the full additive
+    y = trend + seasonal + residual decomposition that
+    :func:`seasonal_baseline` only approximates (its baseline absorbs
+    trend; here a drifting series doesn't contaminate the seasonal
+    profile).  Classical STL iterates loess fits; the single
+    moving-average pass is the standard scalable variant and keeps the
+    op exactly SQL-reproducible.
+
+    Edge buckets average over the rows available in the frame (ROWS
+    BETWEEN n PRECEDING AND n FOLLOWING), the usual boundary handling.
+    Every intermediate is quantized to 6 dp before the next stage —
+    same discipline as :func:`seasonal_baseline` — and every DERIVED
+    mean (trend, seasonal, seasonal centering) is computed as an exact
+    integer sum of the 1e6-scaled 6-dp inputs divided once at the end:
+    float summation is order-dependent, and with four chained stages a
+    single summation-order flip at a .xxxxxx5 round boundary cascades;
+    integer sums make the decomposition bit-reproducible across
+    engines and partitionings regardless of aggregation order.
+
+    Scale shape: one (keys, bucket) aggregate shrinks the corpus to
+    series-length rows; the trend window and the two seasonal
+    aggregates all run on that reduced table (per-series partitions,
+    phase tables at most |series| x period/bucket rows, broadcast
+    back).  The raw fact table shuffles exactly once.
+    """
+    half = trend_buckets // 2
+    per = period_ms // bucket_ms
+
+    def _int6(c):  # 6-dp value -> exact 1e6-scaled integer
+        return F.round(c * 1e6, 0).cast("bigint")
+
+    def _mean6(int_sum, cnt):  # exact-int sum -> 6-dp mean
+        return F.round((int_sum / cnt) / 1e6, 6)
+
+    hourly = (
+        df.groupBy(*keys, (F.col(ts_ms) / bucket_ms).cast("long").alias("bucket"))
+        .agg(F.round(F.avg(value), 6).alias("y"))
+        .withColumn("_yi", _int6(F.col("y")))
+    )
+    w = W.partitionBy(*keys).orderBy("bucket").rowsBetween(-half, half)
+    det = (
+        hourly.withColumn(
+            "trend", _mean6(F.sum("_yi").over(w), F.count("_yi").over(w))
+        )
+        .withColumn("phase", F.col("bucket") % per)
+        .withColumn("det", F.round(F.col("y") - F.col("trend"), 6))
+    )
+    seas = det.groupBy(*keys, "phase").agg(
+        _mean6(F.sum(_int6(F.col("det"))), F.count("*")).alias("s_raw")
+    )
+    smean = seas.groupBy(*keys).agg(
+        _mean6(F.sum(_int6(F.col("s_raw"))), F.count("*")).alias("s_mean")
+    )
+    seas_c = seas.join(F.broadcast(smean), [*keys]).select(
+        *keys,
+        "phase",
+        F.round(F.col("s_raw") - F.col("s_mean"), 6).alias("seasonal"),
+    )
+    return det.join(F.broadcast(seas_c), [*keys, "phase"]).select(
+        *keys,
+        "bucket",
+        "phase",
+        "y",
+        "trend",
+        "seasonal",
+        F.round(F.col("y") - F.col("trend") - F.col("seasonal"), 6).alias("residual"),
+    )
