@@ -1570,10 +1570,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     verified by the local checker (tools/check_correctness.py) across
     every entry.
 
-    ROTATION QUEUE for the next round's window: (empty — after this
-    round every oracle-backed query has a driver row; the designed
-    remainder is the rows-only pair simhash + multimodal_resize and the
-    no-oracle streaming/multimodal entries)."""
+    Round-4 mid-round additions (bigram_logprob, cms_topk,
+    mixture_sample, chunk_dedup, stl_decompose) sit in-window,
+    displacing five r3-driver-green anchors whose categories stay
+    covered in-window (counter_rate_1h→ohlc_1h, ewma_chunked→
+    holt_chunked+holt_smoothing, gapfill_locf→resample_1m_expr,
+    dup_spans→dup_span_ranges, top_ngrams→tfidf_top_terms).
+
+    ROTATION QUEUE for the next round's window: the five displaced
+    r3-green anchors above need no re-check; every oracle-backed query
+    not in this window has at least one historical driver row; the
+    designed remainder is the rows-only pair simhash +
+    multimodal_resize and the no-oracle streaming/multimodal
+    entries."""
     return {
         # -- category anchors (driver-green r1/r2/r3) -------------------
         "range_scan": q_range_scan,
@@ -1591,8 +1600,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_all_scans": q_union_all_scans,
         "lsh_ann_topk_multi": q_lsh_ann_topk_multi,
         "ohlc_1h": q_ohlc_1h,
-        "counter_rate_1h": q_counter_rate_1h,
-        "ewma_chunked": q_ewma_chunked,
         "resample_1m_expr": q_resample_1m_expr,
         "tfidf_top_terms": q_tfidf_top_terms,
         "contamination": q_contamination,
@@ -1602,11 +1609,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holt_chunked": q_holt_chunked,
         "cosine_near_dup_lsh": q_cosine_near_dup_lsh,
         "kmeans": q_kmeans,
-        "gapfill_locf": q_gapfill_locf,
-        "dup_spans": q_dup_spans,
         "lttb_chunked": q_lttb_chunked,
         "mad_anomaly": q_mad_anomaly,
-        "top_ngrams": q_top_ngrams,
         "holt_smoothing": q_holt,
         "minhash_jaccard_est": q_minhash_jaccard_est,
         "seasonal_baseline": q_seasonal_baseline,
@@ -1638,6 +1642,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-window and their historical green rows stand.  All still
         # verified by the local checker each round.
         "asof_join": q_asof_join,
+        "counter_rate_1h": q_counter_rate_1h,
+        "ewma_chunked": q_ewma_chunked,
+        "gapfill_locf": q_gapfill_locf,
+        "dup_spans": q_dup_spans,
+        "top_ngrams": q_top_ngrams,
         "downsample_1h": q_downsample_1h,
         "semantic_dedup": q_semantic_dedup,
         "lttb": q_lttb,

@@ -197,3 +197,32 @@ def test_duplicate_span_ranges_within_doc_repeat_not_flagged(spark):
     rows = [(1, phrase + " filler " + phrase), (2, "unrelated text entirely different")]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     assert duplicate_span_ranges(df, n=8).count() == 0
+
+
+def test_chunk_dedup_removes_repeated_boilerplate_keeps_first(spark):
+    """Three docs sharing an identical leading chunk: the first doc keeps
+    it, later docs lose exactly that chunk, unique tails all survive, and
+    reconstruction preserves token order."""
+    from pyspark.sql import functions as F
+
+    from time_series_databse_engine_spark.operators.dedup import chunk_dedup
+
+    boiler = " ".join(f"b{i}" for i in range(4))
+    rows = [
+        (1, boiler + " " + " ".join(f"x{i}" for i in range(4))),
+        (2, boiler + " " + " ".join(f"y{i}" for i in range(4))),
+        (3, boiler + " " + " ".join(f"z{i}" for i in range(4))),
+        (4, " ".join(f"w{i}" for i in range(8))),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in chunk_dedup(df, chunk_size=4).collect()}
+    assert out[1]["n_chunks"] == 2 and out[1]["n_kept"] == 2
+    assert out[1]["dedup_text"] == rows[0][1]
+    for d in (2, 3):
+        assert out[d]["n_kept"] == 1                  # boilerplate stripped
+        assert not out[d]["dedup_text"].startswith("b0")
+    assert out[4]["n_kept"] == 2 and out[4]["dedup_text"] == rows[3][1]
+    # fully-duplicated doc -> empty reconstruction
+    dup = spark.createDataFrame([(1, boiler), (2, boiler)], ["doc_id", "text"])
+    out2 = {r["doc_id"]: r for r in chunk_dedup(dup, chunk_size=4).collect()}
+    assert out2[2]["n_kept"] == 0 and out2[2]["dedup_text"] == ""

@@ -85,3 +85,35 @@ def test_importance_sample_deterministic_and_weight_sensitive(spark):
     # weights 0.4 (id%5==4) dominate — count how many selected ids have max weight
     frac_top = sum(1 for i in sharp if i == 7 or i % 5 == 4) / 20
     assert frac_top >= 0.9
+
+
+def test_mixture_sample_hits_target_mixture_and_caps_small_groups(spark):
+    """A 3-group corpus rebalanced to 50/25/25 of a 200-doc target: big
+    groups land within hash noise of their quota, a group smaller than
+    its quota is kept whole, an unlisted group is dropped, and the gate
+    is reproducible."""
+    from pyspark.sql import functions as F
+
+    from time_series_databse_engine_spark.operators.sampling import mixture_sample
+
+    df = spark.range(1100).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 500, "web")
+        .when(F.col("id") < 1000, "code")
+        .when(F.col("id") < 1030, "books")
+        .otherwise("junk")
+        .alias("source"),
+    )
+    kept = mixture_sample(
+        df, {"web": 0.5, "code": 0.25, "books": 0.25}, target_total=200
+    )
+    counts = {r["source"]: r["n"] for r in kept.groupBy("source").agg(
+        F.count("*").alias("n")).collect()}
+    assert "junk" not in counts
+    assert counts["books"] == 30                      # quota 50 > group size: keep all
+    assert abs(counts["web"] - 100) <= 25             # rate 0.2 of 500, hash noise
+    assert abs(counts["code"] - 50) <= 20             # rate 0.1 of 500
+    again = {r["source"]: r["n"] for r in mixture_sample(
+        df, {"web": 0.5, "code": 0.25, "books": 0.25}, target_total=200
+    ).groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts == again

@@ -184,3 +184,35 @@ def test_histogram_sketches_merge_exactly(spark, sf_dir):
         )
     )
     assert merged == whole
+
+
+def test_cms_topk_never_underestimates_and_finds_heavy_hitters(spark):
+    """CMS estimates are >= true counts (one-sided error) and the true
+    heavy hitters dominate the top-k; counters are mergeable (sum of two
+    half-corpus sketches == whole-corpus sketch)."""
+    from pyspark.sql import functions as F
+
+    from time_series_databse_engine_spark.operators.sketches import (
+        cms_counters,
+        cms_topk,
+    )
+
+    base = spark.range(2000).select(
+        "id",
+        F.when(F.col("id") % 10 == 0, "heavy")
+        .otherwise(F.concat(F.lit("t"), (F.col("id") % 400).cast("string")))
+        .alias("item"),
+    )
+    df = base.select("item")
+    out = cms_topk(df, "item", k=5, depth=4, width=64).collect()
+    assert all(r["est_cnt"] >= r["true_cnt"] for r in out)
+    assert out[0]["item"] == "heavy" and out[0]["true_cnt"] == 200
+    # mergeability: sketch(first half) + sketch(second half) == sketch(all)
+    a = cms_counters(base.filter("id < 1000"), "item", depth=2, width=32)
+    b = cms_counters(base.filter("id >= 1000"), "item", depth=2, width=32)
+    whole = {(r["row"], r["col"]): r["cnt"]
+             for r in cms_counters(df, "item", depth=2, width=32).collect()}
+    merged: dict = {}
+    for r in a.unionAll(b).collect():
+        merged[(r["row"], r["col"])] = merged.get((r["row"], r["col"]), 0) + r["cnt"]
+    assert merged == whole

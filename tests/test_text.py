@@ -311,3 +311,23 @@ def test_fuzzy_match_join_blocks_and_scores(spark):
     assert all(k[0] != "alpha" for k in out)
     plan = fuzzy_match_join(l, r, "name", "typo", 2)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_bigram_logprob_prefers_fluent_order_and_handles_tiny_docs(spark):
+    """Docs built from the same unigram bag: the doc whose bigrams repeat
+    corpus-wide scores higher than the doc with unique bigrams; a
+    single-token doc gets n_bigrams=0 and NULL score."""
+    from time_series_databse_engine_spark.operators.text import bigram_logprob
+
+    common = "the cat sat on the mat"
+    rows = [
+        (1, common), (2, common), (3, common),
+        (4, "mat the on sat cat the"),       # same tokens, novel order
+        (5, "solo"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in bigram_logprob(df).collect()}
+    assert out[1]["avg_logprob"] == out[2]["avg_logprob"]
+    assert out[1]["avg_logprob"] > out[4]["avg_logprob"]
+    assert out[5]["n_bigrams"] == 0 and out[5]["avg_logprob"] is None
+    assert out[1]["n_bigrams"] == 5

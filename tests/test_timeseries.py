@@ -578,3 +578,34 @@ def test_cusum_detects_level_shift(spark):
         [("m", i * 1000, 10.0) for i in range(40)], "metric string, ts_ms long, value double"
     )
     assert all(not r.alarm for r in cusum_changepoints(flat, "metric", k=0.5, h=5.0).collect())
+
+
+def test_stl_decompose_recovers_planted_trend_plus_seasonality(spark):
+    """A synthetic series = linear trend + daily sine + 0 noise: the
+    decomposition's residuals are near zero away from the edges, the
+    seasonal component is zero-mean, and y == trend+seasonal+residual
+    identically (additivity is exact by construction)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from time_series_databse_engine_spark.operators.timeseries import stl_decompose
+
+    rows = [
+        (
+            "s",
+            h * 3_600_000,
+            0.01 * h + 10.0 * math.sin(2 * math.pi * (h % 24) / 24.0),
+        )
+        for h in range(24 * 14)
+    ]
+    df = spark.createDataFrame(rows, ["event_type", "ts_ms", "value"])
+    out = stl_decompose(df, ["event_type"]).orderBy("bucket").collect()
+    assert len(out) == 24 * 14
+    for r in out:
+        assert abs(r["y"] - (r["trend"] + r["seasonal"] + r["residual"])) < 1e-6
+    core = [r for r in out if 24 <= r["bucket"] < 24 * 13]
+    assert max(abs(r["residual"]) for r in core) < 0.5
+    smean = sum(r["seasonal"] for r in out[:24]) / 24.0
+    assert abs(smean) < 0.05
+    assert max(r["seasonal"] for r in core) > 8.0      # sine amplitude seen
