@@ -1519,6 +1519,27 @@ def q_holt(spark, sf_dir):
     )
 
 
+def q_holt_winters(spark, sf_dir):
+    """Holt-Winters additive triple smoothing (α=1/3, β=1/6, γ=1/7,
+    m=24) on the hourly-mean series — the oracle's recursive CTE
+    carries the seasonal history as a LIST in its recursion state.
+    The constants are deliberately NON-DECIMAL (full-mantissa doubles):
+    with 6-dp inputs and dyadic/decimal α, the recursion lands exactly
+    on 6-dp round midpoints where np.round (half-even) and SQL round
+    (half-away) disagree; full-entropy constants push midpoint
+    probability to ~1e-10."""
+    hourly = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", (F.col("ts_ms") / 3600000).cast("long").alias("bucket")
+        )
+        .agg(F.round(F.avg("value"), 6).alias("y"))
+    )
+    return ts_ops.holt_winters(
+        hourly, "event_type", alpha=1 / 3, beta=1 / 6, gamma=1 / 7, period=24
+    )
+
+
 def q_mad_anomaly(spark, sf_dir):
     """Robust MAD-based anomaly flags (median ± 3·1.4826·MAD per series) —
     one exchange, two same-partitioning percentile windows."""
@@ -1611,7 +1632,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans": q_kmeans,
         "lttb_chunked": q_lttb_chunked,
         "mad_anomaly": q_mad_anomaly,
-        "holt_smoothing": q_holt,
         "minhash_jaccard_est": q_minhash_jaccard_est,
         "seasonal_baseline": q_seasonal_baseline,
         "clean_corpus": q_clean_corpus,
@@ -1636,12 +1656,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "chunk_dedup": q_chunk_dedup,
         "stl_decompose": q_stl_decompose,
+        "holt_winters": q_holt_winters,
         # ---- position 51+: no_oracle rows (can never hash-match, so
         # they'd waste a window slot), and r1/r2/r3-driver-green anchors
         # displaced by the rotations — their §2 categories stay covered
         # in-window and their historical green rows stand.  All still
         # verified by the local checker each round.
         "asof_join": q_asof_join,
+        "holt_smoothing": q_holt,
         "counter_rate_1h": q_counter_rate_1h,
         "ewma_chunked": q_ewma_chunked,
         "gapfill_locf": q_gapfill_locf,
@@ -3129,6 +3151,71 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.event_type, d.bucket, d.phase, d.y, d.trend, sc.seasonal,
                    round(d.y - d.trend - sc.seasonal, 6) AS residual
             FROM det d JOIN sc USING (event_type, phase)""",
+        # Holt-Winters: the recursion state carries the FULL seasonal
+        # history as a LIST (list_append per step) so s_{t-24} is one
+        # subscript away — constants written in the exact order the
+        # Python loop evaluates, the holt_smoothing discipline
+        "holt_winters": f"""
+            WITH RECURSIVE base AS (
+              SELECT event_type, bucket, y,
+                     CAST(round(y * 1000000.0e0) AS BIGINT) AS yint,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY bucket) AS rn
+              FROM (SELECT event_type, {_EV_MS} // 3600000 AS bucket,
+                           round(avg(value), 6) AS y
+                    FROM events GROUP BY 1, 2)
+            ), stats AS (
+              SELECT event_type, count(*) AS n,
+                     (sum(CASE WHEN rn <= 24 THEN yint END)
+                      / least(count(*), 24)) / 1000000.0e0 AS l0,
+                     CASE WHEN count(*) >= 48 THEN
+                       (((sum(CASE WHEN rn > 24 AND rn <= 48 THEN yint END)
+                          / 24) / 1000000.0e0)
+                        - ((sum(CASE WHEN rn <= 24 THEN yint END)
+                            / least(count(*), 24)) / 1000000.0e0)) / 24
+                     ELSE 0.0::DOUBLE END AS b0
+              FROM base GROUP BY event_type
+            ), seed AS (
+              SELECT b.event_type,
+                     list(b.y - st.l0 ORDER BY b.rn) AS ss0,
+                     any_value(st.l0) AS l0, any_value(st.b0) AS b0
+              FROM base b JOIN stats st USING (event_type)
+              WHERE b.rn <= 24 AND st.n > 24
+              GROUP BY b.event_type
+            ), rec AS (
+              SELECT event_type, CAST(NULL AS BIGINT) AS bucket,
+                     CAST(NULL AS DOUBLE) AS y, 24 AS rn,
+                     l0 AS l, b0 AS b, ss0 AS ss,
+                     CAST(NULL AS DOUBLE) AS fc,
+                     CAST(NULL AS DOUBLE) AS s
+              FROM seed
+              UNION ALL
+              SELECT event_type, bucket, y, rn, lnew AS l,
+                     {(1 / 6)!r}::DOUBLE * (lnew - lprev)
+                       + {(1.0 - 1 / 6)!r}::DOUBLE * bprev AS b,
+                     list_append(ssprev, snew) AS ss,
+                     lnew
+                       + ({(1 / 6)!r}::DOUBLE * (lnew - lprev)
+                          + {(1.0 - 1 / 6)!r}::DOUBLE * bprev)
+                       + ssprev[rn + 1 - 24] AS fc,
+                     snew AS s
+              FROM (
+                SELECT nb.event_type, nb.bucket, nb.y, nb.rn,
+                       r.ss[nb.rn - 24] AS sold,
+                       {(1 / 3)!r}::DOUBLE * (nb.y - sold)
+                         + {(1.0 - 1 / 3)!r}::DOUBLE * (r.l + r.b) AS lnew,
+                       {(1 / 7)!r}::DOUBLE * (nb.y - ({(1 / 3)!r}::DOUBLE
+                           * (nb.y - sold)
+                           + {(1.0 - 1 / 3)!r}::DOUBLE * (r.l + r.b)))
+                         + {(1.0 - 1 / 7)!r}::DOUBLE * sold AS snew,
+                       r.l AS lprev, r.b AS bprev, r.ss AS ssprev
+                FROM base nb JOIN rec r
+                  ON nb.event_type = r.event_type AND nb.rn = r.rn + 1)
+            )
+            SELECT event_type, bucket, y, round(l, 6) AS level,
+                   round(b, 6) AS trend, round(s, 6) AS seasonal,
+                   round(fc, 6) AS forecast
+            FROM rec WHERE rn > 24""",
     }
     # the chunk-and-chain variants compute the identical recursions, so
     # they share the sequential oracles verbatim

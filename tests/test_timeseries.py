@@ -609,3 +609,35 @@ def test_stl_decompose_recovers_planted_trend_plus_seasonality(spark):
     smean = sum(r["seasonal"] for r in out[:24]) / 24.0
     assert abs(smean) < 0.05
     assert max(r["seasonal"] for r in core) > 8.0      # sine amplitude seen
+
+
+def test_holt_winters_learns_seasonality_and_beats_holt_on_forecast(spark):
+    """On a pure seasonal series (daily sine, no noise) the one-step
+    forecast error after two learned periods is far below the signal
+    amplitude, and the seasonal state tracks the sine's shape."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from time_series_databse_engine_spark.operators.timeseries import holt_winters
+
+    rows = [
+        ("s", h, 50.0 + 10.0 * math.sin(2 * math.pi * (h % 24) / 24.0))
+        for h in range(24 * 8)
+    ]
+    df = spark.createDataFrame(rows, ["event_type", "bucket", "y"])
+    out = holt_winters(
+        df, "event_type", alpha=1 / 3, beta=1 / 6, gamma=1 / 7, period=24
+    ).orderBy("bucket").collect()
+    assert len(out) == 24 * 7                    # first period consumed as warm-up
+    # compare forecast at t against actual at t+1, late in the series
+    late = out[24 * 5 : -1]
+    errs = [abs(r["forecast"] - out[i + 24 * 5 + 1]["y"]) for i, r in enumerate(late)]
+    assert sum(errs) / len(errs) < 1.0           # amplitude is 10
+    # seasonal component tracks the sine's shape
+    seas = [r["seasonal"] for r in out[24 * 5 :]]
+    assert max(seas) > 8.0 and min(seas) < -8.0
+    # a series shorter than one period never leaves warm-up
+    short = spark.createDataFrame(rows[:20], ["event_type", "bucket", "y"])
+    assert holt_winters(short, "event_type", alpha=1 / 3, beta=1 / 6,
+                        gamma=1 / 7, period=24).count() == 0

@@ -1380,3 +1380,109 @@ def stl_decompose(
         "seasonal",
         F.round(F.col("y") - F.col("trend") - F.col("seasonal"), 6).alias("residual"),
     )
+
+
+
+def holt_winters(
+    df: DataFrame,
+    key: str,
+    alpha: float,
+    beta: float,
+    gamma: float,
+    period: int,
+    ts_col: str = "bucket",
+    value: str = "y",
+) -> DataFrame:
+    """Holt-Winters additive TRIPLE exponential smoothing per series —
+    level + trend + seasonal, completing the exponential family
+    (:func:`ewma` -> :func:`holt_smoothing` -> here; Winters 1960):
+
+        s_old = s_{t-period}
+        l_t = α·(x_t − s_old) + (1−α)·(l_{t−1} + b_{t−1})
+        b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+        s_t = γ·(x_t − l_t) + (1−γ)·s_old
+
+    Textbook initialization (zero-seeded seasonals diverge — the
+    level/trend pair chases the raw oscillation and the seasonal state
+    grows without bound; measured on a pure sine before this was
+    switched): the first period is consumed as warm-up —
+
+        l_m = mean(x_1..x_m)              (exact-integer mean of the
+        b_m = (mean(x_{m+1}..x_{2m}) − l_m) / m    1e6-scaled inputs,
+        s_i = x_i − l_m  for i = 1..m      the stl_decompose discipline)
+
+    with b_m = 0 when the series is shorter than two periods, and
+    emission starting at t = m+1 (series with ≤ period points emit
+    nothing — they never leave warm-up).  ``forecast`` is the
+    one-step-ahead l_t + b_t + s_{t+1−period}.
+
+    Expects a REGULAR series (bucket first, as :func:`stl_decompose`
+    does) — on irregular rows "period" would mean "every N
+    observations".  Arithmetic is written constant-for-constant in
+    recursive-CTE evaluation order so the DuckDB oracle (which seeds
+    the recursion with the warm-up state and carries the seasonal
+    history as a LIST) agrees bit-for-bit before 6-dp rounding.
+    Scale contract as holt_smoothing: one shuffle on the series key;
+    per-series state is O(period), so chunk-and-chain across coarse
+    time chunks (carry level, trend, and the period-length seasonal
+    ring) bounds worker memory for a pathological series.
+    """
+    import numpy as np
+
+    a, oma = alpha, 1.0 - alpha
+    bt, omb = beta, 1.0 - beta
+    g, omg = gamma, 1.0 - gamma
+    m = period
+
+    def _hw(pdf):
+        pdf = pdf.sort_values(ts_col)
+        vals = pdf[value].to_numpy(dtype="float64")
+        n = len(vals)
+        if n <= m:
+            return pdf.iloc[0:0].assign(
+                level=np.empty(0), trend=np.empty(0),
+                seasonal=np.empty(0), forecast=np.empty(0),
+            )
+        yi = np.round(vals * 1e6).astype(np.int64)
+        l = (int(yi[:m].sum()) / m) / 1e6
+        if n >= 2 * m:
+            l1 = (int(yi[m : 2 * m].sum()) / m) / 1e6
+            b = (l1 - l) / m
+        else:
+            b = 0.0
+        ss = [float(x) - l for x in vals[:m]]
+        k = n - m
+        levels = np.empty(k)
+        trends = np.empty(k)
+        seas = np.empty(k)
+        fcst = np.empty(k)
+        for j in range(k):
+            t = m + j + 1
+            x = float(vals[t - 1])
+            s_old = ss[t - m - 1]
+            lp = l
+            l = a * (x - s_old) + oma * (lp + b)
+            b = bt * (l - lp) + omb * b
+            s = g * (x - l) + omg * s_old
+            ss.append(s)
+            levels[j] = l
+            trends[j] = b
+            seas[j] = s
+            fcst[j] = l + b + ss[t + 1 - m - 1]
+        out = pdf.iloc[m:].copy()
+        out["level"] = np.round(levels, 6)
+        out["trend"] = np.round(trends, 6)
+        out["seasonal"] = np.round(seas, 6)
+        out["forecast"] = np.round(fcst, 6)
+        return out
+
+    out_schema = (
+        df.select(key, ts_col, value)
+        .schema.add("level", "double")
+        .add("trend", "double")
+        .add("seasonal", "double")
+        .add("forecast", "double")
+    )
+    return df.select(key, ts_col, value).groupBy(key).applyInPandas(
+        _hw, schema=out_schema
+    )
