@@ -205,3 +205,33 @@ def test_trained_centroids_feed_ivf_and_semantic_dedup(spark, sf_dir):
     assert {r.cell_id for r in kept.select("cell_id").distinct().collect()} <= {
         r.cell_id for r in cells.select("cell_id").collect()
     }
+
+
+def test_vectorized_cell_assignment_matches_fold(spark):
+    """The BLAS pandas_udf assignment (large-codebook path) agrees with
+    the exact interpreted fold on every row of the sf0.001 embeddings
+    for a 40-cell codebook — ties within float noise are the only
+    divergence mode and real data has none."""
+    from pyspark.sql import functions as F
+
+    from time_series_databse_engine_spark.operators.similarity import (
+        as_double,
+        assign_nearest_cell,
+        assign_nearest_cell_np,
+        hash_sampled_cells,
+        norm,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    e = emb.select(
+        F.col("vec_id").alias("id"), as_double("embedding").alias("v")
+    ).withColumn("nrm", norm(F.col("v")))
+    cents = hash_sampled_cells(emb, 40)
+    fold = {
+        r["id"]: r["cell_id"]
+        for r in assign_nearest_cell(e, cents, F.col("v"), F.col("nrm")).collect()
+    }
+    fast = {
+        r["id"]: r["cell_id"] for r in assign_nearest_cell_np(e, cents, "v").collect()
+    }
+    assert fold == fast and len(fold) == emb.count()
