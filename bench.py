@@ -69,6 +69,12 @@ HEADLINE = [
     "semantic_dedup",
     "dsir_weights",
     "sketch_percentile",
+    "bigram_logprob",
+    "cms_topk",
+    "mixture_sample",
+    "chunk_dedup",
+    "stl_decompose",
+    "holt_winters",
 ]
 
 # repeated-run latency distribution for the reference's hot/cold point
