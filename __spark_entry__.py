@@ -1209,6 +1209,23 @@ def q_mixture_sample(spark, sf_dir):
     )
 
 
+def q_upsample_mixture(spark, sf_dir):
+    """Epoch-repeat upsampling toward a target mixture
+    (sampling.upsample_with_replacement): small high-value domains get
+    ⌊rate⌋ copies + a hash-gated fractional copy; unlisted sources keep
+    one copy.  Aggregated to per-source row/doc counts."""
+    from time_series_databse_engine_spark.operators import sampling as samp_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    up = samp_ops.upsample_with_replacement(
+        docs, {"src0": 0.5, "src1": 0.3}, target_total=300
+    )
+    return up.groupBy("source").agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+
+
 def q_cms_topk(spark, sf_dir):
     """Heavy-hitter tokens via a count-min sketch (sketches.cms_topk:
     depth 4 x width 256 md5-hashed counter grid, estimate = min over
@@ -1625,7 +1642,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "contamination": q_contamination,
         "pack_sequences": q_pack_sequences,
-        "hash_split": q_hash_split,
         "semantic_dedup_trained": q_semantic_dedup_trained,
         "holt_chunked": q_holt_chunked,
         "cosine_near_dup_lsh": q_cosine_near_dup_lsh,
@@ -1657,12 +1673,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_dedup": q_chunk_dedup,
         "stl_decompose": q_stl_decompose,
         "holt_winters": q_holt_winters,
+        "upsample_mixture": q_upsample_mixture,
         # ---- position 51+: no_oracle rows (can never hash-match, so
         # they'd waste a window slot), and r1/r2/r3-driver-green anchors
         # displaced by the rotations — their §2 categories stay covered
         # in-window and their historical green rows stand.  All still
         # verified by the local checker each round.
         "asof_join": q_asof_join,
+        "hash_split": q_hash_split,
         "holt_smoothing": q_holt,
         "counter_rate_1h": q_counter_rate_1h,
         "ewma_chunked": q_ewma_chunked,
@@ -3116,6 +3134,31 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(string_agg(CASE WHEN keep THEN chunk_text END,
                                        ' ' ORDER BY chunk_idx), '') AS dedup_text
             FROM k GROUP BY doc_id""",
+        # epoch-repeat upsampling: ⌊rate⌋ + hash-gated fractional copy,
+        # every float literal in e-notation (DOUBLE) as in mixture_sample
+        "upsample_mixture": """
+            WITH counts AS (
+              SELECT source, count(*) AS n_grp FROM documents GROUP BY source),
+            ex AS (
+              SELECT d.source, d.doc_id,
+                     greatest(1.0e0,
+                       300.0e0 * (CASE d.source
+                                    WHEN 'src0' THEN 0.5e0
+                                    WHEN 'src1' THEN 0.3e0
+                                    ELSE 0.0e0 END) / n_grp) AS rate
+              FROM documents d JOIN counts USING (source)),
+            cc AS (
+              SELECT source, doc_id,
+                     CAST(floor(rate) AS INT)
+                     + CASE WHEN (('0x' || substr(md5(doc_id::VARCHAR || ':up'),
+                                                  1, 8))::BIGINT % 1048576)
+                            < CAST(floor((rate - CAST(floor(rate) AS INT))
+                                         * 1048576.0e0) AS BIGINT)
+                       THEN 1 ELSE 0 END AS n_copies
+              FROM ex)
+            SELECT source, sum(n_copies)::BIGINT AS n_rows,
+                   count(DISTINCT doc_id) AS n_docs
+            FROM cc GROUP BY source""",
         # STL decomposition: every stage quantized to 6 dp before the next
         # (the seasonal_baseline discipline) so both engines stay in
         # lockstep through four derived stages

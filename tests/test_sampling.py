@@ -117,3 +117,30 @@ def test_mixture_sample_hits_target_mixture_and_caps_small_groups(spark):
         df, {"web": 0.5, "code": 0.25, "books": 0.25}, target_total=200
     ).groupBy("source").agg(F.count("*").alias("n")).collect()}
     assert counts == again
+
+
+def test_upsample_with_replacement_rates_and_stable_keys(spark):
+    """A small group with quota 6x its size gets ~6 copies per doc, an
+    unlisted group keeps exactly one copy, (id, copy_idx) is unique, and
+    the draw is reproducible."""
+    from pyspark.sql import functions as F
+
+    from time_series_databse_engine_spark.operators.sampling import (
+        upsample_with_replacement,
+    )
+
+    df = spark.range(550).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 50, "books").otherwise("web").alias("source"),
+    )
+    up = upsample_with_replacement(df, {"books": 1.0}, target_total=280)
+    counts = {r["source"]: r["n"] for r in up.groupBy("source").agg(
+        F.count("*").alias("n")).collect()}
+    assert counts["web"] == 500                       # rate 1: untouched
+    # books rate = 280/50 = 5.6 -> between 5 and 6 copies each, ~280 total
+    assert 250 <= counts["books"] <= 300
+    per_doc = up.filter("source = 'books'").groupBy("doc_id").count().collect()
+    assert all(r["count"] in (5, 6) for r in per_doc)
+    assert up.select("doc_id", "copy_idx").distinct().count() == up.count()
+    assert up.count() == upsample_with_replacement(
+        df, {"books": 1.0}, target_total=280).count()

@@ -173,3 +173,58 @@ def mixture_sample(
         .filter(h < gate)
         .drop("_n_grp")
     )
+
+
+def upsample_with_replacement(
+    df: DataFrame,
+    target_shares: dict[str, float],
+    target_total: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The upsampling half of mixture construction (:func:`mixture_sample`
+    only downsamples): groups whose quota EXCEEDS their size are
+    replicated ``rate = target_total·share/n`` times — ⌊rate⌋ full
+    copies plus one more for the hash-gated ``frac(rate)`` fraction of
+    ids — the standard epoch-repeat treatment of small high-value
+    domains (Wikipedia/books at 3-5 epochs while web stays at 1).
+
+    Output carries ``copy_idx`` (0-based) so downstream shuffles don't
+    collapse the replicas; (id, copy_idx) is a stable key — a doc's
+    replica count is hash-derandomized (same md5 gate as every sampler
+    here), reproducible across retries and engines, and monotone in
+    rate.  Groups absent from ``target_shares`` keep exactly one copy
+    (rate 1) — this operator never drops; compose with
+    :func:`mixture_sample` to cut.
+
+    Scale shape: group-count table broadcasts back; each row explodes
+    to its own copy count via ``sequence`` — no shuffle at all, output
+    volume is exactly the requested oversample.
+    """
+    counts = df.groupBy(group_col).agg(F.count("*").alias("_n_grp"))
+    share = F.coalesce(
+        *[
+            F.when(F.col(group_col) == g, F.lit(float(s)))
+            for g, s in sorted(target_shares.items())
+        ],
+        F.lit(0.0),
+    )
+    rate = F.greatest(
+        F.lit(1.0), F.lit(float(target_total)) * share / F.col("_n_grp")
+    )
+    base = F.floor(rate).cast("int")
+    frac_gate = F.floor((rate - base) * F.lit(1048576.0)).cast("bigint")
+    h = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":up"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % 1048576
+    )
+    n_copies = base + (h < frac_gate).cast("int")
+    return (
+        df.join(F.broadcast(counts), group_col)
+        .withColumn("copy_idx", F.explode(F.sequence(F.lit(0), n_copies - 1)))
+        .drop("_n_grp")
+    )
