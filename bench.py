@@ -207,8 +207,29 @@ def main():
         extra["query_cold_24h_p99"] = round(_pctl(cold_ts, 0.99), 4)
 
         # --- headline analytical queries at SF_DIR (warmed above)
+        # The two Σ|bucket|² ops run with auto-sized bucket spaces here —
+        # the production path, which holds average occupancy constant as
+        # data grows (similarity.auto_num_planes / auto_n_cells; fixed
+        # sizes are kept in queries() for oracle parity, where the SQL
+        # carries plane/cell literals).  This is what turned 13.7× / 7.4×
+        # at 10× data into ~linear (SCALE.md "10× scale-up").
+        from time_series_databse_engine_spark.operators import similarity as _sim
+
+        def _near_dup_auto(spark, sf_dir):
+            emb = spark.read.parquet(sf_dir + "/embeddings.parquet")
+            return _sim.cosine_near_dup_lsh(emb, threshold=0.4, num_planes="auto", dim=64)
+
+        def _semantic_dedup_auto(spark, sf_dir):
+            emb = spark.read.parquet(sf_dir + "/embeddings.parquet")
+            return _sim.semantic_dedup(emb, threshold=0.3, n_cells="auto")
+
+        overrides = {
+            "cosine_near_dup_lsh": _near_dup_auto,
+            "semantic_dedup": _semantic_dedup_auto,
+        }
         for name in HEADLINE:
-            t, _ = timed(lambda: queries[name](spark, SF_DIR).write.format("noop").mode("overwrite").save())
+            fn = overrides.get(name, queries[name])
+            t, _ = timed(lambda: fn(spark, SF_DIR).write.format("noop").mode("overwrite").save())
             times[name] = round(t, 3)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -235,3 +235,35 @@ def test_vectorized_cell_assignment_matches_fold(spark):
         r["id"]: r["cell_id"] for r in assign_nearest_cell_np(e, cents, "v").collect()
     }
     assert fold == fast and len(fold) == emb.count()
+
+
+def test_auto_bucket_sizing_holds_occupancy_constant(spark):
+    """num_planes="auto"/n_cells="auto" scale the bucket space with N so
+    Σ|bucket|² stays ~linear — the fix for the superlinear 10× bench
+    measurement (near_dup 13.7× at 10× data with fixed planes)."""
+    from time_series_databse_engine_spark.operators.similarity import (
+        auto_n_cells,
+        auto_num_planes,
+        cosine_near_dup_lsh,
+        semantic_dedup,
+    )
+
+    # occupancy invariance: 10× rows → ~10× buckets/cells
+    assert auto_num_planes(2_000) == 4  # 16 buckets ≈ 2000/128
+    assert auto_num_planes(20_000) == 8
+    assert auto_num_planes(2_000_000_000) == 24  # 100 TB-ish corpus: fine
+    assert auto_n_cells(2_000) == 16
+    assert auto_n_cells(20_000) == 157
+    assert auto_n_cells(10) == 8  # floor
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.count()
+    # auto path runs end-to-end and equals the explicit-size path
+    auto_pairs = cosine_near_dup_lsh(emb, threshold=0.4, num_planes="auto").collect()
+    fixed_pairs = cosine_near_dup_lsh(
+        emb, threshold=0.4, num_planes=auto_num_planes(n)
+    ).collect()
+    assert sorted(map(tuple, auto_pairs)) == sorted(map(tuple, fixed_pairs))
+    auto_kept = semantic_dedup(emb, threshold=0.3, n_cells="auto").count()
+    fixed_kept = semantic_dedup(emb, threshold=0.3, n_cells=auto_n_cells(n)).count()
+    assert auto_kept == fixed_kept > 0

@@ -241,6 +241,35 @@ def ivf_topk(
     )
 
 
+def auto_num_planes(n_rows: int, target_bucket: int = 128) -> int:
+    """Plane count that holds average sign-LSH bucket occupancy at
+    ``target_bucket`` as the corpus grows: ``2^planes ≈ n/target``.
+
+    Candidate-pair volume inside a bucket is quadratic in occupancy
+    (Σ|bucket|² ≈ n²/2^planes), so a FIXED plane count turns a 10×
+    corpus into 100× pair work — the one superlinear scaling the r4
+    10× bench measurement caught (cosine_near_dup_lsh 13.7× at 10×
+    data).  Holding occupancy constant makes pair work ≈ n·target —
+    linear — at the documented recall trade (more planes → more pairs
+    split across buckets; at the production threshold 0.9 sign
+    agreement is near-total and recall stays ~1, see SCALE.md).
+    """
+    import math
+
+    return max(1, math.ceil(math.log2(max(2.0, n_rows / target_bucket))))
+
+
+def auto_n_cells(n_rows: int, target_cell: int = 128) -> int:
+    """Cell count that holds average SemDeDup cell size at ``target_cell``
+    — the same Σ|cell|² ≈ n·target linearization as
+    :func:`auto_num_planes`, and what Abbas et al. 2023 do by fixing
+    cluster count proportional to corpus size (100k clusters for LAION).
+    """
+    import math
+
+    return max(8, math.ceil(n_rows / target_cell))
+
+
 def random_planes(num_planes: int, dim: int, seed: int = 42):
     """Fixed random hyperplanes for sign-LSH — deterministic in (seed, shape)
     so a driver, an executor retry, and a SQL oracle all derive the same
@@ -410,7 +439,7 @@ def lsh_bucket_topk_multi(
 def cosine_near_dup_lsh(
     embeddings: DataFrame,
     threshold: float = 0.9,
-    num_planes: int = 4,
+    num_planes: int | str = 4,
     dim: int = 64,
     seed: int = 42,
     id_col: str = "vec_id",
@@ -431,7 +460,16 @@ def cosine_near_dup_lsh(
     stress threshold of 0.5 on isotropic vectors; at the production
     threshold (0.9) true pairs agree on nearly all signs and bucket
     recall is ~1.
+
+    ``num_planes="auto"`` sizes the bucket space from a corpus count so
+    average occupancy stays constant as data grows (see
+    :func:`auto_num_planes`) — the fixed-plane form is kept for
+    oracle-parity queries where the SQL carries plane literals.  The
+    count is one cheap column-pruned job, amortized over the quadratic
+    work it prevents.
     """
+    if num_planes == "auto":
+        num_planes = auto_num_planes(embeddings.select(id_col).count())
     planes = random_planes(num_planes, dim, seed)
     # L2 norm is a per-VECTOR quantity: compute it once here, before the
     # self-join, instead of letting cosine() re-fold both norms inside
@@ -459,7 +497,7 @@ def cosine_near_dup_lsh(
 def semantic_dedup(
     embeddings: DataFrame,
     threshold: float = 0.5,
-    n_cells: int = 16,
+    n_cells: int | str = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cells: DataFrame | None = None,
@@ -487,7 +525,15 @@ def semantic_dedup(
     pairs is the documented recall trade (same geometry as
     :func:`cosine_near_dup_lsh`'s buckets; SemDeDup accepts it for the
     n²→Σ|cell|² cut).
+
+    ``n_cells="auto"`` sizes the codebook from a corpus count so average
+    cell size stays constant as data grows (:func:`auto_n_cells` — the
+    Σ|cell|² linearization; Abbas et al. scale cluster count with the
+    corpus for the same reason).  Fixed ``n_cells`` is kept for
+    oracle-parity queries whose SQL enumerates the sampled cells.
     """
+    if n_cells == "auto":
+        n_cells = auto_n_cells(embeddings.select(id_col).count())
     e = embeddings.select(F.col(id_col).alias("id"), as_double(vec_col).alias("v")).withColumn(
         "nrm", norm(F.col("v"))
     )
