@@ -1240,6 +1240,35 @@ def q_cms_topk(spark, sf_dir):
     return sketch_ops.cms_topk(toks, "item", k=20, depth=4, width=256)
 
 
+def q_kmv_users_by_type(spark, sf_dir):
+    """Distinct-user estimate per event type via a KMV/theta sketch
+    (sketches.kmv_sketches + kmv_estimate: 64 smallest md5 hashes of the
+    distinct users; estimate (k-1)/h_k, exact below k).  Deterministic
+    hash family means the oracle replays the sketch EXACTLY — unlike
+    HLL, whose binary state is engine-private (hll_distinct_daily is
+    rows-only for that reason)."""
+    ev = _t(spark, sf_dir, "events")
+    sk = sketch_ops.kmv_sketches(ev, ["event_type"], "user_id", k=64)
+    return sketch_ops.kmv_estimate(sk, ["event_type"], k=64)
+
+
+def q_kmv_overlap(spark, sf_dir):
+    """Audience overlap of view-vs-click users from two KMV sketches
+    (sketches.kmv_set_ops, Beyer et al. 2007): union estimate from the
+    combined k-min sketch, intersection = observed-overlap fraction x
+    union — the set operation HLL cannot do.  The whole computation
+    touches <=2k hashes however large the raw corpus; oracle rebuilds
+    both sketches and the combined estimator in SQL."""
+    ev = _t(spark, sf_dir, "events")
+    va = sketch_ops.kmv_sketches(
+        ev.filter(F.col("event_type") == "view"), [], "user_id", k=64
+    )
+    cb = sketch_ops.kmv_sketches(
+        ev.filter(F.col("event_type") == "click"), [], "user_id", k=64
+    )
+    return sketch_ops.kmv_set_ops(va, cb, k=64)
+
+
 def q_ohlc_1h(spark, sf_dir):
     """OHLC candlestick bars: 1h buckets per series (min_by/max_by on a
     row_number total order — deterministic under timestamp ties)."""
@@ -1711,6 +1740,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "unigram_logprob": q_unigram_logprob,
         "hll_distinct_daily": q_hll_distinct_daily,
+        "kmv_users_by_type": q_kmv_users_by_type,
+        "kmv_overlap": q_kmv_overlap,
         "multimodal_decode": q_multimodal_decode,
         "jaccard_pairs": q_jaccard_pairs,
         "sliding_downsample": q_sliding_downsample,
@@ -3088,6 +3119,56 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY it.item, it.true_cnt)
             SELECT item, true_cnt, est_cnt
             FROM est ORDER BY est_cnt DESC, item LIMIT 20""",
+        # KMV/theta sketch: deterministic md5 hash family, so the oracle
+        # replays the sketch bit-for-bit (fixed-width hex => ORDER BY h is
+        # numeric order; 12-hex kth fraction is exact in a double)
+        "kmv_users_by_type": """
+            WITH d AS (
+              SELECT DISTINCT event_type, md5(user_id::VARCHAR) AS h FROM events),
+            r AS (
+              SELECT event_type, h,
+                     row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+              FROM d),
+            kk AS (
+              SELECT event_type, count(*) AS n, max(h) AS kth
+              FROM r WHERE rk <= 64 GROUP BY event_type)
+            SELECT event_type,
+                   round(CASE WHEN n < 64 THEN n::DOUBLE
+                         ELSE 63.0e0 / (('0x' || substr(kth, 1, 12))::BIGINT
+                                        / 281474976710656.0e0)
+                         END, 2) AS approx_distinct
+            FROM kk""",
+        # combined KMV estimator (Beyer et al.): k-min of A union B equals
+        # k-min of (k-min(A) union k-min(B)), and any union-sketch hash
+        # from A is necessarily inside A's own k-min — so raw-data CTEs
+        # reproduce the sketch-only computation exactly
+        "kmv_overlap": """
+            WITH va AS (
+              SELECT DISTINCT md5(user_id::VARCHAR) AS h
+              FROM events WHERE event_type = 'view'),
+            cb AS (
+              SELECT DISTINCT md5(user_id::VARCHAR) AS h
+              FROM events WHERE event_type = 'click'),
+            ka AS (SELECT h FROM va ORDER BY h LIMIT 64),
+            kb AS (SELECT h FROM cb ORDER BY h LIMIT 64),
+            un AS (
+              SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb)
+              ORDER BY h LIMIT 64),
+            st AS (SELECT count(*) AS n_u, max(h) AS kth FROM un),
+            ov AS (
+              SELECT count(*) AS n_both FROM un
+              WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb)),
+            est AS (
+              SELECT n_u, n_both,
+                     CASE WHEN n_u < 64 THEN n_u::DOUBLE
+                     ELSE 63.0e0 / (('0x' || substr(kth, 1, 12))::BIGINT
+                                    / 281474976710656.0e0)
+                     END AS union_est
+              FROM st CROSS JOIN ov)
+            SELECT round(union_est, 2) AS union_est,
+                   round((n_both::DOUBLE / n_u) * union_est, 2) AS intersect_est,
+                   round(n_both::DOUBLE / n_u, 6) AS jaccard_est
+            FROM est""",
         # mixture rebalance: integer hash gate (md5 first-8-hex mod 2^20 <
         # floor(rate*2^20)) — e-notation literals keep every intermediate
         # in DOUBLE to match Spark's arithmetic path exactly

@@ -243,3 +243,110 @@ def cms_topk(
         .orderBy(F.desc("est_cnt"), "item")
         .limit(k)
     )
+
+
+def kmv_sketches(
+    df: DataFrame,
+    keys: list[str],
+    col: str,
+    k: int = 64,
+) -> DataFrame:
+    """K-minimum-values (theta) sketch per key group: the ``k`` smallest
+    ``md5`` hashes of the distinct elements (Beyer et al. 2007, "On
+    synopses for distinct-value estimation under multiset operations").
+
+    The one sketch family here that supports set INTERSECTION — HLL
+    unions but cannot intersect, and that is the question dedup overlap
+    / audience-overlap dashboards actually ask.  Hashes are md5 hex
+    (fixed width, so lexicographic order IS numeric order) — fully
+    deterministic, hence exactly reproducible by a SQL oracle, unlike
+    library sketches whose binary layout is engine-private.
+
+    Plan shape: distinct on (keys, hash) — one exchange with map-side
+    partial dedup — then a per-key rank window keeps the k smallest
+    (second, key-only exchange over rows already cut to distinct
+    hashes), then one collect_list per key.  Output rows = |keys|,
+    each carrying ≤ k hashes: the sketch table is tiny and MERGEABLE —
+    union sketches by re-ranking the concatenated hash arrays
+    (:func:`kmv_union`), so a persisted per-day sketch answers any
+    later range question without rescanning raw data, same contract as
+    :func:`hll_daily_sketches`.
+    """
+    from pyspark.sql import Window as W
+
+    h = F.md5(F.col(col).cast("string")).alias("h")
+    dd = df.select(*keys, h).distinct()
+    w = W.partitionBy(*keys).orderBy("h")
+    return (
+        dd.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .groupBy(*keys)
+        .agg(F.sort_array(F.collect_list("h")).alias("kmv"))
+    )
+
+
+def _hex_frac(col: F.Column) -> F.Column:
+    """First 48 bits of an md5 hex string as an exact double in (0,1) —
+    12 hex digits fit the 53-bit mantissa, so Spark's ``conv`` and the
+    oracle's ``('0x'||…)::BIGINT`` produce bit-identical fractions."""
+    return F.conv(F.substring(col, 1, 12), 16, 10).cast("double") / F.lit(
+        281474976710656.0
+    )
+
+
+def kmv_estimate(sketches: DataFrame, keys: list[str], k: int = 64) -> DataFrame:
+    """Distinct-count estimate from a KMV sketch: exact |hashes| when the
+    group never filled the sketch, else the KMV estimator ``(k-1)/h_k``
+    with ``h_k`` the kth-smallest hash as a fraction of hash space."""
+    n = F.size("kmv")
+    kth = _hex_frac(F.element_at("kmv", k))
+    est = F.when(n < k, n.cast("double")).otherwise(F.lit(k - 1) / kth)
+    return sketches.select(*keys, F.round(est, 2).alias("approx_distinct"))
+
+
+def kmv_union(sketches: DataFrame, keys: list[str], k: int = 64) -> DataFrame:
+    """Merge KMV sketches down to coarser keys (e.g. day → month): explode
+    the hash arrays, distinct, keep the k smallest again.  Closed under
+    merge — the result is exactly the sketch of the unioned sets."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(*keys).orderBy("h")
+    return (
+        sketches.select(*keys, F.explode("kmv").alias("h"))
+        .distinct()
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .groupBy(*keys)
+        .agg(F.sort_array(F.collect_list("h")).alias("kmv"))
+    )
+
+
+def kmv_set_ops(
+    a: DataFrame,
+    b: DataFrame,
+    k: int = 64,
+) -> DataFrame:
+    """Union / intersection / Jaccard estimates from two single-group KMV
+    sketches (columns: ``kmv``) via the Beyer et al. combined estimator:
+    build the k-min union sketch U, estimate |A∪B| from it, and scale by
+    the observed overlap fraction ``ρ = |{h∈U : h∈A ∧ h∈B}| / |U|`` —
+    ``|A∩B| ≈ ρ·|A∪B|``.  Every step is hash-set arithmetic on ≤ 2k hex
+    strings: the whole computation is a broadcast-sized plan regardless
+    of how much raw data fed the sketches.
+    """
+    ua = a.select(F.col("kmv").alias("kmv_a"))
+    ub = b.select(F.col("kmv").alias("kmv_b"))
+    both = ua.crossJoin(F.broadcast(ub))  # 1×1: two sketch rows, not data
+    u = F.slice(F.array_sort(F.array_union("kmv_a", "kmv_b")), 1, k)
+    n_u = F.size(u)
+    kth = _hex_frac(F.element_at(u, k))
+    union_est = F.when(n_u < k, n_u.cast("double")).otherwise(F.lit(k - 1) / kth)
+    in_both = F.size(
+        F.filter(u, lambda h: F.array_contains(F.col("kmv_a"), h) & F.array_contains(F.col("kmv_b"), h))
+    )
+    rho = in_both.cast("double") / n_u
+    return both.select(
+        F.round(union_est, 2).alias("union_est"),
+        F.round(rho * union_est, 2).alias("intersect_est"),
+        F.round(rho, 6).alias("jaccard_est"),
+    )
