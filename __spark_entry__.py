@@ -1269,6 +1269,25 @@ def q_kmv_overlap(spark, sf_dir):
     return sketch_ops.kmv_set_ops(va, cb, k=64)
 
 
+def q_c4_rules(spark, sf_dir):
+    """C4-style per-rule quality flags + keep decision (text.c4_rule_filter,
+    Raffel 2020 §2.2): min words, terminal punctuation, no brace, no
+    boilerplate phrase, mean-word-length band.  One scan, zero shuffles;
+    per-rule booleans make drop rates auditable."""
+    return text_ops.c4_rule_filter(_t(spark, sf_dir, "documents"))
+
+
+def q_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention grid (timeseries.cohort_retention): users
+    cohorted by first-event week, (cohort, offset) cells count active
+    members / cohort size.  All exchanges are user- or cohort-keyed;
+    the distinct(user, period) pre-dedup makes the cell count a plain
+    count(*)."""
+    return ts_ops.cohort_retention(
+        _t(spark, sf_dir, "events"), period_ms=604_800_000
+    )
+
+
 def q_ohlc_1h(spark, sf_dir):
     """OHLC candlestick bars: 1h buckets per series (min_by/max_by on a
     row_number total order — deterministic under timestamp ties)."""
@@ -1742,6 +1761,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_daily": q_hll_distinct_daily,
         "kmv_users_by_type": q_kmv_users_by_type,
         "kmv_overlap": q_kmv_overlap,
+        "cohort_retention": q_cohort_retention,
+        "c4_rules": q_c4_rules,
         "multimodal_decode": q_multimodal_decode,
         "jaccard_pairs": q_jaccard_pairs,
         "sliding_downsample": q_sliding_downsample,
@@ -3119,6 +3140,53 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY it.item, it.true_cnt)
             SELECT item, true_cnt, est_cnt
             FROM est ORDER BY est_cnt DESC, item LIMIT 20""",
+        # C4 rules: every flag recomputed from the same word list; int/int
+        # division is float division in both engines
+        "c4_rules": """
+            WITH w AS (
+              SELECT doc_id, text,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x != '') AS words
+              FROM documents),
+            m AS (
+              SELECT doc_id, text, len(words) AS n_words,
+                     list_sum(list_transform(words, x -> len(x)))
+                       / greatest(len(words), 1) AS mean_wlen
+              FROM w)
+            SELECT doc_id, n_words,
+                   round(mean_wlen, 6) AS mean_word_len,
+                   n_words >= 20 AS f_min_words,
+                   regexp_matches(text, '[.!?"'']\\s*$') AS f_terminal_punct,
+                   NOT contains(text, '{') AS f_no_brace,
+                   NOT (contains(lower(text), 'lorem ipsum')
+                        OR contains(lower(text), 'javascript')
+                        OR contains(lower(text), 'cookie policy')) AS f_no_bad_phrase,
+                   mean_wlen BETWEEN 3.0 AND 10.0 AS f_word_len_band,
+                   (n_words >= 20
+                    AND regexp_matches(text, '[.!?"'']\\s*$')
+                    AND NOT contains(text, '{')
+                    AND NOT (contains(lower(text), 'lorem ipsum')
+                             OR contains(lower(text), 'javascript')
+                             OR contains(lower(text), 'cookie policy'))
+                    AND mean_wlen BETWEEN 3.0 AND 10.0) AS keep
+            FROM m""",
+        # cohort grid: act is distinct (user, week), so count(*) per cell
+        # IS the distinct-user count; offset-0 cells are the cohort sizes
+        "cohort_retention": """
+            WITH act AS (
+              SELECT DISTINCT user_id AS u, epoch_ms(ts) // 604800000 AS p
+              FROM events),
+            fst AS (SELECT u, min(p) AS cohort FROM act GROUP BY u),
+            cell AS (
+              SELECT cohort, p - cohort AS period_offset, count(*) AS n_active
+              FROM act JOIN fst USING (u) GROUP BY cohort, p - cohort),
+            sz AS (
+              SELECT cohort, n_active AS cohort_size
+              FROM cell WHERE period_offset = 0)
+            SELECT cohort * 604800000 AS cohort_start_ms, period_offset,
+                   n_active, cohort_size,
+                   round(n_active::DOUBLE / cohort_size, 6) AS retention_rate
+            FROM cell JOIN sz USING (cohort)""",
         # KMV/theta sketch: deterministic md5 hash family, so the oracle
         # replays the sketch bit-for-bit (fixed-width hex => ORDER BY h is
         # numeric order; 12-hex kth fraction is exact in a double)

@@ -331,3 +331,30 @@ def test_bigram_logprob_prefers_fluent_order_and_handles_tiny_docs(spark):
     assert out[1]["avg_logprob"] > out[4]["avg_logprob"]
     assert out[5]["n_bigrams"] == 0 and out[5]["avg_logprob"] is None
     assert out[1]["n_bigrams"] == 5
+
+
+def test_c4_rule_filter_planted_fixtures(spark):
+    """Each rule fires on its own planted violation; a clean doc keeps."""
+    from time_series_databse_engine_spark.operators.text import c4_rule_filter
+
+    good = "the quick brown fox jumps over the lazy dog near the old stone " \
+           "bridge while rain falls softly on quiet fields tonight."
+    docs = [
+        (0, good),                                     # keeps
+        (1, "too short."),                             # f_min_words
+        (2, good[:-1]),                                # no terminal punct
+        (3, good.replace("bridge", "bridge {x}")),     # brace
+        (4, good.replace("fox", "lorem ipsum fox")),   # bad phrase
+        (5, ("a " * 30).strip() + "."),                # mean word len < 3
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    r = {x["doc_id"]: x for x in c4_rule_filter(df).collect()}
+    assert r[0]["keep"]
+    assert not r[1]["f_min_words"] and not r[1]["keep"]
+    assert not r[2]["f_terminal_punct"] and not r[2]["keep"]
+    assert not r[3]["f_no_brace"] and not r[3]["keep"]
+    assert not r[4]["f_no_bad_phrase"] and not r[4]["keep"]
+    assert not r[5]["f_word_len_band"] and not r[5]["keep"]
+    # every failing doc fails ONLY its planted rule (plus keep)
+    assert r[1]["f_no_brace"] and r[1]["f_no_bad_phrase"]
+    assert r[5]["f_min_words"] and r[5]["f_terminal_punct"]

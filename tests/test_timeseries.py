@@ -641,3 +641,30 @@ def test_holt_winters_learns_seasonality_and_beats_holt_on_forecast(spark):
     short = spark.createDataFrame(rows[:20], ["event_type", "bucket", "y"])
     assert holt_winters(short, "event_type", alpha=1 / 3, beta=1 / 6,
                         gamma=1 / 7, period=24).count() == 0
+
+
+def test_cohort_retention_planted_grid(spark):
+    """Two cohorts with known activity: retention cells match hand truth,
+    offset-0 rate is always 1.0."""
+    from time_series_databse_engine_spark.operators.timeseries import cohort_retention
+
+    P = 1000  # 1s periods for the fixture
+    rows = []
+    # cohort 0: users 1,2,3 start in period 0; 1,2 return in p1; only 1 in p2
+    for u, ps in [(1, [0, 1, 2]), (2, [0, 1]), (3, [0])]:
+        rows += [(u, p * P + 5) for p in ps]
+    # cohort 1: users 4,5 start in period 1; 5 returns in p2 (twice — dedup)
+    rows += [(4, 1 * P + 5), (5, 1 * P + 5), (5, 2 * P + 7), (5, 2 * P + 8)]
+    df = spark.createDataFrame(rows, "user_id long, ts_ms long")
+    got = {
+        (r["cohort_start_ms"], r["period_offset"]): (
+            r["n_active"], r["cohort_size"], r["retention_rate"]
+        )
+        for r in cohort_retention(df, period_ms=P).collect()
+    }
+    assert got[(0, 0)] == (3, 3, 1.0)
+    assert got[(0, 1)] == (2, 3, round(2 / 3, 6))
+    assert got[(0, 2)] == (1, 3, round(1 / 3, 6))
+    assert got[(P, 0)] == (2, 2, 1.0)
+    assert got[(P, 1)] == (1, 2, 0.5)  # user 5's two p2 events count once
+    assert len(got) == 5

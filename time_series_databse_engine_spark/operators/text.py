@@ -932,3 +932,51 @@ def bigram_logprob(
         )
         .withColumn("n_bigrams", F.coalesce(F.col("n_bigrams"), F.lit(0)))
     )
+
+
+def c4_rule_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 20,
+    bad_phrases: tuple[str, ...] = ("lorem ipsum", "javascript", "cookie policy"),
+) -> DataFrame:
+    """C4-style rule-based corpus filtering (Raffel et al. 2020, §2.2 —
+    the cleaning heuristics behind the C4 dataset), doc-granularity:
+    each rule is a BOOLEAN FLAG column plus the combined keep decision,
+    so downstream can audit per-rule drop rates instead of getting an
+    opaque filtered table (the form every production pipeline converges
+    on: filters you can measure individually).
+
+    Rules: minimum word count, terminal punctuation at document end,
+    no curly brace (code/template leakage), no blocklisted boilerplate
+    phrase, mean word length in the natural-language band [3, 10].
+    All pure built-in expressions — one scan, zero shuffles, and on
+    parquet the scan reads only (id, text).
+    """
+    t = F.col(text_col)
+    words = F.filter(F.split(F.lower(t), "\\s+"), lambda w: w != "")
+    n_words = F.size(words)
+    mean_wlen = F.aggregate(
+        words, F.lit(0), lambda acc, w: acc + F.length(w)
+    ) / F.greatest(n_words, F.lit(1))
+    bad = F.lit(False)
+    for p in bad_phrases:
+        bad = bad | F.contains(F.lower(t), F.lit(p))
+    flags = {
+        "f_min_words": n_words >= min_words,
+        "f_terminal_punct": F.regexp_like(t, F.lit("[.!?\"']\\s*$")),
+        "f_no_brace": ~F.contains(t, F.lit("{")),
+        "f_no_bad_phrase": ~bad,
+        "f_word_len_band": (mean_wlen >= 3.0) & (mean_wlen <= 10.0),
+    }
+    keep = F.lit(True)
+    for c in flags.values():
+        keep = keep & c
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(mean_wlen, 6).alias("mean_word_len"),
+        *[c.alias(n) for n, c in flags.items()],
+        keep.alias("keep"),
+    )

@@ -1486,3 +1486,53 @@ def holt_winters(
     return df.select(key, ts_col, value).groupBy(key).applyInPandas(
         _hw, schema=out_schema
     )
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_ms: str = "ts_ms",
+    period_ms: int = 7 * 24 * 3_600_000,
+) -> DataFrame:
+    """Cohort retention grid — the classic product-analytics rollup: users
+    are cohorted by the period of their FIRST event, and each
+    (cohort, period-offset) cell counts how many of them were active
+    that period, as a fraction of the cohort.
+
+    Plan shape (all id-keyed, nothing corpus-quadratic):
+      1. distinct (user, period) — one exchange with map-side partial
+         dedup; rows out = active user-periods, not raw events;
+      2. min(period) per user — user-keyed exchange over the deduped
+         rows;
+      3. activity ⋈ first-seen on user, then count(*) per
+         (cohort, offset) — the join is user-keyed, and because step 1
+         already deduped, a plain count IS the distinct-user count;
+      4. cohort sizes are the offset-0 cells (every cohort member is by
+         definition active in their first period) — a tiny self-join on
+         cohort, broadcast-sized (#periods rows).
+
+    Integer period arithmetic (``ts DIV period``) keeps the bucketing
+    exact and engine-portable.  Output: one row per (cohort_start_ms,
+    period_offset) with n_active, cohort_size, retention_rate.
+    """
+    p = F.expr(f"{ts_ms} div {period_ms}")
+    act = df.select(F.col(user_col).alias("u"), p.alias("p")).distinct()
+    first = act.groupBy("u").agg(F.min("p").alias("cohort"))
+    cell = (
+        act.join(first, "u")
+        .groupBy("cohort", (F.col("p") - F.col("cohort")).alias("period_offset"))
+        .agg(F.count("*").alias("n_active"))
+    )
+    sizes = cell.filter(F.col("period_offset") == 0).select(
+        "cohort", F.col("n_active").alias("cohort_size")
+    )
+    return (
+        cell.join(F.broadcast(sizes), "cohort")
+        .select(
+            (F.col("cohort") * period_ms).alias("cohort_start_ms"),
+            "period_offset",
+            "n_active",
+            "cohort_size",
+            F.round(F.col("n_active") / F.col("cohort_size"), 6).alias("retention_rate"),
+        )
+    )
