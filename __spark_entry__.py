@@ -1269,6 +1269,16 @@ def q_kmv_overlap(spark, sf_dir):
     return sketch_ops.kmv_set_ops(va, cb, k=64)
 
 
+def q_stl_anomaly(spark, sf_dir):
+    """Seasonal-aware anomalies (timeseries.stl_anomalies): MAD threshold
+    on the STL residual, so periodic structure never alarms — the
+    S-H-ESD composition of stl_decompose + mad_anomalies."""
+    return ts_ops.stl_anomalies(
+        _t(spark, sf_dir, "events").select("event_type", "ts_ms", "value"),
+        ["event_type"],
+    )
+
+
 def q_c4_rules(spark, sf_dir):
     """C4-style per-rule quality flags + keep decision (text.c4_rule_filter,
     Raffel 2020 §2.2): min words, terminal punctuation, no brace, no
@@ -1763,6 +1773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_overlap": q_kmv_overlap,
         "cohort_retention": q_cohort_retention,
         "c4_rules": q_c4_rules,
+        "stl_anomaly": q_stl_anomaly,
         "multimodal_decode": q_multimodal_decode,
         "jaccard_pairs": q_jaccard_pairs,
         "sliding_downsample": q_sliding_downsample,
@@ -2225,6 +2236,41 @@ def oracle_sql() -> dict[str, str]:
     guess_case = "CASE " + " ".join(
         f"WHEN score_{l} = {best} THEN '{l}'" for l in langs
     ) + " END"
+
+    # STL decomposition SQL shared by stl_decompose and stl_anomaly
+    # (named variable, not textual splicing - the funnel_rates lesson)
+    _stl_sql = f"""
+            WITH hourly AS (
+              SELECT event_type, {_EV_MS} // 3600000 AS bucket,
+                     round(avg(value), 6) AS y,
+                     CAST(round(round(avg(value), 6) * 1000000.0e0) AS BIGINT)
+                         AS yi
+              FROM events GROUP BY 1, 2),
+            tr AS (
+              SELECT event_type, bucket, y,
+                     round((sum(yi) OVER w / count(yi) OVER w)
+                           / 1000000.0e0, 6) AS trend,
+                     bucket % 24 AS phase
+              FROM hourly
+              WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+                           ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+            det AS (SELECT *, round(y - trend, 6) AS det FROM tr),
+            seas AS (
+              SELECT event_type, phase,
+                     round((sum(CAST(round(det * 1000000.0e0) AS BIGINT))
+                            / count(*)) / 1000000.0e0, 6) AS s_raw
+              FROM det GROUP BY 1, 2),
+            sm AS (
+              SELECT event_type,
+                     round((sum(CAST(round(s_raw * 1000000.0e0) AS BIGINT))
+                            / count(*)) / 1000000.0e0, 6) AS s_mean
+              FROM seas GROUP BY 1),
+            sc AS (SELECT s.event_type, s.phase,
+                          round(s.s_raw - m.s_mean, 6) AS seasonal
+                   FROM seas s JOIN sm m USING (event_type))
+            SELECT d.event_type, d.bucket, d.phase, d.y, d.trend, sc.seasonal,
+                   round(d.y - d.trend - sc.seasonal, 6) AS residual
+            FROM det d JOIN sc USING (event_type, phase)"""
 
     oracles = {
         "range_scan": f"""
@@ -3311,38 +3357,23 @@ def oracle_sql() -> dict[str, str]:
         # STL decomposition: every stage quantized to 6 dp before the next
         # (the seasonal_baseline discipline) so both engines stay in
         # lockstep through four derived stages
-        "stl_decompose": f"""
-            WITH hourly AS (
-              SELECT event_type, {_EV_MS} // 3600000 AS bucket,
-                     round(avg(value), 6) AS y,
-                     CAST(round(round(avg(value), 6) * 1000000.0e0) AS BIGINT)
-                         AS yi
-              FROM events GROUP BY 1, 2),
-            tr AS (
-              SELECT event_type, bucket, y,
-                     round((sum(yi) OVER w / count(yi) OVER w)
-                           / 1000000.0e0, 6) AS trend,
-                     bucket % 24 AS phase
-              FROM hourly
-              WINDOW w AS (PARTITION BY event_type ORDER BY bucket
-                           ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
-            det AS (SELECT *, round(y - trend, 6) AS det FROM tr),
-            seas AS (
-              SELECT event_type, phase,
-                     round((sum(CAST(round(det * 1000000.0e0) AS BIGINT))
-                            / count(*)) / 1000000.0e0, 6) AS s_raw
-              FROM det GROUP BY 1, 2),
-            sm AS (
-              SELECT event_type,
-                     round((sum(CAST(round(s_raw * 1000000.0e0) AS BIGINT))
-                            / count(*)) / 1000000.0e0, 6) AS s_mean
-              FROM seas GROUP BY 1),
-            sc AS (SELECT s.event_type, s.phase,
-                          round(s.s_raw - m.s_mean, 6) AS seasonal
-                   FROM seas s JOIN sm m USING (event_type))
-            SELECT d.event_type, d.bucket, d.phase, d.y, d.trend, sc.seasonal,
-                   round(d.y - d.trend - sc.seasonal, 6) AS residual
-            FROM det d JOIN sc USING (event_type, phase)""",
+        "stl_decompose": _stl_sql,
+        # seasonal-aware anomalies: MAD threshold on the STL residual —
+        # periodic spikes are absorbed by the seasonal component
+        "stl_anomaly": f"""
+            WITH stl AS ({_stl_sql}),
+            med AS (SELECT event_type,
+                           round(quantile_cont(residual, 0.5), 6) AS med
+                    FROM stl GROUP BY 1),
+            dev AS (SELECT s.event_type, s.bucket, s.y, s.residual, m.med,
+                           abs(s.residual - m.med) AS d
+                    FROM stl s JOIN med m USING (event_type)),
+            mad AS (SELECT event_type,
+                           round(quantile_cont(d, 0.5), 6) AS mad
+                    FROM dev GROUP BY 1)
+            SELECT d.event_type, d.bucket, d.y, d.residual, d.med, m.mad
+            FROM dev d JOIN mad m USING (event_type)
+            WHERE d.d > 3.0 * 1.4826 * m.mad""",
         # Holt-Winters: the recursion state carries the FULL seasonal
         # history as a LIST (list_append per step) so s_{t-24} is one
         # subscript away — constants written in the exact order the

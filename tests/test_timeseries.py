@@ -668,3 +668,32 @@ def test_cohort_retention_planted_grid(spark):
     assert got[(P, 0)] == (2, 2, 1.0)
     assert got[(P, 1)] == (1, 2, 0.5)  # user 5's two p2 events count once
     assert len(got) == 5
+
+
+def test_stl_anomaly_ignores_seasonal_spike_flags_real_one(spark):
+    """A perfectly periodic daily spike is absorbed by the seasonal
+    component (no alarm); a one-off level break alarms."""
+    import math
+
+    from time_series_databse_engine_spark.operators.timeseries import stl_anomalies
+
+    H = 3_600_000
+    rows = []
+    for h in range(24 * 12):  # 12 days hourly
+        v = 100.0 + (50.0 if h % 24 == 8 else 0.0)  # daily 8am spike
+        if h == 150:
+            v += 300.0  # the real anomaly
+        rows.append(("m", h * H + 1, v))
+    df = spark.createDataFrame(rows, "event_type string, ts_ms long, value double")
+    out = stl_anomalies(df, ["event_type"]).collect()
+    buckets = {r["bucket"] for r in out}
+    assert 150 in buckets
+    # the periodic spike hours must NOT dominate the alarms: only the
+    # trend-window edges (series start/end, where the centered MA frame
+    # is asymmetric) and the break's neighborhood may leak through
+    spike_hours = {
+        b
+        for b in buckets
+        if b % 24 == 8 and abs(b - 150) > 13 and 12 <= b < 24 * 12 - 12
+    }
+    assert not spike_hours

@@ -1536,3 +1536,42 @@ def cohort_retention(
             F.round(F.col("n_active") / F.col("cohort_size"), 6).alias("retention_rate"),
         )
     )
+
+
+def stl_anomalies(
+    df: DataFrame,
+    keys: list[str],
+    ts_ms: str = "ts_ms",
+    value: str = "value",
+    period_ms: int = 86_400_000,
+    bucket_ms: int = 3_600_000,
+    trend_buckets: int = 25,
+    n_sigmas: float = 3.0,
+) -> DataFrame:
+    """Seasonal-aware anomaly detection — the seasonal-hybrid pattern
+    (Twitter's S-H-ESD shape, Hochenbaum et al. 2017, with the MAD
+    threshold of :func:`mad_anomalies` in place of repeated ESD tests):
+    decompose via :func:`stl_decompose`, then flag buckets whose
+    RESIDUAL deviates from the per-series residual median by more than
+    ``n_sigmas`` x 1.4826 x MAD.  A perfectly periodic spike (rush-hour
+    load) never alarms because the seasonal component absorbs it — the
+    failure mode of plain :func:`zscore_anomalies`/:func:`mad_anomalies`
+    on seasonal series.
+
+    Shape: everything after the decomposition runs on the bucketed
+    series table (|series| x buckets rows, corpus already reduced), and
+    both percentile windows share the decomposition's series-key
+    partitioning.  Returns only the anomalous buckets.
+    """
+    dec = stl_decompose(df, keys, ts_ms, value, period_ms, bucket_ms, trend_buckets)
+    w = W.partitionBy(*keys)
+    med = F.round(F.expr("percentile(residual, 0.5)").over(w), 6)
+    d = dec.select(*keys, "bucket", "y", "residual", med.alias("med")).withColumn(
+        "dev", F.abs(F.col("residual") - F.col("med"))
+    )
+    mad = F.round(F.expr("percentile(dev, 0.5)").over(w), 6)
+    return (
+        d.withColumn("mad", mad)
+        .filter(F.col("dev") > F.lit(n_sigmas) * F.lit(1.4826) * F.col("mad"))
+        .select(*keys, "bucket", "y", "residual", "med", "mad")
+    )
