@@ -1269,6 +1269,17 @@ def q_kmv_overlap(spark, sf_dir):
     return sketch_ops.kmv_set_ops(va, cb, k=64)
 
 
+def q_weighted_sample(spark, sf_dir):
+    """50 documents sampled without replacement with P ∝ n_chars
+    (sampling.weighted_sample, Efraimidis-Spirakis exponential race,
+    hash-derandomized uniforms): one k-heap TakeOrderedAndProject,
+    zero shuffles."""
+    from time_series_databse_engine_spark.operators import sampling as samp_ops
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return samp_ops.weighted_sample(docs, k=50, weight_col="n_chars")
+
+
 def q_stl_anomaly(spark, sf_dir):
     """Seasonal-aware anomalies (timeseries.stl_anomalies): MAD threshold
     on the STL residual, so periodic structure never alarms — the
@@ -1774,6 +1785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "c4_rules": q_c4_rules,
         "stl_anomaly": q_stl_anomaly,
+        "weighted_sample": q_weighted_sample,
         "multimodal_decode": q_multimodal_decode,
         "jaccard_pairs": q_jaccard_pairs,
         "sliding_downsample": q_sliding_downsample,
@@ -3186,6 +3198,15 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY it.item, it.true_cnt)
             SELECT item, true_cnt, est_cnt
             FROM est ORDER BY est_cnt DESC, item LIMIT 20""",
+        # A-ES weighted sample: exponential race key -ln(u)/w, u from the
+        # same md5 hash-uniform construction as dsir_sample's Gumbel
+        "weighted_sample": """
+            SELECT doc_id, source, n_chars,
+                   round(-ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                              + 0.5e0) / 4294967296.0e0)
+                         / n_chars, 6) AS es_key
+            FROM documents WHERE n_chars > 0
+            ORDER BY es_key, doc_id LIMIT 50""",
         # C4 rules: every flag recomputed from the same word list; int/int
         # division is float division in both engines
         "c4_rules": """

@@ -144,3 +144,20 @@ def test_upsample_with_replacement_rates_and_stable_keys(spark):
     assert up.select("doc_id", "copy_idx").distinct().count() == up.count()
     assert up.count() == upsample_with_replacement(
         df, {"books": 1.0}, target_total=280).count()
+
+
+def test_weighted_sample_favors_heavy_rows_and_is_stable(spark):
+    """ES race: heavy rows win far more often than light ones; the draw is
+    identical across reruns; non-positive weights never selected."""
+    from time_series_databse_engine_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 1000.0 if i < 20 else 1.0) for i in range(500)]
+    rows.append((999, -5.0))
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = weighted_sample(df, k=30, weight_col="w", id_col="doc_id")
+    ids = [r["doc_id"] for r in got.collect()]
+    assert 999 not in ids
+    heavy = sum(1 for i in ids if i < 20)
+    assert heavy >= 15  # 20 heavy rows carry ~80% of total weight
+    again = [r["doc_id"] for r in weighted_sample(df, 30, "w", "doc_id").collect()]
+    assert ids == again

@@ -228,3 +228,38 @@ def upsample_with_replacement(
         .withColumn("copy_idx", F.explode(F.sequence(F.lit(0), n_copies - 1)))
         .drop("_n_grp")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, P(pick) ∝ raw weight —
+    Efraimidis & Spirakis 2006 (A-ES): each row draws an exponential
+    race key ``-ln(u)/w`` and the k SMALLEST keys win; equivalent to
+    sequential weighted draws but embarrassingly parallel (one k-heap
+    TakeOrderedAndProject, zero shuffles — every executor keeps a local
+    top-k heap and the driver merges #partitions×k candidates).
+
+    Complements :func:`importance_sample`, which races Gumbel keys over
+    LOG-space weights (exp(w) sampling for DSIR); here the weight column
+    is a plain positive quantity (bytes, tokens, priority).  The uniform
+    is hash-derandomized exactly like every sampler in this module
+    (md5-of-id → u ∈ (0,1)), so the draw is retry-stable and replayable
+    by the SQL oracle; rows with non-positive weight are excluded (their
+    race key is undefined — matches the sequential algorithm, which can
+    never pick them).
+    """
+    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    u = (h + F.lit(0.5)) / F.lit(4294967296.0)
+    key = -F.log(u) / F.col(weight_col)
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("es_key", F.round(key, 6))
+        .orderBy(F.col("es_key").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
