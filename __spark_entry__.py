@@ -1269,6 +1269,17 @@ def q_kmv_overlap(spark, sf_dir):
     return sketch_ops.kmv_set_ops(va, cb, k=64)
 
 
+def q_pq_ann_topk(spark, sf_dir):
+    """ADC top-5 over product-quantized codes (similarity.pq_topk, Jégou
+    2011): 4 subspaces x 16 hash-sampled centroids; candidates scanned
+    as ~2-byte codes instead of 512-byte vectors (the PQ bandwidth
+    claim), distance = exact-query-vs-reconstruction squared L2 via the
+    order-fixed 3-dot identity.  Oracle replays codebook, encoding
+    argmin, reconstruction, and ranking."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim_ops.pq_topk(emb, emb.filter(F.col("vec_id") < 5), k=5, m=4, ks=16)
+
+
 def q_weighted_sample(spark, sf_dir):
     """50 documents sampled without replacement with P ∝ n_chars
     (sampling.weighted_sample, Efraimidis-Spirakis exponential race,
@@ -1786,6 +1797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_rules": q_c4_rules,
         "stl_anomaly": q_stl_anomaly,
         "weighted_sample": q_weighted_sample,
+        "pq_ann_topk": q_pq_ann_topk,
         "multimodal_decode": q_multimodal_decode,
         "jaccard_pairs": q_jaccard_pairs,
         "sliding_downsample": q_sliding_downsample,
@@ -3198,6 +3210,51 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY it.item, it.true_cnt)
             SELECT item, true_cnt, est_cnt
             FROM est ORDER BY est_cnt DESC, item LIMIT 20""",
+        # PQ/ADC: codebook = 16 smallest-md5 vectors numbered in hash
+        # order; per-(cand, subspace) argmin by the SAME order-fixed
+        # aa-2ab+bb distance Spark folds; recon = chosen slices in
+        # subspace order; d ASC / code ASC ties mirror the fold's rule
+        "pq_ann_topk": """
+            WITH cents AS (
+              SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id)
+                       - 1 AS code,
+                     embedding::DOUBLE[] AS cent
+              FROM (SELECT vec_id, embedding FROM embeddings
+                    ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16)),
+            c AS (SELECT vec_id AS cand_id, embedding::DOUBLE[] AS cv
+                  FROM embeddings),
+            sub AS (SELECT unnest(range(4)) AS j),
+            dists AS (
+              SELECT cand_id, j, code,
+                     list_slice(cent, j*16 + 1, j*16 + 16) AS cent_sub,
+                     list_dot_product(list_slice(cv, j*16 + 1, j*16 + 16),
+                                      list_slice(cv, j*16 + 1, j*16 + 16))
+                     - 2 * list_dot_product(list_slice(cv, j*16 + 1, j*16 + 16),
+                                            list_slice(cent, j*16 + 1, j*16 + 16))
+                     + list_dot_product(list_slice(cent, j*16 + 1, j*16 + 16),
+                                        list_slice(cent, j*16 + 1, j*16 + 16)) AS d
+              FROM c CROSS JOIN sub CROSS JOIN cents),
+            enc AS (
+              SELECT cand_id, j, cent_sub FROM (
+                SELECT *, row_number() OVER (PARTITION BY cand_id, j
+                                             ORDER BY d ASC, code ASC) AS r
+                FROM dists) WHERE r = 1),
+            recon AS (
+              SELECT cand_id, flatten(list(cent_sub ORDER BY j)) AS recon
+              FROM enc GROUP BY cand_id),
+            q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                  FROM embeddings WHERE vec_id < 5),
+            s AS (
+              SELECT query_id, cand_id,
+                     round(list_dot_product(qv, qv)
+                           - 2 * list_dot_product(qv, recon)
+                           + list_dot_product(recon, recon), 6) AS approx_d2
+              FROM q CROSS JOIN recon WHERE cand_id <> query_id)
+            SELECT query_id, cand_id, approx_d2, rank FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY approx_d2 ASC, cand_id ASC)
+                          AS rank
+              FROM s) WHERE rank <= 5""",
         # A-ES weighted sample: exponential race key -ln(u)/w, u from the
         # same md5 hash-uniform construction as dsir_sample's Gumbel
         "weighted_sample": """

@@ -267,3 +267,76 @@ def test_auto_bucket_sizing_holds_occupancy_constant(spark):
     auto_kept = semantic_dedup(emb, threshold=0.3, n_cells="auto").count()
     fixed_kept = semantic_dedup(emb, threshold=0.3, n_cells=auto_n_cells(n)).count()
     assert auto_kept == fixed_kept > 0
+
+
+def test_pq_encode_compression_and_reconstruction(spark):
+    """Codes are m small ints; recon is the concatenation of chosen
+    codebook slices; codebook rows reconstruct THEMSELVES exactly."""
+    from time_series_databse_engine_spark.operators.similarity import (
+        as_double,
+        pq_codebook,
+        pq_encode,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cb = pq_codebook(emb, ks=16)
+    enc = pq_encode(emb, cb, m=4, dim=64)
+    rows = enc.collect()
+    assert all(len(r["codes"]) == 4 and len(r["recon"]) == 64 for r in rows)
+    assert all(all(0 <= c < 16 for c in r["codes"]) for r in rows)
+    # sampled codebook vectors quantize to themselves: recon == vector
+    cb_ids = {r["code"]: r["cent"] for r in cb.collect()}
+    emb_d = {
+        r["vec_id"]: r["v"]
+        for r in emb.select("vec_id", as_double("embedding").alias("v")).collect()
+    }
+    sampled_vecs = {tuple(v) for v in cb_ids.values()}
+    exact = sum(
+        1 for r in rows if tuple(emb_d[r["vec_id"]]) in sampled_vecs
+        and list(r["recon"]) == list(emb_d[r["vec_id"]])
+    )
+    assert exact == 16
+
+
+def test_pq_topk_recall_vs_exact_l2(spark):
+    """ADC top-5 recalls a usable fraction of the exact L2 top-5 even on
+    isotropic data with a 16-entry hash-sampled codebook, and is
+    deterministic."""
+    from time_series_databse_engine_spark.operators.similarity import (
+        as_double,
+        pq_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter("vec_id < 10")
+    approx = pq_topk(emb, q, k=5).collect()
+    # exact L2 top-5 via numpy
+    import numpy as np
+
+    vecs = {r["vec_id"]: np.array(r["v"]) for r in emb.select("vec_id", as_double("embedding").alias("v")).collect()}
+    ids = sorted(vecs)
+    truth = {}
+    for qid in range(10):
+        d = sorted(
+            (float(np.sum((vecs[qid] - vecs[c]) ** 2)), c) for c in ids if c != qid
+        )
+        truth[qid] = {c for _, c in d[:5]}
+
+    def recall(rows):
+        got_all = 0
+        for qid in range(10):
+            got = {r["cand_id"] for r in rows if r["query_id"] == qid}
+            assert len(got) == 5
+            got_all += len(truth[qid] & got)
+        return got_all / 50
+
+    r_coarse = recall(approx)
+    r_fine = recall(pq_topk(emb, q, k=5, m=16, ks=64).collect())
+    # isotropic 64-dim data is PQ's worst case (no low-dim structure to
+    # exploit); measured here: m=4/ks=16 → 0.06, m=16/ks=64 → 0.40
+    # (SCALE.md table).  Assert the theory-predicted monotone trend and
+    # that the fine config is far above random (5/N ≈ 0.025).
+    assert r_fine > r_coarse
+    assert r_fine >= 0.3, (r_coarse, r_fine)
+    again = pq_topk(emb, q, k=5).collect()
+    assert sorted(map(tuple, approx)) == sorted(map(tuple, again))
