@@ -1269,6 +1269,39 @@ def q_kmv_overlap(spark, sf_dir):
     return sketch_ops.kmv_set_ops(va, cb, k=64)
 
 
+def q_rrf_hybrid(spark, sf_dir):
+    """Hybrid retrieval: BM25 lexical top-10 fused with embedding-cosine
+    top-10 (query vector = vec_id 0) by reciprocal rank fusion
+    (text.rrf_fuse, Cormack 2009, k=60).  documents and embeddings
+    share the id space, so this is the RAG hybrid-search shape:
+    rank-based fusion needs no score calibration; with two lists the
+    fused sum is one IEEE addition, exactly oracle-reproducible."""
+    from time_series_databse_engine_spark.operators.similarity import (
+        as_double,
+        cosine,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    lex = text_ops.bm25_search(docs, "the quick data model", k=10)
+    wl = W.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    lex_r = lex.withColumn("rank", F.row_number().over(wl))
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = F.broadcast(
+        emb.filter(F.col("vec_id") == 0).select(as_double("embedding").alias("qv"))
+    )
+    sem = (
+        emb.select(F.col("vec_id").alias("doc_id"), as_double("embedding").alias("v"))
+        .crossJoin(qv)
+        .select("doc_id", F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cos"))
+    )
+    ws = W.orderBy(F.col("cos").desc(), F.col("doc_id").asc())
+    sem_r = (
+        sem.withColumn("rank", F.row_number().over(ws)).filter(F.col("rank") <= 10)
+    )
+    return text_ops.rrf_fuse([lex_r.select("doc_id", "rank"), sem_r.select("doc_id", "rank")])
+
+
 def q_pq_ann_topk(spark, sf_dir):
     """ADC top-5 over product-quantized codes (similarity.pq_topk, Jégou
     2011): 4 subspaces x 16 hash-sampled centroids; candidates scanned
@@ -1798,6 +1831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stl_anomaly": q_stl_anomaly,
         "weighted_sample": q_weighted_sample,
         "pq_ann_topk": q_pq_ann_topk,
+        "rrf_hybrid": q_rrf_hybrid,
         "multimodal_decode": q_multimodal_decode,
         "jaccard_pairs": q_jaccard_pairs,
         "sliding_downsample": q_sliding_downsample,
@@ -3651,6 +3685,31 @@ def oracle_sql() -> dict[str, str]:
           FROM post JOIN dfq USING (t) JOIN dl USING (doc_id) CROSS JOIN st
           GROUP BY doc_id)
         ORDER BY bm25 DESC, doc_id ASC LIMIT 10"""
+    # hybrid retrieval: lexical CTE reuses the bm25 oracle verbatim (named
+    # reuse, not text splicing); semantic side ranks rounded cosine vs the
+    # vec_id-0 query vector; RRF = sum of 1/(60+rank) contributions
+    oracles["rrf_hybrid"] = f"""
+        WITH lex AS ({oracles["bm25"]}),
+        lexr AS (SELECT doc_id,
+                        row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank
+                 FROM lex),
+        qv AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        sem AS (SELECT vec_id AS doc_id,
+                       round(list_dot_product(embedding::DOUBLE[], qv)
+                             / (sqrt(list_dot_product(embedding::DOUBLE[],
+                                                      embedding::DOUBLE[]))
+                                * sqrt(list_dot_product(qv, qv))), 6) AS cos
+                FROM embeddings CROSS JOIN qv),
+        semr AS (SELECT doc_id, rank FROM (
+                   SELECT doc_id,
+                          row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS rank
+                   FROM sem) WHERE rank <= 10),
+        contrib AS (SELECT doc_id, 1.0e0 / (60 + rank) AS c FROM lexr
+                    UNION ALL
+                    SELECT doc_id, 1.0e0 / (60 + rank) AS c FROM semr)
+        SELECT doc_id, round(sum(c), 6) AS rrf_score, count(*) AS n_lists
+        FROM contrib GROUP BY doc_id
+        ORDER BY rrf_score DESC, doc_id ASC LIMIT 10"""
     oracles["bm25_many"] = """
         WITH q(query_id, query) AS (VALUES (1, 'the quick data model'),
                                            (2, 'hash join scan filter')),

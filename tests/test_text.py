@@ -358,3 +358,20 @@ def test_c4_rule_filter_planted_fixtures(spark):
     # every failing doc fails ONLY its planted rule (plus keep)
     assert r[1]["f_no_brace"] and r[1]["f_no_bad_phrase"]
     assert r[5]["f_min_words"] and r[5]["f_terminal_punct"]
+
+
+def test_rrf_fuse_known_lists(spark):
+    """Hand-computed fusion: agreement on one id dominates; rank order and
+    n_lists are right; determinism via id tiebreak."""
+    from time_series_databse_engine_spark.operators.text import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "doc_id long, rank int")
+    b = spark.createDataFrame([(3, 1), (4, 2), (1, 3)], "doc_id long, rank int")
+    out = rrf_fuse([a, b], k=60, top=4).collect()
+    scores = {r["doc_id"]: (r["rrf_score"], r["n_lists"]) for r in out}
+    assert scores[1] == (round(1 / 61 + 1 / 63, 6), 2)
+    assert scores[3] == (round(1 / 63 + 1 / 61, 6), 2)
+    assert scores[2] == (round(1 / 62, 6), 1)
+    assert scores[4] == (round(1 / 62, 6), 1)
+    # 1 and 3 tie exactly -> id order; 2 and 4 tie -> id order
+    assert [r["doc_id"] for r in out] == [1, 3, 2, 4]

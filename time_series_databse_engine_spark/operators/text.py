@@ -980,3 +980,38 @@ def c4_rule_filter(
         *[c.alias(n) for n, c in flags.items()],
         keep.alias("keep"),
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 60,
+    id_col: str = "doc_id",
+    top: int = 10,
+) -> DataFrame:
+    """Reciprocal rank fusion (Cormack et al. 2009): combine ranked lists
+    from heterogeneous scorers — BM25, embedding cosine, freshness —
+    into one ranking by ``Σ 1/(k+rank)``, the standard hybrid-retrieval
+    merge (rank-based, so wildly different score scales need no
+    calibration; k=60 is the paper's constant).
+
+    Each input must carry (id_col, rank).  Shape: the inputs are
+    ALREADY tiny (top-N lists); fusion is a union of contribution
+    columns + one grouped sum + a top-k heap — cost is O(Σ list
+    lengths), independent of corpus size.  With two lists the fused sum
+    is a single IEEE addition, hence exactly engine-reproducible; for
+    3+ lists the grouped-sum order matters at the last ulp and the
+    6-dp round absorbs it.
+    """
+    contribs = [
+        r.select(F.col(id_col), (1.0 / (k + F.col("rank"))).alias("_c"))
+        for r in rankings
+    ]
+    u = contribs[0]
+    for c in contribs[1:]:
+        u = u.unionAll(c)
+    return (
+        u.groupBy(id_col)
+        .agg(F.round(F.sum("_c"), 6).alias("rrf_score"), F.count("*").alias("n_lists"))
+        .orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
+        .limit(top)
+    )
