@@ -1295,9 +1295,14 @@ def q_rrf_hybrid(spark, sf_dir):
         .crossJoin(qv)
         .select("doc_id", F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cos"))
     )
+    # k-heap top-10 FIRST (TakeOrderedAndProject — no single-partition
+    # corpus-wide window), then rank only the 10 survivors; ties broken
+    # by doc_id so the limit and the rank agree deterministically.
     ws = W.orderBy(F.col("cos").desc(), F.col("doc_id").asc())
     sem_r = (
-        sem.withColumn("rank", F.row_number().over(ws)).filter(F.col("rank") <= 10)
+        sem.orderBy(F.col("cos").desc(), F.col("doc_id").asc())
+        .limit(10)
+        .withColumn("rank", F.row_number().over(ws))
     )
     return text_ops.rrf_fuse([lex_r.select("doc_id", "rank"), sem_r.select("doc_id", "rank")])
 
@@ -1722,18 +1727,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     every entry.
 
     Round-4 mid-round additions (bigram_logprob, cms_topk,
-    mixture_sample, chunk_dedup, stl_decompose) sit in-window,
-    displacing five r3-driver-green anchors whose categories stay
-    covered in-window (counter_rate_1h→ohlc_1h, ewma_chunked→
+    mixture_sample, chunk_dedup, stl_decompose, holt_winters,
+    upsample_mixture, kmv_users_by_type, kmv_overlap,
+    cohort_retention, c4_rules, stl_anomaly, weighted_sample,
+    pq_ann_topk, rrf_hybrid) sit in-window, displacing r3-driver-green
+    anchors whose categories stay covered in-window (counter_rate_1h/
+    ohlc_1h→hist_sketch_daily+resample_1m_expr, ewma_chunked→
     holt_chunked+holt_smoothing, gapfill_locf→resample_1m_expr,
-    dup_spans→dup_span_ranges, top_ngrams→tfidf_top_terms).
+    dup_spans/dup_span_ranges→chunk_dedup, top_ngrams→tfidf_top_terms,
+    event_pivot→cohort_retention (pivot grid), rank_family→
+    rolling_median+funnel_rates (window fns), string_funcs→c4_rules+
+    fuzzy_join (string fns), union_all_scans→mixture_sample+
+    upsample_mixture (set ops), mad_anomaly/seasonal_baseline→cusum+
+    stl_anomaly+stl_decompose (anomaly/seasonal)).
 
-    ROTATION QUEUE for the next round's window: the five displaced
-    r3-green anchors above need no re-check; every oracle-backed query
-    not in this window has at least one historical driver row; the
-    designed remainder is the rows-only pair simhash +
-    multimodal_resize and the no-oracle streaming/multimodal
-    entries."""
+    ROTATION QUEUE for the next round's window: none — after this
+    round's driver run every oracle-backed query has at least one
+    historical driver row; the designed remainder is the rows-only
+    pair simhash + multimodal_resize and the no-oracle streaming/
+    multimodal entries."""
     return {
         # -- category anchors (driver-green r1/r2/r3) -------------------
         "range_scan": q_range_scan,
@@ -1741,16 +1753,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_nation": q_revenue_by_nation,
         "dedup_exact": q_dedup_exact,
         "value_percentiles": q_value_percentiles,
-        "event_pivot": q_event_pivot,
-        "rank_family": q_rank_family,
-        "string_funcs": q_string_funcs,
-        "dup_span_ranges": q_dup_span_ranges,
         "orders_above_avg": q_orders_above_avg,
         "grouping_sets": q_grouping_sets,
         "full_outer_join": q_full_outer_join,
-        "union_all_scans": q_union_all_scans,
         "lsh_ann_topk_multi": q_lsh_ann_topk_multi,
-        "ohlc_1h": q_ohlc_1h,
         "resample_1m_expr": q_resample_1m_expr,
         "tfidf_top_terms": q_tfidf_top_terms,
         "contamination": q_contamination,
@@ -1760,9 +1766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_near_dup_lsh": q_cosine_near_dup_lsh,
         "kmeans": q_kmeans,
         "lttb_chunked": q_lttb_chunked,
-        "mad_anomaly": q_mad_anomaly,
         "minhash_jaccard_est": q_minhash_jaccard_est,
-        "seasonal_baseline": q_seasonal_baseline,
         "clean_corpus": q_clean_corpus,
         "dedup_clusters_star": q_dedup_clusters_star,
         "asof_join_nearest": q_asof_join_nearest,
@@ -1787,6 +1791,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stl_decompose": q_stl_decompose,
         "holt_winters": q_holt_winters,
         "upsample_mixture": q_upsample_mixture,
+        "kmv_users_by_type": q_kmv_users_by_type,
+        "kmv_overlap": q_kmv_overlap,
+        "cohort_retention": q_cohort_retention,
+        "c4_rules": q_c4_rules,
+        "stl_anomaly": q_stl_anomaly,
+        "weighted_sample": q_weighted_sample,
+        "pq_ann_topk": q_pq_ann_topk,
+        "rrf_hybrid": q_rrf_hybrid,
         # ---- position 51+: no_oracle rows (can never hash-match, so
         # they'd waste a window slot), and r1/r2/r3-driver-green anchors
         # displaced by the rotations — their §2 categories stay covered
@@ -1824,14 +1836,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "unigram_logprob": q_unigram_logprob,
         "hll_distinct_daily": q_hll_distinct_daily,
-        "kmv_users_by_type": q_kmv_users_by_type,
-        "kmv_overlap": q_kmv_overlap,
-        "cohort_retention": q_cohort_retention,
-        "c4_rules": q_c4_rules,
-        "stl_anomaly": q_stl_anomaly,
-        "weighted_sample": q_weighted_sample,
-        "pq_ann_topk": q_pq_ann_topk,
-        "rrf_hybrid": q_rrf_hybrid,
+        "event_pivot": q_event_pivot,
+        "rank_family": q_rank_family,
+        "string_funcs": q_string_funcs,
+        "dup_span_ranges": q_dup_span_ranges,
+        "union_all_scans": q_union_all_scans,
+        "ohlc_1h": q_ohlc_1h,
+        "mad_anomaly": q_mad_anomaly,
+        "seasonal_baseline": q_seasonal_baseline,
         "multimodal_decode": q_multimodal_decode,
         "jaccard_pairs": q_jaccard_pairs,
         "sliding_downsample": q_sliding_downsample,
