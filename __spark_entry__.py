@@ -21,6 +21,7 @@ from time_series_databse_engine_spark.operators import (
     packing as packing_ops,
     sketches as sketch_ops,
     similarity as sim_ops,
+    skew as skew_ops,
     text as text_ops,
     timeseries as ts_ops,
 )
@@ -1076,6 +1077,64 @@ def q_minhash_jaccard_est(spark, sf_dir):
     return dedup_ops.minhash_jaccard_estimates(_t(spark, sf_dir, "documents"))
 
 
+def q_minhash_containment(spark, sf_dir):
+    """Asymmetric containment estimate C(A,B)=|A∩B|/|A| per LSH candidate
+    pair — the quote/boilerplate-subset signal symmetric Jaccard hides
+    (dedup.minhash_containment_estimates docstring): J from MinHash
+    agreement, exact distinct-shingle counts, inclusion-exclusion for
+    the intersection."""
+    return dedup_ops.minhash_containment_estimates(_t(spark, sf_dir, "documents"))
+
+
+def q_salted_join(spark, sf_dir):
+    """Skew-scattered equi-join (skew.salted_join): lineitem ⋈ supplier
+    on suppkey with 8-way deterministic key salting, then revenue per
+    supplier nation.  Result is identical to the plain join (the oracle
+    IS the plain join) — the salt only reshapes the shuffle so one hot
+    key spreads over 8 reducers instead of pinning one task."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("suppkey"), "l_extendedprice", "l_discount"
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("suppkey"), "s_nationkey"
+    )
+    return (
+        skew_ops.salted_join(li, s, on="suppkey", salt=8)
+        .groupBy("s_nationkey")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+def q_bloom_semijoin(spark, sf_dir):
+    """Bloom-prefiltered exact semi join (skew.bloom_semijoin): lineitem
+    rows of URGENT-priority orders, revenue per return flag.  The
+    one-row 8 KiB bitmap broadcast kills non-matching rows BEFORE the
+    semi join's exchange (the explicit runtime-filter pattern); the
+    trailing exact semi join scrubs Bloom false positives, so the
+    oracle is the plain ANSI semi join."""
+    li = _t(spark, sf_dir, "lineitem")
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    return (
+        skew_ops.bloom_semijoin(li, urgent, on="l_orderkey")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
 def q_dedup_clusters_star(spark, sf_dir):
     """Connected components via alternating large-star/small-star
     contraction (O(log n) rounds — the variant for long-chain components;
@@ -1844,6 +1903,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ohlc_1h": q_ohlc_1h,
         "mad_anomaly": q_mad_anomaly,
         "seasonal_baseline": q_seasonal_baseline,
+        "minhash_containment": q_minhash_containment,
+        "salted_join": q_salted_join,
+        "bloom_semijoin": q_bloom_semijoin,
         "multimodal_decode": q_multimodal_decode,
         "jaccard_pairs": q_jaccard_pairs,
         "sliding_downsample": q_sliding_downsample,
@@ -3047,6 +3109,37 @@ def oracle_sql() -> dict[str, str]:
             + "\nFROM pairs p JOIN sig a ON p.id1 = a.doc_id"
             + " JOIN sig b ON p.id2 = b.doc_id"
         ),
+        "minhash_containment": (
+            "\nWITH "
+            + _minhash_lsh_ctes()
+            + """,
+            cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            est AS (SELECT p.id1, p.id2, ("""
+            + " + ".join(
+                f"CASE WHEN a.mh_{i} = b.mh_{i} THEN 1 ELSE 0 END" for i in range(8)
+            )
+            + """)::DOUBLE / 8 AS j
+                    FROM pairs p JOIN sig a ON p.id1 = a.doc_id
+                                 JOIN sig b ON p.id2 = b.doc_id)
+            SELECT e.id1, e.id2, round(j, 6) AS est_jaccard,
+                   ca.n_sh AS n_a, cb.n_sh AS n_b,
+                   round(j * (ca.n_sh + cb.n_sh) / (1e0 + j) / ca.n_sh, 6) AS est_cont_a,
+                   round(j * (ca.n_sh + cb.n_sh) / (1e0 + j) / cb.n_sh, 6) AS est_cont_b
+            FROM est e JOIN cnt ca ON e.id1 = ca.doc_id
+                       JOIN cnt cb ON e.id2 = cb.doc_id"""
+        ),
+        "salted_join": """
+            SELECT s.s_nationkey, count(*) AS n_items,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+            FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            GROUP BY s.s_nationkey""",
+        "bloom_semijoin": """
+            SELECT l_returnflag, count(*) AS n_items,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                                 WHERE o_orderpriority = '1-URGENT')
+            GROUP BY l_returnflag""",
         "cosine_near_dup_lsh": _near_dup_lsh_sql(threshold=0.4, num_planes=4, dim=64),
         "lsh_ann_topk": f"""
             WITH b AS (SELECT vec_id, embedding, {_bucket_sql(4, 64)} AS bucket

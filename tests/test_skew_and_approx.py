@@ -19,6 +19,62 @@ def test_salted_join_equals_plain_join(spark):
     assert salted == plain
 
 
+def test_bloom_semijoin_equals_plain_semijoin(spark):
+    from time_series_databse_engine_spark.operators.skew import bloom_semijoin
+
+    big = spark.createDataFrame(
+        [(i % 1000, float(i)) for i in range(5000)], "k int, v double"
+    )
+    keys = spark.createDataFrame([(i,) for i in range(0, 1000, 50)], "k int")
+    plain = sorted((r.k, r.v) for r in big.join(keys, "k", "left_semi").collect())
+    bloom = sorted((r.k, r.v) for r in bloom_semijoin(big, keys, "k").collect())
+    assert bloom == plain
+    assert len(bloom) == 5000 // 50  # 20 matching keys × 5 rows each... sanity
+    assert len(bloom) == 100
+
+
+def test_bloom_bitmap_no_false_negatives_and_selective(spark):
+    from time_series_databse_engine_spark.operators.skew import bloom_bitmap
+
+    keys = spark.createDataFrame([(i,) for i in range(200)], "k int")
+    bm = bloom_bitmap(keys, "k").collect()
+    assert len(bm) == 1 and len(bm[0]._bloom) == (1 << 16) // 64
+    # bit count: 200 keys × 3 hashes set ≤600 of 65536 bits — a probe of a
+    # random non-member must be overwhelmingly likely to miss
+    set_bits = sum(bin(w & ((1 << 64) - 1)).count("1") for w in bm[0]._bloom)
+    assert 0 < set_bits <= 600
+    # no false negatives: every member's 3 positions are set (checked via
+    # the semijoin path on a disjoint-probe universe)
+    from time_series_databse_engine_spark.operators.skew import bloom_semijoin
+
+    probe = spark.createDataFrame([(i,) for i in range(1000)], "k int")
+    out = {r.k for r in bloom_semijoin(probe, keys, "k").collect()}
+    assert out == set(range(200))
+
+
+def test_minhash_containment_detects_planted_subset(spark):
+    from time_series_databse_engine_spark.operators.dedup import (
+        minhash_containment_estimates,
+    )
+
+    quote = "the quick brown fox jumps over the lazy dog near the river bank today"
+    filler = " ".join(f"w{i} token{i * 7 % 13}" for i in range(8))
+    docs = spark.createDataFrame(
+        [(1, quote), (2, quote + " " + filler)], "doc_id int, text string"
+    )
+    # 1-row bands: OR-of-single-hashes banding, the containment-sensitive
+    # configuration (P[nominate] = 1-(1-J)^bands stays high even when the
+    # short doc's Jaccard is diluted by the long doc's extra shingles)
+    rows = minhash_containment_estimates(docs, bands=8, rows_per_band=1).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # doc1 is a verbatim subset of doc2: containment of 1-in-2 must be
+    # near 1 while symmetric Jaccard is far below it
+    assert r.est_cont_a > 0.8
+    assert r.est_jaccard < r.est_cont_a
+    assert r.n_a < r.n_b
+
+
 def test_ivf_recall_vs_exact(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 5)

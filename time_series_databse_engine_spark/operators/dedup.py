@@ -597,6 +597,73 @@ def minhash_jaccard_estimates(
     )
 
 
+def minhash_containment_estimates(
+    df: DataFrame,
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ASYMMETRIC containment estimate for every LSH candidate pair —
+    C(A,B) = |A∩B| / |A|, the quantity quote/boilerplate/subset detection
+    needs and symmetric Jaccard hides (a 50-word license block pasted
+    into a 5,000-word document has J ≈ 0.01 but containment ≈ 1.0, so a
+    Jaccard-threshold purge never sees it).
+
+    Estimator (Broder 1997): the MinHash agreement fraction estimates
+    J = |A∩B| / |A∪B|; with the EXACT per-doc distinct-shingle counts
+    |A|, |B| (a per-row ``size(array_distinct(...))`` — zero shuffles),
+    |A∩B| = J·(|A|+|B|)/(1+J), and containment follows in each
+    direction.  All float steps are written in one fixed order
+    (J·(nA+nB) → /(1+J) → /nA) so the SQL oracle reproduces them bit
+    for bit.
+
+    Scale shape: identical to :func:`minhash_jaccard_estimates` — the
+    candidate list comes from banding (never all-pairs), then two
+    id-keyed equi-joins against the signature table and two against the
+    (id, count) table; corpus text is never re-read after the per-row
+    folds.  J ≥ 1/num_hashes on every candidate (banding requires one
+    full band to agree), so the 1+J denominator never degenerates.
+    """
+    sigs = minhash_signatures(df, num_hashes, shingle_n, text_col, id_col).localCheckpoint()
+    pairs = lsh_candidate_pairs(sigs, bands, rows_per_band, id_col)
+    a = sigs.select(
+        F.col(id_col).alias("id1"),
+        *[F.col(f"mh_{i}").alias(f"_a{i}") for i in range(num_hashes)],
+    )
+    b = sigs.select(
+        F.col(id_col).alias("id2"),
+        *[F.col(f"mh_{i}").alias(f"_b{i}") for i in range(num_hashes)],
+    )
+    agree = sum(
+        F.when(F.col(f"_a{i}") == F.col(f"_b{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    sizes = _parallelize(df).select(
+        F.col(id_col), F.size(shingle_array(shingle_n, text_col)).alias("n_sh")
+    )
+    j = F.col("_j")
+    inter = j * (F.col("n_a") + F.col("n_b")) / (F.lit(1.0) + j)
+    return (
+        pairs.join(a, "id1")
+        .join(b, "id2")
+        .select("id1", "id2", (agree.cast("double") / num_hashes).alias("_j"))
+        .join(sizes.select(F.col(id_col).alias("id1"), F.col("n_sh").alias("n_a")), "id1")
+        .join(sizes.select(F.col(id_col).alias("id2"), F.col("n_sh").alias("n_b")), "id2")
+        .select(
+            "id1",
+            "id2",
+            F.round(j, 6).alias("est_jaccard"),
+            "n_a",
+            "n_b",
+            F.round(inter / F.col("n_a"), 6).alias("est_cont_a"),
+            F.round(inter / F.col("n_b"), 6).alias("est_cont_b"),
+        )
+    )
+
+
 def chunk_dedup(
     df: DataFrame,
     chunk_size: int = 20,
