@@ -1077,6 +1077,23 @@ def q_minhash_jaccard_est(spark, sf_dir):
     return dedup_ops.minhash_jaccard_estimates(_t(spark, sf_dir, "documents"))
 
 
+def q_pagerank(spark, sf_dir):
+    """PageRank centrality over the LSH near-dup candidate graph
+    (graph.pagerank, Page 1999; d=0.85, 5 fixed iterations): pick the
+    CANONICAL member of each dup cluster as the most-connected one —
+    the template its near-dups derive from — instead of min-id.
+    Oracle unrolls the five iterations as chained CTEs over the same
+    pair list, with the 9-dp per-iteration rounding both engines
+    share."""
+    from time_series_databse_engine_spark.operators import graph as graph_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    sigs = dedup_ops.minhash_signatures(docs, num_hashes=8, shingle_n=3)
+    pairs = dedup_ops.lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
+    pr = graph_ops.pagerank(pairs, damping=0.85, iters=5)
+    return pr.select(F.col("id").alias("doc_id"), "pagerank")
+
+
 def q_minhash_containment(spark, sf_dir):
     """Asymmetric containment estimate C(A,B)=|A∩B|/|A| per LSH candidate
     pair — the quote/boilerplate-subset signal symmetric Jaccard hides
@@ -1904,6 +1921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_anomaly": q_mad_anomaly,
         "seasonal_baseline": q_seasonal_baseline,
         "minhash_containment": q_minhash_containment,
+        "pagerank": q_pagerank,
         "salted_join": q_salted_join,
         "bloom_semijoin": q_bloom_semijoin,
         "multimodal_decode": q_multimodal_decode,
@@ -2035,6 +2053,36 @@ def _dedup_clusters_sql() -> str:
         )
         SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id"""
     )
+
+
+def _pagerank_sql(iters: int = 5) -> str:
+    """Unrolled PageRank over the LSH pair graph: r0 = 1/N, each r_{i+1}
+    one grouped sum over the edge list, every rank rounded 9 dp (the
+    engine's own per-iteration rounding), damping written symbolically
+    (1e0 - 0.85e0) so both engines constant-fold the same double."""
+    body = (
+        "\nWITH "
+        + _minhash_lsh_ctes()
+        + """,
+        edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+                  UNION SELECT id2, id1 FROM pairs),
+        nodes AS (SELECT DISTINCT src AS id FROM edges),
+        deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+        nn AS (SELECT count(*) AS n FROM nodes),
+        r0 AS (SELECT id, round(1e0 / n, 9) AS rank FROM nodes CROSS JOIN nn)"""
+    )
+    for i in range(iters):
+        body += f""",
+        r{i + 1} AS (
+          SELECT nodes.id,
+                 round((1e0 - 0.85e0) / n + 0.85e0 * coalesce(c.s, 0e0), 9) AS rank
+          FROM nodes
+          LEFT JOIN (SELECT dst AS id, sum(rank / outdeg) AS s
+                     FROM edges JOIN r{i} ON r{i}.id = edges.src
+                                JOIN deg ON deg.src = edges.src
+                     GROUP BY dst) c ON c.id = nodes.id
+          CROSS JOIN nn)"""
+    return body + f"\nSELECT id AS doc_id, round(rank, 6) AS pagerank FROM r{iters}"
 
 
 def _bucket_sql(num_planes=4, dim=64, seed=42) -> str:
@@ -3109,6 +3157,7 @@ def oracle_sql() -> dict[str, str]:
             + "\nFROM pairs p JOIN sig a ON p.id1 = a.doc_id"
             + " JOIN sig b ON p.id2 = b.doc_id"
         ),
+        "pagerank": _pagerank_sql(iters=5),
         "minhash_containment": (
             "\nWITH "
             + _minhash_lsh_ctes()

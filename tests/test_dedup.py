@@ -226,3 +226,21 @@ def test_chunk_dedup_removes_repeated_boilerplate_keeps_first(spark):
     dup = spark.createDataFrame([(1, boiler), (2, boiler)], ["doc_id", "text"])
     out2 = {r["doc_id"]: r for r in chunk_dedup(dup, chunk_size=4).collect()}
     assert out2[2]["n_kept"] == 0 and out2[2]["dedup_text"] == ""
+
+
+def test_pagerank_star_graph_center_wins(spark):
+    from time_series_databse_engine_spark.operators.graph import pagerank
+
+    # star: node 0 linked to 1..5, plus an isolated pair (10, 11)
+    pairs = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)] + [(10, 11)], "id1 int, id2 int"
+    )
+    out = {r.id: r.pagerank for r in pagerank(pairs, iters=10).collect()}
+    assert len(out) == 8
+    # probability mass conserved (symmetric graph, no dangling nodes)
+    assert abs(sum(out.values()) - 1.0) < 1e-4
+    # the hub dominates every leaf; leaves are symmetric hence equal
+    assert all(out[0] > out[i] for i in range(1, 6))
+    assert len({out[i] for i in range(1, 6)}) == 1
+    # the isolated pair's members split their component's mass equally
+    assert out[10] == out[11]
