@@ -1077,6 +1077,18 @@ def q_minhash_jaccard_est(spark, sf_dir):
     return dedup_ops.minhash_jaccard_estimates(_t(spark, sf_dir, "documents"))
 
 
+def q_ivfpq_topk(spark, sf_dir):
+    """IVFADC (similarity.ivfpq_topk, Jégou 2011): IVF cell probing cuts
+    candidate COUNT, PQ/ADC codes cut candidate WIDTH — the composed
+    production-ANN shape.  One corpus pass computes cell id and codes
+    together (assignment fold carried through pq_encode); the oracle
+    replays both quantizers and the probe join."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim_ops.ivfpq_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=5, n_cells=16, n_probe=4, m=4, ks=16
+    )
+
+
 def q_pagerank(spark, sf_dir):
     """PageRank centrality over the LSH near-dup candidate graph
     (graph.pagerank, Page 1999; d=0.85, 5 fixed iterations): pick the
@@ -1924,6 +1936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "salted_join": q_salted_join,
         "bloom_semijoin": q_bloom_semijoin,
+        "ivfpq_topk": q_ivfpq_topk,
         "multimodal_decode": q_multimodal_decode,
         "jaccard_pairs": q_jaccard_pairs,
         "sliding_downsample": q_sliding_downsample,
@@ -3438,6 +3451,72 @@ def oracle_sql() -> dict[str, str]:
                            - 2 * list_dot_product(qv, recon)
                            + list_dot_product(recon, recon), 6) AS approx_d2
               FROM q CROSS JOIN recon WHERE cand_id <> query_id)
+            SELECT query_id, cand_id, approx_d2, rank FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY approx_d2 ASC, cand_id ASC)
+                          AS rank
+              FROM s) WHERE rank <= 5""",
+        # IVFADC: the pq_ann_topk encoding/recon CTEs + the ivf_ann_topk
+        # cell-assignment and probe CTEs, joined on cell_id — both
+        # quantizers draw the same 16 smallest-md5 sample (different
+        # roles: cells keyed by vec_id, codes numbered 0..15)
+        "ivfpq_topk": """
+            WITH samp AS (SELECT vec_id, embedding FROM embeddings
+                          ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16),
+            cells AS (SELECT vec_id AS cell_id, embedding::DOUBLE[] AS ccent
+                      FROM samp),
+            cents AS (
+              SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id)
+                       - 1 AS code,
+                     embedding::DOUBLE[] AS cent
+              FROM samp),
+            c AS (SELECT vec_id AS cand_id, embedding::DOUBLE[] AS cv
+                  FROM embeddings),
+            ca AS (SELECT cand_id, cell_id FROM (
+              SELECT cand_id, cell_id,
+                     row_number() OVER (PARTITION BY cand_id
+                                        ORDER BY csim DESC, cell_id ASC) AS r
+              FROM (SELECT cand_id, cell_id,
+                           list_dot_product(cv, ccent) /
+                           (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(ccent, ccent))) AS csim
+                    FROM c, cells)) WHERE r = 1),
+            sub AS (SELECT unnest(range(4)) AS j),
+            dists AS (
+              SELECT cand_id, j, code,
+                     list_slice(cent, j*16 + 1, j*16 + 16) AS cent_sub,
+                     list_dot_product(list_slice(cv, j*16 + 1, j*16 + 16),
+                                      list_slice(cv, j*16 + 1, j*16 + 16))
+                     - 2 * list_dot_product(list_slice(cv, j*16 + 1, j*16 + 16),
+                                            list_slice(cent, j*16 + 1, j*16 + 16))
+                     + list_dot_product(list_slice(cent, j*16 + 1, j*16 + 16),
+                                        list_slice(cent, j*16 + 1, j*16 + 16)) AS d
+              FROM c CROSS JOIN sub CROSS JOIN cents),
+            enc AS (
+              SELECT cand_id, j, cent_sub FROM (
+                SELECT *, row_number() OVER (PARTITION BY cand_id, j
+                                             ORDER BY d ASC, code ASC) AS r
+                FROM dists) WHERE r = 1),
+            recon AS (
+              SELECT cand_id, flatten(list(cent_sub ORDER BY j)) AS recon
+              FROM enc GROUP BY cand_id),
+            q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                  FROM embeddings WHERE vec_id < 5),
+            qp AS (SELECT query_id, qv, cell_id FROM (
+              SELECT query_id, qv, cell_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY csim DESC, cell_id ASC) AS r
+              FROM (SELECT query_id, qv, cell_id,
+                           list_dot_product(qv, ccent) /
+                           (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(ccent, ccent))) AS csim
+                    FROM q, cells)) WHERE r <= 4),
+            s AS (
+              SELECT query_id, ca.cand_id,
+                     round(list_dot_product(qv, qv)
+                           - 2 * list_dot_product(qv, recon)
+                           + list_dot_product(recon, recon), 6) AS approx_d2
+              FROM qp JOIN ca USING (cell_id)
+                      JOIN recon ON recon.cand_id = ca.cand_id
+              WHERE ca.cand_id <> query_id)
             SELECT query_id, cand_id, approx_d2, rank FROM (
               SELECT *, row_number() OVER (PARTITION BY query_id
                                            ORDER BY approx_d2 ASC, cand_id ASC)

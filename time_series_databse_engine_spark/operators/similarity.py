@@ -732,6 +732,7 @@ def pq_encode(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Product-quantization encoding (Jégou et al. 2011): split each
     vector into ``m`` subvectors and store, per subspace, the code of the
@@ -753,8 +754,11 @@ def pq_encode(
     cb_row = F.broadcast(
         codebook.agg(F.collect_list(F.struct("code", "cent")).alias("_cb"))
     )
+    # ``carry`` columns ride through the fold untouched, letting callers
+    # (ivfpq_topk) fuse a prior per-row stage — e.g. the IVF cell
+    # assignment — into this same scan instead of re-joining by id
     e = embeddings.select(
-        F.col(id_col), as_double(vec_col).alias("_v")
+        F.col(id_col), as_double(vec_col).alias("_v"), *[F.col(c) for c in carry]
     ).crossJoin(cb_row)
     def _cands_for(j, v_j):
         # closure factory: Spark reads the lambda's arity, so captures
@@ -790,6 +794,7 @@ def pq_encode(
         F.col(id_col),
         F.array(*[b["code"] for b in bests]).alias("codes"),
         F.concat(*[b["sub"] for b in bests]).alias("recon"),
+        *[F.col(c) for c in carry],
     )
 
 
@@ -819,6 +824,80 @@ def pq_topk(
         enc.withColumnRenamed(id_col, "cand_id")
         .join(F.broadcast(q), F.col("cand_id") != F.col("query_id"))
         .select("query_id", "cand_id", F.round(_d2(F.col("qv"), F.col("recon")), 6).alias("approx_d2"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("approx_d2").asc(), F.col("cand_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "approx_d2", "rank")
+    )
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 4,
+    ks: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFADC (Jégou et al. 2011 §IV): the production ANN shape — IVF
+    cell pruning cuts HOW MANY candidates are scanned (~n_probe/n_cells
+    of N), PQ/ADC cuts HOW WIDE each scanned candidate is (~2-byte codes
+    instead of 512-byte vectors).  :func:`ivf_topk` alone still reads
+    full vectors in the probed cells; :func:`pq_topk` alone still scans
+    the whole corpus.  This composition is what scales a 100 TB
+    embedding store to interactive top-k.
+
+    Simplification vs the paper: codes quantize the RAW vectors, not the
+    per-cell residuals (residual encoding needs a per-cell codebook —
+    the oracle would have to replay ks x n_cells argmins; recall gain is
+    real but orthogonal to the plan shape being demonstrated).
+
+    Scale shape: ONE pass over the corpus computes cell id AND PQ codes
+    (the cell-assignment fold rides through :func:`pq_encode` via
+    ``carry`` — zero exchanges, no id re-join); the probe equi-join on
+    cell_id and the per-query rank window are exactly :func:`ivf_topk`'s.
+    """
+    cents = hash_sampled_cells(embeddings, n_cells, id_col, vec_col)
+    cb = pq_codebook(embeddings, ks, id_col, vec_col)
+
+    c = embeddings.select(
+        F.col(id_col).alias("cand_id"), as_double(vec_col).alias("cvec")
+    ).withColumn("cn", norm(F.col("cvec")))
+    c_assigned = assign_nearest_cell(c, cents, F.col("cvec"), F.col("cn"))
+    enc = pq_encode(
+        c_assigned, cb, m, dim, id_col="cand_id", vec_col="cvec", carry=("cell_id",)
+    )
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("qvec")
+    ).withColumn("qn", norm(F.col("qvec")))
+    q_scored = q.crossJoin(F.broadcast(cents)).select(
+        "*",
+        (dot(F.col("qvec"), F.col("cent")) / (F.col("qn") * F.col("cent_n"))).alias(
+            "_csim"
+        ),
+    )
+    wq = W.partitionBy("query_id").orderBy(F.col("_csim").desc(), F.col("cell_id").asc())
+    q_probes = (
+        q_scored.withColumn("_crank", F.row_number().over(wq))
+        .filter(F.col("_crank") <= n_probe)
+        .drop("cent", "cent_n", "_csim", "_crank", "qn")
+    )
+
+    scored = (
+        enc.join(F.broadcast(q_probes), "cell_id")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(_d2(F.col("qvec"), F.col("recon")), 6).alias("approx_d2"),
+        )
     )
     w = W.partitionBy("query_id").orderBy(F.col("approx_d2").asc(), F.col("cand_id").asc())
     return (
