@@ -209,3 +209,53 @@ def test_ewma_chunked_groups_per_chunk_not_per_series(spark, sf_dir):
     # final join — one execution, two InMemoryTableScan readers (without
     # the persist, Spark re-executes the whole fold subtree twice)
     assert plan.count("InMemoryTableScan") == 2
+
+
+def test_salted_join_shuffles_on_key_and_salt(spark, sf_dir):
+    """The whole point of salting: the big side's exchange key must be
+    (join key, salt), not the bare key."""
+    from time_series_databse_engine_spark.operators.skew import salted_join
+    from time_series_databse_engine_spark.plans import formatted_plan
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("suppkey"), "l_extendedprice"
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("suppkey"), "s_nationkey"
+    )
+    # at test scale the small side auto-broadcasts (no exchange at all —
+    # salting is then a no-op by construction); force the sort-merge
+    # regime, which is where salting earns its keep at 100 TB
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = formatted_plan(salted_join(li, s, on="suppkey", salt=8))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    ex = [
+        ln
+        for ln in plan.splitlines()
+        if "hashpartitioning" in ln and "suppkey" in ln
+    ]
+    assert ex, "expected a hash exchange on the salted key"
+    assert all("_salt" in ln for ln in ex)
+
+
+def test_bloom_semijoin_filters_before_exchange(spark, sf_dir):
+    """The Bloom membership test must sit BELOW the semi join's shuffle:
+    the big side's exchange input contains the bitmap bit-test filter,
+    so non-members never pay shuffle I/O."""
+    from time_series_databse_engine_spark.operators.skew import bloom_semijoin
+    from time_series_databse_engine_spark.plans import formatted_plan
+
+    li = load_table(spark, sf_dir, "lineitem")
+    urgent = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey")
+    )
+    plan = formatted_plan(bloom_semijoin(li, urgent, on="l_orderkey"))
+    assert "LeftSemi" in plan
+    # the bit-test appears as a shiftright/element_at filter in the plan;
+    # the broadcast of the one-row bitmap must be a BroadcastNestedLoopJoin
+    # (1 row), never a cartesian over real data
+    assert "shiftleft" in plan
+    assert not has_cartesian_product(li.join(urgent, "l_orderkey", "left_semi"))
