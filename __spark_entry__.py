@@ -1077,6 +1077,35 @@ def q_minhash_jaccard_est(spark, sf_dir):
     return dedup_ops.minhash_jaccard_estimates(_t(spark, sf_dir, "documents"))
 
 
+def q_zorder_key(spark, sf_dir):
+    """Z-order (Morton) clustering key over events' (ts_ms, value)
+    (layout.zorder_key): quantize both dims to 16-bit buckets against
+    the table min/max (broadcast one-row aggregate, no collect), then
+    bit-interleave — the sort key that makes parquet footer min/max
+    tight in BOTH dimensions at once (layout.zorder_write + the
+    pruning test quantify the file-skip win).  Oracle replays the
+    quantize + 32-term interleave with DuckDB bit operators."""
+    from time_series_databse_engine_spark.operators import layout as layout_ops
+
+    ev = _t(spark, sf_dir, "events")
+    mm = F.broadcast(
+        ev.agg(
+            F.min("ts_ms").alias("tlo"),
+            F.max("ts_ms").alias("thi"),
+            F.min("value").alias("vlo"),
+            F.max("value").alias("vhi"),
+        )
+    )
+    q = ev.crossJoin(mm).select(
+        "event_id",
+        layout_ops.quantize(F.col("ts_ms"), F.col("tlo"), F.col("thi"), 16).alias("qa"),
+        layout_ops.quantize(F.col("value"), F.col("vlo"), F.col("vhi"), 16).alias("qb"),
+    )
+    return q.select(
+        "event_id", layout_ops.zorder_key(F.col("qa"), F.col("qb"), 16).alias("zkey")
+    )
+
+
 def q_ivfpq_topk(spark, sf_dir):
     """IVFADC (similarity.ivfpq_topk, Jégou 2011): IVF cell probing cuts
     candidate COUNT, PQ/ADC codes cut candidate WIDTH — the composed
@@ -1937,6 +1966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join": q_salted_join,
         "bloom_semijoin": q_bloom_semijoin,
         "ivfpq_topk": q_ivfpq_topk,
+        "zorder_key": q_zorder_key,
         "multimodal_decode": q_multimodal_decode,
         "jaccard_pairs": q_jaccard_pairs,
         "sliding_downsample": q_sliding_downsample,
@@ -2066,6 +2096,29 @@ def _dedup_clusters_sql() -> str:
         )
         SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id"""
     )
+
+
+def _zorder_sql(bits: int = 16) -> str:
+    """Quantize (ts_ms, value) to ``bits``-bit buckets against the table
+    min/max and Morton-interleave with DuckDB's native >> & << — term
+    order and float-op order identical to layout.zorder_key/quantize."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"(((qa >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((qb >> {i}) & 1) << {2 * i + 1})")
+    interleave = " + ".join(terms)
+    top = (1 << bits) - 1
+    scale = f"{float(1 << bits):.1f}e0".replace(".0e0", "e0")
+    return f"""
+        WITH mm AS (SELECT min(epoch_ms(ts)) AS tlo, max(epoch_ms(ts)) AS thi,
+                           min(value) AS vlo, max(value) AS vhi FROM events),
+        q AS (SELECT event_id,
+                     least(greatest(floor((epoch_ms(ts) - tlo) / (thi - tlo)
+                                          * {scale}), 0), {top})::BIGINT AS qa,
+                     least(greatest(floor((value - vlo) / (vhi - vlo)
+                                          * {scale}), 0), {top})::BIGINT AS qb
+              FROM events CROSS JOIN mm)
+        SELECT event_id, {interleave} AS zkey FROM q"""
 
 
 def _pagerank_sql(iters: int = 5) -> str:
@@ -3171,6 +3224,7 @@ def oracle_sql() -> dict[str, str]:
             + " JOIN sig b ON p.id2 = b.doc_id"
         ),
         "pagerank": _pagerank_sql(iters=5),
+        "zorder_key": _zorder_sql(bits=16),
         "minhash_containment": (
             "\nWITH "
             + _minhash_lsh_ctes()

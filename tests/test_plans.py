@@ -259,3 +259,75 @@ def test_bloom_semijoin_filters_before_exchange(spark, sf_dir):
     # (1 row), never a cartesian over real data
     assert "shiftleft" in plan
     assert not has_cartesian_product(li.join(urgent, "l_orderkey", "left_semi"))
+
+
+def test_zorder_layout_prunes_second_dimension(spark, sf_dir, tmp_path):
+    """A ts-sorted layout leaves `value` spanning its full range in every
+    file (a value-selective scan reads everything); the z-ordered layout
+    makes footer min/max tight in BOTH dims, so the same scan can skip
+    most files."""
+    from time_series_databse_engine_spark.operators.layout import (
+        quantize,
+        rank_quantize,
+        zorder_key,
+        zorder_write,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts_ms", "value")
+    mm = F.broadcast(
+        ev.agg(F.min("ts_ms").alias("tlo"), F.max("ts_ms").alias("thi"))
+    )
+    # value is long-tailed (p95/max ≈ 0.3): equal-width quantize packs the
+    # dense region into a few buckets and the interleave stops separating
+    # it — rank_quantize (range-partition ids) is the skew-proof path
+    rq = rank_quantize(ev, "value", bits=8, out="vbucket")
+    z = (
+        rq.crossJoin(mm)
+        .select(
+            "event_id",
+            "ts_ms",
+            "value",
+            zorder_key(
+                quantize(F.col("ts_ms"), F.col("tlo"), F.col("thi"), 8),
+                F.col("vbucket").cast("long"),
+                8,
+            ).alias("zkey"),
+        )
+    )
+    zorder_write(z, str(tmp_path / "z"), num_files=16)
+    (
+        ev.repartitionByRange(16, F.col("ts_ms"))
+        .sortWithinPartitions("ts_ms")
+        .write.mode("overwrite")
+        .parquet(str(tmp_path / "t"))
+    )
+
+    # a band INSIDE one population quartile (p45-p55 would straddle the
+    # median, which is a z-strip boundary — the honest worst case, where
+    # z still reads half the strips but no layout can do better)
+    vb = ev.agg(
+        F.expr("percentile(value, 0.30)").alias("lo"),
+        F.expr("percentile(value, 0.40)").alias("hi"),
+    ).collect()[0]
+
+    def overlapping_files(path):
+        stats = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
+        )
+        return (
+            stats.count(),
+            stats.filter(
+                (F.col("vmin") <= vb.hi) & (F.col("vmax") >= vb.lo)
+            ).count(),
+        )
+
+    zn, zhit = overlapping_files(str(tmp_path / "z"))
+    tn, thit = overlapping_files(str(tmp_path / "t"))
+    assert zn == tn == 16
+    # ts-sorted: every file spans ~the full value range → no skipping
+    assert thit >= 14
+    # z-ordered: 16 files = 2 high bits/dim = 4 value strips; a 10%-wide
+    # value band lives in ~1 strip → most files skippable
+    assert zhit <= 8

@@ -1,0 +1,84 @@
+"""Multi-dimensional data layout: Z-order (Morton) clustering.
+
+Partition pruning on ONE column is free (hour_bucket in the store,
+row-group min/max in parquet).  But a 100 TB table queried by BOTH time
+and value (or tenant and time, or lat and lon) can only be sorted by one
+of them — the second dimension spans its full range inside every file
+and prunes nothing.  Z-ordering interleaves the bits of the quantized
+dimensions into one sort key, so files that are contiguous in z-space
+are small RECTANGLES in dimension-space: every file's min/max footer
+stats become tight in EVERY interleaved dimension at once, and a
+selective filter on any of them skips most files (the Delta/Iceberg
+``OPTIMIZE ZORDER BY`` layout, built here from primitives).
+
+All expressions are static shift/and/or chains — whole-stage-codegen
+friendly, no UDFs — and every float step is written in the fixed order
+the SQL oracle replays (subtract in native type, one division, one
+multiply, floor, clamp).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from operator import add
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def quantize(col, lo, hi, bits: int = 16) -> F.Column:
+    """Map ``col`` in [lo, hi] to an integer bucket in [0, 2^bits):
+    ``clamp(floor((col - lo) / (hi - lo) * 2^bits))``.  ``lo``/``hi``
+    are Columns (ride a broadcast one-row min/max aggregate — no driver
+    collect) or literals.  Values at the max land in the top bucket;
+    out-of-range values clamp rather than corrupt the interleave."""
+    lo_c = lo if isinstance(lo, F.Column) else F.lit(lo)
+    hi_c = hi if isinstance(hi, F.Column) else F.lit(hi)
+    scaled = F.floor((col - lo_c) / (hi_c - lo_c) * F.lit(float(1 << bits)))
+    return F.least(F.greatest(scaled, F.lit(0)), F.lit((1 << bits) - 1)).cast("long")
+
+
+def rank_quantize(df: DataFrame, col: str, bits: int = 8, out: str = "bucket") -> DataFrame:
+    """Skew-proof bucketing: the bucket is the SAMPLING-BASED RANGE
+    PARTITION id (what Delta/Iceberg OPTIMIZE uses) — equal-POPULATION
+    buckets whatever the distribution, one sampling pass, no global sort
+    and no exact quantiles.  :func:`quantize` is equal-WIDTH and
+    collapses under skew (a long-tailed column packs ~all rows into a
+    few buckets, and the interleave stops separating the dense region —
+    measured on events.value, p95/max ≈ 0.3); use this one for real
+    layouts.  ``spark_partition_id`` is non-deterministic-tagged, so
+    Catalyst pins the projection to the stage right after this exchange
+    — a later z-key repartition cannot disturb the captured bucket."""
+    return df.repartitionByRange(1 << bits, F.col(col)).withColumn(
+        out, F.spark_partition_id()
+    )
+
+
+def zorder_key(a, b, bits: int = 16) -> F.Column:
+    """Morton interleave of two pre-quantized ``bits``-bit integers:
+    ``a`` occupies even bit positions, ``b`` odd — one static
+    2·bits-term shift/mask sum (terms write disjoint bits, so ``+``
+    is ``|``), fully codegen'd, reproducible in any engine with
+    ``>> & <<``."""
+    terms = []
+    for i in range(bits):
+        terms.append(F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i))
+        terms.append(F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1))
+    return reduce(add, terms)
+
+
+def zorder_write(
+    df: DataFrame, path: str, zcol: str = "zkey", num_files: int = 16
+) -> None:
+    """Write ``df`` parquet clustered by its z-key: range-repartition on
+    the key (one sampling pass picks the boundaries — the standard
+    global-sort shape, no skewed-single-task), sort within partitions,
+    one file per partition.  Each file then covers a contiguous z-range
+    = a rectangle in dimension space, and its parquet footer min/max on
+    the ORIGINAL columns is what downstream scans prune with — the
+    z-key itself need not be stored or filtered on."""
+    (
+        df.repartitionByRange(num_files, F.col(zcol))
+        .sortWithinPartitions(zcol)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
