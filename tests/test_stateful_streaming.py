@@ -80,3 +80,52 @@ def test_cusum_stream_carries_state_and_matches_sequential(spark, two_batch_sour
         assert (r.cusum_pos, r.cusum_neg, r.alarm) == (esp, esn, ealarm)
     # the cross-batch point (3000) must see state from batch 1
     assert rows[3000].cusum_pos == 9.5 + 19.5  # (20-10.5) + (30-10.5)
+
+
+def test_heavy_hitters_state_across_batches(spark):
+    """Misra–Gries counters persist: a token spread across two
+    micro-batches is counted across both, within the MG error bound."""
+    import shutil
+    import tempfile
+
+    from time_series_databse_engine_spark.streaming.stateful import (
+        heavy_hitters_stream,
+    )
+
+    d = tempfile.mkdtemp()
+    try:
+        schema = "item string"
+        # batch 1: 30×hot, 10×warm, 8 distinct cold; batch 2: 20×hot + cold
+        b1 = [("hot",)] * 30 + [("warm",)] * 10 + [(f"c{i}",) for i in range(8)]
+        b2 = [("hot",)] * 20 + [(f"d{i}",) for i in range(8)]
+        spark.createDataFrame(b1, schema).coalesce(1).write.parquet(d + "/src/b1")
+        spark.createDataFrame(b2, schema).coalesce(1).write.parquet(d + "/src/b2")
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(d + "/src/*")
+        )
+        q = (
+            heavy_hitters_stream(stream, k=4, n_buckets=2)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName("hh_out")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        # last emission per (bucket, item): memory sink in update mode
+        # appends every trigger — take the max est_count per item
+        rows = spark.sql(
+            "SELECT item, max(est_count) AS est, max(max_err) AS err"
+            " FROM hh_out GROUP BY item"
+        ).collect()
+        got = {r.item: (r.est, r.err) for r in rows}
+        assert "hot" in got
+        est, err = got["hot"]
+        # MG bound: true - err <= est <= true (true = 50 across batches)
+        assert est <= 50
+        assert est + err >= 50
+        assert est >= 30  # must have survived both batches' pruning
+    finally:
+        shutil.rmtree(d)

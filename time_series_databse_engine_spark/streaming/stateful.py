@@ -118,3 +118,82 @@ def cusum_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+HH_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("bucket", T.IntegerType(), False),
+        T.StructField("item", T.StringType(), False),
+        T.StructField("est_count", T.LongType(), False),
+        T.StructField("max_err", T.LongType(), False),
+    ]
+)
+HH_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("items", T.ArrayType(T.StringType()), True),
+        T.StructField("counts", T.ArrayType(T.LongType()), True),
+        T.StructField("decremented", T.LongType(), True),
+    ]
+)
+
+
+def heavy_hitters_stream(
+    stream: DataFrame, item_col: str = "item", k: int = 8, n_buckets: int = 4
+) -> DataFrame:
+    """Streaming heavy hitters: Misra–Gries summaries carried across
+    micro-batches — the trending-tokens/domains monitor a training-data
+    intake pipeline runs on its firehose (exact streaming counts need
+    unbounded state; this needs ``k`` counters per bucket, forever).
+
+    Items are hash-PARTITIONED over ``n_buckets`` state groups, so each
+    group's summary is an independent exact Misra–Gries over ITS item
+    subset: no cross-bucket merge error, and the global top-k is a
+    k·n_buckets-row union.  Guarantee per emitted row (Misra–Gries):
+    ``true_count - max_err <= est_count <= true_count``, with ``max_err``
+    (the bucket's cumulative decrement) <= bucket_arrivals/(k+1).
+
+    Scale shape: state is O(k · n_buckets) doubles/strings total —
+    independent of stream length; ``n_buckets`` sets the stateful
+    shuffle's parallelism (raise it to spread load; hot single items
+    are AT one bucket by construction, which is what the per-bucket
+    summary wants).  Arrival rows are pre-reduced to per-batch
+    (item, count) pairs inside the Arrow batch before touching the
+    dict, so per-row Python work is one pandas value_counts.
+    """
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (bucket,) = key
+        if state.exists:
+            items, counts, dec = state.get
+            counters = dict(zip(items, counts))
+            dec = int(dec)
+        else:
+            counters, dec = {}, 0
+        for pdf in pdfs:
+            for item, c in pdf[item_col].value_counts().items():
+                counters[item] = counters.get(item, 0) + int(c)
+            if len(counters) > k:
+                # batch Misra–Gries step: subtract the (k+1)-th largest
+                # count from everything, drop the non-positive
+                kth = sorted(counters.values(), reverse=True)[k]
+                dec += kth
+                counters = {i: c - kth for i, c in counters.items() if c > kth}
+        state.update((list(counters.keys()), [int(c) for c in counters.values()], dec))
+        rows = sorted(counters.items(), key=lambda t: (-t[1], t[0]))
+        yield pd.DataFrame(
+            [(bucket, i, int(c), dec) for i, c in rows],
+            columns=["bucket", "item", "est_count", "max_err"],
+        )
+
+    keyed = stream.withColumn(
+        "_bucket", F.pmod(F.xxhash64(F.col(item_col)), F.lit(n_buckets)).cast("int")
+    )
+    return keyed.groupBy("_bucket").applyInPandasWithState(
+        update,
+        outputStructType=HH_OUT_SCHEMA,
+        stateStructType=HH_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
