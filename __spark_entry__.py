@@ -1077,6 +1077,31 @@ def q_minhash_jaccard_est(spark, sf_dir):
     return dedup_ops.minhash_jaccard_estimates(_t(spark, sf_dir, "documents"))
 
 
+def q_hw_backtest(spark, sf_dir):
+    """Rolling-origin backtest of the Holt-Winters fit
+    (timeseries.hw_backtest, Tashman 2000): per (event_type, horizon)
+    MAE/RMSE of h-step-ahead forecasts scored from EVERY fitted origin
+    via window lag/lead over the one-pass smoother state — no
+    per-origin re-fit, zero extra shuffles.  Oracle wraps the
+    holt_winters recursive CTE and replays the same window algebra."""
+    hourly = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", (F.col("ts_ms") / 3600000).cast("long").alias("bucket")
+        )
+        .agg(F.round(F.avg("value"), 6).alias("y"))
+    )
+    return ts_ops.hw_backtest(
+        hourly,
+        "event_type",
+        alpha=1 / 3,
+        beta=1 / 6,
+        gamma=1 / 7,
+        period=24,
+        horizons=(1, 3, 6, 12),
+    )
+
+
 def q_zorder_key(spark, sf_dir):
     """Z-order (Morton) clustering key over events' (ts_ms, value)
     (layout.zorder_key): quantize both dims to 16-bit buckets against
@@ -1967,6 +1992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_semijoin": q_bloom_semijoin,
         "ivfpq_topk": q_ivfpq_topk,
         "zorder_key": q_zorder_key,
+        "hw_backtest": q_hw_backtest,
         "multimodal_decode": q_multimodal_decode,
         "jaccard_pairs": q_jaccard_pairs,
         "sliding_downsample": q_sliding_downsample,
@@ -2119,6 +2145,105 @@ def _zorder_sql(bits: int = 16) -> str:
                                           * {scale}), 0), {top})::BIGINT AS qb
               FROM events CROSS JOIN mm)
         SELECT event_id, {interleave} AS zkey FROM q"""
+
+
+def _holt_winters_oracle_sql() -> str:
+    """Recursive-CTE Holt-Winters fit over the hourly-mean events
+    series (seasonal history carried as a LIST in the recursion state)
+    -- shared by the holt_winters query and the hw_backtest wrapper,
+    which scores h-step forecasts from every fitted origin."""
+    return f"""
+            WITH RECURSIVE base AS (
+              SELECT event_type, bucket, y,
+                     CAST(round(y * 1000000.0e0) AS BIGINT) AS yint,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY bucket) AS rn
+              FROM (SELECT event_type, {_EV_MS} // 3600000 AS bucket,
+                           round(avg(value), 6) AS y
+                    FROM events GROUP BY 1, 2)
+            ), stats AS (
+              SELECT event_type, count(*) AS n,
+                     (sum(CASE WHEN rn <= 24 THEN yint END)
+                      / least(count(*), 24)) / 1000000.0e0 AS l0,
+                     CASE WHEN count(*) >= 48 THEN
+                       (((sum(CASE WHEN rn > 24 AND rn <= 48 THEN yint END)
+                          / 24) / 1000000.0e0)
+                        - ((sum(CASE WHEN rn <= 24 THEN yint END)
+                            / least(count(*), 24)) / 1000000.0e0)) / 24
+                     ELSE 0.0::DOUBLE END AS b0
+              FROM base GROUP BY event_type
+            ), seed AS (
+              SELECT b.event_type,
+                     list(b.y - st.l0 ORDER BY b.rn) AS ss0,
+                     any_value(st.l0) AS l0, any_value(st.b0) AS b0
+              FROM base b JOIN stats st USING (event_type)
+              WHERE b.rn <= 24 AND st.n > 24
+              GROUP BY b.event_type
+            ), rec AS (
+              SELECT event_type, CAST(NULL AS BIGINT) AS bucket,
+                     CAST(NULL AS DOUBLE) AS y, 24 AS rn,
+                     l0 AS l, b0 AS b, ss0 AS ss,
+                     CAST(NULL AS DOUBLE) AS fc,
+                     CAST(NULL AS DOUBLE) AS s
+              FROM seed
+              UNION ALL
+              SELECT event_type, bucket, y, rn, lnew AS l,
+                     {(1 / 6)!r}::DOUBLE * (lnew - lprev)
+                       + {(1.0 - 1 / 6)!r}::DOUBLE * bprev AS b,
+                     list_append(ssprev, snew) AS ss,
+                     lnew
+                       + ({(1 / 6)!r}::DOUBLE * (lnew - lprev)
+                          + {(1.0 - 1 / 6)!r}::DOUBLE * bprev)
+                       + ssprev[rn + 1 - 24] AS fc,
+                     snew AS s
+              FROM (
+                SELECT nb.event_type, nb.bucket, nb.y, nb.rn,
+                       r.ss[nb.rn - 24] AS sold,
+                       {(1 / 3)!r}::DOUBLE * (nb.y - sold)
+                         + {(1.0 - 1 / 3)!r}::DOUBLE * (r.l + r.b) AS lnew,
+                       {(1 / 7)!r}::DOUBLE * (nb.y - ({(1 / 3)!r}::DOUBLE
+                           * (nb.y - sold)
+                           + {(1.0 - 1 / 3)!r}::DOUBLE * (r.l + r.b)))
+                         + {(1.0 - 1 / 7)!r}::DOUBLE * sold AS snew,
+                       r.l AS lprev, r.b AS bprev, r.ss AS ssprev
+                FROM base nb JOIN rec r
+                  ON nb.event_type = r.event_type AND nb.rn = r.rn + 1)
+            )
+            SELECT event_type, bucket, y, round(l, 6) AS level,
+                   round(b, 6) AS trend, round(s, 6) AS seasonal,
+                   round(fc, 6) AS forecast
+            FROM rec WHERE rn > 24"""
+
+
+def _hw_backtest_sql(period: int = 24, horizons: tuple[int, ...] = (1, 3, 6, 12)) -> str:
+    """Wrap the holt_winters recursive-CTE fit and score h-step
+    forecasts from every origin: lag(seasonal, period-h) is
+    s_{t+h-period}, lead(y, h) the realized value; origins with bucket
+    gaps are dropped exactly as the engine does."""
+    hw = _holt_winters_oracle_sql()
+    per_h = []
+    for h in horizons:
+        back = period - h
+        per_h.append(f"""
+            SELECT event_type, {h} AS horizon,
+                   round(level + {h}e0 * trend + sl, 6) - ny AS err
+            FROM (SELECT event_type, bucket, y, level, trend, seasonal,
+                         lead(bucket, {h}) OVER w AS nb,
+                         lead(y, {h}) OVER w AS ny,
+                         lag(seasonal, {back}) OVER w AS sl,
+                         lag(bucket, {back}) OVER w AS sb
+                  FROM hw
+                  WINDOW w AS (PARTITION BY event_type ORDER BY bucket))
+            WHERE nb = bucket + {h} AND sb = bucket - {back}""")
+    return (
+        "\nWITH hw AS (" + hw + "),\n errs AS ("
+        + " UNION ALL ".join(per_h)
+        + """)
+        SELECT event_type, horizon, count(*) AS n,
+               round(avg(abs(err)), 6) AS mae,
+               round(sqrt(avg(err * err)), 6) AS rmse
+        FROM errs GROUP BY event_type, horizon"""
+    )
 
 
 def _pagerank_sql(iters: int = 5) -> str:
@@ -3225,6 +3350,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pagerank": _pagerank_sql(iters=5),
         "zorder_key": _zorder_sql(bits=16),
+        "hw_backtest": _hw_backtest_sql(period=24, horizons=(1, 3, 6, 12)),
         "minhash_containment": (
             "\nWITH "
             + _minhash_lsh_ctes()
@@ -3777,67 +3903,7 @@ def oracle_sql() -> dict[str, str]:
         # history as a LIST (list_append per step) so s_{t-24} is one
         # subscript away — constants written in the exact order the
         # Python loop evaluates, the holt_smoothing discipline
-        "holt_winters": f"""
-            WITH RECURSIVE base AS (
-              SELECT event_type, bucket, y,
-                     CAST(round(y * 1000000.0e0) AS BIGINT) AS yint,
-                     row_number() OVER (PARTITION BY event_type
-                                        ORDER BY bucket) AS rn
-              FROM (SELECT event_type, {_EV_MS} // 3600000 AS bucket,
-                           round(avg(value), 6) AS y
-                    FROM events GROUP BY 1, 2)
-            ), stats AS (
-              SELECT event_type, count(*) AS n,
-                     (sum(CASE WHEN rn <= 24 THEN yint END)
-                      / least(count(*), 24)) / 1000000.0e0 AS l0,
-                     CASE WHEN count(*) >= 48 THEN
-                       (((sum(CASE WHEN rn > 24 AND rn <= 48 THEN yint END)
-                          / 24) / 1000000.0e0)
-                        - ((sum(CASE WHEN rn <= 24 THEN yint END)
-                            / least(count(*), 24)) / 1000000.0e0)) / 24
-                     ELSE 0.0::DOUBLE END AS b0
-              FROM base GROUP BY event_type
-            ), seed AS (
-              SELECT b.event_type,
-                     list(b.y - st.l0 ORDER BY b.rn) AS ss0,
-                     any_value(st.l0) AS l0, any_value(st.b0) AS b0
-              FROM base b JOIN stats st USING (event_type)
-              WHERE b.rn <= 24 AND st.n > 24
-              GROUP BY b.event_type
-            ), rec AS (
-              SELECT event_type, CAST(NULL AS BIGINT) AS bucket,
-                     CAST(NULL AS DOUBLE) AS y, 24 AS rn,
-                     l0 AS l, b0 AS b, ss0 AS ss,
-                     CAST(NULL AS DOUBLE) AS fc,
-                     CAST(NULL AS DOUBLE) AS s
-              FROM seed
-              UNION ALL
-              SELECT event_type, bucket, y, rn, lnew AS l,
-                     {(1 / 6)!r}::DOUBLE * (lnew - lprev)
-                       + {(1.0 - 1 / 6)!r}::DOUBLE * bprev AS b,
-                     list_append(ssprev, snew) AS ss,
-                     lnew
-                       + ({(1 / 6)!r}::DOUBLE * (lnew - lprev)
-                          + {(1.0 - 1 / 6)!r}::DOUBLE * bprev)
-                       + ssprev[rn + 1 - 24] AS fc,
-                     snew AS s
-              FROM (
-                SELECT nb.event_type, nb.bucket, nb.y, nb.rn,
-                       r.ss[nb.rn - 24] AS sold,
-                       {(1 / 3)!r}::DOUBLE * (nb.y - sold)
-                         + {(1.0 - 1 / 3)!r}::DOUBLE * (r.l + r.b) AS lnew,
-                       {(1 / 7)!r}::DOUBLE * (nb.y - ({(1 / 3)!r}::DOUBLE
-                           * (nb.y - sold)
-                           + {(1.0 - 1 / 3)!r}::DOUBLE * (r.l + r.b)))
-                         + {(1.0 - 1 / 7)!r}::DOUBLE * sold AS snew,
-                       r.l AS lprev, r.b AS bprev, r.ss AS ssprev
-                FROM base nb JOIN rec r
-                  ON nb.event_type = r.event_type AND nb.rn = r.rn + 1)
-            )
-            SELECT event_type, bucket, y, round(l, 6) AS level,
-                   round(b, 6) AS trend, round(s, 6) AS seasonal,
-                   round(fc, 6) AS forecast
-            FROM rec WHERE rn > 24""",
+        "holt_winters": _holt_winters_oracle_sql(),
     }
     # the chunk-and-chain variants compute the identical recursions, so
     # they share the sequential oracles verbatim

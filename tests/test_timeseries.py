@@ -697,3 +697,35 @@ def test_stl_anomaly_ignores_seasonal_spike_flags_real_one(spark):
         if b % 24 == 8 and abs(b - 150) > 13 and 12 <= b < 24 * 12 - 12
     }
     assert not spike_hours
+
+
+def test_hw_backtest_near_zero_error_on_clean_signal(spark):
+    """On an exactly additive series (linear trend + pure seasonal), the
+    Holt-Winters fit converges and every-horizon forecasts are
+    near-perfect; MAE must be tiny and n must count every valid origin."""
+    import math
+
+    from time_series_databse_engine_spark.operators.timeseries import hw_backtest
+
+    m = 12
+    rows = [
+        # pure seasonal (no trend): the textbook warm-up seasonals are then
+        # exact and the backtest should report near-zero error everywhere;
+        # with a trend the warm-up seasonals absorb the ramp and decay only
+        # at rate gamma per cycle -- a model-bias fact, not a backtest bug
+        ("s", t, round(10.0 * math.sin(2 * math.pi * (t % m) / m), 6))
+        for t in range(1, 140)
+    ]
+    df = spark.createDataFrame(rows, "k string, bucket long, y double")
+    out = {
+        r.horizon: r
+        for r in hw_backtest(
+            df, "k", alpha=0.5, beta=0.1, gamma=0.1, period=m, horizons=(1, 3, 6)
+        ).collect()
+    }
+    assert set(out) == {1, 3, 6}
+    for h, r in out.items():
+        assert r.mae < 0.2, (h, r.mae)
+        assert r.rmse >= r.mae
+        # origins: points m+1..139 minus h lead-out minus (m-h) lag-in
+        assert r.n == (139 - m) - h - (m - h)

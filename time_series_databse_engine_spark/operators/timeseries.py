@@ -1488,6 +1488,85 @@ def holt_winters(
     )
 
 
+def hw_backtest(
+    df: DataFrame,
+    key: str,
+    alpha: float,
+    beta: float,
+    gamma: float,
+    period: int,
+    horizons: tuple[int, ...] = (1, 3, 6, 12),
+    ts_col: str = "bucket",
+    value: str = "y",
+) -> DataFrame:
+    """Rolling-origin forecast backtest (Tashman 2000's evaluation
+    protocol) for :func:`holt_winters`: EVERY post-warm-up point is a
+    forecast origin, the additive h-step forecast
+    ``l_t + h·b_t + s_{t+h−period}`` is scored against the realized
+    value h steps later, and errors aggregate to per-(series, horizon)
+    MAE/RMSE — the table that answers "how far ahead is this model
+    usable?".
+
+    The trick that keeps this ONE pass: the smoothing recursion already
+    computes the state at every t, so an h-step forecast from origin t
+    is a pure window expression over the fitted output — ``lag(seasonal,
+    period−h)`` fetches s_{t+h−period}, ``lead(y, h)`` fetches the
+    actual — no re-fitting per origin (the naive backtest re-runs the
+    fit O(n) times).  All horizons share one (key, ts) window spec, so
+    the whole backtest adds ZERO shuffles beyond holt_winters' own
+    series-key exchange.  Origins where the series has a gap (lead/lag
+    bucket isn't exactly ±h/±(period−h)) are dropped, not silently
+    mis-scored.  Requires h < period (the first seasonal cycle of
+    forecasts reuses in-sample seasonal state).
+    """
+    assert all(0 < h < period for h in horizons), "horizons must be in (0, period)"
+    hw = holt_winters(df, key, alpha, beta, gamma, period, ts_col, value)
+    w = W.partitionBy(key).orderBy(ts_col)
+    # window expressions must be materialized as plain columns before the
+    # explode (generators reject window functions); all lags/leads share
+    # one window spec, so this is still a single sort within one exchange
+    wide = hw.select(
+        F.col(key),
+        F.col(ts_col),
+        "level",
+        "trend",
+        *[
+            c
+            for h in horizons
+            for c in (
+                F.lead(ts_col, h).over(w).alias(f"_nb{h}"),
+                F.lead(value, h).over(w).alias(f"_ny{h}"),
+                F.lag("seasonal", period - h).over(w).alias(f"_sl{h}"),
+                F.lag(ts_col, period - h).over(w).alias(f"_sb{h}"),
+            )
+        ],
+    )
+    entries = []
+    for h in horizons:
+        ok = (F.col(f"_nb{h}") == F.col(ts_col) + h) & (
+            F.col(f"_sb{h}") == F.col(ts_col) - (period - h)
+        )
+        fc = F.round(
+            F.col("level") + F.lit(float(h)) * F.col("trend") + F.col(f"_sl{h}"), 6
+        )
+        entries.append(
+            F.struct(
+                F.lit(h).alias("horizon"),
+                F.when(ok, fc - F.col(f"_ny{h}")).alias("err"),
+            )
+        )
+    ex = (
+        wide.select(F.col(key), F.explode(F.array(*entries)).alias("e"))
+        .select(key, "e.horizon", "e.err")
+        .filter(F.col("err").isNotNull())
+    )
+    return ex.groupBy(key, "horizon").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg(F.abs("err")), 6).alias("mae"),
+        F.round(F.sqrt(F.avg(F.col("err") * F.col("err"))), 6).alias("rmse"),
+    )
+
+
 def cohort_retention(
     df: DataFrame,
     user_col: str = "user_id",
