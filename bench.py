@@ -75,6 +75,13 @@ HEADLINE = [
     "chunk_dedup",
     "stl_decompose",
     "holt_winters",
+    "minhash_containment",
+    "bloom_semijoin",
+    "salted_join",
+    "pagerank",
+    "ivfpq_topk",
+    "zorder_key",
+    "hw_backtest",
 ]
 
 # repeated-run latency distribution for the reference's hot/cold point
