@@ -1077,6 +1077,50 @@ def q_minhash_jaccard_est(spark, sf_dir):
     return dedup_ops.minhash_jaccard_estimates(_t(spark, sf_dir, "documents"))
 
 
+def q_quality_calibration(spark, sf_dir):
+    """Equal-population quality-score deciles (sampling.equidepth_bins):
+    ONE distributed exact-percentile aggregate yields the 9 boundaries
+    (6-dp rounded for cross-engine equality), assignment is a broadcast
+    fold — no global ntile window, the corpus never shuffles before the
+    final 10-row aggregate.  The calibration table threshold-pickers
+    read ('keep top-k deciles')."""
+    from time_series_databse_engine_spark.operators import sampling as samp_ops
+
+    q = text_ops.quality_score(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "n_tokens", "quality"
+    )
+    binned = samp_ops.equidepth_bins(q, "quality", n_bins=10)
+    return binned.groupBy("bin").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("quality"), 6).alias("avg_quality"),
+        F.round(F.avg("n_tokens"), 2).alias("avg_tokens"),
+    )
+
+
+def q_source_curation(spark, sf_dir):
+    """Per-source curation report — the table a corpus owner reads before
+    deciding per-domain sampling weights: volume, exact-duplicate rate
+    (corpus-wide md5 occurrence > 1), mean quality, mean length.  Two
+    exchanges (text-hash window + id join), then a sources-sized
+    aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    wd = W.partitionBy(F.md5("text"))
+    flagged = docs.select(
+        "doc_id", "source", (F.count("*").over(wd) > 1).alias("is_dup")
+    )
+    qs = text_ops.quality_score(docs).select("doc_id", "quality", "n_tokens")
+    return (
+        flagged.join(qs, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("is_dup").cast("int")).alias("n_dup"),
+            F.round(F.avg("quality"), 6).alias("avg_quality"),
+            F.round(F.avg("n_tokens"), 2).alias("avg_tokens"),
+        )
+    )
+
+
 def q_hw_backtest(spark, sf_dir):
     """Rolling-origin backtest of the Holt-Winters fit
     (timeseries.hw_backtest, Tashman 2000): per (event_type, horizon)
@@ -1993,6 +2037,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_topk": q_ivfpq_topk,
         "zorder_key": q_zorder_key,
         "hw_backtest": q_hw_backtest,
+        "quality_calibration": q_quality_calibration,
+        "source_curation": q_source_curation,
         "multimodal_decode": q_multimodal_decode,
         "jaccard_pairs": q_jaccard_pairs,
         "sliding_downsample": q_sliding_downsample,
@@ -2597,6 +2643,21 @@ def _pack_sequences_sql(cap=512, groups=8) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    # composite-quality expression shared by quality_score and
+    # quality_calibration (named variable, not text splicing — the
+    # funnel-oracle lesson)
+    _stops = ", ".join(repr(w) for w in text_ops.STOPWORDS)
+    _quality_cte = f"""q AS (
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '[^\\s]+')) AS n_tokens,
+                   round(0.4 * least(len(regexp_extract_all(text, '[^\\s]+')) / 100.0, 1.0)
+                         + 0.3 * (1 - len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
+                                      / greatest(length(text), 1))
+                         + 0.3 * (len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                                  x -> x IN ({_stops})))
+                                  / greatest(len(regexp_extract_all(text, '[^\\s]+')), 1)),
+                         6) AS quality
+            FROM documents)"""
     lang_scores = ", ".join(
         f"len(list_filter(string_split_regex(lower(text), '\\s+'), "
         f"x -> x IN ({', '.join(repr(w) for w in text_ops.LANG_PROFILES[lang])}))) AS score_{lang}"
@@ -3351,6 +3412,29 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _pagerank_sql(iters=5),
         "zorder_key": _zorder_sql(bits=16),
         "hw_backtest": _hw_backtest_sql(period=24, horizons=(1, 3, 6, 12)),
+        "quality_calibration": f"""
+            WITH {_quality_cte},
+            b AS (SELECT list_transform(
+                           quantile_cont(quality, [{", ".join(str(i / 10) for i in range(1, 10))}]),
+                           x -> round(x, 6)) AS bounds
+                  FROM q),
+            a AS (SELECT quality, n_tokens,
+                         1 + len(list_filter(bounds, x -> x <= quality)) AS bin
+                  FROM q CROSS JOIN b)
+            SELECT bin, count(*) AS n_docs,
+                   round(avg(quality), 6) AS avg_quality,
+                   round(avg(n_tokens), 2) AS avg_tokens
+            FROM a GROUP BY bin""",
+        "source_curation": f"""
+            WITH {_quality_cte},
+            h AS (SELECT doc_id, source,
+                         count(*) OVER (PARTITION BY md5(text)) > 1 AS is_dup
+                  FROM documents)
+            SELECT source, count(*) AS n_docs,
+                   sum(CASE WHEN is_dup THEN 1 ELSE 0 END)::BIGINT AS n_dup,
+                   round(avg(quality), 6) AS avg_quality,
+                   round(avg(n_tokens), 2) AS avg_tokens
+            FROM h JOIN q USING (doc_id) GROUP BY source""",
         "minhash_containment": (
             "\nWITH "
             + _minhash_lsh_ctes()

@@ -161,3 +161,26 @@ def test_weighted_sample_favors_heavy_rows_and_is_stable(spark):
     assert heavy >= 15  # 20 heavy rows carry ~80% of total weight
     again = [r["doc_id"] for r in weighted_sample(df, 30, "w", "doc_id").collect()]
     assert ids == again
+
+
+def test_equidepth_bins_balanced_and_tie_stable(spark):
+    from time_series_databse_engine_spark.operators.sampling import equidepth_bins
+
+    # 1000 distinct values -> deciles of exactly 100 (up to boundary ties)
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1000)], "id int, score double"
+    )
+    out = equidepth_bins(df, "score", n_bins=10)
+    sizes = {r.bin: r.n for r in out.groupBy("bin").agg(F.count("*").alias("n")).collect()}
+    assert set(sizes) == set(range(1, 11))
+    assert all(80 <= n <= 120 for n in sizes.values())
+    # bins are monotone in score
+    rows = out.orderBy("score").collect()
+    assert all(a.bin <= b.bin for a, b in zip(rows, rows[1:]))
+    # heavy mass at one value lands in ONE bin (honestly uneven)
+    heavy = spark.createDataFrame(
+        [(i, 5.0 if i < 900 else float(i)) for i in range(1000)], "id int, score double"
+    )
+    hout = equidepth_bins(heavy, "score", n_bins=10)
+    one = hout.filter(F.col("score") == 5.0).select("bin").distinct().collect()
+    assert len(one) == 1

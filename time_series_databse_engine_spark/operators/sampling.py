@@ -263,3 +263,50 @@ def weighted_sample(
         .orderBy(F.col("es_key").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def equidepth_bins(
+    df: DataFrame,
+    col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Tag every row with its equal-POPULATION bin over ``col`` —
+    the calibration-table primitive (score deciles vs realized
+    outcomes; threshold picking for quality filters: "keep the top 3
+    deciles" needs depth bins, not width bins — long-tailed scores
+    collapse fixed-width histograms, the `value_histogram` counterpart).
+
+    The textbook expression is ``ntile(n)`` over a GLOBAL window — a
+    single-partition sort, unusable at 100 TB.  Here: ONE distributed
+    exact-percentile aggregate computes the n−1 boundaries (6-dp
+    rounded, so the SQL oracle's quantile_cont agrees bit-for-bit), the
+    boundary array rides along as a broadcast one-row cross join, and
+    bin assignment is a per-row fold — no global sort, no window, the
+    corpus never shuffles.  At true 100 TB swap `percentile` for
+    `approx_percentile` (same plan shape, sketch-merge agg) — boundaries
+    stay a broadcast array either way.
+
+    Rows tie-on-boundary deterministically (bin = 1 + #boundaries ≤
+    value, both engines).  Bin populations are equal up to ties: heavy
+    mass at one value lands in one bin, honestly uneven.
+    """
+    ps = [i / n_bins for i in range(1, n_bins)]
+    bounds = F.broadcast(
+        df.agg(
+            F.transform(
+                F.expr(f"percentile({col}, array({', '.join(map(str, ps))}))"),
+                lambda b: F.round(b, 6),
+            ).alias("_bounds")
+        )
+    )
+    return (
+        df.crossJoin(bounds)
+        .withColumn(
+            "bin",
+            (
+                F.lit(1)
+                + F.size(F.filter("_bounds", lambda b: b <= F.col(col)))
+            ),
+        )
+        .drop("_bounds")
+    )
