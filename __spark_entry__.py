@@ -1077,6 +1077,17 @@ def q_minhash_jaccard_est(spark, sf_dir):
     return dedup_ops.minhash_jaccard_estimates(_t(spark, sf_dir, "documents"))
 
 
+def q_semantic_outliers(spark, sf_dir):
+    """Embedding-space outlier pruning (similarity.semantic_outliers):
+    rows whose best cosine to any of the 16 coarse centroids is below
+    0.2 — the off-distribution tail SemDeDup's near-centroid dedup never
+    touches.  One zero-exchange broadcast-argmax scan; oracle reuses the
+    IVF cell-assignment CTE keeping the winning similarity."""
+    return sim_ops.semantic_outliers(
+        _t(spark, sf_dir, "embeddings"), threshold=0.2, n_cells=16
+    )
+
+
 def q_quality_calibration(spark, sf_dir):
     """Equal-population quality-score deciles (sampling.equidepth_bins):
     ONE distributed exact-percentile aggregate yields the 9 boundaries
@@ -2039,6 +2050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hw_backtest": q_hw_backtest,
         "quality_calibration": q_quality_calibration,
         "source_curation": q_source_curation,
+        "semantic_outliers": q_semantic_outliers,
         "multimodal_decode": q_multimodal_decode,
         "jaccard_pairs": q_jaccard_pairs,
         "sliding_downsample": q_sliding_downsample,
@@ -3412,6 +3424,19 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _pagerank_sql(iters=5),
         "zorder_key": _zorder_sql(bits=16),
         "hw_backtest": _hw_backtest_sql(period=24, horizons=(1, 3, 6, 12)),
+        "semantic_outliers": """
+            WITH cells AS (SELECT vec_id AS cell_id, embedding::DOUBLE[] AS cent
+                           FROM embeddings ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16),
+            c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+            ca AS (SELECT vec_id, cell_id, round(csim, 6) AS cell_sim FROM (
+              SELECT vec_id, cell_id, csim,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY csim DESC, cell_id ASC) AS r
+              FROM (SELECT vec_id, cell_id,
+                           list_dot_product(cv, cent) /
+                           (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(cent, cent))) AS csim
+                    FROM c, cells)) WHERE r = 1)
+            SELECT vec_id, cell_id, cell_sim FROM ca WHERE cell_sim < 0.2""",
         "quality_calibration": f"""
             WITH {_quality_cte},
             b AS (SELECT list_transform(

@@ -340,3 +340,19 @@ def test_pq_topk_recall_vs_exact_l2(spark):
     assert r_fine >= 0.3, (r_coarse, r_fine)
     again = pq_topk(emb, q, k=5).collect()
     assert sorted(map(tuple, approx)) == sorted(map(tuple, again))
+
+
+def test_semantic_outliers_flags_planted_orthogonal_vector(spark):
+    from time_series_databse_engine_spark.operators.similarity import semantic_outliers
+
+    # 30 vectors clustered on axis 0; one orthogonal loner on axis 63
+    rows = [(i, [1.0 if d == 0 else 0.01 * ((i + d) % 3) for d in range(64)])
+            for i in range(30)]
+    rows.append((99, [1.0 if d == 63 else 0.0 for d in range(64)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_outliers(emb, threshold=0.5, n_cells=4)
+    ids = {r.vec_id for r in out.collect()}
+    assert 99 in ids
+    assert len(ids) <= 3  # the clustered mass sits near a centroid
+    sims = {r.vec_id: r.cell_sim for r in out.collect()}
+    assert sims[99] < 0.5

@@ -115,7 +115,7 @@ def hash_sampled_cells(
     )
 
 
-def assign_nearest_cell(df, cents: DataFrame, vec, vec_n):
+def assign_nearest_cell(df, cents: DataFrame, vec, vec_n, keep_sim: bool = False):
     """Nearest cell per row via transform+fold over the broadcast
     centroid array: same (sim DESC, cell_id ASC) choice as a rank-1
     window — the tie rule is explicit so collect_list order is
@@ -141,11 +141,19 @@ def assign_nearest_cell(df, cents: DataFrame, vec, vec_n):
             x,
         ).otherwise(acc),
     )
-    return (
-        df.crossJoin(cells_row)  # one-row broadcast: array column ride-along
-        .withColumn("cell_id", best["cell_id"])
-        .drop("_cells")
-    )
+    out = df.crossJoin(cells_row)  # one-row broadcast: array column ride-along
+    if keep_sim:
+        # expand the fold's struct via inline — ONE evaluation inside
+        # GenerateExec (plain aliasing re-evaluates the fold per field:
+        # project collapsing inlines what HOFs can't CSE, the
+        # minhash_signatures lesson); the winning cosine rides out for
+        # outlier thresholds
+        return (
+            out.select("*", F.inline(F.array(best)))
+            .withColumnRenamed("s", "cell_sim")
+            .drop("_cells")
+        )
+    return out.withColumn("cell_id", best["cell_id"]).drop("_cells")
 
 
 def kmeans_centroids_as_cells(kmeans_out: DataFrame) -> DataFrame:
@@ -904,4 +912,41 @@ def ivfpq_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "approx_d2", "rank")
+    )
+
+
+def semantic_outliers(
+    embeddings: DataFrame,
+    threshold: float = 0.2,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cells: DataFrame | None = None,
+) -> DataFrame:
+    """Embedding-space outlier pruning: rows whose BEST cosine to any
+    coarse centroid falls below ``threshold`` — i.e. far from every
+    density center the codebook knows.  This is SemDeDup's companion
+    filter (Abbas 2023 prunes near-duplicates NEAR centroids; real
+    pipelines also drop the garbled/off-distribution tail that sits
+    near none), and doubles as an embedding-quality gate before ANN
+    index build.
+
+    Scale shape: the one zero-exchange broadcast-argmax scan
+    (:func:`assign_nearest_cell` with ``keep_sim``) — no pairs, no
+    window; the filter is a per-row comparison on the fold output.
+    Returns (id, cell_id, cell_sim) for the outliers, 6-dp rounded so
+    the SQL oracle thresholds identically.
+    """
+    cents = (
+        cells
+        if cells is not None
+        else hash_sampled_cells(embeddings, n_cells, id_col, vec_col)
+    )
+    c = embeddings.select(
+        F.col(id_col), as_double(vec_col).alias("_v")
+    ).withColumn("_n", norm(F.col("_v")))
+    a = assign_nearest_cell(c, cents, F.col("_v"), F.col("_n"), keep_sim=True)
+    return (
+        a.select(id_col, "cell_id", F.round("cell_sim", 6).alias("cell_sim"))
+        .filter(F.col("cell_sim") < threshold)
     )
