@@ -1144,7 +1144,17 @@ def q_hw_backtest(spark, sf_dir):
         .groupBy(
             "event_type", (F.col("ts_ms") / 3600000).cast("long").alias("bucket")
         )
-        .agg(F.round(F.avg("value"), 6).alias("y"))
+        .agg(
+            # exact-integer bucket mean (values are 2-dp): float avg is
+            # sum-order dependent and cross-engine drift lands some 6-dp
+            # rounds on boundaries at sf0.1 series lengths
+            F.round(
+                F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+                / F.count("*")
+                / F.lit(100.0),
+                6,
+            ).alias("y")
+        )
     )
     return ts_ops.hw_backtest(
         hourly,
@@ -1865,7 +1875,17 @@ def q_holt_winters(spark, sf_dir):
         .groupBy(
             "event_type", (F.col("ts_ms") / 3600000).cast("long").alias("bucket")
         )
-        .agg(F.round(F.avg("value"), 6).alias("y"))
+        .agg(
+            # exact-integer bucket mean (values are 2-dp): float avg is
+            # sum-order dependent and cross-engine drift lands some 6-dp
+            # rounds on boundaries at sf0.1 series lengths
+            F.round(
+                F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+                / F.count("*")
+                / F.lit(100.0),
+                6,
+            ).alias("y")
+        )
     )
     return ts_ops.holt_winters(
         hourly, "event_type", alpha=1 / 3, beta=1 / 6, gamma=1 / 7, period=24
@@ -2217,7 +2237,8 @@ def _holt_winters_oracle_sql() -> str:
                      row_number() OVER (PARTITION BY event_type
                                         ORDER BY bucket) AS rn
               FROM (SELECT event_type, {_EV_MS} // 3600000 AS bucket,
-                           round(avg(value), 6) AS y
+                           round(sum(CAST(round(value * 100) AS BIGINT))
+                                 / count(*) / 100.0e0, 6) AS y
                     FROM events GROUP BY 1, 2)
             ), stats AS (
               SELECT event_type, count(*) AS n,
@@ -2246,23 +2267,28 @@ def _holt_winters_oracle_sql() -> str:
               FROM seed
               UNION ALL
               SELECT event_type, bucket, y, rn, lnew AS l,
-                     {(1 / 6)!r}::DOUBLE * (lnew - lprev)
-                       + {(1.0 - 1 / 6)!r}::DOUBLE * bprev AS b,
+                     floor(({(1 / 6)!r}::DOUBLE * (lnew - lprev)
+                       + {(1.0 - 1 / 6)!r}::DOUBLE * bprev)
+                       * 1073741824e0 + 0.5e0) / 1073741824e0 AS b,
                      list_append(ssprev, snew) AS ss,
                      lnew
-                       + ({(1 / 6)!r}::DOUBLE * (lnew - lprev)
+                       + floor(({(1 / 6)!r}::DOUBLE * (lnew - lprev)
                           + {(1.0 - 1 / 6)!r}::DOUBLE * bprev)
+                          * 1073741824e0 + 0.5e0) / 1073741824e0
                        + ssprev[rn + 1 - 24] AS fc,
                      snew AS s
               FROM (
                 SELECT nb.event_type, nb.bucket, nb.y, nb.rn,
                        r.ss[nb.rn - 24] AS sold,
-                       {(1 / 3)!r}::DOUBLE * (nb.y - sold)
-                         + {(1.0 - 1 / 3)!r}::DOUBLE * (r.l + r.b) AS lnew,
-                       {(1 / 7)!r}::DOUBLE * (nb.y - ({(1 / 3)!r}::DOUBLE
-                           * (nb.y - sold)
-                           + {(1.0 - 1 / 3)!r}::DOUBLE * (r.l + r.b)))
-                         + {(1.0 - 1 / 7)!r}::DOUBLE * sold AS snew,
+                       floor(({(1 / 3)!r}::DOUBLE * (nb.y - sold)
+                         + {(1.0 - 1 / 3)!r}::DOUBLE * (r.l + r.b))
+                         * 1073741824e0 + 0.5e0) / 1073741824e0 AS lnew,
+                       floor(({(1 / 7)!r}::DOUBLE * (nb.y
+                             - floor(({(1 / 3)!r}::DOUBLE * (nb.y - sold)
+                               + {(1.0 - 1 / 3)!r}::DOUBLE * (r.l + r.b))
+                               * 1073741824e0 + 0.5e0) / 1073741824e0)
+                         + {(1.0 - 1 / 7)!r}::DOUBLE * sold)
+                         * 1073741824e0 + 0.5e0) / 1073741824e0 AS snew,
                        r.l AS lprev, r.b AS bprev, r.ss AS ssprev
                 FROM base nb JOIN rec r
                   ON nb.event_type = r.event_type AND nb.rn = r.rn + 1)
@@ -2686,9 +2712,11 @@ def oracle_sql() -> dict[str, str]:
     _stl_sql = f"""
             WITH hourly AS (
               SELECT event_type, {_EV_MS} // 3600000 AS bucket,
-                     round(avg(value), 6) AS y,
-                     CAST(round(round(avg(value), 6) * 1000000.0e0) AS BIGINT)
-                         AS yi
+                     round(sum(CAST(round(value * 100) AS BIGINT))
+                           / count(*) / 100.0e0, 6) AS y,
+                     CAST(round(round(sum(CAST(round(value * 100) AS BIGINT))
+                                      / count(*) / 100.0e0, 6)
+                                * 1000000.0e0) AS BIGINT) AS yi
               FROM events GROUP BY 1, 2),
             tr AS (
               SELECT event_type, bucket, y,

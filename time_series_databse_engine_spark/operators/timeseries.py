@@ -1307,6 +1307,7 @@ def stl_decompose(
     period_ms: int = 86_400_000,
     bucket_ms: int = 3_600_000,
     trend_buckets: int = 25,
+    value_decimals: int = 2,
 ) -> DataFrame:
     """STL-style seasonal-trend decomposition (Cleveland et al. 1990,
     moving-average flavor): regularize each series to ``bucket_ms``
@@ -1347,9 +1348,25 @@ def stl_decompose(
     def _mean6(int_sum, cnt):  # exact-int sum -> 6-dp mean
         return F.round((int_sum / cnt) / 1e6, 6)
 
+    # the bucket mean itself must be exact-integer derived too: float
+    # avg() is sum-order dependent, and across engines a ~1e-13 drift
+    # lands a few of the thousands of 6-dp rounds per sf0.1 series on a
+    # boundary (measured: 2/3600 rows).  Inputs are fixed-decimal in
+    # practice (sensor/financial feeds; ``value_decimals`` names the
+    # precision, default 2), so sum(value·10^d as long)/n is exact IEEE
+    # in any engine — inputs with MORE entropy than 10^-d are quantized
+    # at ingestion grain, stated rather than silently float-summed.
+    scale = float(10**value_decimals)
     hourly = (
         df.groupBy(*keys, (F.col(ts_ms) / bucket_ms).cast("long").alias("bucket"))
-        .agg(F.round(F.avg(value), 6).alias("y"))
+        .agg(
+            F.round(
+                F.sum(F.round(F.col(value) * scale, 0).cast("long"))
+                / F.count("*")
+                / F.lit(scale),
+                6,
+            ).alias("y")
+        )
         .withColumn("_yi", _int6(F.col("y")))
     )
     w = W.partitionBy(*keys).orderBy("bucket").rowsBetween(-half, half)
@@ -1452,6 +1469,7 @@ def holt_winters(
             b = 0.0
         ss = [float(x) - l for x in vals[:m]]
         k = n - m
+        Q_D = 1073741824.0  # 2^30
         levels = np.empty(k)
         trends = np.empty(k)
         seas = np.empty(k)
@@ -1461,9 +1479,19 @@ def holt_winters(
             x = float(vals[t - 1])
             s_old = ss[t - m - 1]
             lp = l
-            l = a * (x - s_old) + oma * (lp + b)
-            b = bt * (l - lp) + omb * b
-            s = g * (x - l) + omg * s_old
+            # BINARY-grid state quantization (2^-30) each step, both
+            # engines: cross-engine float drift otherwise COMPOUNDS
+            # through the recursion to ~1e-9 by sf0.1 series lengths and
+            # straddles 6-dp output-round boundaries (measured: 9/3480
+            # rows).  A decimal per-step round would re-create the
+            # problem one level down (10-dp states sit ON 6-dp midpoints
+            # ~1e-4 of the time, where engines' decimal-scaling
+            # internals disagree); floor(x*2^30 + 0.5)/2^30 is exact
+            # IEEE arithmetic, bit-identical everywhere, and its 9.3e-10
+            # grid is far above the 1e-15 single-step drift it resets
+            l = np.floor((a * (x - s_old) + oma * (lp + b)) * Q_D + 0.5) / Q_D
+            b = np.floor((bt * (l - lp) + omb * b) * Q_D + 0.5) / Q_D
+            s = np.floor((g * (x - l) + omg * s_old) * Q_D + 0.5) / Q_D
             ss.append(s)
             levels[j] = l
             trends[j] = b
