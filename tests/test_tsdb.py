@@ -243,3 +243,40 @@ def test_tier_and_expire_keeps_rollup_coverage(spark, tmp_path):
     r = {row.bucket_ms: row for row in store.rollup("1 hour", 0, 3 * H - 1).collect()}
     assert set(r) == {0, H, 2 * H}
     assert r[0].n == 60 and r[0].sum_value == sum(range(60))
+
+
+def test_purge_deletes_only_matches_and_scopes_rewrite(spark, tmp_path):
+    import os
+
+    from time_series_databse_engine_spark import TimeSeriesStore
+
+    H = 3_600_000
+    store = TimeSeriesStore(spark, str(tmp_path / "p"))
+    rows = (
+        [("keep", i * 1000, 1.0) for i in range(5)]            # bucket 0
+        + [("gone", i * 1000, 2.0) for i in range(5)]          # bucket 0
+        + [("keep", H + i * 1000, 3.0) for i in range(5)]      # bucket 1 (no match)
+        + [("solo", 2 * H + i * 1000, 4.0) for i in range(5)]  # bucket 2, only metric
+    )
+    store.ingest(
+        spark.createDataFrame(rows, "metric string, ts_ms long, value double")
+    )
+    untouched = os.path.join(str(tmp_path / "p"), "hour_bucket=1")
+    mtime_before = os.path.getmtime(untouched)
+
+    assert store.purge("gone") == 5
+    got = {(r.metric, r.ts_ms) for r in store.points().collect()}
+    assert all(m != "gone" for m, _ in got)
+    assert len(got) == 15
+    # partition with no matches was never rewritten
+    assert os.path.getmtime(untouched) == mtime_before
+
+    # purging the only metric of a bucket removes the partition dir
+    assert store.purge("solo") == 5
+    assert not os.path.isdir(os.path.join(str(tmp_path / "p"), "hour_bucket=2"))
+    assert store.points().count() == 10
+
+    # time-bounded purge is inclusive on both ends; misses return 0
+    assert store.purge("keep", start_ms=1000, end_ms=2000) == 2
+    assert store.purge("nosuch") == 0
+    assert store.query_range(0, 10 * H).count() == 8

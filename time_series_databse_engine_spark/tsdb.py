@@ -311,6 +311,74 @@ class TimeSeriesStore:
         )
         self._swap_in_partitions(tmp)
 
+    def purge(
+        self,
+        metrics: str | list[str],
+        start_ms: int | None = None,
+        end_ms: int | None = None,
+        target_partitions: int | None = None,
+    ) -> int:
+        """Targeted delete — the right-to-be-forgotten / bad-sensor-recall
+        op: remove every point of ``metrics`` (optionally bounded to
+        [start_ms, end_ms], inclusive like :meth:`query_range`), touching
+        ONLY the hour partitions that actually contain matches.
+
+        Parquet is immutable, so deletion is a rewrite — the scaling
+        question is how much.  Shape: one column-pruned scan finds the
+        affected buckets (O(hours-with-matches) driver metadata, the
+        :meth:`upsert` discipline), those partitions are rewritten with
+        the anti-filter to a staging dir and atomically swapped in, and
+        partitions left EMPTY by the purge are dropped like
+        :meth:`expire` drops expired ones.  Untouched partitions never
+        move — at 100 TB a metric confined to a few hours costs a few
+        partition rewrites, not a table scan-and-rewrite.
+
+        Returns the number of points deleted.
+        """
+        import os
+        import shutil
+
+        ms = [metrics] if isinstance(metrics, str) else list(metrics)
+        cond = F.col("metric").isin(ms)
+        if start_ms is not None:
+            cond = cond & (F.col("ts_ms") >= start_ms)
+        if end_ms is not None:
+            cond = cond & (F.col("ts_ms") <= end_ms)
+        pts = self.points()
+        buckets = [
+            r[0] for r in pts.filter(cond).select("hour_bucket").distinct().collect()
+        ]
+        if not buckets:
+            return 0
+        affected = pts.filter(F.col("hour_bucket").isin(buckets))
+        n_deleted = affected.filter(cond).count()
+        keep = affected.filter(~cond).select("metric", "ts_ms", "value", "hour_bucket")
+        tmp = self.path.rstrip("/") + ".purge-tmp"
+        n = target_partitions or max(
+            2, min(len(buckets), self.spark.sparkContext.defaultParallelism)
+        )
+        (
+            keep.repartition(n, "hour_bucket", "metric")
+            .sortWithinPartitions("hour_bucket", "metric", "ts_ms")
+            .write.mode("overwrite")
+            .option("parquet.writer.version", "v2")
+            .partitionBy("hour_bucket")
+            .parquet(tmp)
+        )
+        # partitions whose every row matched the predicate produce no dir
+        # in the staging write — drop them from the table (swap only
+        # replaces dirs present in tmp)
+        staged = {
+            e for e in os.listdir(tmp) if e.startswith("hour_bucket=")
+        } if os.path.isdir(tmp) else set()
+        self._swap_in_partitions(tmp)
+        for b in buckets:
+            entry = f"hour_bucket={b}"
+            if entry not in staged:
+                shutil.rmtree(os.path.join(self.path, entry), ignore_errors=True)
+        self._invalidate()
+        return n_deleted
+
     def expire(self, before_ms: int) -> int:
         """Retention: drop every hour partition that ends at or before
         ``before_ms``.  Pure partition-directory removal — O(expired
