@@ -1077,6 +1077,19 @@ def q_minhash_jaccard_est(spark, sf_dir):
     return dedup_ops.minhash_jaccard_estimates(_t(spark, sf_dir, "documents"))
 
 
+def q_bpe_tokenize(spark, sf_dir):
+    """Full BPE tokenizer round trip (text.bpe_learn + bpe_apply,
+    Sennrich 2016): learn 16 merges from the corpus' vocab-sized
+    word-frequency table (the one documented vocab collect), then
+    encode every document by merge rank — per-doc true token counts,
+    the statistic packing/budgeting actually needs.  Rows-only: the
+    iterative rank-priority merge is not SQL-expressible; fixtures in
+    test_text pin the algorithm to the paper's worked example."""
+    docs = _t(spark, sf_dir, "documents")
+    merges = text_ops.bpe_learn(docs, num_merges=16)
+    return text_ops.bpe_apply(docs, merges)
+
+
 def q_semantic_outliers(spark, sf_dir):
     """Embedding-space outlier pruning (similarity.semantic_outliers):
     rows whose best cosine to any of the 16 coarse centroids is below
@@ -2071,6 +2084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_calibration": q_quality_calibration,
         "source_curation": q_source_curation,
         "semantic_outliers": q_semantic_outliers,
+        "bpe_tokenize": q_bpe_tokenize,
         "multimodal_decode": q_multimodal_decode,
         "jaccard_pairs": q_jaccard_pairs,
         "sliding_downsample": q_sliding_downsample,

@@ -375,3 +375,38 @@ def test_rrf_fuse_known_lists(spark):
     assert scores[4] == (round(1 / 62, 6), 1)
     # 1 and 3 tie exactly -> id order; 2 and 4 tie -> id order
     assert [r["doc_id"] for r in out] == [1, 3, 2, 4]
+
+
+def test_bpe_learn_matches_sennrich_example(spark):
+    from time_series_databse_engine_spark.operators.text import bpe_apply, bpe_learn
+
+    # Sennrich 2016's worked corpus: the first merges fuse the frequent
+    # 'es'/'est' inside newest/widest
+    corpus = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    df = spark.createDataFrame([(1, corpus)], "doc_id long, text string")
+    merges = bpe_learn(df, num_merges=4)
+    assert merges[0] == ("e", "s")
+    assert merges[1] == ("es", "t")
+    assert ("l", "o") in merges
+
+    out = bpe_apply(df, merges).collect()[0]
+    assert out.n_words == 16
+    # with ('e','s'),('es','t'),('l','o') (+1 more) learned:
+    # low -> [lo,w]=2, lower -> [lo,w,e,r]=4 (or 3 if ('lo','w') learned),
+    # newest -> [n,e,w,est]=4, widest -> [w,i,d,est]=4 — strictly fewer
+    # tokens than characters, more than words
+    assert out.n_words < out.n_bpe_tokens < len(corpus.replace(" ", ""))
+
+    # priority rule: merges apply by RANK, not left-to-right — 'est' wins
+    # inside 'newest' even though 'ne' appears earlier in the word
+    df2 = spark.createDataFrame([(2, "newest")], "doc_id long, text string")
+    n = bpe_apply(df2, [("e", "s"), ("es", "t"), ("n", "e")]).collect()[0]
+    assert n.n_bpe_tokens == 3  # ne + w + est
+
+
+def test_bpe_apply_no_merges_is_char_count(spark):
+    from time_series_databse_engine_spark.operators.text import bpe_apply
+
+    df = spark.createDataFrame([(1, "ab cde")], "doc_id long, text string")
+    r = bpe_apply(df, []).collect()[0]
+    assert r.n_words == 2 and r.n_bpe_tokens == 5

@@ -1015,3 +1015,116 @@ def rrf_fuse(
         .orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
         .limit(top)
     )
+
+
+def bpe_learn(
+    df: DataFrame, num_merges: int = 32, text_col: str = "text"
+) -> list[tuple[str, str]]:
+    """Learn a BPE merge list (Sennrich 2016 algorithm 1) from the
+    corpus — the TRAINING half of the tokenizer; :func:`bpe_apply` is
+    the corpus-scale application half.
+
+    BPE training is inherently sequential (every merge changes the next
+    round's pair counts), so like every production tokenizer trainer it
+    runs driver-side over the WORD-FREQUENCY table: one Spark aggregate
+    reduces the corpus to |vocab| (word, count) rows — at 100 TB you
+    additionally train on a :func:`~.sampling.deterministic_sample` (the
+    standard practice; merge quality saturates in ~GBs) — and the merge
+    loop is pure Python over that table.  The ONE collect here is
+    vocab-sized and is the documented design, not an accident.
+
+    Ties break on (count DESC, pair lexicographic ASC) so the learned
+    merges are engine- and partitioning-independent.
+    """
+    wf = (
+        df.select(
+            F.explode(
+                F.filter(F.split(F.lower(F.col(text_col)), "\\s+"), lambda t: t != "")
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count("*").alias("f"))
+        .collect()
+    )
+    segs: dict[str, list[str]] = {r.w: list(r.w) for r in wf}
+    freqs = {r.w: r.f for r in wf}
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for w, seg in segs.items():
+            fw = freqs[w]
+            for a, b in zip(seg, seg[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + fw
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        tok = best[0] + best[1]
+        for w, seg in segs.items():
+            i, out = 0, []
+            while i < len(seg):
+                if i + 1 < len(seg) and seg[i] == best[0] and seg[i + 1] == best[1]:
+                    out.append(tok)
+                    i += 2
+                else:
+                    out.append(seg[i])
+                    i += 1
+            segs[w] = out
+    return merges
+
+
+def bpe_apply(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply learned BPE merges to every document — the tokenizer's
+    APPLICATION half, the one that actually runs at 100 TB (training
+    happens once on a sample; encoding happens on everything, forever).
+
+    Per word: start from characters, repeatedly merge the
+    lowest-rank-number adjacent pair (the standard priority rule — NOT
+    left-to-right greedy, which diverges from training).  Python is
+    genuinely required (iterative data-dependent loop), so the encode
+    runs as Arrow-batched ``mapInPandas`` with the merge table rides as
+    a closure broadcast and a per-worker word cache — Zipf means the
+    cache hit rate is extreme, so per-row cost is ~one dict probe per
+    word.  Output: (id, n_words, n_bpe_tokens); no oracle is possible
+    (iterative greedy merge is not SQL-expressible), so correctness is
+    pinned by hand-computed fixtures in test_text.
+    """
+    import pandas as pd
+
+    ranks = {m: i for i, m in enumerate(merges)}
+    out_schema = f"{id_col} long, n_words long, n_bpe_tokens long"
+
+    def encode_len(word: str, cache: dict) -> int:
+        hit = cache.get(word)
+        if hit is not None:
+            return hit
+        seg = list(word)
+        while len(seg) > 1:
+            best_i, best_r = -1, len(ranks)
+            for i, pair in enumerate(zip(seg, seg[1:])):
+                r = ranks.get(pair)
+                if r is not None and r < best_r:
+                    best_i, best_r = i, r
+            if best_i < 0:
+                break
+            seg[best_i : best_i + 2] = [seg[best_i] + seg[best_i + 1]]
+        cache[word] = len(seg)
+        return len(seg)
+
+    def run(pdfs):
+        cache: dict[str, int] = {}
+        for pdf in pdfs:
+            ids, nw, nb = [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                words = [w for w in str(text).lower().split() if w]
+                ids.append(did)
+                nw.append(len(words))
+                nb.append(sum(encode_len(w, cache) for w in words))
+            yield pd.DataFrame({id_col: ids, "n_words": nw, "n_bpe_tokens": nb})
+
+    return df.select(id_col, text_col).mapInPandas(run, schema=out_schema)
