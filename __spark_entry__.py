@@ -1971,36 +1971,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     upsample_mixture (set ops), mad_anomaly/seasonal_baseline→cusum+
     stl_anomaly+stl_decompose (anomaly/seasonal)).
 
+    Session-2 additions (minhash_containment, pagerank, salted_join,
+    bloom_semijoin, ivfpq_topk, zorder_key, hw_backtest,
+    quality_calibration, source_curation, semantic_outliers) also sit
+    in-window, displacing ten more r1-r3-green anchors whose categories
+    stay covered (see the inline comment at the rotation point).
+
     ROTATION QUEUE for the next round's window: none — after this
     round's driver run every oracle-backed query has at least one
     historical driver row; the designed remainder is the rows-only
-    pair simhash + multimodal_resize and the no-oracle streaming/
-    multimodal entries."""
+    trio bpe_tokenize + simhash + multimodal_resize and the no-oracle
+    streaming/multimodal entries."""
     return {
         # -- category anchors (driver-green r1/r2/r3) -------------------
         "range_scan": q_range_scan,
         "tsdb_roundtrip": q_tsdb_roundtrip,
-        "revenue_by_nation": q_revenue_by_nation,
-        "dedup_exact": q_dedup_exact,
-        "value_percentiles": q_value_percentiles,
         "orders_above_avg": q_orders_above_avg,
         "grouping_sets": q_grouping_sets,
         "full_outer_join": q_full_outer_join,
         "lsh_ann_topk_multi": q_lsh_ann_topk_multi,
         "resample_1m_expr": q_resample_1m_expr,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "contamination": q_contamination,
         "pack_sequences": q_pack_sequences,
         "semantic_dedup_trained": q_semantic_dedup_trained,
         "holt_chunked": q_holt_chunked,
-        "cosine_near_dup_lsh": q_cosine_near_dup_lsh,
-        "kmeans": q_kmeans,
         "lttb_chunked": q_lttb_chunked,
-        "minhash_jaccard_est": q_minhash_jaccard_est,
         "clean_corpus": q_clean_corpus,
         "dedup_clusters_star": q_dedup_clusters_star,
-        "asof_join_nearest": q_asof_join_nearest,
-        "ivf_ann_topk": q_ivf_ann_topk,
+        # -- session-2 additions: never driver-checked, rotated in over
+        # 10 anchors holding r1-r3 green rows (joins→salted_join+
+        # bloom_semijoin+full_outer_join, exact dedup→chunk_dedup+
+        # clean_corpus, percentiles→hist_sketch_daily+quality_calibration,
+        # text stats→bm25+c4_rules+source_curation, jaccard scoring→
+        # minhash_containment, near-dup/ANN→ivfpq_topk+
+        # semantic_dedup_trained+lsh_ann_topk_multi, clustering→
+        # semantic_dedup_trained's kmeans CTE, as-of→asof_join_tolerance)
+        "minhash_containment": q_minhash_containment,
+        "pagerank": q_pagerank,
+        "salted_join": q_salted_join,
+        "bloom_semijoin": q_bloom_semijoin,
+        "ivfpq_topk": q_ivfpq_topk,
+        "zorder_key": q_zorder_key,
+        "hw_backtest": q_hw_backtest,
+        "quality_calibration": q_quality_calibration,
+        "source_curation": q_source_curation,
+        "semantic_outliers": q_semantic_outliers,
         # -- rotated IN this round: never driver-checked before ---------
         "hist_sketch_daily": q_hist_sketch_daily,
         "bpe_pairs": q_bpe_pairs,
@@ -2074,16 +2088,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ohlc_1h": q_ohlc_1h,
         "mad_anomaly": q_mad_anomaly,
         "seasonal_baseline": q_seasonal_baseline,
-        "minhash_containment": q_minhash_containment,
-        "pagerank": q_pagerank,
-        "salted_join": q_salted_join,
-        "bloom_semijoin": q_bloom_semijoin,
-        "ivfpq_topk": q_ivfpq_topk,
-        "zorder_key": q_zorder_key,
-        "hw_backtest": q_hw_backtest,
-        "quality_calibration": q_quality_calibration,
-        "source_curation": q_source_curation,
-        "semantic_outliers": q_semantic_outliers,
+        "revenue_by_nation": q_revenue_by_nation,
+        "dedup_exact": q_dedup_exact,
+        "value_percentiles": q_value_percentiles,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "contamination": q_contamination,
+        "minhash_jaccard_est": q_minhash_jaccard_est,
+        "cosine_near_dup_lsh": q_cosine_near_dup_lsh,
+        "kmeans": q_kmeans,
+        "asof_join_nearest": q_asof_join_nearest,
+        "ivf_ann_topk": q_ivf_ann_topk,
         "bpe_tokenize": q_bpe_tokenize,
         "multimodal_decode": q_multimodal_decode,
         "jaccard_pairs": q_jaccard_pairs,
