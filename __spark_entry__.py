@@ -1077,6 +1077,48 @@ def q_minhash_jaccard_est(spark, sf_dir):
     return dedup_ops.minhash_jaccard_estimates(_t(spark, sf_dir, "documents"))
 
 
+def q_attribution(spark, sf_dir):
+    """Last-touch conversion attribution — the marketing-analytics
+    staple: each purchase is credited to the user's most recent
+    non-purchase touchpoint within the preceding 24 h (ties impossible:
+    (ts_ms, event_id) orders totally), purchases with no touchpoint in
+    the lookback credit 'direct'.  One user-keyed window
+    (``last(..., ignorenulls)`` over the interleaved event stream — no
+    self-join), then a channels-sized rollup of conversions and
+    attributed revenue."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_ms", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(
+            F.col("event_type") != "purchase",
+            F.struct("ts_ms", F.col("event_type").alias("t")),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    conv = (
+        ev.withColumn("_touch", touch)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "value",
+            F.when(
+                F.col("_touch").isNotNull()
+                & (F.col("_touch.ts_ms") >= F.col("ts_ms") - 86_400_000),
+                F.col("_touch.t"),
+            )
+            .otherwise("direct")
+            .alias("channel"),
+        )
+    )
+    return conv.groupBy("channel").agg(
+        F.count("*").alias("conversions"),
+        F.round(F.sum("value"), 2).alias("attributed_revenue"),
+    )
+
+
 def q_bpe_tokenize(spark, sf_dir):
     """Full BPE tokenizer round trip (text.bpe_learn + bpe_apply,
     Sennrich 2016): learn 16 merges from the corpus' vocab-sized
@@ -1996,7 +2038,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holt_chunked": q_holt_chunked,
         "lttb_chunked": q_lttb_chunked,
         "clean_corpus": q_clean_corpus,
-        "dedup_clusters_star": q_dedup_clusters_star,
         # -- session-2 additions: never driver-checked, rotated in over
         # 10 anchors holding r1-r3 green rows (joins→salted_join+
         # bloom_semijoin+full_outer_join, exact dedup→chunk_dedup+
@@ -2015,6 +2056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_calibration": q_quality_calibration,
         "source_curation": q_source_curation,
         "semantic_outliers": q_semantic_outliers,
+        "attribution": q_attribution,
         # -- rotated IN this round: never driver-checked before ---------
         "hist_sketch_daily": q_hist_sketch_daily,
         "bpe_pairs": q_bpe_pairs,
@@ -2098,6 +2140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans": q_kmeans,
         "asof_join_nearest": q_asof_join_nearest,
         "ivf_ann_topk": q_ivf_ann_topk,
+        "dedup_clusters_star": q_dedup_clusters_star,
         "bpe_tokenize": q_bpe_tokenize,
         "multimodal_decode": q_multimodal_decode,
         "jaccard_pairs": q_jaccard_pairs,
@@ -3480,6 +3523,26 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _pagerank_sql(iters=5),
         "zorder_key": _zorder_sql(bits=16),
         "hw_backtest": _hw_backtest_sql(period=24, horizons=(1, 3, 6, 12)),
+        "attribution": f"""
+            WITH t AS (
+              SELECT event_id, user_id, {_EV_MS} AS ts_ms, event_type, value,
+                     last_value(CASE WHEN event_type <> 'purchase'
+                                     THEN {{'ts_ms': {_EV_MS}, 't': event_type}}
+                                END IGNORE NULLS)
+                       OVER (PARTITION BY user_id
+                             ORDER BY {_EV_MS}, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                         AS touch
+              FROM events),
+            conv AS (
+              SELECT value,
+                     CASE WHEN touch IS NOT NULL
+                               AND touch.ts_ms >= ts_ms - 86400000
+                          THEN touch.t ELSE 'direct' END AS channel
+              FROM t WHERE event_type = 'purchase')
+            SELECT channel, count(*) AS conversions,
+                   round(sum(value), 2) AS attributed_revenue
+            FROM conv GROUP BY channel""",
         "semantic_outliers": """
             WITH cells AS (SELECT vec_id AS cell_id, embedding::DOUBLE[] AS cent
                            FROM embeddings ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16),
