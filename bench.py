@@ -82,6 +82,11 @@ HEADLINE = [
     "ivfpq_topk",
     "zorder_key",
     "hw_backtest",
+    "quality_calibration",
+    "source_curation",
+    "semantic_outliers",
+    "attribution",
+    "bpe_tokenize",
 ]
 
 # repeated-run latency distribution for the reference's hot/cold point
