@@ -1077,6 +1077,52 @@ def q_minhash_jaccard_est(spark, sf_dir):
     return dedup_ops.minhash_jaccard_estimates(_t(spark, sf_dir, "documents"))
 
 
+def q_rfm_segments(spark, sf_dir):
+    """RFM customer segmentation — the classic CRM rollup: per-user
+    recency (last event), frequency (event count), monetary (purchase
+    revenue), each cut into population terciles with
+    sampling.equidepth_bins (three broadcast boundary folds — the user
+    table shuffles once for its aggregate and never again), then users
+    per R•F•M cell with mean spend.  Oracle replays the three
+    quantile_cont boundary sets and the fold assignments."""
+    from time_series_databse_engine_spark.operators import sampling as samp_ops
+
+    # monetary rides as exact integer CENTS end-to-end (values are 2-dp):
+    # float sums/averages are order-dependent and money famously lands
+    # ON half-cent round boundaries (measured: 451.535 → .53 vs .54)
+    u = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max("ts_ms").alias("recency"),
+            F.count("*").alias("frequency"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 100, 0).cast("long"),
+                ).otherwise(F.lit(0))
+            ).alias("cents"),
+        )
+        .withColumn("monetary", F.round(F.col("cents") / F.lit(100.0), 2))
+    )
+    u = samp_ops.equidepth_bins(u, "recency", n_bins=3, out="rb")
+    u = samp_ops.equidepth_bins(u, "frequency", n_bins=3, out="fb")
+    u = samp_ops.equidepth_bins(u, "monetary", n_bins=3, out="mb")
+    seg = F.concat(
+        F.lit("R"), F.col("rb"), F.lit("F"), F.col("fb"), F.lit("M"), F.col("mb")
+    )
+    return (
+        u.select(seg.alias("segment"), "cents")
+        .groupBy("segment")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.round(F.sum("cents") / F.count("*") / F.lit(100.0), 2).alias(
+                "avg_monetary"
+            ),
+        )
+    )
+
+
 def q_attribution(spark, sf_dir):
     """Last-touch conversion attribution — the marketing-analytics
     staple: each purchase is credited to the user's most recent
@@ -2035,7 +2081,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_1m_expr": q_resample_1m_expr,
         "pack_sequences": q_pack_sequences,
         "semantic_dedup_trained": q_semantic_dedup_trained,
-        "holt_chunked": q_holt_chunked,
         "lttb_chunked": q_lttb_chunked,
         "clean_corpus": q_clean_corpus,
         # -- session-2 additions: never driver-checked, rotated in over
@@ -2057,6 +2102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_curation": q_source_curation,
         "semantic_outliers": q_semantic_outliers,
         "attribution": q_attribution,
+        "rfm_segments": q_rfm_segments,
         # -- rotated IN this round: never driver-checked before ---------
         "hist_sketch_daily": q_hist_sketch_daily,
         "bpe_pairs": q_bpe_pairs,
@@ -2141,6 +2187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_nearest": q_asof_join_nearest,
         "ivf_ann_topk": q_ivf_ann_topk,
         "dedup_clusters_star": q_dedup_clusters_star,
+        "holt_chunked": q_holt_chunked,
         "bpe_tokenize": q_bpe_tokenize,
         "multimodal_decode": q_multimodal_decode,
         "jaccard_pairs": q_jaccard_pairs,
@@ -3523,6 +3570,31 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _pagerank_sql(iters=5),
         "zorder_key": _zorder_sql(bits=16),
         "hw_backtest": _hw_backtest_sql(period=24, horizons=(1, 3, 6, 12)),
+        "rfm_segments": f"""
+            WITH u AS (
+              SELECT user_id, max({_EV_MS}) AS recency, count(*) AS frequency,
+                     sum(CASE WHEN event_type = 'purchase'
+                              THEN CAST(round(value * 100) AS BIGINT)
+                              ELSE 0 END) AS cents,
+                     round(sum(CASE WHEN event_type = 'purchase'
+                                    THEN CAST(round(value * 100) AS BIGINT)
+                                    ELSE 0 END) / 100.0e0, 2) AS monetary
+              FROM events GROUP BY user_id),
+            br AS (SELECT list_transform(quantile_cont(recency,
+                     [{1 / 3!r}, {2 / 3!r}]), x -> round(x, 6)) AS b FROM u),
+            bf AS (SELECT list_transform(quantile_cont(frequency,
+                     [{1 / 3!r}, {2 / 3!r}]), x -> round(x, 6)) AS b FROM u),
+            bm AS (SELECT list_transform(quantile_cont(monetary,
+                     [{1 / 3!r}, {2 / 3!r}]), x -> round(x, 6)) AS b FROM u),
+            a AS (SELECT cents,
+                         1 + len(list_filter(br.b, x -> x <= recency)) AS rb,
+                         1 + len(list_filter(bf.b, x -> x <= frequency)) AS fb,
+                         1 + len(list_filter(bm.b, x -> x <= monetary)) AS mb
+                  FROM u CROSS JOIN br CROSS JOIN bf CROSS JOIN bm)
+            SELECT 'R' || rb || 'F' || fb || 'M' || mb AS segment,
+                   count(*) AS n_users,
+                   round(sum(cents) / count(*) / 100.0e0, 2) AS avg_monetary
+            FROM a GROUP BY 1""",
         "attribution": f"""
             WITH t AS (
               SELECT event_id, user_id, {_EV_MS} AS ts_ms, event_type, value,

@@ -269,6 +269,7 @@ def equidepth_bins(
     df: DataFrame,
     col: str,
     n_bins: int = 10,
+    out: str = "bin",
 ) -> DataFrame:
     """Tag every row with its equal-POPULATION bin over ``col`` —
     the calibration-table primitive (score deciles vs realized
@@ -302,7 +303,7 @@ def equidepth_bins(
     return (
         df.crossJoin(bounds)
         .withColumn(
-            "bin",
+            out,
             (
                 F.lit(1)
                 + F.size(F.filter("_bounds", lambda b: b <= F.col(col)))
