@@ -1077,6 +1077,15 @@ def q_minhash_jaccard_est(spark, sf_dir):
     return dedup_ops.minhash_jaccard_estimates(_t(spark, sf_dir, "documents"))
 
 
+def q_skew_profile(spark, sf_dir):
+    """Key-distribution diagnostics before a shuffle (skew.skew_profile):
+    top-10 hottest event users with row share, distinct-key count, and
+    the Herfindahl concentration index — Σcnt²/total² in exact integer
+    arithmetic (a float Σshare² is summation-order dependent).  The
+    table that tells you whether a key needs salting."""
+    return skew_ops.skew_profile(_t(spark, sf_dir, "events"), "user_id", k=10)
+
+
 def q_rfm_segments(spark, sf_dir):
     """RFM customer segmentation — the classic CRM rollup: per-user
     recency (last event), frequency (event count), monetary (purchase
@@ -2082,7 +2091,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "semantic_dedup_trained": q_semantic_dedup_trained,
         "lttb_chunked": q_lttb_chunked,
-        "clean_corpus": q_clean_corpus,
         # -- session-2 additions: never driver-checked, rotated in over
         # 10 anchors holding r1-r3 green rows (joins→salted_join+
         # bloom_semijoin+full_outer_join, exact dedup→chunk_dedup+
@@ -2103,6 +2111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_outliers": q_semantic_outliers,
         "attribution": q_attribution,
         "rfm_segments": q_rfm_segments,
+        "skew_profile": q_skew_profile,
         # -- rotated IN this round: never driver-checked before ---------
         "hist_sketch_daily": q_hist_sketch_daily,
         "bpe_pairs": q_bpe_pairs,
@@ -2188,6 +2197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann_topk": q_ivf_ann_topk,
         "dedup_clusters_star": q_dedup_clusters_star,
         "holt_chunked": q_holt_chunked,
+        "clean_corpus": q_clean_corpus,
         "bpe_tokenize": q_bpe_tokenize,
         "multimodal_decode": q_multimodal_decode,
         "jaccard_pairs": q_jaccard_pairs,
@@ -3570,6 +3580,14 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _pagerank_sql(iters=5),
         "zorder_key": _zorder_sql(bits=16),
         "hw_backtest": _hw_backtest_sql(period=24, horizons=(1, 3, 6, 12)),
+        "skew_profile": """
+            WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
+            t AS (SELECT sum(cnt)::BIGINT AS total, count(*) AS n_keys,
+                         sum(cnt * cnt)::BIGINT AS sumsq FROM c)
+            SELECT user_id, cnt, round(cnt / total, 6) AS share, n_keys,
+                   round(sumsq / total / total, 6) AS hhi
+            FROM c CROSS JOIN t
+            ORDER BY cnt DESC, user_id ASC LIMIT 10""",
         "rfm_segments": f"""
             WITH u AS (
               SELECT user_id, max({_EV_MS}) AS recency, count(*) AS frequency,

@@ -129,3 +129,45 @@ def bloom_semijoin(
         )
     pre = probe.filter(cond).drop("_bloom", *[f"_p{i}" for i in range(num_hashes)])
     return pre.join(keys.select(on).distinct(), on, "left_semi")
+
+
+def skew_profile(df: DataFrame, key_col: str, k: int = 10) -> DataFrame:
+    """Key-distribution diagnostics — the table you read BEFORE paying
+    for a shuffle on ``key_col``: the top-``k`` keys with their share of
+    all rows, plus the distinct-key count and the Herfindahl
+    concentration index (HHI = Σ share²; 1/n_keys for uniform keys, →1
+    as one key dominates).  A share ≳ 1/parallelism means that key pins
+    a task: reach for :func:`salted_join` / AQE skew splitting.
+
+    Shapes: one count aggregate (map-side combined), a k-heap for the
+    top keys, and scalar aggregates that ride along as a broadcast
+    one-row cross join.  HHI is computed as Σcnt²/total² with the
+    sum-of-squares in EXACT integer arithmetic — a float Σshare² is
+    summation-order dependent (cross-engine ulp drift), and per-key
+    counts are longs anyway.  Overflow note: Σcnt² needs
+    Σcnt² < 2^63 — safe while the hottest key holds < ~3e9 rows;
+    beyond that, pre-scale counts (the diagnostic needs 6 digits, not
+    exactness).
+    """
+    counts = df.groupBy(F.col(key_col)).agg(F.count("*").alias("cnt"))
+    tot = F.broadcast(
+        counts.agg(
+            F.sum("cnt").alias("_total"),
+            F.count("*").alias("n_keys"),
+            F.sum(F.col("cnt") * F.col("cnt")).alias("_sumsq"),
+        )
+    )
+    return (
+        counts.orderBy(F.col("cnt").desc(), F.col(key_col).asc())
+        .limit(k)
+        .crossJoin(tot)
+        .select(
+            key_col,
+            "cnt",
+            F.round(F.col("cnt") / F.col("_total"), 6).alias("share"),
+            "n_keys",
+            F.round(F.col("_sumsq") / F.col("_total") / F.col("_total"), 6).alias(
+                "hhi"
+            ),
+        )
+    )
