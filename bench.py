@@ -87,6 +87,8 @@ HEADLINE = [
     "semantic_outliers",
     "attribution",
     "bpe_tokenize",
+    "rfm_segments",
+    "skew_profile",
 ]
 
 # repeated-run latency distribution for the reference's hot/cold point

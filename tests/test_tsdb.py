@@ -280,3 +280,24 @@ def test_purge_deletes_only_matches_and_scopes_rewrite(spark, tmp_path):
     assert store.purge("keep", start_ms=1000, end_ms=2000) == 2
     assert store.purge("nosuch") == 0
     assert store.query_range(0, 10 * H).count() == 8
+
+
+def test_vacuum_removes_only_stale_staging_dirs(spark, tmp_path):
+    import os
+
+    from time_series_databse_engine_spark import TimeSeriesStore
+
+    store = TimeSeriesStore(spark, str(tmp_path / "p"))
+    store.ingest(
+        spark.createDataFrame(
+            [("m", 1000, 1.0)], "metric string, ts_ms long, value double"
+        )
+    )
+    # simulate crashed rewrites + an unrelated sibling that must survive
+    for d in ("p.compact-tmp", "p.purge-tmp", "p.epoch-7-tmp", "p-other"):
+        os.makedirs(tmp_path / d)
+    assert store.vacuum() == 3
+    assert not os.path.isdir(tmp_path / "p.compact-tmp")
+    assert os.path.isdir(tmp_path / "p-other")
+    assert store.points().count() == 1  # table untouched
+    assert store.vacuum() == 0

@@ -379,6 +379,33 @@ class TimeSeriesStore:
         self._invalidate()
         return n_deleted
 
+    def vacuum(self) -> int:
+        """Remove crashed staging state: a :meth:`compact` / :meth:`upsert`
+        / :meth:`purge` that dies mid-write leaves its ``*-tmp`` sibling
+        directory behind (the swap is the commit point — data in tmp was
+        never visible, so removal is always safe).  O(1) directory checks,
+        zero data read; returns the number of staging dirs removed.  The
+        table itself needs no file-level GC: every rewrite swaps whole
+        partition directories, so no orphan files can exist INSIDE the
+        table path."""
+        import os
+        import shutil
+
+        removed = 0
+        base = self.path.rstrip("/")
+        parent, name = os.path.dirname(base), os.path.basename(base)
+        for entry in os.listdir(parent or "."):
+            # compact/upsert/purge staging plus the exactly-once sink's
+            # per-epoch staging (".epoch-<id>-tmp")
+            if (
+                entry.startswith(name + ".")
+                and entry.endswith("-tmp")
+                and os.path.isdir(os.path.join(parent, entry))
+            ):
+                shutil.rmtree(os.path.join(parent, entry), ignore_errors=True)
+                removed += 1
+        return removed
+
     def expire(self, before_ms: int) -> int:
         """Retention: drop every hour partition that ends at or before
         ``before_ms``.  Pure partition-directory removal — O(expired
