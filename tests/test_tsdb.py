@@ -301,3 +301,27 @@ def test_vacuum_removes_only_stale_staging_dirs(spark, tmp_path):
     assert os.path.isdir(tmp_path / "p-other")
     assert store.points().count() == 1  # table untouched
     assert store.vacuum() == 0
+
+
+def test_ingest_observe_metrics_piggyback_write(spark, tmp_path):
+    from time_series_databse_engine_spark import TimeSeriesStore
+
+    store = TimeSeriesStore(spark, str(tmp_path / "p"))
+    m = store.ingest(
+        spark.createDataFrame(
+            [("a", 1000, 1.0), ("a", 2000, None), ("b", 5000, 3.0)],
+            "metric string, ts_ms long, value double",
+        ),
+        observe=True,
+    )
+    assert m == {
+        "rows": 3,
+        "null_values": 1,
+        "min_ts_ms": 1000,
+        "max_ts_ms": 5000,
+    }
+    # default path still returns None and writes identically
+    assert store.ingest(
+        spark.createDataFrame([("c", 9000, 4.0)], "metric string, ts_ms long, value double")
+    ) is None
+    assert store.points().count() == 4

@@ -70,7 +70,8 @@ class TimeSeriesStore:
         df: DataFrame,
         target_partitions: int | None = None,
         layout: str = "hash",
-    ) -> None:
+        observe: bool = False,
+    ) -> dict | None:
         """Batch ingest: the Spark-native replacement for the reference's
         per-point ``ingest_point`` FFI loop (engine/insight.cpp:18-23), which
         re-decoded a whole shard per appended point.  One immutable sorted
@@ -90,6 +91,12 @@ class TimeSeriesStore:
           ``ts_ms`` in the key SPLITS a pathological hot series×hour
           across tasks; costs the sampling pass (persist expensive inputs
           first).  Use for known-skewed batches at scale.
+
+        ``observe=True`` returns ingestion-quality metrics (rows,
+        null-value count, min/max ts) via Spark's Observation API:
+        the counters piggyback the WRITE job's own pass over the data —
+        zero extra scan, unlike a count()/agg() audit query, which at
+        100 TB would double the ingest cost.
         """
         if layout not in ("hash", "range"):
             raise ValueError(f"layout must be hash|range, got {layout!r}")
@@ -107,6 +114,18 @@ class TimeSeriesStore:
             if layout == "hash"
             else pts.repartitionByRange(n, "hour_bucket", "metric", "ts_ms")
         )
+        obs = None
+        if observe:
+            from pyspark.sql import Observation
+
+            obs = Observation("ingest")
+            pts = pts.observe(
+                obs,
+                F.count(F.lit(1)).alias("rows"),
+                F.sum(F.col("value").isNull().cast("long")).alias("null_values"),
+                F.min("ts_ms").alias("min_ts_ms"),
+                F.max("ts_ms").alias("max_ts_ms"),
+            )
         (
             pts.sortWithinPartitions("hour_bucket", "metric", "ts_ms")
             .write.mode("append")
@@ -118,6 +137,7 @@ class TimeSeriesStore:
             .parquet(self.path)
         )
         self._invalidate()
+        return obs.get if obs is not None else None
 
     def ingest_epoch(
         self,
