@@ -1113,6 +1113,12 @@ def q_rfm_segments(spark, sf_dir):
             ).alias("cents"),
         )
         .withColumn("monetary", F.round(F.col("cents") / F.lit(100.0), 2))
+        # materialize the |users|-sized aggregate ONCE: each boundary
+        # percentile is its own aggregate subtree, and without this the
+        # static plan re-derives the events scan+shuffle per dimension
+        # (measured: 13 exchanges → 8, all remaining ones over the tiny
+        # user table)
+        .localCheckpoint()
     )
     u = samp_ops.equidepth_bins(u, "recency", n_bins=3, out="rb")
     u = samp_ops.equidepth_bins(u, "frequency", n_bins=3, out="fb")
