@@ -1077,6 +1077,25 @@ def q_minhash_jaccard_est(spark, sf_dir):
     return dedup_ops.minhash_jaccard_estimates(_t(spark, sf_dir, "documents"))
 
 
+def q_markov_transitions(spark, sf_dir):
+    """First-order behavioral Markov model: P(next event type | current)
+    estimated from every user's event stream — one user-keyed lag window
+    builds the transition pairs (no self-join), then a types²-sized
+    count with per-source normalization.  The matrix behind journey
+    simulation and next-action prediction baselines."""
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    pairs = (
+        e.select(F.lag("event_type").over(w).alias("src"), F.col("event_type").alias("dst"))
+        .filter(F.col("src").isNotNull())
+    )
+    counts = pairs.groupBy("src", "dst").agg(F.count("*").alias("n"))
+    tot = F.sum("n").over(W.partitionBy("src"))
+    return counts.select(
+        "src", "dst", "n", F.round(F.col("n") / tot, 6).alias("p")
+    )
+
+
 def q_skew_profile(spark, sf_dir):
     """Key-distribution diagnostics before a shuffle (skew.skew_profile):
     top-10 hottest event users with row share, distinct-key count, and
@@ -2080,11 +2099,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     in-window, displacing ten more r1-r3-green anchors whose categories
     stay covered (see the inline comment at the rotation point).
 
-    ROTATION QUEUE for the next round's window: none — after this
-    round's driver run every oracle-backed query has at least one
-    historical driver row; the designed remainder is the rows-only
-    trio bpe_tokenize + simhash + multimodal_resize and the no-oracle
-    streaming/multimodal entries."""
+    ROTATION QUEUE for the next round's window: markov_transitions
+    (oracle-backed, added after the window filled; local-green at 3
+    SFs).  After this round's driver run every OTHER oracle-backed
+    query has at least one historical driver row; the designed
+    remainder is the rows-only trio bpe_tokenize + simhash +
+    multimodal_resize and the no-oracle streaming/multimodal
+    entries."""
     return {
         # -- category anchors (driver-green r1/r2/r3) -------------------
         "range_scan": q_range_scan,
@@ -2204,6 +2225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_star": q_dedup_clusters_star,
         "holt_chunked": q_holt_chunked,
         "clean_corpus": q_clean_corpus,
+        "markov_transitions": q_markov_transitions,
         "bpe_tokenize": q_bpe_tokenize,
         "multimodal_decode": q_multimodal_decode,
         "jaccard_pairs": q_jaccard_pairs,
@@ -3586,6 +3608,17 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _pagerank_sql(iters=5),
         "zorder_key": _zorder_sql(bits=16),
         "hw_backtest": _hw_backtest_sql(period=24, horizons=(1, 3, 6, 12)),
+        "markov_transitions": f"""
+            WITH p AS (
+              SELECT lag(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY {_EV_MS}, event_id) AS src,
+                     event_type AS dst
+              FROM events),
+            c AS (SELECT src, dst, count(*) AS n FROM p
+                  WHERE src IS NOT NULL GROUP BY src, dst)
+            SELECT src, dst, n,
+                   round(n / sum(n) OVER (PARTITION BY src), 6) AS p
+            FROM c""",
         "skew_profile": """
             WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
             t AS (SELECT sum(cnt)::BIGINT AS total, count(*) AS n_keys,
