@@ -34,7 +34,10 @@ def quantize(col, lo, hi, bits: int = 16) -> F.Column:
     lo_c = lo if isinstance(lo, F.Column) else F.lit(lo)
     hi_c = hi if isinstance(hi, F.Column) else F.lit(hi)
     scaled = F.floor((col - lo_c) / (hi_c - lo_c) * F.lit(float(1 << bits)))
-    return F.least(F.greatest(scaled, F.lit(0)), F.lit((1 << bits) - 1)).cast("long")
+    clamped = F.least(F.greatest(scaled, F.lit(0)), F.lit((1 << bits) - 1))
+    # constant column (hi == lo): division is NaN/±Inf — park everything
+    # in bucket 0 instead of poisoning the interleave with nulls
+    return F.when(hi_c == lo_c, F.lit(0)).otherwise(clamped).cast("long")
 
 
 def rank_quantize(df: DataFrame, col: str, bits: int = 8, out: str = "bucket") -> DataFrame:
@@ -59,6 +62,8 @@ def zorder_key(a, b, bits: int = 16) -> F.Column:
     2·bits-term shift/mask sum (terms write disjoint bits, so ``+``
     is ``|``), fully codegen'd, reproducible in any engine with
     ``>> & <<``."""
+    if not 1 <= bits <= 31:
+        raise ValueError("bits must be in [1, 31] (2·bits interleaved bits must fit a long)")
     terms = []
     for i in range(bits):
         terms.append(F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i))

@@ -32,6 +32,11 @@ def salted_join(
     re-derives identical salts, so no row is double-counted or lost), while
     still scattering a hot key because the hash mixes the non-key columns.
     """
+    if how not in ("inner", "left", "left_outer"):
+        # right/full/semi/anti would surface the exploded small side's
+        # unmatched ×salt replicas (or dedup semantics) — result would NOT
+        # equal the unsalted join
+        raise ValueError(f"salted_join supports inner/left joins, got {how!r}")
     mix = [F.col(c) for c in big.columns]
     big_s = big.withColumn("_salt", F.pmod(F.xxhash64(*mix), F.lit(salt)).cast("int"))
     small_s = small.withColumn(

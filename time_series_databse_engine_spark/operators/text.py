@@ -1097,7 +1097,8 @@ def bpe_apply(
     import pandas as pd
 
     ranks = {m: i for i, m in enumerate(merges)}
-    out_schema = f"{id_col} long, n_words long, n_bpe_tokens long"
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, n_words long, n_bpe_tokens long"
 
     def encode_len(word: str, cache: dict) -> int:
         hit = cache.get(word)

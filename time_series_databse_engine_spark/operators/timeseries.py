@@ -1547,7 +1547,8 @@ def hw_backtest(
     mis-scored.  Requires h < period (the first seasonal cycle of
     forecasts reuses in-sample seasonal state).
     """
-    assert all(0 < h < period for h in horizons), "horizons must be in (0, period)"
+    if not all(0 < h < period for h in horizons):
+        raise ValueError("horizons must be in (0, period)")
     hw = holt_winters(df, key, alpha, beta, gamma, period, ts_col, value)
     w = W.partitionBy(key).orderBy(ts_col)
     # window expressions must be materialized as plain columns before the
