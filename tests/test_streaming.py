@@ -237,3 +237,36 @@ def test_windowed_distinct_users_tracks_batch_distinct(spark, staged_events, sf_
     for k, approx in got.items():
         assert k in exact
         assert abs(approx - exact[k]) <= max(2, 0.15 * exact[k]), (k, approx, exact[k])
+
+
+def test_enrich_stream_static_broadcast_join(spark):
+    import shutil
+    import tempfile
+
+    from time_series_databse_engine_spark.streaming.ingest import enrich_stream
+
+    d = tempfile.mkdtemp()
+    try:
+        schema = "metric string, ts_ms long, value double"
+        spark.createDataFrame(
+            [("cpu", 1000, 1.0), ("mem", 2000, 2.0), ("unknown", 3000, 9.0)], schema
+        ).coalesce(1).write.parquet(d + "/src/b1")
+        dim = spark.createDataFrame(
+            [("cpu", "infra"), ("mem", "infra"), ("orders", "business")],
+            "metric string, team string",
+        )
+        stream = spark.readStream.schema(schema).parquet(d + "/src/*")
+        q = (
+            enrich_stream(stream, dim, on="metric")
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("enriched")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        rows = {r.metric: r.team for r in spark.sql("SELECT * FROM enriched").collect()}
+        # left enrichment: matches tagged, misses survive with null team
+        assert rows == {"cpu": "infra", "mem": "infra", "unknown": None}
+    finally:
+        shutil.rmtree(d)

@@ -188,3 +188,17 @@ def stream_to_store(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
     )
+
+
+def enrich_stream(
+    stream: DataFrame, dim: DataFrame, on: str, how: str = "left"
+) -> DataFrame:
+    """Stream-static dimension enrichment — the most common streaming
+    join in practice (tag each event with its account tier / device
+    class / metric metadata): the static side broadcasts, so every
+    micro-batch joins map-side with NO stateful join machinery, no
+    watermark bookkeeping, and no state store growth (contrast
+    :func:`stream_stream_join`, which must buffer both sides).  The
+    static side is re-resolved per micro-batch, so slowly-changing
+    dims refresh on their own file-listing cadence."""
+    return stream.join(F.broadcast(dim), on, how)
