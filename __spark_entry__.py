@@ -1199,6 +1199,19 @@ def q_attribution(spark, sf_dir):
     )
 
 
+def q_pca_project(spark, sf_dir):
+    """PCA dimension reduction 64→8 over the embeddings table
+    (similarity.pca_train + pca_project): one mapInPandas moment pass +
+    driver eigensolve of the 64×64 Gramian (the Spark MLlib
+    RowMatrix.computePrincipalComponents shape), then a BLAS-batch
+    projection.  Rows-only: the eigensolve is not SQL-replayable;
+    determinism, planted-direction recovery, and variance bookkeeping
+    are pinned in test_similarity."""
+    emb = _t(spark, sf_dir, "embeddings")
+    mean, comps, _ = sim_ops.pca_train(emb, k=8)
+    return sim_ops.pca_project(emb, mean, comps)
+
+
 def q_bpe_tokenize(spark, sf_dir):
     """Full BPE tokenizer round trip (text.bpe_learn + bpe_apply,
     Sennrich 2016): learn 16 merges from the corpus' vocab-sized
@@ -2226,6 +2239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holt_chunked": q_holt_chunked,
         "clean_corpus": q_clean_corpus,
         "markov_transitions": q_markov_transitions,
+        "pca_project": q_pca_project,
         "bpe_tokenize": q_bpe_tokenize,
         "multimodal_decode": q_multimodal_decode,
         "jaccard_pairs": q_jaccard_pairs,

@@ -356,3 +356,41 @@ def test_semantic_outliers_flags_planted_orthogonal_vector(spark):
     assert len(ids) <= 3  # the clustered mass sits near a centroid
     sims = {r.vec_id: r.cell_sim for r in out.collect()}
     assert sims[99] < 0.5
+
+
+def test_pca_recovers_planted_dominant_direction(spark):
+    import math
+
+    import numpy as np
+
+    from time_series_databse_engine_spark.operators.similarity import (
+        pca_project,
+        pca_train,
+    )
+
+    # variance 100 along axis 3, 25 along axis 10, ~1 elsewhere
+    def vec(i):
+        v = [0.1 * math.sin(i * 1.7 + d) for d in range(64)]
+        v[3] += 10.0 * math.sin(i * 0.37)
+        v[10] += 5.0 * math.cos(i * 0.53)
+        return [round(x, 6) for x in v]
+
+    emb = spark.createDataFrame(
+        [(i, vec(i)) for i in range(400)], "vec_id long, embedding array<double>"
+    )
+    mean, comps, ev = pca_train(emb, k=4)
+    # leading components align with the planted axes
+    assert abs(comps[0][3]) > 0.99
+    assert abs(comps[1][10]) > 0.99
+    assert ev[0] > ev[1] > ev[2] >= ev[3] >= 0
+    # deterministic across repeated fits (partition-order independence:
+    # per-batch moments reduce exactly)
+    _, comps2, _ = pca_train(emb.repartition(7), k=4)
+    assert np.allclose(comps, comps2, atol=1e-9)
+
+    proj = pca_project(emb, mean, comps)
+    rows = proj.collect()
+    assert len(rows) == 400 and len(rows[0].proj) == 4
+    # projected variance matches the eigenvalues (sanity of the pipeline)
+    p = np.stack([r.proj for r in rows])
+    assert np.allclose(p.var(axis=0), ev, rtol=0.05)

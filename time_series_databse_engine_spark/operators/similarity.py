@@ -950,3 +950,88 @@ def semantic_outliers(
         a.select(id_col, "cell_id", F.round("cell_sim", 6).alias("cell_sim"))
         .filter(F.col("cell_sim") < threshold)
     )
+
+
+def pca_train(
+    embeddings: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Fit a PCA basis over an embedding column — dimension reduction /
+    whitening before ANN indexing or clustering (half the dimensions at
+    ~none of the variance loss is the usual embedding-table win, and
+    PQ/IVF both get easier in the reduced space).
+
+    Distribution shape — the same one Spark MLlib's
+    ``RowMatrix.computePrincipalComponents`` uses: the data-sized work
+    is ONE ``mapInPandas`` pass emitting per-Arrow-batch moment rows
+    (n, Σv, flattened Σvvᵀ — d²+d+1 doubles each); those few-KB rows
+    collect to the driver (O(partitions), not O(N)), reduce exactly,
+    and a d×d = 64×64 symmetric eigensolve (numpy ``eigh``, microseconds)
+    finishes the job.  No iterative distributed solver, no corpus
+    shuffle at all.
+
+    Returns (mean: np.ndarray[d], components: np.ndarray[k, d],
+    explained_var: np.ndarray[k]) with components in descending
+    eigenvalue order, each sign-normalized so the largest-|coordinate|
+    entry is positive (eigh's sign is arbitrary; this pins determinism).
+    """
+    import numpy as np
+
+    def moments(pdfs):
+        import pandas as pd
+
+        for pdf in pdfs:
+            m = np.stack(pdf[vec_col].to_numpy())
+            d = m.shape[1]
+            row = np.concatenate(
+                ([float(len(m))], m.sum(axis=0), (m.T @ m).ravel())
+            )
+            yield pd.DataFrame({"m": [row.tolist()]})
+
+    parts = embeddings.select(vec_col).mapInPandas(moments, "m array<double>").collect()
+    acc = np.zeros(len(parts[0].m))
+    for r in parts:
+        acc += np.asarray(r.m)
+    n = acc[0]
+    d = int((-1 + (1 + 4 * (len(acc) - 1)) ** 0.5) / 2)  # len = 1 + d + d²
+    mean = acc[1 : 1 + d] / n
+    gram = acc[1 + d :].reshape(d, d)
+    cov = gram / n - np.outer(mean, mean)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:k]
+    comps = v[:, order].T
+    flip = np.sign(comps[np.arange(len(order)), np.abs(comps).argmax(axis=1)])
+    comps = comps * flip[:, None]
+    return mean, comps, w[order]
+
+
+def pca_project(
+    embeddings: DataFrame,
+    mean,
+    components,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Project every vector onto a fitted PCA basis: (id, proj array<k>).
+    The (k×d) basis and mean broadcast as a closure into one vectorized
+    ``pandas_udf`` — each Arrow batch is a single BLAS matmul
+    (the :func:`assign_nearest_cell_np` discipline), zero shuffles."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    mean = np.asarray(mean, dtype="float64")
+    comps = np.asarray(components, dtype="float64")
+
+    def _proj(vs):
+        m = np.stack(vs.to_numpy()).astype("float64")
+        out = (m - mean) @ comps.T
+        return pd.Series(list(out))
+
+    # no type hints: the module's `from __future__ import annotations`
+    # turns them into strings pandas_udf can't resolve (see
+    # assign_nearest_cell_np) — explicit returnType form instead
+    proj = pandas_udf(_proj, "array<double>")
+    return embeddings.select(F.col(id_col), proj(as_double(vec_col)).alias("proj"))
