@@ -1199,6 +1199,33 @@ def q_attribution(spark, sf_dir):
     )
 
 
+def q_edit_verify(spark, sf_dir):
+    """Edit-distance VERIFICATION of LSH candidate pairs — the exact
+    re-check stage a production dedup pipeline runs before purging
+    (MinHash banding nominates, Levenshtein confirms: character-level
+    distance catches the near-miss pairs token shingles blur).  The
+    O(len²) DP runs ONLY on the candidate list (never all pairs) and
+    text is fetched by two id-keyed joins, so corpus cost is the LSH
+    pipeline's; similarity = 1 − d/max_len, 6-dp."""
+    docs = _t(spark, sf_dir, "documents")
+    sigs = dedup_ops.minhash_signatures(docs, num_hashes=8, shingle_n=3)
+    pairs = dedup_ops.lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
+    a = docs.select(F.col("doc_id").alias("id1"), F.col("text").alias("_t1"))
+    b = docs.select(F.col("doc_id").alias("id2"), F.col("text").alias("_t2"))
+    d = F.levenshtein("_t1", "_t2")
+    sim = F.lit(1.0) - d / F.greatest(F.length("_t1"), F.length("_t2"))
+    return (
+        pairs.join(a, "id1")
+        .join(b, "id2")
+        .select(
+            "id1",
+            "id2",
+            d.alias("edit_dist"),
+            F.round(sim, 6).alias("edit_sim"),
+        )
+    )
+
+
 def q_pca_project(spark, sf_dir):
     """PCA dimension reduction 64→8 over the embeddings table
     (similarity.pca_train + pca_project): one mapInPandas moment pass +
@@ -2112,13 +2139,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     in-window, displacing ten more r1-r3-green anchors whose categories
     stay covered (see the inline comment at the rotation point).
 
-    ROTATION QUEUE for the next round's window: markov_transitions
-    (oracle-backed, added after the window filled; local-green at 3
-    SFs).  After this round's driver run every OTHER oracle-backed
-    query has at least one historical driver row; the designed
-    remainder is the rows-only trio bpe_tokenize + simhash +
-    multimodal_resize and the no-oracle streaming/multimodal
-    entries."""
+    ROTATION QUEUE for the next round's window: markov_transitions and
+    edit_verify (oracle-backed, added after the window filled;
+    local-green at 3 SFs).  After this round's driver run every OTHER
+    oracle-backed query has at least one historical driver row; the
+    designed remainder is the rows-only set bpe_tokenize + pca_project
+    + simhash + multimodal_resize and the no-oracle streaming/
+    multimodal entries."""
     return {
         # -- category anchors (driver-green r1/r2/r3) -------------------
         "range_scan": q_range_scan,
@@ -2239,6 +2266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holt_chunked": q_holt_chunked,
         "clean_corpus": q_clean_corpus,
         "markov_transitions": q_markov_transitions,
+        "edit_verify": q_edit_verify,
         "pca_project": q_pca_project,
         "bpe_tokenize": q_bpe_tokenize,
         "multimodal_decode": q_multimodal_decode,
@@ -3622,6 +3650,18 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _pagerank_sql(iters=5),
         "zorder_key": _zorder_sql(bits=16),
         "hw_backtest": _hw_backtest_sql(period=24, horizons=(1, 3, 6, 12)),
+        "edit_verify": (
+            "\nWITH "
+            + _minhash_lsh_ctes()
+            + """
+            SELECT p.id1, p.id2,
+                   levenshtein(a.text, b.text) AS edit_dist,
+                   round(1e0 - levenshtein(a.text, b.text)
+                             / greatest(length(a.text), length(b.text)), 6)
+                       AS edit_sim
+            FROM pairs p JOIN documents a ON p.id1 = a.doc_id
+                         JOIN documents b ON p.id2 = b.doc_id"""
+        ),
         "markov_transitions": f"""
             WITH p AS (
               SELECT lag(event_type) OVER (PARTITION BY user_id
