@@ -394,3 +394,24 @@ def test_pca_recovers_planted_dominant_direction(spark):
     # projected variance matches the eigenvalues (sanity of the pipeline)
     p = np.stack([r.proj for r in rows])
     assert np.allclose(p.var(axis=0), ev, rtol=0.05)
+
+
+def test_pq_encode_np_matches_exact_fold(spark, sf_dir):
+    from time_series_databse_engine_spark.sources import load_table
+    from time_series_databse_engine_spark.operators.similarity import (
+        pq_codebook,
+        pq_encode,
+        pq_encode_np,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = pq_codebook(emb, ks=16)
+    exact = {r.vec_id: (list(r.codes), r.recon) for r in pq_encode(emb, cb).collect()}
+    blas = {r.vec_id: (list(r.codes), r.recon) for r in pq_encode_np(emb, cb).collect()}
+    assert set(exact) == set(blas)
+    same_codes = sum(exact[i][0] == blas[i][0] for i in exact)
+    # identical codes everywhere except genuine float-noise distance ties
+    assert same_codes >= len(exact) - 2
+    for i in exact:
+        if exact[i][0] == blas[i][0]:
+            assert exact[i][1] == blas[i][1]

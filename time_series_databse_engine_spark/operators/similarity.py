@@ -852,6 +852,7 @@ def ivfpq_topk(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    encode: str = "auto",
 ) -> DataFrame:
     """IVFADC (Jégou et al. 2011 §IV): the production ANN shape — IVF
     cell pruning cuts HOW MANY candidates are scanned (~n_probe/n_cells
@@ -878,7 +879,13 @@ def ivfpq_topk(
         F.col(id_col).alias("cand_id"), as_double(vec_col).alias("cvec")
     ).withColumn("cn", norm(F.col("cvec")))
     c_assigned = assign_nearest_cell(c, cents, F.col("cvec"), F.col("cn"))
-    enc = pq_encode(
+    # encode path: exact interpreted fold at small codebooks (oracle
+    # parity), BLAS mapInPandas past m·ks ≈ 64 where the fold's
+    # interpretation dominates (measured 2.7-3.0× at sf0.1 — see
+    # pq_encode_np); mirrors semantic_dedup's assign="auto"
+    use_np = encode == "numpy" or (encode == "auto" and m * ks > 64)
+    enc_fn = pq_encode_np if use_np else pq_encode
+    enc = enc_fn(
         c_assigned, cb, m, dim, id_col="cand_id", vec_col="cvec", carry=("cell_id",)
     )
 
@@ -1035,3 +1042,81 @@ def pca_project(
     # assign_nearest_cell_np) — explicit returnType form instead
     proj = pandas_udf(_proj, "array<double>")
     return embeddings.select(F.col(id_col), proj(as_double(vec_col)).alias("proj"))
+
+
+def pq_encode_np(
+    embeddings: DataFrame,
+    codebook: DataFrame,
+    m: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """BLAS twin of :func:`pq_encode` for LARGE codebooks — same
+    large-codebook cliff as cell assignment (see
+    :func:`assign_nearest_cell_np`): the exact fold is interpreted
+    Catalyst, costing O(m·ks·sub) interpreter steps per row, which
+    dominates the pipeline once m·ks grows past ~100.  Here the
+    ks×dim codebook collects to the driver (KBs), and each Arrow batch
+    computes ALL subspace distance matrices as m batched matmuls +
+    an argmin — identical codes except sub-1e-12 distance ties (the
+    fold breaks ties by code order; so does argmin — divergence needs
+    two centroids at EQUAL distance within float noise; test-asserted
+    equal on real data).  Oracle-checked queries stay on the exact
+    fold; this is the production encode path.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    sub = dim // m
+    rows = codebook.orderBy("code").collect()
+    C = np.array([r["cent"] for r in rows], dtype="float64")  # ks × dim
+    subC = [C[:, j * sub : (j + 1) * sub] for j in range(m)]  # m × ks × sub
+    sub_norms = [np.einsum("ij,ij->i", s, s) for s in subC]
+
+    def _codes(vs):
+        M = np.stack(vs.to_numpy()).astype("float64")
+        out_codes = np.empty((len(M), m), dtype="int32")
+        for j in range(m):
+            X = M[:, j * sub : (j + 1) * sub]
+            d2 = (
+                np.einsum("ij,ij->i", X, X)[:, None]
+                - 2.0 * (X @ subC[j].T)
+                + sub_norms[j][None, :]
+            )
+            out_codes[:, j] = np.argmin(d2, axis=1)
+        return pd.Series(list(out_codes))
+
+    codes = pandas_udf(_codes, "array<int>")
+    e = embeddings.select(
+        F.col(id_col), as_double(vec_col).alias("_v"), *[F.col(c) for c in carry]
+    ).withColumn("codes", codes(F.col("_v")))
+    # reconstruction from codes via ONE broadcast codebook-array lookup
+    cb_row = F.broadcast(
+        codebook.agg(
+            F.array_sort(F.collect_list(F.struct("code", "cent"))).alias("_cb")
+        )
+    )
+    recon = F.concat(
+        *[
+            F.slice(
+                F.element_at(F.col("_cb"), F.element_at(F.col("codes"), j + 1) + 1)[
+                    "cent"
+                ],
+                j * sub + 1,
+                sub,
+            )
+            for j in range(m)
+        ]
+    )
+    return (
+        e.crossJoin(cb_row)
+        .select(
+            F.col(id_col),
+            "codes",
+            recon.alias("recon"),
+            *[F.col(c) for c in carry],
+        )
+    )
