@@ -134,3 +134,25 @@ def test_resample_expr_equals_pandas_property(spark, vals, step):
     a = resample_interpolate(df, "metric", step).orderBy("ts_ms").collect()
     b = resample_interpolate_expr(df, "metric", step).orderBy("ts_ms").collect()
     assert a == b
+
+
+@given(
+    big_keys=st.lists(st.integers(min_value=-1000, max_value=1000), min_size=0, max_size=60),
+    key_set=st.sets(st.integers(min_value=-1000, max_value=1000), max_size=20),
+)
+@fast
+def test_bloom_semijoin_equals_semijoin_property(spark, big_keys, key_set):
+    """∀ inputs (duplicates, negatives, empties): Bloom-prefiltered semi
+    join ≡ plain semi join — no false negatives ever, false positives
+    always scrubbed."""
+    from time_series_databse_engine_spark.operators.skew import bloom_semijoin
+
+    big = spark.createDataFrame(
+        [(k, i) for i, k in enumerate(big_keys)] or [(None, None)], "k int, i int"
+    ).filter("k is not null")
+    keys = spark.createDataFrame([(k,) for k in key_set] or [(None,)], "k int").filter(
+        "k is not null"
+    )
+    plain = sorted((r.k, r.i) for r in big.join(keys, "k", "left_semi").collect())
+    bloom = sorted((r.k, r.i) for r in bloom_semijoin(big, keys, "k").collect())
+    assert bloom == plain
