@@ -156,3 +156,48 @@ def test_bloom_semijoin_equals_semijoin_property(spark, big_keys, key_set):
     plain = sorted((r.k, r.i) for r in big.join(keys, "k", "left_semi").collect())
     bloom = sorted((r.k, r.i) for r in bloom_semijoin(big, keys, "k").collect())
     assert bloom == plain
+
+
+@given(
+    big_rows=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=6), st.integers(-50, 50)),
+        min_size=1,
+        max_size=60,
+    ),
+    salt=st.sampled_from([1, 2, 4, 8]),
+)
+@fast
+def test_salted_join_equals_plain_join_property(spark, big_rows, salt):
+    """∀ key distributions and salt widths: scattered join ≡ plain join
+    (content-derived salts lose and duplicate nothing)."""
+    from time_series_databse_engine_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame(big_rows, "k int, v int")
+    small = spark.createDataFrame([(i, f"d{i}") for i in range(5)], "k int, name string")
+    plain = sorted((r.k, r.v, r.name) for r in big.join(small, "k").collect())
+    salted = sorted(
+        (r.k, r.v, r.name) for r in salted_join(big, small, "k", salt=salt).collect()
+    )
+    assert salted == plain
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False), min_size=2, max_size=80
+    ),
+    n_bins=st.sampled_from([2, 4, 10]),
+)
+@fast
+def test_equidepth_bins_invariants_property(spark, vals, n_bins):
+    """∀ value distributions: every row keeps exactly one bin in
+    [1, n_bins], bins are monotone in the value, and no row is lost."""
+    from time_series_databse_engine_spark.operators.sampling import equidepth_bins
+
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], "id int, x double"
+    )
+    out = equidepth_bins(df, "x", n_bins=n_bins).collect()
+    assert len(out) == len(vals)
+    assert all(1 <= r.bin <= n_bins for r in out)
+    by_val = sorted(out, key=lambda r: (r.x, r.id))
+    assert all(a.bin <= b.bin for a, b in zip(by_val, by_val[1:]))
