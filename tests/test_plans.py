@@ -331,3 +331,33 @@ def test_zorder_layout_prunes_second_dimension(spark, sf_dir, tmp_path):
     # z-ordered: 16 files = 2 high bits/dim = 4 value strips; a 10%-wide
     # value band lives in ~1 strip → most files skippable
     assert zhit <= 8
+
+
+def test_zorder_key_n_generalizes_two_dim_and_interleaves(spark):
+    from time_series_databse_engine_spark.operators.layout import zorder_key, zorder_key_n
+
+    df = spark.createDataFrame(
+        [(a, b, c) for a in (0, 1, 5) for b in (0, 2, 7) for c in (0, 3)],
+        "a long, b long, c long",
+    )
+    rows = df.select(
+        "a",
+        "b",
+        "c",
+        zorder_key(F.col("a"), F.col("b"), 8).alias("z2"),
+        zorder_key_n([F.col("a"), F.col("b")], 8).alias("z2n"),
+        zorder_key_n([F.col("a"), F.col("b"), F.col("c")], 8).alias("z3"),
+    ).collect()
+    seen3 = set()
+    for r in rows:
+        # 2-dim general form is bit-identical to the specialized one
+        assert r.z2 == r.z2n
+        # 3-dim: de-interleave recovers the inputs exactly (bijective)
+        a = b = c = 0
+        for i in range(8):
+            a |= ((r.z3 >> (3 * i)) & 1) << i
+            b |= ((r.z3 >> (3 * i + 1)) & 1) << i
+            c |= ((r.z3 >> (3 * i + 2)) & 1) << i
+        assert (a, b, c) == (r.a, r.b, r.c)
+        seen3.add(r.z3)
+    assert len(seen3) == len(rows)

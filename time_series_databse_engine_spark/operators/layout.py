@@ -71,6 +71,26 @@ def zorder_key(a, b, bits: int = 16) -> F.Column:
     return reduce(add, terms)
 
 
+def zorder_key_n(cols, bits: int = 8) -> F.Column:
+    """N-dimensional Morton interleave — the general form of
+    :func:`zorder_key` for layouts clustered on 3-4 columns (tenant ×
+    time × metric is the common TSDB triple).  Column j of n owns bit
+    positions ``i·n + j``; ``n·bits`` interleaved bits must fit a long.
+    Fewer bits per dimension than the 2-d case is the right trade: with
+    16 target files and 3 dims you only ever prune on the top ~2 bits
+    of each dimension anyway."""
+    n = len(cols)
+    if n < 1:
+        raise ValueError("need at least one column")
+    if not 1 <= bits or n * bits > 63:
+        raise ValueError(f"n·bits must fit a long: {n}×{bits} > 63")
+    terms = []
+    for i in range(bits):
+        for j, c in enumerate(cols):
+            terms.append(F.shiftleft(F.shiftright(c, i).bitwiseAND(F.lit(1)), i * n + j))
+    return reduce(add, terms)
+
+
 def zorder_write(
     df: DataFrame, path: str, zcol: str = "zkey", num_files: int = 16
 ) -> None:
