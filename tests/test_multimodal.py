@@ -175,3 +175,35 @@ def test_resize_images_spark_passthrough_and_resize(spark):
     assert (d["width"], d["height"]) == (2, 1)
     wav = _real_media(spark).filter("media_id = 2").collect()[0].payload
     assert bytes(rows[2].payload) == bytes(wav)
+
+
+def test_frame_sample_extracts_exact_frames(spark):
+    from time_series_databse_engine_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp,
+        encode_mjb,
+        frame_sample,
+    )
+
+    # five 2x1 frames whose pixel bytes encode the frame index
+    frames = [encode_bmp(2, 1, bytes([i, i, i, 255 - i, 255 - i, 255 - i])) for i in range(5)]
+    video = encode_mjb(frames, frame_ms=40)
+    df = spark.createDataFrame(
+        [(1, "video", bytearray(video)), (2, "image", bytearray(frames[0]))],
+        "media_id long, kind string, payload binary",
+    )
+    out = sorted(frame_sample(df, every_n=2).collect(), key=lambda r: r.frame_idx)
+    # image row filtered out; frames 0, 2, 4 sampled at 40ms cadence
+    assert [(r.media_id, r.frame_idx, r.frame_ms) for r in out] == [
+        (1, 0, 0),
+        (1, 2, 80),
+        (1, 4, 160),
+    ]
+    for r in out:
+        assert (r.width, r.height) == (2, 1)
+        px = decode_bmp(bytes(r.frame))
+        # pixel-exact: each 2x1 frame is [i,i,i] then [255-i]*3 (BGR)
+        i = r.frame_idx
+        assert (px["mean_b"], px["mean_g"], px["mean_r"]) == (
+            (i + 255 - i) / 2,
+        ) * 3
