@@ -1469,6 +1469,41 @@ def q_dedup_clusters_star(spark, sf_dir):
     return dedup_ops.dedup_clusters_star(pairs)
 
 
+def q_frame_sample(spark, sf_dir):
+    """REAL video frame sampling end-to-end (multimodal.frame_sample):
+    documents → 5-frame MJB motion-BMP containers (each 4×1 frame's
+    pixels from a different text slice) via one mapInPandas encode
+    stage, then seek-table parse + per-frame stdlib BMP decode samples
+    every 2nd frame.  Rows-only: binary payloads have no SQL oracle;
+    pixel-exact extraction is tested in test_multimodal."""
+    from time_series_databse_engine_spark.operators import multimodal as mm_ops
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for t in pdf["text"]:
+                b = t.encode("utf-8")[:60]
+                b = b + bytes(60 - len(b))
+                frames = [
+                    mm_ops.encode_bmp(4, 1, b[i * 12 : i * 12 + 12]) for i in range(5)
+                ]
+                payloads.append(mm_ops.encode_mjb(frames, frame_ms=40))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "kind": "video", "payload": payloads}
+            )
+
+    media = docs.select("doc_id", "text").mapInPandas(
+        encode, schema="media_id long, kind string, payload binary"
+    )
+    return mm_ops.frame_sample(media, every_n=2).select(
+        "media_id", "frame_idx", "frame_ms", "width", "height"
+    )
+
+
 def q_multimodal_decode(spark, sf_dir):
     """REAL multimodal decode end-to-end: documents → 4×4 24-bit BMP
     payloads (first 48 utf-8 bytes as BGR pixels, zero-padded) via one
@@ -2268,6 +2303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markov_transitions": q_markov_transitions,
         "edit_verify": q_edit_verify,
         "pca_project": q_pca_project,
+        "frame_sample": q_frame_sample,
         "bpe_tokenize": q_bpe_tokenize,
         "multimodal_decode": q_multimodal_decode,
         "jaccard_pairs": q_jaccard_pairs,

@@ -26,6 +26,7 @@ def test_oracle_keys_subset_of_queries():
         "simhash",            # xxhash64 — no cross-engine hash; anchored by simhash_md5
         "bpe_tokenize",       # iterative rank-priority merge — not SQL-expressible
         "pca_project",        # driver eigensolve — not SQL-replayable
+        "frame_sample",       # binary container payloads — exactness in tests
         "approx_stats",       # engine-specific sketch values
         "multimodal_features",  # binary mapInPandas, fake decoder
         "multimodal_decode",  # binary construction — codec exactness in tests
