@@ -1199,6 +1199,35 @@ def q_attribution(spark, sf_dir):
     )
 
 
+def q_ivf_recall(spark, sf_dir):
+    """Oracle-checked ANN quality measurement: per-query recall@5 of
+    ivf_topk against exact cosine_topk — the evaluation every
+    approximate index ships with, here as a first-class query (the
+    SCALE.md recall tables were scripted; this one the driver can
+    verify).  Per-query rows (k, hits, recall) keep every float a
+    single exact division — no cross-engine mean drift."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5)
+    exact = sim_ops.cosine_topk(emb, qs, k=5).select("query_id", "cand_id")
+    approx = sim_ops.ivf_topk(emb, qs, k=5).select("query_id", "cand_id")
+    hits = (
+        exact.join(approx, ["query_id", "cand_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("hits"))
+    )
+    return (
+        exact.groupBy("query_id")
+        .agg(F.count("*").alias("k"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "k",
+            F.coalesce("hits", F.lit(0)).alias("hits"),
+            F.round(F.coalesce("hits", F.lit(0)) / F.col("k"), 6).alias("recall"),
+        )
+    )
+
+
 def q_edit_verify(spark, sf_dir):
     """Edit-distance VERIFICATION of LSH candidate pairs — the exact
     re-check stage a production dedup pipeline runs before purging
@@ -2302,6 +2331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_corpus": q_clean_corpus,
         "markov_transitions": q_markov_transitions,
         "edit_verify": q_edit_verify,
+        "ivf_recall": q_ivf_recall,
         "pca_project": q_pca_project,
         "frame_sample": q_frame_sample,
         "bpe_tokenize": q_bpe_tokenize,
@@ -4355,6 +4385,19 @@ def oracle_sql() -> dict[str, str]:
     # the chunk-and-chain variants compute the identical recursions, so
     # they share the sequential oracles verbatim
     oracles["ewma_chunked"] = oracles["ewma"]
+    # recall@5 of the IVF index vs exact cosine — composed from the two
+    # existing oracles as CTE subqueries (named reuse, not text splicing)
+    oracles["ivf_recall"] = f"""
+        WITH e AS (SELECT query_id, cand_id FROM ({oracles["cosine_topk"]})),
+        a AS (SELECT query_id, cand_id FROM ({oracles["ivf_ann_topk"]})),
+        h AS (SELECT e.query_id, count(*) AS hits
+              FROM e JOIN a ON e.query_id = a.query_id AND e.cand_id = a.cand_id
+              GROUP BY e.query_id)
+        SELECT e.query_id, count(*) AS k,
+               coalesce(any_value(h.hits), 0) AS hits,
+               round(coalesce(any_value(h.hits), 0) / count(*), 6) AS recall
+        FROM e LEFT JOIN h ON e.query_id = h.query_id
+        GROUP BY e.query_id"""
     oracles["holt_chunked"] = oracles["holt_smoothing"]
     oracles["resample_1m_expr"] = oracles["resample_1m"]
     oracles["dsir_weights"] = """
