@@ -2203,13 +2203,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     in-window, displacing ten more r1-r3-green anchors whose categories
     stay covered (see the inline comment at the rotation point).
 
-    ROTATION QUEUE for the next round's window: markov_transitions and
-    edit_verify (oracle-backed, added after the window filled;
-    local-green at 3 SFs).  After this round's driver run every OTHER
-    oracle-backed query has at least one historical driver row; the
-    designed remainder is the rows-only set bpe_tokenize + pca_project
-    + simhash + multimodal_resize and the no-oracle streaming/
-    multimodal entries."""
+    ROTATION QUEUE for the next round's window: markov_transitions,
+    edit_verify, and ivf_recall (oracle-backed, added after the window
+    filled; each local-green at 3 SFs).  After this round's driver run
+    every OTHER oracle-backed query has at least one historical driver
+    row; the designed remainder is the rows-only set bpe_tokenize +
+    pca_project + frame_sample + simhash + multimodal_resize and the
+    no-oracle streaming/multimodal entries."""
     return {
         # -- category anchors (driver-green r1/r2/r3) -------------------
         "range_scan": q_range_scan,
