@@ -220,6 +220,24 @@ def main():
         extra["query_cold_24h_p50"] = round(_pctl(cold_ts, 0.50), 4)
         extra["query_cold_24h_p99"] = round(_pctl(cold_ts, 0.99), 4)
 
+        # --- concurrent hot queries: the multi-tenant dashboard shape.
+        # Spark's scheduler interleaves independent actions from multiple
+        # driver threads (FIFO pools), so QPS should exceed 1/p50 — this
+        # measures scheduler headroom, the regime the reference's
+        # single-threaded FFI loop cannot enter at all.
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _one_hot(i):
+            lo = START_MS + (i % 24) * 3_600_000
+            return store.query_range(lo, lo + 3_600_000).count()
+
+        n_conc = 24
+        t0 = time.time()
+        with ThreadPoolExecutor(max_workers=8) as ex:
+            list(ex.map(_one_hot, range(n_conc)))
+        conc_dt = time.time() - t0
+        extra["concurrent_hot_qps"] = round(n_conc / conc_dt, 1)
+
         # --- headline analytical queries at SF_DIR (warmed above)
         # The two Σ|bucket|² ops run with auto-sized bucket spaces here —
         # the production path, which holds average occupancy constant as
