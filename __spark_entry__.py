@@ -1199,6 +1199,34 @@ def q_attribution(spark, sf_dir):
     )
 
 
+def q_dedup_keep_best(spark, sf_dir):
+    """Quality-aware canonical selection: per near-dup cluster keep the
+    member with the HIGHEST quality score (``max_by`` with doc-id
+    tiebreak) — completing the who-survives trilogy: min-id
+    (dedup_clusters), centrality (pagerank), quality (here; what
+    production purges actually use: keep the cleanest copy).  Shapes:
+    the cluster table is id-keyed, quality is a zero-shuffle scan, one
+    clusters-sized aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    sigs = dedup_ops.minhash_signatures(docs, num_hashes=8, shingle_n=3)
+    pairs = dedup_ops.lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
+    clusters = dedup_ops.dedup_clusters(pairs)
+    q = text_ops.quality_score(docs).select("doc_id", "quality")
+    return (
+        clusters.join(q, "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("n_members"),
+            # max_by tie rule: highest quality, then LOWEST doc_id — the
+            # struct comparison (quality, -doc_id) makes it deterministic
+            F.max_by(
+                "doc_id", F.struct(F.col("quality"), (-F.col("doc_id")).alias("nid"))
+            ).alias("keep_doc_id"),
+            F.round(F.max("quality"), 6).alias("keep_quality"),
+        )
+    )
+
+
 def q_ivf_recall(spark, sf_dir):
     """Oracle-checked ANN quality measurement: per-query recall@5 of
     ivf_topk against exact cosine_topk — the evaluation every
@@ -2204,7 +2232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     stay covered (see the inline comment at the rotation point).
 
     ROTATION QUEUE for the next round's window: markov_transitions,
-    edit_verify, and ivf_recall (oracle-backed, added after the window
+    edit_verify, ivf_recall, and dedup_keep_best (oracle-backed, added after the window
     filled; each local-green at 3 SFs).  After this round's driver run
     every OTHER oracle-backed query has at least one historical driver
     row; the designed remainder is the rows-only set bpe_tokenize +
@@ -2332,6 +2360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markov_transitions": q_markov_transitions,
         "edit_verify": q_edit_verify,
         "ivf_recall": q_ivf_recall,
+        "dedup_keep_best": q_dedup_keep_best,
         "pca_project": q_pca_project,
         "frame_sample": q_frame_sample,
         "bpe_tokenize": q_bpe_tokenize,
@@ -4385,6 +4414,22 @@ def oracle_sql() -> dict[str, str]:
     # the chunk-and-chain variants compute the identical recursions, so
     # they share the sequential oracles verbatim
     oracles["ewma_chunked"] = oracles["ewma"]
+    # quality-aware canonical member per dup cluster: clusters oracle as a
+    # subquery + the shared quality CTE; (quality DESC, doc_id ASC) rank
+    # mirrors the engine's max_by struct tie rule
+    oracles["dedup_keep_best"] = f"""
+        WITH {_quality_cte},
+        c AS (SELECT * FROM ({_dedup_clusters_sql()})),
+        j AS (SELECT c.cluster_id, c.doc_id, q.quality
+              FROM c JOIN q USING (doc_id))
+        SELECT cluster_id, n_members, doc_id AS keep_doc_id, keep_quality
+        FROM (SELECT cluster_id, doc_id,
+                     count(*) OVER (PARTITION BY cluster_id) AS n_members,
+                     round(max(quality) OVER (PARTITION BY cluster_id), 6)
+                         AS keep_quality,
+                     row_number() OVER (PARTITION BY cluster_id
+                                        ORDER BY quality DESC, doc_id ASC) AS r
+              FROM j) WHERE r = 1"""
     # recall@5 of the IVF index vs exact cosine — composed from the two
     # existing oracles as CTE subqueries (named reuse, not text splicing)
     oracles["ivf_recall"] = f"""
