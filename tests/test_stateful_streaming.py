@@ -129,3 +129,48 @@ def test_heavy_hitters_state_across_batches(spark):
         assert est >= 30  # must have survived both batches' pruning
     finally:
         shutil.rmtree(d)
+
+
+def test_sessionize_stream_evicts_state_on_event_time_timeout(spark):
+    """A user's session closes (and its state is REMOVED) when the
+    watermark — advanced by later batches — passes last_event + gap."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from time_series_databse_engine_spark.streaming.stateful import sessionize_stream
+
+    d = tempfile.mkdtemp()
+    try:
+        schema = "user_id long, ts_ms long"
+        # b1: user 1's burst; b2: a far-future event advances the watermark
+        spark.createDataFrame(
+            [(1, 1_000), (1, 5_000), (1, 3_000)], schema
+        ).coalesce(1).write.parquet(d + "/src/b1")
+        spark.createDataFrame([(9, 100_000_000)], schema).coalesce(1).write.parquet(
+            d + "/src/b2"
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(d + "/src/*")
+            .withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+            .withWatermark("ts", "1 second")
+        )
+        q = (
+            sessionize_stream(stream, gap_ms=10_000)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("sess_out")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        rows = spark.sql("SELECT * FROM sess_out").collect()
+        got = {(r.user_id): (r.session_start_ms, r.session_end_ms, r.n_events) for r in rows}
+        # user 1's session was closed by the watermark advance; user 9's
+        # session is still open (no later watermark) so NOT emitted
+        assert got == {1: (1_000, 5_000, 3)}
+    finally:
+        shutil.rmtree(d)

@@ -197,3 +197,72 @@ def heavy_hitters_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+SESS_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("session_start_ms", T.LongType(), False),
+        T.StructField("session_end_ms", T.LongType(), False),
+        T.StructField("n_events", T.LongType(), False),
+    ]
+)
+SESS_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_ms", T.LongType(), True),
+        T.StructField("last_ms", T.LongType(), True),
+        T.StructField("n", T.LongType(), True),
+    ]
+)
+
+
+def sessionize_stream(stream: DataFrame, gap_ms: int = 1_800_000) -> DataFrame:
+    """Stateful streaming sessionization WITH STATE EVICTION — the
+    GroupStateTimeout surface the other stateful ops here don't need
+    (EMA/CUSUM state is O(series) forever; per-USER session state would
+    grow unboundedly without expiry).  A session closes when the event-
+    time watermark passes ``last_event + gap``: the state times out, the
+    completed session row is emitted, and the key's state is REMOVED —
+    state size is O(active sessions), not O(users ever seen).
+
+    Built-in ``session_window`` covers the aggregation shape
+    (streaming/ingest.sessionized_counts); this operator exists for the
+    cases needing custom per-session state machines (ordered event
+    lists, funnels-within-session) — swap the payload, keep the
+    timeout skeleton.  stream must have (user_id, ts_ms) and a
+    watermark on an event-time column derived from ts_ms.
+    """
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (user_id,) = key
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [(user_id, int(start), int(last), int(n))],
+                columns=["user_id", "session_start_ms", "session_end_ms", "n_events"],
+            )
+            return
+        start, last, n = state.get if state.exists else (None, None, 0)
+        for pdf in pdfs:
+            for ts in pdf["ts_ms"]:
+                ts = int(ts)
+                start = ts if start is None else min(start, ts)
+                last = ts if last is None else max(last, ts)
+                n += 1
+        state.update((start, last, n))
+        # evict once the watermark passes the session gap
+        state.setTimeoutTimestamp(last + gap_ms)
+        yield pd.DataFrame(
+            [], columns=["user_id", "session_start_ms", "session_end_ms", "n_events"]
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=SESS_OUT_SCHEMA,
+        stateStructType=SESS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
