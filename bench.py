@@ -89,6 +89,11 @@ HEADLINE = [
     "bpe_tokenize",
     "rfm_segments",
     "skew_profile",
+    "markov_transitions",
+    "edit_verify",
+    "dedup_keep_best",
+    "ivf_recall",
+    "pca_project",
 ]
 
 # repeated-run latency distribution for the reference's hot/cold point
