@@ -1199,6 +1199,16 @@ def q_attribution(spark, sf_dir):
     )
 
 
+def q_hashing_vectors(spark, sf_dir):
+    """Feature-hashing document vectors (text.hashing_vectorize,
+    Weinberger 2009): md5-bucketed token counts, L2-normalized from an
+    exact integer Σn² — the model-free embedding that feeds this repo's
+    vector operators on corpora without an embedding model.  Sparse
+    (id, bucket, n, weight) output keeps the oracle comparison on
+    scalar columns."""
+    return text_ops.hashing_vectorize(_t(spark, sf_dir, "documents"), dim=64)
+
+
 def q_dedup_keep_best(spark, sf_dir):
     """Quality-aware canonical selection: per near-dup cluster keep the
     member with the HIGHEST quality score (``max_by`` with doc-id
@@ -2232,7 +2242,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     stay covered (see the inline comment at the rotation point).
 
     ROTATION QUEUE for the next round's window: markov_transitions,
-    edit_verify, ivf_recall, and dedup_keep_best (oracle-backed, added after the window
+    edit_verify, ivf_recall, dedup_keep_best, and hashing_vectors
+    (oracle-backed, added after the window
     filled; each local-green at 3 SFs).  After this round's driver run
     every OTHER oracle-backed query has at least one historical driver
     row; the designed remainder is the rows-only set bpe_tokenize +
@@ -2361,6 +2372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_verify": q_edit_verify,
         "ivf_recall": q_ivf_recall,
         "dedup_keep_best": q_dedup_keep_best,
+        "hashing_vectors": q_hashing_vectors,
         "pca_project": q_pca_project,
         "frame_sample": q_frame_sample,
         "bpe_tokenize": q_bpe_tokenize,
@@ -3757,6 +3769,24 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs p JOIN documents a ON p.id1 = a.doc_id
                          JOIN documents b ON p.id2 = b.doc_id"""
         ),
+        # hashing trick: bucket = 2-hex md5 prefix mod 64 (strpos fold, the
+        # cms_topk discipline); norm from exact integer sum of squares
+        "hashing_vectors": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                        x -> x != '')) AS t
+              FROM documents),
+            c AS (SELECT doc_id,
+                         ((strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1) * 16
+                          + (strpos('0123456789abcdef', substr(md5(t), 2, 1)) - 1))
+                           % 64 AS bucket,
+                         count(*) AS n
+                  FROM toks GROUP BY 1, 2)
+            SELECT doc_id, bucket, n,
+                   round(n / sqrt(sum(n * n) OVER (PARTITION BY doc_id)), 6)
+                       AS weight
+            FROM c""",
         "markov_transitions": f"""
             WITH p AS (
               SELECT lag(event_type) OVER (PARTITION BY user_id

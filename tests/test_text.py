@@ -410,3 +410,28 @@ def test_bpe_apply_no_merges_is_char_count(spark):
     df = spark.createDataFrame([(1, "ab cde")], "doc_id long, text string")
     r = bpe_apply(df, []).collect()[0]
     assert r.n_words == 2 and r.n_bpe_tokens == 5
+
+
+def test_hashing_vectorize_unit_norm_and_determinism(spark):
+    import math
+
+    from time_series_databse_engine_spark.operators.text import hashing_vectorize
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta alpha gamma"), (2, "alpha"), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = hashing_vectorize(df, dim=16).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # empty doc contributes no entries; single-token doc is a unit vector
+    assert 3 not in by_doc
+    assert len(by_doc[2]) == 1 and by_doc[2][0].weight == 1.0
+    # unit L2 norm (up to 6-dp rounding)
+    norm1 = math.sqrt(sum(r.weight**2 for r in by_doc[1]))
+    assert abs(norm1 - 1.0) < 1e-4
+    # same token always lands in the same bucket: doc1's 'alpha' bucket
+    # (the n=2 entry) equals doc2's only bucket
+    a1 = [r.bucket for r in by_doc[1] if r.n == 2]
+    assert a1 == [by_doc[2][0].bucket]

@@ -1129,3 +1129,44 @@ def bpe_apply(
             yield pd.DataFrame({id_col: ids, "n_words": nw, "n_bpe_tokens": nb})
 
     return df.select(id_col, text_col).mapInPandas(run, schema=out_schema)
+
+
+def hashing_vectorize(
+    df: DataFrame,
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Feature-hashing document vectorizer (Weinberger et al. 2009, the
+    'hashing trick'): token → md5 bucket in [0, dim), per-doc bucket
+    counts, L2-normalized — a model-free document embedding that makes
+    every vector operator in this repo (cosine top-k, SemDeDup, IVF,
+    PCA) applicable to corpora with no external embedding model.  No
+    vocabulary table, no training, no OOV: the hash IS the feature map,
+    which is why it scales to any corpus unseen-token distribution.
+
+    Output is the SPARSE form (id, bucket, n, weight) with zero entries
+    omitted — scalar columns, so the SQL oracle compares exactly
+    (array-valued outputs hash differently across engines); densify
+    with a 0..dim-1 sequence join when a fixed-width vector is needed.
+    Shape: one corpus explode + one (id, bucket) count + a per-doc norm
+    window — norms from EXACT integer Σn², so the only float is one
+    division per entry.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), "\\s+"), lambda t: t != "")
+        ).alias("t"),
+    )
+    bucket = F.pmod(F.conv(F.substring(F.md5(F.col("t")), 1, 2), 16, 10).cast("int"), F.lit(dim))
+    counts = toks.select(id_col, bucket.alias("bucket")).groupBy(id_col, "bucket").agg(
+        F.count("*").alias("n")
+    )
+    z = F.sqrt(F.sum(F.col("n") * F.col("n")).over(W.partitionBy(id_col)))
+    return counts.select(
+        id_col,
+        "bucket",
+        "n",
+        F.round(F.col("n") / z, 6).alias("weight"),
+    )
