@@ -1237,6 +1237,18 @@ def q_dedup_keep_best(spark, sf_dir):
     )
 
 
+def q_lsh_multiprobe_topk(spark, sf_dir):
+    """Multi-probe sign-LSH top-5 (similarity.lsh_multiprobe_topk, Lv
+    2007): probe the base bucket plus the 2 lowest-|margin| bit flips —
+    recall of the multi-table OR at ONE table's memory (measured 0.35
+    vs single-probe 0.14 at 4 planes, sf0.1; SCALE.md).  Probes
+    multiply only the tiny query side."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim_ops.lsh_multiprobe_topk(
+        emb, emb.filter(F.col("vec_id") < 20), dim=64, k=5, num_planes=4, n_flip=2
+    )
+
+
 def q_ivf_recall(spark, sf_dir):
     """Oracle-checked ANN quality measurement: per-query recall@5 of
     ivf_topk against exact cosine_topk — the evaluation every
@@ -2242,8 +2254,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     stay covered (see the inline comment at the rotation point).
 
     ROTATION QUEUE for the next round's window: markov_transitions,
-    edit_verify, ivf_recall, dedup_keep_best, and hashing_vectors
-    (oracle-backed, added after the window
+    edit_verify, ivf_recall, dedup_keep_best, hashing_vectors, and
+    lsh_multiprobe_topk (oracle-backed, added after the window
     filled; each local-green at 3 SFs).  After this round's driver run
     every OTHER oracle-backed query has at least one historical driver
     row; the designed remainder is the rows-only set bpe_tokenize +
@@ -2373,6 +2385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_recall": q_ivf_recall,
         "dedup_keep_best": q_dedup_keep_best,
         "hashing_vectors": q_hashing_vectors,
+        "lsh_multiprobe_topk": q_lsh_multiprobe_topk,
         "pca_project": q_pca_project,
         "frame_sample": q_frame_sample,
         "bpe_tokenize": q_bpe_tokenize,
@@ -2633,6 +2646,50 @@ def _hw_backtest_sql(period: int = 24, horizons: tuple[int, ...] = (1, 3, 6, 12)
                round(sqrt(avg(err * err)), 6) AS rmse
         FROM errs GROUP BY event_type, horizon"""
     )
+
+
+def _multiprobe_sql(num_planes=4, n_flip=2, dim=64, k=5, seed=42) -> str:
+    """Multi-probe LSH oracle: candidate buckets from _bucket_sql's sign
+    expression; the query side carries per-plane projections, flips the
+    ``n_flip`` lowest-|margin| bits ((|proj|, idx) ordering — the
+    engine's tie rule), and probes the union of buckets."""
+    planes = sim_ops.random_planes(num_planes, dim, seed)
+
+    def proj(p, col="qv"):
+        arr = ", ".join(repr(float(x)) for x in p)
+        return f"list_dot_product({col}, [{arr}]::DOUBLE[])"
+
+    projs = ", ".join(proj(p) for p in planes)
+    return f"""
+        WITH b AS (SELECT vec_id, embedding, {_bucket_sql(num_planes, dim, seed)} AS bucket
+                   FROM embeddings),
+        c AS (SELECT vec_id AS cand_id, embedding::DOUBLE[] AS cv, bucket FROM b),
+        q0 AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, bucket AS base
+               FROM b WHERE vec_id < 20),
+        qp AS (SELECT query_id, qv, base, [{projs}] AS pr FROM q0),
+        fl AS (SELECT query_id, i FROM (
+                 SELECT query_id, i,
+                        row_number() OVER (PARTITION BY query_id
+                                           ORDER BY abs(pr[i + 1]), i) AS r
+                 FROM qp, (SELECT unnest(range({num_planes})) AS i))
+               WHERE r <= {n_flip}),
+        probes AS (
+          SELECT query_id, qv, base AS bucket FROM qp
+          UNION ALL
+          SELECT qp.query_id, qp.qv,
+                 substr(base, 1, fl.i)
+                 || (CASE substr(base, fl.i + 1, 1) WHEN '1' THEN '0' ELSE '1' END)
+                 || substr(base, fl.i + 2, {num_planes}) AS bucket
+          FROM qp JOIN fl USING (query_id)),
+        s AS (SELECT query_id, cand_id,
+                     list_dot_product(qv, cv) /
+                     (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS sim
+              FROM probes JOIN c USING (bucket) WHERE cand_id <> query_id)
+        SELECT query_id, cand_id, round(sim, 6) AS cosine_sim, rank FROM (
+          SELECT query_id, cand_id, sim,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY sim DESC, cand_id ASC) AS rank
+          FROM s) WHERE rank <= {k}"""
 
 
 def _pagerank_sql(iters: int = 5) -> str:
@@ -3935,6 +3992,7 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY sim DESC, cand_id ASC) AS rank
               FROM s) WHERE rank <= 5""",
         "lsh_ann_topk_multi": _multi_lsh_sql(num_planes=4, num_tables=8, dim=64),
+        "lsh_multiprobe_topk": _multiprobe_sql(num_planes=4, n_flip=2, dim=64, k=5),
         "ivf_ann_topk": """
             WITH cents AS (SELECT vec_id AS cell_id, embedding::DOUBLE[] AS cent
                            FROM embeddings ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16),

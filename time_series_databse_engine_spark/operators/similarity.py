@@ -1120,3 +1120,121 @@ def pq_encode_np(
             *[F.col(c) for c in carry],
         )
     )
+
+
+def lsh_multiprobe_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    *,
+    dim: int,
+    k: int = 5,
+    num_planes: int = 8,
+    n_flip: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Multi-probe sign-LSH top-k (Lv et al. 2007): instead of adding
+    TABLES to recover recall (``lsh_bucket_topk_multi``: T independent
+    plane sets, T× index memory), probe the SAME index at the query's
+    base bucket PLUS the ``n_flip`` buckets reached by flipping the
+    planes with the smallest |projection| — precisely the bits a true
+    neighbour most likely disagrees on (sign flip probability per
+    plane falls with margin).  Memory stays one table; candidate
+    volume grows only ~(n_flip+1)× the base bucket.
+
+    Shape: the candidate side is the single-table index (one bucket
+    per row — probes multiply only the tiny QUERY side, exploded to
+    n_flip+1 bucket keys before the same broadcast equi-join), so the
+    100 TB cost profile is identical to single-probe with a slightly
+    wider probe list.  Probe buckets are distinct by construction, so
+    no pair dedup is needed.  Margin ordering breaks ties by plane
+    index; projections are fixed-order folds, so the SQL oracle orders
+    identically.
+    """
+    planes = random_planes(num_planes, dim, seed)
+    c = (
+        embeddings.select(
+            F.col(id_col).alias("cand_id"), as_double(vec_col).alias("cvec")
+        )
+        .withColumn("bucket", hyperplane_bucket(F.col("cvec"), planes))
+        .withColumn("cn", norm(F.col("cvec")))
+    )
+    projs = F.array(
+        *[
+            dot(F.col("qvec"), F.array(*[F.lit(float(x)) for x in p]))
+            for p in planes
+        ]
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"), as_double(vec_col).alias("qvec")
+        )
+        .withColumn("qn", norm(F.col("qvec")))
+        .withColumn("_pr", projs)
+        .withColumn(
+            "_bits",
+            F.transform("_pr", lambda p: F.when(p >= 0, F.lit("1")).otherwise("0")),
+        )
+        .withColumn("_base", F.array_join("_bits", ""))
+        .withColumn(
+            # plane indices ordered by (|projection|, idx): the n_flip
+            # most uncertain sign decisions
+            "_flips",
+            F.slice(
+                F.array_sort(
+                    F.zip_with(
+                        "_pr",
+                        F.sequence(F.lit(0), F.lit(num_planes - 1)),
+                        lambda p, i: F.struct(F.abs(p).alias("a"), i.alias("i")),
+                    )
+                ).getField("i"),
+                1,
+                n_flip,
+            ),
+        )
+        .withColumn(
+            "bucket",
+            F.explode(
+                F.concat(
+                    F.array(F.col("_base")),
+                    F.transform(
+                        "_flips",
+                        lambda fi: F.concat(
+                            F.substring(F.col("_base"), F.lit(1), fi),
+                            F.when(
+                                F.substring(
+                                    F.col("_base"), fi + 1, F.lit(1)
+                                )
+                                == "1",
+                                F.lit("0"),
+                            ).otherwise("1"),
+                            F.substring(
+                                F.col("_base"),
+                                fi + 2,
+                                F.lit(num_planes),
+                            ),
+                        ),
+                    ),
+                )
+            ),
+        )
+        .select("query_id", "qvec", "qn", "bucket")
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            (dot(F.col("qvec"), F.col("cvec")) / (F.col("qn") * F.col("cn"))).alias(
+                "_sim"
+            ),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("_sim").desc(), F.col("cand_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", F.round("_sim", 6).alias("cosine_sim"), "rank")
+    )
