@@ -415,3 +415,42 @@ def test_pq_encode_np_matches_exact_fold(spark, sf_dir):
     for i in exact:
         if exact[i][0] == blas[i][0]:
             assert exact[i][1] == blas[i][1]
+
+
+def test_multiprobe_lsh_invariants(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from time_series_databse_engine_spark.operators.similarity import (
+        lsh_bucket_topk,
+        lsh_multiprobe_topk,
+    )
+    from time_series_databse_engine_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    base = {
+        (r.query_id, r.cand_id)
+        for r in lsh_bucket_topk(emb, q, dim=64, k=5, num_planes=4).collect()
+    }
+    zero = {
+        (r.query_id, r.cand_id)
+        for r in lsh_multiprobe_topk(
+            emb, q, dim=64, k=5, num_planes=4, n_flip=0
+        ).collect()
+    }
+    # zero flips degenerates exactly to single-probe
+    assert zero == base
+    # probing strictly widens the candidate set, so every query's result
+    # is at least as similar: top-1 similarity is monotone in flips
+    two = lsh_multiprobe_topk(emb, q, dim=64, k=5, num_planes=4, n_flip=2)
+    top_base = {
+        r.query_id: r.cosine_sim
+        for r in lsh_multiprobe_topk(emb, q, dim=64, k=5, num_planes=4, n_flip=0)
+        .filter(F.col("rank") == 1)
+        .collect()
+    }
+    top_two = {
+        r.query_id: r.cosine_sim for r in two.filter(F.col("rank") == 1).collect()
+    }
+    for qid, s in top_base.items():
+        assert top_two[qid] >= s
