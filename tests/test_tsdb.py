@@ -325,3 +325,36 @@ def test_ingest_observe_metrics_piggyback_write(spark, tmp_path):
         spark.createDataFrame([("c", 9000, 4.0)], "metric string, ts_ms long, value double")
     ) is None
     assert store.points().count() == 4
+
+
+def test_ingest_checked_publishes_good_and_rejects_bad(spark, tmp_path):
+    import os
+
+    import pytest
+
+    from time_series_databse_engine_spark import TimeSeriesStore
+
+    store = TimeSeriesStore(spark, str(tmp_path / "p"))
+    good = spark.createDataFrame(
+        [("m", 1000, 1.0), ("m", 2000, 2.0)], "metric string, ts_ms long, value double"
+    )
+    m = store.ingest_checked(good, ts_bounds_ms=(0, 10_000))
+    assert m["published"] and m["rows"] == 2 and m["null_values"] == 0
+    assert store.points().count() == 2
+
+    # a batch with nulls fails the audit and must leave the table untouched
+    bad = spark.createDataFrame(
+        [("m", 3000, None), ("m", 4000, 4.0)], "metric string, ts_ms long, value double"
+    )
+    with pytest.raises(ValueError, match="null fraction"):
+        store.ingest_checked(bad, max_null_frac=0.0)
+    assert store.points().count() == 2
+    assert not os.path.isdir(str(tmp_path / "p") + ".wap-tmp")
+
+    # out-of-bounds timestamps are the late/future-clock guard
+    skew = spark.createDataFrame(
+        [("m", 99_999_999, 1.0)], "metric string, ts_ms long, value double"
+    )
+    with pytest.raises(ValueError, match="ts range"):
+        store.ingest_checked(skew, ts_bounds_ms=(0, 10_000))
+    assert store.points().count() == 2

@@ -217,6 +217,94 @@ class TimeSeriesStore:
         shutil.rmtree(tmp, ignore_errors=True)
         self._invalidate()
 
+    def ingest_checked(
+        self,
+        df: DataFrame,
+        max_null_frac: float = 0.0,
+        min_rows: int = 1,
+        ts_bounds_ms: tuple[int, int] | None = None,
+        target_partitions: int | None = None,
+    ) -> dict:
+        """Write-audit-publish ingest (the Iceberg WAP / Delta-constraint
+        pattern): the batch is WRITTEN to an invisible staging dir,
+        AUDITED against data-quality gates using metrics that piggyback
+        that same write pass (the :meth:`ingest` ``observe`` trick — no
+        second scan), and PUBLISHED by O(touched partitions) file moves
+        only if every check passes.  A failing batch leaves the table
+        bit-for-bit untouched — the property a blind append cannot give
+        (half-ingested garbage needs a purge).
+
+        Checks: row count ≥ ``min_rows``; null-value fraction ≤
+        ``max_null_frac``; all timestamps inside ``ts_bounds_ms``
+        (inclusive) when given — the late/future-clock guard.  Returns
+        the metrics dict (with ``published: True``); raises ValueError
+        carrying the metrics when a gate fails.
+        """
+        import os
+        import shutil
+
+        from pyspark.sql import Observation
+
+        if "ts_ms" not in df.columns:
+            df = df.withColumn("ts_ms", F.unix_millis(F.col("ts")))
+        pts = df.select(
+            F.col("metric").cast("string"),
+            F.col("ts_ms").cast("long"),
+            F.col("value").cast("double"),
+            (F.floor(F.col("ts_ms") / SHARD_DURATION_MS)).cast("long").alias("hour_bucket"),
+        )
+        n = target_partitions or self.spark.sparkContext.defaultParallelism
+        pts = pts.repartition(n, "hour_bucket", "metric")
+        obs = Observation("wap")
+        pts = pts.observe(
+            obs,
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(F.col("value").isNull().cast("long")).alias("null_values"),
+            F.min("ts_ms").alias("min_ts_ms"),
+            F.max("ts_ms").alias("max_ts_ms"),
+        )
+        tmp = self.path.rstrip("/") + ".wap-tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        (
+            pts.sortWithinPartitions("hour_bucket", "metric", "ts_ms")
+            .write.mode("overwrite")
+            .option("parquet.writer.version", "v2")
+            .partitionBy("hour_bucket")
+            .parquet(tmp)
+        )
+        m = dict(obs.get)
+        problems = []
+        if m["rows"] < min_rows:
+            problems.append(f"rows {m['rows']} < {min_rows}")
+        if m["rows"] and m["null_values"] / m["rows"] > max_null_frac:
+            problems.append(
+                f"null fraction {m['null_values'] / m['rows']:.4f} > {max_null_frac}"
+            )
+        if ts_bounds_ms is not None and m["rows"]:
+            lo, hi = ts_bounds_ms
+            if m["min_ts_ms"] < lo or m["max_ts_ms"] > hi:
+                problems.append(
+                    f"ts range [{m['min_ts_ms']}, {m['max_ts_ms']}] outside [{lo}, {hi}]"
+                )
+        if problems:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise ValueError(f"WAP audit failed: {'; '.join(problems)} | metrics={m}")
+        # publish: move data files in (append semantics, epoch-move shape)
+        for entry in os.listdir(tmp):
+            if not entry.startswith("hour_bucket="):
+                continue
+            dst_dir = os.path.join(self.path, entry)
+            os.makedirs(dst_dir, exist_ok=True)
+            for fname in os.listdir(os.path.join(tmp, entry)):
+                if fname.endswith(".parquet"):
+                    shutil.move(
+                        os.path.join(tmp, entry, fname), os.path.join(dst_dir, fname)
+                    )
+        shutil.rmtree(tmp, ignore_errors=True)
+        self._invalidate()
+        m["published"] = True
+        return m
+
     def compact(self, target_partitions: int | None = None, dedupe: bool = False) -> None:
         """Rewrite the table into large, sorted files — the maintenance op
         that keeps a 100 TB table healthy after many small appends (each
