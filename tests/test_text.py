@@ -435,3 +435,37 @@ def test_hashing_vectorize_unit_norm_and_determinism(spark):
     # (the n=2 entry) equals doc2's only bucket
     a1 = [r.bucket for r in by_doc[1] if r.n == 2]
     assert a1 == [by_doc[2][0].bucket]
+
+
+def test_hashing_vectors_feed_cosine_dedup(spark):
+    """The model-free-embedding claim, end to end: densified hashed
+    vectors through cosine_near_dup find the planted duplicate pair at
+    similarity 1.0 while unrelated docs score far lower."""
+    from pyspark.sql import functions as F
+
+    from time_series_databse_engine_spark.operators.similarity import cosine_near_dup
+    from time_series_databse_engine_spark.operators.text import hashing_vectorize
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "completely different words about spark engines and parquet"),
+        ],
+        "doc_id long, text string",
+    )
+    sparse = hashing_vectorize(docs, dim=32)
+    dense = (
+        sparse.groupBy("doc_id")
+        .agg(F.map_from_entries(F.collect_list(F.struct("bucket", "weight"))).alias("m"))
+        .select(
+            F.col("doc_id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(31)),
+                lambda b: F.coalesce(F.element_at(F.col("m"), b), F.lit(0.0)),
+            ).alias("embedding"),
+        )
+    )
+    pairs = {(r.id1, r.id2): r.cosine_sim for r in cosine_near_dup(dense, threshold=0.0).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert pairs[(1, 3)] < 0.5

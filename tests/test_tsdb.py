@@ -358,3 +358,24 @@ def test_ingest_checked_publishes_good_and_rejects_bad(spark, tmp_path):
     with pytest.raises(ValueError, match="ts range"):
         store.ingest_checked(skew, ts_bounds_ms=(0, 10_000))
     assert store.points().count() == 2
+
+
+def test_stats_reports_table_health(spark, tmp_path):
+    from time_series_databse_engine_spark import TimeSeriesStore
+
+    store = TimeSeriesStore(spark, str(tmp_path / "p"))
+    assert store.stats() == {
+        "partitions": 0, "files": 0, "bytes": 0, "rows": 0,
+        "bytes_per_row": 0.0, "files_per_partition": 0.0,
+    }
+    store.ingest(
+        spark.createDataFrame(
+            [("m", i * 1000, float(i)) for i in range(100)]
+            + [("m", 3_600_000 + i, 1.0) for i in range(5)],
+            "metric string, ts_ms long, value double",
+        )
+    )
+    s = store.stats()
+    assert s["partitions"] == 2 and s["rows"] == 105
+    assert s["files"] >= 2 and s["bytes"] > 0
+    assert s["bytes_per_row"] > 0

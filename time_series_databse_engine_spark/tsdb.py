@@ -487,6 +487,36 @@ class TimeSeriesStore:
         self._invalidate()
         return n_deleted
 
+    def stats(self) -> dict:
+        """Table health report — the numbers a maintenance schedule keys
+        off: partition/file counts and bytes from ONE directory walk
+        (O(metadata)), row count from parquet footer statistics (Spark's
+        count(*) over parquet reads footers, not data).  A files/partition
+        ratio creeping up says "compact"; bytes/row says how the encoding
+        is doing."""
+        import os
+
+        n_parts = n_files = n_bytes = 0
+        if os.path.isdir(self.path):
+            for entry in os.listdir(self.path):
+                if not entry.startswith("hour_bucket="):
+                    continue
+                n_parts += 1
+                pdir = os.path.join(self.path, entry)
+                for fname in os.listdir(pdir):
+                    if fname.endswith(".parquet"):
+                        n_files += 1
+                        n_bytes += os.path.getsize(os.path.join(pdir, fname))
+        rows = self.points().count() if n_files else 0
+        return {
+            "partitions": n_parts,
+            "files": n_files,
+            "bytes": n_bytes,
+            "rows": rows,
+            "bytes_per_row": round(n_bytes / rows, 2) if rows else 0.0,
+            "files_per_partition": round(n_files / n_parts, 2) if n_parts else 0.0,
+        }
+
     def vacuum(self) -> int:
         """Remove crashed staging state: a :meth:`compact` / :meth:`upsert`
         / :meth:`purge` that dies mid-write leaves its ``*-tmp`` sibling
