@@ -1077,6 +1077,39 @@ def q_minhash_jaccard_est(spark, sf_dir):
     return dedup_ops.minhash_jaccard_estimates(_t(spark, sf_dir, "documents"))
 
 
+def q_interarrival_stats(spark, sf_dir):
+    """Per-user inter-arrival burstiness: mean gap, gap coefficient of
+    variation (CV > 1 ⇒ bursty, the Poisson diagnostic), and max gap —
+    one user-keyed lag window then a users-sized aggregate; the
+    behavioral features rate-limiters and bot detectors consume.
+    Gaps stay exact integers; the only floats are three final
+    divisions."""
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    gaps = (
+        e.select(
+            "user_id", (F.col("ts_ms") - F.lag("ts_ms").over(w)).alias("gap")
+        )
+        .filter(F.col("gap").isNotNull())
+    )
+    n = F.count("*")
+    s1 = F.sum("gap")
+    s2 = F.sum(F.col("gap") * F.col("gap"))
+    mean = s1 / n
+    # population variance from exact integer moments: E[g²] − E[g]²
+    var = s2 / n - (s1 / n) * (s1 / n)
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            n.alias("n_gaps"),
+            F.round(mean, 4).alias("mean_gap_ms"),
+            F.round(F.sqrt(var) / mean, 6).alias("gap_cv"),
+            F.max("gap").alias("max_gap_ms"),
+        )
+        .filter(F.col("n_gaps") >= 2)
+    )
+
+
 def q_markov_transitions(spark, sf_dir):
     """First-order behavioral Markov model: P(next event type | current)
     estimated from every user's event stream — one user-keyed lag window
@@ -2254,8 +2287,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     stay covered (see the inline comment at the rotation point).
 
     ROTATION QUEUE for the next round's window: markov_transitions,
-    edit_verify, ivf_recall, dedup_keep_best, hashing_vectors, and
-    lsh_multiprobe_topk (oracle-backed, added after the window
+    edit_verify, ivf_recall, dedup_keep_best, hashing_vectors,
+    lsh_multiprobe_topk, and interarrival_stats (oracle-backed, added after the window
     filled; each local-green at 3 SFs).  After this round's driver run
     every OTHER oracle-backed query has at least one historical driver
     row; the designed remainder is the rows-only set bpe_tokenize +
@@ -2386,6 +2419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": q_dedup_keep_best,
         "hashing_vectors": q_hashing_vectors,
         "lsh_multiprobe_topk": q_lsh_multiprobe_topk,
+        "interarrival_stats": q_interarrival_stats,
         "pca_project": q_pca_project,
         "frame_sample": q_frame_sample,
         "bpe_tokenize": q_bpe_tokenize,
@@ -3826,6 +3860,25 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs p JOIN documents a ON p.id1 = a.doc_id
                          JOIN documents b ON p.id2 = b.doc_id"""
         ),
+        # burstiness: exact integer gap moments; population variance as
+        # E[g^2] - E[g]^2 with the same division order both engines
+        "interarrival_stats": f"""
+            WITH g AS (
+              SELECT user_id,
+                     {_EV_MS} - lag({_EV_MS}) OVER (PARTITION BY user_id
+                                                    ORDER BY {_EV_MS}, event_id)
+                         AS gap
+              FROM events),
+            a AS (SELECT user_id, count(*) AS n_gaps,
+                         sum(gap)::BIGINT AS s1, sum(gap * gap)::BIGINT AS s2,
+                         max(gap) AS max_gap_ms
+                  FROM g WHERE gap IS NOT NULL GROUP BY user_id)
+            SELECT user_id, n_gaps,
+                   round(s1 / n_gaps, 4) AS mean_gap_ms,
+                   round(sqrt(s2 / n_gaps - (s1 / n_gaps) * (s1 / n_gaps))
+                         / (s1 / n_gaps), 6) AS gap_cv,
+                   max_gap_ms
+            FROM a WHERE n_gaps >= 2""",
         # hashing trick: bucket = 2-hex md5 prefix mod 64 (strpos fold, the
         # cms_topk discipline); norm from exact integer sum of squares
         "hashing_vectors": """

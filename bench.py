@@ -94,6 +94,8 @@ HEADLINE = [
     "dedup_keep_best",
     "ivf_recall",
     "pca_project",
+    "hashing_vectors",
+    "lsh_multiprobe_topk",
 ]
 
 # repeated-run latency distribution for the reference's hot/cold point
