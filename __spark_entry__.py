@@ -1077,6 +1077,48 @@ def q_minhash_jaccard_est(spark, sf_dir):
     return dedup_ops.minhash_jaccard_estimates(_t(spark, sf_dir, "documents"))
 
 
+def q_revenue_concentration(spark, sf_dir):
+    """Pareto/Lorenz concentration by user decile — 'the top 10% drive
+    what share of revenue?': per-user purchase cents (exact integers),
+    equal-population deciles via sampling.equidepth_bins, then
+    per-decile share and top-down cumulative share (a 10-row window
+    cumsum of exact integer sums; the only floats are final
+    divisions).  Complements skew_profile's HHI with the full curve."""
+    from time_series_databse_engine_spark.operators import sampling as samp_ops
+
+    u = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 100, 0).cast("long"),
+                ).otherwise(F.lit(0))
+            ).alias("cents")
+        )
+        .withColumn("monetary", F.round(F.col("cents") / F.lit(100.0), 2))
+        .localCheckpoint()
+    )
+    b = samp_ops.equidepth_bins(u, "monetary", n_bins=10, out="decile")
+    per = b.groupBy("decile").agg(
+        F.count("*").alias("n_users"), F.sum("cents").alias("_c")
+    )
+    tot = F.broadcast(per.agg(F.sum("_c").alias("_tot")))
+    w = W.orderBy(F.col("decile").desc())  # 10 rows — global window is fine
+    return (
+        per.crossJoin(tot)
+        .select(
+            "decile",
+            "n_users",
+            F.round(F.col("_c") / F.col("_tot"), 6).alias("revenue_share"),
+            F.round(F.sum("_c").over(w) / F.col("_tot"), 6).alias(
+                "cum_share_from_top"
+            ),
+        )
+    )
+
+
 def q_interarrival_stats(spark, sf_dir):
     """Per-user inter-arrival burstiness: mean gap, gap coefficient of
     variation (CV > 1 ⇒ bursty, the Poisson diagnostic), and max gap —
@@ -2288,7 +2330,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     ROTATION QUEUE for the next round's window: markov_transitions,
     edit_verify, ivf_recall, dedup_keep_best, hashing_vectors,
-    lsh_multiprobe_topk, and interarrival_stats (oracle-backed, added after the window
+    lsh_multiprobe_topk, interarrival_stats, and revenue_concentration
+    (oracle-backed, added after the window
     filled; each local-green at 3 SFs).  After this round's driver run
     every OTHER oracle-backed query has at least one historical driver
     row; the designed remainder is the rows-only set bpe_tokenize +
@@ -2420,6 +2463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hashing_vectors": q_hashing_vectors,
         "lsh_multiprobe_topk": q_lsh_multiprobe_topk,
         "interarrival_stats": q_interarrival_stats,
+        "revenue_concentration": q_revenue_concentration,
         "pca_project": q_pca_project,
         "frame_sample": q_frame_sample,
         "bpe_tokenize": q_bpe_tokenize,
@@ -3860,6 +3904,31 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs p JOIN documents a ON p.id1 = a.doc_id
                          JOIN documents b ON p.id2 = b.doc_id"""
         ),
+        "revenue_concentration": f"""
+            WITH u AS (
+              SELECT user_id,
+                     sum(CASE WHEN event_type = 'purchase'
+                              THEN CAST(round(value * 100) AS BIGINT)
+                              ELSE 0 END) AS cents,
+                     round(sum(CASE WHEN event_type = 'purchase'
+                                    THEN CAST(round(value * 100) AS BIGINT)
+                                    ELSE 0 END) / 100.0e0, 2) AS monetary
+              FROM events GROUP BY user_id),
+            bq AS (SELECT list_transform(
+                     quantile_cont(monetary, [{", ".join(str(i / 10) for i in range(1, 10))}]),
+                     x -> round(x, 6)) AS bounds FROM u),
+            a AS (SELECT cents,
+                         1 + len(list_filter(bounds, x -> x <= monetary)) AS decile
+                  FROM u CROSS JOIN bq),
+            p AS (SELECT decile, count(*) AS n_users, sum(cents)::BIGINT AS c
+                  FROM a GROUP BY decile),
+            t AS (SELECT sum(c)::BIGINT AS tot FROM p)
+            SELECT decile, n_users, round(c / tot, 6) AS revenue_share,
+                   round(sum(c) OVER (ORDER BY decile DESC
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) / tot, 6)
+                       AS cum_share_from_top
+            FROM p CROSS JOIN t""",
         # burstiness: exact integer gap moments; population variance as
         # E[g^2] - E[g]^2 with the same division order both engines
         "interarrival_stats": f"""
