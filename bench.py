@@ -196,6 +196,32 @@ def main():
         extra["stream_ingest_rows_per_sec"] = round(N_POINTS / stream_dt)
         extra["stream_ingest_sec"] = round(stream_dt, 3)
 
+        # --- stateful streaming op throughput: the same 1M rows through
+        # applyInPandasWithState Misra–Gries heavy hitters (Arrow state
+        # round-trips per micro-batch — the cost profile of every custom
+        # stateful operator here)
+        from time_series_databse_engine_spark.streaming.stateful import (
+            heavy_hitters_stream,
+        )
+
+        hh_stream = (
+            spark.readStream.schema("metric string, ts timestamp, value double")
+            .option("maxFilesPerTrigger", 2)
+            .parquet(sdir)
+        )
+        t0 = time.perf_counter()
+        hq = (
+            heavy_hitters_stream(hh_stream, item_col="metric", k=8, n_buckets=8)
+            .writeStream.outputMode("update")
+            .format("noop")
+            .option("checkpointLocation", tmp + "/hh_ckpt")
+            .start()
+        )
+        hq.processAllAvailable()
+        hq.stop()
+        hh_dt = time.perf_counter() - t0
+        extra["stream_stateful_rows_per_sec"] = round(N_POINTS / hh_dt)
+
         # --- storage efficiency (reference: ~8.2 B/pt)
         nbytes = sum(
             os.path.getsize(os.path.join(dp, f))
