@@ -389,8 +389,9 @@ def q_fuzzy_join(spark, sf_dir):
 
 def q_cusum(spark, sf_dir):
     """Two-sided CUSUM change-point statistic per series (κ=0.5, h=5.0,
-    μ = quantized series mean); the recursive-CTE oracle replays both
-    max(0, ·) recursions step by step."""
+    μ = quantized series mean) via the exact prefix-sum/running-min
+    closed form in integer micro-units — pure JVM window aggregates; the
+    oracle replays the identical fixed-point window identity."""
     e = _t(spark, sf_dir, "events").filter(F.col("ts_ms").between(T1, T2))
     return ts_ops.cusum_changepoints(
         e, "event_type", k=0.5, h=5.0, tiebreak="event_id"
@@ -4878,28 +4879,34 @@ def oracle_sql() -> dict[str, str]:
                 FROM events))
         WHERE rk <= 2"""
     oracles["cusum"] = f"""
-        WITH RECURSIVE base AS (
-          SELECT event_type, {_EV_MS} AS ts_ms, event_id, value,
-                 row_number() OVER (PARTITION BY event_type
-                                    ORDER BY {_EV_MS}, event_id) AS rn
+        WITH base AS (
+          SELECT event_type, {_EV_MS} AS ts_ms, event_id, value
           FROM events WHERE {_EV_MS} BETWEEN {T1} AND {T2}),
         mu AS (SELECT event_type, round(avg(value), 6) AS mu
                FROM base GROUP BY event_type),
-        rec AS (
-          SELECT b.event_type, b.ts_ms, b.event_id, b.value, b.rn, m.mu,
-                 greatest(0::DOUBLE, (b.value - m.mu - 0.5)) AS sp,
-                 greatest(0::DOUBLE, - (b.value - m.mu) - 0.5) AS sn
-          FROM base b JOIN mu m USING (event_type) WHERE b.rn = 1
-          UNION ALL
-          SELECT b.event_type, b.ts_ms, b.event_id, b.value, b.rn, r.mu,
-                 greatest(0::DOUBLE, r.sp + (b.value - r.mu - 0.5)),
-                 greatest(0::DOUBLE, r.sn - (b.value - r.mu) - 0.5)
-          FROM base b JOIN rec r
-            ON b.event_type = r.event_type AND b.rn = r.rn + 1)
+        y AS (
+          SELECT b.*,
+                 CAST(round((b.value - m.mu - 0.5) * 1e6) AS BIGINT) AS yu,
+                 CAST(round((m.mu - b.value - 0.5) * 1e6) AS BIGINT) AS zu
+          FROM base b JOIN mu m USING (event_type)),
+        s AS (
+          SELECT event_type, ts_ms, event_id, value,
+                 SUM(yu) OVER w AS s_run, SUM(zu) OVER w AS z_run
+          FROM y
+          WINDOW w AS (PARTITION BY event_type ORDER BY ts_ms, event_id
+                       ROWS UNBOUNDED PRECEDING)),
+        f AS (
+          SELECT event_type, ts_ms, event_id, value,
+                 s_run - least(0, MIN(s_run) OVER w) AS spu,
+                 z_run - least(0, MIN(z_run) OVER w) AS snu
+          FROM s
+          WINDOW w AS (PARTITION BY event_type ORDER BY ts_ms, event_id
+                       ROWS UNBOUNDED PRECEDING))
         SELECT event_type, ts_ms, event_id, value,
-               round(sp, 6) AS cusum_pos, round(sn, 6) AS cusum_neg,
-               (sp > 5.0 OR sn > 5.0) AS alarm
-        FROM rec"""
+               round(spu / 1e6, 6) AS cusum_pos,
+               round(snu / 1e6, 6) AS cusum_neg,
+               (spu > 5000000 OR snu > 5000000) AS alarm
+        FROM f"""
     oracles["fuzzy_join"] = """
         WITH dirty(dirty) AS (VALUES ('clik'), ('vew'), ('purchace'),
                                      ('signupp'), ('errror'), ('zzz')),

@@ -580,6 +580,45 @@ def test_cusum_detects_level_shift(spark):
     assert all(not r.alarm for r in cusum_changepoints(flat, "metric", k=0.5, h=5.0).collect())
 
 
+def test_cusum_window_form_matches_pandas_recursion_and_stays_jvm_side(spark):
+    """The production CUSUM (prefix-sum/running-min window identity in
+    integer micro-units) agrees with the raw-double applyInPandas
+    recursion within the fixed-point quantization bound (≤5e-7/step), and
+    its physical plan has NO Python boundary — the whole point of the
+    rewrite is that WindowExec spills where a whole-series pandas group
+    OOMs."""
+    import random
+
+    from time_series_databse_engine_spark.operators.timeseries import (
+        cusum_changepoints,
+        cusum_changepoints_pandas,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (m, i * 1000, 10.0 + (3.0 if i > 60 else 0.0) + rng.uniform(-1, 1))
+        for m in ("a", "b")
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "metric string, ts_ms long, value double")
+    fast = cusum_changepoints(df, "metric", k=0.5, h=5.0)
+    slow = cusum_changepoints_pandas(df, "metric", k=0.5, h=5.0)
+    f = {(r.metric, r.ts_ms): r for r in fast.collect()}
+    s = {(r.metric, r.ts_ms): r for r in slow.collect()}
+    assert f.keys() == s.keys()
+    tol = 5e-7 * 120 + 1e-6
+    for key_ in f:
+        assert abs(f[key_].cusum_pos - s[key_].cusum_pos) <= tol
+        assert abs(f[key_].cusum_neg - s[key_].cusum_neg) <= tol
+    # AQE's toString appends the pre-adaptive "== Initial Plan ==" — keep
+    # only the final plan before counting nodes
+    plan = fast._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    assert "FlatMapGroupsInPandas" not in plan and "ArrowEvalPython" not in plan
+    # one hash exchange for the mu groupBy + one for the windows (both
+    # Window nodes stack on a single Sort/Exchange on the series key)
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
 def test_stl_decompose_recovers_planted_trend_plus_seasonality(spark):
     """A synthetic series = linear trend + daily sine + 0 noise: the
     decomposition's residuals are near zero away from the edges, the

@@ -370,14 +370,74 @@ def cusum_changepoints(
 
     with μ the series mean (quantized to 6 dp so both engines anchor the
     recursion identically), κ the slack and ``h`` the decision threshold,
-    both in value units.  The max(0, ·) reset makes the statistic
-    non-linear, so — unlike EWMA/Holt — NO exact chunk-and-chain
-    recombination exists; the op runs as an ``applyInPandas`` recursion
-    per series (same worker-memory contract as :func:`ewma`), and the
-    oracle replays the identical recursion in a recursive CTE.
-    μ rides in from ONE series-keyed aggregation joined back — the same
-    single exchange the fold's groupBy needs anyway.
+    both in value units.
+
+    Although the max(0, ·) reset makes the recursion non-linear, it has
+    an exact closed form: unrolling gives
+
+        sp_t = max over suffixes = S_t − min_{0≤j≤t} S_j,   S = Σ(x−μ−κ)
+
+    (and symmetrically for sn with z = μ−x−κ).  A running prefix sum
+    plus a running minimum ARE expressible as ordered window aggregates,
+    so the whole statistic runs JVM-side in two WindowExec nodes over
+    ONE exchange on the series key — no Python boundary, and WindowExec
+    spills oversized series to disk instead of OOMing a worker the way a
+    whole-series ``applyInPandas`` recursion would (this replaced the
+    round-4 pandas fold for exactly that reason).
+
+    Increments are accumulated in integer micro-units
+    (``round((x−μ−κ)·1e6)`` as BIGINT): integer addition is
+    association-free, so the result is bit-reproducible regardless of
+    partitioning or engine — the oracle replays the identical fixed-point
+    sums.  Quantization error is ≤5e-7 per step relative to the raw
+    double recursion (:func:`cusum_changepoints_pandas` keeps the
+    reference fold for cross-checks).
     """
+    order = [ts_ms] + ([tiebreak] if tiebreak else [])
+    run = (
+        W.partitionBy(key)
+        .orderBy(*[F.col(c).asc() for c in order])
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    mu_tbl = df.groupBy(key).agg(F.round(F.avg(value), 6).alias("_mu"))
+    base = df.select(key, *order, value).join(F.broadcast(mu_tbl), key)
+    yu = F.round((F.col(value) - F.col("_mu") - F.lit(k)) * 1e6, 0).cast("long")
+    zu = F.round((F.col("_mu") - F.col(value) - F.lit(k)) * 1e6, 0).cast("long")
+    sums = base.select(
+        key,
+        *order,
+        value,
+        F.sum(yu).over(run).alias("_S"),
+        F.sum(zu).over(run).alias("_Z"),
+    )
+    zero = F.lit(0).cast("long")
+    sp_u = F.col("_S") - F.least(zero, F.min("_S").over(run))
+    sn_u = F.col("_Z") - F.least(zero, F.min("_Z").over(run))
+    h_u = F.lit(int(round(h * 1e6))).cast("long")
+    return sums.select(
+        key,
+        *order,
+        value,
+        F.round(sp_u / 1e6, 6).alias("cusum_pos"),
+        F.round(sn_u / 1e6, 6).alias("cusum_neg"),
+        ((sp_u > h_u) | (sn_u > h_u)).alias("alarm"),
+    )
+
+
+def cusum_changepoints_pandas(
+    df: DataFrame,
+    key: str,
+    k: float = 0.5,
+    h: float = 5.0,
+    ts_ms: str = "ts_ms",
+    value: str = "value",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Raw-double CUSUM recursion per series via ``applyInPandas`` — kept
+    as the cross-check reference for :func:`cusum_changepoints` (which is
+    the production path: JVM window aggregates, spillable, fixed-point).
+    This form holds each whole series in one pandas frame, so it carries
+    a worker-memory bound the window form does not."""
     import numpy as np
 
     sort_cols = [ts_ms] + ([tiebreak] if tiebreak else [])
