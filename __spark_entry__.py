@@ -1660,11 +1660,12 @@ def q_frame_sample(spark, sf_dir):
 
 
 def q_multimodal_decode(spark, sf_dir):
-    """REAL multimodal decode end-to-end: documents → 4×4 24-bit BMP
-    payloads (first 48 utf-8 bytes as BGR pixels, zero-padded) via one
-    mapInPandas encode stage, then the stdlib BMP parser inside
-    extract_features(fake=False) recovers dimensions + channel means.
-    Rows-only: binary construction has no SQL oracle; the codec itself is
+    """REAL multimodal decode end-to-end: documents → 4×4 24-bit image
+    payloads (first 48 utf-8 bytes as pixels, zero-padded) via one
+    mapInPandas encode stage — even doc_ids as BMP, odd as zlib-compressed
+    PNG, so BOTH stdlib codecs run through the magic-byte dispatcher —
+    then extract_features(fake=False) recovers dimensions + channel means.
+    Rows-only: binary construction has no SQL oracle; the codecs are
     exactness-tested in tests/test_multimodal.py."""
     from time_series_databse_engine_spark.operators import multimodal as mm_ops
 
@@ -1675,9 +1676,11 @@ def q_multimodal_decode(spark, sf_dir):
 
         for pdf in batches:
             payloads = []
-            for t in pdf["text"]:
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
                 b = t.encode("utf-8")[:48]
-                payloads.append(mm_ops.encode_bmp(4, 4, b + bytes(48 - len(b))))
+                px = b + bytes(48 - len(b))
+                enc = mm_ops.encode_bmp if int(i) % 2 == 0 else mm_ops.encode_png
+                payloads.append(enc(4, 4, px))
             yield pd.DataFrame(
                 {"media_id": pdf["doc_id"], "kind": "image", "payload": payloads}
             )

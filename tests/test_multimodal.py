@@ -86,7 +86,12 @@ def test_decode_media_dispatch():
     wav = encode_wav([0, 1, -1, 2], 8000)
     assert decode_media(bmp)["kind"] == "image"
     assert decode_media(wav)["kind"] == "audio"
-    with pytest.raises(NotImplementedError, match="Pillow|ffmpeg"):
+    # 8-bit PNG decodes via the stdlib zlib path — no Pillow involved
+    from time_series_databse_engine_spark.operators.multimodal import encode_png
+
+    assert decode_media(encode_png(1, 1, bytes([7, 8, 9]), channels=3))["kind"] == "image"
+    # a malformed PNG (magic only, no IHDR) is a data error, not a codec gap
+    with pytest.raises(ValueError, match="IHDR"):
         decode_media(b"\x89PNG\r\n\x1a\n" + bytes(16))
     with pytest.raises(NotImplementedError, match="ffmpeg"):
         decode_media(b"\x00\x00\x00\x20ftypmp42" + bytes(8))  # MP4 stays out
@@ -207,3 +212,126 @@ def test_frame_sample_extracts_exact_frames(spark):
         assert (px["mean_b"], px["mean_g"], px["mean_r"]) == (
             (i + 255 - i) / 2,
         ) * 3
+
+
+def test_png_roundtrip_pixel_exact_all_channel_counts():
+    """encode_png → decode_png recovers exact per-channel means for gray,
+    RGB and RGBA 8-bit images (filter-0 scanlines through real zlib)."""
+    from time_series_databse_engine_spark.operators.multimodal import decode_png, encode_png
+
+    # 2x2 RGB: distinct per-channel values
+    rgb = bytes([10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120])
+    d = decode_png(encode_png(2, 2, rgb, channels=3))
+    assert (d["width"], d["height"], d["bpp"]) == (2, 2, 24)
+    assert (d["mean_r"], d["mean_g"], d["mean_b"]) == (55.0, 65.0, 75.0)
+    # grayscale replicates into all three channels
+    g = decode_png(encode_png(3, 1, bytes([0, 128, 255]), channels=1))
+    assert (g["mean_r"], g["mean_g"], g["mean_b"]) == ((0 + 128 + 255) / 3,) * 3
+    # RGBA: alpha ignored for the means
+    rgba = bytes([1, 2, 3, 255, 5, 6, 7, 0])
+    a = decode_png(encode_png(2, 1, rgba, channels=4))
+    assert (a["mean_r"], a["mean_g"], a["mean_b"]) == (3.0, 4.0, 5.0)
+
+
+def test_png_unfilter_all_five_filter_types():
+    """Hand-build a PNG whose five scanlines use filter types 0-4 (None,
+    Sub, Up, Average, Paeth) and check the decoder reconstructs the exact
+    pixel bytes — the filters are defined byte-wise in the public spec."""
+    import struct
+    import zlib
+
+    from time_series_databse_engine_spark.operators.multimodal import decode_png
+
+    width, channels = 4, 3
+    bpp = channels
+    rows = [bytes(((r * 40 + x * 7) % 256) for x in range(width * channels)) for r in range(5)]
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    raw = bytearray()
+    prev = bytes(width * channels)
+    for r, cur in enumerate(rows):
+        ftype = r % 5
+        raw.append(ftype)
+        for x, v in enumerate(cur):
+            a = cur[x - bpp] if x >= bpp else 0
+            b = prev[x]
+            c = prev[x - bpp] if x >= bpp else 0
+            if ftype == 0:
+                raw.append(v)
+            elif ftype == 1:
+                raw.append((v - a) & 0xFF)
+            elif ftype == 2:
+                raw.append((v - b) & 0xFF)
+            elif ftype == 3:
+                raw.append((v - ((a + b) >> 1)) & 0xFF)
+            else:
+                raw.append((v - paeth(a, b, c)) & 0xFF)
+        prev = cur
+
+    def chunk(tag, body):
+        return struct.pack(">I", len(body)) + tag + body + struct.pack(
+            ">I", zlib.crc32(tag + body) & 0xFFFFFFFF
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", width, 5, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    d = decode_png(png)
+    import numpy as np
+
+    expect = np.frombuffer(b"".join(rows), dtype=np.uint8).reshape(-1, 3).mean(axis=0)
+    assert (d["width"], d["height"]) == (4, 5)
+    assert abs(d["mean_r"] - expect[0]) < 1e-12
+    assert abs(d["mean_g"] - expect[1]) < 1e-12
+    assert abs(d["mean_b"] - expect[2]) < 1e-12
+
+
+def test_png_dispatch_and_exotic_variants_raise():
+    """decode_media routes PNG magic bytes to the stdlib decoder; palette /
+    16-bit PNGs raise NotImplementedError (and would fall through to PIL
+    when installed)."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from time_series_databse_engine_spark.operators.multimodal import decode_media, decode_png, encode_png
+
+    png = encode_png(2, 1, bytes([9, 9, 9, 9, 9, 9]), channels=3)
+    assert decode_media(png)["kind"] == "image"
+
+    def chunk(tag, body):
+        return struct.pack(">I", len(body)) + tag + body + struct.pack(
+            ">I", zlib.crc32(tag + body) & 0xFFFFFFFF
+        )
+
+    # palette (color_type=3) is out of stdlib scope
+    pal = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00\x00"))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError):
+        decode_png(pal)
+
+
+def test_png_extract_features_in_spark(spark):
+    """Real-mode extract_features decodes PNG payloads inside mapInPandas —
+    feature vector carries the decoded dimensions and channel means."""
+    from time_series_databse_engine_spark.operators.multimodal import encode_png, extract_features
+
+    png = encode_png(2, 2, bytes(range(12)), channels=3)
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(png))], "media_id long, kind string, payload binary"
+    )
+    row = extract_features(df, fake=False).collect()[0]
+    f = row.features
+    assert f[0] == 1.0 and (f[1], f[2]) == (2.0, 2.0)  # image, width, height

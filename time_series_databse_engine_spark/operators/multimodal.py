@@ -5,13 +5,15 @@ The Spark-side shape is real and tested — schema, partition-friendly batch
 iteration via ``mapInPandas`` (Arrow batches, never per-row Python), stable
 output schemas.
 
-Codecs: BMP (uncompressed 24-bit, Windows BITMAPINFOHEADER — format spec is
-public) and WAV (RIFF PCM 16-bit) are decoded for real with pure-stdlib
-``struct``/``array`` parsing — header fields plus per-pixel / per-sample
-statistics.  Formats needing external libraries (JPEG/PNG/MP3/MP4) raise
-``NotImplementedError`` in real mode; ``fake=True`` keeps the deterministic
-bytes-derived stand-in for them.  Swapping in PIL/ffmpeg later changes only
-the inner decode function, not the Spark plan.
+Codecs: BMP (uncompressed 24-bit, Windows BITMAPINFOHEADER), WAV (RIFF
+PCM 16-bit) and PNG (8-bit gray/RGB/RGBA, zlib inflate + full scanline
+unfiltering — W3C spec) are decoded for real with pure-stdlib
+``struct``/``zlib`` parsing — header fields plus per-pixel / per-sample
+statistics.  Formats needing external libraries (JPEG/MP3/MP4, exotic
+PNG variants) raise ``NotImplementedError`` in real mode (JPEG/palette-PNG
+light up automatically if Pillow is present); ``fake=True`` keeps the
+deterministic bytes-derived stand-in for them.  Swapping in PIL/ffmpeg
+later changes only the inner decode function, not the Spark plan.
 """
 
 from __future__ import annotations
@@ -164,6 +166,134 @@ def decode_wav(payload: bytes) -> dict:
     }
 
 
+def encode_png(width: int, height: int, pixels: bytes, channels: int = 3) -> bytes:
+    """Minimal PNG writer (spec: W3C PNG, RFC 2083 — fully public).
+    ``pixels`` is ``width*height*channels`` bytes, row 0 first, RGB order
+    (channels=1 gray, 3 RGB, 4 RGBA); scanlines use filter type 0 and the
+    stream is a single zlib-compressed IDAT."""
+    import zlib
+
+    if len(pixels) != width * height * channels:
+        raise ValueError("pixels must be width*height*channels bytes")
+    color_type = {1: 0, 3: 2, 4: 6}[channels]
+    stride = width * channels
+    raw = b"".join(b"\x00" + pixels[r * stride : (r + 1) * stride] for r in range(height))
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 9))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(raw: bytes, height: int, stride: int, bpp: int):
+    """Reverse the per-scanline PNG filters (types 0–4: None, Sub, Up,
+    Average, Paeth).  Sub/Average/Paeth are sequential in x, so the inner
+    loop is per-byte — acceptable because payload decode is already the
+    Arrow-batched Python path; rows are independent of rows two back, and
+    Up/None rows vectorize."""
+    import numpy as np
+
+    out = np.zeros((height, stride), dtype=np.uint16)  # u16 avoids overflow mid-sum
+    prev = np.zeros(stride, dtype=np.uint16)
+    pos = 0
+    for r in range(height):
+        ftype = raw[pos]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos + 1).astype(np.uint16)
+        pos += 1 + stride
+        if ftype == 0:
+            cur = line
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        else:
+            cur = line.copy()
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                if ftype == 1:  # Sub
+                    cur[x] = (cur[x] + a) & 0xFF
+                elif ftype == 3:  # Average
+                    cur[x] = (cur[x] + ((int(a) + int(b)) >> 1)) & 0xFF
+                elif ftype == 4:  # Paeth
+                    c = prev[x - bpp] if x >= bpp else 0
+                    p = int(a) + int(b) - int(c)
+                    pa, pb, pc = abs(p - int(a)), abs(p - int(b)), abs(p - int(c))
+                    pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    cur[x] = (cur[x] + pr) & 0xFF
+                else:
+                    raise ValueError(f"unknown PNG filter type {ftype}")
+        out[r] = cur
+        prev = cur
+    return out.astype(np.uint8)
+
+
+def decode_png(payload: bytes) -> dict:
+    """Pure-stdlib PNG decoder (zlib inflate + scanline unfiltering): 8-bit
+    grayscale / RGB / RGBA, non-interlaced — returns the same dict shape as
+    :func:`decode_bmp` so downstream feature layout is codec-agnostic.
+    Palette, 16-bit, and interlaced PNGs raise ``NotImplementedError``
+    honestly rather than guessing."""
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, end = 8, len(payload)
+    width = height = None
+    idat = []
+    bit_depth = color_type = interlace = None
+    while pos + 8 <= end:
+        (size,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + size]
+        if tag == b"IHDR":
+            width, height, bit_depth, color_type, _, _, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + size  # len + tag + body + crc
+    if width is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+    if bit_depth != 8 or channels is None or color_type == 3 or interlace != 0:
+        raise NotImplementedError(
+            f"only 8-bit gray/RGB(A) non-interlaced PNG supported "
+            f"(depth={bit_depth}, color_type={color_type}, interlace={interlace})"
+        )
+    raw = zlib.decompress(b"".join(idat))
+    stride = width * channels
+    if len(raw) != height * (1 + stride):
+        raise ValueError("PNG scanline data has wrong length")
+    px = _png_unfilter(raw, height, stride, channels).reshape(height, width, channels)
+    rgb = px[:, :, :3] if channels >= 3 else np.repeat(px[:, :, :1], 3, axis=2)
+    means = rgb.reshape(-1, 3).mean(axis=0).astype("float64") if rgb.size else np.zeros(3)
+    return {
+        "kind": "image",
+        "width": width,
+        "height": height,
+        "bpp": 8 * channels,
+        "top_down": True,
+        # keep decode_bmp's BGR field naming; PNG stores RGB
+        "mean_b": float(means[2]),
+        "mean_g": float(means[1]),
+        "mean_r": float(means[0]),
+    }
+
+
 def decode_pil_image(payload: bytes) -> dict:
     """JPEG/PNG decode behind an OPTIONAL-PIL gate: if Pillow is
     importable the payload is decoded for real (dimensions + per-channel
@@ -211,12 +341,17 @@ def decode_media(payload: bytes) -> dict:
         return decode_bmp(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return decode_wav(payload)
-    if payload[:3] == b"\xff\xd8\xff" or payload[:8] == b"\x89PNG\r\n\x1a\n":
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        try:
+            return decode_png(payload)  # stdlib zlib path — no Pillow needed
+        except NotImplementedError:
+            return decode_pil_image(payload)  # palette/16-bit/interlaced → PIL
+    if payload[:3] == b"\xff\xd8\xff":
         return decode_pil_image(payload)
     raise NotImplementedError(
-        "real decoding implemented for BMP, PCM-16 WAV and (with Pillow "
-        "installed) JPEG/PNG; other codecs need ffmpeg — pass fake=True for "
-        "the deterministic stand-in decoder"
+        "real decoding implemented for BMP, PCM-16 WAV, 8-bit PNG and (with "
+        "Pillow installed) JPEG + exotic PNGs; other codecs need ffmpeg — "
+        "pass fake=True for the deterministic stand-in decoder"
     )
 
 
