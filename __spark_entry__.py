@@ -526,6 +526,27 @@ def q_cosine_topk(spark, sf_dir):
     return sim_ops.cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
 
 
+def q_hamming_bits(spark, sf_dir):
+    """Binary embedding compaction (SimHash on raw coordinates): sign vs
+    the 6-dp-quantized per-dimension corpus mean, packed into two 32-bit
+    words — exposed as separate word columns so the oracle replays the
+    exact packing arithmetic."""
+    emb = _t(spark, sf_dir, "embeddings")
+    bits = sim_ops.binarize_embeddings(emb, dim=64)
+    return bits.select(
+        "vec_id", F.col("bits")[0].alias("w0"), F.col("bits")[1].alias("w1")
+    )
+
+
+def q_hamming_topk(spark, sf_dir):
+    """Exact Hamming top-5 for 5 query vectors over bit-packed binary
+    embeddings — XOR + bit_count integer distances, association-free, the
+    ALU-bound 100 TB brute-force path (1 bit/dim vs 32)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    bits = sim_ops.binarize_embeddings(emb, dim=64)
+    return sim_ops.hamming_topk(bits, bits.filter(F.col("vec_id") < 5), k=5)
+
+
 def q_embedding_norms(spark, sf_dir):
     """Per-label embedding count + mean L2 norm."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -2421,6 +2442,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_topk": q_lsh_ann_topk,
         "minhash_lsh": q_minhash_lsh,
         "cosine_topk": q_cosine_topk,
+        "hamming_bits": q_hamming_bits,
+        "hamming_topk": q_hamming_topk,
         "quality_score": q_quality_score,
         "sessionize": q_sessionize,
         "token_counts_by_lang": q_token_counts_by_lang,
@@ -4657,6 +4680,33 @@ def oracle_sql() -> dict[str, str]:
                round(coalesce(any_value(h.hits), 0) / count(*), 6) AS recall
         FROM e LEFT JOIN h ON e.query_id = h.query_id
         GROUP BY e.query_id"""
+    # --- Hamming-space ANN: replay the exact bit-packing arithmetic ------
+    _h_mu = ", ".join(
+        f"round(avg(CAST(embedding[{i + 1}] AS DOUBLE)), 6) AS mu{i}" for i in range(64)
+    )
+    _h_words = []
+    for _j in range(2):
+        _terms = " + ".join(
+            f"(CASE WHEN CAST(e.embedding[{i + 1}] AS DOUBLE) > m.mu{i} "
+            f"THEN {1 << (i - _j * 32)} ELSE 0 END)::BIGINT"
+            for i in range(_j * 32, (_j + 1) * 32)
+        )
+        _h_words.append(f"({_terms}) AS w{_j}")
+    _h_pack = f"""
+        m AS (SELECT {_h_mu} FROM embeddings),
+        b AS (SELECT e.vec_id, {", ".join(_h_words)} FROM embeddings e, m)"""
+    oracles["hamming_bits"] = f"WITH {_h_pack} SELECT vec_id, w0, w1 FROM b"
+    oracles["hamming_topk"] = f"""
+        WITH {_h_pack},
+        q AS (SELECT vec_id AS query_id, w0, w1 FROM b WHERE vec_id < 5),
+        s AS (SELECT q.query_id, c.vec_id AS cand_id,
+                     bit_count(xor(c.w0, q.w0)) + bit_count(xor(c.w1, q.w1)) AS hamming
+              FROM b c, q WHERE c.vec_id <> q.query_id)
+        SELECT query_id, cand_id, hamming, rank FROM (
+          SELECT query_id, cand_id, hamming,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY hamming ASC, cand_id ASC) AS rank
+          FROM s) WHERE rank <= 5"""
     oracles["holt_chunked"] = oracles["holt_smoothing"]
     oracles["resample_1m_expr"] = oracles["resample_1m"]
     oracles["dsir_weights"] = """

@@ -96,6 +96,8 @@ HEADLINE = [
     "pca_project",
     "hashing_vectors",
     "lsh_multiprobe_topk",
+    "hamming_topk",
+    "cusum",
 ]
 
 # repeated-run latency distribution for the reference's hot/cold point

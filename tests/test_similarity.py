@@ -454,3 +454,37 @@ def test_multiprobe_lsh_invariants(spark, sf_dir):
     }
     for qid, s in top_base.items():
         assert top_two[qid] >= s
+
+
+def test_binarize_and_hamming_topk_hand_computed(spark):
+    """4 vectors in dim 4 with means (0,0,0,0 after centering by
+    construction): packing and XOR+bit_count distances verified against
+    hand-computed words, nearest neighbour ordering exact, and the plan
+    stays JVM-side with the query side broadcast."""
+    from pyspark.sql import functions as F
+
+    from time_series_databse_engine_spark.operators.similarity import (
+        binarize_embeddings,
+        hamming_topk,
+    )
+
+    # per-dimension means are 0 by symmetry; sign bits are the (+) entries
+    rows = [
+        (0, [1.0, 1.0, 1.0, 1.0]),    # bits 1111 -> w0 = 15
+        (1, [1.0, 1.0, 1.0, -1.0]),   # bits 0111 -> w0 = 7
+        (2, [-1.0, -1.0, 1.0, 1.0]),  # bits 1100 -> w0 = 12
+        (3, [-1.0, -1.0, -1.0, -1.0]),# bits 0000 -> w0 = 0
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    bits = binarize_embeddings(df, dim=4)
+    got = {r.vec_id: list(r.bits) for r in bits.collect()}
+    assert got == {0: [15], 1: [7], 2: [12], 3: [0]}
+
+    top = hamming_topk(bits, bits.filter(F.col("vec_id") == 0), k=3)
+    ranked = [(r.cand_id, r.hamming) for r in sorted(top.collect(), key=lambda r: r.rank)]
+    # d(0,1)=1, d(0,2)=2, d(0,3)=4
+    assert ranked == [(1, 1), (2, 2), (3, 4)]
+
+    plan = top._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    assert "FlatMapGroupsInPandas" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # queries broadcast, corpus streams

@@ -1238,3 +1238,82 @@ def lsh_multiprobe_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", F.round("_sim", 6).alias("cosine_sim"), "rank")
     )
+
+
+def binarize_embeddings(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    word_bits: int = 32,
+) -> DataFrame:
+    """Sign-binarize embeddings against per-dimension corpus means and
+    pack the bits into ``ceil(dim/word_bits)`` BIGINT words — the binary
+    embedding compaction behind Hamming-space ANN (Charikar 2002 SimHash
+    applied to the raw coordinates; 32× smaller than float32 at dim=64·k).
+
+    ``word_bits=32`` (not 64) keeps every shifted constant inside exact
+    signed-int range in BOTH engines — no two's-complement edge at bit 63
+    to reason about.  The mean row is a single broadcast 1-row aggregate
+    (quantized to 6 dp so both engines threshold identically); the packing
+    itself is ``dim`` codegen'd CASE terms — zero exchanges beyond the
+    mean's own reduce.  Returns (id, bits array<long>).
+    """
+    n_words = (dim + word_bits - 1) // word_bits
+    v = as_double(vec_col)
+    mu_row = df.agg(
+        *[
+            F.round(F.avg(F.col(vec_col)[i].cast("double")), 6).alias(f"_mu{i}")
+            for i in range(dim)
+        ]
+    )
+    base = df.select(F.col(id_col), v.alias("_v")).crossJoin(F.broadcast(mu_row))
+    words = []
+    for j in range(n_words):
+        terms = [
+            F.when(
+                F.col("_v")[i] > F.col(f"_mu{i}"),
+                F.lit(1 << (i - j * word_bits)).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+            for i in range(j * word_bits, min(dim, (j + 1) * word_bits))
+        ]
+        w = terms[0]
+        for t in terms[1:]:
+            w = w + t
+        words.append(w)
+    return base.select(F.col(id_col), F.array(*words).alias("bits"))
+
+
+def hamming_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    bits_col: str = "bits",
+) -> DataFrame:
+    """Exact top-k in Hamming space over bit-packed embeddings: distance =
+    Σ_words ``bit_count(xor(c, q))`` — a handful of codegen'd integer ops
+    per candidate, the reason binary embeddings are the 100 TB brute-force
+    path (the full scan that is memory-bound at float32 becomes ALU-bound
+    at 1 bit/dim).  Same plan shape as :func:`cosine_topk`: broadcast
+    queries, one pass over the candidates, per-query k-heap; integer
+    distances are association-free, so results are bit-reproducible.
+    Returns (query_id, cand_id, hamming, rank).
+    """
+    q = F.broadcast(
+        queries.select(F.col(id_col).alias("query_id"), F.col(bits_col).alias("_qb"))
+    )
+    c = corpus.select(F.col(id_col).alias("cand_id"), F.col(bits_col).alias("_cb"))
+    dist = F.aggregate(
+        F.zip_with("_cb", "_qb", lambda x, y: F.bit_count(x.bitwiseXOR(y)).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("hamming").asc(), F.col("cand_id").asc())
+    return (
+        c.crossJoin(q)
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", dist.alias("hamming"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
