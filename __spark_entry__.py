@@ -547,6 +547,15 @@ def q_hamming_topk(spark, sf_dir):
     return sim_ops.hamming_topk(bits, bits.filter(F.col("vec_id") < 5), k=5)
 
 
+def q_mmr_topk(spark, sf_dir):
+    """MMR-diversified top-5 for 3 query vectors (λ=0.7, relevance pool
+    15): greedy λ·rel − (1−λ)·max-sim-to-selected over 6dp-quantized
+    cosines; the recursive-CTE oracle replays the greedy argmax (cand_id
+    tiebreak) step by step."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim_ops.mmr_topk(emb, emb.filter(F.col("vec_id") < 3), k=5, pool=15, lam=0.7)
+
+
 def q_embedding_norms(spark, sf_dir):
     """Per-label embedding count + mean L2 norm."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -2444,6 +2453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "hamming_bits": q_hamming_bits,
         "hamming_topk": q_hamming_topk,
+        "mmr_topk": q_mmr_topk,
         "quality_score": q_quality_score,
         "sessionize": q_sessionize,
         "token_counts_by_lang": q_token_counts_by_lang,
@@ -4707,6 +4717,57 @@ def oracle_sql() -> dict[str, str]:
                  row_number() OVER (PARTITION BY query_id
                                     ORDER BY hamming ASC, cand_id ASC) AS rank
           FROM s) WHERE rank <= 5"""
+    # --- MMR diversified top-k: recursive CTE replays the greedy argmax —
+    # pool ranked by UNROUNDED cosine (same as cosine_topk), then the
+    # greedy itself runs in exact BIGINT micro-units (rel_u/sim_u =
+    # round(x·1e6); λ=0.7 → weights 700000/300000), so scores never touch
+    # a float rounding boundary; mmr_score = score_u/1e12, one exact
+    # division in both engines.
+    oracles["mmr_topk"] = """
+        WITH RECURSIVE
+        qq AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 3),
+        cc AS (SELECT vec_id AS cand_id, embedding::DOUBLE[] AS cv FROM embeddings),
+        scored AS (
+          SELECT query_id, cand_id, cv,
+                 list_dot_product(qv, cv) /
+                 (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS sim
+          FROM qq, cc WHERE cand_id <> query_id),
+        relpool AS (
+          SELECT query_id, cand_id, cv,
+                 CAST(round(round(sim, 6) * 1e6) AS BIGINT) AS rel_u
+          FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY sim DESC, cand_id ASC) AS rk
+            FROM scored) WHERE rk <= 15),
+        pairs AS (
+          SELECT a.query_id, a.cand_id AS c1, b.cand_id AS c2,
+                 CAST(round(round(list_dot_product(a.cv, b.cv) /
+                       (sqrt(list_dot_product(a.cv, a.cv)) *
+                        sqrt(list_dot_product(b.cv, b.cv))), 6) * 1e6) AS BIGINT) AS sim_u
+          FROM relpool a JOIN relpool b
+            ON a.query_id = b.query_id AND a.cand_id <> b.cand_id),
+        sel AS (
+          SELECT query_id, 0 AS rank, NULL::BIGINT AS picked,
+                 []::BIGINT[] AS sel_ids, NULL::BIGINT AS score_u
+          FROM (SELECT DISTINCT query_id FROM relpool)
+          UNION ALL
+          SELECT query_id, rank, -best[2] AS picked,
+                 list_append(sel_ids, -best[2]) AS sel_ids,
+                 best[1] AS score_u
+          FROM (
+            SELECT s.query_id, s.rank + 1 AS rank, s.sel_ids,
+                   (SELECT max([700000 * r.rel_u - 300000 * coalesce((
+                              SELECT max(p.sim_u) FROM pairs p
+                              WHERE p.query_id = s.query_id AND p.c1 = r.cand_id
+                                AND list_contains(s.sel_ids, p.c2)), 0),
+                            -r.cand_id])
+                    FROM relpool r
+                    WHERE r.query_id = s.query_id
+                      AND NOT list_contains(s.sel_ids, r.cand_id)) AS best
+            FROM sel s WHERE s.rank < 5))
+        SELECT query_id, picked AS cand_id, score_u / 1e12 AS mmr_score, rank
+        FROM sel WHERE rank >= 1"""
     oracles["holt_chunked"] = oracles["holt_smoothing"]
     oracles["resample_1m_expr"] = oracles["resample_1m"]
     oracles["dsir_weights"] = """

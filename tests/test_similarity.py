@@ -488,3 +488,30 @@ def test_binarize_and_hamming_topk_hand_computed(spark):
     plan = top._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
     assert "FlatMapGroupsInPandas" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # queries broadcast, corpus streams
+
+
+def test_mmr_prefers_diverse_over_redundant(spark):
+    """Planted geometry: two near-identical highly-relevant vectors plus a
+    moderately-relevant orthogonal one.  Pure relevance ranks the twin
+    second; MMR (λ=0.5) demotes it below the orthogonal vector: the twin's
+    marginal score 0.5·0.98 − 0.5·sim(≈0.998) goes negative while the
+    orthogonal one keeps 0.5·0.6 − 0.5·0.594 > 0.  Also checks rank-1 is
+    the pure-relevance argmax and scores are exact micro-unit arithmetic."""
+    from pyspark.sql import functions as F
+
+    from time_series_databse_engine_spark.operators.similarity import mmr_topk
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),          # query
+        (1, [0.99, 0.141, 0.0, 0.0]),       # twin A (rel ~0.99)
+        (2, [0.98, 0.199, 0.0, 0.0]),       # twin B (rel ~0.98, sim(A,B) ~1.0)
+        (3, [0.6, 0.0, 0.8, 0.0]),          # diverse (rel 0.6, sim to twins ~0.59)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = sorted(
+        mmr_topk(df, df.filter(F.col("vec_id") == 0), k=3, pool=3, lam=0.5).collect(),
+        key=lambda r: r.rank,
+    )
+    assert [r.cand_id for r in out] == [1, 3, 2]
+    # rank-1 score is exactly lam * rel (micro-unit arithmetic, no drift)
+    assert abs(out[0].mmr_score - 0.5 * round((0.99) / (0.99**2 + 0.141**2) ** 0.5, 6)) < 1e-9

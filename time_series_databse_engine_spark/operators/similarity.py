@@ -9,7 +9,7 @@ instead of broadcast-nested-loop).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window as W, functions as F
+from pyspark.sql import DataFrame, Window as W, functions as F, types as T
 
 
 def as_double(col) -> F.Column:
@@ -1317,3 +1317,99 @@ def hamming_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def mmr_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    pool: int = 15,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-k (Carbonell & Goldstein
+    1998): greedily pick the candidate maximizing
+    ``λ·rel(q,c) − (1−λ)·max_{s∈selected} sim(c,s)`` — relevance traded
+    against redundancy with what's already picked, the standard diverse
+    sample-selection step in training-data curation.
+
+    Scale decomposition: the only corpus-sized work is the relevance pass
+    (:func:`cosine_topk` — broadcast queries, one candidate scan) keeping a
+    ``pool``-sized candidate set per query; candidate vectors ride out via
+    one broadcast semi-join; pairwise candidate sims are |Q|·pool² tiny
+    rows computed with the SAME JVM ``dot`` fold (quantized to 6 dp so the
+    greedy's comparisons are engine-stable); the greedy itself is an
+    ``applyInPandas`` over ≤pool·(pool−1) rows per query — bounded by the
+    POOL parameter, never by data size.
+
+    The greedy runs ENTIRELY in integers: rel/sim become micro-units
+    (``round(x·1e6)``) and λ the weight pair ``(L, 1e6−L)`` with
+    ``L = round(λ·1e6)``, so every score is the exact BIGINT
+    ``L·rel_u − (1e6−L)·max_sim_u`` — no float multiply, no rounding
+    step, no half-boundary for two engines to disagree on (λ·(a 6-dp
+    value) lands exactly ON the 7th-decimal half boundary, where Spark's
+    BigDecimal HALF_UP and a scaled-double round genuinely diverge;
+    integers remove the boundary instead of arguing about it).
+    ``mmr_score = score_u/1e12`` is one exact division, identical in both
+    engines.  Ties break on lower cand_id.
+    Returns (query_id, cand_id, mmr_score, rank).
+    """
+    import pandas as pd
+
+    rel = cosine_topk(embeddings, queries, k=pool, id_col=id_col, vec_col=vec_col).select(
+        "query_id", "cand_id", F.col("cosine_sim").alias("rel")
+    )
+    vecs = embeddings.select(
+        F.col(id_col).alias("cand_id"), as_double(vec_col).alias("_v")
+    ).withColumn("_n", norm(F.col("_v")))
+    pool_vecs = vecs.join(F.broadcast(rel.select("query_id", "cand_id", "rel")), "cand_id")
+    a = pool_vecs.select("query_id", F.col("cand_id").alias("c1"), F.col("rel").alias("rel1"),
+                         F.col("_v").alias("v1"), F.col("_n").alias("n1"))
+    b = pool_vecs.select("query_id", F.col("cand_id").alias("c2"),
+                         F.col("_v").alias("v2"), F.col("_n").alias("n2"))
+    pairs = (
+        a.join(b, ["query_id"])
+        .filter(F.col("c1") != F.col("c2"))
+        .select(
+            "query_id", "c1", "rel1", "c2",
+            F.round(dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2")), 6).alias("sim"),
+        )
+    )
+
+    lam_u = int(round(lam * 1_000_000))
+    one_minus_lam_u = 1_000_000 - lam_u
+
+    def _greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = pdf["query_id"].iloc[0]
+        rel_of = {}
+        sim_of = {}
+        for c1, r1, c2, s in zip(pdf["c1"], pdf["rel1"], pdf["c2"], pdf["sim"]):
+            rel_of[int(c1)] = int(round(float(r1) * 1_000_000))
+            sim_of[(int(c1), int(c2))] = int(round(float(s) * 1_000_000))
+        selected: list[int] = []
+        out = []
+        remaining = set(rel_of)
+        for rank in range(1, min(k, len(rel_of)) + 1):
+            best = None
+            for c in remaining:
+                max_sim_u = max((sim_of[(c, s)] for s in selected), default=0)
+                score_u = lam_u * rel_of[c] - one_minus_lam_u * max_sim_u
+                cand = (score_u, -c)
+                if best is None or cand > best[0]:
+                    best = (cand, c, score_u)
+            _, c, score_u = best
+            selected.append(c)
+            remaining.discard(c)
+            out.append((qid, c, score_u / 1e12, rank))
+        return pd.DataFrame(out, columns=["query_id", "cand_id", "mmr_score", "rank"])
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("cand_id", T.LongType()),
+            T.StructField("mmr_score", T.DoubleType()),
+            T.StructField("rank", T.IntegerType()),
+        ]
+    )
+    return pairs.groupBy("query_id").applyInPandas(_greedy, schema=out_schema)
