@@ -1692,12 +1692,14 @@ def q_frame_sample(spark, sf_dir):
 def q_multimodal_decode(spark, sf_dir):
     """REAL multimodal decode end-to-end: documents → 4×4 24-bit image
     payloads (first 48 utf-8 bytes as pixels, zero-padded) via one
-    mapInPandas encode stage — even doc_ids as BMP, odd as zlib-compressed
-    PNG, so BOTH stdlib codecs run through the magic-byte dispatcher —
-    then extract_features(fake=False) recovers dimensions + channel means.
-    Rows-only: binary construction has no SQL oracle; the codecs are
-    exactness-tested in tests/test_multimodal.py."""
+    mapInPandas encode stage — doc_id mod 3 picks BMP / zlib PNG /
+    baseline JPEG, so all THREE stdlib codecs run through the magic-byte
+    dispatcher — then extract_features(fake=False) recovers dimensions +
+    channel means.  Rows-only: binary construction has no SQL oracle; the
+    codecs are exactness-tested in tests/test_multimodal.py +
+    tests/test_jpeg.py."""
     from time_series_databse_engine_spark.operators import multimodal as mm_ops
+    from time_series_databse_engine_spark.operators.jpeg import encode_jpeg
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
 
@@ -1709,8 +1711,13 @@ def q_multimodal_decode(spark, sf_dir):
             for i, t in zip(pdf["doc_id"], pdf["text"]):
                 b = t.encode("utf-8")[:48]
                 px = b + bytes(48 - len(b))
-                enc = mm_ops.encode_bmp if int(i) % 2 == 0 else mm_ops.encode_png
-                payloads.append(enc(4, 4, px))
+                m = int(i) % 3
+                if m == 0:
+                    payloads.append(mm_ops.encode_bmp(4, 4, px))
+                elif m == 1:
+                    payloads.append(mm_ops.encode_png(4, 4, px))
+                else:
+                    payloads.append(encode_jpeg(4, 4, px, quality=95))
             yield pd.DataFrame(
                 {"media_id": pdf["doc_id"], "kind": "image", "payload": payloads}
             )

@@ -122,8 +122,17 @@ def test_jpeg_png_optional_pil_gate_runs_either_way():
     else:
         with pytest.raises(NotImplementedError, match="Pillow"):
             decode_pil_image(b"\x89PNG\r\n\x1a\n" + bytes(16))
+        # a PROGRESSIVE jpeg passes the stdlib baseline decoder's honest
+        # reject and lands on the PIL gate
+        import numpy as np
+
+        from time_series_databse_engine_spark.operators.jpeg import encode_jpeg
+
+        enc = bytearray(encode_jpeg(8, 8, np.zeros((8, 8, 3), dtype=np.uint8).tobytes()))
+        i = bytes(enc).find(b"\xff\xc0")
+        enc[i + 1] = 0xC2
         with pytest.raises(NotImplementedError, match="Pillow"):
-            decode_media(b"\xff\xd8\xff\xe0" + bytes(16))  # JPEG magic
+            decode_media(bytes(enc))
 
 
 def test_real_extract_features_in_spark(spark):

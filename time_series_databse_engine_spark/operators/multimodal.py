@@ -347,11 +347,18 @@ def decode_media(payload: bytes) -> dict:
         except NotImplementedError:
             return decode_pil_image(payload)  # palette/16-bit/interlaced → PIL
     if payload[:3] == b"\xff\xd8\xff":
-        return decode_pil_image(payload)
+        try:
+            from .jpeg import decode_jpeg  # pure-numpy baseline decoder
+
+            d = decode_jpeg(payload)
+            d.pop("pixels", None)  # keep the metadata dict lean
+            return d
+        except NotImplementedError:
+            return decode_pil_image(payload)  # progressive/12-bit/restart → PIL
     raise NotImplementedError(
-        "real decoding implemented for BMP, PCM-16 WAV, 8-bit PNG and (with "
-        "Pillow installed) JPEG + exotic PNGs; other codecs need ffmpeg — "
-        "pass fake=True for the deterministic stand-in decoder"
+        "real decoding implemented for BMP, PCM-16 WAV, 8-bit PNG and "
+        "baseline JPEG; exotic variants light up with Pillow; MP3/MP4 need "
+        "ffmpeg — pass fake=True for the deterministic stand-in decoder"
     )
 
 
