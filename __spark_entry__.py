@@ -556,6 +556,29 @@ def q_mmr_topk(spark, sf_dir):
     return sim_ops.mmr_topk(emb, emb.filter(F.col("vec_id") < 3), k=5, pool=15, lam=0.7)
 
 
+def q_sq8_codes(spark, sf_dir):
+    """8-bit scalar quantization codes (global per-dimension min/max
+    calibration; code = round((x−lo)·255/(hi−lo))) — returned as the code
+    sum + first/last code per vector so the oracle compares the whole code
+    array without 64 columns."""
+    emb = _t(spark, sf_dir, "embeddings")
+    codes = sim_ops.sq8_quantize(emb, dim=64)
+    return codes.select(
+        "vec_id",
+        F.aggregate("codes", F.lit(0), lambda a, x: a + x).alias("code_sum"),
+        F.col("codes")[0].alias("c0"),
+        F.col("codes")[63].alias("c63"),
+    )
+
+
+def q_sq8_topk(spark, sf_dir):
+    """Asymmetric inner-product top-5 for 5 float queries over 8-bit
+    scalar-quantized candidates (dequantize once per candidate, same dot
+    fold and rank determinism as cosine_topk)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim_ops.sq8_topk(emb, emb.filter(F.col("vec_id") < 5), k=5, dim=64)
+
+
 def q_embedding_norms(spark, sf_dir):
     """Per-label embedding count + mean L2 norm."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -2461,6 +2484,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hamming_bits": q_hamming_bits,
         "hamming_topk": q_hamming_topk,
         "mmr_topk": q_mmr_topk,
+        "sq8_codes": q_sq8_codes,
+        "sq8_topk": q_sq8_topk,
         "quality_score": q_quality_score,
         "sessionize": q_sessionize,
         "token_counts_by_lang": q_token_counts_by_lang,
@@ -4775,6 +4800,38 @@ def oracle_sql() -> dict[str, str]:
             FROM sel s WHERE s.rank < 5))
         SELECT query_id, picked AS cand_id, score_u / 1e12 AS mmr_score, rank
         FROM sel WHERE rank >= 1"""
+    # --- SQ8 scalar quantization: per-dim (lo, step) calibration over an
+    # unnested (vec, dim) long table; codes/recon arithmetic is the same
+    # double ops in the same order as the Spark expressions.
+    _sq8_base = """
+        dims AS (SELECT CAST(d AS INT) AS d FROM range(1, 65) t(d)),
+        ex AS (SELECT vec_id, d, CAST(embedding[d] AS DOUBLE) AS x
+               FROM embeddings, dims),
+        st AS (SELECT d, min(x) AS lo,
+                      greatest((max(x) - min(x)) / 255.0, 1e-12) AS step
+               FROM ex GROUP BY d),
+        codes AS (SELECT vec_id, ex.d, CAST(round((x - lo) / step) AS INT) AS c
+                  FROM ex JOIN st USING (d))"""
+    oracles["sq8_codes"] = f"""
+        WITH {_sq8_base}
+        SELECT vec_id, CAST(sum(c) AS INT) AS code_sum,
+               max(CASE WHEN d = 1 THEN c END) AS c0,
+               max(CASE WHEN d = 64 THEN c END) AS c63
+        FROM codes GROUP BY vec_id"""
+    oracles["sq8_topk"] = f"""
+        WITH {_sq8_base},
+        recon AS (SELECT vec_id AS cand_id,
+                         list(lo + step * c ORDER BY d) AS rv
+                  FROM codes JOIN st USING (d) GROUP BY vec_id),
+        q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+              FROM embeddings WHERE vec_id < 5),
+        s AS (SELECT query_id, cand_id, list_dot_product(qv, rv) AS sc
+              FROM q, recon WHERE cand_id <> query_id)
+        SELECT query_id, cand_id, round(sc, 6) AS score, rank FROM (
+          SELECT query_id, cand_id, sc,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY sc DESC, cand_id ASC) AS rank
+          FROM s) WHERE rank <= 5"""
     oracles["holt_chunked"] = oracles["holt_smoothing"]
     oracles["resample_1m_expr"] = oracles["resample_1m"]
     oracles["dsir_weights"] = """

@@ -515,3 +515,27 @@ def test_mmr_prefers_diverse_over_redundant(spark):
     assert [r.cand_id for r in out] == [1, 3, 2]
     # rank-1 score is exactly lam * rel (micro-unit arithmetic, no drift)
     assert abs(out[0].mmr_score - 0.5 * round((0.99) / (0.99**2 + 0.141**2) ** 0.5, 6)) < 1e-9
+
+
+def test_sq8_quantization_exact_on_lattice_and_bounded_elsewhere(spark):
+    """Vectors whose coordinates sit exactly on the 255-step lattice
+    roundtrip to exact codes/reconstruction; arbitrary values reconstruct
+    within step/2; the asymmetric top-k agrees with exact inner-product
+    ranking on well-separated data."""
+    from pyspark.sql import functions as F
+
+    from time_series_databse_engine_spark.operators.similarity import (
+        sq8_quantize,
+        sq8_topk,
+    )
+
+    # dim 2: lo=(0, 10), hi=(255, 265) -> step=1 in both dims
+    rows = [(0, [0.0, 10.0]), (1, [255.0, 265.0]), (2, [7.0, 17.0]), (3, [100.0, 110.5])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    codes = {r.vec_id: list(r.codes) for r in sq8_quantize(df, dim=2).collect()}
+    assert codes[0] == [0, 0] and codes[1] == [255, 255] and codes[2] == [7, 7]
+    assert codes[3] == [100, 101]  # 110.5 - 10 = 100.5 rounds HALF_UP to 101
+
+    top = sq8_topk(df, df.filter(F.col("vec_id") == 1), k=3, dim=2)
+    ranked = [r.cand_id for r in sorted(top.collect(), key=lambda r: r.rank)]
+    assert ranked == [3, 2, 0]  # exact inner-product order preserved
