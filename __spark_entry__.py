@@ -556,6 +556,51 @@ def q_mmr_topk(spark, sf_dir):
     return sim_ops.mmr_topk(emb, emb.filter(F.col("vec_id") < 3), k=5, pool=15, lam=0.7)
 
 
+def _recall_vs_exact(spark, sf_dir, approx_df):
+    """Shared recall@5 shape: per-query (k, hits, recall) of an
+    approximate top-k against exact cosine_topk — same single-exact-
+    division discipline as q_ivf_recall."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5)
+    exact = sim_ops.cosine_topk(emb, qs, k=5).select("query_id", "cand_id")
+    approx = approx_df.select("query_id", "cand_id")
+    hits = (
+        exact.join(approx, ["query_id", "cand_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("hits"))
+    )
+    return (
+        exact.groupBy("query_id")
+        .agg(F.count("*").alias("k"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "k",
+            F.coalesce("hits", F.lit(0)).alias("hits"),
+            F.round(F.coalesce("hits", F.lit(0)) / F.col("k"), 6).alias("recall"),
+        )
+    )
+
+
+def q_hamming_recall(spark, sf_dir):
+    """recall@5 of the 1-bit Hamming scan vs exact cosine — the
+    compression-quality number a binary-embedding deployment is judged
+    by, as a first-class oracle-checked query."""
+    emb = _t(spark, sf_dir, "embeddings")
+    bits = sim_ops.binarize_embeddings(emb, dim=64)
+    approx = sim_ops.hamming_topk(bits, bits.filter(F.col("vec_id") < 5), k=5)
+    return _recall_vs_exact(spark, sf_dir, approx)
+
+
+def q_sq8_recall(spark, sf_dir):
+    """recall@5 of the 8-bit asymmetric scan vs exact cosine (inner
+    product vs cosine over near-unit-norm vectors: quantization is the
+    noise being measured, exactly as deployed)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    approx = sim_ops.sq8_topk(emb, emb.filter(F.col("vec_id") < 5), k=5, dim=64)
+    return _recall_vs_exact(spark, sf_dir, approx)
+
+
 def q_sq8_codes(spark, sf_dir):
     """8-bit scalar quantization codes (global per-dimension min/max
     calibration; code = round((x−lo)·255/(hi−lo))) — returned as the code
@@ -2486,6 +2531,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr_topk": q_mmr_topk,
         "sq8_codes": q_sq8_codes,
         "sq8_topk": q_sq8_topk,
+        "hamming_recall": q_hamming_recall,
+        "sq8_recall": q_sq8_recall,
         "quality_score": q_quality_score,
         "sessionize": q_sessionize,
         "token_counts_by_lang": q_token_counts_by_lang,
@@ -4722,6 +4769,19 @@ def oracle_sql() -> dict[str, str]:
                round(coalesce(any_value(h.hits), 0) / count(*), 6) AS recall
         FROM e LEFT JOIN h ON e.query_id = h.query_id
         GROUP BY e.query_id"""
+    def _recall_sql(approx_sql: str) -> str:
+        return f"""
+        WITH e AS (SELECT query_id, cand_id FROM ({oracles["cosine_topk"]})),
+        a AS (SELECT query_id, cand_id FROM ({approx_sql})),
+        h AS (SELECT e.query_id, count(*) AS hits
+              FROM e JOIN a ON e.query_id = a.query_id AND e.cand_id = a.cand_id
+              GROUP BY e.query_id)
+        SELECT e.query_id, count(*) AS k,
+               coalesce(any_value(h.hits), 0) AS hits,
+               round(coalesce(any_value(h.hits), 0) / count(*), 6) AS recall
+        FROM e LEFT JOIN h ON e.query_id = h.query_id
+        GROUP BY e.query_id"""
+
     # --- Hamming-space ANN: replay the exact bit-packing arithmetic ------
     _h_mu = ", ".join(
         f"round(avg(CAST(embedding[{i + 1}] AS DOUBLE)), 6) AS mu{i}" for i in range(64)
@@ -4832,6 +4892,8 @@ def oracle_sql() -> dict[str, str]:
                  row_number() OVER (PARTITION BY query_id
                                     ORDER BY sc DESC, cand_id ASC) AS rank
           FROM s) WHERE rank <= 5"""
+    oracles["hamming_recall"] = _recall_sql(oracles["hamming_topk"])
+    oracles["sq8_recall"] = _recall_sql(oracles["sq8_topk"])
     oracles["holt_chunked"] = oracles["holt_smoothing"]
     oracles["resample_1m_expr"] = oracles["resample_1m"]
     oracles["dsir_weights"] = """
