@@ -514,6 +514,27 @@ def q_minhash_lsh(spark, sf_dir):
     return dedup_ops.lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Exact incremental dedup — new batch (doc_id ≥ 250) vs existing
+    corpus (doc_id < 250): left-anti on the content hash (the corpus side
+    is its 16-byte/doc fingerprint table at scale) + min-id canonical
+    within the batch."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_ops.dedup_incremental(
+        docs.filter(F.col("doc_id") >= 250), docs.filter(F.col("doc_id") < 250)
+    )
+
+
+def q_neardup_incremental(spark, sf_dir):
+    """Near-dup screening of the new batch (doc_id ≥ 250) against the
+    corpus's materialized LSH band table (doc_id < 250): any-band
+    collision flags the doc; corpus text is never re-read."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_ops.neardup_incremental(
+        docs.filter(F.col("doc_id") >= 250), docs.filter(F.col("doc_id") < 250)
+    )
+
+
 def q_minhash_signatures(spark, sf_dir):
     """Raw MinHash signatures for a bounded id range (oracle-checkable)."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
@@ -2525,6 +2546,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lttb": q_lttb,
         "lsh_ann_topk": q_lsh_ann_topk,
         "minhash_lsh": q_minhash_lsh,
+        "dedup_incremental": q_dedup_incremental,
+        "neardup_incremental": q_neardup_incremental,
         "cosine_topk": q_cosine_topk,
         "hamming_bits": q_hamming_bits,
         "hamming_topk": q_hamming_topk,
@@ -4892,6 +4915,37 @@ def oracle_sql() -> dict[str, str]:
                  row_number() OVER (PARTITION BY query_id
                                     ORDER BY sc DESC, cand_id ASC) AS rank
           FROM s) WHERE rank <= 5"""
+    oracles["dedup_incremental"] = """
+        WITH nh AS (SELECT doc_id, md5(text) AS content_hash
+                    FROM documents WHERE doc_id >= 250),
+        seen AS (SELECT DISTINCT md5(text) AS content_hash
+                 FROM documents WHERE doc_id < 250),
+        fresh AS (SELECT nh.* FROM nh ANTI JOIN seen USING (content_hash))
+        SELECT doc_id, content_hash FROM (
+          SELECT *, row_number() OVER (PARTITION BY content_hash
+                                       ORDER BY doc_id ASC) AS rn
+          FROM fresh) WHERE rn = 1"""
+    _nd_bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, mh_{2 * b} || '|' || mh_{2 * b + 1} AS band_hash FROM sig"
+        for b in range(4)
+    )
+    oracles["neardup_incremental"] = (
+        "\nWITH "
+        + _SHINGLE_CTE_BODY.format(flt="")
+        + f", sig AS ({_minhash_sig_select(8)})"
+        + f", banded AS ({_nd_bands})"
+        + """,
+        oldb AS (SELECT DISTINCT band, band_hash FROM banded WHERE doc_id < 250),
+        hits AS (
+          SELECT n.doc_id, count(DISTINCT n.band) AS band_hits
+          FROM (SELECT DISTINCT doc_id, band, band_hash FROM banded
+                WHERE doc_id >= 250) n
+          JOIN oldb USING (band, band_hash) GROUP BY n.doc_id)
+        SELECT d.doc_id, coalesce(h.band_hits, 0) AS band_hits,
+               coalesce(h.band_hits, 0) > 0 AS is_neardup
+        FROM (SELECT doc_id FROM documents WHERE doc_id >= 250) d
+        LEFT JOIN hits h USING (doc_id)"""
+    )
     oracles["hamming_recall"] = _recall_sql(oracles["hamming_topk"])
     oracles["sq8_recall"] = _recall_sql(oracles["sq8_topk"])
     oracles["holt_chunked"] = oracles["holt_smoothing"]

@@ -244,3 +244,46 @@ def test_pagerank_star_graph_center_wins(spark):
     assert len({out[i] for i in range(1, 6)}) == 1
     # the isolated pair's members split their component's mass equally
     assert out[10] == out[11]
+
+
+def test_dedup_incremental_planted(spark):
+    """New batch vs corpus: an exact copy of a corpus doc is dropped, a
+    within-batch duplicate pair keeps only the lower id, and fresh text
+    survives."""
+    from time_series_databse_engine_spark.operators.dedup import dedup_incremental
+
+    corpus = spark.createDataFrame(
+        [(1, "the old doc"), (2, "another old doc")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "the old doc"),      # exact corpus dup -> dropped
+            (11, "a brand new doc"),  # fresh -> kept
+            (12, "twin text"),        # batch dup, lower id -> kept
+            (13, "twin text"),        # batch dup, higher id -> dropped
+        ],
+        "doc_id long, text string",
+    )
+    kept = {r.doc_id for r in dedup_incremental(new, corpus).collect()}
+    assert kept == {11, 12}
+
+
+def test_neardup_incremental_flags_shingle_overlap(spark):
+    """A new doc sharing its shingles with a corpus doc collides in every
+    band (band_hits = 4); disjoint text collides in none."""
+    from time_series_databse_engine_spark.operators.dedup import neardup_incremental
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon zeta eta theta"),  # identical
+            (11, "one two three four five six seven eight"),        # disjoint
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in neardup_incremental(new, corpus).collect()}
+    assert out[10].is_neardup and out[10].band_hits == 4
+    assert not out[11].is_neardup and out[11].band_hits == 0

@@ -102,6 +102,15 @@ def test_upsert_preserves_roundtrip_query(spark, tmp_path):
 def test_bucketed_join_has_no_shuffle(spark, sf_dir):
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
+    # a killed previous run can leave the managed-table DIRECTORY behind
+    # without a catalog entry — DROP TABLE alone won't clear it and
+    # saveAsTable then fails with LOCATION_ALREADY_EXISTS
+    import shutil
+
+    for tbl in ("t_cust_b", "t_orders_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        loc = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        shutil.rmtree(f"{loc}/{tbl}", ignore_errors=True)
     write_bucketed(cust, "t_cust_b", ("c_custkey",), num_buckets=4, sort_cols=("c_custkey",))
     write_bucketed(
         orders, "t_orders_b", ("o_custkey",), num_buckets=4, sort_cols=("o_custkey",)

@@ -294,24 +294,22 @@ def minhash_signatures(
     return _parallelize(df).select(F.col(id_col), F.inline(F.array(sig)))
 
 
-def lsh_candidate_pairs(
+def banded_keys(
     sigs: DataFrame,
     bands: int = 4,
     rows_per_band: int = 2,
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """LSH banding: docs agreeing on ALL hashes inside any band become a
-    candidate pair.  Implemented as explode-to-(band, band_key) + groupBy
-    equi-join — never a cross join.  Pairs are distinct (id1 < id2).
-
-    The band key is the plain concatenation of the band's fixed-width
-    signature components: equality of the concat IS equality of the tuple,
-    so re-hashing it (the former md5(band)) buys nothing.  INVARIANT: the
-    '|'-joined concat is injective only because components never contain
-    the separator (minhash components are hex strings, which cannot
-    contain '|'); a future signature source feeding components with '|'
-    in them would silently alias bands."""
-    banded = sigs.select(
+    """Explode a signature table to (id, band, band_hash) rows — the
+    shared banding step of within-corpus pairing and incremental
+    lookups.  The band key is the plain concatenation of the band's
+    fixed-width signature components: equality of the concat IS equality
+    of the tuple, so re-hashing it (the former md5(band)) buys nothing.
+    INVARIANT: the '|'-joined concat is injective only because components
+    never contain the separator (minhash components are hex strings,
+    which cannot contain '|'); a future signature source feeding
+    components with '|' in them would silently alias bands."""
+    return sigs.select(
         F.col(id_col),
         F.explode(
             F.array(
@@ -328,6 +326,19 @@ def lsh_candidate_pairs(
             )
         ).alias("bh"),
     ).select(id_col, "bh.band", "bh.band_hash")
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LSH banding: docs agreeing on ALL hashes inside any band become a
+    candidate pair.  Implemented as explode-to-(band, band_key) + groupBy
+    equi-join (:func:`banded_keys`) — never a cross join.  Pairs are
+    distinct (id1 < id2)."""
+    banded = banded_keys(sigs, bands, rows_per_band, id_col)
     # Pre-shuffle on the join key: both sides of the self-join then share an
     # identical Exchange, so Spark computes the signature pipeline once and
     # wires a ReusedExchange for the other side (without this, the
@@ -735,4 +746,77 @@ def chunk_dedup(
             ),
             " ",
         ).alias("dedup_text"),
+    )
+
+
+def dedup_incremental(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact incremental dedup — the production daily-crawl shape: keep
+    the new-batch docs whose content hash neither exists in the corpus
+    nor belongs to an earlier doc within the batch (min-id canonical).
+
+    At 100 TB the corpus side is its materialized FINGERPRINT table
+    (16 bytes/doc, not the corpus text): one left-anti equi-join on the
+    hash plus one within-batch window — both on the same hash key, so
+    AQE reuses the batch's exchange.  Returns surviving (id, hash).
+    """
+    nh = new_df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("content_hash"))
+    seen = corpus_df.select(fingerprint(F.col(text_col)).alias("content_hash")).distinct()
+    fresh = nh.join(seen, "content_hash", "left_anti")
+    w = W.partitionBy("content_hash").orderBy(F.col(id_col).asc())
+    return (
+        fresh.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, "content_hash")
+    )
+
+
+def neardup_incremental(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    num_hashes: int = 8,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate screening of a new batch against an existing corpus:
+    a new doc is flagged when ANY of its LSH bands collides with a corpus
+    band bucket.  The corpus side is its materialized (band, band_hash)
+    table — O(bands) short strings per historical doc, the index you keep
+    between crawls — so the corpus text is never re-read, and the probe is
+    one equi-join on the band key (distinct-ed first: bucket membership is
+    what matters, never which corpus doc).  Returns
+    (id, band_hits, is_neardup) for every new-batch doc.
+    """
+    nb = banded_keys(
+        minhash_signatures(new_df, num_hashes, shingle_n, text_col, id_col),
+        bands, rows_per_band, id_col,
+    )
+    ob = (
+        banded_keys(
+            minhash_signatures(corpus_df, num_hashes, shingle_n, text_col, id_col),
+            bands, rows_per_band, id_col,
+        )
+        .select("band", "band_hash")
+        .distinct()
+    )
+    hits = (
+        nb.join(ob, ["band", "band_hash"])
+        .groupBy(id_col)
+        .agg(F.countDistinct("band").alias("band_hits"))
+    )
+    return (
+        new_df.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("band_hits", F.lit(0)).cast("long").alias("band_hits"),
+            (F.coalesce("band_hits", F.lit(0)) > 0).alias("is_neardup"),
+        )
     )
