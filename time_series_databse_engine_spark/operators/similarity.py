@@ -1261,26 +1261,31 @@ def binarize_embeddings(
     """
     n_words = (dim + word_bits - 1) // word_bits
     v = as_double(vec_col)
+    # per-dimension means as ONE broadcast array row (64 per-column aggs
+    # would also work, but the array keeps the downstream expression tree
+    # tiny — the packing below is a handful of HOF nodes instead of
+    # dim CASE terms, which matters for analysis/codegen time, not data)
     mu_row = df.agg(
         *[
-            F.round(F.avg(F.col(vec_col)[i].cast("double")), 6).alias(f"_mu{i}")
+            F.expr(f"round(avg(CAST({vec_col}[{i}] AS DOUBLE)), 6) AS _mu{i}")
             for i in range(dim)
         ]
-    )
+    ).select(F.array(*[F.col(f"_mu{i}") for i in range(dim)]).alias("_mu"))
     base = df.select(F.col(id_col), v.alias("_v")).crossJoin(F.broadcast(mu_row))
-    words = []
-    for j in range(n_words):
-        terms = [
-            F.when(
-                F.col("_v")[i] > F.col(f"_mu{i}"),
-                F.lit(1 << (i - j * word_bits)).cast("long"),
-            ).otherwise(F.lit(0).cast("long"))
-            for i in range(j * word_bits, min(dim, (j + 1) * word_bits))
-        ]
-        w = terms[0]
-        for t in terms[1:]:
-            w = w + t
-        words.append(w)
+    flags = F.zip_with(
+        "_v", "_mu", lambda x, m: F.when(x > m, F.lit(1)).otherwise(F.lit(0)).cast("long")
+    )
+    # LSB-first pack: fold the REVERSED 32-flag slice with acc*2 + b, so
+    # flag i lands on bit (i mod word_bits) — the same 1<<b weights the
+    # oracle writes out explicitly
+    words = [
+        F.aggregate(
+            F.reverse(F.slice(flags, j * word_bits + 1, min(word_bits, dim - j * word_bits))),
+            F.lit(0).cast("long"),
+            lambda acc, b: acc * 2 + b,
+        )
+        for j in range(n_words)
+    ]
     return base.select(F.col(id_col), F.array(*words).alias("bits"))
 
 
@@ -1421,11 +1426,33 @@ def sq8_stats(df: DataFrame, dim: int, vec_col: str = "embedding") -> DataFrame:
     (floored at 1e-12 so constant dimensions quantize to code 0 instead of
     dividing by zero).  A single partial-aggregated reduce — broadcast
     wherever codes are made or read."""
+    # one F.expr per aggregate: the same plan as chained Column ops with
+    # ~8x fewer py4j round-trips at plan-build time (2·dim aggregates)
     aggs = []
     for i in range(dim):
-        aggs.append(F.min(F.col(vec_col)[i].cast("double")).alias(f"_lo{i}"))
-        aggs.append(F.max(F.col(vec_col)[i].cast("double")).alias(f"_hi{i}"))
+        aggs.append(F.expr(f"min(CAST({vec_col}[{i}] AS DOUBLE)) AS _lo{i}"))
+        aggs.append(F.expr(f"max(CAST({vec_col}[{i}] AS DOUBLE)) AS _hi{i}"))
     return df.agg(*aggs)
+
+
+def _sq8_cal_row(st: DataFrame, dim: int) -> DataFrame:
+    """Collapse the (lo, hi) column pairs into one broadcast array of
+    (lo, step) structs — keeps every downstream quantize/dequantize a
+    single zip_with instead of dim per-column expressions."""
+    return st.select(
+        F.array(
+            *[
+                F.struct(
+                    F.col(f"_lo{i}").alias("lo"),
+                    F.greatest(
+                        (F.col(f"_hi{i}") - F.col(f"_lo{i}")) / F.lit(255.0),
+                        F.lit(1e-12),
+                    ).alias("step"),
+                )
+                for i in range(dim)
+            ]
+        ).alias("_cal")
+    )
 
 
 def sq8_quantize(
@@ -1441,18 +1468,12 @@ def sq8_quantize(
     row.  Codes are exact integers, so downstream arithmetic is
     association-free.  Returns (id, codes array<int>)."""
     st = stats if stats is not None else sq8_stats(df, dim, vec_col)
-    base = df.select(F.col(id_col), as_double(vec_col).alias("_v")).crossJoin(F.broadcast(st))
-    codes = [
-        F.round(
-            (F.col("_v")[i] - F.col(f"_lo{i}"))
-            / F.greatest(
-                (F.col(f"_hi{i}") - F.col(f"_lo{i}")) / F.lit(255.0), F.lit(1e-12)
-            ),
-            0,
-        ).cast("int")
-        for i in range(dim)
-    ]
-    return base.select(F.col(id_col), F.array(*codes).alias("codes"))
+    cal = _sq8_cal_row(st, dim)
+    base = df.select(F.col(id_col), as_double(vec_col).alias("_v")).crossJoin(F.broadcast(cal))
+    codes = F.zip_with(
+        "_v", "_cal", lambda x, c: F.round((x - c["lo"]) / c["step"], 0).cast("int")
+    )
+    return base.select(F.col(id_col), codes.alias("codes"))
 
 
 def sq8_topk(
@@ -1475,17 +1496,11 @@ def sq8_topk(
     (score DESC, cand_id) determinism as the exact operator."""
     st = sq8_stats(embeddings, dim, vec_col)
     codes = sq8_quantize(embeddings, dim, id_col, vec_col, stats=st)
-    recon_terms = F.array(
-        *[
-            F.col(f"_lo{i}")
-            + F.greatest((F.col(f"_hi{i}") - F.col(f"_lo{i}")) / F.lit(255.0), F.lit(1e-12))
-            * F.col("codes")[i]
-            for i in range(dim)
-        ]
-    )
+    cal = _sq8_cal_row(st, dim)
+    recon = F.zip_with("codes", "_cal", lambda c, s: s["lo"] + s["step"] * c)
     cands = (
-        codes.crossJoin(F.broadcast(st))
-        .select(F.col(id_col).alias("cand_id"), recon_terms.alias("_recon"))
+        codes.crossJoin(F.broadcast(cal))
+        .select(F.col(id_col).alias("cand_id"), recon.alias("_recon"))
     )
     q = F.broadcast(
         queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("_qv"))
