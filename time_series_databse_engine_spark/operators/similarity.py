@@ -1439,20 +1439,11 @@ def _sq8_cal_row(st: DataFrame, dim: int) -> DataFrame:
     """Collapse the (lo, hi) column pairs into one broadcast array of
     (lo, step) structs — keeps every downstream quantize/dequantize a
     single zip_with instead of dim per-column expressions."""
-    return st.select(
-        F.array(
-            *[
-                F.struct(
-                    F.col(f"_lo{i}").alias("lo"),
-                    F.greatest(
-                        (F.col(f"_hi{i}") - F.col(f"_lo{i}")) / F.lit(255.0),
-                        F.lit(1e-12),
-                    ).alias("step"),
-                )
-                for i in range(dim)
-            ]
-        ).alias("_cal")
+    terms = ", ".join(
+        f"struct(_lo{i} AS lo, greatest((_hi{i} - _lo{i}) / 255.0, 1e-12) AS step)"
+        for i in range(dim)
     )
+    return st.select(F.expr(f"array({terms}) AS _cal"))
 
 
 def sq8_quantize(
