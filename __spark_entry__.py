@@ -535,6 +535,15 @@ def q_neardup_incremental(spark, sf_dir):
     )
 
 
+def q_leakage_safe_split(spark, sf_dir):
+    """Near-dup-aware train/val/test split: the md5 first-hex-digit rule
+    applied to the doc's LSH duplicate-cluster id (own id when
+    unclustered), so paraphrase pairs never straddle the train/test
+    boundary; oracle composes the recursive-reachability cluster CTE with
+    the same digit rule."""
+    return dedup_ops.leakage_safe_split(_t(spark, sf_dir, "documents"))
+
+
 def q_minhash_signatures(spark, sf_dir):
     """Raw MinHash signatures for a bounded id range (oracle-checkable)."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
@@ -2548,6 +2557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "dedup_incremental": q_dedup_incremental,
         "neardup_incremental": q_neardup_incremental,
+        "leakage_safe_split": q_leakage_safe_split,
         "cosine_topk": q_cosine_topk,
         "hamming_bits": q_hamming_bits,
         "hamming_topk": q_hamming_topk,
@@ -4915,6 +4925,26 @@ def oracle_sql() -> dict[str, str]:
                  row_number() OVER (PARTITION BY query_id
                                     ORDER BY sc DESC, cand_id ASC) AS rank
           FROM s) WHERE rank <= 5"""
+    oracles["leakage_safe_split"] = (
+        "\nWITH RECURSIVE "
+        + _minhash_lsh_ctes()
+        + """,
+        edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+                  UNION SELECT id2, id1 FROM pairs),
+        reach AS (
+          SELECT src AS id, src AS r FROM edges
+          UNION
+          SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+        cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+        keyed AS (
+          SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS split_key
+          FROM documents d LEFT JOIN cl USING (doc_id))
+        SELECT doc_id, split_key,
+               CASE WHEN substr(md5(split_key::VARCHAR), 1, 1) = '0' THEN 'val'
+                    WHEN substr(md5(split_key::VARCHAR), 1, 1) = '1' THEN 'test'
+                    ELSE 'train' END AS split
+        FROM keyed"""
+    )
     oracles["dedup_incremental"] = """
         WITH nh AS (SELECT doc_id, md5(text) AS content_hash
                     FROM documents WHERE doc_id >= 250),

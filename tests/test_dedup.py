@@ -287,3 +287,18 @@ def test_neardup_incremental_flags_shingle_overlap(spark):
     out = {r.doc_id: r for r in neardup_incremental(new, corpus).collect()}
     assert out[10].is_neardup and out[10].band_hits == 4
     assert not out[11].is_neardup and out[11].band_hits == 0
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    """Near-duplicate docs (same shingles) must land in ONE split; the
+    split key is the cluster's min doc id, and unclustered docs key on
+    their own id (hash_split digit rule either way)."""
+    from time_series_databse_engine_spark.operators.dedup import leakage_safe_split
+
+    dup = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(1, dup), (2, dup), (3, dup), (4, "totally different words here entirely")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in leakage_safe_split(df).collect()}
+    assert {out[i].split_key for i in (1, 2, 3)} == {1}  # whole cluster keyed by min id
+    assert len({out[i].split for i in (1, 2, 3)}) == 1   # -> one side
+    assert out[4].split_key == 4                          # singleton keeps own id

@@ -820,3 +820,45 @@ def neardup_incremental(
             (F.coalesce("band_hits", F.lit(0)) > 0).alias("is_neardup"),
         )
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    val_16ths: int = 1,
+    test_16ths: int = 1,
+    num_hashes: int = 8,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup-aware train/val/test split: hash_split's deterministic
+    digit rule applied to the LEAKAGE UNIT instead of the document.  A
+    plain per-doc split leaks whenever two near-duplicates straddle the
+    train/test boundary — the model is then evaluated on paraphrases of
+    its training data.  Here every connected component of the LSH
+    candidate graph (min-label cluster id) lands on ONE side; docs with no
+    near-duplicate fall back to their own id as the split key, so the
+    assignment stays growth/retry-invariant doc by doc.
+
+    Cost beyond the dedup pipeline the corpus runs anyway: one left join
+    of (doc_id → cluster_id) — cluster count ≪ corpus — and a codegen'd
+    md5-digit expression.  Returns (id, split_key, split).
+    """
+    from .sampling import hash_split
+
+    sigs = minhash_signatures(df, num_hashes, shingle_n, text_col, id_col)
+    pairs = lsh_candidate_pairs(sigs, bands, rows_per_band, id_col)
+    clusters = dedup_clusters(pairs)
+    keyed = (
+        df.select(id_col)
+        .join(clusters.withColumnRenamed("doc_id", id_col), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("cluster_id", F.col(id_col)).alias("split_key"),
+        )
+    )
+    return hash_split(keyed, val_16ths, test_16ths, id_col="split_key").select(
+        id_col, "split_key", "split"
+    )
