@@ -174,3 +174,55 @@ def test_sessionize_stream_evicts_state_on_event_time_timeout(spark):
         assert got == {1: (1_000, 5_000, 3)}
     finally:
         shutil.rmtree(d)
+
+
+def test_neardup_stream_flags_cross_batch_duplicate(spark):
+    """Streaming LSH band index: batch 2's copy of a batch-1 doc collides
+    in every band (is_first=False, first_seen_id = the batch-1 doc);
+    fresh text claims its own buckets.  Agreement with the batch
+    incremental op is by construction: same signatures, same banding."""
+    import shutil
+    import tempfile
+    import time
+
+    from time_series_databse_engine_spark.operators.dedup import (
+        banded_keys,
+        minhash_signatures,
+    )
+    from time_series_databse_engine_spark.streaming.stateful import neardup_stream
+
+    d = tempfile.mkdtemp()
+    dup = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    schema = "doc_id long, text string"
+    spark.createDataFrame([(1, dup)], schema).coalesce(1).write.parquet(d + "/src/b1")
+    time.sleep(1.1)  # distinct mtimes pin micro-batch order
+    spark.createDataFrame(
+        [(2, dup), (3, "completely different words entirely unrelated text")], schema
+    ).coalesce(1).write.parquet(d + "/src/b2")
+    try:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(d + "/src/*")
+        )
+        banded = banded_keys(minhash_signatures(stream))
+        q = (
+            neardup_stream(banded)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("neardup_out")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        rows = spark.sql("SELECT * FROM neardup_out").collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        assert all(r.is_first for r in by_doc[1])            # batch-1 claims
+        assert all(not r.is_first for r in by_doc[2])        # cross-batch dup
+        assert all(r.first_seen_id == 1 for r in by_doc[2])
+        assert all(r.is_first for r in by_doc[3])            # fresh text
+        assert len(by_doc[2]) == 4                           # one row per band
+    finally:
+        shutil.rmtree(d)

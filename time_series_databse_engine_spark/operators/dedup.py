@@ -26,6 +26,8 @@ def _parallelize(df: DataFrame) -> DataFrame:
     frames) fall back to ``rdd.getNumPartitions()``, which forces
     logical→RDD plan conversion on every operator build — no job, but
     measurable on wide pipelines (the round-3 advisor nit)."""
+    if df.isStreaming:  # micro-batch width is the source's concern
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism
     try:
         files = df.inputFiles()

@@ -266,3 +266,61 @@ def sessionize_stream(stream: DataFrame, gap_ms: int = 1_800_000) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+NEARDUP_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("band", T.IntegerType(), False),
+        T.StructField("band_hash", T.StringType(), False),
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("first_seen_id", T.LongType(), False),
+        T.StructField("is_first", T.BooleanType(), False),
+    ]
+)
+NEARDUP_STATE_SCHEMA = T.StructType(
+    [T.StructField("first_id", T.LongType(), True)]
+)
+
+
+def neardup_stream(banded: DataFrame) -> DataFrame:
+    """Streaming near-duplicate suppression: a persistent LSH band index
+    carried in group state across micro-batches.  Input is a stream of
+    (doc_id, band, band_hash) rows (``dedup.banded_keys`` over minhash
+    signatures, computed per micro-batch); grouping key = the band bucket;
+    state = the id of the bucket's first claimant, O(1) per bucket.
+
+    A doc is a near-dup candidate when ANY of its band rows comes back
+    ``is_first = false`` — the streaming twin of
+    ``dedup.neardup_incremental``, with state playing the corpus band
+    table.  State grows with DISTINCT buckets — that is the index itself,
+    the same asymptotics as the batch corpus table (O(bands) short strings
+    per unique doc), not a leak; shard it by adding a key prefix if one
+    store's footprint matters.  Within a batch ties claim deterministically
+    by min doc_id.
+    """
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        band, band_hash = key
+        (first_id,) = state.get if state.exists else (None,)
+        out = []
+        for pdf in pdfs:
+            for doc_id in sorted(int(d) for d in pdf["doc_id"]):
+                if first_id is None:
+                    first_id = doc_id
+                    out.append((band, band_hash, doc_id, doc_id, True))
+                else:
+                    out.append((band, band_hash, doc_id, first_id, doc_id == first_id))
+        state.update((first_id,))
+        yield pd.DataFrame(
+            out, columns=["band", "band_hash", "doc_id", "first_seen_id", "is_first"]
+        )
+
+    return banded.groupBy("band", "band_hash").applyInPandasWithState(
+        update,
+        outputStructType=NEARDUP_OUT_SCHEMA,
+        stateStructType=NEARDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
