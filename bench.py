@@ -98,6 +98,10 @@ HEADLINE = [
     "lsh_multiprobe_topk",
     "hamming_topk",
     "cusum",
+    "sq8_topk",
+    "mmr_topk",
+    "neardup_incremental",
+    "leakage_safe_split",
 ]
 
 # repeated-run latency distribution for the reference's hot/cold point
