@@ -1625,6 +1625,34 @@ def q_hw_backtest(spark, sf_dir):
     )
 
 
+def q_hilbert_key(spark, sf_dir):
+    """Hilbert-curve clustering key over events' (ts_ms, value) — same
+    quantization as q_zorder_key, then the continuous-curve walk
+    (layout.hilbert_key: one aggregate fold over bit levels, integer
+    JVM expressions).  Tighter per-file rectangles than Morton at the
+    quadrant seams; the comparative skip test quantifies it.  Oracle:
+    recursive-CTE replay of the identical walk."""
+    from time_series_databse_engine_spark.operators import layout as layout_ops
+
+    ev = _t(spark, sf_dir, "events")
+    mm = F.broadcast(
+        ev.agg(
+            F.min("ts_ms").alias("tlo"),
+            F.max("ts_ms").alias("thi"),
+            F.min("value").alias("vlo"),
+            F.max("value").alias("vhi"),
+        )
+    )
+    q = ev.crossJoin(mm).select(
+        "event_id",
+        layout_ops.quantize(F.col("ts_ms"), F.col("tlo"), F.col("thi"), 16).alias("qa"),
+        layout_ops.quantize(F.col("value"), F.col("vlo"), F.col("vhi"), 16).alias("qb"),
+    )
+    return q.select(
+        "event_id", layout_ops.hilbert_key(F.col("qa"), F.col("qb"), 16).alias("hkey")
+    )
+
+
 def q_zorder_key(spark, sf_dir):
     """Z-order (Morton) clustering key over events' (ts_ms, value)
     (layout.zorder_key): quantize both dims to 16-bit buckets against
@@ -2502,6 +2530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_semijoin": q_bloom_semijoin,
         "ivfpq_topk": q_ivfpq_topk,
         "zorder_key": q_zorder_key,
+        "hilbert_key": q_hilbert_key,
         "hw_backtest": q_hw_backtest,
         "quality_calibration": q_quality_calibration,
         "source_curation": q_source_curation,
@@ -2768,6 +2797,42 @@ def _zorder_sql(bits: int = 16) -> str:
                                           * {scale}), 0), {top})::BIGINT AS qb
               FROM events CROSS JOIN mm)
         SELECT event_id, {interleave} AS zkey FROM q"""
+
+
+def _hilbert_sql(bits: int = 16) -> str:
+    """Quantize (ts_ms, value) exactly as _zorder_sql, then replay the
+    classic Hilbert xy→d walk (accumulate s²·((3rx) XOR ry), rotate the
+    frame) as a recursive CTE stepping s from 2^(bits−1) down to 0 —
+    integer-only, so it matches layout.hilbert_key's fold bit for bit."""
+    top = (1 << bits) - 1
+    scale = f"{float(1 << bits):.1f}e0".replace(".0e0", "e0")
+    return f"""
+        WITH RECURSIVE mm AS (
+          SELECT min(epoch_ms(ts)) AS tlo, max(epoch_ms(ts)) AS thi,
+                 min(value) AS vlo, max(value) AS vhi FROM events),
+        q AS (SELECT event_id,
+                     least(greatest(floor((epoch_ms(ts) - tlo) / (thi - tlo)
+                                          * {scale}), 0), {top})::BIGINT AS qa,
+                     least(greatest(floor((value - vlo) / (vhi - vlo)
+                                          * {scale}), 0), {top})::BIGINT AS qb
+              FROM events CROSS JOIN mm),
+        walk AS (
+          SELECT event_id, qa AS x, qb AS y, 0::BIGINT AS d,
+                 {1 << (bits - 1)}::BIGINT AS s
+          FROM q
+          UNION ALL
+          SELECT event_id,
+                 CASE WHEN (y & s) = 0
+                      THEN CASE WHEN (x & s) > 0 THEN s - 1 - y ELSE y END
+                      ELSE x END AS x,
+                 CASE WHEN (y & s) = 0
+                      THEN CASE WHEN (x & s) > 0 THEN s - 1 - x ELSE x END
+                      ELSE y END AS y,
+                 d + s * s * xor(3 * (CASE WHEN (x & s) > 0 THEN 1 ELSE 0 END),
+                                 CASE WHEN (y & s) > 0 THEN 1 ELSE 0 END) AS d,
+                 s // 2 AS s
+          FROM walk WHERE s > 0)
+        SELECT event_id, d AS hkey FROM walk WHERE s = 0"""
 
 
 def _holt_winters_oracle_sql() -> str:
@@ -4040,6 +4105,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pagerank": _pagerank_sql(iters=5),
         "zorder_key": _zorder_sql(bits=16),
+        "hilbert_key": _hilbert_sql(bits=16),
         "hw_backtest": _hw_backtest_sql(period=24, horizons=(1, 3, 6, 12)),
         "edit_verify": (
             "\nWITH "
