@@ -1625,6 +1625,25 @@ def q_hw_backtest(spark, sf_dir):
     )
 
 
+def q_interval_join_bucketed(spark, sf_dir):
+    """Keyless interval join at scale: 12 two-hour windows spaced 4 h
+    from T1, matched to events by bucket-explode + equi-join + BETWEEN
+    residual (asof.interval_bucket_join) — never a nested-loop.  The
+    oracle is the plain theta join, so the hash-match doubles as an
+    exactness proof for the bucket decomposition."""
+    from time_series_databse_engine_spark.operators.asof import interval_bucket_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts_ms")
+    windows = spark.range(12).select(
+        F.col("id").alias("window_id"),
+        (F.lit(T1) + F.col("id") * 14_400_000).alias("start_ms"),
+        (F.lit(T1) + F.col("id") * 14_400_000 + 7_200_000 - 1).alias("end_ms"),
+    )
+    return interval_bucket_join(ev, windows).select(
+        "event_id", "window_id", "ts_ms", "start_ms", "end_ms"
+    )
+
+
 def q_hilbert_key(spark, sf_dir):
     """Hilbert-curve clustering key over events' (ts_ms, value) — same
     quantization as q_zorder_key, then the continuous-curve walk
@@ -2531,6 +2550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_topk": q_ivfpq_topk,
         "zorder_key": q_zorder_key,
         "hilbert_key": q_hilbert_key,
+        "interval_join_bucketed": q_interval_join_bucketed,
         "hw_backtest": q_hw_backtest,
         "quality_calibration": q_quality_calibration,
         "source_curation": q_source_curation,
@@ -4105,6 +4125,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pagerank": _pagerank_sql(iters=5),
         "zorder_key": _zorder_sql(bits=16),
+        "interval_join_bucketed": f'''
+            WITH w AS (SELECT CAST(id AS BIGINT) AS window_id,
+                              {T1} + id * 14400000 AS start_ms,
+                              {T1} + id * 14400000 + 7200000 - 1 AS end_ms
+                       FROM range(12) t(id))
+            SELECT e.event_id, w.window_id, {_EV_MS} AS ts_ms,
+                   w.start_ms, w.end_ms
+            FROM events e JOIN w ON {_EV_MS} BETWEEN w.start_ms AND w.end_ms''',
         "hilbert_key": _hilbert_sql(bits=16),
         "hw_backtest": _hw_backtest_sql(period=24, horizons=(1, 3, 6, 12)),
         "edit_verify": (

@@ -131,3 +131,34 @@ def test_asof_forward_matches_pandas(spark, sf_dir):
         ).select("event_id", "value_right").collect()
     }
     assert a == b
+
+
+def test_interval_bucket_join_exact_and_no_nested_loop(spark):
+    """Bucket-decomposed keyless interval join: (1) equals the naive theta
+    join on a fixture with boundary hits, multi-bucket intervals and
+    overlapping windows; (2) each qualifying pair appears exactly once
+    (a point has ONE bucket); (3) the plan is an equi join on the bucket,
+    never BroadcastNestedLoopJoin/cartesian."""
+    from pyspark.sql import functions as F
+
+    from time_series_databse_engine_spark.operators.asof import interval_bucket_join
+
+    pts = spark.createDataFrame(
+        [(i, t) for i, t in enumerate([0, 999, 1000, 3500, 7200, 9999, 10000])],
+        "event_id long, ts_ms long",
+    )
+    iv = spark.createDataFrame(
+        [(0, 0, 999), (1, 500, 7200), (2, 7000, 12000)],  # overlapping, multi-bucket
+        "window_id long, start_ms long, end_ms long",
+    )
+    out = interval_bucket_join(pts, iv, bucket_ms=1000)
+    got = sorted((r.event_id, r.window_id) for r in out.collect())
+    naive = sorted(
+        (p.event_id, w.window_id)
+        for p in pts.collect()
+        for w in iv.collect()
+        if w.start_ms <= p.ts_ms <= w.end_ms
+    )
+    assert got == naive and len(got) == len(set(got))
+    plan = out._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    assert "BroadcastNestedLoopJoin" not in plan and "Cartesian" not in plan

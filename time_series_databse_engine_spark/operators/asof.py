@@ -153,3 +153,44 @@ def asof_join_pandas(
     return left.groupBy(by).cogroup(right.groupBy(by)).applyInPandas(
         lambda l, r: merge(l, r), schema=out_schema
     )
+
+
+def interval_bucket_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    ts_col: str = "ts_ms",
+    start_col: str = "start_ms",
+    end_col: str = "end_ms",
+    bucket_ms: int = 3_600_000,
+) -> DataFrame:
+    """Interval join WITHOUT a shared equi key, made shuffle-friendly:
+    explode each interval into its covering time buckets, equi-join points
+    on the bucket, then apply the BETWEEN residual.  Without this, Spark's
+    only plan for ``ts BETWEEN start AND end`` is a broadcast-nested-loop
+    (or cartesian) — |points|·|intervals| comparisons; here candidate
+    volume is only the points inside buckets an interval overlaps, and
+    the join is a plain hash/sort-merge exchange on the bucket key.
+
+    A point lives in exactly ONE bucket, so each qualifying
+    (point, interval) pair is produced exactly once — no dedup pass.
+    Pick ``bucket_ms`` near the typical interval length: longer intervals
+    explode into more buckets (rows ∝ length/bucket_ms); buckets much
+    longer than intervals admit more false candidates for the residual to
+    drop.  Skew-note: a bucket covered by many intervals and many points
+    is an ordinary hot key — AQE skew-join splits it like any other.
+    """
+    b_pts = points.withColumn("_b", F.floor(F.col(ts_col) / F.lit(bucket_ms)))
+    b_iv = intervals.withColumn(
+        "_b",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / F.lit(bucket_ms)),
+                F.floor(F.col(end_col) / F.lit(bucket_ms)),
+            )
+        ),
+    )
+    return (
+        b_pts.join(b_iv, "_b")
+        .filter(F.col(ts_col).between(F.col(start_col), F.col(end_col)))
+        .drop("_b")
+    )
