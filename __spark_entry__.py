@@ -1881,6 +1881,48 @@ def q_multimodal_decode(spark, sf_dir):
     )
 
 
+def q_image_neardup(spark, sf_dir):
+    """Image near-duplicate detection end-to-end: documents → 16×16 gray
+    PNGs (first 256 utf-8 bytes as pixels); every 4th doc ALSO emits a
+    quality-85 JPEG twin of the same pixels under media_id + 100000 — a
+    planted cross-codec near-dup, self-contained per row so the result is
+    partition-independent.  pHash via one mapInPandas decode, pairing
+    JVM-side with bit_count(xor) ≤ 6.  Rows-only: binary payloads; the
+    hash's invariances are pinned in tests/test_multimodal.py."""
+    from time_series_databse_engine_spark.operators import multimodal as mm_ops
+    from time_series_databse_engine_spark.operators.dedup import hamming64
+    from time_series_databse_engine_spark.operators.jpeg import encode_jpeg
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads, ids = [], []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                b = t.encode("utf-8")[:256]
+                px = b + bytes(256 - len(b))
+                ids.append(int(i))
+                payloads.append(mm_ops.encode_png(16, 16, px, channels=1))
+                if int(i) % 4 == 3:
+                    ids.append(int(i) + 100_000)
+                    payloads.append(encode_jpeg(16, 16, px, quality=85, grayscale=True))
+            yield pd.DataFrame({"media_id": ids, "kind": "image", "payload": payloads})
+
+    media = docs.select("doc_id", "text").mapInPandas(
+        encode, schema="media_id long, kind string, payload binary"
+    )
+    hashes = mm_ops.image_phash(media)
+    a = hashes.select(F.col("media_id").alias("id1"), F.col("phash").alias("h1"))
+    b = hashes.select(F.col("media_id").alias("id2"), F.col("phash").alias("h2"))
+    return (
+        a.join(F.broadcast(b), F.col("id1") < F.col("id2"))
+        .select("id1", "id2", hamming64("h1", "h2").alias("dist"))
+        .filter(F.col("dist") <= 6)
+    )
+
+
 def q_multimodal_resize(spark, sf_dir):
     """Multimodal preprocessing chain: text → 4×4 BMP → REAL
     nearest-neighbour resize to 2×2 (multimodal.resize_bmp, pure numpy
@@ -2713,6 +2755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_near_dup": q_cosine_near_dup,
         "multimodal_features": q_multimodal_features,
         "multimodal_resize": q_multimodal_resize,
+        "image_neardup": q_image_neardup,
         "approx_stats": q_approx_stats,
     }
 

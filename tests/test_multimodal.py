@@ -344,3 +344,61 @@ def test_png_extract_features_in_spark(spark):
     row = extract_features(df, fake=False).collect()[0]
     f = row.features
     assert f[0] == 1.0 and (f[1], f[2]) == (2.0, 2.0)  # image, width, height
+
+
+def test_phash_invariances_and_discrimination(spark):
+    """pHash is bit-identical across codecs (BMP/PNG of the same pixels),
+    invariant to brightness shift and 2x downscale, within a few bits of
+    a JPEG recompression, and ~half the bits from an unrelated image;
+    image_phash runs the hash through mapInPandas and pairs JVM-side."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from time_series_databse_engine_spark.operators.jpeg import encode_jpeg
+    from time_series_databse_engine_spark.operators.multimodal import (
+        encode_bmp,
+        encode_png,
+        image_phash,
+        phash64,
+    )
+
+    yy, xx = np.mgrid[0:64, 0:64]
+    base = (128 + 80 * np.sin(yy / 9.0) * np.cos(xx / 7.0)).clip(0, 255).astype(np.uint8)
+    img = np.stack([base] * 3, axis=2)
+    png = encode_png(64, 64, img.tobytes())
+    h0 = phash64(png)
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(h0, phash64(encode_bmp(64, 64, img[:, :, ::-1].tobytes()))) == 0
+    bright = np.clip(img.astype(int) + 25, 0, 255).astype(np.uint8)
+    assert ham(h0, phash64(encode_png(64, 64, bright.tobytes()))) <= 2
+    half = np.ascontiguousarray(img[::2, ::2])
+    assert ham(h0, phash64(encode_png(32, 32, half.tobytes()))) <= 2
+    assert ham(h0, phash64(encode_jpeg(64, 64, img.tobytes(), quality=85))) <= 6
+    yy2, xx2 = np.mgrid[0:64, 0:64]
+    other = np.stack([((yy2 * 4 + xx2 * 3) % 256).astype(np.uint8)] * 3, axis=2)
+    assert ham(h0, phash64(encode_png(64, 64, other.tobytes()))) >= 16
+
+    df = spark.createDataFrame(
+        [
+            (1, "image", bytearray(png)),
+            (2, "image", bytearray(encode_png(64, 64, bright.tobytes()))),
+            (3, "image", bytearray(encode_png(64, 64, other.tobytes()))),
+            (4, "audio", bytearray(b"RIFF")),  # non-image rows filtered out
+        ],
+        "media_id long, kind string, payload binary",
+    )
+    hashes = image_phash(df)
+    from time_series_databse_engine_spark.operators.dedup import hamming64
+
+    a = hashes.select(F.col("media_id").alias("id1"), F.col("phash").alias("h1"))
+    b = hashes.select(F.col("media_id").alias("id2"), F.col("phash").alias("h2"))
+    pairs = (
+        a.join(b, F.col("id1") < F.col("id2"))
+        .select("id1", "id2", hamming64("h1", "h2").alias("dist"))
+        .collect()
+    )
+    d = {(r.id1, r.id2): r.dist for r in pairs}
+    assert d[(1, 2)] <= 2 and d[(1, 3)] >= 16 and (4 not in {i for p in d for i in p})

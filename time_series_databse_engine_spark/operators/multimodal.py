@@ -598,3 +598,121 @@ def frame_sample(df: DataFrame, every_n: int = 2) -> DataFrame:
         .select("media_id", "payload")
         .mapInPandas(run, schema=out_schema)
     )
+
+
+def phash64(payload: bytes) -> int:
+    """Perceptual 64-bit image hash (classic pHash recipe — public):
+    decode → grayscale → nearest-neighbour 32×32 → 2-D DCT → keep the
+    top-left 8×8 low-frequency block → threshold each coefficient
+    against the block's MEDIAN (DC excluded from the median so flat
+    images don't degenerate).  Robust to resize, recompression and
+    brightness shifts; near-duplicate images differ in a few bits, so
+    pairing is :func:`hamming64` / ``hamming_topk`` over the hashes —
+    the image twin of text MinHash."""
+    import numpy as np
+
+    if payload[:2] == b"BM":
+        rgb = _bmp_pixels(payload)
+    elif payload[:8] == b"\x89PNG\r\n\x1a\n":
+        rgb = _png_pixels(payload)
+    elif payload[:3] == b"\xff\xd8\xff":
+        from .jpeg import decode_jpeg
+
+        rgb = decode_jpeg(payload)["pixels"].astype(np.float64)
+    else:
+        raise ValueError("phash64 needs a BMP/PNG/JPEG image payload")
+    gray = rgb @ np.array([0.299, 0.587, 0.114])
+    h, w = gray.shape
+    ys = (np.arange(32) * h) // 32
+    xs = (np.arange(32) * w) // 32
+    small = gray[np.ix_(ys, xs)]
+    n = 32
+    k = np.arange(n)[:, None]
+    m = np.arange(n)[None, :]
+    c = np.cos(np.pi * (2 * m + 1) * k / (2 * n)) * np.where(
+        k == 0, np.sqrt(1.0 / n), np.sqrt(2.0 / n)
+    )
+    coef = c @ small @ c.T
+    block = coef[:8, :8].reshape(-1)
+    med = np.median(block[1:])  # DC excluded
+    bits = 0
+    for i, v in enumerate(block):
+        if v > med:
+            bits |= 1 << i
+    return bits - (1 << 64) if bits >= (1 << 63) else bits  # signed 64-bit
+
+
+def _bmp_pixels(payload: bytes):
+    """24-bit BMP → H×W×3 RGB float array (top-down)."""
+    import numpy as np
+
+    (offset,) = struct.unpack_from("<I", payload, 10)
+    _, width, height = struct.unpack_from("<Iii", payload, 14)
+    top_down = height < 0
+    height = abs(height)
+    row_size = (width * 3 + 3) // 4 * 4
+    px = (
+        np.frombuffer(payload, dtype=np.uint8, count=height * row_size, offset=offset)
+        .reshape(height, row_size)[:, : width * 3]
+        .reshape(height, width, 3)
+    )
+    if not top_down:
+        px = px[::-1]
+    return px[:, :, ::-1].astype(np.float64)  # BGR -> RGB
+
+
+def _png_pixels(payload: bytes):
+    """8-bit PNG → H×W×3 RGB float array (re-runs decode_png's unfilter)."""
+    import zlib
+
+    import numpy as np
+
+    pos = 8
+    width = height = channels = None
+    idat = []
+    while pos + 8 <= len(payload):
+        (size,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + size]
+        if tag == b"IHDR":
+            width, height, _, color_type, _, _, _ = struct.unpack(">IIBBBBB", body)
+            channels = {0: 1, 2: 3, 6: 4}[color_type]
+        elif tag == b"IDAT":
+            idat.append(body)
+        pos += 12 + size
+    raw = zlib.decompress(b"".join(idat))
+    px = _png_unfilter(raw, height, width * channels, channels).reshape(
+        height, width, channels
+    )
+    rgb = px[:, :, :3] if channels >= 3 else np.repeat(px[:, :, :1], 3, axis=2)
+    return rgb.astype(np.float64)
+
+
+def image_phash(df: DataFrame, fake: bool = False) -> DataFrame:
+    """media table → (media_id, phash bigint) via ``mapInPandas`` — the
+    Arrow-batched decode boundary shared by :func:`extract_features`.
+    Downstream near-dup pairing is pure JVM (`bit_count(xor)`), so the
+    image-dedup pipeline's only Python is the codec itself.  ``fake=True``
+    hashes the payload bytes deterministically for undecodable formats."""
+    import hashlib
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for mid, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+                if kind != "image":
+                    continue
+                if fake:
+                    h = int.from_bytes(
+                        hashlib.sha256(bytes(payload or b"")).digest()[:8],
+                        "big",
+                        signed=True,
+                    )
+                else:
+                    h = phash64(bytes(payload))
+                out.append((int(mid), h))
+            yield pd.DataFrame(out, columns=["media_id", "phash"])
+
+    return df.mapInPandas(run, schema="media_id long, phash long")
