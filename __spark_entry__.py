@@ -1923,6 +1923,55 @@ def q_image_neardup(spark, sf_dir):
     )
 
 
+def q_audio_neardup(spark, sf_dir):
+    """Audio near-duplicate detection end-to-end: documents → PCM-16 WAV
+    clips (text bytes → samples ×100, 4096 per clip); every 4th doc also
+    emits a half-volume twin under media_id + 100000 (halving is exact on
+    ×100 samples, so the twin's fingerprint bits are identical).
+    Haitsma–Kalker fingerprints via one mapInPandas pass, then the BER
+    match rule computed JVM-side (bit_count over frame-aligned joins) —
+    thresholded at 0.05 rather than the literature's 0.35 because
+    byte-derived clips from same-vocabulary docs legitimately share
+    spectra; the planted twins score exactly 0.  Rows-only: binary
+    payloads."""
+    from time_series_databse_engine_spark.operators import multimodal as mm_ops
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                b = (t.encode("utf-8") * 64)[:4096]
+                samples = [(x - 128) * 100 for x in b]
+                ids.append(int(i))
+                payloads.append(mm_ops.encode_wav(samples, 16_000))
+                if int(i) % 4 == 3:
+                    ids.append(int(i) + 100_000)
+                    payloads.append(mm_ops.encode_wav([s // 2 for s in samples], 16_000))
+            yield pd.DataFrame({"media_id": ids, "kind": "audio", "payload": payloads})
+
+    media = docs.select("doc_id", "text").mapInPandas(
+        encode, schema="media_id long, kind string, payload binary"
+    )
+    fps = mm_ops.audio_fingerprints(media)
+    a = fps.select(F.col("media_id").alias("id1"), "frame_idx", F.col("fp").alias("f1"))
+    b = fps.select(F.col("media_id").alias("id2"), "frame_idx", F.col("fp").alias("f2"))
+    return (
+        a.join(b, "frame_idx")
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(
+            F.round(
+                F.sum(F.bit_count(F.col("f1").bitwiseXOR(F.col("f2")))) / (F.count("*") * 16), 6
+            ).alias("ber")
+        )
+        .filter(F.col("ber") < 0.05)
+    )
+
+
 def q_multimodal_resize(spark, sf_dir):
     """Multimodal preprocessing chain: text → 4×4 BMP → REAL
     nearest-neighbour resize to 2×2 (multimodal.resize_bmp, pure numpy
@@ -2756,6 +2805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "multimodal_resize": q_multimodal_resize,
         "image_neardup": q_image_neardup,
+        "audio_neardup": q_audio_neardup,
         "approx_stats": q_approx_stats,
     }
 

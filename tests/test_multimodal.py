@@ -402,3 +402,79 @@ def test_phash_invariances_and_discrimination(spark):
     )
     d = {(r.id1, r.id2): r.dist for r in pairs}
     assert d[(1, 2)] <= 2 and d[(1, 3)] >= 16 and (4 not in {i for p in d for i in p})
+
+
+def test_audio_fingerprint_ber_decision_rule(spark):
+    """Haitsma-Kalker bit-error-rate decision rule: a volume-scaled or
+    mildly noisy copy matches (BER well under the literature's 0.35
+    threshold... scaled copies re-quantize, so the BER is small but not
+    zero); an unrelated clip sits near 0.5 (random bits).  Spark-side:
+    audio_fingerprints emits one int per frame; matching joins on
+    frame_idx and scores with JVM bit_count."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from time_series_databse_engine_spark.operators.multimodal import (
+        audio_fingerprint,
+        audio_fingerprints,
+        encode_wav,
+    )
+
+    sr = 16000
+    t = np.arange(sr * 2) / sr
+    rng = np.random.default_rng(7)
+    # the fingerprint's design case is NON-STATIONARY broadband audio
+    # (the bits are time-derivatives of band-energy differences; a pure
+    # stationary tone leaves most bands noise-driven) — build a
+    # music-like signal: 12 partials, each amplitude-modulated at its
+    # own rate
+    sig = np.zeros_like(t)
+    for k in range(12):
+        f = 120 * (k + 1) * 1.7 % 6000 + 100
+        sig += (800 + 200 * k) * (1 + 0.8 * np.sin(2 * np.pi * (1 + 0.7 * k) * t + k)) * np.sin(
+            2 * np.pi * f * t + k * k
+        )
+    sig = sig / np.abs(sig).max() * 12000
+    wav = encode_wav([int(x) for x in sig], sr)
+    scaled = encode_wav([int(x * 0.4) for x in sig], sr)
+    noisy = encode_wav([int(x + n) for x, n in zip(sig, rng.normal(0, 300, len(t)))], sr)
+    other_sig = np.zeros_like(t)
+    for k in range(12):
+        f = 90 * (k + 1) * 2.3 % 6000 + 150
+        other_sig += (500 + 250 * k) * (1 + 0.8 * np.sin(2 * np.pi * (0.5 + k) * t)) * np.sin(
+            2 * np.pi * f * t
+        )
+    other = encode_wav([int(x) for x in other_sig / np.abs(other_sig).max() * 12000], sr)
+
+    f0 = audio_fingerprint(wav)
+
+    def ber(b):
+        fb = audio_fingerprint(b)
+        return sum(bin(x ^ y).count("1") for x, y in zip(f0, fb)) / (len(f0) * 16)
+
+    assert ber(scaled) < 0.35 and ber(noisy) < 0.35
+    assert ber(other) > 0.42  # unrelated ~ coin-flip bits
+    assert len(f0) == 29  # 2 s @ 16 kHz, frame 2048 hop 1024 -> 29 diffs
+
+    df = spark.createDataFrame(
+        [
+            (1, "audio", bytearray(wav)),
+            (2, "audio", bytearray(scaled)),
+            (3, "audio", bytearray(other)),
+            (4, "image", bytearray(b"BM")),  # non-audio filtered out
+        ],
+        "media_id long, kind string, payload binary",
+    )
+    fps = audio_fingerprints(df)
+    a = fps.filter("media_id = 1").select("frame_idx", F.col("fp").alias("f1"))
+    pair = (
+        fps.filter("media_id != 1")
+        .join(a, "frame_idx")
+        .groupBy("media_id")
+        .agg(
+            (F.sum(F.bit_count(F.col("fp").bitwiseXOR(F.col("f1")))) / (F.count("*") * 16))
+            .alias("ber")
+        )
+    )
+    scores = {r.media_id: r.ber for r in pair.collect()}
+    assert scores[2] < 0.35 < scores[3] and 4 not in scores

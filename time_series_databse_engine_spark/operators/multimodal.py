@@ -716,3 +716,68 @@ def image_phash(df: DataFrame, fake: bool = False) -> DataFrame:
             yield pd.DataFrame(out, columns=["media_id", "phash"])
 
     return df.mapInPandas(run, schema="media_id long, phash long")
+
+
+def audio_fingerprint(payload: bytes, frame: int = 2048, hop: int = 1024,
+                      bands: int = 17) -> list[int]:
+    """Philips/Haitsma–Kalker-style robust audio fingerprint (public
+    literature, ISMIR 2002): per overlapping frame, FFT → ``bands`` log-
+    spaced band energies → one bit per band-pair from the SIGN of the
+    energy difference derivative ``(E[b]−E[b+1]) − (prevE[b]−prevE[b+1])``
+    — invariant to volume scaling (signs survive any positive gain) and
+    robust to mild noise.  Returns one ``bands−1``-bit integer per frame;
+    match score between clips = mean Hamming distance over aligned
+    frames (JVM `bit_count(xor)` once the ints are in a column)."""
+    import numpy as np
+
+    d = decode_wav(payload)
+    samples = np.frombuffer(
+        payload[-2 * d["n_samples"]:], dtype="<i2"
+    ).astype(np.float64)
+    # mono mixdown
+    ch = d["channels"]
+    if ch > 1:
+        n = len(samples) // ch * ch
+        samples = samples[:n].reshape(-1, ch).mean(axis=1)
+    if len(samples) < frame:
+        samples = np.pad(samples, (0, frame - len(samples)))
+    edges = np.unique(
+        np.geomspace(2, frame // 2, bands + 1).astype(int)
+    )
+    while len(edges) < bands + 1:  # tiny frames: pad distinct edges
+        edges = np.append(edges, edges[-1] + 1)
+    prev = None
+    out = []
+    win = np.hanning(frame)
+    for start in range(0, len(samples) - frame + 1, hop):
+        spec = np.abs(np.fft.rfft(samples[start : start + frame] * win)) ** 2
+        e = np.array([spec[edges[b] : edges[b + 1]].sum() for b in range(bands)])
+        if prev is not None:
+            diff = (e[:-1] - e[1:]) - (prev[:-1] - prev[1:])
+            bits = 0
+            for i, v in enumerate(diff):
+                if v > 0:
+                    bits |= 1 << i
+            out.append(bits)
+        prev = e
+    return out
+
+
+def audio_fingerprints(df: DataFrame) -> DataFrame:
+    """media table → (media_id, frame_idx, fp) via ``mapInPandas`` — one
+    row per analysis frame; matching/joining happens JVM-side on the
+    integer fingerprints (same discipline as :func:`image_phash`)."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for mid, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+                if kind != "audio":
+                    continue
+                for j, fp in enumerate(audio_fingerprint(bytes(payload))):
+                    out.append((int(mid), j, fp))
+            yield pd.DataFrame(out, columns=["media_id", "frame_idx", "fp"])
+
+    return df.mapInPandas(run, schema="media_id long, frame_idx int, fp long")
