@@ -1972,6 +1972,71 @@ def q_audio_neardup(spark, sf_dir):
     )
 
 
+def q_video_neardup(spark, sf_dir):
+    """Video near-duplicate detection: documents → 3-frame MJB clips of
+    16×16 BMP frames (text bytes as pixels); every 4th doc also emits a
+    brightness-shifted twin (+12 per channel, clamped) under
+    media_id + 100000.  frame_sample → per-frame pHash in one Arrow pass;
+    two videos match when EVERY aligned frame pair is within 6 bits —
+    pHash's brightness invariance makes the planted twins exact.
+    Rows-only: binary payloads."""
+    from time_series_databse_engine_spark.operators import multimodal as mm_ops
+    from time_series_databse_engine_spark.operators.dedup import hamming64
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                b0 = t.encode("utf-8") or b"x"
+                b = (b0 * (768 * 3 // len(b0) + 1))[: 768 * 3]
+                frames = [
+                    mm_ops.encode_bmp(16, 16, b[j * 768 : (j + 1) * 768]) for j in range(3)
+                ]
+                ids.append(int(i))
+                payloads.append(mm_ops.encode_mjb(frames, frame_ms=40))
+                if int(i) % 4 == 3:
+                    bright = bytes(min(255, x + 12) for x in b)
+                    tframes = [
+                        mm_ops.encode_bmp(16, 16, bright[j * 768 : (j + 1) * 768])
+                        for j in range(3)
+                    ]
+                    ids.append(int(i) + 100_000)
+                    payloads.append(mm_ops.encode_mjb(tframes, frame_ms=40))
+            yield pd.DataFrame({"media_id": ids, "kind": "video", "payload": payloads})
+
+    media = docs.select("doc_id", "text").mapInPandas(
+        encode, schema="media_id long, kind string, payload binary"
+    )
+    frames = mm_ops.frame_sample(media, every_n=1).select(
+        "media_id", "frame_idx", F.col("frame").alias("payload"), F.lit("image").alias("kind")
+    )
+    hashes = mm_ops.image_phash(
+        frames.select("media_id", "kind", "payload", "frame_idx").withColumnRenamed(
+            "media_id", "vid"
+        ).withColumn("media_id", F.col("vid") * 1000 + F.col("frame_idx"))
+    ).select(
+        (F.col("media_id") / 1000).cast("long").alias("vid"),
+        (F.col("media_id") % 1000).cast("int").alias("frame_idx"),
+        "phash",
+    )
+    a = hashes.select(F.col("vid").alias("id1"), "frame_idx", F.col("phash").alias("h1"))
+    b = hashes.select(F.col("vid").alias("id2"), "frame_idx", F.col("phash").alias("h2"))
+    return (
+        a.join(b, "frame_idx")
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(
+            F.count("*").alias("n_frames"),
+            F.max(hamming64("h1", "h2")).alias("max_dist"),
+        )
+        .filter((F.col("n_frames") == 3) & (F.col("max_dist") <= 6))
+    )
+
+
 def q_multimodal_resize(spark, sf_dir):
     """Multimodal preprocessing chain: text → 4×4 BMP → REAL
     nearest-neighbour resize to 2×2 (multimodal.resize_bmp, pure numpy
@@ -2806,6 +2871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize": q_multimodal_resize,
         "image_neardup": q_image_neardup,
         "audio_neardup": q_audio_neardup,
+        "video_neardup": q_video_neardup,
         "approx_stats": q_approx_stats,
     }
 
