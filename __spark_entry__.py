@@ -893,6 +893,26 @@ def q_value_percentiles(spark, sf_dir):
     )
 
 
+def q_unpivot(spark, sf_dir):
+    """Unpivot/melt (the inverse of q_event_pivot): lineitem's four
+    measure columns stacked into (measure, value) long form via the
+    native ``unpivot`` — wide→long without a union of four scans; per-
+    measure aggregate proves the reshape (oracle: UNION ALL of typed
+    selects)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 800)
+    long = li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+    return long.groupBy("measure").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("total"),
+        F.round(F.avg("value"), 6).alias("mean"),
+    )
+
+
 def q_event_pivot(spark, sf_dir):
     """Pivot: user-decile × event_type count matrix."""
     e = _t(spark, sf_dir, "events").withColumn("user_mod", F.col("user_id") % 10)
@@ -2790,6 +2810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": q_unigram_logprob,
         "hll_distinct_daily": q_hll_distinct_daily,
         "event_pivot": q_event_pivot,
+        "unpivot": q_unpivot,
         "rank_family": q_rank_family,
         "string_funcs": q_string_funcs,
         "dup_span_ranges": q_dup_span_ranges,
@@ -5229,6 +5250,24 @@ def oracle_sql() -> dict[str, str]:
         FROM (SELECT doc_id FROM documents WHERE doc_id >= 250) d
         LEFT JOIN hits h USING (doc_id)"""
     )
+    oracles["unpivot"] = """
+        WITH long AS (
+          SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+                 CAST(l_quantity AS DOUBLE) AS value
+          FROM lineitem WHERE l_orderkey <= 800
+          UNION ALL
+          SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+                 CAST(l_extendedprice AS DOUBLE)
+          FROM lineitem WHERE l_orderkey <= 800
+          UNION ALL
+          SELECT l_orderkey, l_linenumber, 'l_discount', CAST(l_discount AS DOUBLE)
+          FROM lineitem WHERE l_orderkey <= 800
+          UNION ALL
+          SELECT l_orderkey, l_linenumber, 'l_tax', CAST(l_tax AS DOUBLE)
+          FROM lineitem WHERE l_orderkey <= 800)
+        SELECT measure, count(*) AS n, round(sum(value), 2) AS total,
+               round(avg(value), 6) AS mean
+        FROM long GROUP BY measure"""
     oracles["hamming_recall"] = _recall_sql(oracles["hamming_topk"])
     oracles["sq8_recall"] = _recall_sql(oracles["sq8_topk"])
     oracles["holt_chunked"] = oracles["holt_smoothing"]
