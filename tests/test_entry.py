@@ -33,6 +33,9 @@ def test_oracle_keys_subset_of_queries():
         "multimodal_resize",  # binary payloads — pixel exactness in tests
         "pack_sequences",     # greedy FFD recursion, invariant-tested
         "hll_distinct_daily",  # DataSketches binary state, accuracy-tested
+        "image_neardup",      # binary payloads; planted twins — pHash tests
+        "audio_neardup",      # binary payloads; planted twins — BER tests
+        "video_neardup",      # binary payloads; planted twins — frame-hash tests
     }
 
 
