@@ -1064,6 +1064,38 @@ def q_distinct_aggs(spark, sf_dir):
     )
 
 
+def q_column_profile(spark, sf_dir):
+    """Table profiling — the first query every warehouse runs on new data:
+    per-column row count, null count, exact distinct count, min/max (as
+    strings so one schema fits every type).  One scan: all per-column
+    aggregates ride a single HashAggregate; the per-column rows come from
+    unpivoting the 1-row aggregate, never from N scans."""
+    o = _t(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long").alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(F.col(c).cast("string")).alias(f"{c}__min"),
+            F.max(F.col(c).cast("string")).alias(f"{c}__max"),
+        ]
+    wide = o.agg(*aggs)
+    per_col = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col(f"{c}__n").alias("n"),
+            F.col(f"{c}__nulls").alias("nulls"),
+            F.col(f"{c}__distinct").alias("n_distinct"),
+            F.col(f"{c}__min").alias("min_s"),
+            F.col(f"{c}__max").alias("max_s"),
+        )
+        for c in cols
+    ]
+    return wide.select(F.explode(F.array(*per_col)).alias("p")).select("p.*")
+
+
 def q_window_first_last(spark, sf_dir):
     """first_value / last_value / nth_value over the whole series frame."""
     e = _t(spark, sf_dir, "events")
@@ -2849,6 +2881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "autocorr": q_autocorr,
         "corr_stats": q_corr_stats,
         "distinct_aggs": q_distinct_aggs,
+        "column_profile": q_column_profile,
         "value_histogram": q_value_histogram,
         "window_first_last": q_window_first_last,
         "event_sequences": q_event_sequences,
@@ -5268,6 +5301,37 @@ def oracle_sql() -> dict[str, str]:
         SELECT measure, count(*) AS n, round(sum(value), 2) AS total,
                round(avg(value), 6) AS mean
         FROM long GROUP BY measure"""
+    oracles["column_profile"] = """
+          SELECT 'o_orderkey' AS column, count(*) AS n,
+                 CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
+                 count(DISTINCT o_orderkey) AS n_distinct,
+                 min(CAST(o_orderkey AS VARCHAR)) AS min_s,
+                 max(CAST(o_orderkey AS VARCHAR)) AS max_s
+          FROM orders UNION ALL 
+          SELECT 'o_custkey' AS column, count(*) AS n,
+                 CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
+                 count(DISTINCT o_custkey) AS n_distinct,
+                 min(CAST(o_custkey AS VARCHAR)) AS min_s,
+                 max(CAST(o_custkey AS VARCHAR)) AS max_s
+          FROM orders UNION ALL 
+          SELECT 'o_orderstatus' AS column, count(*) AS n,
+                 CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
+                 count(DISTINCT o_orderstatus) AS n_distinct,
+                 min(CAST(o_orderstatus AS VARCHAR)) AS min_s,
+                 max(CAST(o_orderstatus AS VARCHAR)) AS max_s
+          FROM orders UNION ALL 
+          SELECT 'o_totalprice' AS column, count(*) AS n,
+                 CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
+                 count(DISTINCT o_totalprice) AS n_distinct,
+                 min(CAST(o_totalprice AS VARCHAR)) AS min_s,
+                 max(CAST(o_totalprice AS VARCHAR)) AS max_s
+          FROM orders UNION ALL 
+          SELECT 'o_orderdate' AS column, count(*) AS n,
+                 CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
+                 count(DISTINCT o_orderdate) AS n_distinct,
+                 min(CAST(o_orderdate AS VARCHAR)) AS min_s,
+                 max(CAST(o_orderdate AS VARCHAR)) AS max_s
+          FROM orders"""
     oracles["hamming_recall"] = _recall_sql(oracles["hamming_topk"])
     oracles["sq8_recall"] = _recall_sql(oracles["sq8_topk"])
     oracles["holt_chunked"] = oracles["holt_smoothing"]
