@@ -102,6 +102,11 @@ HEADLINE = [
     "mmr_topk",
     "neardup_incremental",
     "leakage_safe_split",
+    "interval_join_bucketed",
+    "hilbert_key",
+    "column_profile",
+    "unpivot",
+    "image_neardup",
 ]
 
 # repeated-run latency distribution for the reference's hot/cold point
