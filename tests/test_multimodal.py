@@ -478,3 +478,109 @@ def test_audio_fingerprint_ber_decision_rule(spark):
     )
     scores = {r.media_id: r.ber for r in pair.collect()}
     assert scores[2] < 0.35 < scores[3] and 4 not in scores
+
+
+def test_audio_fingerprint_ignores_trailing_chunks():
+    """The fingerprint must read the data CHUNK, not a tail slice: a WAV
+    with a LIST/INFO metadata chunk after 'data' (common in the wild)
+    fingerprints identically to the bare file."""
+    import math
+    import struct
+
+    from time_series_databse_engine_spark.operators.multimodal import (
+        audio_fingerprint,
+        encode_wav,
+    )
+
+    samples = [int(9000 * math.sin(i / 5)) for i in range(6000)]
+    wav = encode_wav(samples, 16_000, 1)
+    info = b"INFOIART" + struct.pack("<I", 6) + b"nobody"
+    tagged = wav + struct.pack("<4sI", b"LIST", len(info)) + info
+    assert audio_fingerprint(tagged) == audio_fingerprint(wav)
+    # odd-size data chunk (word-aligned with a pad byte) also decodes
+    odd = encode_wav(samples[:-1], 16_000, 1)
+    assert audio_fingerprint(odd)  # no crash, non-empty
+
+
+def test_phash_gray_alpha_png_and_ihdr_validation():
+    """color_type 4 (gray+alpha) hashes like the pure-gray image; 16-bit
+    and interlaced PNGs raise the honest NotImplementedError instead of
+    silently mis-unfiltering."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from time_series_databse_engine_spark.operators.multimodal import (
+        encode_png,
+        phash64,
+    )
+
+    rng = np.random.default_rng(7)
+    gray = rng.integers(0, 256, size=(32, 32), dtype=np.uint8)
+    g_png = encode_png(32, 32, gray.tobytes(), channels=1)
+    ga = np.dstack([gray, np.full_like(gray, 255)])  # opaque alpha
+    ga_png = encode_png(32, 32, ga.tobytes(), channels=2)
+    assert phash64(ga_png) == phash64(g_png)
+
+    def png_with_ihdr(depth, color_type, interlace):
+        ihdr = struct.pack(">IIBBBBB", 4, 4, depth, color_type, 0, 0, interlace)
+        raw = zlib.compress(b"\x00" * (4 * (4 * 2 + 1)))
+
+        def chunk(tag, body):
+            return (
+                struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+            )
+
+        return (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"IDAT", raw)
+            + chunk(b"IEND", b"")
+        )
+
+    with pytest.raises(NotImplementedError):
+        phash64(png_with_ihdr(16, 0, 0))
+    with pytest.raises(NotImplementedError):
+        phash64(png_with_ihdr(8, 0, 1))
+    with pytest.raises(NotImplementedError):
+        phash64(png_with_ihdr(8, 3, 0))  # palette
+
+
+def test_extract_features_safe_survives_planted_corruption(spark):
+    """One truncated PNG and one undecodable blob in a batch must NOT
+    fail the job: the safe decoder flags them (ok=false + err class)
+    while healthy payloads decode normally."""
+    from pyspark.sql import functions as F
+
+    from time_series_databse_engine_spark.operators.multimodal import (
+        encode_bmp,
+        encode_png,
+        extract_features_safe,
+    )
+
+    px = bytes(range(48))
+    png = encode_png(4, 4, px)
+    rows = [
+        (1, "image", bytearray(encode_bmp(4, 4, px))),          # healthy
+        (2, "image", bytearray(png)),                            # healthy
+        (3, "image", bytearray(png[: len(png) // 2])),           # corrupt
+        (4, "image", bytearray(b"ID3" + bytes(16))),             # unsupported
+        (5, "image", bytearray(b"\x89PNG\r\n\x1a\njunk")),      # corrupt
+    ]
+    df = spark.createDataFrame(rows, "media_id long, kind string, payload binary")
+    out = {r.media_id: r for r in extract_features_safe(df).collect()}
+    assert out[1].ok and out[2].ok
+    assert out[1].features[1] == 4.0  # width really decoded
+    assert (out[3].ok, out[3].err_kind) == (False, "corrupt")
+    assert (out[4].ok, out[4].err_kind) == (False, "unsupported")
+    assert (out[5].ok, out[5].err_kind) == (False, "corrupt")
+    assert out[3].features is None
+    # the bad-shard report is one aggregation away
+    counts = {
+        r.err_kind: r.n
+        for r in extract_features_safe(df).groupBy("err_kind").agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    assert counts == {None: 2, "corrupt": 2, "unsupported": 1}

@@ -539,3 +539,23 @@ def test_sq8_quantization_exact_on_lattice_and_bounded_elsewhere(spark):
     top = sq8_topk(df, df.filter(F.col("vec_id") == 1), k=3, dim=2)
     ranked = [r.cand_id for r in sorted(top.collect(), key=lambda r: r.rank)]
     assert ranked == [3, 2, 0]  # exact inner-product order preserved
+
+
+def test_mmr_single_candidate_pool_still_ranked(spark):
+    """A query whose relevance pool has exactly one candidate produces no
+    c1!=c2 pair rows — the greedy must still emit that candidate at
+    rank 1 with score λ·rel (the SQL-oracle semantics)."""
+    from pyspark.sql import functions as F
+
+    from time_series_databse_engine_spark.operators.similarity import mmr_topk
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),  # query
+        (1, [0.8, 0.6, 0.0, 0.0]),  # the only candidate (rel 0.8)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = mmr_topk(
+        df, df.filter(F.col("vec_id") == 0), k=3, pool=3, lam=0.7
+    ).collect()
+    assert [(r.cand_id, r.rank) for r in out] == [(1, 1)]
+    assert abs(out[0].mmr_score - 0.7 * 0.8) < 1e-9

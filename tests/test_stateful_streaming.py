@@ -226,3 +226,19 @@ def test_neardup_stream_flags_cross_batch_duplicate(spark):
         assert len(by_doc[2]) == 4                           # one row per band
     finally:
         shutil.rmtree(d)
+
+
+def test_claim_bucket_min_holds_across_chunks():
+    """The bucket claimant is the batch-wide min doc_id even when the
+    bucket's rows arrive split across Arrow chunks with the smaller id in
+    a LATER chunk (the per-chunk-min bug shape)."""
+    from time_series_databse_engine_spark.streaming.stateful import _claim_bucket
+
+    # chunk 1 = [30, 40], chunk 2 = [10] — generator mimics chained chunks
+    first_id, claims = _claim_bucket(None, iter([30, 40, 10]))
+    assert first_id == 10
+    assert claims == [(10, 10, True), (30, 10, False), (40, 10, False)]
+    # existing state wins regardless of batch contents
+    first_id, claims = _claim_bucket(5, iter([30, 10]))
+    assert first_id == 5
+    assert claims == [(10, 5, False), (30, 5, False)]

@@ -125,11 +125,11 @@ def encode_wav(samples: list[int], sample_rate: int = 16_000, channels: int = 1)
     )
 
 
-def decode_wav(payload: bytes) -> dict:
-    """Parse a RIFF/WAVE PCM-16 payload: format fields + sample statistics
-    (mean, RMS, peak) computed vectorized over all frames."""
-    import numpy as np
-
+def _wav_chunks(payload: bytes) -> tuple[tuple, bytes]:
+    """Walk the RIFF chunk list and return (fmt fields, data chunk bytes).
+    The data chunk is located by its chunk header — never by slicing from
+    the end of the file — so trailing LIST/INFO metadata chunks and
+    odd-size padding never contaminate the PCM samples."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a WAV payload")
     pos, end = 12, len(payload)
@@ -144,6 +144,15 @@ def decode_wav(payload: bytes) -> dict:
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt_fields is None or data is None:
         raise ValueError("missing fmt/data chunk")
+    return fmt_fields, data
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Parse a RIFF/WAVE PCM-16 payload: format fields + sample statistics
+    (mean, RMS, peak) computed vectorized over all frames."""
+    import numpy as np
+
+    fmt_fields, data = _wav_chunks(payload)
     audio_format, channels, sample_rate, _, _, bits = fmt_fields
     if audio_format != 1 or bits != 16:
         raise NotImplementedError(f"only PCM-16 WAV supported (fmt={audio_format}, bits={bits})")
@@ -169,13 +178,13 @@ def decode_wav(payload: bytes) -> dict:
 def encode_png(width: int, height: int, pixels: bytes, channels: int = 3) -> bytes:
     """Minimal PNG writer (spec: W3C PNG, RFC 2083 — fully public).
     ``pixels`` is ``width*height*channels`` bytes, row 0 first, RGB order
-    (channels=1 gray, 3 RGB, 4 RGBA); scanlines use filter type 0 and the
-    stream is a single zlib-compressed IDAT."""
+    (channels=1 gray, 2 gray+alpha, 3 RGB, 4 RGBA); scanlines use filter
+    type 0 and the stream is a single zlib-compressed IDAT."""
     import zlib
 
     if len(pixels) != width * height * channels:
         raise ValueError("pixels must be width*height*channels bytes")
-    color_type = {1: 0, 3: 2, 4: 6}[channels]
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
     stride = width * channels
     raw = b"".join(b"\x00" + pixels[r * stride : (r + 1) * stride] for r in range(height))
 
@@ -418,6 +427,60 @@ def extract_features(df: DataFrame, fake: bool = False, batch_hint: int | None =
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
                     "features": pdf["payload"].map(featurize),
+                }
+            )
+
+    return df.select("media_id", "kind", "payload").mapInPandas(run, schema=out_schema)
+
+
+def extract_features_safe(df: DataFrame) -> DataFrame:
+    """Skip-and-flag decode — what a real 100 TB media crawl needs.
+
+    :func:`extract_features` re-raises on a bad payload, so ONE truncated
+    or progressive JPEG in a batch fails the whole job.  This variant
+    returns (media_id, kind, ok, err_kind, features) per row: decode
+    failures become data (``ok=false`` + a coarse error class) instead of
+    exceptions, the pipeline survives, and the bad-shard rate is one
+    ``groupBy(err_kind).count()`` away.  ``err_kind``:
+
+    * ``unsupported`` — format variant the codec honestly refuses
+      (progressive JPEG, palette PNG, MP3 …): re-queue for a
+      library-equipped cluster.
+    * ``corrupt`` — truncated/garbled bytes: count, sample, drop.
+
+    Same Arrow-batched ``mapInPandas`` plan as the strict variant; the
+    try/except adds nothing to the per-row cost of the healthy path.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("kind", T.StringType(), False),
+            T.StructField("ok", T.BooleanType(), False),
+            T.StructField("err_kind", T.StringType(), True),
+            T.StructField("features", T.ArrayType(T.DoubleType()), True),
+        ]
+    )
+
+    def safe(payload):
+        try:
+            return True, None, _real_features(payload)
+        except NotImplementedError:
+            return False, "unsupported", None
+        except Exception:  # truncated/garbled bytes: struct, zlib, value…
+            return False, "corrupt", None
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            trip = [safe(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "ok": [t[0] for t in trip],
+                    "err_kind": [t[1] for t in trip],
+                    "features": [t[2] for t in trip],
                 }
             )
 
@@ -675,8 +738,19 @@ def _png_pixels(payload: bytes):
         tag = payload[pos + 4 : pos + 8]
         body = payload[pos + 8 : pos + 8 + size]
         if tag == b"IHDR":
-            width, height, _, color_type, _, _, _ = struct.unpack(">IIBBBBB", body)
-            channels = {0: 1, 2: 3, 6: 4}[color_type]
+            width, height, depth, color_type, _, _, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or interlace != 0:
+                raise NotImplementedError(
+                    f"phash supports 8-bit non-interlaced PNG only "
+                    f"(depth={depth}, interlace={interlace})"
+                )
+            if color_type not in (0, 2, 4, 6):
+                raise NotImplementedError(
+                    f"palette PNG (color_type={color_type}) not supported"
+                )
+            channels = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
         elif tag == b"IDAT":
             idat.append(body)
         pos += 12 + size
@@ -730,12 +804,16 @@ def audio_fingerprint(payload: bytes, frame: int = 2048, hop: int = 1024,
     frames (JVM `bit_count(xor)` once the ints are in a column)."""
     import numpy as np
 
-    d = decode_wav(payload)
-    samples = np.frombuffer(
-        payload[-2 * d["n_samples"]:], dtype="<i2"
-    ).astype(np.float64)
+    fmt_fields, data = _wav_chunks(payload)
+    audio_format, ch, _, _, _, bits = fmt_fields
+    if audio_format != 1 or bits != 16:
+        raise NotImplementedError(
+            f"only PCM-16 WAV supported (fmt={audio_format}, bits={bits})"
+        )
+    samples = np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2").astype(
+        np.float64
+    )
     # mono mixdown
-    ch = d["channels"]
     if ch > 1:
         n = len(samples) // ch * ch
         samples = samples[:n].reshape(-1, ch).mean(axis=1)

@@ -1377,10 +1377,14 @@ def mmr_topk(
         a.join(b, ["query_id"])
         .filter(F.col("c1") != F.col("c2"))
         .select(
-            "query_id", "c1", "rel1", "c2",
+            "query_id", "c1", "c2",
             F.round(dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2")), 6).alias("sim"),
         )
     )
+    # greedy input = the relevance pool LEFT-joined to the pairwise sims:
+    # a query whose pool has exactly one candidate produces zero c1!=c2
+    # pair rows, and must still emit that candidate at rank 1.
+    pairs = a.select("query_id", "c1", "rel1").join(pairs, ["query_id", "c1"], "left")
 
     lam_u = int(round(lam * 1_000_000))
     one_minus_lam_u = 1_000_000 - lam_u
@@ -1391,7 +1395,8 @@ def mmr_topk(
         sim_of = {}
         for c1, r1, c2, s in zip(pdf["c1"], pdf["rel1"], pdf["c2"], pdf["sim"]):
             rel_of[int(c1)] = int(round(float(r1) * 1_000_000))
-            sim_of[(int(c1), int(c2))] = int(round(float(s) * 1_000_000))
+            if pd.notna(c2):  # null when the pool is a single candidate
+                sim_of[(int(c1), int(c2))] = int(round(float(s) * 1_000_000))
         selected: list[int] = []
         out = []
         remaining = set(rel_of)

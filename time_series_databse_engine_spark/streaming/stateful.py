@@ -282,6 +282,22 @@ NEARDUP_STATE_SCHEMA = T.StructType(
 )
 
 
+def _claim_bucket(first_id, doc_ids):
+    """Assign a band bucket's claimant for one micro-batch.  Drains EVERY
+    Arrow chunk's doc_ids before assigning, so "ties claim by min doc_id"
+    holds batch-wide — a bucket whose rows span multiple chunks must not
+    let the first chunk's min claim it.  Returns (first_id, [(doc_id,
+    first_seen_id, is_first), ...])."""
+    out = []
+    for doc_id in sorted(doc_ids):
+        if first_id is None:
+            first_id = doc_id
+            out.append((doc_id, doc_id, True))
+        else:
+            out.append((doc_id, first_id, doc_id == first_id))
+    return first_id, out
+
+
 def neardup_stream(banded: DataFrame) -> DataFrame:
     """Streaming near-duplicate suppression: a persistent LSH band index
     carried in group state across micro-batches.  Input is a stream of
@@ -304,14 +320,13 @@ def neardup_stream(banded: DataFrame) -> DataFrame:
 
         band, band_hash = key
         (first_id,) = state.get if state.exists else (None,)
-        out = []
-        for pdf in pdfs:
-            for doc_id in sorted(int(d) for d in pdf["doc_id"]):
-                if first_id is None:
-                    first_id = doc_id
-                    out.append((band, band_hash, doc_id, doc_id, True))
-                else:
-                    out.append((band, band_hash, doc_id, first_id, doc_id == first_id))
+        first_id, claims = _claim_bucket(
+            first_id, (int(d) for pdf in pdfs for d in pdf["doc_id"])
+        )
+        out = [
+            (band, band_hash, doc_id, seen, is_first)
+            for doc_id, seen, is_first in claims
+        ]
         state.update((first_id,))
         yield pd.DataFrame(
             out, columns=["band", "band_hash", "doc_id", "first_seen_id", "is_first"]
