@@ -1,0 +1,42 @@
+"""Column profiler: deterministic HLL vs exact, cross-engine replay."""
+
+import duckdb
+
+from time_series_databse_engine_spark.operators.profile import (
+    profile_oracle_sql,
+    profile_table,
+    profile_table_exact,
+)
+
+
+def test_profile_hll_matches_duckdb_replay_and_bounds_error(spark, sf_dir):
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = {r["column"]: r for r in profile_table(df, cols).collect()}
+    exact = {r["column"]: r for r in profile_table_exact(df, cols).collect()}
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM read_parquet('{sf_dir}/orders.parquet')"
+    )
+    ora = con.execute(profile_oracle_sql("orders", cols)).fetchall()
+    # bit-for-bit engine/oracle agreement on the ESTIMATE
+    for c, n, nulls, est, mn, mx in ora:
+        r = out[c]
+        assert (r.n, r.nulls, r.n_distinct_est, r.min_s, r.max_s) == (
+            n, nulls, est, mn, mx
+        )
+    # estimate within 6% of exact; n/nulls/min/max identical to exact
+    for c in cols:
+        assert out[c].n == exact[c].n and out[c].nulls == exact[c].nulls
+        assert (out[c].min_s, out[c].max_s) == (exact[c].min_s, exact[c].max_s)
+        e = exact[c].n_distinct
+        assert abs(out[c].n_distinct_est - e) <= max(0.06 * e, 1)
+
+
+def test_profile_handles_nulls_and_constant_columns(spark):
+    rows = [(1, None, "x"), (2, None, "x"), (3, None, "x"), (None, None, "x")]
+    df = spark.createDataFrame(rows, "a int, b int, c string")
+    out = {r["column"]: r for r in profile_table(df, ["a", "b", "c"]).collect()}
+    assert out["b"].n == 4 and out["b"].nulls == 4 and out["b"].n_distinct_est == 0
+    assert out["a"].nulls == 1 and out["a"].n_distinct_est == 3
+    assert out["c"].n_distinct_est == 1 and out["c"].min_s == "x"

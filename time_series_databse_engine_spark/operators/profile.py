@@ -1,0 +1,196 @@
+"""Table profiling — per-column row count, null count, distinct count,
+min/max — the first query every warehouse runs on new data.
+
+Two variants with the same output schema:
+
+* :func:`profile_table` (the 100 TB default) estimates distincts with a
+  hand-rolled **deterministic HyperLogLog** (Flajolet et al. 2007) built
+  from md5 hashes, so the whole profile is ONE scan + a 2-level
+  aggregate whose shuffle is ``n_cols × (m+1)`` register rows — never
+  the data.  Hand-rolling (rather than ``approx_count_distinct``) buys
+  exact cross-engine replayability: every register is an integer, the
+  harmonic sum is scaled to an exact BIGINT, and the only floats are one
+  literal constant, one division, and the small-range ``ln`` — so a
+  DuckDB oracle reproduces the estimate bit-for-bit and the driver's
+  value-hash gate applies to an *approximate* operator.
+
+* :func:`profile_table_exact` is the exact-``countDistinct`` oracle
+  variant.  Multiple DISTINCT aggregates make Catalyst insert an Expand
+  node that multiplies every row ×(n_cols+1) before aggregating and
+  shuffles distinct VALUES — correct, and the right cross-check at test
+  scale, but the wrong default at 100 TB.
+
+Scale shape of the default: explode to (column, value) long format
+(codegen'd, map-side aggregated immediately), partial-agg to
+``(column, bucket) → max(rho)`` registers, then ``n_cols`` final rows.
+No Expand, no distinct-value shuffle, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# HLL parameters: p=12 → m=4096 registers; hash = 60-bit md5 slice,
+# 12 bucket bits + 48 rho bits.  ALPHA doubles as a cross-engine literal:
+# both engines parse the same decimal string to the same IEEE double.
+P = 12
+M = 1 << P
+RHO_BITS = 48
+# scale the harmonic sum by 2^50 so it is an exact BIGINT:
+# register r contributes 2^(50-r) (r ∈ 1..49), an empty register 2^50;
+# max total = m·2^50 = 2^62 < 2^63.
+SCALE_POW = 50
+ALPHA = 0.7213 / (1.0 + 1.079 / M)
+# E_raw = ALPHA·m²·2^50 / S_scaled — precompute the numerator literal
+C_NUM = repr(ALPHA * M * M * float(1 << SCALE_POW))
+
+
+def profile_table(df: DataFrame, cols: list[str]) -> DataFrame:
+    """One-scan approximate profile: (column, n, nulls, n_distinct_est,
+    min_s, max_s) per requested column, distincts via deterministic HLL
+    (module docstring).  All arithmetic that feeds the estimate is
+    integer until one final literal-constant division, so the DuckDB
+    oracle in ``__spark_entry__.oracle_sql()['column_profile']`` matches
+    hash-for-hash."""
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("cname"),
+                F.col(c).cast("string").alias("v"),
+            )
+            for c in cols
+        ]
+    )
+    long = df.select(F.explode(pairs).alias("p")).select("p.cname", "p.v")
+    # 60-bit hash; rho = leading-zero run of the 48 post-bucket bits + 1,
+    # computed as 49 - length(bin(w)) — no floating log2 near power-of-two
+    # boundaries for two engines to disagree on
+    hv = F.conv(F.substring(F.md5("v"), 1, 15), 16, 10).cast("long")
+    b = long.select(
+        "cname",
+        "v",
+        F.when(F.col("v").isNull(), None).otherwise(hv % M).alias("bucket"),
+        F.when(F.col("v").isNull(), None)
+        .otherwise(49 - F.length(F.bin(F.shiftright(hv, P))))
+        .alias("rho"),
+    )
+    l1 = b.groupBy("cname", "bucket").agg(
+        F.max("rho").alias("reg"),
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.when(F.col("v").isNull(), 1).otherwise(0)).alias("nulls"),
+        F.min("v").alias("mn"),
+        F.max("v").alias("mx"),
+    )
+    occ = F.sum(F.when(F.col("bucket").isNotNull(), 1).otherwise(0)).cast("long")
+    s_occ = F.sum(
+        F.when(
+            F.col("bucket").isNotNull(),
+            # shiftleft needs a literal bit count in the Python API —
+            # spell the variable-shift power of two in SQL
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {SCALE_POW} - reg)"),
+        ).otherwise(F.lit(0).cast("long"))
+    ).cast("long")
+    l2 = l1.groupBy(F.col("cname").alias("column")).agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum("nulls").cast("long").alias("nulls"),
+        F.min("mn").alias("min_s"),
+        F.max("mx").alias("max_s"),
+        occ.alias("_occ"),
+        s_occ.alias("_s_occ"),
+    )
+    s_total = (
+        F.col("_s_occ")
+        + (F.lit(M).cast("long") - F.col("_occ"))
+        * F.lit(1 << SCALE_POW).cast("long")
+    )
+    e_raw = F.lit(float(C_NUM)) / s_total.cast("double")
+    # small-range correction (linear counting) when E ≤ 2.5m and empties exist
+    est = F.when(
+        (e_raw <= F.lit(2.5 * M)) & (F.col("_occ") < F.lit(M)),
+        F.lit(float(M))
+        * F.log(F.lit(float(M)) / (F.lit(M).cast("long") - F.col("_occ")).cast("double")),
+    ).otherwise(e_raw)
+    return l2.select(
+        "column",
+        "n",
+        "nulls",
+        F.round(est).cast("long").alias("n_distinct_est"),
+        "min_s",
+        "max_s",
+    )
+
+
+def profile_table_exact(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Exact profile via one wide aggregate (n_cols ``countDistinct`` →
+    Catalyst Expand ×(n_cols+1)) unpivoted to per-column rows.  The
+    oracle/cross-check twin of :func:`profile_table`."""
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(F.col(c).cast("string")).alias(f"{c}__min"),
+            F.max(F.col(c).cast("string")).alias(f"{c}__max"),
+        ]
+    wide = df.agg(*aggs)
+    per_col = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col(f"{c}__n").alias("n"),
+            F.col(f"{c}__nulls").alias("nulls"),
+            F.col(f"{c}__distinct").alias("n_distinct"),
+            F.col(f"{c}__min").alias("min_s"),
+            F.col(f"{c}__max").alias("max_s"),
+        )
+        for c in cols
+    ]
+    return wide.select(F.explode(F.array(*per_col)).alias("p")).select("p.*")
+
+
+def profile_oracle_sql(table: str, cols: list[str]) -> str:
+    """DuckDB SQL replaying :func:`profile_table` exactly (same md5 slice,
+    same integer registers, same literal constants)."""
+    longs = "\n          UNION ALL ".join(
+        f"SELECT '{c}' AS cname, CAST({c} AS VARCHAR) AS v FROM {table}"
+        for c in cols
+    )
+    return f"""
+        WITH long AS ({longs}),
+        h AS (SELECT cname, v,
+                     CASE WHEN v IS NULL THEN NULL
+                          ELSE ('0x' || substring(md5(v), 1, 15))::BIGINT
+                     END AS hv
+              FROM long),
+        b AS (SELECT cname, v,
+                     CASE WHEN hv IS NULL THEN NULL ELSE hv % {M} END AS bucket,
+                     CASE WHEN hv IS NULL THEN NULL
+                          ELSE 49 - length(bin(hv >> {P})) END AS rho
+              FROM h),
+        l1 AS (SELECT cname, bucket, max(rho) AS reg, count(*) AS cnt,
+                      sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS nulls,
+                      min(v) AS mn, max(v) AS mx
+               FROM b GROUP BY 1, 2),
+        l2 AS (SELECT cname AS "column", sum(cnt)::BIGINT AS n,
+                      sum(nulls)::BIGINT AS nulls,
+                      min(mn) AS min_s, max(mx) AS max_s,
+                      sum(CASE WHEN bucket IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+                          AS occ,
+                      sum(CASE WHEN bucket IS NOT NULL
+                               THEN (1::BIGINT << ({SCALE_POW} - reg))
+                               ELSE 0 END)::BIGINT AS s_occ
+               FROM l1 GROUP BY 1)
+        SELECT "column", n, nulls,
+               CAST(round(CASE WHEN ({C_NUM} / (s_occ + ({M} - occ)
+                                     * (1::BIGINT << {SCALE_POW}))::DOUBLE)
+                                    <= {2.5 * M!r}
+                               AND occ < {M}
+                          THEN {float(M)!r}
+                               * ln({float(M)!r} / ({M} - occ)::DOUBLE)
+                          ELSE {C_NUM} / (s_occ + ({M} - occ)
+                               * (1::BIGINT << {SCALE_POW}))::DOUBLE
+                          END) AS BIGINT) AS n_distinct_est,
+               min_s, max_s
+        FROM l2"""
