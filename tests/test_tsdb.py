@@ -19,10 +19,12 @@ CPP_FIXTURE = [  # engine/test_engine.cpp:28-35 — 5 points across 3 hour-shard
 ]
 
 
-@pytest.fixture(scope="module")
-def store(spark):
+@pytest.fixture(scope="module", params=["hour", "date"])
+def store(spark, request):
+    """Every reference-parity assertion runs against BOTH partition
+    layouts — the layout must never change answers."""
     d = tempfile.mkdtemp()
-    s = TimeSeriesStore(spark, d + "/points")
+    s = TimeSeriesStore(spark, d + "/points", bucket=request.param)
     s.ingest(
         spark.createDataFrame(CPP_FIXTURE, "metric string, ts_ms long, value double"),
         target_partitions=2,
@@ -81,8 +83,14 @@ def test_metric_filter(spark):
 
 def test_partition_pruning_in_plan(store):
     plan = store.query_range(0, 3000)._jdf.queryExecution().executedPlan().toString()
-    # the hour-bucket predicate must reach the scan as a partition filter
-    assert "hour_bucket" in plan
+    # the bucket predicate must reach the scan as a partition filter
+    assert store.bucket_col in plan
+
+
+def test_layout_mismatch_refused(store, spark):
+    other = "date" if store.bucket_col == "hour_bucket" else "hour"
+    with pytest.raises(ValueError, match="partitioned by"):
+        TimeSeriesStore(spark, store.path, bucket=other)
 
 
 def test_downsample(store):

@@ -46,9 +46,34 @@ class TimeSeriesStore:
     operations (ingest, inclusive range scan) plus the aggregation surface a
     real TSDB needs (downsample etc.)."""
 
-    def __init__(self, spark: SparkSession, path: str):
+    #: bucket layouts: partition-column name + bucket width.  ``hour`` is
+    #: the reference's shard duration (engine/insight.cpp:6); ``date``
+    #: coarsens the partition grid 24× for extreme-retention stores where
+    #: hour-level dirs would mean millions of partitions (SCALE.md §tsdb)
+    #: — hour-level pruning is preserved by the (bucket, metric, ts_ms)
+    #: row-group sort: min/max stats on ts_ms skip row groups inside a day.
+    LAYOUTS = {"hour": ("hour_bucket", 3_600_000), "date": ("date_bucket", 86_400_000)}
+
+    def __init__(self, spark: SparkSession, path: str, bucket: str = "hour"):
+        if bucket not in self.LAYOUTS:
+            raise ValueError(f"bucket must be hour|date, got {bucket!r}")
         self.spark = spark
         self.path = path
+        self.bucket_col, self.bucket_ms = self.LAYOUTS[bucket]
+        # a store's layout is a property of its FILES: opening an existing
+        # store with the other layout would write a second partition scheme
+        # into the same directory — sniff and refuse
+        import os
+
+        if os.path.isdir(path):
+            for other_col, _ in self.LAYOUTS.values():
+                if other_col != self.bucket_col and any(
+                    e.startswith(other_col + "=") for e in os.listdir(path)
+                ):
+                    raise ValueError(
+                        f"store at {path} is partitioned by {other_col}; "
+                        f"open it with the matching bucket= layout"
+                    )
         # cached lazy handle over the table; see points()
         self._points_cache: DataFrame | None = None
 
@@ -106,13 +131,13 @@ class TimeSeriesStore:
             F.col("metric").cast("string"),
             F.col("ts_ms").cast("long"),
             F.col("value").cast("double"),
-            (F.floor(F.col("ts_ms") / SHARD_DURATION_MS)).cast("long").alias("hour_bucket"),
+            (F.floor(F.col("ts_ms") / self.bucket_ms)).cast("long").alias(self.bucket_col),
         )
         n = target_partitions or self.spark.sparkContext.defaultParallelism
         pts = (
-            pts.repartition(n, "hour_bucket", "metric")
+            pts.repartition(n, self.bucket_col, "metric")
             if layout == "hash"
-            else pts.repartitionByRange(n, "hour_bucket", "metric", "ts_ms")
+            else pts.repartitionByRange(n, self.bucket_col, "metric", "ts_ms")
         )
         obs = None
         if observe:
@@ -127,13 +152,13 @@ class TimeSeriesStore:
                 F.max("ts_ms").alias("max_ts_ms"),
             )
         (
-            pts.sortWithinPartitions("hour_bucket", "metric", "ts_ms")
+            pts.sortWithinPartitions(self.bucket_col, "metric", "ts_ms")
             .write.mode("append")
             # parquet v2 data pages: DELTA_BINARY_PACKED on the sorted ts_ms
             # column ≈ the reference's delta-of-delta codec (shard.cpp:107-126)
             # at the format layer — measured 7.78 B/pt vs the reference's 8.2
             .option("parquet.writer.version", "v2")
-            .partitionBy("hour_bucket")
+            .partitionBy(self.bucket_col)
             .parquet(self.path)
         )
         self._invalidate()
@@ -176,7 +201,7 @@ class TimeSeriesStore:
 
         prefix = f"epoch{int(epoch_id)}-"
         for leftover in glob.glob(
-            os.path.join(self.path, "hour_bucket=*", prefix + "*")
+            os.path.join(self.path, self.bucket_col + "=*", prefix + "*")
         ):
             os.remove(leftover)
         tmp = self.path.rstrip("/") + f".epoch-{int(epoch_id)}-tmp"
@@ -187,23 +212,23 @@ class TimeSeriesStore:
             F.col("metric").cast("string"),
             F.col("ts_ms").cast("long"),
             F.col("value").cast("double"),
-            (F.floor(F.col("ts_ms") / SHARD_DURATION_MS)).cast("long").alias("hour_bucket"),
+            (F.floor(F.col("ts_ms") / self.bucket_ms)).cast("long").alias(self.bucket_col),
         )
         n = target_partitions or self.spark.sparkContext.defaultParallelism
         pts = (
-            pts.repartition(n, "hour_bucket", "metric")
+            pts.repartition(n, self.bucket_col, "metric")
             if layout == "hash"
-            else pts.repartitionByRange(n, "hour_bucket", "metric", "ts_ms")
+            else pts.repartitionByRange(n, self.bucket_col, "metric", "ts_ms")
         )
         (
-            pts.sortWithinPartitions("hour_bucket", "metric", "ts_ms")
+            pts.sortWithinPartitions(self.bucket_col, "metric", "ts_ms")
             .write.mode("overwrite")
             .option("parquet.writer.version", "v2")
-            .partitionBy("hour_bucket")
+            .partitionBy(self.bucket_col)
             .parquet(tmp)
         )
         for entry in os.listdir(tmp):
-            if not entry.startswith("hour_bucket="):
+            if not entry.startswith(self.bucket_col + "="):
                 continue
             dst_dir = os.path.join(self.path, entry)
             os.makedirs(dst_dir, exist_ok=True)
@@ -251,10 +276,10 @@ class TimeSeriesStore:
             F.col("metric").cast("string"),
             F.col("ts_ms").cast("long"),
             F.col("value").cast("double"),
-            (F.floor(F.col("ts_ms") / SHARD_DURATION_MS)).cast("long").alias("hour_bucket"),
+            (F.floor(F.col("ts_ms") / self.bucket_ms)).cast("long").alias(self.bucket_col),
         )
         n = target_partitions or self.spark.sparkContext.defaultParallelism
-        pts = pts.repartition(n, "hour_bucket", "metric")
+        pts = pts.repartition(n, self.bucket_col, "metric")
         obs = Observation("wap")
         pts = pts.observe(
             obs,
@@ -266,10 +291,10 @@ class TimeSeriesStore:
         tmp = self.path.rstrip("/") + ".wap-tmp"
         shutil.rmtree(tmp, ignore_errors=True)
         (
-            pts.sortWithinPartitions("hour_bucket", "metric", "ts_ms")
+            pts.sortWithinPartitions(self.bucket_col, "metric", "ts_ms")
             .write.mode("overwrite")
             .option("parquet.writer.version", "v2")
-            .partitionBy("hour_bucket")
+            .partitionBy(self.bucket_col)
             .parquet(tmp)
         )
         m = dict(obs.get)
@@ -291,7 +316,7 @@ class TimeSeriesStore:
             raise ValueError(f"WAP audit failed: {'; '.join(problems)} | metrics={m}")
         # publish: move data files in (append semantics, epoch-move shape)
         for entry in os.listdir(tmp):
-            if not entry.startswith("hour_bucket="):
+            if not entry.startswith(self.bucket_col + "="):
                 continue
             dst_dir = os.path.join(self.path, entry)
             os.makedirs(dst_dir, exist_ok=True)
@@ -331,15 +356,15 @@ class TimeSeriesStore:
         except Exception:
             return  # empty store — nothing to compact
         if dedupe:
-            df = df.dropDuplicates(["metric", "ts_ms", "value", "hour_bucket"])
+            df = df.dropDuplicates(["metric", "ts_ms", "value", self.bucket_col])
         tmp = self.path.rstrip("/") + ".compact-tmp"
         n = target_partitions or self.spark.sparkContext.defaultParallelism
         (
-            df.repartitionByRange(n, "hour_bucket", "metric", "ts_ms")
-            .sortWithinPartitions("hour_bucket", "metric", "ts_ms")
+            df.repartitionByRange(n, self.bucket_col, "metric", "ts_ms")
+            .sortWithinPartitions(self.bucket_col, "metric", "ts_ms")
             .write.mode("overwrite")
             .option("parquet.writer.version", "v2")
-            .partitionBy("hour_bucket")
+            .partitionBy(self.bucket_col)
             .parquet(tmp)
         )
         self._swap_in_partitions(tmp)
@@ -355,7 +380,7 @@ class TimeSeriesStore:
 
         for entry in os.listdir(tmp):
             src = os.path.join(tmp, entry)
-            if not entry.startswith("hour_bucket="):
+            if not entry.startswith(self.bucket_col + "="):
                 continue
             dst = os.path.join(self.path, entry)
             if os.path.isdir(dst):
@@ -382,26 +407,26 @@ class TimeSeriesStore:
                 F.col("metric").cast("string"),
                 F.col("ts_ms").cast("long"),
                 F.col("value").cast("double"),
-                (F.floor(F.col("ts_ms") / SHARD_DURATION_MS)).cast("long").alias("hour_bucket"),
+                (F.floor(F.col("ts_ms") / self.bucket_ms)).cast("long").alias(self.bucket_col),
             )
-            .groupBy("hour_bucket", "metric", "ts_ms")
+            .groupBy(self.bucket_col, "metric", "ts_ms")
             .agg(F.max("value").alias("value"))
             .withColumn("pri", F.lit(1))
         )
         # touched-partition list: O(hours in the batch) driver-side metadata,
         # same cost class as expire(); NOT a data collect
-        buckets = [r[0] for r in new.select("hour_bucket").distinct().collect()]
+        buckets = [r[0] for r in new.select(self.bucket_col).distinct().collect()]
         if not buckets:
             return
         existing = (
             self.points()
-            .filter(F.col("hour_bucket").isin(buckets))
-            .select("hour_bucket", "metric", "ts_ms", "value")
+            .filter(F.col(self.bucket_col).isin(buckets))
+            .select(self.bucket_col, "metric", "ts_ms", "value")
             .withColumn("pri", F.lit(0))
         )
         merged = (
             existing.unionByName(new)
-            .groupBy("hour_bucket", "metric", "ts_ms")
+            .groupBy(self.bucket_col, "metric", "ts_ms")
             .agg(F.max_by("value", "pri").alias("value"))
         )
         tmp = self.path.rstrip("/") + ".upsert-tmp"
@@ -409,12 +434,12 @@ class TimeSeriesStore:
             2, min(len(buckets), self.spark.sparkContext.defaultParallelism)
         )
         (
-            merged.repartition(n, "hour_bucket", "metric")
-            .sortWithinPartitions("hour_bucket", "metric", "ts_ms")
-            .select("metric", "ts_ms", "value", "hour_bucket")
+            merged.repartition(n, self.bucket_col, "metric")
+            .sortWithinPartitions(self.bucket_col, "metric", "ts_ms")
+            .select("metric", "ts_ms", "value", self.bucket_col)
             .write.mode("overwrite")
             .option("parquet.writer.version", "v2")
-            .partitionBy("hour_bucket")
+            .partitionBy(self.bucket_col)
             .parquet(tmp)
         )
         self._swap_in_partitions(tmp)
@@ -454,34 +479,34 @@ class TimeSeriesStore:
             cond = cond & (F.col("ts_ms") <= end_ms)
         pts = self.points()
         buckets = [
-            r[0] for r in pts.filter(cond).select("hour_bucket").distinct().collect()
+            r[0] for r in pts.filter(cond).select(self.bucket_col).distinct().collect()
         ]
         if not buckets:
             return 0
-        affected = pts.filter(F.col("hour_bucket").isin(buckets))
+        affected = pts.filter(F.col(self.bucket_col).isin(buckets))
         n_deleted = affected.filter(cond).count()
-        keep = affected.filter(~cond).select("metric", "ts_ms", "value", "hour_bucket")
+        keep = affected.filter(~cond).select("metric", "ts_ms", "value", self.bucket_col)
         tmp = self.path.rstrip("/") + ".purge-tmp"
         n = target_partitions or max(
             2, min(len(buckets), self.spark.sparkContext.defaultParallelism)
         )
         (
-            keep.repartition(n, "hour_bucket", "metric")
-            .sortWithinPartitions("hour_bucket", "metric", "ts_ms")
+            keep.repartition(n, self.bucket_col, "metric")
+            .sortWithinPartitions(self.bucket_col, "metric", "ts_ms")
             .write.mode("overwrite")
             .option("parquet.writer.version", "v2")
-            .partitionBy("hour_bucket")
+            .partitionBy(self.bucket_col)
             .parquet(tmp)
         )
         # partitions whose every row matched the predicate produce no dir
         # in the staging write — drop them from the table (swap only
         # replaces dirs present in tmp)
         staged = {
-            e for e in os.listdir(tmp) if e.startswith("hour_bucket=")
+            e for e in os.listdir(tmp) if e.startswith(self.bucket_col + "=")
         } if os.path.isdir(tmp) else set()
         self._swap_in_partitions(tmp)
         for b in buckets:
-            entry = f"hour_bucket={b}"
+            entry = f"{self.bucket_col}={b}"
             if entry not in staged:
                 shutil.rmtree(os.path.join(self.path, entry), ignore_errors=True)
         self._invalidate()
@@ -499,7 +524,7 @@ class TimeSeriesStore:
         n_parts = n_files = n_bytes = 0
         if os.path.isdir(self.path):
             for entry in os.listdir(self.path):
-                if not entry.startswith("hour_bucket="):
+                if not entry.startswith(self.bucket_col + "="):
                     continue
                 n_parts += 1
                 pdir = os.path.join(self.path, entry)
@@ -556,10 +581,10 @@ class TimeSeriesStore:
         if not os.path.isdir(self.path):
             return 0
         # bucket b covers [b·H, (b+1)·H): expired iff (b+1)·H <= before_ms
-        cutoff_bucket = before_ms // SHARD_DURATION_MS - 1
+        cutoff_bucket = before_ms // self.bucket_ms - 1
         dropped = 0
         for entry in os.listdir(self.path):
-            if not entry.startswith("hour_bucket="):
+            if not entry.startswith(self.bucket_col + "="):
                 continue
             if int(entry.split("=", 1)[1]) <= cutoff_bucket:
                 shutil.rmtree(os.path.join(self.path, entry))
@@ -600,7 +625,7 @@ class TimeSeriesStore:
         # skips the schema-inference footer reads on every query (measured
         # 1.5 s → 0.6 s first-query latency on a 278-partition store)
         read_schema = T.StructType(
-            list(POINT_SCHEMA.fields) + [T.StructField("hour_bucket", T.LongType(), True)]
+            list(POINT_SCHEMA.fields) + [T.StructField(self.bucket_col, T.LongType(), True)]
         )
         try:
             # a missing path still raises at load time (PATH_NOT_FOUND), so
@@ -610,7 +635,7 @@ class TimeSeriesStore:
             # empty database → empty result, matching the reference's
             # query-on-empty behaviour (tests/test_api.py:59-66), not an error
             empty = self.spark.createDataFrame([], POINT_SCHEMA)
-            df = empty.withColumn("hour_bucket", F.lit(0).cast("long"))
+            df = empty.withColumn(self.bucket_col, F.lit(0).cast("long"))
         out = df.withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
         # cache the lazy handle: re-creating the reader re-lists every
         # partition directory per query (hundreds of dirs on an hour-
@@ -634,11 +659,11 @@ class TimeSeriesStore:
         on any cluster size; the ``ts_ms`` predicate additionally prunes row
         groups via min/max stats (which the reference lacked — SURVEY §4.2).
         """
-        lo = start_ms // SHARD_DURATION_MS
-        hi = end_ms // SHARD_DURATION_MS
+        lo = start_ms // self.bucket_ms
+        hi = end_ms // self.bucket_ms
         df = (
             self.points()
-            .filter(F.col("hour_bucket").between(lo, hi))
+            .filter(F.col(self.bucket_col).between(lo, hi))
             .filter(F.col("ts_ms").between(start_ms, end_ms))
         )
         if metrics:
