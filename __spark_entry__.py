@@ -1064,36 +1064,30 @@ def q_distinct_aggs(spark, sf_dir):
     )
 
 
+_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"]
+
+
 def q_column_profile(spark, sf_dir):
-    """Table profiling — the first query every warehouse runs on new data:
-    per-column row count, null count, exact distinct count, min/max (as
-    strings so one schema fits every type).  One scan: all per-column
-    aggregates ride a single HashAggregate; the per-column rows come from
-    unpivoting the 1-row aggregate, never from N scans."""
-    o = _t(spark, sf_dir, "orders")
-    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"]
-    aggs = []
-    for c in cols:
-        aggs += [
-            F.count(F.lit(1)).alias(f"{c}__n"),
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long").alias(f"{c}__nulls"),
-            F.countDistinct(c).alias(f"{c}__distinct"),
-            F.min(F.col(c).cast("string")).alias(f"{c}__min"),
-            F.max(F.col(c).cast("string")).alias(f"{c}__max"),
-        ]
-    wide = o.agg(*aggs)
-    per_col = [
-        F.struct(
-            F.lit(c).alias("column"),
-            F.col(f"{c}__n").alias("n"),
-            F.col(f"{c}__nulls").alias("nulls"),
-            F.col(f"{c}__distinct").alias("n_distinct"),
-            F.col(f"{c}__min").alias("min_s"),
-            F.col(f"{c}__max").alias("max_s"),
-        )
-        for c in cols
-    ]
-    return wide.select(F.explode(F.array(*per_col)).alias("p")).select("p.*")
+    """Table profiling, 100 TB default — per-column row count, null count,
+    DETERMINISTIC-HLL distinct estimate, min/max.  One scan, two-level
+    aggregate whose shuffle is n_cols×(m+1) register rows; no Catalyst
+    Expand, no distinct-value shuffle (the exact variant's plan inflates
+    every row ×6 through Expand — see ``column_profile_exact``).  The HLL
+    is integer-register/md5-hash so the DuckDB oracle replays the
+    ESTIMATE bit-for-bit — an approximate operator under the hash gate."""
+    from time_series_databse_engine_spark.operators.profile import profile_table
+
+    return profile_table(_t(spark, sf_dir, "orders"), _PROFILE_COLS)
+
+
+def q_column_profile_exact(spark, sf_dir):
+    """Exact profiling twin (oracle/cross-check variant): n_cols
+    ``countDistinct`` in one wide aggregate — Catalyst Expand ×6, exact
+    answers; the right cross-check at test scale, the wrong default at
+    100 TB."""
+    from time_series_databse_engine_spark.operators.profile import profile_table_exact
+
+    return profile_table_exact(_t(spark, sf_dir, "orders"), _PROFILE_COLS)
 
 
 def q_window_first_last(spark, sf_dir):
@@ -2663,6 +2657,96 @@ def q_top_ngrams(spark, sf_dir):
     return text_ops.top_ngrams(_t(spark, sf_dir, "documents"), n=2, k=20)
 
 
+def q_media_safe_decode(spark, sf_dir):
+    """Corrupt-payload resilience (the skip-and-flag column every real
+    100 TB media crawl needs): documents → one payload per doc by
+    ``doc_id % 5`` — BMP / PNG / baseline JPEG (healthy), a TRUNCATED
+    PNG (corrupt), an MP3-magic blob (unsupported) — through
+    ``extract_features_safe``: failures become (ok, err_kind) DATA
+    instead of job-killing exceptions.  Oracle = the planted error
+    pattern + decoded width, so the driver hash-checks that every
+    payload class lands in exactly the right bucket."""
+    from time_series_databse_engine_spark.operators import multimodal as mm_ops
+    from time_series_databse_engine_spark.operators.jpeg import encode_jpeg
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                b = t.encode("utf-8")[:48]
+                px = b + bytes(48 - len(b))
+                m = int(i) % 5
+                if m == 0:
+                    payloads.append(mm_ops.encode_bmp(4, 4, px))
+                elif m == 1:
+                    payloads.append(mm_ops.encode_png(4, 4, px))
+                elif m == 2:
+                    payloads.append(encode_jpeg(4, 4, px, quality=95))
+                elif m == 3:  # planted corruption: half the PNG gone
+                    whole = mm_ops.encode_png(4, 4, px)
+                    payloads.append(whole[: len(whole) // 2])
+                else:  # format this container can't decode
+                    payloads.append(b"ID3" + bytes(16))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "kind": "image", "payload": payloads}
+            )
+
+    media = docs.select("doc_id", "text").mapInPandas(
+        encode, schema="media_id long, kind string, payload binary"
+    )
+    safe = mm_ops.extract_features_safe(media)
+    return safe.select(
+        "media_id",
+        "ok",
+        "err_kind",
+        F.col("features")[1].cast("int").alias("width"),
+    )
+
+
+_BUCKETED_DONE: set[str] = set()
+
+
+def q_bucketed_join_storage(spark, sf_dir):
+    """Join over co-bucketed STORAGE — pre-pay the shuffle once at write
+    time, reuse it on every join: customer and orders saved as 8-bucket
+    ``bucketBy``+``sortBy`` catalog tables on the join key, then a
+    sort-merge join whose plan has ZERO Exchange and zero per-task Sort
+    (asserted in tests/test_plans.py).  Oracle = result identity vs
+    joining the raw parquet — the layout must never change answers."""
+    import re as _re
+
+    from time_series_databse_engine_spark.sources import write_bucketed
+
+    tok = _re.sub(r"\W+", "_", sf_dir).strip("_")
+    cust_t, ord_t = f"bj_customer_{tok}", f"bj_orders_{tok}"
+    if tok not in _BUCKETED_DONE:
+        write_bucketed(
+            _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal"),
+            cust_t, ("c_custkey",), 8, ("c_custkey",),
+        )
+        write_bucketed(
+            _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+            ord_t, ("o_custkey",), 8, ("o_custkey",),
+        )
+        _BUCKETED_DONE.add(tok)
+    c = spark.table(cust_t)
+    o = spark.table(ord_t)
+    return (
+        c.hint("merge")
+        .join(o, c.c_custkey == o.o_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("total"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 
 
@@ -2722,36 +2806,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     in-window, displacing ten more r1-r3-green anchors whose categories
     stay covered (see the inline comment at the rotation point).
 
-    ROTATION QUEUE for the next round's window: markov_transitions,
-    edit_verify, ivf_recall, dedup_keep_best, hashing_vectors,
-    lsh_multiprobe_topk, interarrival_stats, and revenue_concentration
-    (oracle-backed, added after the window
-    filled; each local-green at 3 SFs).  After this round's driver run
-    every OTHER oracle-backed query has at least one historical driver
-    row; the designed remainder is the rows-only set bpe_tokenize +
-    pca_project + frame_sample + simhash + multimodal_resize and the
-    no-oracle streaming/multimodal entries."""
+    Round-6 rotation (VERDICT r5 "Next round" #2): the 8 rows-only
+    entries that never had ANY driver row (image/audio/video_neardup,
+    frame_sample, multimodal_resize, simhash, bpe_tokenize, pca_project)
+    are in-window so the driver records their "ran, returned rows" rows,
+    alongside three new oracle-backed entries: column_profile_exact (the
+    exact twin of the now-HLL-default profiler), media_safe_decode
+    (skip-and-flag corrupt-payload decode, planted-error oracle) and
+    bucketed_join_storage (co-bucketed catalog-table join, result-
+    identity oracle, 0-Exchange plan).  After this round's driver run
+    EVERY entry in queries() has at least one historical driver row."""
     return {
         # -- category anchors (driver-green r1/r2/r3) -------------------
         "range_scan": q_range_scan,
         "tsdb_roundtrip": q_tsdb_roundtrip,
         "orders_above_avg": q_orders_above_avg,
         "grouping_sets": q_grouping_sets,
-        "full_outer_join": q_full_outer_join,
-        "lsh_ann_topk_multi": q_lsh_ann_topk_multi,
-        "resample_1m_expr": q_resample_1m_expr,
         "pack_sequences": q_pack_sequences,
-        "semantic_dedup_trained": q_semantic_dedup_trained,
-        "lttb_chunked": q_lttb_chunked,
-        # -- session-2 additions: never driver-checked, rotated in over
-        # 10 anchors holding r1-r3 green rows (joins→salted_join+
-        # bloom_semijoin+full_outer_join, exact dedup→chunk_dedup+
-        # clean_corpus, percentiles→hist_sketch_daily+quality_calibration,
-        # text stats→bm25+c4_rules+source_curation, jaccard scoring→
-        # minhash_containment, near-dup/ANN→ivfpq_topk+
-        # semantic_dedup_trained+lsh_ann_topk_multi, clustering→
-        # semantic_dedup_trained's kmeans CTE, as-of→asof_join_tolerance)
-        "minhash_containment": q_minhash_containment,
+        # -- round-6 rotation (VERDICT r5 "Next round" #2): the 8
+        # rows-only entries that never had ANY driver row, plus the three
+        # new oracle-backed entries (column_profile_exact,
+        # media_safe_decode, bucketed_join_storage).  The 11 displaced
+        # r5-driver-green anchors move to 51+; each §2 category stays
+        # covered in-window: full_outer_join→salted_join+
+        # interval_join_bucketed (join family), lsh_ann_topk_multi→
+        # lsh_multiprobe_topk, resample_1m_expr→hist_sketch_daily+
+        # interarrival_stats (time buckets), semantic_dedup_trained/
+        # minhash_containment→neardup_incremental+dedup_keep_best+
+        # edit_verify (near-dup), lttb_chunked→hw_backtest (series
+        # reduction), hashing_vectors→simhash (feature hashing, now
+        # in-window), hamming_bits/sq8_codes/hamming_recall/sq8_recall→
+        # hamming_topk+sq8_topk+ivf_recall (compressed-ANN + recall).
+        "column_profile_exact": q_column_profile_exact,
+        "media_safe_decode": q_media_safe_decode,
+        "bucketed_join_storage": q_bucketed_join_storage,
+        "image_neardup": q_image_neardup,
+        "audio_neardup": q_audio_neardup,
+        "video_neardup": q_video_neardup,
+        "frame_sample": q_frame_sample,
+        "multimodal_resize": q_multimodal_resize,
+        "simhash": q_simhash,
+        "bpe_tokenize": q_bpe_tokenize,
+        "pca_project": q_pca_project,
         "pagerank": q_pagerank,
         "salted_join": q_salted_join,
         "bloom_semijoin": q_bloom_semijoin,
@@ -2792,25 +2888,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_verify": q_edit_verify,
         "ivf_recall": q_ivf_recall,
         "dedup_keep_best": q_dedup_keep_best,
-        "hashing_vectors": q_hashing_vectors,
         "lsh_multiprobe_topk": q_lsh_multiprobe_topk,
         "interarrival_stats": q_interarrival_stats,
         "revenue_concentration": q_revenue_concentration,
         "dedup_incremental": q_dedup_incremental,
         "neardup_incremental": q_neardup_incremental,
         "leakage_safe_split": q_leakage_safe_split,
-        "hamming_bits": q_hamming_bits,
         "hamming_topk": q_hamming_topk,
         "mmr_topk": q_mmr_topk,
-        "sq8_codes": q_sq8_codes,
         "sq8_topk": q_sq8_topk,
-        "hamming_recall": q_hamming_recall,
-        "sq8_recall": q_sq8_recall,
         "unpivot": q_unpivot,
         "column_profile": q_column_profile,
-        # ---- position 51+: r4-driver-green anchors displaced by the
-        # round-5 rotation (historical green rows stand; categories
+        # ---- position 51+: driver-green anchors displaced by the
+        # round-5/6 rotations (historical green rows stand; categories
         # covered in-window per the mapping above) ----------------------
+        "full_outer_join": q_full_outer_join,
+        "lsh_ann_topk_multi": q_lsh_ann_topk_multi,
+        "resample_1m_expr": q_resample_1m_expr,
+        "semantic_dedup_trained": q_semantic_dedup_trained,
+        "lttb_chunked": q_lttb_chunked,
+        "minhash_containment": q_minhash_containment,
+        "hashing_vectors": q_hashing_vectors,
+        "hamming_bits": q_hamming_bits,
+        "sq8_codes": q_sq8_codes,
+        "hamming_recall": q_hamming_recall,
+        "sq8_recall": q_sq8_recall,
         "bm25_many": q_bm25_many,
         "rolling_median": q_rolling_median,
         "rolling_median_sketch": q_rolling_median_sketch,
@@ -2891,9 +2993,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_star": q_dedup_clusters_star,
         "holt_chunked": q_holt_chunked,
         "clean_corpus": q_clean_corpus,
-        "pca_project": q_pca_project,
-        "frame_sample": q_frame_sample,
-        "bpe_tokenize": q_bpe_tokenize,
         "multimodal_decode": q_multimodal_decode,
         "jaccard_pairs": q_jaccard_pairs,
         "sliding_downsample": q_sliding_downsample,
@@ -2906,7 +3005,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sequences": q_event_sequences,
         "embedding_centroids": q_embedding_centroids,
         "moving_avg": q_moving_avg,
-        "simhash": q_simhash,
         "range_scan_empty": q_range_scan_empty,
         "range_scan_metric": q_range_scan_metric,
         "range_limit": q_range_limit,
@@ -2941,10 +3039,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprint": q_winnow_fingerprint,
         "cosine_near_dup": q_cosine_near_dup,
         "multimodal_features": q_multimodal_features,
-        "multimodal_resize": q_multimodal_resize,
-        "image_neardup": q_image_neardup,
-        "audio_neardup": q_audio_neardup,
-        "video_neardup": q_video_neardup,
         "approx_stats": q_approx_stats,
     }
 
@@ -5320,7 +5414,21 @@ def oracle_sql() -> dict[str, str]:
         SELECT measure, count(*) AS n, round(sum(value), 2) AS total,
                round(avg(value), 6) AS mean
         FROM long GROUP BY measure"""
-    oracles["column_profile"] = """
+    from time_series_databse_engine_spark.operators.profile import profile_oracle_sql
+
+    oracles["column_profile"] = profile_oracle_sql("orders", _PROFILE_COLS)
+    oracles["media_safe_decode"] = """
+        SELECT doc_id AS media_id,
+               (doc_id % 5) < 3 AS ok,
+               CASE WHEN doc_id % 5 = 3 THEN 'corrupt'
+                    WHEN doc_id % 5 = 4 THEN 'unsupported' END AS err_kind,
+               CASE WHEN (doc_id % 5) < 3 THEN 4 END AS width
+        FROM documents WHERE doc_id < 100"""
+    oracles["bucketed_join_storage"] = """
+        SELECT c_custkey, c_name, o_orderkey,
+               round(o_totalprice, 2) AS total
+        FROM customer JOIN orders ON c_custkey = o_custkey"""
+    oracles["column_profile_exact"] = """
           SELECT 'o_orderkey' AS column, count(*) AS n,
                  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
                  count(DISTINCT o_orderkey) AS n_distinct,

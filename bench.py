@@ -105,8 +105,11 @@ HEADLINE = [
     "interval_join_bucketed",
     "hilbert_key",
     "column_profile",
+    "column_profile_exact",
     "unpivot",
     "image_neardup",
+    "media_safe_decode",
+    "bucketed_join_storage",
 ]
 
 # repeated-run latency distribution for the reference's hot/cold point

@@ -431,3 +431,31 @@ def test_hilbert_key_matches_reference_walk_and_prunes_at_least_as_well(spark, s
     assert n == 16
     # same bound the z-order layout is held to on this workload
     assert hit <= 8
+
+
+def test_bucketed_storage_join_zero_exchange_zero_sort(spark, sf_dir):
+    """bucketed_join_storage: both sides are 8-bucket bucketBy+sortBy
+    catalog tables on the join key, so the sort-merge join plan has NO
+    Exchange (shuffle pre-paid at write time) and no per-task Sort."""
+    import __spark_entry__ as entry
+
+    df = entry.q_bucketed_join_storage(spark, sf_dir)
+    assert num_shuffles(df) == 0
+    plan = df._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan
+
+
+def test_column_profile_default_has_no_expand(spark, sf_dir):
+    """The HLL profiler must never plan a Catalyst Expand (the exact
+    variant's multi-countDistinct row-multiplication); its shuffle
+    carries register rows, not data."""
+    import __spark_entry__ as entry
+
+    approx = entry.q_column_profile(spark, sf_dir)
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
+    exact = entry.q_column_profile_exact(spark, sf_dir)
+    assert "Expand" in exact._jdf.queryExecution().executedPlan().toString()
