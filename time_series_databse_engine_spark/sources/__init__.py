@@ -163,6 +163,23 @@ def write_bucketed(
     sort.  (Bucketing requires ``saveAsTable`` — the bucket spec lives in
     the catalog, not the files.)
     """
+    spark = df.sparkSession
+    if not spark.catalog.tableExists(table_name):
+        # a fresh (in-memory-catalog) session doesn't know tables written
+        # by a previous process, but their managed-table directories can
+        # survive on disk — saveAsTable then fails with
+        # LOCATION_ALREADY_EXISTS because "overwrite" can't drop a table
+        # the catalog has never heard of.  Sweep the stale local location.
+        import os
+        import shutil
+        from urllib.parse import urlparse
+
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
+        if wh.scheme in ("file", ""):
+            shutil.rmtree(
+                os.path.join(wh.path or wh.netloc, table_name.lower()),
+                ignore_errors=True,
+            )
     writer = (
         df.write.mode("overwrite")
         .format("parquet")
