@@ -81,16 +81,8 @@ def build(out_dir: str, factor: int) -> None:
             if c in keys:
                 sel.append(f"{c} + r.r * {OFFSET} AS {c}")
             elif table == "documents" and c == "text":
-                # token-rotate by r*7 (mod len); r0 keeps the original
-                # text so the sf0.1 corpus is a strict subset
-                sel.append(
-                    "CASE WHEN r.r = 0 THEN text ELSE ("
-                    "SELECT array_to_string("
-                    "  list_concat(t[1 + (r.r * 7) % greatest(len(t), 1):],"
-                    "              t[:(r.r * 7) % greatest(len(t), 1)]), ' ')"
-                    " FROM (SELECT string_split(text, ' ') AS t)"
-                    ") END AS text"
-                )
+                # replaced below by the vocabulary-permutation pipeline
+                sel.append("text")
             elif table == "embeddings" and c == "embedding":
                 sel.append(
                     "CASE WHEN r.r = 0 THEN embedding ELSE ("
@@ -104,6 +96,60 @@ def build(out_dir: str, factor: int) -> None:
             f"SELECT {', '.join(sel)} FROM {src} "
             f"CROSS JOIN (SELECT unnest(range({factor})) AS r) r"
         )
+        if table == "documents":
+            # Per-replica BIJECTIVE vocabulary permutation within log2-
+            # frequency bands (round-6 fix; r0 keeps the original text so
+            # sf0.1 stays a strict subset).  Why: the previous cyclic
+            # token rotation preserved ~all n-token shingles (only the
+            # n−1 wrap-point shingles changed), so every doc stayed a
+            # TRUE MinHash near-dup (J≈0.97) of its 9 replicas — measured
+            # 303,524 LSH candidate pairs at sf1 vs 793 at sf0.1, sending
+            # edit_verify to 33× wall at 10× data: a data-construction
+            # artifact, not a plan defect.  A bijection maps each
+            # replica's shingle set 1:1, so WITHIN-replica dup/near-dup
+            # structure is preserved EXACTLY, while cross-replica content
+            # shingles decorrelate (different permutation per replica).
+            # Permuting only within same-log2-frequency bands keeps each
+            # doc's token-frequency profile (stopword-ish tokens map to
+            # stopword-ish tokens), so quality/lang statistics stay
+            # realistic; singleton bands map to themselves, which mirrors
+            # how real corpora share ultra-common function words.
+            q = f"""
+            WITH freq AS (
+              SELECT tok, count(*) AS c
+              FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM {src})
+              GROUP BY 1),
+            perm AS (
+              SELECT r.r AS r, tok,
+                     (floor(log2(c)))::INT AS band,
+                     row_number() OVER (
+                       PARTITION BY r.r, (floor(log2(c)))::INT
+                       ORDER BY tok) AS alpha_rk,
+                     row_number() OVER (
+                       PARTITION BY r.r, (floor(log2(c)))::INT
+                       ORDER BY md5(r.r::VARCHAR || '#' || tok)) AS md5_rk
+              FROM freq CROSS JOIN (SELECT unnest(range({factor})) AS r) r),
+            vmap AS (
+              SELECT a.r, a.tok AS src_tok, b.tok AS dst_tok
+              FROM perm a JOIN perm b
+                ON a.r = b.r AND a.band = b.band AND a.alpha_rk = b.md5_rk),
+            repl AS ({q}),
+            toks AS (
+              SELECT repl.*, u.i,
+                     string_split(text, ' ')[u.i] AS tok
+              FROM repl,
+                   UNNEST(range(1, len(string_split(text, ' ')) + 1)) u(i))
+            SELECT {', '.join(f't.{c}' if c != 'text' else
+                   "CASE WHEN t.doc_id < " + str(OFFSET) + " THEN any_value(t.text) "
+                   "ELSE array_to_string(list(coalesce(m.dst_tok, t.tok) ORDER BY t.i), ' ') "
+                   "END AS text" for c in cols)}
+            FROM toks t
+            LEFT JOIN vmap m
+              ON m.r = t.doc_id // {OFFSET} AND m.src_tok = t.tok
+            GROUP BY {', '.join('t.' + c for c in cols if c != 'text')}
+            """
+            # GROUP BY needs text out of the grouping list but i/tok out too:
+            # handled by aggregating text with list(... ORDER BY i)
         con.execute(f"COPY ({q}) TO '{dst}' (FORMAT PARQUET)")
         n = con.execute(f"SELECT count(*) FROM read_parquet('{dst}')").fetchone()[0]
         print(f"{table}: {n} rows -> {dst}")
