@@ -302,3 +302,14 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
     assert {out[i].split_key for i in (1, 2, 3)} == {1}  # whole cluster keyed by min id
     assert len({out[i].split for i in (1, 2, 3)}) == 1   # -> one side
     assert out[4].split_key == 4                          # singleton keeps own id
+
+
+def test_lsh_params_scale_rule():
+    """+2 rows/band per 10x corpus growth; bands fixed; num_hashes
+    consistent with bands*rows."""
+    from time_series_databse_engine_spark.operators.dedup import lsh_params_for
+
+    assert lsh_params_for(5_000) == {"num_hashes": 8, "bands": 4, "rows_per_band": 2}
+    assert lsh_params_for(50_000) == {"num_hashes": 16, "bands": 4, "rows_per_band": 4}
+    assert lsh_params_for(500_000) == {"num_hashes": 24, "bands": 4, "rows_per_band": 6}
+    assert lsh_params_for(100) == lsh_params_for(5_000)  # never below base
