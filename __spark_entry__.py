@@ -1080,6 +1080,25 @@ def q_column_profile(spark, sf_dir):
     return profile_table(_t(spark, sf_dir, "orders"), _PROFILE_COLS)
 
 
+def q_profile_incremental(spark, sf_dir):
+    """Incremental profiling — the 100 TB steady state: profile each
+    ingest increment into a mergeable HLL-register table, then the
+    whole-corpus profile is a merge over n_cols×(m+1) rows per increment,
+    never a rescan of raw data.  Here orders is split into two disjoint
+    halves, each profiled to registers independently, unioned and merged;
+    the oracle is the FULL-SCAN profile — the hash match proves the merge
+    is exact (every register component is a semigroup: max/sum/min/max)."""
+    from time_series_databse_engine_spark.operators.profile import (
+        merge_profiles,
+        profile_registers,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    inc_a = profile_registers(o.filter(F.col("o_orderkey") % 2 == 0), _PROFILE_COLS)
+    inc_b = profile_registers(o.filter(F.col("o_orderkey") % 2 != 0), _PROFILE_COLS)
+    return merge_profiles(inc_a.unionByName(inc_b))
+
+
 def q_column_profile_exact(spark, sf_dir):
     """Exact profiling twin (oracle/cross-check variant): n_cols
     ``countDistinct`` in one wide aggregate — Catalyst Expand ×6, exact
@@ -1535,10 +1554,23 @@ def q_edit_verify(spark, sf_dir):
     distance catches the near-miss pairs token shingles blur).  The
     O(len²) DP runs ONLY on the candidate list (never all pairs) and
     text is fetched by two id-keyed joins, so corpus cost is the LSH
-    pipeline's; similarity = 1 − d/max_len, 6-dp."""
+    pipeline's; similarity = 1 − d/max_len, 6-dp.
+
+    Banding parameters come from ``lsh_params_for(corpus size)`` — the
+    grow-with-corpus rule — because at FIXED parameters chance band
+    collisions grow ~n² and the verify stage drowns (measured 67× the
+    candidates at 10× docs; the scaled config cut that to ~true near-dups
+    only, SCALE.md round-6 section).  The count() is a parquet
+    footer-metadata pass, not a scan; at the driver's sf0.01 the rule
+    resolves to the base (8, 4, 2) the oracle replays."""
     docs = _t(spark, sf_dir, "documents")
-    sigs = dedup_ops.minhash_signatures(docs, num_hashes=8, shingle_n=3)
-    pairs = dedup_ops.lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
+    p = dedup_ops.lsh_params_for(docs.count())
+    sigs = dedup_ops.minhash_signatures(
+        docs, num_hashes=p["num_hashes"], shingle_n=3
+    )
+    pairs = dedup_ops.lsh_candidate_pairs(
+        sigs, bands=p["bands"], rows_per_band=p["rows_per_band"]
+    )
     a = docs.select(F.col("doc_id").alias("id1"), F.col("text").alias("_t1"))
     b = docs.select(F.col("doc_id").alias("id2"), F.col("text").alias("_t2"))
     d = F.levenshtein("_t1", "_t2")
@@ -2810,12 +2842,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     entries that never had ANY driver row (image/audio/video_neardup,
     frame_sample, multimodal_resize, simhash, bpe_tokenize, pca_project)
     are in-window so the driver records their "ran, returned rows" rows,
-    alongside three new oracle-backed entries: column_profile_exact (the
-    exact twin of the now-HLL-default profiler), media_safe_decode
-    (skip-and-flag corrupt-payload decode, planted-error oracle) and
-    bucketed_join_storage (co-bucketed catalog-table join, result-
-    identity oracle, 0-Exchange plan).  After this round's driver run
-    EVERY entry in queries() has at least one historical driver row."""
+    alongside four new oracle-backed entries: column_profile_exact (the
+    exact twin of the now-HLL-default profiler), profile_incremental
+    (mergeable-register profiling, oracle = the full-scan profile),
+    media_safe_decode (skip-and-flag corrupt-payload decode,
+    planted-error oracle) and bucketed_join_storage (co-bucketed
+    catalog-table join, result-identity oracle, 0-Exchange plan).  After
+    this round's driver run EVERY entry in queries() has at least one
+    historical driver row."""
     return {
         # -- category anchors (driver-green r1/r2/r3) -------------------
         "range_scan": q_range_scan,
@@ -2838,6 +2872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-window), hamming_bits/sq8_codes/hamming_recall/sq8_recall→
         # hamming_topk+sq8_topk+ivf_recall (compressed-ANN + recall).
         "column_profile_exact": q_column_profile_exact,
+        "profile_incremental": q_profile_incremental,
         "media_safe_decode": q_media_safe_decode,
         "bucketed_join_storage": q_bucketed_join_storage,
         "image_neardup": q_image_neardup,
@@ -2897,11 +2932,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hamming_topk": q_hamming_topk,
         "mmr_topk": q_mmr_topk,
         "sq8_topk": q_sq8_topk,
-        "unpivot": q_unpivot,
         "column_profile": q_column_profile,
         # ---- position 51+: driver-green anchors displaced by the
         # round-5/6 rotations (historical green rows stand; categories
         # covered in-window per the mapping above) ----------------------
+        "unpivot": q_unpivot,
         "full_outer_join": q_full_outer_join,
         "lsh_ann_topk_multi": q_lsh_ann_topk_multi,
         "resample_1m_expr": q_resample_1m_expr,
@@ -5417,6 +5452,8 @@ def oracle_sql() -> dict[str, str]:
     from time_series_databse_engine_spark.operators.profile import profile_oracle_sql
 
     oracles["column_profile"] = profile_oracle_sql("orders", _PROFILE_COLS)
+    # merged incremental registers must equal the full-scan profile exactly
+    oracles["profile_incremental"] = oracles["column_profile"]
     oracles["media_safe_decode"] = """
         SELECT doc_id AS media_id,
                (doc_id % 5) < 3 AS ok,

@@ -106,6 +106,7 @@ HEADLINE = [
     "hilbert_key",
     "column_profile",
     "column_profile_exact",
+    "profile_incremental",
     "unpivot",
     "image_neardup",
     "media_safe_decode",

@@ -3,6 +3,8 @@
 import duckdb
 
 from time_series_databse_engine_spark.operators.profile import (
+    merge_profiles,
+    profile_registers,
     profile_oracle_sql,
     profile_table,
     profile_table_exact,
@@ -40,3 +42,22 @@ def test_profile_handles_nulls_and_constant_columns(spark):
     assert out["b"].n == 4 and out["b"].nulls == 4 and out["b"].n_distinct_est == 0
     assert out["a"].nulls == 1 and out["a"].n_distinct_est == 3
     assert out["c"].n_distinct_est == 1 and out["c"].min_s == "x"
+
+
+def test_incremental_registers_merge_to_full_profile(spark, sf_dir):
+    """Registers built per disjoint increment, unioned and merged, equal
+    the single-scan profile EXACTLY (HLL max-merge + count sums + bound
+    min/max are all semigroups) — including a 3-way split."""
+    from pyspark.sql import functions as F
+
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus"]
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    full = sorted(
+        tuple(r) for r in profile_table(df, cols).collect()
+    )
+    parts = [df.filter(F.col("o_orderkey") % 3 == k) for k in range(3)]
+    regs = profile_registers(parts[0], cols)
+    for p in parts[1:]:
+        regs = regs.unionByName(profile_registers(p, cols))
+    merged = sorted(tuple(r) for r in merge_profiles(regs).collect())
+    assert merged == full

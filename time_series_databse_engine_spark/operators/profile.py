@@ -45,13 +45,18 @@ ALPHA = 0.7213 / (1.0 + 1.079 / M)
 C_NUM = repr(ALPHA * M * M * float(1 << SCALE_POW))
 
 
-def profile_table(df: DataFrame, cols: list[str]) -> DataFrame:
-    """One-scan approximate profile: (column, n, nulls, n_distinct_est,
-    min_s, max_s) per requested column, distincts via deterministic HLL
-    (module docstring).  All arithmetic that feeds the estimate is
-    integer until one final literal-constant division, so the DuckDB
-    oracle in ``__spark_entry__.oracle_sql()['column_profile']`` matches
-    hash-for-hash."""
+def profile_registers(df: DataFrame, cols: list[str]) -> DataFrame:
+    """The MERGEABLE half of the profiler: per-(column, HLL bucket)
+    register rows ``(cname, bucket, reg, cnt, nulls, mn, mx)`` — the
+    incremental-profiling state.  Every component is a semigroup
+    (``max`` for registers, ``sum`` for counts, ``min``/``max`` for
+    bounds), so register tables from separate increments (daily ingests,
+    table shards) UNION and re-reduce to exactly the full-scan profile:
+    materialize one per increment and the whole-corpus profile becomes a
+    merge over n_cols×(m+1) rows per increment — the raw data is never
+    re-scanned.  :func:`merge_profiles` is the reduce;
+    ``profile_table == merge_profiles(profile_registers(df))`` by
+    construction (oracle-checked as the ``profile_incremental`` entry)."""
     pairs = F.array(
         *[
             F.struct(
@@ -74,12 +79,26 @@ def profile_table(df: DataFrame, cols: list[str]) -> DataFrame:
         .otherwise(49 - F.length(F.bin(F.shiftright(hv, P))))
         .alias("rho"),
     )
-    l1 = b.groupBy("cname", "bucket").agg(
+    return b.groupBy("cname", "bucket").agg(
         F.max("rho").alias("reg"),
         F.count(F.lit(1)).alias("cnt"),
         F.sum(F.when(F.col("v").isNull(), 1).otherwise(0)).alias("nulls"),
         F.min("v").alias("mn"),
         F.max("v").alias("mx"),
+    )
+
+
+def merge_profiles(registers: DataFrame) -> DataFrame:
+    """Reduce a (union of) register table(s) to the final profile.  Two
+    stacked aggregates: re-reduce per (cname, bucket) — idempotent on a
+    single-increment table, the HLL/count/bounds merge on a union — then
+    the finishing estimate per column."""
+    l1 = registers.groupBy("cname", "bucket").agg(
+        F.max("reg").alias("reg"),
+        F.sum("cnt").alias("cnt"),
+        F.sum("nulls").alias("nulls"),
+        F.min("mn").alias("mn"),
+        F.max("mx").alias("mx"),
     )
     occ = F.sum(F.when(F.col("bucket").isNotNull(), 1).otherwise(0)).cast("long")
     s_occ = F.sum(
@@ -118,6 +137,17 @@ def profile_table(df: DataFrame, cols: list[str]) -> DataFrame:
         "min_s",
         "max_s",
     )
+
+
+def profile_table(df: DataFrame, cols: list[str]) -> DataFrame:
+    """One-scan approximate profile: (column, n, nulls, n_distinct_est,
+    min_s, max_s) per requested column, distincts via deterministic HLL
+    (module docstring).  All arithmetic that feeds the estimate is
+    integer until one final literal-constant division, so the DuckDB
+    oracle in ``__spark_entry__.oracle_sql()['column_profile']`` matches
+    hash-for-hash.  Composed as register-build + merge so the same code
+    path serves incremental profiling (:func:`profile_registers`)."""
+    return merge_profiles(profile_registers(df, cols))
 
 
 def profile_table_exact(df: DataFrame, cols: list[str]) -> DataFrame:
