@@ -1217,9 +1217,14 @@ def q_cosine_near_dup_lsh(spark, sf_dir):
     100 TB plan shape (bucket equi-join, no broadcast-nested-loop over all
     pairs).  Oracle reproduces the bucket function from the same seed-42
     hyperplanes as SQL literals; `cosine_near_dup` (the exact n² form)
-    doubles as its recall reference."""
+    doubles as its recall reference.  Plane count comes from
+    ``ann_params_for(corpus size)`` (+log2(growth) planes keeps expected
+    bucket size constant — at the oracle SFs it resolves to the base 4
+    the SQL replays; footer-metadata count, not a scan)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    p = sim_ops.ann_params_for(emb.count())
     return sim_ops.cosine_near_dup_lsh(
-        _t(spark, sf_dir, "embeddings"), threshold=0.4, num_planes=4, dim=64
+        emb, threshold=0.4, num_planes=p["num_planes"], dim=64
     )
 
 
@@ -2495,9 +2500,13 @@ def q_semantic_dedup(spark, sf_dir):
     0.3 (exercises the drop rule: ~30%/62% of rows dropped at
     sf0.01/sf0.1; at ≥0.5 the few true pairs all straddle cells), keep
     the min id of each duplicate chain.  Oracle replays the
-    identical assignment (csim DESC, cell_id ASC rank-1) and pair rule."""
+    identical assignment (csim DESC, cell_id ASC rank-1) and pair rule.
+    Cell count comes from ``ann_params_for(corpus size)`` (cells ∝ N
+    keeps expected cell size constant; resolves to the oracle's 16 at
+    the oracle SFs)."""
+    emb = _t(spark, sf_dir, "embeddings")
     return sim_ops.semantic_dedup(
-        _t(spark, sf_dir, "embeddings"), threshold=0.3, n_cells=16
+        emb, threshold=0.3, n_cells=sim_ops.ann_params_for(emb.count())["n_cells"]
     )
 
 

@@ -559,3 +559,12 @@ def test_mmr_single_candidate_pool_still_ranked(spark):
     ).collect()
     assert [(r.cand_id, r.rank) for r in out] == [(1, 1)]
     assert abs(out[0].mmr_score - 0.7 * 0.8) < 1e-9
+
+
+def test_ann_params_scale_rule():
+    from time_series_databse_engine_spark.operators.similarity import ann_params_for
+
+    assert ann_params_for(500) == {"num_planes": 4, "n_cells": 16}
+    assert ann_params_for(2_000) == {"num_planes": 4, "n_cells": 16}
+    assert ann_params_for(20_000) == {"num_planes": 8, "n_cells": 160}
+    assert ann_params_for(200_000) == {"num_planes": 11, "n_cells": 1600}

@@ -444,6 +444,35 @@ def lsh_bucket_topk_multi(
     )
 
 
+def ann_params_for(
+    n_vecs: int,
+    base_vecs: int = 2_000,
+    base_planes: int = 4,
+    base_cells: int = 16,
+) -> dict:
+    """The ANN grow-with-corpus rule as code (the r4 SCALE.md rule the
+    probes measured, now executable like ``dedup.lsh_params_for``):
+
+    * hyperplanes: +log2(growth) — bucket count 2^planes grows ∝ N, so
+      expected bucket size (and Σ|bucket|² candidate volume per row)
+      stays constant; measured 18.2 s → 2.4 s at 10× data (r4 probe);
+    * k-means cells: ∝ N — expected cell size constant; measured
+      15.9 s → 2.6 s at 10× (r4 probe).
+
+    With parameters FIXED, both ops' candidate volume grows ~N²/buckets
+    — the same law as LSH banding.  Returns ``num_planes`` /
+    ``n_cells`` kwargs.
+    """
+    import math
+
+    growth = max(1.0, n_vecs / base_vecs)
+    return {
+        "num_planes": base_planes + math.ceil(math.log2(growth)) if growth > 1
+        else base_planes,
+        "n_cells": int(round(base_cells * growth)),
+    }
+
+
 def cosine_near_dup_lsh(
     embeddings: DataFrame,
     threshold: float = 0.9,
