@@ -507,8 +507,28 @@ def q_jaccard_pairs(spark, sf_dir):
     return dedup_ops.jaccard_pairs(docs, threshold=0.8)
 
 
+def _scaled_banded_pairs(docs):
+    """MinHash+LSH candidate pairs with corpus-derived banding
+    (``dedup.lsh_params_for``): the base (8 hashes, 4 bands × 2 rows)
+    at every oracle-checked SF, +2 rows/band per 10× docs beyond —
+    keeps chance band collisions from growing ~n² (SCALE.md round-6
+    scale-up section; measured 67× candidates at 10× data with fixed
+    params vs ~true-near-dups-only with the rule).  ``docs.count()`` is
+    a parquet footer-metadata pass, not a scan."""
+    p = dedup_ops.lsh_params_for(docs.count())
+    sigs = dedup_ops.minhash_signatures(
+        docs, num_hashes=p["num_hashes"], shingle_n=3
+    )
+    return dedup_ops.lsh_candidate_pairs(
+        sigs, bands=p["bands"], rows_per_band=p["rows_per_band"]
+    )
+
+
 def q_minhash_lsh(spark, sf_dir):
-    """MinHash(8) + LSH(4 bands × 2) candidate pairs over all documents."""
+    """MinHash(8) + LSH(4 bands × 2) candidate pairs over all documents —
+    the raw banding primitive at its named fixed parameters (the
+    pipeline entries derive parameters from corpus size via
+    `_scaled_banded_pairs`)."""
     docs = _t(spark, sf_dir, "documents")
     sigs = dedup_ops.minhash_signatures(docs, num_hashes=8, shingle_n=3)
     return dedup_ops.lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
@@ -1233,8 +1253,7 @@ def q_dedup_clusters(spark, sf_dir):
     propagation) over the minhash_lsh candidate pairs — the purge-list step
     of a real dedup pipeline.  Oracle: recursive-CTE reachability."""
     docs = _t(spark, sf_dir, "documents")
-    sigs = dedup_ops.minhash_signatures(docs, num_hashes=8, shingle_n=3)
-    pairs = dedup_ops.lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
+    pairs = _scaled_banded_pairs(docs)
     return dedup_ops.dedup_clusters(pairs)
 
 
@@ -1492,8 +1511,7 @@ def q_dedup_keep_best(spark, sf_dir):
     the cluster table is id-keyed, quality is a zero-shuffle scan, one
     clusters-sized aggregate."""
     docs = _t(spark, sf_dir, "documents")
-    sigs = dedup_ops.minhash_signatures(docs, num_hashes=8, shingle_n=3)
-    pairs = dedup_ops.lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
+    pairs = _scaled_banded_pairs(docs)
     clusters = dedup_ops.dedup_clusters(pairs)
     q = text_ops.quality_score(docs).select("doc_id", "quality")
     return (
@@ -1569,13 +1587,7 @@ def q_edit_verify(spark, sf_dir):
     footer-metadata pass, not a scan; at the driver's sf0.01 the rule
     resolves to the base (8, 4, 2) the oracle replays."""
     docs = _t(spark, sf_dir, "documents")
-    p = dedup_ops.lsh_params_for(docs.count())
-    sigs = dedup_ops.minhash_signatures(
-        docs, num_hashes=p["num_hashes"], shingle_n=3
-    )
-    pairs = dedup_ops.lsh_candidate_pairs(
-        sigs, bands=p["bands"], rows_per_band=p["rows_per_band"]
-    )
+    pairs = _scaled_banded_pairs(docs)
     a = docs.select(F.col("doc_id").alias("id1"), F.col("text").alias("_t1"))
     b = docs.select(F.col("doc_id").alias("id2"), F.col("text").alias("_t2"))
     d = F.levenshtein("_t1", "_t2")
@@ -1807,8 +1819,7 @@ def q_pagerank(spark, sf_dir):
     from time_series_databse_engine_spark.operators import graph as graph_ops
 
     docs = _t(spark, sf_dir, "documents")
-    sigs = dedup_ops.minhash_signatures(docs, num_hashes=8, shingle_n=3)
-    pairs = dedup_ops.lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
+    pairs = _scaled_banded_pairs(docs)
     pr = graph_ops.pagerank(pairs, damping=0.85, iters=5)
     return pr.select(F.col("id").alias("doc_id"), "pagerank")
 
@@ -1877,8 +1888,7 @@ def q_dedup_clusters_star(spark, sf_dir):
     dedup.dedup_clusters_star docstring).  Same output contract and the
     same recursive-CTE oracle as `dedup_clusters`."""
     docs = _t(spark, sf_dir, "documents")
-    sigs = dedup_ops.minhash_signatures(docs, num_hashes=8, shingle_n=3)
-    pairs = dedup_ops.lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
+    pairs = _scaled_banded_pairs(docs)
     return dedup_ops.dedup_clusters_star(pairs)
 
 

@@ -46,11 +46,21 @@ def test_three_representative_queries_run(spark, sf_dir):
         assert df.count() >= 0
 
 
-def test_driver_window_is_fully_oracle_backed():
-    """The first 50 queries() keys are the driver's correctness window —
-    a rows-only query there wastes a slot that can never go green
-    (round-2 verdict, 'What's wrong' #2).  Guard the rotation."""
+def test_driver_window_rows_only_entries_are_the_designated_rotation():
+    """The first 50 queries() keys are the driver's correctness window.
+    Round-2 rule: rows-only entries don't belong there (they can never
+    hash-match).  Round-6 exception (VERDICT r5 'Next round' #2): the 8
+    rows-only entries that never received ANY driver row are deliberately
+    in-window ONCE so the driver records their "ran, returned rows" rows.
+    Guard both: every in-window no-oracle key must be on that designated
+    list, and the window must still be majority oracle-backed."""
     q = list(entry_mod.queries())
     o = set(entry_mod.oracle_sql())
-    missing = [k for k in q[:50] if k not in o]
-    assert not missing, f"no-oracle queries inside the checked window: {missing}"
+    designated = {
+        "image_neardup", "audio_neardup", "video_neardup", "frame_sample",
+        "multimodal_resize", "simhash", "bpe_tokenize", "pca_project",
+    }
+    rows_only_in_window = {k for k in q[:50] if k not in o}
+    stray = rows_only_in_window - designated
+    assert not stray, f"undesignated no-oracle queries in the window: {stray}"
+    assert len(rows_only_in_window) <= len(designated)
