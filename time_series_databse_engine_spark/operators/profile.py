@@ -57,6 +57,13 @@ def profile_registers(df: DataFrame, cols: list[str]) -> DataFrame:
     re-scanned.  :func:`merge_profiles` is the reduce;
     ``profile_table == merge_profiles(profile_registers(df))`` by
     construction (oracle-checked as the ``profile_incremental`` entry)."""
+    # the md5 work runs in the MAP stage (pre-shuffle): a small input that
+    # arrives as fewer splits than cores would hash single-threaded, so
+    # split it up front.  At scale the input already has ≥cores splits
+    # and this is a no-op (no extra exchange).
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
     pairs = F.array(
         *[
             F.struct(
@@ -69,14 +76,21 @@ def profile_registers(df: DataFrame, cols: list[str]) -> DataFrame:
     long = df.select(F.explode(pairs).alias("p")).select("p.cname", "p.v")
     # 60-bit hash; rho = leading-zero run of the 48 post-bucket bits + 1,
     # computed as 49 - length(bin(w)) — no floating log2 near power-of-two
-    # boundaries for two engines to disagree on
-    hv = F.conv(F.substring(F.md5("v"), 1, 15), 16, 10).cast("long")
-    b = long.select(
+    # boundaries for two engines to disagree on.  The hash is materialized
+    # as its own column FIRST: bucket and rho both read it, and Spark does
+    # not common-subexpression-eliminate across output expressions — the
+    # one-projection form paid the md5 twice per row (measured ~2×).
+    hashed = long.select(
         "cname",
         "v",
-        F.when(F.col("v").isNull(), None).otherwise(hv % M).alias("bucket"),
+        F.conv(F.substring(F.md5("v"), 1, 15), 16, 10).cast("long").alias("_hv"),
+    )
+    b = hashed.select(
+        "cname",
+        "v",
+        F.when(F.col("v").isNull(), None).otherwise(F.col("_hv") % M).alias("bucket"),
         F.when(F.col("v").isNull(), None)
-        .otherwise(49 - F.length(F.bin(F.shiftright(hv, P))))
+        .otherwise(49 - F.length(F.bin(F.shiftright(F.col("_hv"), P))))
         .alias("rho"),
     )
     return b.groupBy("cname", "bucket").agg(
