@@ -1808,6 +1808,33 @@ def q_ivfpq_topk(spark, sf_dir):
     )
 
 
+_ANN_INDEXES: dict[str, str] = {}
+
+
+def q_ann_index_probe(spark, sf_dir):
+    """Persisted-ANN-index probe (similarity.ivf_index_write/ivf_index_probe):
+    the build-once/probe-many production shape — IVFADC codes stored as a
+    cell-partitioned Parquet table (codes only, ~250x compressed at rest),
+    probes read ~n_probe/n_cells of the partitions via PartitionFilters
+    and dequantize from the broadcast codebook at query time.  Result-
+    identical to ivfpq_topk by construction (same quantizers, float-op
+    order, tie rule), so the ivfpq oracle applies verbatim: the persisted
+    layout must never change answers."""
+    emb = _t(spark, sf_dir, "embeddings")
+    if sf_dir not in _ANN_INDEXES:
+        path = tempfile.mkdtemp(prefix="ann_index_")
+        sim_ops.ivf_index_write(emb, path, n_cells=16, m=4, ks=16)
+        _ANN_INDEXES[sf_dir] = path
+    return sim_ops.ivf_index_probe(
+        spark,
+        _ANN_INDEXES[sf_dir],
+        emb.filter(F.col("vec_id") < 5),
+        k=5,
+        n_probe=4,
+        m=4,
+    )
+
+
 def q_pagerank(spark, sf_dir):
     """PageRank centrality over the LSH near-dup candidate graph
     (graph.pagerank, Page 1999; d=0.85, 5 fixed iterations): pick the
@@ -2868,7 +2895,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     planted-error oracle) and bucketed_join_storage (co-bucketed
     catalog-table join, result-identity oracle, 0-Exchange plan).  After
     this round's driver run EVERY entry in queries() has at least one
-    historical driver row."""
+    historical driver row.  Late round-6 add: ann_index_probe (persisted
+    cell-partitioned IVFADC index + partition-pruned probe; shares the
+    ivfpq oracle by result identity) enters the window displacing
+    lsh_multiprobe_topk (driver-green r5; ANN/search category stays
+    covered in-window)."""
     return {
         # -- category anchors (driver-green r1/r2/r3) -------------------
         "range_scan": q_range_scan,
@@ -2906,6 +2937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join": q_salted_join,
         "bloom_semijoin": q_bloom_semijoin,
         "ivfpq_topk": q_ivfpq_topk,
+        "ann_index_probe": q_ann_index_probe,
         "zorder_key": q_zorder_key,
         "hilbert_key": q_hilbert_key,
         "interval_join_bucketed": q_interval_join_bucketed,
@@ -2942,7 +2974,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_verify": q_edit_verify,
         "ivf_recall": q_ivf_recall,
         "dedup_keep_best": q_dedup_keep_best,
-        "lsh_multiprobe_topk": q_lsh_multiprobe_topk,
         "interarrival_stats": q_interarrival_stats,
         "revenue_concentration": q_revenue_concentration,
         "dedup_incremental": q_dedup_incremental,
@@ -2956,6 +2987,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5/6 rotations (historical green rows stand; categories
         # covered in-window per the mapping above) ----------------------
         "unpivot": q_unpivot,
+        # lsh_multiprobe_topk rotated out for ann_index_probe (driver-green
+        # r5; ANN/search stays covered in-window by ivfpq_topk, ivf_recall,
+        # hamming_topk, sq8_topk, mmr_topk, ann_index_probe)
+        "lsh_multiprobe_topk": q_lsh_multiprobe_topk,
         "full_outer_join": q_full_outer_join,
         "lsh_ann_topk_multi": q_lsh_ann_topk_multi,
         "resample_1m_expr": q_resample_1m_expr,
@@ -5770,6 +5805,11 @@ def oracle_sql() -> dict[str, str]:
                round(snu / 1e6, 6) AS cusum_neg,
                (spu > 5000000 OR snu > 5000000) AS alarm
         FROM f"""
+    # persisted-index probe is result-identical to the in-memory IVFADC
+    # composition by construction — the layout must never change answers,
+    # so the oracle is shared verbatim (the salted_join result-identity
+    # discipline applied to storage)
+    oracles["ann_index_probe"] = oracles["ivfpq_topk"]
     oracles["fuzzy_join"] = """
         WITH dirty(dirty) AS (VALUES ('clik'), ('vew'), ('purchace'),
                                      ('signupp'), ('errror'), ('zzz')),

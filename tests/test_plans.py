@@ -459,3 +459,29 @@ def test_column_profile_default_has_no_expand(spark, sf_dir):
     assert "Expand" not in plan
     exact = entry.q_column_profile_exact(spark, sf_dir)
     assert "Expand" in exact._jdf.queryExecution().executedPlan().toString()
+
+
+def test_ann_index_probe_prunes_partitions_and_matches_in_memory(
+    spark, sf_dir, tmp_path
+):
+    """The persisted IVFADC index (similarity.ivf_index_write) must (a)
+    answer probes identically to the in-memory ivfpq_topk composition —
+    layout never changes answers — and (b) read only the probed cells:
+    the index scan's PartitionFilters carry cell_id, and the pruned scan
+    touches < n_cells partition directories."""
+    from time_series_databse_engine_spark.operators import similarity as sim
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    path = str(tmp_path / "ann")
+    sim.ivf_index_write(emb, path, n_cells=16, m=4, ks=16)
+
+    probe = sim.ivf_index_probe(spark, path, q, k=5, n_probe=4, m=4)
+    mem = sim.ivfpq_topk(emb, q, k=5, n_cells=16, n_probe=4, m=4, ks=16)
+    assert sorted(map(tuple, probe.collect())) == sorted(map(tuple, mem.collect()))
+
+    # partition pruning: the index scan filters on the partition column
+    assert any("cell_id" in p for p in partition_filters(probe))
+    # and the index at rest stores only codes — no vectors copied in
+    idx_cols = spark.read.parquet(path + "/index").columns
+    assert "recon" not in idx_cols and "cvec" not in idx_cols

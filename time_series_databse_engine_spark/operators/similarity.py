@@ -1541,3 +1541,151 @@ def sq8_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", F.round("_s", 6).alias("score"), "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# persisted ANN index: build once, probe many (the repeated-query shape)
+# ---------------------------------------------------------------------------
+
+def ivf_index_write(
+    embeddings: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    m: int = 4,
+    ks: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist an IVFADC index as a cell-partitioned Parquet table —
+    the build-once/probe-many production shape that :func:`ivfpq_topk`
+    (which re-derives everything per query batch) cannot give you.
+
+    Layout: ``path/index`` holds ONLY ``(cand_id, codes)`` partitioned
+    by ``cell_id`` — m small ints per vector (~2 B at m=4, ks=16), the
+    actual ~250x PQ compression; raw vectors are NOT copied into the
+    index (storing reconstructions would undo the compression the codes
+    exist to provide).  ``path/cells`` and ``path/codebook`` are the
+    k-row sidecars a probe needs to pick cells and dequantize codes.
+
+    Scale shape: ONE corpus pass computes cell id and codes together
+    (the :func:`ivfpq_topk` fused fold); the single exchange is the
+    repartition on ``cell_id`` so each task writes whole cell
+    directories — file count stays O(cells), never O(tasks x cells).
+    At 100 TB the index build is a bounded maintenance job, and every
+    later probe reads ~n_probe/n_cells of the CODES, not of the corpus.
+    """
+    cents = hash_sampled_cells(embeddings, n_cells, id_col, vec_col)
+    cb = pq_codebook(embeddings, ks, id_col, vec_col)
+    c = embeddings.select(
+        F.col(id_col).alias("cand_id"), as_double(vec_col).alias("cvec")
+    ).withColumn("cn", norm(F.col("cvec")))
+    c_assigned = assign_nearest_cell(c, cents, F.col("cvec"), F.col("cn"))
+    enc_fn = pq_encode_np if m * ks > 64 else pq_encode  # ivfpq_topk's auto rule
+    enc = enc_fn(
+        c_assigned, cb, m, dim, id_col="cand_id", vec_col="cvec", carry=("cell_id",)
+    )
+    (
+        enc.select("cand_id", "codes", "cell_id")
+        .repartition("cell_id")
+        .write.mode("overwrite")
+        .partitionBy("cell_id")
+        .parquet(path + "/index")
+    )
+    cents.write.mode("overwrite").parquet(path + "/cells")
+    cb.write.mode("overwrite").parquet(path + "/codebook")
+
+
+def ivf_index_probe(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    m: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a persisted :func:`ivf_index_write` index: top-k per query
+    by ADC distance, reading ONLY the probed cells' partitions.
+
+    Result-identical to :func:`ivfpq_topk` on the same parameters (same
+    quantizers, same float-op order, same tie rule) — the persisted
+    layout must never change answers, so the ivfpq oracle applies
+    verbatim.
+
+    Scale shape: probe cells per query come from the k-row ``cells``
+    sidecar (broadcast + rank window — query-side work only); the
+    distinct probed cell ids (bounded by n_cells, a few dozen ints) are
+    collected to the driver ONCE to become a partition-pruning literal
+    — the same driver-side file-skipping decision Delta/Iceberg make
+    from stats, and the collect is O(n_cells), never O(rows).  The
+    index scan then opens ~n_probe/n_cells of the partitions
+    (PartitionFilters, plan-asserted in tests/test_plans.py), each row
+    m small ints; dequantization to ADC reconstructions happens at
+    probe time from the ONE broadcast codebook row — the index itself
+    stays 250x compressed at rest.
+    """
+    sub = dim // m
+    cents = spark.read.parquet(path + "/cells")
+    cb = spark.read.parquet(path + "/codebook")
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("qvec")
+    ).withColumn("qn", norm(F.col("qvec")))
+    q_scored = q.crossJoin(F.broadcast(cents)).select(
+        "*",
+        (dot(F.col("qvec"), F.col("cent")) / (F.col("qn") * F.col("cent_n"))).alias(
+            "_csim"
+        ),
+    )
+    wq = W.partitionBy("query_id").orderBy(
+        F.col("_csim").desc(), F.col("cell_id").asc()
+    )
+    q_probes = (
+        q_scored.withColumn("_crank", F.row_number().over(wq))
+        .filter(F.col("_crank") <= n_probe)
+        .drop("cent", "cent_n", "_csim", "_crank", "qn")
+    )
+    probed = sorted(
+        r["cell_id"] for r in q_probes.select("cell_id").distinct().collect()
+    )
+
+    # codebook as one broadcast array row ordered by code, so a row's
+    # reconstruction is m dynamic element_at lookups + slice/concat —
+    # exactly pq_encode's recon values, rebuilt from codes at probe time
+    cb_row = F.broadcast(
+        cb.orderBy("code").agg(F.collect_list("cent").alias("_cbarr"))
+    )
+    idx = (
+        spark.read.parquet(path + "/index")
+        .filter(F.col("cell_id").isin(probed))
+        .crossJoin(cb_row)
+    )
+    recon = F.concat(
+        *[
+            F.slice(
+                F.element_at(F.col("_cbarr"), F.col("codes")[j] + F.lit(1)),
+                j * sub + 1,
+                sub,
+            )
+            for j in range(m)
+        ]
+    )
+    scored = (
+        idx.withColumn("recon", recon)
+        .join(F.broadcast(q_probes), "cell_id")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(_d2(F.col("qvec"), F.col("recon")), 6).alias("approx_d2"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("approx_d2").asc(), F.col("cand_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "approx_d2", "rank")
+    )
