@@ -125,6 +125,15 @@ def assign_nearest_cell(df, cents: DataFrame, vec, vec_n, keep_sim: bool = False
     cells_row = F.broadcast(
         cents.agg(F.collect_list(F.struct("cell_id", "cent", "cent_n")).alias("_cells"))
     )
+    # the row's vector and norm are usually withColumn-defined fold
+    # expressions; project collapsing re-inlines those definitions into
+    # the lambda below and re-evaluates them PER CELL (HOFs can't CSE —
+    # the minhash_signatures lesson, measured again here: the norm fold
+    # alone doubles assignment cost at 16 cells).  Expand them through
+    # inline/GenerateExec so the fold reads plain attributes; values are
+    # bit-identical, only the duplicate evaluation goes away.
+    vec_in, vec_n_in = vec, vec_n
+    vec, vec_n = F.col("_anc_v"), F.col("_anc_n")
     sims = F.transform(
         "_cells",
         lambda cell: F.struct(
@@ -141,7 +150,17 @@ def assign_nearest_cell(df, cents: DataFrame, vec, vec_n, keep_sim: bool = False
             x,
         ).otherwise(acc),
     )
-    out = df.crossJoin(cells_row)  # one-row broadcast: array column ride-along
+    out = (
+        df.crossJoin(cells_row)  # one-row broadcast: array column ride-along
+        .select(
+            "*",
+            F.inline(
+                F.array(
+                    F.struct(vec_in.alias("_anc_v"), vec_n_in.alias("_anc_n"))
+                )
+            ),
+        )
+    )
     if keep_sim:
         # expand the fold's struct via inline — ONE evaluation inside
         # GenerateExec (plain aliasing re-evaluates the fold per field:
@@ -151,9 +170,12 @@ def assign_nearest_cell(df, cents: DataFrame, vec, vec_n, keep_sim: bool = False
         return (
             out.select("*", F.inline(F.array(best)))
             .withColumnRenamed("s", "cell_sim")
-            .drop("_cells")
+            .drop("_cells", "_anc_v", "_anc_n")
         )
-    return out.withColumn("cell_id", best["cell_id"]).drop("_cells")
+    return (
+        out.withColumn("cell_id", best["cell_id"])
+        .drop("_cells", "_anc_v", "_anc_n")
+    )
 
 
 def kmeans_centroids_as_cells(kmeans_out: DataFrame) -> DataFrame:
@@ -788,8 +810,36 @@ def pq_encode(
     multiplication — the :func:`assign_nearest_cell` shape, m times.
     """
     sub = dim // m
+
+    # Per-pair work is the whole encode cost (N·m·ks evaluations), so
+    # everything constant across pairs is evaluated exactly once and only
+    # REFERENCED inside the fold — values stay bit-identical to the naive
+    # form (same float ops, same order, just deduplicated), so the SQL
+    # oracle and all historical hashes are unchanged:
+    #   - codebook side: each subspace's centroid slice and its
+    #     self-dot (the ``+ bb`` term of _d2) live IN the broadcast row,
+    #     computed once per (j, code) instead of once per pair;
+    #   - row side: the row's subvector and its self-dot (the ``aa``
+    #     term) are expanded through inline/GenerateExec — a bare
+    #     withColumn would be re-inlined into the lambda by project
+    #     collapsing and re-evaluated per pair (the minhash_signatures
+    #     lesson).
+    # The fold's per-pair residue is ONE sub-dim dot (the ``ab`` term).
+    def _cb_for(j):
+        def _mk(cell):
+            c_j = F.slice(cell["cent"], j * sub + 1, sub)
+            return F.struct(
+                cell["code"].alias("code"),
+                c_j.alias("sub"),
+                dot(c_j, c_j).alias("cc"),
+            )
+
+        return _mk
+
     cb_row = F.broadcast(
-        codebook.agg(F.collect_list(F.struct("code", "cent")).alias("_cb"))
+        codebook.agg(F.collect_list(F.struct("code", "cent")).alias("_cb0")).select(
+            *[F.transform("_cb0", _cb_for(j)).alias(f"_cb{j}") for j in range(m)]
+        )
     )
     # ``carry`` columns ride through the fold untouched, letting callers
     # (ivfpq_topk) fuse a prior per-row stage — e.g. the IVF cell
@@ -797,23 +847,26 @@ def pq_encode(
     e = embeddings.select(
         F.col(id_col), as_double(vec_col).alias("_v"), *[F.col(c) for c in carry]
     ).crossJoin(cb_row)
-    def _cands_for(j, v_j):
-        # closure factory: Spark reads the lambda's arity, so captures
-        # must not appear as defaulted parameters
+    _vjs = [F.slice(F.col("_v"), j * sub + 1, sub) for j in range(m)]
+    hoist = F.struct(
+        *[v_j.alias(f"_vj{j}") for j, v_j in enumerate(_vjs)],
+        *[dot(v_j, v_j).alias(f"_vv{j}") for j, v_j in enumerate(_vjs)],
+    )
+    e = e.select("*", F.inline(F.array(hoist)))
+
+    def _cands_for(j):
         def _mk(cell):
-            c_j = F.slice(cell["cent"], j * sub + 1, sub)
             return F.struct(
-                _d2(v_j, c_j).alias("d"),
+                (F.col(f"_vv{j}") - 2.0 * dot(F.col(f"_vj{j}"), cell["sub"]) + cell["cc"]).alias("d"),
                 cell["code"].alias("code"),
-                c_j.alias("sub"),
+                cell["sub"].alias("sub"),
             )
 
         return _mk
 
     bests = []
     for j in range(m):
-        v_j = F.slice(F.col("_v"), j * sub + 1, sub)
-        cands = F.transform("_cb", _cands_for(j, v_j))
+        cands = F.transform(f"_cb{j}", _cands_for(j))
         best = F.aggregate(
             cands,
             F.struct(
