@@ -1835,6 +1835,34 @@ def q_ann_index_probe(spark, sf_dir):
     )
 
 
+def q_ann_index_append(spark, sf_dir):
+    """Incremental ANN index maintenance (similarity.ivf_index_append):
+    index built on the base corpus (vec_id < 250), the new batch
+    (vec_id >= 250) encoded with the index's PINNED sidecar quantizers
+    and appended — O(batch) work, existing rows never re-read.  The
+    oracle draws the quantizer sample from the BASE rows only (the
+    parameterized ivfpq oracle), then probes the full corpus: the hash
+    match proves append-encoded rows are bit-identical to build-encoded
+    ones."""
+    emb = _t(spark, sf_dir, "embeddings")
+    key = sf_dir + "#append"
+    if key not in _ANN_INDEXES:
+        path = tempfile.mkdtemp(prefix="ann_index_app_")
+        sim_ops.ivf_index_write(
+            emb.filter(F.col("vec_id") < 250), path, n_cells=16, m=4, ks=16
+        )
+        sim_ops.ivf_index_append(spark, path, emb.filter(F.col("vec_id") >= 250), m=4)
+        _ANN_INDEXES[key] = path
+    return sim_ops.ivf_index_probe(
+        spark,
+        _ANN_INDEXES[key],
+        emb.filter(F.col("vec_id") < 5),
+        k=5,
+        n_probe=4,
+        m=4,
+    )
+
+
 def q_pagerank(spark, sf_dir):
     """PageRank centrality over the LSH near-dup candidate graph
     (graph.pagerank, Page 1999; d=0.85, 5 fixed iterations): pick the
@@ -2895,11 +2923,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     planted-error oracle) and bucketed_join_storage (co-bucketed
     catalog-table join, result-identity oracle, 0-Exchange plan).  After
     this round's driver run EVERY entry in queries() has at least one
-    historical driver row.  Late round-6 add: ann_index_probe (persisted
+    historical driver row.  Late round-6 adds: ann_index_probe (persisted
     cell-partitioned IVFADC index + partition-pruned probe; shares the
-    ivfpq oracle by result identity) enters the window displacing
-    lsh_multiprobe_topk (driver-green r5; ANN/search category stays
-    covered in-window)."""
+    ivfpq oracle by result identity) and ann_index_append (incremental
+    maintenance with pinned sidecar quantizers; base-sample-parameterized
+    oracle) enter the window displacing lsh_multiprobe_topk and bpe_pairs
+    (both driver-green r5; their categories stay covered in-window)."""
     return {
         # -- category anchors (driver-green r1/r2/r3) -------------------
         "range_scan": q_range_scan,
@@ -2938,6 +2967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_semijoin": q_bloom_semijoin,
         "ivfpq_topk": q_ivfpq_topk,
         "ann_index_probe": q_ann_index_probe,
+        "ann_index_append": q_ann_index_append,
         "zorder_key": q_zorder_key,
         "hilbert_key": q_hilbert_key,
         "interval_join_bucketed": q_interval_join_bucketed,
@@ -2951,7 +2981,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- r4-driver-green anchors kept in-window for category
         # continuity (sketches, BPE, as-of, search, changepoint) -------
         "hist_sketch_daily": q_hist_sketch_daily,
-        "bpe_pairs": q_bpe_pairs,
         "asof_join_tolerance": q_asof_join_tolerance,
         "bm25": q_bm25,
         "cusum": q_cusum,
@@ -2987,10 +3016,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5/6 rotations (historical green rows stand; categories
         # covered in-window per the mapping above) ----------------------
         "unpivot": q_unpivot,
-        # lsh_multiprobe_topk rotated out for ann_index_probe (driver-green
-        # r5; ANN/search stays covered in-window by ivfpq_topk, ivf_recall,
-        # hamming_topk, sq8_topk, mmr_topk, ann_index_probe)
+        # lsh_multiprobe_topk and bpe_pairs rotated out for the two
+        # persisted-ANN-index entries (both driver-green r5; ANN/search
+        # stays covered in-window by ivfpq_topk, ivf_recall, hamming_topk,
+        # sq8_topk, mmr_topk; BPE by bpe_tokenize)
         "lsh_multiprobe_topk": q_lsh_multiprobe_topk,
+        "bpe_pairs": q_bpe_pairs,
         "full_outer_join": q_full_outer_join,
         "lsh_ann_topk_multi": q_lsh_ann_topk_multi,
         "resample_1m_expr": q_resample_1m_expr,
@@ -3767,6 +3798,81 @@ def _pack_sequences_sql(cap=512, groups=8) -> str:
         SELECT st.pack_group, st.doc_id, st.n_tokens, st.bin_id,
                CAST(f.fills[CAST(st.bin_id AS INT) + 1] AS BIGINT) AS bin_fill
         FROM steps st JOIN final f USING (pack_group)"""
+
+
+def _ivfpq_oracle_sql(quantizer_from: str = "embeddings") -> str:
+    """IVFADC oracle: the pq_ann_topk encoding/recon CTEs + the
+    ivf_ann_topk cell-assignment and probe CTEs, joined on cell_id —
+    both quantizers draw the same 16 smallest-md5 sample (different
+    roles: cells keyed by vec_id, codes numbered 0..15).
+
+    ``quantizer_from`` parameterizes WHICH rows the quantizer sample is
+    drawn from (a named parameter, not text splicing — the funnel-oracle
+    lesson): the full corpus for ivfpq_topk / ann_index_probe, the BASE
+    corpus only for ann_index_append, where the index's sidecars are
+    pinned at build time and the appended batch is encoded with them."""
+    return f"""
+            WITH samp AS (SELECT vec_id, embedding FROM {quantizer_from}
+                          ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16),
+            cells AS (SELECT vec_id AS cell_id, embedding::DOUBLE[] AS ccent
+                      FROM samp),
+            cents AS (
+              SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id)
+                       - 1 AS code,
+                     embedding::DOUBLE[] AS cent
+              FROM samp),
+            c AS (SELECT vec_id AS cand_id, embedding::DOUBLE[] AS cv
+                  FROM embeddings),
+            ca AS (SELECT cand_id, cell_id FROM (
+              SELECT cand_id, cell_id,
+                     row_number() OVER (PARTITION BY cand_id
+                                        ORDER BY csim DESC, cell_id ASC) AS r
+              FROM (SELECT cand_id, cell_id,
+                           list_dot_product(cv, ccent) /
+                           (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(ccent, ccent))) AS csim
+                    FROM c, cells)) WHERE r = 1),
+            sub AS (SELECT unnest(range(4)) AS j),
+            dists AS (
+              SELECT cand_id, j, code,
+                     list_slice(cent, j*16 + 1, j*16 + 16) AS cent_sub,
+                     list_dot_product(list_slice(cv, j*16 + 1, j*16 + 16),
+                                      list_slice(cv, j*16 + 1, j*16 + 16))
+                     - 2 * list_dot_product(list_slice(cv, j*16 + 1, j*16 + 16),
+                                            list_slice(cent, j*16 + 1, j*16 + 16))
+                     + list_dot_product(list_slice(cent, j*16 + 1, j*16 + 16),
+                                        list_slice(cent, j*16 + 1, j*16 + 16)) AS d
+              FROM c CROSS JOIN sub CROSS JOIN cents),
+            enc AS (
+              SELECT cand_id, j, cent_sub FROM (
+                SELECT *, row_number() OVER (PARTITION BY cand_id, j
+                                             ORDER BY d ASC, code ASC) AS r
+                FROM dists) WHERE r = 1),
+            recon AS (
+              SELECT cand_id, flatten(list(cent_sub ORDER BY j)) AS recon
+              FROM enc GROUP BY cand_id),
+            q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                  FROM embeddings WHERE vec_id < 5),
+            qp AS (SELECT query_id, qv, cell_id FROM (
+              SELECT query_id, qv, cell_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY csim DESC, cell_id ASC) AS r
+              FROM (SELECT query_id, qv, cell_id,
+                           list_dot_product(qv, ccent) /
+                           (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(ccent, ccent))) AS csim
+                    FROM q, cells)) WHERE r <= 4),
+            s AS (
+              SELECT query_id, ca.cand_id,
+                     round(list_dot_product(qv, qv)
+                           - 2 * list_dot_product(qv, recon)
+                           + list_dot_product(recon, recon), 6) AS approx_d2
+              FROM qp JOIN ca USING (cell_id)
+                      JOIN recon ON recon.cand_id = ca.cand_id
+              WHERE ca.cand_id <> query_id)
+            SELECT query_id, cand_id, approx_d2, rank FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY approx_d2 ASC, cand_id ASC)
+                          AS rank
+              FROM s) WHERE rank <= 5"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -5014,68 +5120,7 @@ def oracle_sql() -> dict[str, str]:
         # cell-assignment and probe CTEs, joined on cell_id — both
         # quantizers draw the same 16 smallest-md5 sample (different
         # roles: cells keyed by vec_id, codes numbered 0..15)
-        "ivfpq_topk": """
-            WITH samp AS (SELECT vec_id, embedding FROM embeddings
-                          ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16),
-            cells AS (SELECT vec_id AS cell_id, embedding::DOUBLE[] AS ccent
-                      FROM samp),
-            cents AS (
-              SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id)
-                       - 1 AS code,
-                     embedding::DOUBLE[] AS cent
-              FROM samp),
-            c AS (SELECT vec_id AS cand_id, embedding::DOUBLE[] AS cv
-                  FROM embeddings),
-            ca AS (SELECT cand_id, cell_id FROM (
-              SELECT cand_id, cell_id,
-                     row_number() OVER (PARTITION BY cand_id
-                                        ORDER BY csim DESC, cell_id ASC) AS r
-              FROM (SELECT cand_id, cell_id,
-                           list_dot_product(cv, ccent) /
-                           (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(ccent, ccent))) AS csim
-                    FROM c, cells)) WHERE r = 1),
-            sub AS (SELECT unnest(range(4)) AS j),
-            dists AS (
-              SELECT cand_id, j, code,
-                     list_slice(cent, j*16 + 1, j*16 + 16) AS cent_sub,
-                     list_dot_product(list_slice(cv, j*16 + 1, j*16 + 16),
-                                      list_slice(cv, j*16 + 1, j*16 + 16))
-                     - 2 * list_dot_product(list_slice(cv, j*16 + 1, j*16 + 16),
-                                            list_slice(cent, j*16 + 1, j*16 + 16))
-                     + list_dot_product(list_slice(cent, j*16 + 1, j*16 + 16),
-                                        list_slice(cent, j*16 + 1, j*16 + 16)) AS d
-              FROM c CROSS JOIN sub CROSS JOIN cents),
-            enc AS (
-              SELECT cand_id, j, cent_sub FROM (
-                SELECT *, row_number() OVER (PARTITION BY cand_id, j
-                                             ORDER BY d ASC, code ASC) AS r
-                FROM dists) WHERE r = 1),
-            recon AS (
-              SELECT cand_id, flatten(list(cent_sub ORDER BY j)) AS recon
-              FROM enc GROUP BY cand_id),
-            q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-                  FROM embeddings WHERE vec_id < 5),
-            qp AS (SELECT query_id, qv, cell_id FROM (
-              SELECT query_id, qv, cell_id,
-                     row_number() OVER (PARTITION BY query_id
-                                        ORDER BY csim DESC, cell_id ASC) AS r
-              FROM (SELECT query_id, qv, cell_id,
-                           list_dot_product(qv, ccent) /
-                           (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(ccent, ccent))) AS csim
-                    FROM q, cells)) WHERE r <= 4),
-            s AS (
-              SELECT query_id, ca.cand_id,
-                     round(list_dot_product(qv, qv)
-                           - 2 * list_dot_product(qv, recon)
-                           + list_dot_product(recon, recon), 6) AS approx_d2
-              FROM qp JOIN ca USING (cell_id)
-                      JOIN recon ON recon.cand_id = ca.cand_id
-              WHERE ca.cand_id <> query_id)
-            SELECT query_id, cand_id, approx_d2, rank FROM (
-              SELECT *, row_number() OVER (PARTITION BY query_id
-                                           ORDER BY approx_d2 ASC, cand_id ASC)
-                          AS rank
-              FROM s) WHERE rank <= 5""",
+        "ivfpq_topk": _ivfpq_oracle_sql(),
         # A-ES weighted sample: exponential race key -ln(u)/w, u from the
         # same md5 hash-uniform construction as dsir_sample's Gumbel
         "weighted_sample": """
@@ -5810,6 +5855,12 @@ def oracle_sql() -> dict[str, str]:
     # so the oracle is shared verbatim (the salted_join result-identity
     # discipline applied to storage)
     oracles["ann_index_probe"] = oracles["ivfpq_topk"]
+    # append path: quantizers pinned to the BASE sample; candidates = full
+    # corpus (base rows encoded at build, appended rows at append — the
+    # hash match proves the two encode paths bit-identical)
+    oracles["ann_index_append"] = _ivfpq_oracle_sql(
+        "(SELECT vec_id, embedding FROM embeddings WHERE vec_id < 250)"
+    )
     oracles["fuzzy_join"] = """
         WITH dirty(dirty) AS (VALUES ('clik'), ('vew'), ('purchace'),
                                      ('signupp'), ('errror'), ('zzz')),

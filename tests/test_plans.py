@@ -485,3 +485,38 @@ def test_ann_index_probe_prunes_partitions_and_matches_in_memory(
     # and the index at rest stores only codes — no vectors copied in
     idx_cols = spark.read.parquet(path + "/index").columns
     assert "recon" not in idx_cols and "cvec" not in idx_cols
+
+
+def test_ann_index_append_encodes_batch_into_existing_cells(spark, sf_dir, tmp_path):
+    """Incremental maintenance: appending a batch to a persisted ANN
+    index encodes ONLY the batch with the index's pinned sidecar
+    quantizers and lands the rows in the existing cell partitions —
+    afterwards the index covers the full corpus and probes still
+    partition-prune.  (Bit-identity of append-encoded vs build-encoded
+    rows is proven end-to-end by the ann_index_append oracle hash.)"""
+    import os
+
+    from time_series_databse_engine_spark.operators import similarity as sim
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") < 250)
+    batch = emb.filter(F.col("vec_id") >= 250)
+    path = str(tmp_path / "ann")
+    sim.ivf_index_write(base, path, n_cells=16, m=4, ks=16)
+    n_files_before = sum(len(fs) for _, _, fs in os.walk(path + "/index"))
+    sim.ivf_index_append(spark, path, batch, m=4)
+
+    idx = spark.read.parquet(path + "/index")
+    assert idx.count() == emb.count()
+    assert idx.select("cand_id").distinct().count() == emb.count()
+    # appended rows went into the same cell-partition scheme (no new
+    # top-level layout), and the sidecars were not touched
+    assert set(idx.columns) == {"cand_id", "codes", "cell_id"}
+    assert sum(len(fs) for _, _, fs in os.walk(path + "/index")) > n_files_before
+    assert spark.read.parquet(path + "/cells").count() == 16
+
+    probe = sim.ivf_index_probe(
+        spark, path, emb.filter(F.col("vec_id") < 5), k=5, n_probe=4, m=4
+    )
+    assert any("cell_id" in p for p in partition_filters(probe))
+    assert probe.count() == 25

@@ -1742,3 +1742,45 @@ def ivf_index_probe(
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "approx_d2", "rank")
     )
+
+
+def ivf_index_append(
+    spark,
+    path: str,
+    new_embeddings: DataFrame,
+    m: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental maintenance for an :func:`ivf_index_write` index: the
+    daily-crawl shape — encode ONLY the new batch and append its rows to
+    the cell-partitioned table.  Existing index rows are never read or
+    rewritten; work is O(batch), independent of corpus size (the
+    :func:`neardup_incremental` discipline applied to the vector side).
+
+    The quantizers are PINNED: cell centroids and PQ codebook come from
+    the index's sidecars, not re-derived from base+batch — re-deriving
+    would silently re-key every existing row's cell and codes, i.e.
+    corrupt the index while looking like a refresh.  Codebook drift
+    under distribution shift is a rebuild decision (per cell, cells
+    being the rebuild unit), never an append side effect.
+    """
+    cents = spark.read.parquet(path + "/cells")
+    cb = spark.read.parquet(path + "/codebook")
+    c = new_embeddings.select(
+        F.col(id_col).alias("cand_id"), as_double(vec_col).alias("cvec")
+    ).withColumn("cn", norm(F.col("cvec")))
+    c_assigned = assign_nearest_cell(c, cents, F.col("cvec"), F.col("cn"))
+    ks = cb.count()
+    enc_fn = pq_encode_np if m * ks > 64 else pq_encode  # the build's auto rule
+    enc = enc_fn(
+        c_assigned, cb, m, dim, id_col="cand_id", vec_col="cvec", carry=("cell_id",)
+    )
+    (
+        enc.select("cand_id", "codes", "cell_id")
+        .repartition("cell_id")
+        .write.mode("append")
+        .partitionBy("cell_id")
+        .parquet(path + "/index")
+    )
