@@ -560,8 +560,17 @@ def q_leakage_safe_split(spark, sf_dir):
     applied to the doc's LSH duplicate-cluster id (own id when
     unclustered), so paraphrase pairs never straddle the train/test
     boundary; oracle composes the recursive-reachability cluster CTE with
-    the same digit rule."""
-    return dedup_ops.leakage_safe_split(_t(spark, sf_dir, "documents"))
+    the same digit rule.  Banding is corpus-derived (lsh_params_for —
+    base params at every oracle-checked SF, +2 rows/band per 10× beyond,
+    so the internal candidate graph stays ~linear)."""
+    docs = _t(spark, sf_dir, "documents")
+    p = dedup_ops.lsh_params_for(docs.count())
+    return dedup_ops.leakage_safe_split(
+        docs,
+        num_hashes=p["num_hashes"],
+        bands=p["bands"],
+        rows_per_band=p["rows_per_band"],
+    )
 
 
 def q_minhash_signatures(spark, sf_dir):
@@ -1261,10 +1270,19 @@ def q_clean_corpus(spark, sf_dir):
     """End-to-end training-data pipeline composition: exact dedup → LSH
     near-dup cluster purge → quality gate → deterministic sample, all
     md5-keyed (pipeline.clean_corpus docstring).  One oracle re-derives
-    all four gates in SQL — the composition itself is hash-verified."""
+    all four gates in SQL — the composition itself is hash-verified.
+    Banding is corpus-derived (lsh_params_for — base params at every
+    oracle-checked SF, so the oracle's fixed 8/4×2 replay stays exact)."""
     from time_series_databse_engine_spark.pipeline import clean_corpus
 
-    return clean_corpus(_t(spark, sf_dir, "documents"))
+    docs = _t(spark, sf_dir, "documents")
+    p = dedup_ops.lsh_params_for(docs.count())
+    return clean_corpus(
+        docs,
+        num_hashes=p["num_hashes"],
+        bands=p["bands"],
+        rows_per_band=p["rows_per_band"],
+    )
 
 
 def q_seasonal_baseline(spark, sf_dir):
