@@ -105,6 +105,7 @@ HEADLINE = [
     "interval_join_bucketed",
     "hilbert_key",
     "column_profile",
+    "column_profile_fast",
     "column_profile_exact",
     "profile_incremental",
     "unpivot",
@@ -304,9 +305,22 @@ def main():
             emb = spark.read.parquet(sf_dir + "/embeddings.parquet")
             return _sim.semantic_dedup(emb, threshold=0.3, n_cells="auto")
 
+        def _column_profile_fast(spark, sf_dir):
+            # the PRODUCTION profiler config: same one-scan HLL plan,
+            # Spark-native xxhash64 instead of the oracle's replayable
+            # md5 (profile.profile_registers docstring) — the
+            # column_profile row times the md5 oracle twin
+            from time_series_databse_engine_spark.operators.profile import (
+                profile_table,
+            )
+
+            o = spark.read.parquet(sf_dir + "/orders.parquet")
+            return profile_table(o, entry_mod._PROFILE_COLS, hash_fn="xxhash64")
+
         overrides = {
             "cosine_near_dup_lsh": _near_dup_auto,
             "semantic_dedup": _semantic_dedup_auto,
+            "column_profile_fast": _column_profile_fast,
         }
         # persisted-ANN-index build is a maintenance job (the ingest
         # precedent: stores are built outside the query timings); pay it
@@ -320,7 +334,7 @@ def main():
             )
             extra["ann_index_build_first_probe_sec"] = round(t, 3)
         for name in HEADLINE:
-            fn = overrides.get(name, queries[name])
+            fn = overrides[name] if name in overrides else queries[name]
             t, _ = timed(lambda: fn(spark, SF_DIR).write.format("noop").mode("overwrite").save())
             times[name] = round(t, 3)
     finally:

@@ -61,3 +61,26 @@ def test_incremental_registers_merge_to_full_profile(spark, sf_dir):
         regs = regs.unionByName(profile_registers(p, cols))
     merged = sorted(tuple(r) for r in merge_profiles(regs).collect())
     assert merged == full
+
+
+def test_production_xxhash64_profiler_same_plan_sane_estimates(spark, sf_dir):
+    """The xxhash64 production hash keeps exact counts identical (n,
+    nulls, min/max don't touch the hash), keeps the no-Expand plan, and
+    estimates distincts within standard HLL error (~1.04/sqrt(4096) ≈
+    1.6%, asserted at 6%) of exact — it just can't be replayed in SQL,
+    which is why the md5 twin exists for the oracle gate."""
+    from time_series_databse_engine_spark.plans import simple_plan
+
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus"]
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    fast = {r["column"]: r for r in profile_table(df, cols, hash_fn="xxhash64").collect()}
+    slow = {r["column"]: r for r in profile_table(df, cols).collect()}
+    exact = {
+        c: df.filter(f"{c} IS NOT NULL").select(c).distinct().count() for c in cols
+    }
+    for c in cols:
+        assert fast[c].n == slow[c].n and fast[c].nulls == slow[c].nulls
+        assert fast[c].min_s == slow[c].min_s and fast[c].max_s == slow[c].max_s
+        rel = abs(fast[c].n_distinct_est - exact[c]) / max(1, exact[c])
+        assert rel < 0.06, (c, fast[c].n_distinct_est, exact[c])
+    assert "Expand" not in simple_plan(profile_table(df, cols, hash_fn="xxhash64"))
