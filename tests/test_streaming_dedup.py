@@ -100,3 +100,45 @@ def test_streaming_neardup_suppression_to_exactly_once_sink(spark, tmp_path):
             r.ts_ms for r in store.points().select("ts_ms").collect()
         )
         assert kept_ids == [1, 3], f"attempt {attempt}: {kept_ids}"
+
+
+def test_streaming_ann_index_maintenance_exactly_once(spark, sf_dir, tmp_path):
+    """foreachBatch → epoch-keyed ivf_index_append: micro-batches of new
+    embeddings land in the persisted index's cell partitions with the
+    idempotent-writer exactly-once contract — a replayed epoch deletes
+    its previous attempt's files and converges to one copy — and the
+    result equals the batch-API append (same pinned quantizers)."""
+    from time_series_databse_engine_spark.operators import similarity as sim
+    from time_series_databse_engine_spark.streaming.ingest import maintain_ann_index
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") < 250)
+    batch = emb.filter(F.col("vec_id") >= 250)
+    n_total = emb.count()
+
+    path = str(tmp_path / "ann")
+    sim.ivf_index_write(base, path, n_cells=16, m=4, ks=16)
+
+    src = str(tmp_path / "src")
+    batch.coalesce(1).write.parquet(src + "/b1")
+    stream = spark.readStream.schema(batch.schema).parquet(src + "/*")
+    q = maintain_ann_index(stream, path, str(tmp_path / "ckpt")).start()
+    q.awaitTermination(120)
+    q.stop()
+
+    idx = spark.read.parquet(path + "/index")
+    assert idx.count() == n_total
+
+    # crash replay: the same epoch appended again must NOT duplicate —
+    # delete-before-move removes the previous attempt's files
+    sim.ivf_index_append(spark, path, batch, m=4, epoch_id=0)
+    assert spark.read.parquet(path + "/index").count() == n_total
+
+    # and the maintained index answers probes identically to one built
+    # by the batch append path (same pinned sidecar quantizers)
+    path2 = str(tmp_path / "ann2")
+    sim.ivf_index_write(base, path2, n_cells=16, m=4, ks=16)
+    sim.ivf_index_append(spark, path2, batch, m=4)
+    q1 = sim.ivf_index_probe(spark, path, emb.filter(F.col("vec_id") < 5), k=5, n_probe=4, m=4)
+    q2 = sim.ivf_index_probe(spark, path2, emb.filter(F.col("vec_id") < 5), k=5, n_probe=4, m=4)
+    assert sorted(map(tuple, q1.collect())) == sorted(map(tuple, q2.collect()))

@@ -1752,6 +1752,7 @@ def ivf_index_append(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    epoch_id: int | None = None,
 ) -> None:
     """Incremental maintenance for an :func:`ivf_index_write` index: the
     daily-crawl shape — encode ONLY the new batch and append its rows to
@@ -1765,6 +1766,15 @@ def ivf_index_append(
     corrupt the index while looking like a refresh.  Codebook drift
     under distribution shift is a rebuild decision (per cell, cells
     being the rebuild unit), never an append side effect.
+
+    With ``epoch_id`` set the append is IDEMPOTENT (the
+    :meth:`TimeSeriesStore.ingest_epoch` discipline): the batch stages
+    to a temp dir, any files of a previous attempt of the same epoch
+    are deleted, then the staged files move into the cell directories
+    under an ``epoch{id}-`` name prefix — so a streaming foreachBatch
+    replay of the same micro-batch converges to exactly one copy at any
+    crash point.  Cost vs the blind append: identical distributed work
+    plus O(touched cells) driver-side renames.
     """
     cents = spark.read.parquet(path + "/cells")
     cb = spark.read.parquet(path + "/codebook")
@@ -1774,13 +1784,35 @@ def ivf_index_append(
     c_assigned = assign_nearest_cell(c, cents, F.col("cvec"), F.col("cn"))
     ks = cb.count()
     enc_fn = pq_encode_np if m * ks > 64 else pq_encode  # the build's auto rule
-    enc = enc_fn(
-        c_assigned, cb, m, dim, id_col="cand_id", vec_col="cvec", carry=("cell_id",)
-    )
-    (
-        enc.select("cand_id", "codes", "cell_id")
+    enc = (
+        enc_fn(
+            c_assigned, cb, m, dim, id_col="cand_id", vec_col="cvec", carry=("cell_id",)
+        )
+        .select("cand_id", "codes", "cell_id")
         .repartition("cell_id")
-        .write.mode("append")
-        .partitionBy("cell_id")
-        .parquet(path + "/index")
     )
+    if epoch_id is None:
+        enc.write.mode("append").partitionBy("cell_id").parquet(path + "/index")
+        return
+    import glob
+    import os
+    import shutil
+
+    prefix = f"epoch{int(epoch_id)}-"
+    for leftover in glob.glob(os.path.join(path, "index", "cell_id=*", prefix + "*")):
+        os.remove(leftover)
+    tmp = os.path.join(path, f"index-epoch-{int(epoch_id)}-tmp")
+    shutil.rmtree(tmp, ignore_errors=True)
+    enc.write.mode("overwrite").partitionBy("cell_id").parquet(tmp)
+    for entry in os.listdir(tmp):
+        if not entry.startswith("cell_id="):
+            continue
+        dst_dir = os.path.join(path, "index", entry)
+        os.makedirs(dst_dir, exist_ok=True)
+        for fname in os.listdir(os.path.join(tmp, entry)):
+            if fname.endswith(".parquet"):
+                shutil.move(
+                    os.path.join(tmp, entry, fname),
+                    os.path.join(dst_dir, prefix + fname),
+                )
+    shutil.rmtree(tmp, ignore_errors=True)

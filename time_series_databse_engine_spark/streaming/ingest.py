@@ -202,3 +202,48 @@ def enrich_stream(
     static side is re-resolved per micro-batch, so slowly-changing
     dims refresh on their own file-listing cadence."""
     return stream.join(F.broadcast(dim), on, how)
+
+
+def maintain_ann_index(
+    stream: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    m: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Streaming maintenance of a persisted ANN index
+    (:func:`operators.similarity.ivf_index_write`): each micro-batch of
+    new embeddings is encoded with the index's PINNED sidecar quantizers
+    and appended into its cell partitions via the epoch-keyed idempotent
+    append — the same exactly-once contract as :func:`ingest_stream`
+    (batchId-keyed files, delete-before-move on replay), so a crash
+    between the append and the checkpoint commit converges to exactly
+    one copy of the batch.
+
+    Scale shape: per micro-batch work is O(batch) (one assign+encode
+    pass + O(touched cells) renames); the index, its sidecars, and all
+    existing rows are never re-read.  Serving-side probes
+    (:func:`operators.similarity.ivf_index_probe`) see newly appended
+    vectors on their next file listing — the standard
+    eventually-visible contract of file-based indexes."""
+    from ..operators.similarity import ivf_index_append
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        ivf_index_append(
+            batch_df.sparkSession,
+            index_path,
+            batch_df,
+            m=m,
+            dim=dim,
+            id_col=id_col,
+            vec_col=vec_col,
+            epoch_id=epoch_id,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
