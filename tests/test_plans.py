@@ -520,3 +520,41 @@ def test_ann_index_append_encodes_batch_into_existing_cells(spark, sf_dir, tmp_p
     )
     assert any("cell_id" in p for p in partition_filters(probe))
     assert probe.count() == 25
+
+
+def test_ann_index_compact_shrinks_files_and_preserves_answers(spark, sf_dir, tmp_path):
+    """After several epoch appends each cell holds several small files;
+    compaction rewrites to one file per cell without changing any probe
+    answer (same rows, same cells — the layout op is result-invisible)."""
+    import os
+
+    from time_series_databse_engine_spark.operators import similarity as sim
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    path = str(tmp_path / "ann")
+    sim.ivf_index_write(emb.filter(F.col("vec_id") < 200), path, n_cells=16, m=4, ks=16)
+    for e, lo, hi in [(0, 200, 300), (1, 300, 400), (2, 400, 2_000_000)]:
+        sim.ivf_index_append(
+            spark, path,
+            emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)),
+            m=4, epoch_id=e,
+        )
+    def n_files():
+        return sum(
+            len([f for f in fs if f.endswith(".parquet")])
+            for _, _, fs in os.walk(path + "/index")
+        )
+    def n_cells():
+        return len([d for d in os.listdir(path + "/index") if d.startswith("cell_id=")])
+
+    before_rows = sorted(map(tuple, sim.ivf_index_probe(spark, path, q, k=5, n_probe=4, m=4).collect()))
+    files_before, total = n_files(), spark.read.parquet(path + "/index").count()
+    assert files_before > n_cells()  # appends fragmented the cells
+
+    sim.ivf_index_compact(spark, path)
+
+    assert n_files() == n_cells()  # one file per cell
+    assert spark.read.parquet(path + "/index").count() == total
+    after_rows = sorted(map(tuple, sim.ivf_index_probe(spark, path, q, k=5, n_probe=4, m=4).collect()))
+    assert after_rows == before_rows
