@@ -558,3 +558,26 @@ def test_ann_index_compact_shrinks_files_and_preserves_answers(spark, sf_dir, tm
     assert spark.read.parquet(path + "/index").count() == total
     after_rows = sorted(map(tuple, sim.ivf_index_probe(spark, path, q, k=5, n_probe=4, m=4).collect()))
     assert after_rows == before_rows
+
+
+def test_ann_index_vacuum_sweeps_only_staging(spark, sf_dir, tmp_path):
+    """Vacuum removes crashed append/compact staging dirs, never the
+    index, sidecars, or unrelated siblings; probes are unaffected."""
+    import os
+
+    from time_series_databse_engine_spark.operators import similarity as sim
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ann")
+    sim.ivf_index_write(emb, path, n_cells=16, m=4, ks=16)
+    os.makedirs(path + "/index-epoch-3-tmp/cell_id=0")
+    os.makedirs(path + "/index-compact-tmp")
+    os.makedirs(path + "/unrelated-dir")
+    n = spark.read.parquet(path + "/index").count()
+
+    assert sim.ivf_index_vacuum(path) == 2
+    assert not os.path.exists(path + "/index-epoch-3-tmp")
+    assert not os.path.exists(path + "/index-compact-tmp")
+    assert os.path.isdir(path + "/unrelated-dir")
+    assert spark.read.parquet(path + "/index").count() == n
+    assert spark.read.parquet(path + "/cells").count() == 16

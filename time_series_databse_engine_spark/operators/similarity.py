@@ -1858,3 +1858,29 @@ def ivf_index_compact(spark, path: str) -> None:
             shutil.rmtree(dst)
         shutil.move(src, dst)
     shutil.rmtree(tmp, ignore_errors=True)
+
+
+def ivf_index_vacuum(path: str) -> int:
+    """Remove crashed staging state from a persisted ANN index: an
+    epoch append or compaction that died mid-write leaves its
+    ``index-epoch-<id>-tmp`` / ``index-compact-tmp`` sibling behind
+    (both commit by move — staged data was never visible, so removal is
+    always safe).  Partially-moved epoch files INSIDE the index need no
+    GC either: the next replay of that epoch deletes its own
+    ``epoch{id}-`` prefix before re-moving (see
+    :func:`ivf_index_append`).  O(1) directory checks, zero data read;
+    returns the number of staging dirs removed."""
+    import os
+    import shutil
+
+    removed = 0
+    base = path.rstrip("/")
+    for entry in os.listdir(base):
+        if (
+            (entry.startswith("index-epoch-") or entry == "index-compact-tmp")
+            and entry.endswith("-tmp")
+            and os.path.isdir(os.path.join(base, entry))
+        ):
+            shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
+            removed += 1
+    return removed
