@@ -581,3 +581,49 @@ def test_ann_index_vacuum_sweeps_only_staging(spark, sf_dir, tmp_path):
     assert os.path.isdir(path + "/unrelated-dir")
     assert spark.read.parquet(path + "/index").count() == n
     assert spark.read.parquet(path + "/cells").count() == 16
+
+
+def test_ann_index_compact_replay_contract_and_crash_recovery(spark, sf_dir, tmp_path):
+    """(a) Compaction must not absorb epochs beyond committed_through —
+    their files keep epoch{id}- names so a streaming replay's
+    delete-before-move still converges to one copy.  (b) A compaction
+    crash mid-swap (cell moved aside, new dir not yet in) is healed by
+    vacuum/compact recovery with no data loss."""
+    import glob
+    import os
+    import shutil
+
+    from time_series_databse_engine_spark.operators import similarity as sim
+    from time_series_databse_engine_spark.streaming.ingest import last_committed_epoch
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ann")
+    sim.ivf_index_write(emb.filter(F.col("vec_id") < 250), path, n_cells=16, m=4, ks=16)
+    batch = emb.filter(F.col("vec_id") >= 250)
+    sim.ivf_index_append(spark, path, batch, m=4, epoch_id=7)  # uncommitted epoch
+    total = spark.read.parquet(path + "/index").count()
+
+    sim.ivf_index_compact(spark, path, committed_through=6)
+    # epoch 7's files survived compaction under their replayable names
+    assert glob.glob(path + "/index/cell_id=*/epoch7-*")
+    assert spark.read.parquet(path + "/index").count() == total
+    # the crash-replay of epoch 7 converges to exactly one copy
+    sim.ivf_index_append(spark, path, batch, m=4, epoch_id=7)
+    assert spark.read.parquet(path + "/index").count() == total
+
+    # committed epochs ARE absorbed (one file per cell afterwards)
+    sim.ivf_index_compact(spark, path, committed_through=7)
+    assert not glob.glob(path + "/index/cell_id=*/epoch7-*")
+    assert spark.read.parquet(path + "/index").count() == total
+
+    # crash recovery: simulate a swap interrupted after the move-aside
+    cells = [d for d in os.listdir(path + "/index") if d.startswith("cell_id=")]
+    victim = os.path.join(path, "index", cells[0])
+    shutil.move(victim, os.path.join(path, "index", ".compact-old-" + cells[0]))
+    os.makedirs(path + "/index-compact-tmp")  # crashed staging too
+    assert sim.ivf_index_vacuum(path) == 1
+    assert os.path.isdir(victim)  # cell restored, nothing lost
+    assert spark.read.parquet(path + "/index").count() == total
+
+    # checkpoint helper: fresh/absent checkpoint -> None
+    assert last_committed_epoch(str(tmp_path / "no_ckpt")) is None

@@ -923,6 +923,68 @@ def pq_topk(
     )
 
 
+
+def _assign_and_encode(
+    embeddings,
+    cents: DataFrame,
+    cb: DataFrame,
+    m: int,
+    dim: int,
+    id_col: str,
+    vec_col: str,
+    encode: str = "auto",
+    ks: int | None = None,
+) -> DataFrame:
+    """The ONE corpus pass shared by :func:`ivfpq_topk`,
+    :func:`ivf_index_write`, and :func:`ivf_index_append`: nearest-cell
+    assignment fused through PQ encoding via ``carry`` — zero exchanges,
+    no id re-join.  A single definition, because the persisted index's
+    oracle-sharing contract ('layout never changes answers') requires
+    append-encoded, build-encoded, and in-memory-encoded rows to be
+    bit-identical.  Encode path: exact interpreted fold at small
+    codebooks (oracle parity), BLAS mapInPandas past m*ks ~ 64 where
+    the fold's interpretation dominates (measured 2.7-3.0x at sf0.1 —
+    see pq_encode_np); mirrors semantic_dedup's assign="auto"."""
+    c = embeddings.select(
+        F.col(id_col).alias("cand_id"), as_double(vec_col).alias("cvec")
+    ).withColumn("cn", norm(F.col("cvec")))
+    c_assigned = assign_nearest_cell(c, cents, F.col("cvec"), F.col("cn"))
+    if ks is None and encode == "auto":
+        ks = cb.count()  # k-row sidecar — a trivial job, callers may pass ks
+    use_np = encode == "numpy" or (encode == "auto" and m * (ks or 0) > 64)
+    enc_fn = pq_encode_np if use_np else pq_encode
+    return enc_fn(
+        c_assigned, cb, m, dim, id_col="cand_id", vec_col="cvec", carry=("cell_id",)
+    )
+
+
+def _probe_cells(
+    queries: DataFrame, cents: DataFrame, n_probe: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """Query-side probe-cell selection shared by :func:`ivfpq_topk` and
+    :func:`ivf_index_probe` (one definition, same contract as
+    :func:`_assign_and_encode`): rank the broadcast centroids per query
+    by cosine, keep the top ``n_probe`` — tiny input, rank window is
+    fine."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("qvec")
+    ).withColumn("qn", norm(F.col("qvec")))
+    q_scored = q.crossJoin(F.broadcast(cents)).select(
+        "*",
+        (dot(F.col("qvec"), F.col("cent")) / (F.col("qn") * F.col("cent_n"))).alias(
+            "_csim"
+        ),
+    )
+    wq = W.partitionBy("query_id").orderBy(
+        F.col("_csim").desc(), F.col("cell_id").asc()
+    )
+    return (
+        q_scored.withColumn("_crank", F.row_number().over(wq))
+        .filter(F.col("_crank") <= n_probe)
+        .drop("cent", "cent_n", "_csim", "_crank", "qn")
+    )
+
+
 def ivfpq_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -937,6 +999,10 @@ def ivfpq_topk(
     encode: str = "auto",
 ) -> DataFrame:
     """IVFADC (Jégou et al. 2011 §IV): the production ANN shape — IVF
+    (body shared with the persisted index via :func:`_assign_and_encode`
+    / :func:`_probe_cells` — ONE definition of the result-defining
+    logic, so 'the persisted layout never changes answers' holds by
+    construction, not by keeping copies in sync.)
     cell pruning cuts HOW MANY candidates are scanned (~n_probe/n_cells
     of N), PQ/ADC cuts HOW WIDE each scanned candidate is (~2-byte codes
     instead of 512-byte vectors).  :func:`ivf_topk` alone still reads
@@ -956,36 +1022,10 @@ def ivfpq_topk(
     """
     cents = hash_sampled_cells(embeddings, n_cells, id_col, vec_col)
     cb = pq_codebook(embeddings, ks, id_col, vec_col)
-
-    c = embeddings.select(
-        F.col(id_col).alias("cand_id"), as_double(vec_col).alias("cvec")
-    ).withColumn("cn", norm(F.col("cvec")))
-    c_assigned = assign_nearest_cell(c, cents, F.col("cvec"), F.col("cn"))
-    # encode path: exact interpreted fold at small codebooks (oracle
-    # parity), BLAS mapInPandas past m·ks ≈ 64 where the fold's
-    # interpretation dominates (measured 2.7-3.0× at sf0.1 — see
-    # pq_encode_np); mirrors semantic_dedup's assign="auto"
-    use_np = encode == "numpy" or (encode == "auto" and m * ks > 64)
-    enc_fn = pq_encode_np if use_np else pq_encode
-    enc = enc_fn(
-        c_assigned, cb, m, dim, id_col="cand_id", vec_col="cvec", carry=("cell_id",)
+    enc = _assign_and_encode(
+        embeddings, cents, cb, m, dim, id_col, vec_col, encode, ks=ks
     )
-
-    q = queries.select(
-        F.col(id_col).alias("query_id"), as_double(vec_col).alias("qvec")
-    ).withColumn("qn", norm(F.col("qvec")))
-    q_scored = q.crossJoin(F.broadcast(cents)).select(
-        "*",
-        (dot(F.col("qvec"), F.col("cent")) / (F.col("qn") * F.col("cent_n"))).alias(
-            "_csim"
-        ),
-    )
-    wq = W.partitionBy("query_id").orderBy(F.col("_csim").desc(), F.col("cell_id").asc())
-    q_probes = (
-        q_scored.withColumn("_crank", F.row_number().over(wq))
-        .filter(F.col("_crank") <= n_probe)
-        .drop("cent", "cent_n", "_csim", "_crank", "qn")
-    )
+    q_probes = _probe_cells(queries, cents, n_probe, id_col, vec_col)
 
     scored = (
         enc.join(F.broadcast(q_probes), "cell_id")
@@ -1630,14 +1670,7 @@ def ivf_index_write(
     """
     cents = hash_sampled_cells(embeddings, n_cells, id_col, vec_col)
     cb = pq_codebook(embeddings, ks, id_col, vec_col)
-    c = embeddings.select(
-        F.col(id_col).alias("cand_id"), as_double(vec_col).alias("cvec")
-    ).withColumn("cn", norm(F.col("cvec")))
-    c_assigned = assign_nearest_cell(c, cents, F.col("cvec"), F.col("cn"))
-    enc_fn = pq_encode_np if m * ks > 64 else pq_encode  # ivfpq_topk's auto rule
-    enc = enc_fn(
-        c_assigned, cb, m, dim, id_col="cand_id", vec_col="cvec", carry=("cell_id",)
-    )
+    enc = _assign_and_encode(embeddings, cents, cb, m, dim, id_col, vec_col, ks=ks)
     (
         enc.select("cand_id", "codes", "cell_id")
         .repartition("cell_id")
@@ -1684,23 +1717,7 @@ def ivf_index_probe(
     cents = spark.read.parquet(path + "/cells")
     cb = spark.read.parquet(path + "/codebook")
 
-    q = queries.select(
-        F.col(id_col).alias("query_id"), as_double(vec_col).alias("qvec")
-    ).withColumn("qn", norm(F.col("qvec")))
-    q_scored = q.crossJoin(F.broadcast(cents)).select(
-        "*",
-        (dot(F.col("qvec"), F.col("cent")) / (F.col("qn") * F.col("cent_n"))).alias(
-            "_csim"
-        ),
-    )
-    wq = W.partitionBy("query_id").orderBy(
-        F.col("_csim").desc(), F.col("cell_id").asc()
-    )
-    q_probes = (
-        q_scored.withColumn("_crank", F.row_number().over(wq))
-        .filter(F.col("_crank") <= n_probe)
-        .drop("cent", "cent_n", "_csim", "_crank", "qn")
-    )
+    q_probes = _probe_cells(queries, cents, n_probe, id_col, vec_col)
     probed = sorted(
         r["cell_id"] for r in q_probes.select("cell_id").distinct().collect()
     )
@@ -1709,7 +1726,14 @@ def ivf_index_probe(
     # reconstruction is m dynamic element_at lookups + slice/concat —
     # exactly pq_encode's recon values, rebuilt from codes at probe time
     cb_row = F.broadcast(
-        cb.orderBy("code").agg(F.collect_list("cent").alias("_cbarr"))
+        # array_sort on the (code, cent) struct, NOT orderBy+collect_list:
+        # collect_list order is not guaranteed across partitions/AQE (the
+        # pq_encode_np discipline) and element i must be centroid code i
+        cb.agg(
+            F.array_sort(F.collect_list(F.struct("code", "cent")))
+            .getField("cent")
+            .alias("_cbarr")
+        )
     )
     idx = (
         spark.read.parquet(path + "/index")
@@ -1778,16 +1802,8 @@ def ivf_index_append(
     """
     cents = spark.read.parquet(path + "/cells")
     cb = spark.read.parquet(path + "/codebook")
-    c = new_embeddings.select(
-        F.col(id_col).alias("cand_id"), as_double(vec_col).alias("cvec")
-    ).withColumn("cn", norm(F.col("cvec")))
-    c_assigned = assign_nearest_cell(c, cents, F.col("cvec"), F.col("cn"))
-    ks = cb.count()
-    enc_fn = pq_encode_np if m * ks > 64 else pq_encode  # the build's auto rule
     enc = (
-        enc_fn(
-            c_assigned, cb, m, dim, id_col="cand_id", vec_col="cvec", carry=("cell_id",)
-        )
+        _assign_and_encode(new_embeddings, cents, cb, m, dim, id_col, vec_col)
         .select("cand_id", "codes", "cell_id")
         .repartition("cell_id")
     )
@@ -1818,27 +1834,86 @@ def ivf_index_append(
     shutil.rmtree(tmp, ignore_errors=True)
 
 
-def ivf_index_compact(spark, path: str) -> None:
+def _recover_compact(idx: str) -> None:
+    """Self-heal a compaction that crashed mid-swap: any
+    ``.compact-old-cell_id=*`` move-aside dir (invisible to Spark — dot
+    prefix) whose live cell directory is MISSING is moved back; the rest
+    are leftovers of completed swaps and are removed.  Run by
+    :func:`ivf_index_compact` and :func:`ivf_index_vacuum` before doing
+    anything else, so no crash window ever loses data."""
+    import os
+    import shutil
+
+    for entry in os.listdir(idx):
+        if not entry.startswith(".compact-old-"):
+            continue
+        live = os.path.join(idx, entry[len(".compact-old-"):])
+        aside = os.path.join(idx, entry)
+        if os.path.isdir(live):
+            shutil.rmtree(aside, ignore_errors=True)
+        else:
+            os.rename(aside, live)
+
+
+def ivf_index_compact(
+    spark, path: str, committed_through: int | None = None
+) -> None:
     """Compaction for a persisted ANN index: rewrite the cell partitions
     into one large sorted file per cell — the maintenance op that keeps
     probe cost bounded after many epoch appends (each streaming
     micro-batch adds a file per touched cell; probe cost grows with
     FILE COUNT in the probed cells, not with index bytes).
 
-    The :meth:`TimeSeriesStore.compact` discipline applied to the index
-    table: rewrite distributed into a temp sibling (Spark refuses to
-    overwrite a path it is reading), then swap cell directories on the
-    driver — the O(cells) metadata commit.  Crash before the swap
-    leaves the index untouched; rows sort by ``cand_id`` inside each
-    cell so footer min/max stats stay tight for id-scoped audits.
-    Result-invisible to probes (same rows, same cells) — asserted in
-    tests by probe identity before/after.
+    Two safety contracts beyond the basic rewrite-and-swap:
+
+    * **Crash-safe swap.**  Each cell's old directory is MOVED ASIDE
+      (``.compact-old-…``, a dot-dir Spark never reads) before the new
+      one moves in, and the asides are deleted only after every swap
+      completes; a crash at any point leaves all data recoverable, and
+      :func:`_recover_compact` (run on the next compact or vacuum)
+      restores any cell whose swap was interrupted.  Nothing is ever
+      rmtree'd while it is the only copy.
+
+    * **Replay-aware.**  ``committed_through`` is the last epoch id the
+      streaming checkpoint has COMMITTED (see
+      :func:`streaming.ingest.last_committed_epoch`).  Files of epochs
+      beyond it keep their ``epoch{id}-`` names and are left in place,
+      because :func:`ivf_index_append`'s exactly-once replay contract
+      depends on finding and deleting them; absorbing an uncommitted
+      epoch into anonymous compacted files would turn the replay into a
+      duplication.  ``committed_through=None`` absorbs everything — only
+      safe when no stream is writing (e.g. stopped after a clean
+      commit).
+
+    Rows sort by ``cand_id`` inside each cell so footer min/max stats
+    stay tight; result-invisible to probes (same rows, same cells) —
+    asserted in tests by probe identity before/after.
     """
     import os
+    import re
     import shutil
 
     idx = path.rstrip("/") + "/index"
-    df = spark.read.parquet(idx)
+    _recover_compact(idx)
+
+    def absorbable(fname: str) -> bool:
+        if not fname.endswith(".parquet"):
+            return False
+        mo = re.match(r"epoch(\d+)-", fname)
+        if mo is None:
+            return True  # build/compact files — always committed
+        return committed_through is not None and int(mo.group(1)) <= committed_through or committed_through is None
+
+    files: list[str] = []
+    for entry in os.listdir(idx):
+        if not entry.startswith("cell_id="):
+            continue
+        for fname in os.listdir(os.path.join(idx, entry)):
+            if absorbable(fname):
+                files.append(os.path.join(idx, entry, fname))
+    if not files:
+        return
+    df = spark.read.option("basePath", idx).parquet(*files)
     tmp = path.rstrip("/") + "/index-compact-tmp"
     shutil.rmtree(tmp, ignore_errors=True)
     (
@@ -1849,32 +1924,49 @@ def ivf_index_compact(spark, path: str) -> None:
         .partitionBy("cell_id")
         .parquet(tmp)
     )
+    swapped = []
     for entry in os.listdir(tmp):
-        src = os.path.join(tmp, entry)
         if not entry.startswith("cell_id="):
             continue
-        dst = os.path.join(idx, entry)
+        src_dir, dst = os.path.join(tmp, entry), os.path.join(idx, entry)
+        # carry NON-absorbed (uncommitted-epoch) files into the new dir
+        # so the swap never drops them
         if os.path.isdir(dst):
-            shutil.rmtree(dst)
-        shutil.move(src, dst)
+            for fname in os.listdir(dst):
+                if fname.endswith(".parquet") and not absorbable(fname):
+                    shutil.move(
+                        os.path.join(dst, fname), os.path.join(src_dir, fname)
+                    )
+            os.rename(dst, os.path.join(idx, ".compact-old-" + entry))
+            swapped.append(entry)
+        shutil.move(src_dir, dst)
+    for entry in swapped:  # all swaps complete — now the asides may go
+        shutil.rmtree(os.path.join(idx, ".compact-old-" + entry), ignore_errors=True)
     shutil.rmtree(tmp, ignore_errors=True)
 
 
 def ivf_index_vacuum(path: str) -> int:
     """Remove crashed staging state from a persisted ANN index: an
     epoch append or compaction that died mid-write leaves its
-    ``index-epoch-<id>-tmp`` / ``index-compact-tmp`` sibling behind
-    (both commit by move — staged data was never visible, so removal is
-    always safe).  Partially-moved epoch files INSIDE the index need no
-    GC either: the next replay of that epoch deletes its own
-    ``epoch{id}-`` prefix before re-moving (see
-    :func:`ivf_index_append`).  O(1) directory checks, zero data read;
-    returns the number of staging dirs removed."""
+    ``index-epoch-<id>-tmp`` / ``index-compact-tmp`` sibling behind.
+    Before sweeping, :func:`_recover_compact` restores any cell whose
+    compaction swap was interrupted (its data lives in a
+    ``.compact-old-…`` move-aside, never only in the tmp dir) — so the
+    sweep removes staging copies, never the last copy of anything.
+    Partially-moved epoch files INSIDE the index need no GC either: the
+    next replay of that epoch deletes its own ``epoch{id}-`` prefix
+    before re-moving (see :func:`ivf_index_append`).  Run from the
+    maintenance owner — not concurrently with an active append/compact
+    (the :meth:`TimeSeriesStore.vacuum` assumption).  O(1) directory
+    checks, zero data read; returns the number of staging dirs
+    removed."""
     import os
     import shutil
 
     removed = 0
     base = path.rstrip("/")
+    if os.path.isdir(os.path.join(base, "index")):
+        _recover_compact(os.path.join(base, "index"))
     for entry in os.listdir(base):
         if (
             (entry.startswith("index-epoch-") or entry == "index-compact-tmp")

@@ -247,3 +247,22 @@ def maintain_ann_index(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
     )
+
+
+def last_committed_epoch(checkpoint_dir: str) -> int | None:
+    """Largest batch id the Structured Streaming checkpoint has
+    COMMITTED (the ``commits/`` write-ahead log — a batch id appears
+    there only after its foreachBatch completed and the sink's writes
+    are final).  This is the ``committed_through`` input for
+    :func:`operators.similarity.ivf_index_compact`: epochs beyond it
+    may still be replayed on restart, so compaction must leave their
+    files (and ``epoch{id}-`` names) in place for the replay's
+    delete-before-move to find.  Returns None for a fresh/absent
+    checkpoint."""
+    import os
+
+    commits = os.path.join(checkpoint_dir, "commits")
+    if not os.path.isdir(commits):
+        return None
+    ids = [int(f) for f in os.listdir(commits) if f.isdigit()]
+    return max(ids) if ids else None
