@@ -1918,6 +1918,35 @@ def q_ann_index_append(spark, sf_dir):
     )
 
 
+def q_ann_index_compacted(spark, sf_dir):
+    """Full persisted-index lifecycle under the hash gate: build on the
+    base corpus, epoch-append the rest, COMPACT (one sorted file per
+    cell; the epoch is committed, so committed_through absorbs it),
+    then probe.  Result must equal the base-quantizer ivfpq oracle —
+    the same oracle as ann_index_append — proving compaction
+    result-invisible end-to-end, not just in unit tests."""
+    emb = _t(spark, sf_dir, "embeddings")
+    key = sf_dir + "#compacted"
+    if key not in _ANN_INDEXES:
+        path = tempfile.mkdtemp(prefix="ann_index_cpt_")
+        sim_ops.ivf_index_write(
+            emb.filter(F.col("vec_id") < 250), path, n_cells=16, m=4, ks=16
+        )
+        sim_ops.ivf_index_append(
+            spark, path, emb.filter(F.col("vec_id") >= 250), m=4, epoch_id=0
+        )
+        sim_ops.ivf_index_compact(spark, path, committed_through=0)
+        _ANN_INDEXES[key] = path
+    return sim_ops.ivf_index_probe(
+        spark,
+        _ANN_INDEXES[key],
+        emb.filter(F.col("vec_id") < 5),
+        k=5,
+        n_probe=4,
+        m=4,
+    )
+
+
 def q_pagerank(spark, sf_dir):
     """PageRank centrality over the LSH near-dup candidate graph
     (graph.pagerank, Page 1999; d=0.85, 5 fixed iterations): pick the
@@ -3086,6 +3115,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sq8_topk, mmr_topk; BPE by bpe_tokenize)
         "lsh_multiprobe_topk": q_lsh_multiprobe_topk,
         "bpe_pairs": q_bpe_pairs,
+        # compaction under the hash gate (oracle = ann_index_append's);
+        # out-of-window this round, local-gate evidence
+        "ann_index_compacted": q_ann_index_compacted,
         "full_outer_join": q_full_outer_join,
         "lsh_ann_topk_multi": q_lsh_ann_topk_multi,
         "resample_1m_expr": q_resample_1m_expr,
@@ -5925,6 +5957,9 @@ def oracle_sql() -> dict[str, str]:
     oracles["ann_index_append"] = _ivfpq_oracle_sql(
         "(SELECT vec_id, embedding FROM embeddings WHERE vec_id < 250)"
     )
+    # build→append→compact→probe must be indistinguishable from
+    # build→append→probe: compaction under the hash gate
+    oracles["ann_index_compacted"] = oracles["ann_index_append"]
     oracles["fuzzy_join"] = """
         WITH dirty(dirty) AS (VALUES ('clik'), ('vew'), ('purchace'),
                                      ('signupp'), ('errror'), ('zzz')),
