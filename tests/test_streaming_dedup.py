@@ -129,6 +129,14 @@ def test_streaming_ann_index_maintenance_exactly_once(spark, sf_dir, tmp_path):
     idx = spark.read.parquet(path + "/index")
     assert idx.count() == n_total
 
+    # the checkpoint's commits WAL reports the batch as committed — the
+    # committed_through input a maintenance compact would use
+    from time_series_databse_engine_spark.streaming.ingest import (
+        last_committed_epoch,
+    )
+
+    assert last_committed_epoch(str(tmp_path / "ckpt")) == 0
+
     # crash replay: the same epoch appended again must NOT duplicate —
     # delete-before-move removes the previous attempt's files
     sim.ivf_index_append(spark, path, batch, m=4, epoch_id=0)
