@@ -1918,6 +1918,24 @@ def q_ann_index_append(spark, sf_dir):
     )
 
 
+def q_token_budget_sample(spark, sf_dir):
+    """Per-source token-budget fill (sampling.token_budget_sample): take
+    docs in deterministic md5(id) order until each source's whitespace-
+    token quota is full (greedy prefix, cumulative-≤ rule, exact integer
+    arithmetic) — the data-mixing step as LLM pipelines specify it
+    (token quotas), complementing mixture_sample's doc-count shares.
+    Budgets exercise all three regimes: partial fill (src0), quota
+    larger than the source (src1), and the default for unnamed
+    sources."""
+    from time_series_databse_engine_spark.operators import sampling as sampling_ops
+
+    return sampling_ops.token_budget_sample(
+        _t(spark, sf_dir, "documents"),
+        {"src0": 500, "src1": 10_000_000},
+        default_budget=200,
+    )
+
+
 def q_ann_index_compacted(spark, sf_dir):
     """Full persisted-index lifecycle under the hash gate: build on the
     base corpus, epoch-append the rest, COMPACT (one sorted file per
@@ -3118,6 +3136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # compaction under the hash gate (oracle = ann_index_append's);
         # out-of-window this round, local-gate evidence
         "ann_index_compacted": q_ann_index_compacted,
+        "token_budget_sample": q_token_budget_sample,
         "full_outer_join": q_full_outer_join,
         "lsh_ann_topk_multi": q_lsh_ann_topk_multi,
         "resample_1m_expr": q_resample_1m_expr,
@@ -5217,6 +5236,24 @@ def oracle_sql() -> dict[str, str]:
         # quantizers draw the same 16 smallest-md5 sample (different
         # roles: cells keyed by vec_id, codes numbered 0..15)
         "ivfpq_topk": _ivfpq_oracle_sql(),
+        # greedy per-source token-budget prefix: same md5 order, same
+        # cumulative-<= rule, integer end-to-end
+        "token_budget_sample": """
+            WITH t AS (SELECT doc_id, source,
+                              CAST(len(regexp_extract_all(text, '[^\\s]+'))
+                                   AS BIGINT) AS n_tokens
+                       FROM documents),
+            c AS (SELECT doc_id, source, n_tokens,
+                         CAST(sum(n_tokens) OVER (
+                             PARTITION BY source
+                             ORDER BY md5(doc_id::VARCHAR), doc_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+                  FROM t)
+            SELECT doc_id, source, n_tokens, cum_tokens FROM c
+            WHERE cum_tokens <= CASE source
+                                WHEN 'src0' THEN 500
+                                WHEN 'src1' THEN 10000000
+                                ELSE 200 END""",
         # A-ES weighted sample: exponential race key -ln(u)/w, u from the
         # same md5 hash-uniform construction as dsir_sample's Gumbel
         "weighted_sample": """

@@ -184,3 +184,38 @@ def test_equidepth_bins_balanced_and_tie_stable(spark):
     hout = equidepth_bins(heavy, "score", n_bins=10)
     one = hout.filter(F.col("score") == 5.0).select("bin").distinct().collect()
     assert len(one) == 1
+
+
+def test_token_budget_sample_greedy_prefix_semantics(spark):
+    """Budgets fill greedily in md5(id) order: the doc that would cross
+    its source's budget is excluded (cumulative-<= rule), oversized
+    budgets keep the whole source, absent sources get the default, and
+    the selection is rerun-stable."""
+    from time_series_databse_engine_spark.operators.sampling import (
+        token_budget_sample,
+    )
+
+    rows = [
+        (i, "a", "tok " * 10) for i in range(10)         # 10 docs x 10 tokens
+    ] + [
+        (100 + i, "b", "x y z") for i in range(3)         # 3 docs x 3 tokens
+    ] + [
+        (200 + i, "c", "one two") for i in range(4)       # default-budget source
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    out = token_budget_sample(df, {"a": 35, "b": 1000}, default_budget=2)
+    got = {r.source: sorted((x.doc_id, x.cum_tokens) for x in rs)
+           for r, rs in [(r, [x for x in out.collect() if x.source == r.source])
+                         for r in out.select("source").distinct().collect()]}
+    # source a: 10-token docs -> exactly 3 fit in 35 (cum 10,20,30; 40 > 35);
+    # which three doc_ids is md5-order-dependent, the cum set is not
+    a = got["a"]
+    assert len(a) == 3 and sorted(c for _, c in a) == [10, 20, 30]
+    # source b: budget exceeds total -> all kept
+    assert len(got["b"]) == 3
+    # source c: default budget 2 < every doc's 2-token... 2 <= 2 -> first doc kept
+    assert len(got["c"]) == 1 and got["c"][0][1] == 2
+    # rerun-stable: same rows both times
+    again = token_budget_sample(df, {"a": 35, "b": 1000}, default_budget=2)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))

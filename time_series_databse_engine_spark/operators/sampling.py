@@ -311,3 +311,53 @@ def equidepth_bins(
         )
         .drop("_bounds")
     )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budgets: dict[str, int],
+    default_budget: int = 0,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy per-source TOKEN-budget fill — the data-mixing step as LLM
+    pipelines actually specify it (token quotas per source: "3B code
+    tokens, 7B web"), where :func:`mixture_sample` keeps document-COUNT
+    shares.  Docs are taken in the deterministic ``md5(id)`` order
+    (growth/retry-invariant like every sampler here) and a doc is kept
+    iff its source's CUMULATIVE whitespace-token count, itself
+    included, still fits the budget — the greedy prefix rule: exact,
+    integer, engine-replayable (no float rates, no boundary ties).
+    Sources absent from ``budgets`` get ``default_budget``.  Returns
+    ``(id, group, n_tokens, cum_tokens)`` for kept docs.
+
+    Scale shape: token counting is a codegen'd per-row expression; the
+    running sum is ONE source-keyed exchange.  A giant source does NOT
+    make the window a straggler at 100 TB: cap useful work first with a
+    cheap pre-filter (``deterministic_sample`` at a rate that
+    over-covers the budget, or a bucket-count gate), then run the exact
+    prefix window on the survivors — the budget bounds how many rows
+    can ever be kept, so the pre-filter loses nothing.
+    """
+    n_tok = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit("[^\\s]+"), 0)
+    ).cast("long")
+    w = (
+        W.partitionBy(group_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    if budgets:
+        budget = F.coalesce(
+            *[
+                F.when(F.col(group_col) == g, F.lit(int(b)))
+                for g, b in sorted(budgets.items())
+            ],
+            F.lit(int(default_budget)),
+        ).cast("long")
+    else:
+        budget = F.lit(int(default_budget)).cast("long")
+    out = df.select(F.col(id_col), F.col(group_col), n_tok.alias("n_tokens"))
+    out = out.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return out.filter(F.col("cum_tokens") <= budget)
