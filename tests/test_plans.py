@@ -1,5 +1,6 @@
 """Plan-shape assertions: the 100 TB posture, checked programmatically."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from time_series_databse_engine_spark.plans import (
@@ -627,3 +628,49 @@ def test_ann_index_compact_replay_contract_and_crash_recovery(spark, sf_dir, tmp
 
     # checkpoint helper: fresh/absent checkpoint -> None
     assert last_committed_epoch(str(tmp_path / "no_ckpt")) is None
+
+
+def test_ann_index_compact_crash_in_carry_window_loses_nothing(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """ADVICE r6 crash window: compaction crashes after a cell's
+    move-aside + uncommitted-epoch carry but BEFORE the staging dir
+    swaps in.  The carry is a COPY taken after the aside rename, so the
+    aside still holds the only-copy bytes; vacuum's recovery restores
+    the cell and the uncommitted epoch replays exactly-once — even
+    though the next compact clears index-compact-tmp unconditionally."""
+    import glob
+    import shutil
+
+    from time_series_databse_engine_spark.operators import similarity as sim
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ann_crash")
+    sim.ivf_index_write(emb.filter(F.col("vec_id") < 250), path, n_cells=16, m=4, ks=16)
+    batch = emb.filter(F.col("vec_id") >= 250)
+    sim.ivf_index_append(spark, path, batch, m=4, epoch_id=9)  # uncommitted
+    total = spark.read.parquet(path + "/index").count()
+    n_epoch_files = len(glob.glob(path + "/index/cell_id=*/epoch9-*"))
+    assert n_epoch_files > 0
+
+    real_move = shutil.move
+
+    def crash_on_swap(src, dst, *a, **k):  # first swap move = mid-compact crash
+        raise OSError("simulated crash before staging swap")
+
+    monkeypatch.setattr(shutil, "move", crash_on_swap)
+    with pytest.raises(OSError, match="simulated crash"):
+        sim.ivf_index_compact(spark, path, committed_through=0)
+    monkeypatch.setattr(shutil, "move", real_move)
+
+    # heal: aside restored (it held the only complete copy), staging swept
+    assert sim.ivf_index_vacuum(path) >= 1
+    assert spark.read.parquet(path + "/index").count() == total
+    assert len(glob.glob(path + "/index/cell_id=*/epoch9-*")) == n_epoch_files
+    # epoch 9's replay still converges to exactly one copy
+    sim.ivf_index_append(spark, path, batch, m=4, epoch_id=9)
+    assert spark.read.parquet(path + "/index").count() == total
+    # and a clean compact afterwards still refuses to absorb epoch 9
+    sim.ivf_index_compact(spark, path, committed_through=0)
+    assert glob.glob(path + "/index/cell_id=*/epoch9-*")
+    assert spark.read.parquet(path + "/index").count() == total

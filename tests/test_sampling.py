@@ -219,3 +219,55 @@ def test_token_budget_sample_greedy_prefix_semantics(spark):
     # rerun-stable: same rows both times
     again = token_budget_sample(df, {"a": 35, "b": 1000}, default_budget=2)
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_token_budget_sample_null_text_matches_sql_semantics(spark):
+    """A NULL text contributes NULL tokens (skipped by the window sum),
+    never legacy sizeOfNull's -1 — checked by running the oracle-shaped
+    SQL in DuckDB on the same rows and comparing kept sets exactly
+    (ADVICE r6: -1 summed into the budget diverged from the oracle on
+    any corpus containing null documents)."""
+    import duckdb
+    import pandas as pd
+
+    from time_series_databse_engine_spark.operators.sampling import (
+        token_budget_sample,
+    )
+
+    rows = [(1, "a", None), (2, "a", "t1 t2 t3"), (3, "a", "u1 u2"),
+            (4, "a", None), (5, "a", "v1 v2 v3 v4"), (6, "b", None)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = token_budget_sample(df, {"a": 5, "b": 5}).select(
+        "doc_id", "source", "n_tokens", "cum_tokens"
+    )
+    got = sorted(map(tuple, out.collect()))
+
+    pdf = pd.DataFrame(rows, columns=["doc_id", "source", "text"])
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = sorted(
+        map(
+            tuple,
+            con.execute(
+                r"""
+        WITH t AS (SELECT doc_id, source,
+                          CAST(len(regexp_extract_all(text, '[^\s]+'))
+                               AS BIGINT) AS n_tokens
+                   FROM documents),
+        c AS (SELECT doc_id, source, n_tokens,
+                     CAST(sum(n_tokens) OVER (
+                         PARTITION BY source
+                         ORDER BY md5(doc_id::VARCHAR), doc_id
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+              FROM t)
+        SELECT doc_id, source, n_tokens, cum_tokens FROM c
+        WHERE cum_tokens <= 5"""
+            ).fetchall(),
+        )
+    )
+    assert got == want
+    # and a null-text doc never burns budget: all three non-null 'a'
+    # docs (3+2+4 = 9 > 5 -> greedy prefix in md5 order) are judged on
+    # real tokens only
+    a_kept = [r for r in got if r[1] == "a" and r[2] is not None]
+    assert sum(r[2] for r in a_kept) <= 5

@@ -225,3 +225,45 @@ def test_cms_topk_never_underestimates_and_finds_heavy_hitters(spark):
     for r in a.unionAll(b).collect():
         merged[(r["row"], r["col"])] = merged.get((r["row"], r["col"]), 0) + r["cnt"]
     assert merged == whole
+
+
+def test_write_bucketed_sweep_only_clears_spark_table_dirs(spark, sf_dir):
+    """ADVICE r6: the stale-location sweep must only remove directories
+    that are recognizably a prior Spark parquet-table write.  A foreign
+    directory sharing the table name survives (write_bucketed fails
+    loudly instead of deleting it); a genuine stale part-file dir is
+    swept and the write succeeds."""
+    import os
+    import shutil
+
+    cust = load_table(spark, sf_dir, "customer")
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+
+    # (a) foreign dir: user data that merely shares the name
+    foreign = os.path.join(wh, "t_sweep_foreign")
+    spark.sql("DROP TABLE IF EXISTS t_sweep_foreign")
+    shutil.rmtree(foreign, ignore_errors=True)
+    os.makedirs(foreign)
+    with open(os.path.join(foreign, "precious.txt"), "w") as fh:
+        fh.write("not a spark table")
+    try:
+        with pytest.raises(Exception):
+            write_bucketed(cust, "t_sweep_foreign", ("c_custkey",), num_buckets=2)
+        assert os.path.exists(os.path.join(foreign, "precious.txt"))
+    finally:
+        shutil.rmtree(foreign, ignore_errors=True)
+        spark.sql("DROP TABLE IF EXISTS t_sweep_foreign")
+
+    # (b) stale spark-table dir: part files + _SUCCESS, no catalog entry
+    stale = os.path.join(wh, "t_sweep_stale")
+    spark.sql("DROP TABLE IF EXISTS t_sweep_stale")
+    shutil.rmtree(stale, ignore_errors=True)
+    os.makedirs(stale)
+    for fname in ("part-00000-dead.parquet", "_SUCCESS"):
+        open(os.path.join(stale, fname), "w").close()
+    try:
+        write_bucketed(cust, "t_sweep_stale", ("c_custkey",), num_buckets=2)
+        assert spark.table("t_sweep_stale").count() == cust.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_sweep_stale")
+        shutil.rmtree(stale, ignore_errors=True)

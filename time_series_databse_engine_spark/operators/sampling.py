@@ -340,8 +340,13 @@ def token_budget_sample(
     prefix window on the survivors — the budget bounds how many rows
     can ever be kept, so the pre-filter loses nothing.
     """
-    n_tok = F.size(
-        F.regexp_extract_all(F.col(text_col), F.lit("[^\\s]+"), 0)
+    # NULL text must contribute NULL (ignored by the window sum), not
+    # legacy sizeOfNull's -1 — a -1 summed into the cumulative budget
+    # diverges from the SQL oracle's NULL-skipping SUM on any corpus
+    # with null documents
+    n_tok = F.when(
+        F.col(text_col).isNotNull(),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit("[^\\s]+"), 0)),
     ).cast("long")
     w = (
         W.partitionBy(group_col)

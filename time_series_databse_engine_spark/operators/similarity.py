@@ -1929,16 +1929,22 @@ def ivf_index_compact(
         if not entry.startswith("cell_id="):
             continue
         src_dir, dst = os.path.join(tmp, entry), os.path.join(idx, entry)
-        # carry NON-absorbed (uncommitted-epoch) files into the new dir
-        # so the swap never drops them
         if os.path.isdir(dst):
-            for fname in os.listdir(dst):
-                if fname.endswith(".parquet") and not absorbable(fname):
-                    shutil.move(
-                        os.path.join(dst, fname), os.path.join(src_dir, fname)
-                    )
-            os.rename(dst, os.path.join(idx, ".compact-old-" + entry))
+            aside = os.path.join(idx, ".compact-old-" + entry)
+            os.rename(dst, aside)
             swapped.append(entry)
+            # carry NON-absorbed (uncommitted-epoch) files into the new
+            # dir by COPY, only after the aside rename: the aside keeps a
+            # complete copy until every swap finishes, so a crash at any
+            # point here leaves the uncommitted bytes recoverable by
+            # _recover_compact (a move into the staging dir before the
+            # rename would make index-compact-tmp — which the next
+            # compact unconditionally clears — the only copy)
+            for fname in os.listdir(aside):
+                if fname.endswith(".parquet") and not absorbable(fname):
+                    shutil.copy2(
+                        os.path.join(aside, fname), os.path.join(src_dir, fname)
+                    )
         shutil.move(src_dir, dst)
     for entry in swapped:  # all swaps complete — now the asides may go
         shutil.rmtree(os.path.join(idx, ".compact-old-" + entry), ignore_errors=True)

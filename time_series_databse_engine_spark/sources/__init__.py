@@ -169,17 +169,31 @@ def write_bucketed(
         # by a previous process, but their managed-table directories can
         # survive on disk — saveAsTable then fails with
         # LOCATION_ALREADY_EXISTS because "overwrite" can't drop a table
-        # the catalog has never heard of.  Sweep the stale local location.
+        # the catalog has never heard of.  Sweep the stale local location,
+        # but ONLY if the directory is recognizably a prior Spark
+        # parquet-table write (part files / _SUCCESS / dot-temp entries
+        # and nothing else) — never an arbitrary directory that happens
+        # to share the name.  NOTE: catalog state is per-session, so this
+        # sweep assumes single-process ownership of the warehouse dir
+        # (the same assumption saveAsTable("overwrite") itself makes).
         import os
         import shutil
         from urllib.parse import urlparse
 
         wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
         if wh.scheme in ("file", ""):
-            shutil.rmtree(
-                os.path.join(wh.path or wh.netloc, table_name.lower()),
-                ignore_errors=True,
-            )
+            wh_root = wh.path or wh.netloc
+            # resolve db-qualified names the way the session catalog does:
+            # db.tbl lives at <warehouse>/<db>.db/<tbl>
+            parts = table_name.lower().split(".")
+            if len(parts) == 2:
+                loc = os.path.join(wh_root, parts[0] + ".db", parts[1])
+            else:
+                loc = os.path.join(wh_root, parts[-1])
+            if os.path.isdir(loc) and all(
+                e.startswith(("part-", ".", "_")) for e in os.listdir(loc)
+            ):
+                shutil.rmtree(loc, ignore_errors=True)
     writer = (
         df.write.mode("overwrite")
         .format("parquet")
