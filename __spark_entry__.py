@@ -1646,16 +1646,42 @@ def q_edit_verify(spark, sf_dir):
 
 
 def q_pca_project(spark, sf_dir):
-    """PCA dimension reduction 64→8 over the embeddings table
+    """Apply a TRAINED PCA basis — the production serve shape (train
+    once with similarity.pca_train, apply to every later corpus): the
+    committed fixtures/pca_basis.py mean + 8×64 components, pinned as
+    exact-repr float64 literals, projected as plain column arithmetic:
+    value[j] = Σ_i (embedding[i] − mean[i])·comp[j][i], left-associated
+    in i order so Spark and the SQL oracle run the identical fp64
+    reduction — which is what lets an operator whose TRAINING step is a
+    driver eigensolve (not SQL-replayable) still sit under the hash
+    gate for its data-sized application.  Flattened to
+    (vec_id, dim_idx, value) scalars — array outputs crash the driver's
+    canonicalizer (CORRECTNESS_r06: unhashable list).  The dynamic
+    train+apply lifecycle is pca_fit_project."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dims = _pca_dim_exprs("element_at(embedding, {i})")
+    return emb.selectExpr(
+        "vec_id",
+        "posexplode(array(%s)) AS (dim_idx, value)" % ", ".join(dims),
+    )
+
+
+def q_pca_fit_project(spark, sf_dir):
+    """Full PCA lifecycle 64→8 over the embeddings table
     (similarity.pca_train + pca_project): one mapInPandas moment pass +
     driver eigensolve of the 64×64 Gramian (the Spark MLlib
     RowMatrix.computePrincipalComponents shape), then a BLAS-batch
     projection.  Rows-only: the eigensolve is not SQL-replayable;
     determinism, planted-direction recovery, and variance bookkeeping
-    are pinned in test_similarity."""
+    are pinned in test_similarity.  Output flattened to scalar rows
+    (vec_id, dim_idx, value) for the driver canonicalizer; the
+    pinned-basis application path is the oracle-backed pca_project."""
     emb = _t(spark, sf_dir, "embeddings")
     mean, comps, _ = sim_ops.pca_train(emb, k=8)
-    return sim_ops.pca_project(emb, mean, comps)
+    proj = sim_ops.pca_project(emb, mean, comps)
+    return proj.select(
+        "vec_id", F.posexplode("proj").alias("dim_idx", "_v")
+    ).select("vec_id", "dim_idx", F.round("_v", 6).alias("value"))
 
 
 def q_bpe_tokenize(spark, sf_dir):
@@ -3067,10 +3093,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucketed_join_storage": q_bucketed_join_storage,
         "image_neardup": q_image_neardup,
         "audio_neardup": q_audio_neardup,
-        "video_neardup": q_video_neardup,
-        "frame_sample": q_frame_sample,
+        # -- round-7 rotation (VERDICT r6 "Next round" #2/#3): the two
+        # entries with zero driver history (ann_index_compacted,
+        # token_budget_sample — both oracle-backed) plus the new
+        # rows-only pca_fit_project enter the window, displacing three
+        # r6-driver-green rows-only anchors whose categories stay
+        # covered in-window: video_neardup→image_neardup+audio_neardup
+        # (multimodal near-dup), frame_sample→multimodal_resize+
+        # media_safe_decode (multimodal plumbing), simhash→
+        # neardup_incremental+dedup_keep_best (near-dup fingerprints).
+        # pca_project itself graduated to ORACLE-BACKED this round
+        # (pinned committed basis; see _pca_oracle_sql).
+        "ann_index_compacted": q_ann_index_compacted,
+        "token_budget_sample": q_token_budget_sample,
+        "pca_fit_project": q_pca_fit_project,
         "multimodal_resize": q_multimodal_resize,
-        "simhash": q_simhash,
         "bpe_tokenize": q_bpe_tokenize,
         "pca_project": q_pca_project,
         "pagerank": q_pagerank,
@@ -3133,10 +3170,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sq8_topk, mmr_topk; BPE by bpe_tokenize)
         "lsh_multiprobe_topk": q_lsh_multiprobe_topk,
         "bpe_pairs": q_bpe_pairs,
-        # compaction under the hash gate (oracle = ann_index_append's);
-        # out-of-window this round, local-gate evidence
-        "ann_index_compacted": q_ann_index_compacted,
-        "token_budget_sample": q_token_budget_sample,
+        # displaced by the round-7 rotation (driver-green rows-only r6)
+        "video_neardup": q_video_neardup,
+        "frame_sample": q_frame_sample,
+        "simhash": q_simhash,
         "full_outer_join": q_full_outer_join,
         "lsh_ann_topk_multi": q_lsh_ann_topk_multi,
         "resample_1m_expr": q_resample_1m_expr,
@@ -3913,6 +3950,43 @@ def _pack_sequences_sql(cap=512, groups=8) -> str:
         SELECT st.pack_group, st.doc_id, st.n_tokens, st.bin_id,
                CAST(f.fills[CAST(st.bin_id AS INT) + 1] AS BIGINT) AS bin_fill
         FROM steps st JOIN final f USING (pack_group)"""
+
+
+def _pca_dim_exprs(elem_fmt: str) -> list[str]:
+    """The pinned-basis PCA projection as SQL text, one expression per
+    output dim, generated ONCE for both engines from the committed
+    fixture literals: round(Σ_i (elem[i] − mean[i])·comp[j][i], 6),
+    left-associated in i order.  ``elem_fmt`` abstracts the only
+    dialect difference — element access (Spark ``element_at(col, {i})``
+    vs DuckDB ``col[{i}]``, both 1-based).  Float literals are repr()
+    (round-trips every fp64 bit) with an explicit exponent so BOTH SQL
+    parsers type them DOUBLE, never DECIMAL; embedding values are FLOAT
+    in both engines, widened exactly by the subtraction — so the two
+    engines run the bit-identical reduction and the hash gate applies
+    to an operator whose training step is a driver eigensolve."""
+    from time_series_databse_engine_spark.fixtures.pca_basis import COMPS, MEAN
+
+    def lit(v: float) -> str:
+        s = repr(float(v))
+        return s if "e" in s or "E" in s else s + "e0"
+
+    out = []
+    for comp in COMPS:
+        terms = " + ".join(
+            f"({elem_fmt.format(i=i + 1)} - {lit(m)}) * {lit(c)}"
+            for i, (m, c) in enumerate(zip(MEAN, comp))
+        )
+        out.append(f"round({terms}, 6)")
+    return out
+
+
+def _pca_oracle_sql() -> str:
+    """One UNION ALL branch per output dim over the same generated
+    expressions as the Spark side (see :func:`_pca_dim_exprs`)."""
+    return "\nUNION ALL\n".join(
+        f"SELECT vec_id, {j} AS dim_idx, {expr} AS value FROM embeddings"
+        for j, expr in enumerate(_pca_dim_exprs("embedding[{i}]"))
+    )
 
 
 def _ivfpq_oracle_sql(quantizer_from: str = "embeddings") -> str:
@@ -5236,6 +5310,9 @@ def oracle_sql() -> dict[str, str]:
         # quantizers draw the same 16 smallest-md5 sample (different
         # roles: cells keyed by vec_id, codes numbered 0..15)
         "ivfpq_topk": _ivfpq_oracle_sql(),
+        # pinned-basis PCA application: committed-fixture literals, one
+        # UNION ALL branch per output dim, identical fp64 sum order
+        "pca_project": _pca_oracle_sql(),
         # greedy per-source token-budget prefix: same md5 order, same
         # cumulative-<= rule, integer end-to-end
         "token_budget_sample": """

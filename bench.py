@@ -1,11 +1,27 @@
-"""Benchmark harness — one JSON line to stdout.
+"""Benchmark harness — one compact JSON line to stdout, full detail to a file.
 
 Mirrors the reference benchmark (benchmark.py: 1 M sinusoid points, hot
 1-hour / cold 24-hour range queries, storage efficiency — BASELINE.md)
 plus this engine's headline analytical queries at $SPARK_GRAFT_SF_DIR.
 
+Driver contract (VERDICT r6 "Next round" #1): the grading driver captures
+only the FINAL ~2,000 characters of stdout, so the last line printed is a
+compact summary — suite total, all extras, and the top-10 slowest queries —
+hard-capped below 2,000 chars.  The complete per-query map goes to
+$SPARK_GRAFT_BENCH_DETAIL (default BENCH_DETAIL.json beside this file),
+whose path the summary carries:
+
   {"metric": "suite_sec", "value": <total>, "unit": "sec",
-   "queries": {...per-query sec...}, "sf": <dir>, "extra": {...}}
+   "queries": {...top-10 slowest...}, "n_queries": N, "sf": <dir>,
+   "extra": {...}, "detail": "BENCH_DETAIL.json"}
+
+Isolated-timing mode (VERDICT r6 "Next round" #7): in-suite session-state
+position tax distorts per-query comparisons by up to ~1 s at sf0.1
+(SCALE.md).  ``python bench.py --isolate q1,q2`` re-times each named query
+in a FRESH subprocess+SparkSession (warm-up at sf0.001 first, same as the
+suite) and prints one JSON line of isolated seconds — the mechanical way to
+triage a >30% round-over-round mover.  ``--one NAME`` is the per-subprocess
+worker entry point.
 """
 
 from __future__ import annotations
@@ -113,6 +129,9 @@ HEADLINE = [
     "media_safe_decode",
     "bucketed_join_storage",
     "ann_index_probe",
+    "ann_index_append",
+    "ann_index_compacted",
+    "token_budget_sample",
 ]
 
 # repeated-run latency distribution for the reference's hot/cold point
@@ -327,12 +346,36 @@ def main():
         # here once — recorded as build + first probe — so the timed
         # ann_index_probe row is the serving path: a probe against the
         # existing index
-        if "ann_index_probe" in HEADLINE:
+        def _index_file_count(key):
+            base = entry_mod._ANN_INDEXES.get(key)
+            if base is None:
+                return None
+            return sum(
+                1
+                for dp, _, fs in os.walk(os.path.join(base, "index"))
+                for f in fs
+                if f.endswith(".parquet")
+            )
+
+        for nm, key in (
+            ("ann_index_probe", SF_DIR),
+            ("ann_index_append", SF_DIR + "#append"),
+            ("ann_index_compacted", SF_DIR + "#compacted"),
+        ):
+            if nm not in HEADLINE:
+                continue
             t, _ = timed(
-                lambda: queries["ann_index_probe"](spark, SF_DIR)
+                lambda: queries[nm](spark, SF_DIR)
                 .write.format("noop").mode("overwrite").save()
             )
-            extra["ann_index_build_first_probe_sec"] = round(t, 3)
+            extra[f"{nm}_build_first_probe_sec"] = round(t, 3)
+            n = _index_file_count(key)
+            if n is not None:
+                extra[f"{nm}_files"] = n
+        # the append index is the compacted index's pre-compaction state
+        # (same build + same epoch batch), so files(append) vs
+        # files(compacted) IS the before/after compaction file count the
+        # probe-latency rows below are measured against
         for name in HEADLINE:
             fn = overrides[name] if name in overrides else queries[name]
             t, _ = timed(lambda: fn(spark, SF_DIR).write.format("noop").mode("overwrite").save())
@@ -340,20 +383,88 @@ def main():
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
+    emit(times, extra)
+
+
+DETAIL_PATH = os.environ.get(
+    "SPARK_GRAFT_BENCH_DETAIL",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
+)
+SUMMARY_LIMIT = 2000  # driver stdout capture window
+
+
+def emit(times: dict[str, float], extra: dict[str, float]) -> None:
+    """Full detail to DETAIL_PATH; a <=2,000-char summary as the FINAL
+    stdout line (the only part the driver reliably captures)."""
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "suite_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": SF_DIR,
-                "extra": extra,
-            }
-        )
+    detail = {
+        "metric": "suite_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": SF_DIR,
+        "extra": extra,
+    }
+    with open(DETAIL_PATH, "w") as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
+    slowest = dict(
+        sorted(times.items(), key=lambda kv: kv[1], reverse=True)[:10]
     )
+    summary = dict(detail)
+    summary["queries"] = slowest
+    summary["n_queries"] = len(times)
+    summary["detail"] = os.path.basename(DETAIL_PATH)
+    line = json.dumps(summary)
+    while len(line) > SUMMARY_LIMIT and summary["queries"]:
+        # hard cap: shed the cheapest of the listed queries first
+        summary["queries"].pop(min(summary["queries"], key=summary["queries"].get))
+        line = json.dumps(summary)
+    print(line)
+
+
+def run_one(name: str) -> None:
+    """Worker for --isolate: time NAME alone in this fresh session
+    (one sf0.001 warm-up run outside the timing, like the suite)."""
+    spark = get_spark(app_name=f"bench-iso-{name}")
+    queries = entry_mod.queries()
+    fn = queries[name]
+    try:
+        fn(spark, "/root/testdata/sf0.001").write.format("noop").mode(
+            "overwrite"
+        ).save()
+    except Exception:
+        pass
+    t, _ = timed(
+        lambda: fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    )
+    print(json.dumps({"query": name, "isolated_sec": round(t, 3)}))
+
+
+def run_isolated(names: list[str]) -> None:
+    """One fresh subprocess (and so one fresh JVM + SparkSession) per
+    query: no shared session state, no position tax."""
+    import subprocess
+
+    out: dict[str, float] = {}
+    for name in names:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--one", name],
+            capture_output=True,
+            text=True,
+        )
+        last = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
+        try:
+            out[name] = json.loads(last)["isolated_sec"]
+        except (json.JSONDecodeError, KeyError):
+            out[name] = -1.0
+            sys.stderr.write(f"--isolate {name} failed:\n{proc.stderr[-2000:]}\n")
+    print(json.dumps({"metric": "isolated_sec", "sf": SF_DIR, "queries": out}))
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--one":
+        run_one(sys.argv[2])
+    elif len(sys.argv) >= 3 and sys.argv[1] == "--isolate":
+        run_isolated([n for n in sys.argv[2].split(",") if n])
+    else:
+        main()

@@ -25,7 +25,9 @@ def test_oracle_keys_subset_of_queries():
     assert rows_only <= {
         "simhash",            # xxhash64 — no cross-engine hash; anchored by simhash_md5
         "bpe_tokenize",       # iterative rank-priority merge — not SQL-expressible
-        "pca_project",        # driver eigensolve — not SQL-replayable
+        "pca_fit_project",    # driver eigensolve — not SQL-replayable
+                              # (pca_project pins the committed basis and
+                              # IS oracle-backed since round 7)
         "frame_sample",       # binary container payloads — exactness in tests
         "approx_stats",       # engine-specific sketch values
         "multimodal_features",  # binary mapInPandas, fake decoder
@@ -57,8 +59,13 @@ def test_driver_window_rows_only_entries_are_the_designated_rotation():
     q = list(entry_mod.queries())
     o = set(entry_mod.oracle_sql())
     designated = {
-        "image_neardup", "audio_neardup", "video_neardup", "frame_sample",
-        "multimodal_resize", "simhash", "bpe_tokenize", "pca_project",
+        # r6 designees still in-window (video_neardup, frame_sample and
+        # simhash rotated out r7 after their clean r6 rows; pca_project
+        # graduated to oracle-backed)
+        "image_neardup", "audio_neardup", "multimodal_resize",
+        "bpe_tokenize",
+        # r7: new rows-only lifecycle entry, in-window for its first row
+        "pca_fit_project",
     }
     rows_only_in_window = {k for k in q[:50] if k not in o}
     stray = rows_only_in_window - designated
