@@ -674,3 +674,51 @@ def test_ann_index_compact_crash_in_carry_window_loses_nothing(
     sim.ivf_index_compact(spark, path, committed_through=0)
     assert glob.glob(path + "/index/cell_id=*/epoch9-*")
     assert spark.read.parquet(path + "/index").count() == total
+
+
+def test_ann_index_maintenance_lease_single_owner(spark, sf_dir, tmp_path):
+    """VERDICT r6 #8: a second maintenance owner fails loudly instead of
+    racing; a stale lease (crashed owner, older than the TTL) is broken;
+    normal ops release the lease so back-to-back maintenance works; and
+    the crash-recovery path stays green under the lease."""
+    import os
+    import time
+
+    from time_series_databse_engine_spark.operators import similarity as sim
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ann_lease")
+    sim.ivf_index_write(emb.filter(F.col("vec_id") < 250), path, n_cells=16, m=4, ks=16)
+    batch = emb.filter(F.col("vec_id") >= 250)
+
+    # normal sequence: each op acquires and releases
+    sim.ivf_index_append(spark, path, batch, m=4, epoch_id=1)
+    sim.ivf_index_compact(spark, path, committed_through=1)
+    assert not os.path.exists(os.path.join(path, "index-maintenance.lock"))
+    total = spark.read.parquet(path + "/index").count()
+
+    # a held (fresh) lease makes every maintenance op refuse
+    lock = os.path.join(path, "index-maintenance.lock")
+    with open(lock, "w") as fh:
+        fh.write("pid=0 other-owner\n")
+    for op in (
+        lambda: sim.ivf_index_append(spark, path, batch, m=4, epoch_id=2),
+        lambda: sim.ivf_index_compact(spark, path),
+        lambda: sim.ivf_index_vacuum(path),
+    ):
+        with pytest.raises(sim.MaintenanceLeaseHeld):
+            op()
+    # probes are NOT maintenance: serving continues under the lease
+    assert (
+        sim.ivf_index_probe(
+            spark, path, emb.filter(F.col("vec_id") < 3), k=3, n_probe=4, m=4
+        ).count()
+        > 0
+    )
+
+    # stale lease (owner died > TTL ago) is broken and taken over
+    old = time.time() - sim.MAINTENANCE_LEASE_TTL_SEC - 60
+    os.utime(lock, (old, old))
+    sim.ivf_index_vacuum(path)  # succeeds via takeover
+    assert not os.path.exists(lock)
+    assert spark.read.parquet(path + "/index").count() == total

@@ -1768,6 +1768,87 @@ def ivf_index_probe(
     )
 
 
+# a maintenance lease is considered abandoned (crashed owner) after this
+# many seconds without a refresh; takeover is then allowed
+MAINTENANCE_LEASE_TTL_SEC = 3600.0
+
+
+class MaintenanceLeaseHeld(RuntimeError):
+    """Another process holds the index's maintenance lease."""
+
+
+def _maintenance_lease(path: str, ttl_sec: float | None = None):
+    """Single-maintenance-owner guard for a persisted ANN index
+    (VERDICT r6 #8): append/compact/vacuum assume one owner — two
+    concurrent compactions, or an append racing a compaction's swap,
+    can interleave renames on the same cell dirs.  This makes the
+    assumption EXPLICIT and violations loud instead of racy.
+
+    Mechanics: ``<path>/index-maintenance.lock`` is created with
+    O_CREAT|O_EXCL — atomic on POSIX local and NFS, the same primitive
+    Spark's own output committers rely on for staging dirs.  If the
+    file already exists and is younger than the TTL, raise
+    :class:`MaintenanceLeaseHeld`; older means the owner crashed
+    (leases are released in a ``finally``, so only a process death
+    leaves one behind) and is broken — crash RECOVERY itself stays
+    with :func:`_recover_compact`/replay, which need no lease state.
+    Contextmanager; release always unlinks."""
+    import contextlib
+    import os
+    import time
+
+    @contextlib.contextmanager
+    def _lease():
+        lock = os.path.join(path.rstrip("/"), "index-maintenance.lock")
+        ttl = MAINTENANCE_LEASE_TTL_SEC if ttl_sec is None else ttl_sec
+        os.makedirs(os.path.dirname(lock), exist_ok=True)
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            try:
+                age = time.time() - os.stat(lock).st_mtime
+            except FileNotFoundError:  # owner released between open and stat
+                age = ttl + 1.0
+            if age <= ttl:
+                raise MaintenanceLeaseHeld(
+                    f"maintenance lease {lock} held by another owner "
+                    f"({age:.0f}s old, ttl {ttl:.0f}s); refusing to race "
+                    "a concurrent append/compact/vacuum"
+                )
+            # stale: owner died without its finally — break and take over
+            with contextlib.suppress(FileNotFoundError):
+                os.unlink(lock)
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        try:
+            os.write(fd, f"pid={os.getpid()} t={time.time()}\n".encode())
+            os.close(fd)
+            yield
+        finally:
+            with contextlib.suppress(FileNotFoundError):
+                os.unlink(lock)
+
+    return _lease()
+
+
+def _leased(path_arg: int):
+    """Run the wrapped maintenance op under the index's single-owner
+    lease (``path`` is positional arg ``path_arg`` or the ``path``
+    kwarg)."""
+    import functools
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapper(*args, **kwargs):
+            path = kwargs["path"] if "path" in kwargs else args[path_arg]
+            with _maintenance_lease(path):
+                return fn(*args, **kwargs)
+
+        return wrapper
+
+    return deco
+
+
+@_leased(1)
 def ivf_index_append(
     spark,
     path: str,
@@ -1855,6 +1936,7 @@ def _recover_compact(idx: str) -> None:
             os.rename(aside, live)
 
 
+@_leased(1)
 def ivf_index_compact(
     spark, path: str, committed_through: int | None = None
 ) -> None:
@@ -1951,6 +2033,7 @@ def ivf_index_compact(
     shutil.rmtree(tmp, ignore_errors=True)
 
 
+@_leased(0)
 def ivf_index_vacuum(path: str) -> int:
     """Remove crashed staging state from a persisted ANN index: an
     epoch append or compaction that died mid-write leaves its
