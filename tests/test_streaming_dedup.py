@@ -150,3 +150,79 @@ def test_streaming_ann_index_maintenance_exactly_once(spark, sf_dir, tmp_path):
     q1 = sim.ivf_index_probe(spark, path, emb.filter(F.col("vec_id") < 5), k=5, n_probe=4, m=4)
     q2 = sim.ivf_index_probe(spark, path2, emb.filter(F.col("vec_id") < 5), k=5, n_probe=4, m=4)
     assert sorted(map(tuple, q1.collect())) == sorted(map(tuple, q2.collect()))
+
+
+def test_streaming_media_decode_skip_and_flag_exactly_once(spark, tmp_path):
+    """VERDICT r6 #5: a planted corrupt payload inside a micro-batch
+    survives as (ok=false, err_kind) DATA — the stream completes — and
+    both the features table and the per-epoch error metrics obey the
+    epoch-keyed exactly-once contract under crash replay."""
+    from time_series_databse_engine_spark.operators import multimodal as mm
+    from time_series_databse_engine_spark.streaming.ingest import (
+        last_committed_epoch,
+        stream_decode_media,
+    )
+
+    px = bytes(range(48))
+    bmp = mm.encode_bmp(4, 4, px)
+    png = mm.encode_png(4, 4, px)
+    rows_b1 = [
+        (1, "image", bytearray(bmp)),                       # healthy
+        (2, "image", bytearray(png[: len(png) // 2])),      # corrupt: truncated
+    ]
+    rows_b2 = [
+        (3, "image", bytearray(png)),                       # healthy
+        (4, "audio", bytearray(b"ID3junkjunkjunk")),        # unsupported: MP3
+    ]
+    schema = "media_id long, kind string, payload binary"
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows_b1, schema).coalesce(1).write.parquet(src + "/b1")
+    spark.createDataFrame(rows_b2, schema).coalesce(1).write.parquet(src + "/b2")
+
+    out = str(tmp_path / "decoded")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = stream_decode_media(stream, out, str(tmp_path / "ckpt")).start()
+    q.awaitTermination(120)
+    q.stop()
+
+    feats = {r.media_id: r for r in spark.read.parquet(out + "/features").collect()}
+    assert len(feats) == 4  # the corrupt payload did NOT kill the stream
+    assert feats[1].ok and feats[1].err_kind is None and feats[1].features
+    assert (feats[2].ok, feats[2].err_kind, feats[2].features) == (False, "corrupt", None)
+    assert feats[3].ok
+    assert (feats[4].ok, feats[4].err_kind) == (False, "unsupported")
+
+    met = spark.read.parquet(out + "/metrics")
+    per_epoch = {
+        (r.epoch_id, r.err_kind): r.n for r in met.collect()
+    }
+    assert sum(per_epoch.values()) == 4
+    assert sorted(k[1] for k in per_epoch if k[1]) == ["corrupt", "unsupported"]
+    n_epochs = met.select("epoch_id").distinct().count()
+    assert n_epochs == 2
+    assert last_committed_epoch(str(tmp_path / "ckpt")) == n_epochs - 1
+
+    # crash replay: wipe the checkpoint so EVERY epoch re-runs — the
+    # epoch-keyed delete-before-move must converge to one copy of both
+    # the rows and the metric counts (no double-counted corrupt rows)
+    import shutil
+
+    shutil.rmtree(str(tmp_path / "ckpt"))
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q2 = stream_decode_media(stream2, out, str(tmp_path / "ckpt")).start()
+    q2.awaitTermination(120)
+    q2.stop()
+    assert spark.read.parquet(out + "/features").count() == 4
+    met2 = {
+        (r.epoch_id, r.err_kind): r.n
+        for r in spark.read.parquet(out + "/metrics").collect()
+    }
+    assert met2 == per_epoch

@@ -249,6 +249,74 @@ def maintain_ann_index(
     )
 
 
+def stream_decode_media(
+    stream: DataFrame,
+    out_path: str,
+    checkpoint_dir: str,
+):
+    """Streaming skip-and-flag media decode — a crawl is a stream, so the
+    batch resilience of :func:`operators.multimodal.extract_features_safe`
+    composes into ``foreachBatch`` (VERDICT r6 #5): each micro-batch of
+    (media_id, kind, payload) rows is decoded ONCE, failures become
+    ``(ok, err_kind)`` DATA (a planted corrupt payload never kills the
+    query), and two epoch-keyed tables land under ``out_path``:
+
+    * ``features/`` — (media_id, kind, ok, err_kind, features) per row;
+    * ``metrics/``  — (epoch_id, ok, err_kind, n) per micro-batch: the
+      decode-health signal (corrupt/unsupported rate per epoch) is one
+      scan of a k-row table, never a re-decode of the corpus.
+
+    Delivery is EXACTLY-ONCE by the same idempotent-writer contract as
+    :func:`stream_to_store` / :func:`maintain_ann_index`: both tables'
+    files carry an ``epoch{id}-`` prefix, and a replayed epoch deletes
+    its previous attempt's files before moving the new ones in — so the
+    per-epoch error accounting stays exact across crash replays (no
+    double-counted corrupt rows).  Metrics aggregate from the STAGED
+    features files, so the mapInPandas decode runs once per batch, not
+    once per output."""
+    import glob
+    import os
+    import shutil
+
+    from ..operators.multimodal import extract_features_safe
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        prefix = f"epoch{int(epoch_id)}-"
+        staged = {}
+        for name, df_fn in (
+            ("features", lambda: extract_features_safe(batch_df)),
+            (
+                "metrics",
+                lambda: spark.read.parquet(staged["features"])
+                .groupBy("ok", "err_kind")
+                .agg(F.count("*").alias("n"))
+                .withColumn("epoch_id", F.lit(int(epoch_id))),
+            ),
+        ):
+            tmp = os.path.join(out_path, f"{name}-epoch-{int(epoch_id)}-tmp")
+            shutil.rmtree(tmp, ignore_errors=True)
+            df_fn().write.mode("overwrite").parquet(tmp)
+            staged[name] = tmp
+        for name, tmp in staged.items():
+            dst = os.path.join(out_path, name)
+            os.makedirs(dst, exist_ok=True)
+            for leftover in glob.glob(os.path.join(dst, prefix + "*")):
+                os.remove(leftover)
+            for fname in os.listdir(tmp):
+                if fname.endswith(".parquet"):
+                    shutil.move(
+                        os.path.join(tmp, fname), os.path.join(dst, prefix + fname)
+                    )
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+
+
 def last_committed_epoch(checkpoint_dir: str) -> int | None:
     """Largest batch id the Structured Streaming checkpoint has
     COMMITTED (the ``commits/`` write-ahead log — a batch id appears
