@@ -51,13 +51,97 @@ def test_grayscale_and_odd_dimensions():
 def test_honest_rejects():
     img = np.zeros((8, 8, 3), dtype=np.uint8)
     enc = bytearray(encode_jpeg(8, 8, img.tobytes()))
-    # flip SOF0 -> SOF2 (progressive): must refuse, not mis-decode
+    # flip SOF0 -> SOF9 (arithmetic coding): must refuse, not mis-decode
     i = bytes(enc).find(b"\xff\xc0")
-    enc[i + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="SOF2"):
+    enc[i + 1] = 0xC9
+    with pytest.raises(NotImplementedError, match="SOF9"):
         decode_jpeg(bytes(enc))
     with pytest.raises(ValueError):
         decode_jpeg(b"\x00\x00not a jpeg")
+
+
+def _noise_rgb(w, h, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+
+
+def test_progressive_is_bit_identical_to_baseline():
+    """progressive=True re-orders the SAME quantized coefficients into a
+    successive-approximation scan script (DC first/refine + two spectral
+    AC bands first/refine, per-scan K.2-optimal Huffman tables) — so the
+    decoder must reproduce the baseline pixels EXACTLY, at every size and
+    sampling.  This cross-checks the whole Annex-G scan machinery."""
+    for w, h in [(8, 8), (13, 19), (17, 7), (32, 32), (1, 1), (9, 2)]:
+        img = _noise_rgb(w, h, seed=w * 100 + h)
+        for ss in ("444", "420"):
+            pb = decode_jpeg(encode_jpeg(w, h, img.tobytes(), subsampling=ss))["pixels"]
+            pp = decode_jpeg(
+                encode_jpeg(w, h, img.tobytes(), subsampling=ss, progressive=True)
+            )["pixels"]
+            assert np.array_equal(pb, pp), (w, h, ss)
+    g = _noise_rgb(21, 11)[:, :, 0]
+    pb = decode_jpeg(encode_jpeg(21, 11, g.tobytes(), grayscale=True))["pixels"]
+    pp = decode_jpeg(encode_jpeg(21, 11, g.tobytes(), grayscale=True, progressive=True))[
+        "pixels"
+    ]
+    assert np.array_equal(pb, pp)
+
+
+def test_progressive_eob_runs_across_blocks():
+    """A mostly-flat image makes long runs of AC-empty blocks, forcing
+    EOBn (n>=1) symbols and the decoder's cross-block EOB-run skip path;
+    one bright feature ensures the runs start and stop mid-scan."""
+    img = np.full((64, 64, 3), 128, dtype=np.uint8)
+    img[30:34, 30:34] = 255
+    pb = decode_jpeg(encode_jpeg(64, 64, img.tobytes()))["pixels"]
+    pp = decode_jpeg(encode_jpeg(64, 64, img.tobytes(), progressive=True))["pixels"]
+    assert np.array_equal(pb, pp)
+
+
+def test_restart_intervals_roundtrip_and_resync():
+    """restart_interval=N emits DRI + RSTn every N MCUs; the decoder
+    byte-aligns, checks the marker sequence and resets DC predictors —
+    output must equal the no-restart encoding exactly.  A corrupted
+    restart sequence number must raise, not desync silently."""
+    img = _noise_rgb(40, 24, seed=7)
+    plain = encode_jpeg(40, 24, img.tobytes())
+    rst = encode_jpeg(40, 24, img.tobytes(), restart_interval=2)
+    assert any(rst[i] == 0xFF and 0xD0 <= rst[i + 1] <= 0xD7 for i in range(len(rst) - 1))
+    assert np.array_equal(decode_jpeg(plain)["pixels"], decode_jpeg(rst)["pixels"])
+    # 420 multi-block MCUs + grayscale
+    rst420 = encode_jpeg(40, 24, img.tobytes(), subsampling="420", restart_interval=1)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(40, 24, img.tobytes(), subsampling="420"))["pixels"],
+        decode_jpeg(rst420)["pixels"],
+    )
+    # corrupt the first RSTn's sequence number
+    bad = bytearray(rst)
+    for i in range(len(bad) - 1):
+        if bad[i] == 0xFF and 0xD0 <= bad[i + 1] <= 0xD7:
+            bad[i + 1] = 0xD0 + ((bad[i + 1] - 0xD0 + 3) & 7)
+            break
+    with pytest.raises(ValueError, match="restart"):
+        decode_jpeg(bytes(bad))
+
+
+def test_progressive_through_media_pipeline(spark):
+    """The production decode path (decode_media -> extract_features_safe)
+    accepts progressive payloads without the PIL fallback: ok=true rows
+    with real features."""
+    from time_series_databse_engine_spark.operators.multimodal import (
+        decode_media,
+        extract_features_safe,
+    )
+
+    img = _noise_rgb(16, 16, seed=1)
+    prog = encode_jpeg(16, 16, img.tobytes(), progressive=True)
+    assert decode_media(prog)["kind"] == "image"
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(prog))], "media_id long, kind string, payload binary"
+    )
+    row = extract_features_safe(df).collect()[0]
+    assert (row.ok, row.err_kind) == (True, None)
+    assert row.features is not None
 
 
 def test_dispatch_through_decode_media_and_spark_features(spark):

@@ -122,15 +122,16 @@ def test_jpeg_png_optional_pil_gate_runs_either_way():
     else:
         with pytest.raises(NotImplementedError, match="Pillow"):
             decode_pil_image(b"\x89PNG\r\n\x1a\n" + bytes(16))
-        # a PROGRESSIVE jpeg passes the stdlib baseline decoder's honest
-        # reject and lands on the PIL gate
+        # an ARITHMETIC-coded jpeg (SOF9) passes the stdlib decoder's
+        # honest reject (baseline AND progressive decode natively now)
+        # and lands on the PIL gate
         import numpy as np
 
         from time_series_databse_engine_spark.operators.jpeg import encode_jpeg
 
         enc = bytearray(encode_jpeg(8, 8, np.zeros((8, 8, 3), dtype=np.uint8).tobytes()))
         i = bytes(enc).find(b"\xff\xc0")
-        enc[i + 1] = 0xC2
+        enc[i + 1] = 0xC9
         with pytest.raises(NotImplementedError, match="Pillow"):
             decode_media(bytes(enc))
 
@@ -302,34 +303,134 @@ def test_png_unfilter_all_five_filter_types():
     assert abs(d["mean_b"] - expect[2]) < 1e-12
 
 
-def test_png_dispatch_and_exotic_variants_raise():
-    """decode_media routes PNG magic bytes to the stdlib decoder; palette /
-    16-bit PNGs raise NotImplementedError (and would fall through to PIL
-    when installed)."""
+def _png_chunk(tag, body):
     import struct
     import zlib
 
-    import pytest
+    return struct.pack(">I", len(body)) + tag + body + struct.pack(
+        ">I", zlib.crc32(tag + body) & 0xFFFFFFFF
+    )
 
-    from time_series_databse_engine_spark.operators.multimodal import decode_media, decode_png, encode_png
+
+def _build_png(width, height, depth, ctype, interlace, raw, plte=None):
+    """Minimal spec-conformant PNG writer for test vectors: RAW is the
+    already-filtered scanline stream (filter byte + data per line)."""
+    import struct
+    import zlib
+
+    out = b"\x89PNG\r\n\x1a\n" + _png_chunk(
+        b"IHDR", struct.pack(">IIBBBBB", width, height, depth, ctype, 0, 0, interlace)
+    )
+    if plte is not None:
+        out += _png_chunk(b"PLTE", plte)
+    return out + _png_chunk(b"IDAT", zlib.compress(raw)) + _png_chunk(b"IEND", b"")
+
+
+def test_png_dispatch_uses_stdlib_for_all_layouts():
+    """decode_media routes PNG magic bytes straight to the stdlib decoder —
+    no PIL fallback needed for any legal layout, including palette."""
+    from time_series_databse_engine_spark.operators.multimodal import decode_media, encode_png
 
     png = encode_png(2, 1, bytes([9, 9, 9, 9, 9, 9]), channels=3)
     assert decode_media(png)["kind"] == "image"
+    plte = bytes([250, 100, 50])
+    pal = _build_png(1, 1, 8, 3, 0, b"\x00\x00", plte=plte)
+    d = decode_media(pal)
+    assert (d["mean_r"], d["mean_g"], d["mean_b"]) == (250.0, 100.0, 50.0)
 
-    def chunk(tag, body):
-        return struct.pack(">I", len(body)) + tag + body + struct.pack(
-            ">I", zlib.crc32(tag + body) & 0xFFFFFFFF
-        )
 
-    # palette (color_type=3) is out of stdlib scope
-    pal = (
-        b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0))
-        + chunk(b"IDAT", zlib.compress(b"\x00\x00"))
-        + chunk(b"IEND", b"")
+def test_png_full_format_matrix():
+    """Every legal non-8-bit layout decodes to exact per-channel means:
+    1/2/4-bit gray (scaled to the 8-bit domain), 16-bit gray/RGB/GA
+    (rounded /257), and 2/8-bit palette through PLTE."""
+    import numpy as np
+
+    from time_series_databse_engine_spark.operators.multimodal import decode_png
+
+    # 1-bit gray, 8x1: bits of 0b10110001 -> four 255s, four 0s
+    d = decode_png(_build_png(8, 1, 1, 0, 0, bytes([0, 0b10110001])))
+    assert (d["mean_r"], d["bpp"]) == (255 * 4 / 8, 1)
+
+    # 2-bit gray, 4x1: 0,1,2,3 -> 0,85,170,255 (17*5 scaling is exact)
+    d = decode_png(_build_png(4, 1, 2, 0, 0, bytes([0, 0b00011011])))
+    assert d["mean_r"] == (0 + 85 + 170 + 255) / 4
+
+    # 4-bit gray, 2x1: 0x3, 0xA -> 51, 170
+    d = decode_png(_build_png(2, 1, 4, 0, 0, bytes([0, 0x3A])))
+    assert d["mean_r"] == (51 + 170) / 2
+
+    # 16-bit gray, 2x1: 0x0000, 0xFFFF -> 0, 255
+    d = decode_png(_build_png(2, 1, 16, 0, 0, bytes([0, 0, 0, 0xFF, 0xFF])))
+    assert (d["mean_r"], d["bpp"]) == (127.5, 16)
+
+    # 16-bit RGB with a Sub filter row (filter unit = 6 bytes at 16-bit)
+    vals = np.array([1000, 2000, 3000, 1100, 2100, 3100], dtype=">u2")
+    d = decode_png(_build_png(2, 1, 16, 2, 0, bytes([0]) + vals.tobytes()))
+    exp = np.round(vals.astype(np.float64) / 257.0)
+    assert d["mean_r"] == (exp[0] + exp[3]) / 2
+    assert d["mean_b"] == (exp[2] + exp[5]) / 2
+
+    # 16-bit gray+alpha, Paeth second row (predictor = row above)
+    ga = np.array([100 * 257, 65535, 200 * 257, 0], dtype=">u2")
+    d = decode_png(_build_png(2, 2, 16, 4, 0, b"\x00" + ga.tobytes() + b"\x04" + bytes(8)))
+    assert d["mean_r"] == 150.0  # alpha ignored; both rows identical
+
+    # 2-bit palette, 4x1: indices 0..3 through a 4-entry PLTE
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255])
+    d = decode_png(_build_png(4, 1, 2, 3, 0, bytes([0, 0b00011011]), plte=plte))
+    assert (d["mean_r"], d["mean_g"], d["mean_b"], d["bpp"]) == (127.5, 127.5, 127.5, 24)
+
+
+def test_png_adam7_interlaced_matches_sequential():
+    """An Adam7-interlaced PNG decodes to the exact same pixels as its
+    sequential encoding: the pass split/scatter is built here directly
+    from the spec's seven (x0, y0, dx, dy) tuples."""
+    import numpy as np
+
+    from time_series_databse_engine_spark.operators.multimodal import (
+        _png_pixels,
+        decode_png,
     )
-    with pytest.raises(NotImplementedError):
-        decode_png(pal)
+
+    rng = np.random.default_rng(7)
+    P = rng.integers(0, 256, size=(5, 7), dtype=np.uint8)  # odd dims: ragged passes
+    passes = []
+    for x0, y0, dx, dy in [
+        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+    ]:
+        sub = P[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        for row in sub:
+            passes.append(b"\x00" + np.ascontiguousarray(row).tobytes())
+    inter = _build_png(7, 5, 8, 0, 1, b"".join(passes))
+    seq = _build_png(7, 5, 8, 0, 0, b"".join(b"\x00" + r.tobytes() for r in P))
+    assert np.array_equal(_png_pixels(inter), _png_pixels(seq))
+    di, ds = decode_png(inter), decode_png(seq)
+    assert (di["mean_r"], di["width"], di["height"]) == (ds["mean_r"], 7, 5)
+
+
+def test_png_illegal_layouts_are_corrupt_not_unsupported():
+    """Out-of-spec depth/color combos, a missing PLTE, and out-of-range
+    palette indices are ValueError (the 'corrupt' class) — nothing in the
+    PNG format is 'unsupported' anymore."""
+    import pytest
+
+    from time_series_databse_engine_spark.operators.multimodal import decode_png
+
+    with pytest.raises(ValueError):  # depth 3 is illegal for every color type
+        decode_png(_build_png(2, 1, 3, 0, 0, b"\x00\x00\x00"))
+    with pytest.raises(ValueError):  # 2-bit RGB is illegal
+        decode_png(_build_png(1, 1, 2, 2, 0, b"\x00\x00"))
+    with pytest.raises(ValueError):  # palette without PLTE
+        decode_png(_build_png(4, 1, 2, 3, 0, bytes([0, 0b00011011])))
+    with pytest.raises(ValueError):  # palette index 3 with a 2-entry PLTE
+        decode_png(
+            _build_png(4, 1, 2, 3, 0, bytes([0, 0b00011011]), plte=bytes(6))
+        )
+    with pytest.raises(ValueError):  # truncated scanline stream
+        decode_png(_build_png(4, 2, 8, 0, 0, bytes([0, 1, 2, 3, 4])))
 
 
 def test_png_extract_features_in_spark(spark):
@@ -503,14 +604,10 @@ def test_audio_fingerprint_ignores_trailing_chunks():
 
 
 def test_phash_gray_alpha_png_and_ihdr_validation():
-    """color_type 4 (gray+alpha) hashes like the pure-gray image; 16-bit
-    and interlaced PNGs raise the honest NotImplementedError instead of
-    silently mis-unfiltering."""
-    import struct
-    import zlib
-
+    """Every legal PNG re-encoding of the same image must phash
+    identically: gray+alpha, 16-bit, palette and Adam7-interlaced all
+    route through the shared full-format parser."""
     import numpy as np
-    import pytest
 
     from time_series_databse_engine_spark.operators.multimodal import (
         encode_png,
@@ -524,27 +621,33 @@ def test_phash_gray_alpha_png_and_ihdr_validation():
     ga_png = encode_png(32, 32, ga.tobytes(), channels=2)
     assert phash64(ga_png) == phash64(g_png)
 
-    def png_with_ihdr(depth, color_type, interlace):
-        ihdr = struct.pack(">IIBBBBB", 4, 4, depth, color_type, 0, 0, interlace)
-        raw = zlib.compress(b"\x00" * (4 * (4 * 2 + 1)))
+    # the full-format parser means every legal re-encoding of the SAME
+    # image hashes identically: 16-bit (samples * 257, exact /257 inverse),
+    # palette (identity grayscale PLTE), and Adam7 interlacing
+    g16 = (gray.astype(">u2") * 257).tobytes()
+    raw16 = b"".join(
+        b"\x00" + g16[r * 64 : (r + 1) * 64] for r in range(32)
+    )
+    png16 = _build_png(32, 32, 16, 0, 0, raw16)
+    assert phash64(png16) == phash64(g_png)
 
-        def chunk(tag, body):
-            return (
-                struct.pack(">I", len(body)) + tag + body
-                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
-            )
+    plte = bytes(v for v in range(256) for _ in range(3))  # gray identity
+    raw_pal = b"".join(b"\x00" + gray[r].tobytes() for r in range(32))
+    png_pal = _build_png(32, 32, 8, 3, 0, raw_pal, plte=plte)
+    assert phash64(png_pal) == phash64(g_png)
 
-        return (
-            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"IDAT", raw)
-            + chunk(b"IEND", b"")
-        )
-
-    with pytest.raises(NotImplementedError):
-        phash64(png_with_ihdr(16, 0, 0))
-    with pytest.raises(NotImplementedError):
-        phash64(png_with_ihdr(8, 0, 1))
-    with pytest.raises(NotImplementedError):
-        phash64(png_with_ihdr(8, 3, 0))  # palette
+    passes = []
+    for x0, y0, dx, dy in [
+        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+    ]:
+        sub = gray[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        for row in sub:
+            passes.append(b"\x00" + np.ascontiguousarray(row).tobytes())
+    png_i = _build_png(32, 32, 8, 0, 1, b"".join(passes))
+    assert phash64(png_i) == phash64(g_png)
 
 
 def test_extract_features_safe_survives_planted_corruption(spark):

@@ -6,11 +6,14 @@ iteration via ``mapInPandas`` (Arrow batches, never per-row Python), stable
 output schemas.
 
 Codecs: BMP (uncompressed 24-bit, Windows BITMAPINFOHEADER), WAV (RIFF
-PCM 16-bit) and PNG (8-bit gray/RGB/RGBA, zlib inflate + full scanline
-unfiltering — W3C spec) are decoded for real with pure-stdlib
-``struct``/``zlib`` parsing — header fields plus per-pixel / per-sample
-statistics.  Formats needing external libraries (JPEG/MP3/MP4, exotic
-PNG variants) raise ``NotImplementedError`` in real mode (JPEG/palette-PNG
+PCM 16-bit) and PNG (EVERY legal static layout — 1/2/4/8/16-bit
+gray/RGB/RGBA/palette, sequential or Adam7-interlaced; zlib inflate +
+full scanline unfiltering — W3C spec) are decoded for real with
+pure-stdlib ``struct``/``zlib`` parsing — header fields plus per-pixel /
+per-sample statistics; JPEG (baseline AND progressive, restart
+intervals, 4:2:0/4:2:2/4:4:4) decodes through the pure-numpy codec in
+``jpeg.py``.  Formats needing external libraries (arithmetic-coded or
+12-bit JPEG, MP3/MP4) raise ``NotImplementedError`` in real mode (they
 light up automatically if Pillow is present); ``fake=True`` keeps the
 deterministic bytes-derived stand-in for them.  Swapping in PIL/ffmpeg
 later changes only the inner decode function, not the Spark plan.
@@ -246,12 +249,58 @@ def _png_unfilter(raw: bytes, height: int, stride: int, bpp: int):
     return out.astype(np.uint8)
 
 
-def decode_png(payload: bytes) -> dict:
-    """Pure-stdlib PNG decoder (zlib inflate + scanline unfiltering): 8-bit
-    grayscale / RGB / RGBA, non-interlaced — returns the same dict shape as
-    :func:`decode_bmp` so downstream feature layout is codec-agnostic.
-    Palette, 16-bit, and interlaced PNGs raise ``NotImplementedError``
-    honestly rather than guessing."""
+# Adam7 interlace passes: (x_start, y_start, x_step, y_step).  The
+# deflate stream concatenates seven independent sub-images, each with its
+# own per-scanline filter bytes (PNG spec §8.2).
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+# legal (color_type -> sample channels / allowed bit depths) per PNG spec
+# §11.2.2 — anything outside this table is a corrupt file, not an
+# unimplemented variant
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+_PNG_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8), 4: (8, 16), 6: (8, 16)}
+
+
+def _png_samples(raw, width, height, channels, bit_depth, np):
+    """Unfilter + bit-unpack one (sub)image's scanline stream.
+
+    Returns ``(samples, bytes_consumed)`` where samples is a
+    ``(height, width, channels)`` uint16 array of RAW samples (palette
+    indices for color_type 3; unscaled 1/2/4/16-bit values otherwise).
+    Shared by the sequential and each Adam7-pass decode."""
+    bits_px = channels * bit_depth
+    stride = (width * bits_px + 7) // 8
+    fbpp = max(1, bits_px // 8)  # filter byte-offset unit (spec: >=1 byte)
+    nbytes = height * (1 + stride)
+    if len(raw) < nbytes:
+        raise ValueError("PNG scanline data has wrong length")
+    rows = _png_unfilter(raw[:nbytes], height, stride, fbpp)
+    if bit_depth == 8:
+        samples = rows[:, : width * channels].astype(np.uint16)
+    elif bit_depth == 16:
+        samples = rows.view(np.dtype(">u2"))[:, : width * channels].astype(np.uint16)
+    else:  # 1/2/4-bit: MSB-first packed within each scanline byte
+        bits = np.unpackbits(rows, axis=1)[:, : width * channels * bit_depth]
+        weights = (1 << np.arange(bit_depth - 1, -1, -1)).astype(np.uint16)
+        samples = (
+            bits.reshape(height, width * channels, bit_depth) * weights
+        ).sum(axis=2).astype(np.uint16)
+    return samples.reshape(height, width, channels), nbytes
+
+
+def _png_rgb(payload: bytes):
+    """Full-format PNG parse shared by :func:`decode_png` (metadata +
+    means) and :func:`_png_pixels` (phash): returns
+    ``(width, height, color_type, bit_depth, rgb)`` with ``rgb`` a
+    ``(height, width, 3)`` uint8 array in the 8-bit domain."""
     import zlib
 
     import numpy as np
@@ -261,6 +310,7 @@ def decode_png(payload: bytes) -> dict:
     pos, end = 8, len(payload)
     width = height = None
     idat = []
+    plte = None
     bit_depth = color_type = interlace = None
     while pos + 8 <= end:
         (size,) = struct.unpack_from(">I", payload, pos)
@@ -270,6 +320,10 @@ def decode_png(payload: bytes) -> dict:
             width, height, bit_depth, color_type, _, _, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
+        elif tag == b"PLTE":
+            if size % 3:
+                raise ValueError("PLTE length not a multiple of 3")
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
             idat.append(body)
         elif tag == b"IEND":
@@ -277,24 +331,66 @@ def decode_png(payload: bytes) -> dict:
         pos += 12 + size  # len + tag + body + crc
     if width is None or not idat:
         raise ValueError("missing IHDR/IDAT chunk")
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
-    if bit_depth != 8 or channels is None or color_type == 3 or interlace != 0:
-        raise NotImplementedError(
-            f"only 8-bit gray/RGB(A) non-interlaced PNG supported "
-            f"(depth={bit_depth}, color_type={color_type}, interlace={interlace})"
+    channels = _PNG_CHANNELS.get(color_type)
+    if channels is None or bit_depth not in _PNG_DEPTHS[color_type] or interlace not in (0, 1):
+        raise ValueError(
+            f"illegal PNG layout (depth={bit_depth}, color_type={color_type}, "
+            f"interlace={interlace})"
         )
+    if color_type == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE chunk")
     raw = zlib.decompress(b"".join(idat))
-    stride = width * channels
-    if len(raw) != height * (1 + stride):
+    if interlace == 0:
+        px, used = _png_samples(raw, width, height, channels, bit_depth, np)
+    else:  # Adam7: seven independently-filtered sub-images, scattered back
+        px = np.zeros((height, width, channels), dtype=np.uint16)
+        ofs = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            sub, used = _png_samples(raw[ofs:], pw, ph, channels, bit_depth, np)
+            px[y0::dy, x0::dx, :] = sub
+            ofs += used
+        used = ofs
+    if len(raw) != used:
         raise ValueError("PNG scanline data has wrong length")
-    px = _png_unfilter(raw, height, stride, channels).reshape(height, width, channels)
-    rgb = px[:, :, :3] if channels >= 3 else np.repeat(px[:, :, :1], 3, axis=2)
+    # raw samples -> 8-bit RGB domain
+    if color_type == 3:
+        if int(px.max(initial=0)) >= len(plte):
+            raise ValueError("palette index out of range")
+        rgb = plte[px[:, :, 0]]
+    else:
+        if bit_depth == 16:
+            px8 = (px.astype(np.float64) / 257.0).round().astype(np.uint8)
+        elif bit_depth < 8:
+            px8 = (px * (255 // ((1 << bit_depth) - 1))).astype(np.uint8)
+        else:
+            px8 = px.astype(np.uint8)
+        rgb = px8[:, :, :3] if channels >= 3 else np.repeat(px8[:, :, :1], 3, axis=2)
+    return width, height, color_type, bit_depth, rgb
+
+
+def decode_png(payload: bytes) -> dict:
+    """Pure-stdlib PNG decoder (zlib inflate + scanline unfiltering) for
+    EVERY legal static-PNG pixel layout: 1/2/4/8/16-bit grayscale,
+    8/16-bit RGB(A) and gray+alpha, 1/2/4/8-bit palette (PLTE), sequential
+    or Adam7-interlaced — returns the same dict shape as :func:`decode_bmp`
+    so downstream feature layout is codec-agnostic.  Illegal depth/color
+    combinations and short streams raise ``ValueError`` (corrupt, per spec
+    §11.2.2), no longer ``NotImplementedError``: the stdlib path covers the
+    whole format.  tRNS transparency is ignored — features are RGB means."""
+    import numpy as np
+
+    width, height, color_type, bit_depth, rgb = _png_rgb(payload)
+    channels = _PNG_CHANNELS[color_type]
     means = rgb.reshape(-1, 3).mean(axis=0).astype("float64") if rgb.size else np.zeros(3)
     return {
         "kind": "image",
         "width": width,
         "height": height,
-        "bpp": 8 * channels,
+        "bpp": 24 if color_type == 3 else bit_depth * channels,
         "top_down": True,
         # keep decode_bmp's BGR field naming; PNG stores RGB
         "mean_b": float(means[2]),
@@ -351,10 +447,8 @@ def decode_media(payload: bytes) -> dict:
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return decode_wav(payload)
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
-        try:
-            return decode_png(payload)  # stdlib zlib path — no Pillow needed
-        except NotImplementedError:
-            return decode_pil_image(payload)  # palette/16-bit/interlaced → PIL
+        # stdlib zlib path covers every legal static-PNG layout — no Pillow
+        return decode_png(payload)
     if payload[:3] == b"\xff\xd8\xff":
         try:
             from .jpeg import decode_jpeg  # pure-numpy baseline decoder
@@ -363,9 +457,9 @@ def decode_media(payload: bytes) -> dict:
             d.pop("pixels", None)  # keep the metadata dict lean
             return d
         except NotImplementedError:
-            return decode_pil_image(payload)  # progressive/12-bit/restart → PIL
+            return decode_pil_image(payload)  # arithmetic/12-bit → PIL
     raise NotImplementedError(
-        "real decoding implemented for BMP, PCM-16 WAV, 8-bit PNG and "
+        "real decoding implemented for BMP, PCM-16 WAV, all static PNG and "
         "baseline JPEG; exotic variants light up with Pillow; MP3/MP4 need "
         "ffmpeg — pass fake=True for the deterministic stand-in decoder"
     )
@@ -437,14 +531,14 @@ def extract_features_safe(df: DataFrame) -> DataFrame:
     """Skip-and-flag decode — what a real 100 TB media crawl needs.
 
     :func:`extract_features` re-raises on a bad payload, so ONE truncated
-    or progressive JPEG in a batch fails the whole job.  This variant
+    or arithmetic-coded JPEG in a batch fails the whole job.  This variant
     returns (media_id, kind, ok, err_kind, features) per row: decode
     failures become data (``ok=false`` + a coarse error class) instead of
     exceptions, the pipeline survives, and the bad-shard rate is one
     ``groupBy(err_kind).count()`` away.  ``err_kind``:
 
     * ``unsupported`` — format variant the codec honestly refuses
-      (progressive JPEG, palette PNG, MP3 …): re-queue for a
+      (arithmetic-coded or 12-bit JPEG, MP3 …): re-queue for a
       library-equipped cluster.
     * ``corrupt`` — truncated/garbled bytes: count, sample, drop.
 
@@ -725,41 +819,9 @@ def _bmp_pixels(payload: bytes):
 
 
 def _png_pixels(payload: bytes):
-    """8-bit PNG → H×W×3 RGB float array (re-runs decode_png's unfilter)."""
-    import zlib
-
-    import numpy as np
-
-    pos = 8
-    width = height = channels = None
-    idat = []
-    while pos + 8 <= len(payload):
-        (size,) = struct.unpack_from(">I", payload, pos)
-        tag = payload[pos + 4 : pos + 8]
-        body = payload[pos + 8 : pos + 8 + size]
-        if tag == b"IHDR":
-            width, height, depth, color_type, _, _, interlace = struct.unpack(
-                ">IIBBBBB", body
-            )
-            if depth != 8 or interlace != 0:
-                raise NotImplementedError(
-                    f"phash supports 8-bit non-interlaced PNG only "
-                    f"(depth={depth}, interlace={interlace})"
-                )
-            if color_type not in (0, 2, 4, 6):
-                raise NotImplementedError(
-                    f"palette PNG (color_type={color_type}) not supported"
-                )
-            channels = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
-        elif tag == b"IDAT":
-            idat.append(body)
-        pos += 12 + size
-    raw = zlib.decompress(b"".join(idat))
-    px = _png_unfilter(raw, height, width * channels, channels).reshape(
-        height, width, channels
-    )
-    rgb = px[:, :, :3] if channels >= 3 else np.repeat(px[:, :, :1], 3, axis=2)
-    return rgb.astype(np.float64)
+    """PNG → H×W×3 RGB float array via the shared full-format parser
+    (:func:`_png_rgb`) — phash now accepts every legal PNG layout."""
+    return _png_rgb(payload)[4].astype("float64")
 
 
 def image_phash(df: DataFrame, fake: bool = False) -> DataFrame:
