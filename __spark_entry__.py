@@ -511,11 +511,21 @@ _DOC_COUNTS: dict[int, int] = {}
 
 
 def _docs_count(docs) -> int:
-    """Memoized ``docs.count()`` keyed on the DataFrame's logical plan —
-    six entries derive LSH banding from the same corpus size, and the
-    footer-metadata count job, while cheap, needn't run six times per
-    gate/bench pass."""
-    key = hash(docs._jdf.queryExecution().logical().toString())
+    """Memoized ``docs.count()`` — six entries derive LSH banding from
+    the same corpus size, and the footer-metadata count job, while
+    cheap, needn't run six times per gate/bench pass.
+
+    The key is the scan's RESOLVED INPUT FILES (plus the plan string),
+    NOT the logical plan alone: the logical plan of ``read.parquet(dir)``
+    prints identically for different directories, so a plan-string key
+    collides across scale factors — a session that first counted the
+    sf0.001 warm-up corpus then served 500 for the sf1 corpus, silently
+    reverting LSH banding to base parameters at 100× the data (52,850
+    candidate pairs instead of 2,561; the round-7 bench regression)."""
+    key = hash(
+        (tuple(sorted(docs.inputFiles())),
+         docs._jdf.queryExecution().logical().toString())
+    )
     if key not in _DOC_COUNTS:
         _DOC_COUNTS[key] = docs.count()
     return _DOC_COUNTS[key]

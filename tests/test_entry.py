@@ -71,3 +71,19 @@ def test_driver_window_rows_only_entries_are_the_designated_rotation():
     stray = rows_only_in_window - designated
     assert not stray, f"undesignated no-oracle queries in the window: {stray}"
     assert len(rows_only_in_window) <= len(designated)
+
+
+def test_docs_count_memo_distinguishes_scale_factors(spark):
+    """Regression (round 7): the _docs_count memo keyed on the logical
+    plan STRING alone — which prints identically for read.parquet of
+    different directories — so a tiny-SF warm-up poisoned the corpus
+    size for every later SF in the session, silently reverting the LSH
+    banding rule to base parameters at scale (edit_verify 8 s -> 44 s at
+    sf1).  The key must resolve the scan's actual input files."""
+    small = entry_mod._t(spark, "/root/testdata/sf0.001", "documents")
+    big = entry_mod._t(spark, "/root/testdata/sf0.1", "documents")
+    n_small = entry_mod._docs_count(small)
+    n_big = entry_mod._docs_count(big)
+    assert n_small == small.count()
+    assert n_big == big.count()
+    assert n_small != n_big
