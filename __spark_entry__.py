@@ -2960,6 +2960,57 @@ def q_media_safe_decode(spark, sf_dir):
     )
 
 
+def q_media_probe(spark, sf_dir):
+    """Header-only media metadata at crawl scale: a mixed six-container
+    corpus (BMP / PNG / PROGRESSIVE JPEG / MP3 frame chain / MP4 / junk,
+    planted by ``doc_id % 6``) through ``media_probe.probe_features`` —
+    duration/bitrate/dimensions WITHOUT sample decode (MP3/MP4 are
+    header-walk probes over spec-exact synthetic vectors; the JPEG class
+    exercises the round-7 progressive decoder in the driver gate).
+    Every planted class has deterministic metadata, so the oracle pins
+    the whole expected table: container, dimensions, MP3 duration
+    208 ms (8 frames x 1152 samples / 44.1 kHz) + 128 kbps, MP4
+    duration 3210 ms, and the skip-and-flag ok=false row for junk."""
+    from time_series_databse_engine_spark.operators import media_probe as mp_ops
+    from time_series_databse_engine_spark.operators import multimodal as mm_ops
+    from time_series_databse_engine_spark.operators.jpeg import encode_jpeg
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                b = t.encode("utf-8")[:48]
+                px = b + bytes(48 - len(b))
+                m = int(i) % 6
+                if m == 0:
+                    payloads.append(mm_ops.encode_bmp(4, 4, px))
+                elif m == 1:
+                    payloads.append(mm_ops.encode_png(4, 4, px))
+                elif m == 2:  # the progressive-JPEG path, live in the gate
+                    payloads.append(encode_jpeg(4, 4, px, quality=95, progressive=True))
+                elif m == 3:
+                    payloads.append(mp_ops.synth_mp3(8))
+                elif m == 4:
+                    payloads.append(mp_ops.synth_mp4(3210))
+                else:  # deterministic junk: no container magic
+                    payloads.append(bytes(16))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "kind": "image", "payload": payloads}
+            )
+
+    media = docs.select("doc_id", "text").mapInPandas(
+        encode, schema="media_id long, kind string, payload binary"
+    )
+    return mp_ops.probe_features(media).select(
+        "media_id", "ok", "container", "width",
+        "sample_rate", "duration_ms", "bitrate_kbps",
+    )
+
+
 _BUCKETED_DONE: set[str] = set()
 
 
@@ -3113,11 +3164,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # media_safe_decode (multimodal plumbing), simhash→
         # neardup_incremental+dedup_keep_best (near-dup fingerprints).
         # pca_project itself graduated to ORACLE-BACKED this round
-        # (pinned committed basis; see _pca_oracle_sql).
+        # (pinned committed basis; see _pca_oracle_sql).  Mid-round-7:
+        # media_probe (oracle-backed header-only MP3/MP4/image metadata
+        # probe) enters, displacing multimodal_resize (driver-green r6).
         "ann_index_compacted": q_ann_index_compacted,
         "token_budget_sample": q_token_budget_sample,
         "pca_fit_project": q_pca_fit_project,
-        "multimodal_resize": q_multimodal_resize,
+        "media_probe": q_media_probe,
         "bpe_tokenize": q_bpe_tokenize,
         "pca_project": q_pca_project,
         "pagerank": q_pagerank,
@@ -3184,6 +3237,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_neardup": q_video_neardup,
         "frame_sample": q_frame_sample,
         "simhash": q_simhash,
+        # displaced mid-round-7 by media_probe (driver-green r6;
+        # multimodal plumbing stays covered in-window by
+        # media_safe_decode + media_probe)
+        "multimodal_resize": q_multimodal_resize,
         "full_outer_join": q_full_outer_join,
         "lsh_ann_topk_multi": q_lsh_ann_topk_multi,
         "resample_1m_expr": q_resample_1m_expr,
@@ -5780,6 +5837,18 @@ def oracle_sql() -> dict[str, str]:
                     WHEN doc_id % 5 = 4 THEN 'unsupported' END AS err_kind,
                CASE WHEN (doc_id % 5) < 3 THEN 4 END AS width
         FROM documents WHERE doc_id < 100"""
+    oracles["media_probe"] = """
+        SELECT doc_id AS media_id,
+               (doc_id % 6) <> 5 AS ok,
+               CASE doc_id % 6 WHEN 0 THEN 'bmp' WHEN 1 THEN 'png'
+                               WHEN 2 THEN 'jpeg' WHEN 3 THEN 'mp3'
+                               WHEN 4 THEN 'mp4' END AS container,
+               CASE WHEN doc_id % 6 IN (0, 1, 2) THEN 4 END AS width,
+               CASE WHEN doc_id % 6 = 3 THEN 44100 END AS sample_rate,
+               CAST(CASE doc_id % 6 WHEN 3 THEN 208 WHEN 4 THEN 3210 END AS BIGINT)
+                   AS duration_ms,
+               CASE WHEN doc_id % 6 = 3 THEN 128 END AS bitrate_kbps
+        FROM documents WHERE doc_id < 120"""
     oracles["bucketed_join_storage"] = """
         SELECT c_custkey, c_name, o_orderkey,
                round(o_totalprice, 2) AS total
