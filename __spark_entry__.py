@@ -3011,6 +3011,154 @@ def q_media_probe(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+# crawl-tier web cleanup (operators/web.py): HTML strip + URL canonicalize.
+# The planting expressions below are SINGLE-SOURCE: the same SQL string is
+# evaluated by Spark (F.expr) AND inlined into the DuckDB oracle, so the
+# differential test exercises ONLY the operator's normalize/strip logic.
+# Every CAST uses the STRING alias (valid in both dialects).
+# --------------------------------------------------------------------------
+
+_HTML_PLANT = (
+    "'<html><head><title>' || source || ' ' || CAST(doc_id AS STRING)"
+    " || '</title><script type=\"t\">var v=' || CAST(doc_id AS STRING) || ';</script>'"
+    " || '<style>p{margin:0}</style></head><!-- crawl ' || CAST(doc_id % 7 AS STRING) || ' -->'"
+    " || '<body><h1>Doc &#39;' || CAST(doc_id AS STRING) || '&#39;</h1><p>'"
+    " || CASE doc_id % 3 WHEN 0 THEN text WHEN 1 THEN replace(text, 'a', '&amp;')"
+    " ELSE replace(text, ' ', '&nbsp;') END"
+    " || '</p></body></html>'"
+)
+
+_URL_PLANT = (
+    "CASE doc_id % 5"
+    " WHEN 0 THEN 'HTTP://WWW.Site' || CAST(doc_id % 37 AS STRING)"
+    "   || '.COM:80/a//b/' || CAST(doc_id AS STRING) || '/'"
+    " WHEN 1 THEN 'https://site' || CAST(doc_id % 37 AS STRING)"
+    "   || '.com:443/page?utm_source=x&b=' || CAST(doc_id AS STRING)"
+    "   || '&a=1&fbclid=F' || CAST(doc_id AS STRING)"
+    " WHEN 2 THEN 'https://CDN.site' || CAST(doc_id % 37 AS STRING)"
+    "   || '.com/asset.js?v=9&gclid=g#frag'"
+    " WHEN 3 THEN 'http://site' || CAST(doc_id % 37 AS STRING) || '.com'"
+    " ELSE 'https://site' || CAST(doc_id % 37 AS STRING)"
+    "   || '.com:8443/Z?z=9&y=&utm_campaign=c'"
+    " END"
+)
+
+
+def q_html_strip(spark, sf_dir):
+    """Boilerplate-dense synthetic pages (script/style/comment blocks,
+    the six common entities, markup chrome — planted from documents by
+    `_HTML_PLANT`) through ``web.strip_html``: visible text + the
+    visible/raw length signal.  Pure chained regexp_replace — the whole
+    query is one codegen'd projection over a 2-column scan, 0 shuffles.
+    ``visible_ppm`` is integer arithmetic (len*1e6 div len), not a
+    rounded float, so the oracle hash can never hit a rounding tie."""
+    from time_series_databse_engine_spark.operators import web
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    planted = docs.select("doc_id", F.expr(_HTML_PLANT).alias("html"))
+    return web.strip_html(planted).select(
+        "doc_id",
+        "text",
+        "raw_len",
+        "visible_len",
+        F.expr("CAST(visible_len * 1000000 div raw_len AS BIGINT)").alias(
+            "visible_ppm"
+        ),
+    )
+
+
+def q_url_normalize(spark, sf_dir):
+    """Five planted URL mess classes (upper-case scheme/host, default
+    ports, doubled slashes, trailing slash, tracking params, unsorted
+    query, fragments) through ``web.normalize_urls`` — the canonical
+    dedup key a crawl pipeline groups on.  0 shuffles."""
+    from time_series_databse_engine_spark.operators import web
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    planted = docs.select("doc_id", F.expr(_URL_PLANT).alias("url"))
+    return web.normalize_urls(planted).select(
+        "doc_id", "url_norm", "host", "path", "n_params"
+    )
+
+
+def q_host_profile(spark, sf_dir):
+    """Per-host crawl rollup over normalized URLs: page/path/query
+    counts (the crawl-scheduler priority table).  ONE host-keyed
+    partial-agg exchange; output is |hosts| rows (integer columns only
+    in the gate — the frac column lives in the operator API)."""
+    from time_series_databse_engine_spark.operators import web
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    planted = docs.select("doc_id", F.expr(_URL_PLANT).alias("url"))
+    return web.host_profile(web.normalize_urls(planted)).select(
+        "host", "n_pages", "n_paths", "n_query_pages"
+    )
+
+
+def _html_strip_oracle_sql() -> str:
+    """DuckDB replay of strip_html built from the OPERATOR'S OWN pattern
+    constants — pattern identity is by construction, not transcription."""
+    from time_series_databse_engine_spark.operators.web import (
+        _BLOCK_DROPS,
+        _COMMENT,
+        _ENTITIES,
+        _TAG,
+    )
+
+    expr = "html"
+    for pat in _BLOCK_DROPS + [_COMMENT, _TAG]:
+        expr = f"regexp_replace({expr}, '{pat}', ' ', 'g')"
+    for ent, ch in _ENTITIES:
+        expr = f"regexp_replace({expr}, '{ent}', '{ch.replace(chr(39), chr(39) * 2)}', 'g')"
+    expr = f"trim(regexp_replace({expr}, '\\s+', ' ', 'g'))"
+    return f"""
+        WITH raw AS (SELECT doc_id, {_HTML_PLANT} AS html
+                     FROM documents WHERE doc_id < 300),
+        s AS (SELECT doc_id, html, {expr} AS text FROM raw)
+        SELECT doc_id, text,
+               length(html) AS raw_len,
+               length(text) AS visible_len,
+               CAST(length(text) * 1000000 // length(html) AS BIGINT) AS visible_ppm
+        FROM s"""
+
+
+def _url_parts_cte(n_docs: int) -> str:
+    """Shared DuckDB CTE chain replaying web.normalize_urls on the
+    planted URLs (tracking-param pattern imported from the operator)."""
+    from time_series_databse_engine_spark.operators.web import TRACKING_PARAM_RE
+
+    return f"""
+        raw AS (SELECT doc_id, {_URL_PLANT} AS url
+                FROM documents WHERE doc_id < {n_docs}),
+        parts AS (SELECT doc_id,
+            lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*):', 1)) AS scheme,
+            regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS auth,
+            regexp_replace(regexp_replace(
+                regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+                '/{{2,}}', '/', 'g'), '/$', '') AS path,
+            list_sort(list_filter(
+                string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+                x -> x <> '' AND NOT regexp_matches(x, '{TRACKING_PARAM_RE}')
+            )) AS params
+            FROM raw),
+        norm AS (SELECT doc_id, scheme,
+            lower(regexp_extract(auth, '^([^:]*)', 1)) AS host,
+            regexp_extract(auth, ':(\\d+)$', 1) AS port,
+            path, params FROM parts),
+        urls AS (SELECT doc_id,
+            scheme || '://' || host
+              || CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80')
+                        OR (scheme = 'https' AND port = '443'))
+                      THEN ':' || port ELSE '' END
+              || path
+              || CASE WHEN len(params) > 0
+                      THEN '?' || array_to_string(params, '&') ELSE '' END AS url_norm,
+            host, path,
+            CAST(len(params) AS INTEGER) AS n_params
+            FROM norm)"""
+
+
 _BUCKETED_DONE: set[str] = set()
 
 
@@ -3167,20 +3315,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (pinned committed basis; see _pca_oracle_sql).  Mid-round-7:
         # media_probe (oracle-backed header-only MP3/MP4/image metadata
         # probe) enters, displacing multimodal_resize (driver-green r6).
+        # Late-round-7: the crawl-tier web trio (html_strip /
+        # url_normalize / host_profile, all oracle-backed) enters,
+        # displacing salted_join (skew stays covered in-window by
+        # bloom_semijoin + skew_profile), hilbert_key (layout stays
+        # covered by zorder_key) and sq8_topk (quantized ANN stays
+        # covered by ivfpq_topk + hamming_topk) — all three displaced
+        # entries were driver-green r6.
         "ann_index_compacted": q_ann_index_compacted,
         "token_budget_sample": q_token_budget_sample,
         "pca_fit_project": q_pca_fit_project,
         "media_probe": q_media_probe,
+        "html_strip": q_html_strip,
+        "url_normalize": q_url_normalize,
+        "host_profile": q_host_profile,
         "bpe_tokenize": q_bpe_tokenize,
         "pca_project": q_pca_project,
         "pagerank": q_pagerank,
-        "salted_join": q_salted_join,
         "bloom_semijoin": q_bloom_semijoin,
         "ivfpq_topk": q_ivfpq_topk,
         "ann_index_probe": q_ann_index_probe,
         "ann_index_append": q_ann_index_append,
         "zorder_key": q_zorder_key,
-        "hilbert_key": q_hilbert_key,
         "interval_join_bucketed": q_interval_join_bucketed,
         "hw_backtest": q_hw_backtest,
         "quality_calibration": q_quality_calibration,
@@ -3221,7 +3377,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_safe_split": q_leakage_safe_split,
         "hamming_topk": q_hamming_topk,
         "mmr_topk": q_mmr_topk,
-        "sq8_topk": q_sq8_topk,
         "column_profile": q_column_profile,
         # ---- position 51+: driver-green anchors displaced by the
         # round-5/6 rotations (historical green rows stand; categories
@@ -3241,6 +3396,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal plumbing stays covered in-window by
         # media_safe_decode + media_probe)
         "multimodal_resize": q_multimodal_resize,
+        # displaced late-round-7 by the web trio (all driver-green r6;
+        # category coverage noted at the insertion point above)
+        "salted_join": q_salted_join,
+        "hilbert_key": q_hilbert_key,
+        "sq8_topk": q_sq8_topk,
         "full_outer_join": q_full_outer_join,
         "lsh_ann_topk_multi": q_lsh_ann_topk_multi,
         "resample_1m_expr": q_resample_1m_expr,
@@ -5849,6 +6009,18 @@ def oracle_sql() -> dict[str, str]:
                    AS duration_ms,
                CASE WHEN doc_id % 6 = 3 THEN 128 END AS bitrate_kbps
         FROM documents WHERE doc_id < 120"""
+    oracles["html_strip"] = _html_strip_oracle_sql()
+    oracles["url_normalize"] = f"""
+        WITH {_url_parts_cte(500)}
+        SELECT doc_id, url_norm, host, path, n_params FROM urls"""
+    oracles["host_profile"] = f"""
+        WITH {_url_parts_cte(2000)}
+        SELECT host,
+               count(*) AS n_pages,
+               count(DISTINCT path) AS n_paths,
+               CAST(sum(CASE WHEN n_params > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_query_pages
+        FROM urls GROUP BY host"""
     oracles["bucketed_join_storage"] = """
         SELECT c_custkey, c_name, o_orderkey,
                round(o_totalprice, 2) AS total

@@ -132,6 +132,10 @@ HEADLINE = [
     "ann_index_append",
     "ann_index_compacted",
     "token_budget_sample",
+    "media_probe",
+    "html_strip",
+    "url_normalize",
+    "host_profile",
 ]
 
 # repeated-run latency distribution for the reference's hot/cold point

@@ -1,0 +1,137 @@
+"""Crawl-tier operators: HTML stripping + URL canonicalization."""
+
+import duckdb
+import pytest
+
+from time_series_databse_engine_spark.operators.web import (
+    host_profile,
+    normalize_urls,
+    strip_html,
+)
+
+
+def test_strip_html_basic(spark):
+    html = (
+        "<html><head><title>T</title>"
+        "<script type='text/javascript'>var x = '<b>not text</b>';</script>"
+        "<style>p { color: red }</style></head>"
+        "<!-- a comment with <tags> inside -->"
+        "<body><h1>Hello</h1>\n<p>world &amp; friends &lt;3</p></body></html>"
+    )
+    df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    r = strip_html(df).collect()[0]
+    assert r.text == "T Hello world & friends <3"
+    assert r.raw_len == len(html)
+    assert r.visible_len == len(r.text)
+    assert 0 < r.visible_ratio < 0.2  # markup-dominated page
+
+
+def test_strip_html_entities_and_nbsp(spark):
+    df = spark.createDataFrame(
+        [(1, "<p>a&nbsp;&quot;b&#39;c&quot;&gt;d</p>")], "doc_id long, html string"
+    )
+    r = strip_html(df).collect()[0]
+    assert r.text == "a \"b'c\">d"
+
+
+def test_strip_html_amp_decodes_last(spark):
+    # "&amp;lt;" is the LITERAL text "&lt;" — must not double-decode to "<"
+    df = spark.createDataFrame([(1, "<p>&amp;lt;</p>")], "doc_id long, html string")
+    assert strip_html(df).collect()[0].text == "&lt;"
+
+
+def test_strip_html_empty_and_plain(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, "no tags here")], "doc_id long, html string"
+    )
+    got = {r.doc_id: r for r in strip_html(df).collect()}
+    assert got[1].text == "" and got[1].visible_ratio == 0.0
+    assert got[2].text == "no tags here" and got[2].visible_ratio == 1.0
+
+
+CASES = [
+    # (raw, canonical)
+    ("HTTP://WWW.Example.COM:80/a//b/", "http://www.example.com/a/b"),
+    ("https://example.com:443/", "https://example.com"),
+    ("https://example.com:8443/x", "https://example.com:8443/x"),
+    (
+        "https://example.com/p?utm_source=tw&b=2&a=1&fbclid=XYZ#frag",
+        "https://example.com/p?a=1&b=2",
+    ),
+    ("https://example.com/p?gclid=1&msclkid=2&utm_campaign=x", "https://example.com/p"),
+    ("http://example.com", "http://example.com"),
+    ("https://example.com/p?z=9&z=1&y=", "https://example.com/p?y=&z=1&z=9"),
+]
+
+
+def test_normalize_urls_cases(spark):
+    df = spark.createDataFrame(
+        [(i, raw) for i, (raw, _) in enumerate(CASES)], "doc_id long, url string"
+    )
+    got = {r.doc_id: r.url_norm for r in normalize_urls(df).collect()}
+    for i, (_, want) in enumerate(CASES):
+        assert got[i] == want, f"case {i}: {CASES[i][0]} -> {got[i]} != {want}"
+
+
+def test_normalize_urls_host_path_params(spark):
+    df = spark.createDataFrame(
+        [(1, "HTTPS://A.B.c/Dir/Page?utm_source=x&k=v")], "doc_id long, url string"
+    )
+    r = normalize_urls(df).collect()[0]
+    assert r.host == "a.b.c"
+    assert r.path == "/Dir/Page"  # path case is semantic, preserved
+    assert r.n_params == 1
+
+
+def test_host_profile(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "https://a.com/x?k=v"),
+            (2, "https://a.com/x"),
+            (3, "https://a.com/y"),
+            (4, "https://b.com/"),
+        ],
+        "doc_id long, url string",
+    )
+    got = {r.host: r for r in host_profile(normalize_urls(df)).collect()}
+    assert got["a.com"].n_pages == 3
+    assert got["a.com"].n_paths == 2
+    assert got["a.com"].with_query_frac == pytest.approx(1 / 3, abs=1e-6)
+    assert got["b.com"].n_pages == 1 and got["b.com"].n_paths == 1
+
+
+def test_strip_html_regexes_replay_in_duckdb(spark):
+    """The exact patterns must behave identically under RE2 — this is
+    what lets the driver's DuckDB oracle replay the operator."""
+    from time_series_databse_engine_spark.operators.web import (
+        _BLOCK_DROPS,
+        _COMMENT,
+        _TAG,
+    )
+
+    html = (
+        "<script a=b>junk</script><style>s</style><noscript>n</noscript>"
+        "<!-- c --><p>keep &amp; this</p>"
+    )
+    df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    spark_text = strip_html(df).collect()[0].text
+
+    expr = "html"
+    for pat in _BLOCK_DROPS + [_COMMENT, _TAG]:
+        expr = f"regexp_replace({expr}, '{pat}', ' ', 'g')"
+    for ent, ch in [
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "''"),
+        ("&nbsp;", " "),
+        ("&amp;", "&"),
+    ]:
+        expr = f"regexp_replace({expr}, '{ent}', '{ch}', 'g')"
+    expr = f"trim(regexp_replace({expr}, '\\s+', ' ', 'g'))"
+    (duck_text,) = (
+        duckdb.connect()
+        .execute(f"SELECT {expr} FROM (SELECT ? AS html)", [html])
+        .fetchone()
+    )
+    assert duck_text == spark_text == "keep & this"
