@@ -3045,6 +3045,17 @@ _URL_PLANT = (
 )
 
 
+_CRAWL_PLANT = (
+    "'<html><head><title>Page ' || CAST(doc_id % 100 AS STRING) || '</title>'"
+    " || '<script>junk(' || repeat('x', CAST(((doc_id % 100) * 13) % 257 AS INT)) || ');</script>'"
+    " || '<style>b{margin:0}</style></head><body><p>'"
+    " || 'quick brown fox jumped over ' || md5(CAST(doc_id % 100 AS STRING))"
+    " || repeat(' the of and a', CAST((doc_id % 100) % 5 AS INT))"
+    " || repeat(' lorem ipsum dolor', CAST((doc_id % 100) % 11 AS INT))"
+    " || '</p></body></html>'"
+)
+
+
 def q_html_strip(spark, sf_dir):
     """Boilerplate-dense synthetic pages (script/style/comment blocks,
     the six common entities, markup chrome — planted from documents by
@@ -3096,9 +3107,26 @@ def q_host_profile(spark, sf_dir):
     )
 
 
-def _html_strip_oracle_sql() -> str:
-    """DuckDB replay of strip_html built from the OPERATOR'S OWN pattern
-    constants — pattern identity is by construction, not transcription."""
+def q_clean_crawl(spark, sf_dir):
+    """End-to-end crawl→corpus composition (pipeline.clean_crawl):
+    strip_html → integer boilerplate-ppm gate → rounded quality gate →
+    exact dedup on the EXTRACTED text.  Pages are planted in duplicate
+    groups (content keyed by doc_id % 100) with per-group boilerplate
+    mass and prose length, so every gate cuts: at sf0.01 the cascade
+    runs 500 → 380 (ppm) → 220 (quality) → 44 (dedup keepers).  One
+    oracle re-derives all four stages in SQL — the composition itself
+    is hash-verified, same methodology as clean_corpus."""
+    from time_series_databse_engine_spark.pipeline import clean_crawl
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    pages = docs.select("doc_id", F.expr(_CRAWL_PLANT).alias("html"))
+    return clean_crawl(pages, min_visible_ppm=350_000, quality_threshold=0.5)
+
+
+def _strip_expr(col: str = "html") -> str:
+    """DuckDB replay of web.strip_html built from the OPERATOR'S OWN
+    pattern constants — pattern identity is by construction, not
+    transcription.  Shared by the html_strip and clean_crawl oracles."""
     from time_series_databse_engine_spark.operators.web import (
         _BLOCK_DROPS,
         _COMMENT,
@@ -3106,12 +3134,16 @@ def _html_strip_oracle_sql() -> str:
         _TAG,
     )
 
-    expr = "html"
+    expr = col
     for pat in _BLOCK_DROPS + [_COMMENT, _TAG]:
         expr = f"regexp_replace({expr}, '{pat}', ' ', 'g')"
     for ent, ch in _ENTITIES:
         expr = f"regexp_replace({expr}, '{ent}', '{ch.replace(chr(39), chr(39) * 2)}', 'g')"
-    expr = f"trim(regexp_replace({expr}, '\\s+', ' ', 'g'))"
+    return f"trim(regexp_replace({expr}, '\\s+', ' ', 'g'))"
+
+
+def _html_strip_oracle_sql() -> str:
+    expr = _strip_expr("html")
     return f"""
         WITH raw AS (SELECT doc_id, {_HTML_PLANT} AS html
                      FROM documents WHERE doc_id < 300),
@@ -3329,6 +3361,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_strip": q_html_strip,
         "url_normalize": q_url_normalize,
         "host_profile": q_host_profile,
+        # clean_crawl (the composed crawl->corpus cascade, oracle-backed)
+        # displaces mmr_topk (driver-green r6; similarity/rerank stays
+        # covered in-window by ivfpq_topk, ivf_recall, hamming_topk and
+        # the three persisted-ANN-index entries)
+        "clean_crawl": q_clean_crawl,
         "bpe_tokenize": q_bpe_tokenize,
         "pca_project": q_pca_project,
         "pagerank": q_pagerank,
@@ -3376,7 +3413,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_incremental": q_neardup_incremental,
         "leakage_safe_split": q_leakage_safe_split,
         "hamming_topk": q_hamming_topk,
-        "mmr_topk": q_mmr_topk,
         "column_profile": q_column_profile,
         # ---- position 51+: driver-green anchors displaced by the
         # round-5/6 rotations (historical green rows stand; categories
@@ -3401,6 +3437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join": q_salted_join,
         "hilbert_key": q_hilbert_key,
         "sq8_topk": q_sq8_topk,
+        "mmr_topk": q_mmr_topk,
         "full_outer_join": q_full_outer_join,
         "lsh_ann_topk_multi": q_lsh_ann_topk_multi,
         "resample_1m_expr": q_resample_1m_expr,
@@ -6010,6 +6047,20 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN doc_id % 6 = 3 THEN 128 END AS bitrate_kbps
         FROM documents WHERE doc_id < 120"""
     oracles["html_strip"] = _html_strip_oracle_sql()
+    oracles["clean_crawl"] = f"""
+        WITH raw AS (SELECT doc_id, {_CRAWL_PLANT} AS html
+                     FROM documents WHERE doc_id < 2000),
+        s AS (SELECT doc_id, {_strip_expr("html")} AS text,
+                     length(html) AS raw_len FROM raw),
+        g AS (SELECT doc_id, text,
+                     length(text) * 1000000 // raw_len AS visible_ppm FROM s),
+        gated AS (SELECT *, {_quality_expr()} AS quality,
+                         len(regexp_extract_all(text, '[^\\s]+')) AS n_tokens
+                  FROM g WHERE visible_ppm >= 350000),
+        qs AS (SELECT * FROM gated WHERE quality >= 0.5),
+        keep AS (SELECT min(doc_id) AS doc_id FROM qs GROUP BY md5(text))
+        SELECT doc_id, n_tokens, quality, CAST(visible_ppm AS BIGINT) AS visible_ppm
+        FROM qs WHERE doc_id IN (SELECT doc_id FROM keep)"""
     oracles["url_normalize"] = f"""
         WITH {_url_parts_cte(500)}
         SELECT doc_id, url_norm, host, path, n_params FROM urls"""

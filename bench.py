@@ -136,6 +136,7 @@ HEADLINE = [
     "html_strip",
     "url_normalize",
     "host_profile",
+    "clean_crawl",
 ]
 
 # repeated-run latency distribution for the reference's hot/cold point

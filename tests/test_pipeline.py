@@ -43,3 +43,47 @@ def test_sample_gate_and_determinism(spark):
     assert samp_ids <= full_ids  # sampling only removes
     again = {r.doc_id for r in clean_corpus(_docs(spark), quality_threshold=0.0, rate_16ths=4).collect()}
     assert samp_ids == again     # reproducible membership
+
+
+def test_clean_crawl_cascade(spark):
+    from time_series_databse_engine_spark.pipeline import clean_crawl
+
+    mk = (
+        "<html><head><script>junk({js});</script></head>"
+        "<body><p>{body}</p></body></html>"
+    )
+    pages = [
+        # 1: clean prose, passes everything
+        (1, mk.format(js="x", body="the quick brown fox of the house and a dog is here to stay")),
+        # 2: exact duplicate of 1 AFTER stripping (different script junk)
+        (2, mk.format(js="y" * 40, body="the quick brown fox of the house and a dog is here to stay")),
+        # 3: boilerplate-dominated (huge script, tiny body) -> ppm gate
+        (3, mk.format(js="z" * 4000, body="the and of a short")),
+        # 4: junk prose (no stopwords, heavy punct) -> quality gate
+        (4, mk.format(js="x", body="@@@ ### $$$ %%% ^^^ &amp;&amp;&amp; !!!")),
+    ]
+    df = spark.createDataFrame(pages, "doc_id long, html string")
+    out = {
+        r.doc_id: r
+        for r in clean_crawl(
+            df, min_visible_ppm=300_000, quality_threshold=0.45
+        ).collect()
+    }
+    assert set(out) == {1}          # 2 deduped, 3 ppm-gated, 4 quality-gated
+    assert out[1].n_tokens == 14
+    assert out[1].visible_ppm > 300_000
+    assert out[1].quality >= 0.45
+
+
+def test_clean_crawl_dedup_keeps_min_id(spark):
+    from time_series_databse_engine_spark.pipeline import clean_crawl
+
+    html = (
+        "<html><body><p>the quick brown fox of the house and a dog is"
+        " here to stay</p></body></html>"
+    )
+    df = spark.createDataFrame(
+        [(9, html), (5, html), (7, html)], "doc_id long, html string"
+    )
+    out = clean_crawl(df, min_visible_ppm=100_000, quality_threshold=0.45).collect()
+    assert [r.doc_id for r in out] == [5]

@@ -71,3 +71,53 @@ def clean_corpus(
     )
     meta_cols = [c for c in docs.columns if c not in (id_col, text_col)]
     return survivors.select(id_col, *meta_cols, "n_tokens", "quality")
+
+
+def clean_crawl(
+    pages: DataFrame,
+    min_visible_ppm: int = 100_000,
+    quality_threshold: float = 0.5,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Raw crawl pages (id, html) → clean text corpus — the crawl-side
+    prequel to :func:`clean_corpus`:
+
+    1. **Extract**: ``web.strip_html`` — visible text + boilerplate
+       density (integer ``visible_ppm`` = visible_len·10⁶ div raw_len,
+       so the gate boundary is engine-exact, no float rounding).
+    2. **Boilerplate gate**: ``visible_ppm >= min_visible_ppm`` — a page
+       that is mostly markup is navigation chrome, not prose.
+    3. **Quality gate**: the composite heuristic score ≥ threshold
+       (gate on the 6-dp ROUNDED score, same rule as clean_corpus).
+    4. **Exact dedup on the EXTRACTED text**: crawl mirrors and
+       boilerplate-differing copies of the same article collapse to the
+       smallest id once markup is gone — dedup *after* extraction is
+       the whole point of running strip first.
+
+    Scale shape: stages 1–3 are pure codegen'd projections riding the
+    scan (0 exchanges); stage 4 shuffles (md5, id) pairs only — page
+    text never moves except inside the initial scan's partitions.
+    Returns (id, n_tokens, quality, visible_ppm) for survivors.
+    """
+    from .operators import web as web_ops
+
+    stripped = web_ops.strip_html(pages, html_col, id_col).withColumn(
+        "visible_ppm",
+        F.expr("CAST(visible_len * 1000000 div raw_len AS BIGINT)"),
+    )
+    gated = stripped.filter(F.col("visible_ppm") >= min_visible_ppm)
+    scored = text_ops.quality_score(gated, "text", id_col).select(
+        id_col, "n_tokens", "quality"
+    )
+    survivors = (
+        gated.select(id_col, "text", "visible_ppm")
+        .join(scored, id_col)
+        .filter(F.col("quality") >= quality_threshold)
+    )
+    keepers = dedup_ops.exact_dedup(survivors, "text", id_col).select(
+        F.col("keeper_id").alias(id_col)
+    )
+    return survivors.join(keepers, id_col, "semi").select(
+        id_col, "n_tokens", "quality", "visible_ppm"
+    )
