@@ -2961,16 +2961,18 @@ def q_media_safe_decode(spark, sf_dir):
 
 
 def q_media_probe(spark, sf_dir):
-    """Header-only media metadata at crawl scale: a mixed six-container
-    corpus (BMP / PNG / PROGRESSIVE JPEG / MP3 frame chain / MP4 / junk,
-    planted by ``doc_id % 6``) through ``media_probe.probe_features`` —
-    duration/bitrate/dimensions WITHOUT sample decode (MP3/MP4 are
-    header-walk probes over spec-exact synthetic vectors; the JPEG class
-    exercises the round-7 progressive decoder in the driver gate).
-    Every planted class has deterministic metadata, so the oracle pins
-    the whole expected table: container, dimensions, MP3 duration
-    208 ms (8 frames x 1152 samples / 44.1 kHz) + 128 kbps, MP4
-    duration 3210 ms, and the skip-and-flag ok=false row for junk."""
+    """Header-only media metadata at crawl scale: a mixed EIGHT-container
+    corpus (BMP / PNG / PROGRESSIVE JPEG / MP3 frame chain / MP4 / junk /
+    FLAC / Ogg Vorbis, planted by ``doc_id % 8``) through
+    ``media_probe.probe_features`` — duration/bitrate/dimensions WITHOUT
+    sample decode.  All branches are header walks over public bit formats
+    (ISO 11172-3, ISO 14496-12, RFC 9639 STREAMINFO, RFC 3533 granule
+    positions; image dims from IHDR/SOFn per r7 ADVICE — the progressive
+    JPEG class now proves the SOFn walk, not the decoder).  Every planted
+    class has deterministic metadata, so the oracle pins the whole
+    expected table: MP3 208 ms (8 frames x 1152 / 44.1 kHz) + 128 kbps,
+    MP4 3210 ms, FLAC 2010 ms @ 44.1 kHz, Ogg 1234 ms @ 16 kHz, and the
+    skip-and-flag ok=false row for junk."""
     from time_series_databse_engine_spark.operators import media_probe as mp_ops
     from time_series_databse_engine_spark.operators import multimodal as mm_ops
     from time_series_databse_engine_spark.operators.jpeg import encode_jpeg
@@ -2985,17 +2987,21 @@ def q_media_probe(spark, sf_dir):
             for i, t in zip(pdf["doc_id"], pdf["text"]):
                 b = t.encode("utf-8")[:48]
                 px = b + bytes(48 - len(b))
-                m = int(i) % 6
+                m = int(i) % 8
                 if m == 0:
                     payloads.append(mm_ops.encode_bmp(4, 4, px))
                 elif m == 1:
                     payloads.append(mm_ops.encode_png(4, 4, px))
-                elif m == 2:  # the progressive-JPEG path, live in the gate
+                elif m == 2:  # progressive JPEG: proves the SOFn header walk
                     payloads.append(encode_jpeg(4, 4, px, quality=95, progressive=True))
                 elif m == 3:
                     payloads.append(mp_ops.synth_mp3(8))
                 elif m == 4:
                     payloads.append(mp_ops.synth_mp4(3210))
+                elif m == 6:
+                    payloads.append(mp_ops.synth_flac(2010))
+                elif m == 7:
+                    payloads.append(mp_ops.synth_ogg_vorbis(1234))
                 else:  # deterministic junk: no container magic
                     payloads.append(bytes(16))
             yield pd.DataFrame(
@@ -6036,15 +6042,18 @@ def oracle_sql() -> dict[str, str]:
         FROM documents WHERE doc_id < 100"""
     oracles["media_probe"] = """
         SELECT doc_id AS media_id,
-               (doc_id % 6) <> 5 AS ok,
-               CASE doc_id % 6 WHEN 0 THEN 'bmp' WHEN 1 THEN 'png'
+               (doc_id % 8) <> 5 AS ok,
+               CASE doc_id % 8 WHEN 0 THEN 'bmp' WHEN 1 THEN 'png'
                                WHEN 2 THEN 'jpeg' WHEN 3 THEN 'mp3'
-                               WHEN 4 THEN 'mp4' END AS container,
-               CASE WHEN doc_id % 6 IN (0, 1, 2) THEN 4 END AS width,
-               CASE WHEN doc_id % 6 = 3 THEN 44100 END AS sample_rate,
-               CAST(CASE doc_id % 6 WHEN 3 THEN 208 WHEN 4 THEN 3210 END AS BIGINT)
-                   AS duration_ms,
-               CASE WHEN doc_id % 6 = 3 THEN 128 END AS bitrate_kbps
+                               WHEN 4 THEN 'mp4' WHEN 6 THEN 'flac'
+                               WHEN 7 THEN 'ogg' END AS container,
+               CASE WHEN doc_id % 8 IN (0, 1, 2) THEN 4 END AS width,
+               CASE doc_id % 8 WHEN 3 THEN 44100 WHEN 6 THEN 44100
+                               WHEN 7 THEN 16000 END AS sample_rate,
+               CAST(CASE doc_id % 8 WHEN 3 THEN 208 WHEN 4 THEN 3210
+                                    WHEN 6 THEN 2010 WHEN 7 THEN 1234
+                    END AS BIGINT) AS duration_ms,
+               CASE WHEN doc_id % 8 = 3 THEN 128 END AS bitrate_kbps
         FROM documents WHERE doc_id < 120"""
     oracles["html_strip"] = _html_strip_oracle_sql()
     oracles["clean_crawl"] = f"""

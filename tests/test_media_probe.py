@@ -104,8 +104,88 @@ def test_probe_media_dispatch_all_containers():
     assert mp3["container"] == "mp3"
     mp4 = probe_media(_mp4())
     assert (mp4["container"], mp4["duration_ms"]) == ("mp4", 5432)
+    from time_series_databse_engine_spark.operators.media_probe import (
+        synth_flac,
+        synth_ogg_vorbis,
+    )
+
+    fl = probe_media(synth_flac(2010))
+    assert (fl["container"], fl["sample_rate"], fl["duration_ms"]) == ("flac", 44100, 2010)
+    og = probe_media(synth_ogg_vorbis(1234))
+    assert (og["container"], og["sample_rate"], og["duration_ms"]) == ("ogg", 16000, 1234)
     with pytest.raises(ValueError):
         probe_media(b"\x00" * 32)
+
+
+def test_flac_streaminfo_probe():
+    from time_series_databse_engine_spark.operators.media_probe import (
+        probe_flac,
+        synth_flac,
+    )
+
+    d = probe_flac(synth_flac(2010, sample_rate=44100, channels=2, bps=16))
+    assert (d["sample_rate"], d["channels"], d["duration_ms"]) == (44100, 2, 2010)
+    # odd rate exercises the 20-bit packing (96 kHz spills past 16 bits)
+    d = probe_flac(synth_flac(500, sample_rate=96000, channels=1, bps=24))
+    assert (d["sample_rate"], d["channels"], d["duration_ms"]) == (96000, 1, 500)
+    with pytest.raises(ValueError):
+        probe_flac(b"fLaC" + bytes(8))  # too short for STREAMINFO
+    with pytest.raises(ValueError):  # first block not STREAMINFO (type 4)
+        probe_flac(b"fLaC" + bytes([0x04]) + bytes(40))
+
+
+def test_ogg_vorbis_and_opus_probe():
+    from time_series_databse_engine_spark.operators.media_probe import (
+        _ogg_crc,
+        _ogg_page,
+        probe_ogg,
+        synth_ogg_vorbis,
+    )
+
+    stream = synth_ogg_vorbis(1234, sample_rate=16000)
+    d = probe_ogg(stream)
+    assert (d["codec"], d["sample_rate"], d["duration_ms"]) == ("vorbis", 16000, 1234)
+    # the synthesized pages carry REAL RFC 3533 CRCs (zeroed-field rule)
+    first_page_len = 27 + stream[26] + sum(stream[27 : 27 + stream[26]])
+    page = stream[:first_page_len]
+    assert struct.unpack_from("<I", page, 22)[0] == _ogg_crc(
+        page[:22] + b"\x00\x00\x00\x00" + page[26:]
+    )
+    # Opus: granule clock is 48 kHz regardless of input rate; pre-skip
+    # (312 samples here) is subtracted per RFC 7845 §4
+    opus_head = (
+        b"OpusHead" + bytes([1, 2]) + struct.pack("<H", 312)
+        + struct.pack("<I", 16000) + struct.pack("<hB", 0, 0)
+    )
+    stream = _ogg_page(opus_head, 0, 7, 0, 0x02) + _ogg_page(
+        b"", 48000 * 2 + 312, 7, 1, 0x04
+    )
+    d = probe_ogg(stream)
+    assert (d["codec"], d["sample_rate"], d["duration_ms"]) == ("opus", 16000, 2000)
+    with pytest.raises(ValueError):
+        probe_ogg(_ogg_page(b"\x00unknowncodec", 0, 7, 0, 0x02))
+
+
+def test_image_probe_is_header_only():
+    """r7 ADVICE: width/height must come from IHDR / SOFn, not a full
+    decode — a payload truncated right after its frame header (entropy
+    data gone) still probes its dimensions."""
+    from time_series_databse_engine_spark.operators.jpeg import encode_jpeg
+    from time_series_databse_engine_spark.operators.multimodal import encode_png
+
+    png = encode_png(4, 4, bytes(48))
+    d = probe_media(png[:33])  # signature + IHDR only, IDAT gone
+    assert (d["width"], d["height"]) == (4, 4)
+
+    jp = encode_jpeg(4, 4, bytes(48), progressive=True)
+    sos = jp.find(b"\xff\xda")
+    assert sos > 0
+    d = probe_media(jp[: sos + 2])  # everything after SOS marker gone
+    assert (d["width"], d["height"]) == (4, 4)
+    # baseline too
+    jb = encode_jpeg(4, 4, bytes(48))
+    d = probe_media(jb[: jb.find(b"\xff\xda") + 2])
+    assert (d["width"], d["height"]) == (4, 4)
 
 
 def test_probe_features_spark_skip_and_flag(spark):

@@ -722,3 +722,99 @@ def test_ann_index_maintenance_lease_single_owner(spark, sf_dir, tmp_path):
     sim.ivf_index_vacuum(path)  # succeeds via takeover
     assert not os.path.exists(lock)
     assert spark.read.parquet(path + "/index").count() == total
+
+
+def test_lease_stale_takeover_exactly_one_winner(tmp_path):
+    """r7 ADVICE race: two contenders that BOTH observe the same stale
+    lock must resolve to exactly one lease owner — the rename-break
+    protocol makes the losing breaker land on the winner's fresh lock
+    and raise, never silently co-own.  Run many rounds to exercise the
+    interleavings."""
+    import os
+    import threading
+    import time
+
+    from time_series_databse_engine_spark.operators import similarity as sim
+
+    path = str(tmp_path / "ann_idx")
+    os.makedirs(path, exist_ok=True)
+    lock = os.path.join(path, "index-maintenance.lock")
+
+    for _ in range(10):
+        # plant a stale lock from a "crashed" owner
+        with open(lock, "w") as fh:
+            fh.write("pid=0 token=deadbeef\n")
+        old = time.time() - 120
+        os.utime(lock, (old, old))
+
+        entered, holding, errs = [], threading.Event(), []
+        barrier = threading.Barrier(2)
+
+        def contend(name):
+            barrier.wait()
+            try:
+                with sim._maintenance_lease(path, ttl_sec=60.0):
+                    entered.append(name)
+                    assert not holding.is_set(), "two concurrent lease owners"
+                    holding.set()
+                    time.sleep(0.05)
+                    holding.clear()
+            except sim.MaintenanceLeaseHeld:
+                errs.append(name)
+
+        ts = [threading.Thread(target=contend, args=(i,)) for i in range(2)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        # exactly one winner per round (the loser either raised or — if it
+        # arrived after the winner fully released — won a SECOND, serial
+        # lease, which is also correct: never concurrent)
+        assert len(entered) >= 1 and len(entered) + len(errs) == 2
+        assert not os.path.exists(lock)
+
+
+def test_lease_release_never_unlinks_foreign_lock(tmp_path):
+    """r7 ADVICE cascade: if the lock is usurped mid-hold (forcibly
+    rewritten by another owner), the original holder's release must NOT
+    unlink it — the finally verifies the token first."""
+    import os
+
+    from time_series_databse_engine_spark.operators import similarity as sim
+
+    path = str(tmp_path / "ann_idx")
+    os.makedirs(path, exist_ok=True)
+    lock = os.path.join(path, "index-maintenance.lock")
+
+    cm = sim._maintenance_lease(path, ttl_sec=60.0)
+    cm.__enter__()
+    with open(lock, "w") as fh:  # usurper rewrites the lock
+        fh.write("pid=99999 token=usurper\n")
+    cm.__exit__(None, None, None)
+    assert os.path.exists(lock), "release deleted a lock it no longer owned"
+    with open(lock) as fh:
+        assert "usurper" in fh.read()
+    os.unlink(lock)
+
+
+def test_lease_refresh_outlives_ttl(tmp_path):
+    """r7 ADVICE: a legitimate op running longer than the TTL keeps its
+    lease — the refresher touches mtime every ttl/4, so a contender
+    arriving after >TTL wall time still sees a FRESH lock and raises
+    instead of usurping."""
+    import os
+    import time
+
+    import pytest
+
+    from time_series_databse_engine_spark.operators import similarity as sim
+
+    path = str(tmp_path / "ann_idx")
+    os.makedirs(path, exist_ok=True)
+
+    with sim._maintenance_lease(path, ttl_sec=0.8):
+        time.sleep(2.0)  # well past the TTL; refresher keeps mtime young
+        with pytest.raises(sim.MaintenanceLeaseHeld):
+            with sim._maintenance_lease(path, ttl_sec=0.8):
+                pass
+    assert not os.path.exists(os.path.join(path, "index-maintenance.lock"))

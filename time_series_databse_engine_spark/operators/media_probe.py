@@ -15,6 +15,13 @@ are fully public bit formats parseable with stdlib ``struct``:
   present).
 * MP4 (ISO 14496-12 BMFF): walk the box tree to ``moov/mvhd`` —
   duration = mvhd.duration / mvhd.timescale; brands from ``ftyp``.
+* FLAC (RFC 9639): rate/channels/bps/total-samples from the mandatory
+  STREAMINFO metadata block — duration without touching a frame.
+* Ogg (RFC 3533 + Vorbis I / RFC 7845 Opus): codec + rate from the BOS
+  ident header, duration from the last page's granule position.
+* PNG/JPEG dimensions come straight from IHDR / the SOFn frame header
+  (r7 ADVICE: the probe tier must never run inflate or entropy+IDCT
+  just to report width x height).
 
 Probing stays per-payload pure-Python inside the same Arrow-batched
 ``mapInPandas`` boundary as the decoders (multimodal.py's declared
@@ -203,12 +210,216 @@ def probe_mp4(payload: bytes) -> dict:
     return out
 
 
+def _png_dimensions(payload: bytes) -> tuple[int, int]:
+    """Width/height straight from the IHDR chunk (PNG spec §11.2.2:
+    IHDR is ALWAYS the first chunk, so width/height sit at fixed bytes
+    16..24) — no inflate, no unfilter.  A truncated-but-headered PNG
+    still probes its dimensions (r7 ADVICE: the probe tier must never
+    pay decode cost, and header-valid truncations aren't 'corrupt')."""
+    if len(payload) < 24 or payload[12:16] != b"IHDR":
+        raise ValueError("PNG too short for IHDR")
+    w, h = struct.unpack_from(">II", payload, 16)
+    if w == 0 or h == 0:
+        raise ValueError("PNG zero dimension")
+    return w, h
+
+
+def _jpeg_dimensions(payload: bytes) -> tuple[int, int]:
+    """Width/height from the first SOFn marker segment (ITU T.81 §B.2.2:
+    frame header carries precision, Y, X) — a pure marker walk over the
+    first few hundred bytes, no entropy decode / IDCT.  SOF markers are
+    0xC0–0xCF except DHT(C4)/JPG(C8)/DAC(CC); SOFn always precedes SOS,
+    so truncated entropy data never blocks the probe."""
+    pos, n = 2, len(payload)
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        marker = payload[pos + 1]
+        if marker == 0xFF:  # fill byte
+            pos += 1
+            continue
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD9:  # standalone
+            pos += 2
+            continue
+        if marker == 0xDA:  # SOS before any SOF — malformed stream
+            break
+        (seglen,) = struct.unpack_from(">H", payload, pos + 2)
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if pos + 9 > n:
+                break
+            h, w = struct.unpack_from(">HH", payload, pos + 5)
+            if w == 0 or h == 0:
+                raise ValueError("JPEG zero dimension")
+            return w, h
+        pos += 2 + seglen
+    raise ValueError("no SOFn frame header found")
+
+
+def probe_flac(payload: bytes) -> dict:
+    """FLAC STREAMINFO probe (the format spec's mandatory first metadata
+    block, RFC 9639 §8.2): sample rate is the top 20 bits / channels the
+    next 3 / bits-per-sample the next 5 / total samples the final 36
+    bits of the 8-byte packed field at STREAMINFO offset 10.  Header
+    only — no frame decode."""
+    if payload[:4] != b"fLaC" or len(payload) < 4 + 4 + 34:
+        raise ValueError("not a FLAC stream or too short")
+    if payload[4] & 0x7F != 0:  # first block MUST be STREAMINFO (type 0)
+        raise ValueError("FLAC first metadata block is not STREAMINFO")
+    b = payload[8:42]
+    sr = (b[10] << 12) | (b[11] << 4) | (b[12] >> 4)
+    if sr == 0:
+        raise ValueError("FLAC sample rate is zero")
+    channels = ((b[12] >> 1) & 0x7) + 1
+    total = ((b[13] & 0x0F) << 32) | int.from_bytes(b[14:18], "big")
+    return {
+        "kind": "audio",
+        "container": "flac",
+        "sample_rate": sr,
+        "channels": channels,
+        "duration_ms": int(total * 1000 / sr) if total else None,
+    }
+
+
+def synth_flac(
+    duration_ms: int, sample_rate: int = 44100, channels: int = 2, bps: int = 16
+) -> bytes:
+    """Spec-exact FLAC container head: ``fLaC`` + a last-flagged
+    STREAMINFO block with the packed rate/channels/bps/total-samples
+    field — complete for any header-only probe (no audio frames)."""
+    total = duration_ms * sample_rate // 1000
+    packed = (
+        (sample_rate << 44)
+        | ((channels - 1) << 41)
+        | ((bps - 1) << 36)
+        | (total & ((1 << 36) - 1))
+    )
+    body = (
+        struct.pack(">HH", 4096, 4096)  # min/max block size
+        + b"\x00" * 6  # min/max frame size (unknown)
+        + packed.to_bytes(8, "big")
+        + b"\x00" * 16  # md5 of unencoded audio (unknown)
+    )
+    return b"fLaC" + bytes([0x80]) + len(body).to_bytes(3, "big") + body
+
+
+def _ogg_crc(page: bytes) -> int:
+    """Ogg page CRC (RFC 3533 §6): CRC-32, poly 0x04C11DB7, init 0, no
+    reflection, no final xor, over the page with the CRC field zeroed."""
+    crc = 0
+    for byte in page:
+        crc ^= byte << 24
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x04C11DB7) if crc & 0x80000000 else (crc << 1)
+            crc &= 0xFFFFFFFF
+    return crc
+
+
+def _ogg_page(
+    payload: bytes, granule: int, serial: int, seq: int, header_type: int
+) -> bytes:
+    """One RFC 3533 page: 27-byte header + segment lacing table + body,
+    with a real CRC so the vectors verify in any external tool."""
+    segs = []
+    remaining = len(payload)
+    while remaining >= 255:
+        segs.append(255)
+        remaining -= 255
+    segs.append(remaining)  # final short (possibly 0) lacing value
+    head = (
+        b"OggS\x00"
+        + bytes([header_type])
+        + struct.pack("<q", granule)
+        + struct.pack("<II", serial, seq)
+        + b"\x00\x00\x00\x00"  # CRC placeholder
+        + bytes([len(segs)])
+        + bytes(segs)
+    )
+    crc = _ogg_crc(head + payload)
+    return head[:22] + struct.pack("<I", crc) + head[26:] + payload
+
+
+def synth_ogg_vorbis(
+    duration_ms: int, sample_rate: int = 16000, bitrate_nominal: int = 96000
+) -> bytes:
+    """Minimal Ogg Vorbis stream: BOS page carrying the Vorbis
+    identification header (Vorbis I spec §4.2.2: '\\x01vorbis', version,
+    channels, rate, bitrates), then an EOS page whose granule position
+    is the total PCM sample count — all a header-only duration probe
+    needs."""
+    ident = (
+        b"\x01vorbis"
+        + struct.pack("<I", 0)  # vorbis_version
+        + bytes([2])  # channels
+        + struct.pack("<I", sample_rate)
+        + struct.pack("<iii", 0, bitrate_nominal, 0)  # max/nominal/min
+        + bytes([0xB8, 0x01])  # blocksizes + framing bit
+    )
+    samples = duration_ms * sample_rate // 1000
+    return (
+        _ogg_page(ident, 0, 0xFEED, 0, 0x02)  # BOS
+        + _ogg_page(b"", samples, 0xFEED, 1, 0x04)  # EOS, final granule
+    )
+
+
+def probe_ogg(payload: bytes) -> dict:
+    """Ogg probe (RFC 3533): codec + rate from the first (BOS) page's
+    identification header — Vorbis (Vorbis I §4.2.2) or Opus (RFC 7845
+    ``OpusHead``, 48 kHz granule clock, pre-skip subtracted) — then scan
+    page headers for the LAST granule position; duration = granule /
+    granule rate.  Header walk only; page CRCs are not verified (probe
+    tier never pays per-byte cost)."""
+    if payload[:4] != b"OggS" or len(payload) < 28:
+        raise ValueError("not an Ogg stream")
+    sample_rate = None
+    granule_rate = None
+    codec = None
+    pre_skip = 0
+    last_granule = 0
+    pos = 0
+    n = len(payload)
+    first = True
+    while pos + 27 <= n and payload[pos : pos + 4] == b"OggS":
+        (granule,) = struct.unpack_from("<q", payload, pos + 6)
+        nsegs = payload[pos + 26]
+        if pos + 27 + nsegs > n:
+            break
+        body_len = sum(payload[pos + 27 : pos + 27 + nsegs])
+        body = payload[pos + 27 + nsegs : pos + 27 + nsegs + body_len]
+        if first:
+            if body[:7] == b"\x01vorbis" and len(body) >= 16:
+                codec = "vorbis"
+                (sample_rate,) = struct.unpack_from("<I", body, 12)
+                granule_rate = sample_rate
+            elif body[:8] == b"OpusHead" and len(body) >= 16:
+                codec = "opus"
+                (pre_skip,) = struct.unpack_from("<H", body, 10)
+                (sample_rate,) = struct.unpack_from("<I", body, 12)
+                granule_rate = 48000  # Opus granules tick at 48 kHz (RFC 7845 §4)
+            else:
+                raise ValueError("unsupported Ogg codec ident header")
+            first = False
+        if granule > 0:
+            last_granule = granule
+        pos += 27 + nsegs + body_len
+    if granule_rate in (None, 0):
+        raise ValueError("no usable Ogg ident header")
+    return {
+        "kind": "audio",
+        "container": "ogg",
+        "codec": codec,
+        "sample_rate": int(sample_rate),
+        "duration_ms": int(max(last_granule - pre_skip, 0) * 1000 / granule_rate),
+    }
+
+
 def probe_media(payload: bytes) -> dict:
-    """Magic-byte dispatch across EVERY container this engine knows:
-    full-decode formats report their decoder's metadata; MP3/MP4 report
-    header-walk metadata (the formats whose sample decode honestly needs
-    ffmpeg).  One dict shape: (container, kind, width, height,
-    sample_rate, duration_ms, bitrate_kbps)."""
+    """Magic-byte dispatch across EVERY container this engine knows —
+    ALL branches are header-only (r7 ADVICE closed: image dims now come
+    from PNG IHDR / JPEG SOFn / BMP+WAV fixed headers, never a decode);
+    MP3/MP4/FLAC/Ogg are header walks over public bit formats (ISO
+    11172-3, ISO 14496-12, RFC 9639, RFC 3533).  One dict shape:
+    (container, kind, width, height, sample_rate, duration_ms,
+    bitrate_kbps)."""
     from . import multimodal
 
     if payload is None or len(payload) < 12:
@@ -225,13 +436,27 @@ def probe_media(payload: bytes) -> dict:
             "duration_ms": d["duration_ms"],
         }
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
-        d = multimodal.decode_png(payload)
-        return {"container": "png", "kind": "image", "width": d["width"], "height": d["height"]}
+        w, h = _png_dimensions(payload)
+        return {"container": "png", "kind": "image", "width": w, "height": h}
     if payload[:3] == b"\xff\xd8\xff":
-        from .jpeg import decode_jpeg
-
-        d = decode_jpeg(payload)
-        return {"container": "jpeg", "kind": "image", "width": d["width"], "height": d["height"]}
+        w, h = _jpeg_dimensions(payload)
+        return {"container": "jpeg", "kind": "image", "width": w, "height": h}
+    if payload[:4] == b"fLaC":
+        d = probe_flac(payload)
+        return {
+            "container": "flac",
+            "kind": "audio",
+            "sample_rate": d["sample_rate"],
+            "duration_ms": d["duration_ms"],
+        }
+    if payload[:4] == b"OggS":
+        d = probe_ogg(payload)
+        return {
+            "container": "ogg",
+            "kind": "audio",
+            "sample_rate": d["sample_rate"],
+            "duration_ms": d["duration_ms"],
+        }
     if payload[:3] == b"ID3" or (payload[0] == 0xFF and (payload[1] & 0xE0) == 0xE0):
         d = probe_mp3(payload)
         return {

@@ -1792,40 +1792,112 @@ def _maintenance_lease(path: str, ttl_sec: float | None = None):
     (leases are released in a ``finally``, so only a process death
     leaves one behind) and is broken — crash RECOVERY itself stays
     with :func:`_recover_compact`/replay, which need no lease state.
-    Contextmanager; release always unlinks."""
+
+    Takeover protocol (r7 hardening — both ADVICE races closed):
+
+    * A stale lock is broken via ``os.rename`` to a breaker-unique
+      name, never ``unlink``: rename is atomic, so when two processes
+      observe the same stale lock exactly ONE renamer succeeds and the
+      loser retries the create — the old unlink/create interleaving
+      (slow breaker deletes the fast breaker's FRESH lock, both
+      proceed) cannot happen because nobody ever unlinks a path that
+      could have been re-created by someone else.
+    * After creating its lock the owner RE-READS the path and refuses
+      to proceed unless the content is its own unique token.
+    * While held, a daemon thread refreshes the lock mtime every
+      ``ttl/4`` so a legitimately long op (a 100 TB compaction can
+      outlive any fixed TTL) is never usurped mid-run for merely being
+      slow; the refresher stops the moment the content is not ours.
+    * Release re-reads the lock and unlinks ONLY if the token is still
+      ours — a usurped owner's ``finally`` never cascades the lock
+      theft to a third process.
+
+    Object-store caveat: ``O_CREAT|O_EXCL`` is a POSIX/NFS-local
+    primitive with no S3 analogue.  On object stores the same protocol
+    maps to a conditional put (S3 ``If-None-Match: *``, GCS
+    ``x-goog-if-generation-match: 0``) or an external lock row
+    (DynamoDB conditional write); the token-verify, TTL-refresh, and
+    verify-before-release steps carry over unchanged.
+    Contextmanager; release unlinks iff still owned."""
     import contextlib
     import os
+    import threading
     import time
+    import uuid
 
     @contextlib.contextmanager
     def _lease():
         lock = os.path.join(path.rstrip("/"), "index-maintenance.lock")
         ttl = MAINTENANCE_LEASE_TTL_SEC if ttl_sec is None else ttl_sec
+        token = f"pid={os.getpid()} token={uuid.uuid4().hex}\n".encode()
         os.makedirs(os.path.dirname(lock), exist_ok=True)
-        try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
+
+        def _held(age: float):
+            raise MaintenanceLeaseHeld(
+                f"maintenance lease {lock} held by another owner "
+                f"({age:.0f}s old, ttl {ttl:.0f}s); refusing to race "
+                "a concurrent append/compact/vacuum"
+            )
+
+        fd = None
+        for _ in range(4):
             try:
-                age = time.time() - os.stat(lock).st_mtime
-            except FileNotFoundError:  # owner released between open and stat
-                age = ttl + 1.0
-            if age <= ttl:
-                raise MaintenanceLeaseHeld(
-                    f"maintenance lease {lock} held by another owner "
-                    f"({age:.0f}s old, ttl {ttl:.0f}s); refusing to race "
-                    "a concurrent append/compact/vacuum"
-                )
-            # stale: owner died without its finally — break and take over
-            with contextlib.suppress(FileNotFoundError):
-                os.unlink(lock)
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                try:
+                    age = time.time() - os.stat(lock).st_mtime
+                except FileNotFoundError:
+                    continue  # released between open and stat — retry create
+                if age <= ttl:
+                    _held(age)
+                # stale: owner died without its finally.  Break by atomic
+                # rename — exactly one breaker wins; losers loop back to
+                # the create race and find the winner's FRESH lock.
+                broken = f"{lock}.broken.{uuid.uuid4().hex}"
+                try:
+                    os.rename(lock, broken)
+                except FileNotFoundError:
+                    continue  # another breaker won the rename
+                with contextlib.suppress(FileNotFoundError):
+                    os.unlink(broken)
+        if fd is None:  # create kept losing — someone else holds it
+            _held(0.0)
+        os.write(fd, token)
+        os.fsync(fd)
+        os.close(fd)
+
+        def _owned() -> bool:
+            try:
+                with open(lock, "rb") as fh:
+                    return fh.read() == token
+            except OSError:
+                return False
+
+        if not _owned():  # paranoid re-check: never proceed on a foreign lock
+            _held(0.0)
+
+        stop = threading.Event()
+
+        def _refresh():
+            while not stop.wait(min(ttl / 4.0, 60.0)):
+                if not _owned():
+                    return  # usurped — never touch a foreign lock
+                with contextlib.suppress(OSError):
+                    os.utime(lock)
+
+        refresher = threading.Thread(
+            target=_refresh, name="ann-lease-refresh", daemon=True
+        )
+        refresher.start()
         try:
-            os.write(fd, f"pid={os.getpid()} t={time.time()}\n".encode())
-            os.close(fd)
             yield
         finally:
-            with contextlib.suppress(FileNotFoundError):
-                os.unlink(lock)
+            stop.set()
+            refresher.join(timeout=5.0)
+            if _owned():
+                with contextlib.suppress(FileNotFoundError):
+                    os.unlink(lock)
 
     return _lease()
 
