@@ -2734,6 +2734,59 @@ def q_semantic_dedup_trained(spark, sf_dir):
     return sim_ops.semantic_dedup(emb, threshold=0.3, cells=cells)
 
 
+def q_semantic_dedup_served(spark, sf_dir):
+    """SemDeDup with PINNED trained cells — the production SERVE shape
+    (VERDICT r7 #4, the pca_project trick applied to clustering): at
+    100 TB you run Lloyd ONCE offline and pin the centroids;
+    re-training inside every dedup query (the `semantic_dedup_trained`
+    lifecycle demo) drags ~34 shuffles of training lineage through each
+    run.  Here the committed fixtures/kmeans_cells.py codebook (k=8,
+    trained on sf0.01 by tools/gen_kmeans_cells.py, 6-dp-quantized
+    exact-repr literals) feeds semantic_dedup's broadcast-argmax
+    assignment directly — zero training lineage, and because the
+    centroids are literals the oracle replays the identical assignment
+    + within-cell drop rule, making the served path HASH-GATED (the
+    trained twin keeps the dynamic lifecycle)."""
+    from time_series_databse_engine_spark.fixtures.kmeans_cells import CELLS
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cells = spark.createDataFrame(
+        [(cid, c) for cid, c in CELLS], "cell_id long, cent array<double>"
+    ).withColumn("cent_n", sim_ops.norm(F.col("cent")))
+    return sim_ops.semantic_dedup(emb, threshold=0.3, cells=cells)
+
+
+def _semantic_dedup_served_oracle_sql() -> str:
+    """Same assignment/drop CTEs as the semantic_dedup oracle, with the
+    cents CTE built from the committed centroid literals (VALUES rows),
+    so the SQL replays exactly what the pinned codebook serves."""
+    from time_series_databse_engine_spark.fixtures.kmeans_cells import CELLS
+
+    rows = ",\n              ".join(
+        "(%d, [%s]::DOUBLE[])" % (cid, ", ".join(repr(x) for x in c))
+        for cid, c in CELLS
+    )
+    return f"""
+        WITH cents(cell_id, cent) AS (VALUES
+              {rows}),
+        e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+        a AS (SELECT id, v, cell_id FROM (
+          SELECT id, v, cell_id,
+                 row_number() OVER (PARTITION BY id
+                                    ORDER BY csim DESC, cell_id ASC) AS r
+          FROM (SELECT id, v, cell_id,
+                       list_dot_product(v, cent) /
+                       (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cent, cent))) AS csim
+                FROM e, cents)) WHERE r = 1),
+        dropped AS (SELECT DISTINCT a2.id FROM a a1 JOIN a a2 USING (cell_id)
+                    WHERE a1.id < a2.id
+                      AND list_dot_product(a1.v, a2.v) /
+                          (sqrt(list_dot_product(a1.v, a1.v)) *
+                           sqrt(list_dot_product(a2.v, a2.v))) >= 0.3)
+        SELECT a.id AS vec_id, a.cell_id FROM a
+        WHERE a.id NOT IN (SELECT id FROM dropped)"""
+
+
 def q_ewma_chunked(spark, sf_dir):
     """Chunk-and-chain EWMA — identical semantics to q_ewma with bounded
     per-worker memory (6 h chunks force multi-chunk series at every SF);
@@ -3448,6 +3501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_topk_multi": q_lsh_ann_topk_multi,
         "resample_1m_expr": q_resample_1m_expr,
         "semantic_dedup_trained": q_semantic_dedup_trained,
+        "semantic_dedup_served": q_semantic_dedup_served,
         "lttb_chunked": q_lttb_chunked,
         "minhash_containment": q_minhash_containment,
         "hashing_vectors": q_hashing_vectors,
@@ -6411,6 +6465,7 @@ def oracle_sql() -> dict[str, str]:
                            sqrt(list_dot_product(a2.v, a2.v))) >= 0.3)
         SELECT a.id AS vec_id, a.cell_id FROM a
         WHERE a.id NOT IN (SELECT id FROM dropped)"""
+    oracles["semantic_dedup_served"] = _semantic_dedup_served_oracle_sql()
     oracles["semantic_dedup_trained"] = (
         "\n        WITH " + _KMEANS_CTES + """,
         cents AS (SELECT cid AS cell_id, list(c ORDER BY dim) AS cent

@@ -793,9 +793,27 @@ def dedup_incremental(
     hash plus one within-batch window — both on the same hash key, so
     AQE reuses the batch's exchange.  Returns surviving (id, hash).
     """
+    seen = corpus_df.select(fingerprint(F.col(text_col)).alias("content_hash"))
+    return dedup_incremental_hashed(new_df, seen, text_col, id_col)
+
+
+def dedup_incremental_hashed(
+    new_df: DataFrame,
+    corpus_hashes: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """:func:`dedup_incremental` against an ALREADY-MATERIALIZED
+    fingerprint table (a ``content_hash`` column) — the true production
+    shape between crawls: the historical corpus text is never re-read;
+    only its 16-byte/doc hash table persists and grows.  Same keep rule
+    (hash absent from corpus AND min id within the batch); this is the
+    corpus-membership gate :func:`streaming.ingest.stream_clean_crawl`
+    applies per micro-batch."""
     nh = new_df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("content_hash"))
-    seen = corpus_df.select(fingerprint(F.col(text_col)).alias("content_hash")).distinct()
-    fresh = nh.join(seen, "content_hash", "left_anti")
+    fresh = nh.join(
+        corpus_hashes.select("content_hash").distinct(), "content_hash", "left_anti"
+    )
     w = W.partitionBy("content_hash").orderBy(F.col(id_col).asc())
     return (
         fresh.withColumn("_rn", F.row_number().over(w))

@@ -9,6 +9,7 @@ cluster the same plans run against kafka with checkpointed exactly-once
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+from pyspark.sql.window import Window as W
 
 EVENT_SCHEMA = T.StructType(
     [
@@ -309,6 +310,170 @@ def stream_decode_media(
                         os.path.join(tmp, fname), os.path.join(dst, prefix + fname)
                     )
             shutil.rmtree(tmp, ignore_errors=True)
+
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+
+
+def stream_clean_crawl(
+    stream: DataFrame,
+    out_path: str,
+    checkpoint_dir: str,
+    min_visible_ppm: int = 100_000,
+    quality_threshold: float = 0.5,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+):
+    """Streaming crawl→corpus cascade (VERDICT r7 #3) — a crawl IS a
+    stream, so :func:`pipeline.clean_crawl`'s batch semantics compose
+    into ``foreachBatch``: each micro-batch of raw pages (id, html) runs
+
+        strip_html → visible-ppm boilerplate gate → quality gate →
+        exact dedup (within-batch min-id AND against the accumulated
+        corpus fingerprint table, via
+        :func:`operators.dedup.dedup_incremental_hashed`)
+
+    and three epoch-partitioned tables land under ``out_path``:
+
+    * ``corpus/epoch=N/``       — surviving (id, n_tokens, quality,
+      visible_ppm, content_hash) rows: the clean-corpus increment;
+    * ``fingerprints/epoch=N/`` — the survivors' content hashes: the
+      16-byte/doc membership table later epochs dedup against (the
+      corpus TEXT is never re-read between batches);
+    * ``metrics/epoch=N/``      — one row per micro-batch: page count
+      and per-gate survivor counts (n_pages, n_after_ppm,
+      n_after_quality, n_survivors) — the crawl-health drop-rate
+      signal, one k-row scan, never a corpus recount.
+
+    Delivery is EXACTLY-ONCE by directory-per-epoch idempotence: a
+    replayed epoch recomputes from the SAME inputs — its own epoch dir
+    is excluded from the fingerprint read, so a replay never dedups a
+    page against its previous attempt — then deletes that previous
+    attempt's dirs and renames fresh ones in (delete-before-rename, the
+    same idempotent-writer contract as :func:`stream_to_store` /
+    :func:`stream_decode_media`).  A planted mirror page in epoch N is
+    therefore suppressed exactly once whether N runs once or replays.
+
+    Scale shape per micro-batch: the page HTML is scanned ONCE (strip +
+    quality + fingerprint all ride that scan into a staged verdicts
+    table); everything after operates on (id, hash, flags) rows.  The
+    fingerprint side stays O(corpus)·16 bytes and the membership probe
+    is one hash equi-join — O(batch) work against an ever-growing
+    corpus, the :func:`operators.dedup.dedup_incremental` discipline."""
+    import glob
+    import os
+    import shutil
+
+    from ..operators import dedup as dedup_ops, text as text_ops, web as web_ops
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        eid = int(epoch_id)
+        tmp_root = os.path.join(out_path, "_tmp", f"epoch-{eid}")
+        shutil.rmtree(tmp_root, ignore_errors=True)
+
+        # one pass over page text: strip + ppm + quality + fingerprint
+        stripped = web_ops.strip_html(batch_df, html_col, id_col).withColumn(
+            "visible_ppm",
+            F.expr("CAST(visible_len * 1000000 div raw_len AS BIGINT)"),
+        )
+        ppm_ok = F.col("visible_ppm") >= min_visible_ppm
+        scored = text_ops.quality_score(
+            stripped.filter(ppm_ok), "text", id_col
+        ).select(id_col, "n_tokens", "quality")
+        verdicts = (
+            stripped.withColumn("ppm_ok", ppm_ok)
+            .join(scored, id_col, "left")
+            .select(
+                id_col,
+                "visible_ppm",
+                "ppm_ok",
+                "n_tokens",
+                "quality",
+                (F.col("ppm_ok") & (F.col("quality") >= quality_threshold)).alias(
+                    "q_ok"
+                ),
+                F.when(
+                    F.col("ppm_ok") & (F.col("quality") >= quality_threshold),
+                    dedup_ops.fingerprint(F.col("text")),
+                ).alias("content_hash"),
+            )
+        )
+        verdicts_tmp = os.path.join(tmp_root, "verdicts")
+        verdicts.write.mode("overwrite").parquet(verdicts_tmp)
+        v = spark.read.parquet(verdicts_tmp)
+
+        # corpus membership: every PRIOR epoch's fingerprints — the
+        # current epoch's dir (a previous attempt of this replay) is
+        # excluded so recomputation is attempt-independent
+        fp_root = os.path.join(out_path, "fingerprints")
+        prior = [
+            d
+            for d in glob.glob(os.path.join(fp_root, "epoch=*"))
+            if os.path.basename(d) != f"epoch={eid}"
+        ]
+        if prior:
+            hist = spark.read.parquet(*prior).select("content_hash")
+        else:
+            hist = spark.createDataFrame([], "content_hash string")
+
+        qs = v.filter(F.col("q_ok"))
+        fresh = (
+            qs.select(id_col, "content_hash")
+            .join(hist.distinct(), "content_hash", "left_anti")
+            .withColumn(
+                "_rn",
+                F.row_number().over(
+                    W.partitionBy("content_hash").orderBy(F.col(id_col).asc())
+                ),
+            )
+            .filter(F.col("_rn") == 1)
+            .select(id_col)
+        )
+        survivors = qs.join(fresh, id_col).select(
+            id_col, "n_tokens", "quality", "visible_ppm", "content_hash"
+        )
+        corpus_tmp = os.path.join(tmp_root, "corpus")
+        survivors.write.mode("overwrite").parquet(corpus_tmp)
+        surv = spark.read.parquet(corpus_tmp)
+
+        fp_tmp = os.path.join(tmp_root, "fingerprints")
+        surv.select("content_hash").write.mode("overwrite").parquet(fp_tmp)
+
+        counts = v.agg(
+            F.count("*").alias("n_pages"),
+            F.count_if(F.col("ppm_ok")).alias("n_after_ppm"),
+            F.count_if(F.col("q_ok")).alias("n_after_quality"),
+        ).collect()[0]
+        metrics_tmp = os.path.join(tmp_root, "metrics")
+        spark.createDataFrame(
+            [
+                (
+                    eid,
+                    counts.n_pages,
+                    counts.n_after_ppm,
+                    counts.n_after_quality,
+                    surv.count(),
+                )
+            ],
+            "epoch_id int, n_pages long, n_after_ppm long, "
+            "n_after_quality long, n_survivors long",
+        ).coalesce(1).write.mode("overwrite").parquet(metrics_tmp)
+
+        # publish: delete any previous attempt's epoch dirs, rename in
+        for name, tmp in (
+            ("corpus", corpus_tmp),
+            ("fingerprints", fp_tmp),
+            ("metrics", metrics_tmp),
+        ):
+            dst = os.path.join(out_path, name, f"epoch={eid}")
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            shutil.rmtree(dst, ignore_errors=True)
+            os.rename(tmp, dst)
+        shutil.rmtree(tmp_root, ignore_errors=True)
 
     return (
         stream.writeStream.foreachBatch(write_batch)
