@@ -3306,6 +3306,45 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+# Round-8 rotation (VERDICT r7 "Next round" #8): the driver's correctness
+# window is the FIRST 50 keys of queries(); every entry in the dict below
+# already has at least one historical driver row EXCEPT
+# semantic_dedup_served (added late round 7 / early round 8).  This round
+# the window refreshes the OLDEST evidence: semantic_dedup_served plus the
+# 34 oracle-backed entries whose only driver rows date to round 1 and the
+# 4 oldest round-2 rows, with 11 freshly-r7-green keepers retained so
+# every SURVEY §2 category keeps an in-window representative:
+#   tsdb_roundtrip (ingest sink + roundtrip), pack_sequences (packing),
+#   column_profile (one-scan profiler), ann_index_probe (persisted ANN
+#   serving), clean_crawl (crawl-tier cascade), interval_join_bucketed
+#   (keyless interval join, scale path), skew_profile (skew tooling),
+#   pagerank (graph), zorder_key (layout), pca_project (decomposition),
+#   bm25 (retrieval scoring).
+# Rows-only r1 entries (multimodal_features, approx_stats) stay at 51+ —
+# they can never hash-match, so they'd waste a hash-checked slot (policy
+# set round 6).  Everything displaced keeps its historical green rows and
+# stays verified by tools/check_correctness.py each round.
+_R8_WINDOW = [
+    "semantic_dedup_served",
+    # -- r1-evidence refresh (34 oracle-backed) --------------------------
+    "moving_avg", "range_scan_empty", "range_scan_metric", "range_limit",
+    "downsample_5m", "metric_stats", "top_customers", "customers_no_orders",
+    "customer_order_counts_semi", "order_rollup", "part_cube",
+    "users_intersect", "users_except", "json_props", "range_join",
+    "value_deltas", "gap_detect", "topk_per_series", "first_last_per_series",
+    "doc_fingerprint", "minhash_signatures", "embedding_norms", "text_stats",
+    "lang_id", "lang_id_ngram", "sql_supplier_revenue", "asof_join_forward",
+    "doc_chunks", "series_trend", "redact_pii", "deterministic_sample",
+    "stratified_sample", "winnow_fingerprint", "cosine_near_dup",
+    # -- r2-evidence refresh (4 oldest oracle-backed) --------------------
+    "ewma", "dedup_clusters", "simhash_md5", "value_histogram",
+    # -- category keepers (driver-green r7) ------------------------------
+    "tsdb_roundtrip", "pack_sequences", "column_profile", "ann_index_probe",
+    "clean_crawl", "interval_join_bucketed", "skew_profile", "pagerank",
+    "zorder_key", "pca_project", "bm25",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's correctness window (first 50 keys) covers
     every SURVEY §2 category with an oracle-verified query.  Round-4
@@ -3365,8 +3404,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ivfpq oracle by result identity) and ann_index_append (incremental
     maintenance with pinned sidecar quantizers; base-sample-parameterized
     oracle) enter the window displacing lsh_multiprobe_topk and bpe_pairs
-    (both driver-green r5; their categories stay covered in-window)."""
-    return {
+    (both driver-green r5; their categories stay covered in-window).
+
+    Round 8: the insertion-ordered dict below is the HISTORICAL layout
+    (kept so each rotation's rationale stays greppable); the effective
+    window is re-cut by _R8_WINDOW above — see its comment."""
+    base = {
         # -- category anchors (driver-green r1/r2/r3) -------------------
         "range_scan": q_range_scan,
         "tsdb_roundtrip": q_tsdb_roundtrip,
@@ -3637,6 +3680,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "approx_stats": q_approx_stats,
     }
+    missing = [k for k in _R8_WINDOW if k not in base]
+    assert not missing and len(set(_R8_WINDOW)) == 50, (
+        f"window misconfigured: {missing or len(set(_R8_WINDOW))}"
+    )
+    order = _R8_WINDOW + [k for k in base if k not in _R8_WINDOW]
+    return {k: base[k] for k in order}
 
 
 # --------------------------------------------------------------------------

@@ -137,6 +137,11 @@ HEADLINE = [
     "url_normalize",
     "host_profile",
     "clean_crawl",
+    # round-8 adds (VERDICT r7 "Next round" #1/#4): the train+apply PCA
+    # lifecycle gets a recorded cost, and the pinned-codebook SemDeDup
+    # serving twin is timed against its 53-shuffle trained lifecycle twin
+    "pca_fit_project",
+    "semantic_dedup_served",
 ]
 
 # repeated-run latency distribution for the reference's hot/cold point
@@ -158,7 +163,48 @@ def timed(fn):
     return time.perf_counter() - t0, out
 
 
+def _cpu_jiffies() -> tuple[int, int] | None:
+    """(busy, total) jiffies from the aggregate /proc/stat cpu line."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        if parts[0] != "cpu":
+            return None
+        vals = [int(x) for x in parts[1:]]
+        idle = vals[3] + (vals[4] if len(vals) > 4 else 0)  # idle + iowait
+        total = sum(vals)
+        return total - idle, total
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def machine_context(start: tuple[int, int] | None) -> dict[str, float]:
+    """Self-describing run conditions (VERDICT r7 "Next round" #2): the
+    headline throughput extras have swung 15-30% across identically
+    planned runs for three rounds because the box is shared; recording
+    loadavg + the whole-machine CPU-busy fraction over the run lets a
+    reader separate contention from regression without forensics."""
+    ctx: dict[str, float] = {}
+    try:
+        la1, la5, la15 = os.getloadavg()
+        ctx["loadavg_1m"] = round(la1, 2)
+        ctx["loadavg_5m"] = round(la5, 2)
+        ctx["loadavg_15m"] = round(la15, 2)
+    except OSError:
+        pass
+    end = _cpu_jiffies()
+    if start is not None and end is not None and end[1] > start[1]:
+        ctx["machine_cpu_busy_frac"] = round(
+            (end[0] - start[0]) / (end[1] - start[1]), 3
+        )
+    ncpu = os.cpu_count()
+    if ncpu:
+        ctx["n_cpus"] = ncpu
+    return ctx
+
+
 def main():
+    cpu_start = _cpu_jiffies()
     spark = get_spark(app_name="bench")
     queries = entry_mod.queries()
     times: dict[str, float] = {}
@@ -388,6 +434,7 @@ def main():
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
+    extra.update({f"ctx_{k}": v for k, v in machine_context(cpu_start).items()})
     emit(times, extra)
 
 
@@ -463,7 +510,16 @@ def run_isolated(names: list[str]) -> None:
         except (json.JSONDecodeError, KeyError):
             out[name] = -1.0
             sys.stderr.write(f"--isolate {name} failed:\n{proc.stderr[-2000:]}\n")
-    print(json.dumps({"metric": "isolated_sec", "sf": SF_DIR, "queries": out}))
+    print(
+        json.dumps(
+            {
+                "metric": "isolated_sec",
+                "sf": SF_DIR,
+                "queries": out,
+                "ctx": machine_context(None),
+            }
+        )
+    )
 
 
 if __name__ == "__main__":

@@ -135,3 +135,53 @@ def test_strip_html_regexes_replay_in_duckdb(spark):
         .fetchone()
     )
     assert duck_text == spark_text == "keep & this"
+
+
+def test_host_profile_skew_absorbed_map_side(spark):
+    """Scale claim made concrete (SCALE.md "Crawl host skew"): a crawl
+    where 90% of pages sit on ONE host must not funnel 90% of raw rows
+    through a host-keyed exchange.  The plan that makes that true, and
+    which this pins: (a) the FIRST aggregate before any exchange is
+    partial-mode keyed (host, path) — distinct-path pre-reduction rides
+    the scan, and the first shuffle hash-partitions on the COMPOSITE
+    key, spreading the hot host across all partitions; (b) the
+    host-keyed exchange afterwards carries only merged partials (one
+    row per (host, path) per mapper at most), never pages."""
+    from pyspark.sql import functions as F
+
+    from time_series_databse_engine_spark.plans import (
+        formatted_plan,
+        num_shuffle_exchanges,
+    )
+
+    n = 20_000
+    skewed = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 < 9, F.lit("hot.example.com"))
+        .otherwise(
+            F.concat(F.lit("h"), (F.col("id") % 97).cast("string"), F.lit(".com"))
+        )
+        .alias("host"),
+        # worst case for map-side collapse: every hot page a unique path
+        F.concat(F.lit("/p/"), F.col("id").cast("string")).alias("path"),
+        (F.col("id") % 3).cast("int").alias("n_params"),
+    )
+    out = host_profile(skewed)
+    plan = formatted_plan(out)
+    assert num_shuffle_exchanges(out) == 2  # (host,path) partials + host
+    # detail-section ordering: the partial-mode (host, path) aggregate
+    # must appear before the first hashpartitioning exchange
+    first_shuffle = plan.index("Arguments: hashpartitioning")
+    before = plan[:first_shuffle]
+    assert "partial_count" in before, "no map-side combine before shuffle"
+    assert "Keys [2]: [host" in before, (
+        "first shuffle must be keyed (host, path), not host alone — "
+        "otherwise the hot host lands on one reducer with raw pages"
+    )
+    shuffle_line = plan[first_shuffle:].splitlines()[0]
+    assert "host" in shuffle_line and "path" in shuffle_line
+    rows = {r.host: r for r in out.collect()}
+    hot = rows["hot.example.com"]
+    assert hot.n_pages == sum(1 for i in range(n) if i % 10 < 9)
+    assert hot.n_paths == hot.n_pages  # unique paths by construction
+    assert len(rows) == 1 + 97
