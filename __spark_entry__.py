@@ -3306,6 +3306,40 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+def q_maxsim_topk(spark, sf_dir):
+    """Late-interaction retrieval (ColBERT scoring shape, Khattab &
+    Zaharia 2020): multi-vector docs — one hashed vector per 30-token
+    chunk — scored Σ over query tokens of the MAX chunk similarity;
+    top-20 per query.  Corpus-side cost is one chunk-vectorization
+    regardless of query count (queries broadcast)."""
+    qs = spark.createDataFrame(
+        [
+            (1, "fast hash join"),
+            (2, "window merge sort"),
+            (3, "spark stream query"),
+        ],
+        "q_id int, q_text string",
+    )
+    return text_ops.maxsim_topk(
+        _t(spark, sf_dir, "documents"), qs, k=20, dim=64, chunk_size=30
+    )
+
+
+def q_psi_drift(spark, sf_dir):
+    """Population Stability Index between two snapshots of events.value
+    (even-day vs odd-day traffic) — the snapshot-drift monitor a
+    training pipeline runs between crawl refreshes.  Boundaries from the
+    reference's exact deciles (broadcast), exact-integer bin counts,
+    Laplace-smoothed, DECIMAL-exact psi sum."""
+    from time_series_databse_engine_spark.operators.profile import psi_drift
+
+    e = _t(spark, sf_dir, "events")
+    day = F.floor(F.col("ts_ms") / F.lit(86_400_000))
+    ref = e.where(day % 2 == 0)
+    cur = e.where(day % 2 == 1)
+    return psi_drift(ref, cur, "value", n_bins=10)
+
+
 # Round-8 rotation (VERDICT r7 "Next round" #8): the driver's correctness
 # window is the FIRST 50 keys of queries(); every entry in the dict below
 # already has at least one historical driver row EXCEPT
@@ -3336,8 +3370,10 @@ _R8_WINDOW = [
     "lang_id", "lang_id_ngram", "sql_supplier_revenue", "asof_join_forward",
     "doc_chunks", "series_trend", "redact_pii", "deterministic_sample",
     "stratified_sample", "winnow_fingerprint", "cosine_near_dup",
-    # -- r2-evidence refresh (4 oldest oracle-backed) --------------------
-    "ewma", "dedup_clusters", "simhash_md5", "value_histogram",
+    # -- r2-evidence refresh (2 oldest oracle-backed) --------------------
+    "ewma", "dedup_clusters",
+    # -- round-8 additions (zero driver history, both oracle-backed) -----
+    "maxsim_topk", "psi_drift",
     # -- category keepers (driver-green r7) ------------------------------
     "tsdb_roundtrip", "pack_sequences", "column_profile", "ann_index_probe",
     "clean_crawl", "interval_join_bucketed", "skew_profile", "pagerank",
@@ -3679,6 +3715,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_near_dup": q_cosine_near_dup,
         "multimodal_features": q_multimodal_features,
         "approx_stats": q_approx_stats,
+        # round-8 additions (in-window via _R8_WINDOW)
+        "maxsim_topk": q_maxsim_topk,
+        "psi_drift": q_psi_drift,
     }
     missing = [k for k in _R8_WINDOW if k not in base]
     assert not missing and len(set(_R8_WINDOW)) == 50, (
@@ -6535,4 +6574,79 @@ def oracle_sql() -> dict[str, str]:
         SELECT a.id AS vec_id, a.cell_id FROM a
         WHERE a.id NOT IN (SELECT id FROM dropped)"""
     )
+    # md5 first-two-hex-digits bucket, the hashing_vectors idiom
+    _B = (
+        "((strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1) * 16"
+        " + (strpos('0123456789abcdef', substr(md5(t), 2, 1)) - 1)) % 64"
+    )
+    oracles["maxsim_topk"] = f"""
+        WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+                   FROM documents),
+        e AS (SELECT doc_id, toks,
+                     unnest(generate_series(1,
+                       greatest((len(toks) + 29) // 30, 1))) AS i
+              FROM t),
+        ch AS (SELECT doc_id, i AS chunk_idx,
+                      array_to_string(list_slice(toks, (i-1)*30 + 1, i*30),
+                                      ' ') AS chunk_text
+               FROM e),
+        ct AS (SELECT doc_id, chunk_idx,
+                      unnest(list_filter(
+                        string_split_regex(lower(chunk_text), '\\s+'),
+                        x -> x != '')) AS t
+               FROM ch),
+        c AS (SELECT doc_id, chunk_idx, {_B} AS bucket, count(*) AS n
+              FROM ct GROUP BY 1, 2, 3),
+        w AS (SELECT doc_id, bucket,
+                     round(n / sqrt(sum(n * n) OVER (PARTITION BY doc_id,
+                                                     chunk_idx)), 6) AS w
+              FROM c),
+        q(q_id, q_text) AS (VALUES (1, 'fast hash join'),
+                                   (2, 'window merge sort'),
+                                   (3, 'spark stream query')),
+        qt0 AS (SELECT q_id,
+                       unnest(list_filter(
+                         string_split_regex(lower(q_text), '\\s+'),
+                         x -> x != '')) AS t
+                FROM q),
+        qt AS (SELECT q_id, {_B} AS bucket, count(*) AS m
+               FROM qt0 GROUP BY 1, 2),
+        mx AS (SELECT qt.q_id, w.doc_id, w.bucket, qt.m, max(w.w) AS mx
+               FROM w JOIN qt USING (bucket) GROUP BY 1, 2, 3, 4),
+        s AS (SELECT q_id, doc_id, round(sum(m * mx), 6) AS score
+              FROM mx GROUP BY 1, 2),
+        r AS (SELECT q_id, doc_id, score,
+                     row_number() OVER (PARTITION BY q_id
+                                        ORDER BY score DESC, doc_id) AS rn
+              FROM s)
+        SELECT q_id, doc_id, score, rn AS "rank" FROM r WHERE rn <= 20"""
+    oracles["psi_drift"] = """
+        WITH v AS (SELECT epoch_ms(ts) AS ms, value FROM events
+                   WHERE value IS NOT NULL),
+        rs AS (SELECT value FROM v WHERE (ms // 86400000) % 2 = 0),
+        cs AS (SELECT value FROM v WHERE (ms // 86400000) % 2 = 1),
+        b AS (SELECT list_transform(
+                quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                      0.6, 0.7, 0.8, 0.9]),
+                x -> round(x, 6)) AS bounds FROM rs),
+        ra AS (SELECT 1 + len(list_filter(b.bounds, bd -> rs.value >= bd))
+                        AS bin FROM rs, b),
+        ca AS (SELECT 1 + len(list_filter(b.bounds, bd -> cs.value >= bd))
+                        AS bin FROM cs, b),
+        rc AS (SELECT bin, count(*) AS ref_cnt FROM ra GROUP BY 1),
+        cc AS (SELECT bin, count(*) AS cur_cnt FROM ca GROUP BY 1),
+        j AS (SELECT bin, COALESCE(ref_cnt, 0) AS ref_cnt,
+                     COALESCE(cur_cnt, 0) AS cur_cnt
+              FROM rc FULL OUTER JOIN cc USING (bin)),
+        t2 AS (SELECT sum(ref_cnt) AS rt, sum(cur_cnt) AS ct FROM j),
+        pb AS (SELECT bin, ref_cnt, cur_cnt,
+                      round(((ref_cnt + 0.5) / (rt + 5.0)
+                             - (cur_cnt + 0.5) / (ct + 5.0))
+                            * ln(((ref_cnt + 0.5) / (rt + 5.0))
+                                 / ((cur_cnt + 0.5) / (ct + 5.0))),
+                            6) AS contrib
+               FROM j, t2),
+        p2 AS (SELECT CAST(sum(CAST(contrib AS DECIMAL(18,6))) AS DOUBLE)
+                        AS psi FROM pb)
+        SELECT bin, ref_cnt, cur_cnt, contrib, psi FROM pb, p2"""
     return oracles

@@ -142,6 +142,8 @@ HEADLINE = [
     # serving twin is timed against its 53-shuffle trained lifecycle twin
     "pca_fit_project",
     "semantic_dedup_served",
+    "maxsim_topk",
+    "psi_drift",
 ]
 
 # repeated-run latency distribution for the reference's hot/cold point

@@ -84,3 +84,39 @@ def test_production_xxhash64_profiler_same_plan_sane_estimates(spark, sf_dir):
         rel = abs(fast[c].n_distinct_est - exact[c]) / max(1, exact[c])
         assert rel < 0.06, (c, fast[c].n_distinct_est, exact[c])
     assert "Expand" not in simple_plan(profile_table(df, cols, hash_fn="xxhash64"))
+
+
+def test_psi_drift_identical_snapshots_zero(spark):
+    """p == q in every bin -> every contribution is exactly 0."""
+    from time_series_databse_engine_spark.operators.profile import psi_drift
+
+    from pyspark.sql import functions as F
+
+    vals = spark.range(1000).select((F.col("id") % 100).cast("double").alias("v"))
+    rows = psi_drift(vals, vals, "v", n_bins=10).collect()
+    assert len(rows) == 10
+    assert all(r.contrib == 0.0 for r in rows)
+    assert rows[0].psi == 0.0
+    assert sum(r.ref_cnt for r in rows) == 1000
+
+
+def test_psi_drift_shift_alarms(spark):
+    """A +100 location shift on a 0..999 uniform feature empties the
+    bottom reference decile and doubles the top one -> PSI far above the
+    conventional 0.25 retrain alarm; the emptied current bin stays
+    finite via Laplace smoothing."""
+    from pyspark.sql import functions as F
+
+    from time_series_databse_engine_spark.operators.profile import psi_drift
+
+    ref = spark.range(1000).select(F.col("id").cast("double").alias("v"))
+    cur = spark.range(1000).select((F.col("id") + 100).cast("double").alias("v"))
+    rows = {r.bin: r for r in psi_drift(ref, cur, "v", n_bins=10).collect()}
+    assert rows[1].cur_cnt == 0 and rows[1].ref_cnt == 100
+    import math
+
+    assert all(math.isfinite(r.contrib) for r in rows.values())
+    assert rows[1].psi > 0.25
+    # psi is the DECIMAL-exact sum of the rounded contributions
+    total = round(sum(r.contrib for r in rows.values()), 6)
+    assert abs(rows[1].psi - total) < 1e-9

@@ -469,3 +469,49 @@ def test_hashing_vectors_feed_cosine_dedup(spark):
     pairs = {(r.id1, r.id2): r.cosine_sim for r in cosine_near_dup(dense, threshold=0.0).collect()}
     assert pairs[(1, 2)] == 1.0
     assert pairs[(1, 3)] < 0.5
+
+
+def test_maxsim_topk_hand_computed(spark):
+    """ColBERT-shape scoring on hand-checkable docs (md5 buckets of the
+    test words verified collision-free at dim=64): score = Σ over query
+    tokens of max chunk weight at the token's bucket."""
+    from time_series_databse_engine_spark.operators.text import maxsim_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple apple"),  # chunks: [apple banana], [apple apple]
+            (2, "apple cherry"),
+        ],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame(
+        [(1, "apple"), (2, "apple apple"), (3, "banana")],
+        "q_id int, q_text string",
+    )
+    got = {
+        (r.q_id, r.doc_id): (r.score, r.rank)
+        for r in maxsim_topk(docs, q, k=10, dim=64, chunk_size=2).collect()
+    }
+    # doc 1 chunk [apple banana]: w_apple = 1/sqrt(2); chunk [apple apple]:
+    # w_apple = 2/2 = 1.0 -> maxsim(apple) = 1.0
+    assert got[(1, 1)] == (1.0, 1)
+    assert got[(1, 2)] == (0.707107, 2)  # 1/sqrt(2) rounded 6dp
+    # duplicate query token counts twice (multiplicity m)
+    assert got[(2, 1)] == (2.0, 1)
+    # doc 2 has no banana chunk: absent (inner join = implicit 0)
+    assert got[(3, 1)] == (0.707107, 1)
+    assert (3, 2) not in got
+
+
+def test_maxsim_topk_k_and_tiebreak(spark):
+    from time_series_databse_engine_spark.operators.text import maxsim_topk
+
+    docs = spark.createDataFrame(
+        [(i, "apple") for i in range(1, 6)], "doc_id long, text string"
+    )
+    q = spark.createDataFrame([(1, "apple")], "q_id int, q_text string")
+    rows = maxsim_topk(docs, q, k=3, dim=64, chunk_size=2).collect()
+    # all five docs tie at score 1.0 -> doc_id ascending breaks the tie
+    assert [(r.doc_id, r.rank) for r in sorted(rows, key=lambda r: r.rank)] == [
+        (1, 1), (2, 2), (3, 3)
+    ]

@@ -264,3 +264,85 @@ def profile_oracle_sql(table: str, cols: list[str]) -> str:
                           END) AS BIGINT) AS n_distinct_est,
                min_s, max_s
         FROM l2"""
+
+
+def psi_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Population Stability Index between a reference and a current
+    snapshot of a feature column — the standard drift monitor a
+    training-data pipeline runs between crawl snapshots / model refreshes
+    (PSI > 0.25 is the conventional "retrain" alarm).
+
+    Shape (100 TB-safe): the two snapshots union under a flag, ONE
+    exact-percentile aggregate computes the n_bins−1 boundaries from the
+    REFERENCE rows only (`percentile` ignores the NULLed current rows),
+    the boundary array broadcasts, bin assignment is a per-row fold
+    (`sampling.equidepth_bins`' discipline), and the corpus reduces in a
+    single (bin)-keyed exchange to an n_bins-row count table carrying
+    both snapshots' EXACT-integer counts — each snapshot is scanned once
+    and never shuffled.  Everything after is windows over n_bins rows.
+    At true 100 TB swap `percentile` for `approx_percentile`: same plan,
+    sketch merge instead of exact sort.
+
+    Float discipline: Laplace smoothing (cnt + 0.5) / (total + n_bins/2)
+    keeps empty CURRENT bins finite without an arbitrary epsilon; each
+    bin's contribution (p − q)·ln(p/q) is one fixed-order float
+    expression rounded to 6 dp; the headline `psi` is the DECIMAL(18,6)
+    sum of the rounded contributions — exact in any engine, so the hash
+    gate sees no float-sum ordering.
+
+    Returns one row per bin: (bin, ref_cnt, cur_cnt, contrib, psi) with
+    psi repeated on every row.
+    """
+    from pyspark.sql import Window as W
+
+    u = ref.select(F.col(col).alias("_v"), F.lit(True).alias("_is_ref")).unionByName(
+        cur.select(F.col(col).alias("_v"), F.lit(False).alias("_is_ref"))
+    ).where(F.col("_v").isNotNull())
+    ps = [i / n_bins for i in range(1, n_bins)]
+    ref_v = "CASE WHEN _is_ref THEN _v END"
+    bounds = F.broadcast(
+        u.agg(
+            F.transform(
+                F.expr(f"percentile({ref_v}, array({', '.join(map(str, ps))}))"),
+                lambda b: F.round(b, 6),
+            ).alias("_bounds")
+        )
+    )
+    assign = F.lit(1) + F.aggregate(
+        F.col("_bounds"),
+        F.lit(0),
+        lambda acc, b: acc + F.when(F.col("_v") >= b, 1).otherwise(0),
+    )
+    per_bin = (
+        u.crossJoin(bounds)
+        .groupBy(assign.cast("int").alias("bin"))
+        .agg(
+            F.sum(F.when(F.col("_is_ref"), 1).otherwise(0)).alias("ref_cnt"),
+            F.sum(F.when(F.col("_is_ref"), 0).otherwise(1)).alias("cur_cnt"),
+        )
+    )
+    wall = W.partitionBy()  # n_bins rows — single partition is the point
+    half = 0.5
+    p = (F.col("ref_cnt") + half) / (F.sum("ref_cnt").over(wall) + n_bins * half)
+    q = (F.col("cur_cnt") + half) / (F.sum("cur_cnt").over(wall) + n_bins * half)
+    with_contrib = per_bin.select(
+        "bin",
+        "ref_cnt",
+        "cur_cnt",
+        F.round((p - q) * F.log(p / q), 6).alias("contrib"),
+    )
+    return with_contrib.select(
+        "bin",
+        "ref_cnt",
+        "cur_cnt",
+        "contrib",
+        F.sum(F.col("contrib").cast("decimal(18,6)"))
+        .over(wall)
+        .cast("double")
+        .alias("psi"),
+    )

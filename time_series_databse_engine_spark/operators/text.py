@@ -1170,3 +1170,85 @@ def hashing_vectorize(
         "n",
         F.round(F.col("n") / z, 6).alias("weight"),
     )
+
+
+def maxsim_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    dim: int = 64,
+    chunk_size: int = 30,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Late-interaction retrieval (the ColBERT scoring shape, Khattab &
+    Zaharia 2020): each document is MANY vectors — one per fixed-size
+    chunk, hashed-trick vectorized like :func:`hashing_vectorize` — and
+    score(q, d) = Σ over query tokens of the MAX chunk similarity, so a
+    doc that matches every query term somewhere beats a doc that matches
+    them all in one place only as strongly as its best chunk.  With
+    one-hot hashed query tokens the per-token similarity reduces to the
+    chunk's weight at that token's bucket, which keeps the whole operator
+    JVM-side expressions — the late-interaction structure (multi-vector
+    docs, per-token max, sum over tokens) is exactly ColBERT's.
+
+    ``queries`` is a small (q_id, q_text) table: it broadcasts, so the
+    corpus-side cost is one chunk-vectorization (explode + one
+    (doc, chunk, bucket) count + a per-chunk norm window) regardless of
+    query count — the batch-scoring shape for 100 TB.  Weights round to
+    6 dp (hashing_vectorize's discipline) so scores are reproducible
+    across engines; ranking orders by (rounded score DESC, doc_id) —
+    fully deterministic.
+
+    Returns (q_id, doc_id, score, rank) with rank ≤ k per query.
+    """
+    chunks = chunk_documents(docs, chunk_size, text_col=text_col, id_col=id_col)
+    ctoks = chunks.select(
+        F.col(id_col),
+        F.col("chunk_idx"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("chunk_text")), "\\s+"), lambda t: t != ""
+            )
+        ).alias("t"),
+    )
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("t")), 1, 2), 16, 10).cast("int"),
+        F.lit(dim),
+    )
+    c = ctoks.groupBy(id_col, "chunk_idx", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    norm = W.partitionBy(id_col, "chunk_idx")
+    w = c.select(
+        id_col,
+        "bucket",
+        F.round(
+            F.col("n") / F.sqrt(F.sum(F.col("n") * F.col("n")).over(norm)), 6
+        ).alias("w"),
+    )
+    qtoks = queries.select(
+        "q_id",
+        F.explode(
+            F.filter(F.split(F.lower(F.col("q_text")), "\\s+"), lambda t: t != "")
+        ).alias("t"),
+    )
+    qt = qtoks.groupBy("q_id", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("m")
+    )
+    mx = (
+        w.join(F.broadcast(qt), "bucket")
+        .groupBy("q_id", id_col, "bucket", "m")
+        .agg(F.max("w").alias("mx"))
+    )
+    s = mx.groupBy("q_id", id_col).agg(
+        F.round(F.sum(F.col("m") * F.col("mx")), 6).alias("score")
+    )
+    rank = F.row_number().over(
+        W.partitionBy("q_id").orderBy(F.col("score").desc(), F.col(id_col))
+    )
+    return (
+        s.withColumn("rank", rank)
+        .where(F.col("rank") <= k)
+        .select("q_id", id_col, "score", "rank")
+    )
