@@ -3340,6 +3340,29 @@ def q_psi_drift(spark, sf_dir):
     return psi_drift(ref, cur, "value", n_bins=10)
 
 
+def q_psi_drift_incremental(spark, sf_dir):
+    """The MERGEABLE drift path: pinned reference boundaries, the current
+    snapshot arriving as TWO increments (user_id parity) whose per-bin
+    count tables union and re-reduce — result-identical to the fused
+    psi_drift (same oracle SQL), proving increments never rescan."""
+    from time_series_databse_engine_spark.operators.profile import (
+        psi_bin_counts,
+        psi_bounds,
+        psi_from_counts,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    day = F.floor(F.col("ts_ms") / F.lit(86_400_000))
+    ref = e.where(day % 2 == 0)
+    cur = e.where(day % 2 == 1)
+    bounds = psi_bounds(ref, "value", n_bins=10)
+    rc = psi_bin_counts(ref, "value", bounds)
+    cc = psi_bin_counts(cur.where(F.col("user_id") % 2 == 0), "value", bounds).unionByName(
+        psi_bin_counts(cur.where(F.col("user_id") % 2 == 1), "value", bounds)
+    )
+    return psi_from_counts(rc, cc, n_bins=10)
+
+
 # Round-8 rotation (VERDICT r7 "Next round" #8): the driver's correctness
 # window is the FIRST 50 keys of queries(); every entry in the dict below
 # already has at least one historical driver row EXCEPT
@@ -3370,10 +3393,12 @@ _R8_WINDOW = [
     "lang_id", "lang_id_ngram", "sql_supplier_revenue", "asof_join_forward",
     "doc_chunks", "series_trend", "redact_pii", "deterministic_sample",
     "stratified_sample", "winnow_fingerprint", "cosine_near_dup",
-    # -- r2-evidence refresh (2 oldest oracle-backed) --------------------
-    "ewma", "dedup_clusters",
-    # -- round-8 additions (zero driver history, both oracle-backed) -----
-    "maxsim_topk", "psi_drift",
+    # -- r2-evidence refresh (oldest oracle-backed; ewma yielded its slot
+    # to psi_drift_incremental — smoothing stays covered in-window by
+    # moving_avg) --------------------------------------------------------
+    "dedup_clusters",
+    # -- round-8 additions (zero driver history, all oracle-backed) ------
+    "maxsim_topk", "psi_drift", "psi_drift_incremental",
     # -- category keepers (driver-green r7) ------------------------------
     "tsdb_roundtrip", "pack_sequences", "column_profile", "ann_index_probe",
     "clean_crawl", "interval_join_bucketed", "skew_profile", "pagerank",
@@ -3718,6 +3743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-8 additions (in-window via _R8_WINDOW)
         "maxsim_topk": q_maxsim_topk,
         "psi_drift": q_psi_drift,
+        "psi_drift_incremental": q_psi_drift_incremental,
     }
     missing = [k for k in _R8_WINDOW if k not in base]
     assert not missing and len(set(_R8_WINDOW)) == 50, (
@@ -6649,4 +6675,8 @@ def oracle_sql() -> dict[str, str]:
         p2 AS (SELECT CAST(sum(CAST(contrib AS DECIMAL(18,6))) AS DOUBLE)
                         AS psi FROM pb)
         SELECT bin, ref_cnt, cur_cnt, contrib, psi FROM pb, p2"""
+    # mergeable path is result-IDENTICAL to the fused one by construction
+    # (same floats, same order) — share the oracle verbatim, the
+    # profile_incremental discipline
+    oracles["psi_drift_incremental"] = oracles["psi_drift"]
     return oracles

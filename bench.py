@@ -144,6 +144,7 @@ HEADLINE = [
     "semantic_dedup_served",
     "maxsim_topk",
     "psi_drift",
+    "psi_drift_incremental",
 ]
 
 # repeated-run latency distribution for the reference's hot/cold point

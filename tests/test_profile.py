@@ -120,3 +120,34 @@ def test_psi_drift_shift_alarms(spark):
     # psi is the DECIMAL-exact sum of the rounded contributions
     total = round(sum(r.contrib for r in rows.values()), 6)
     assert abs(rows[1].psi - total) < 1e-9
+
+
+def test_psi_incremental_matches_fused(spark):
+    """Mergeable path == fused path bit-for-bit, with the current
+    snapshot arriving as three arbitrary increments."""
+    from pyspark.sql import functions as F
+
+    from time_series_databse_engine_spark.operators.profile import (
+        psi_bin_counts,
+        psi_bounds,
+        psi_drift,
+        psi_from_counts,
+    )
+
+    ref = spark.range(900).select(F.col("id").cast("double").alias("v"))
+    cur = spark.range(900).select(
+        "id", (F.col("id") * 1.3 + 50).alias("v")
+    )
+    fused = {r.bin: r for r in psi_drift(ref, cur, "v", n_bins=10).collect()}
+    bounds = psi_bounds(ref, "v", n_bins=10)
+    rc = psi_bin_counts(ref, "v", bounds)
+    parts = [cur.where(F.col("id") % 3 == i) for i in range(3)]
+    cc = parts[0].transform(lambda d: psi_bin_counts(d, "v", bounds))
+    for p in parts[1:]:
+        cc = cc.unionByName(psi_bin_counts(p, "v", bounds))
+    inc = {r.bin: r for r in psi_from_counts(rc, cc, n_bins=10).collect()}
+    assert set(fused) == set(inc)
+    for b in fused:
+        assert (fused[b].ref_cnt, fused[b].cur_cnt) == (inc[b].ref_cnt, inc[b].cur_cnt)
+        assert fused[b].contrib == inc[b].contrib
+        assert fused[b].psi == inc[b].psi

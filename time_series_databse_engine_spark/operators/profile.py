@@ -346,3 +346,83 @@ def psi_drift(
         .cast("double")
         .alias("psi"),
     )
+
+
+def psi_bounds(ref: DataFrame, col: str, n_bins: int = 10) -> DataFrame:
+    """The PINNABLE half of the drift monitor: the reference snapshot's
+    exact-percentile bin boundaries as a one-row array (6-dp rounded,
+    `psi_drift`'s discipline).  At 100 TB the reference is scanned for
+    boundaries ONCE, this row is persisted beside the model/corpus
+    version, and every later increment is binned against it — the
+    reference is never rescanned."""
+    ps = [i / n_bins for i in range(1, n_bins)]
+    return ref.where(F.col(col).isNotNull()).agg(
+        F.transform(
+            F.expr(f"percentile({col}, array({', '.join(map(str, ps))}))"),
+            lambda b: F.round(b, 6),
+        ).alias("_bounds")
+    )
+
+
+def psi_bin_counts(df: DataFrame, col: str, bounds: DataFrame) -> DataFrame:
+    """Bin one increment against pinned boundaries → (bin, cnt) exact
+    integers.  MERGEABLE state (sum per bin), like
+    `profile_registers`: daily increments each produce n_bins rows, and
+    any union re-reduces by a grouped sum — drift over a sliding window
+    of increments never rescans raw data."""
+    assign = F.lit(1) + F.aggregate(
+        F.col("_bounds"),
+        F.lit(0),
+        lambda acc, b: acc + F.when(F.col(col) >= b, 1).otherwise(0),
+    )
+    return (
+        df.where(F.col(col).isNotNull())
+        .crossJoin(F.broadcast(bounds))
+        .groupBy(assign.cast("int").alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def psi_from_counts(
+    ref_counts: DataFrame, cur_counts: DataFrame, n_bins: int = 10
+) -> DataFrame:
+    """Finish PSI from (possibly merged) per-bin count tables — the
+    reduce over `psi_bin_counts` state.  Float expressions are
+    IDENTICAL to `psi_drift`'s (same order, same Laplace smoothing,
+    same 6-dp round, same DECIMAL-exact psi sum), so
+    psi_from_counts(counts(ref), merge(counts(cur_1), ..., counts(cur_k)))
+    == psi_drift(ref, cur) bit-for-bit — the mergeable path sits under
+    the same value-hash gate as the fused one.  Inputs are n_bins-row
+    tables; everything here is O(n_bins)."""
+    from pyspark.sql import Window as W
+
+    r = ref_counts.groupBy("bin").agg(F.sum("cnt").alias("ref_cnt"))
+    c = cur_counts.groupBy("bin").agg(F.sum("cnt").alias("cur_cnt"))
+    j = (
+        r.join(c, "bin", "full_outer")
+        .select(
+            F.col("bin").cast("int").alias("bin"),
+            F.coalesce("ref_cnt", F.lit(0)).alias("ref_cnt"),
+            F.coalesce("cur_cnt", F.lit(0)).alias("cur_cnt"),
+        )
+    )
+    wall = W.partitionBy()
+    half = 0.5
+    p = (F.col("ref_cnt") + half) / (F.sum("ref_cnt").over(wall) + n_bins * half)
+    q = (F.col("cur_cnt") + half) / (F.sum("cur_cnt").over(wall) + n_bins * half)
+    with_contrib = j.select(
+        "bin",
+        "ref_cnt",
+        "cur_cnt",
+        F.round((p - q) * F.log(p / q), 6).alias("contrib"),
+    )
+    return with_contrib.select(
+        "bin",
+        "ref_cnt",
+        "cur_cnt",
+        "contrib",
+        F.sum(F.col("contrib").cast("decimal(18,6)"))
+        .over(wall)
+        .cast("double")
+        .alias("psi"),
+    )
