@@ -302,3 +302,72 @@ def test_streaming_media_decode_skip_and_flag_exactly_once(spark, tmp_path):
         for r in spark.read.parquet(out + "/metrics").collect()
     }
     assert met2 == per_epoch
+
+
+def test_streaming_psi_drift_exactly_once(spark, tmp_path):
+    """The drift trio's streaming leg: micro-batch 1 draws from the
+    reference distribution (running PSI stays under the alarm),
+    micro-batch 2 is location-shifted (running PSI crosses 0.25 and
+    alarms); per-epoch counts are the mergeable psi_bin_counts state;
+    a full crash replay converges to identical counts and metrics."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from time_series_databse_engine_spark.operators.profile import (
+        psi_bin_counts,
+        psi_bounds,
+    )
+    from time_series_databse_engine_spark.streaming.ingest import stream_psi_drift
+
+    ref = spark.range(1000).select(F.col("id").cast("double").alias("value"))
+    bounds = psi_bounds(ref, "value", n_bins=10)
+    ref_counts = psi_bin_counts(ref, "value", bounds)
+    # pin both artifacts (training-time persistence)
+    bounds.write.parquet(str(tmp_path / "bounds"))
+    ref_counts.write.parquet(str(tmp_path / "ref_counts"))
+    bounds_p = spark.read.parquet(str(tmp_path / "bounds"))
+    ref_p = spark.read.parquet(str(tmp_path / "ref_counts"))
+
+    src = str(tmp_path / "src")
+    # batch 1: same distribution; batch 2: +600 shift
+    spark.range(1000).select(F.col("id").cast("double").alias("value")).coalesce(
+        1
+    ).write.parquet(src + "/b1")
+    spark.range(1000).select((F.col("id") + 600).cast("double").alias("value")).coalesce(
+        1
+    ).write.parquet(src + "/b2")
+
+    out = str(tmp_path / "drift")
+
+    def run():
+        stream = (
+            spark.readStream.schema("value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/*")
+        )
+        q = stream_psi_drift(
+            stream, ref_p, bounds_p, out, str(tmp_path / "ckpt")
+        ).start()
+        q.awaitTermination(120)
+        q.stop()
+
+    run()
+    met = {r.epoch_id: r for r in spark.read.parquet(out + "/metrics").collect()}
+    assert set(met) == {0, 1}
+    assert met[0].n_rows == 1000 and met[1].n_rows == 1000
+    assert met[0].psi_running < 0.05 and not met[0].alarm
+    assert met[1].psi_running > 0.25 and met[1].alarm
+    # batch-level PSI of the shifted batch alone is even larger
+    assert met[1].psi_batch > met[1].psi_running
+    # counts are the mergeable state: re-reducing them equals 2000 rows
+    cnts = spark.read.parquet(out + "/counts")
+    assert cnts.agg(F.sum("cnt")).collect()[0][0] == 2000
+
+    # crash replay: wipe the checkpoint; every epoch re-runs and must
+    # converge to identical counts and metrics (no double counting)
+    shutil.rmtree(str(tmp_path / "ckpt"))
+    run()
+    met2 = {r.epoch_id: r for r in spark.read.parquet(out + "/metrics").collect()}
+    assert {k: tuple(v) for k, v in met2.items()} == {k: tuple(v) for k, v in met.items()}
+    assert spark.read.parquet(out + "/counts").agg(F.sum("cnt")).collect()[0][0] == 2000

@@ -499,3 +499,105 @@ def last_committed_epoch(checkpoint_dir: str) -> int | None:
         return None
     ids = [int(f) for f in os.listdir(commits) if f.isdigit()]
     return max(ids) if ids else None
+
+
+def stream_psi_drift(
+    stream: DataFrame,
+    ref_counts: DataFrame,
+    bounds: DataFrame,
+    out_path: str,
+    checkpoint_dir: str,
+    col: str = "value",
+    n_bins: int = 10,
+    alarm: float = 0.25,
+):
+    """Streaming snapshot-drift monitor — the live twin of
+    :func:`operators.profile.psi_drift`, completing the drift trio
+    (fused batch / mergeable increments / stream) the way dedup and the
+    ANN index each have batch+incremental+streaming forms.
+
+    ``bounds`` and ``ref_counts`` are the PINNED training-time
+    artifacts (:func:`operators.profile.psi_bounds` /
+    :func:`operators.profile.psi_bin_counts` on the reference
+    snapshot, persisted beside the model version): the reference is
+    never rescanned while serving.  Each micro-batch is binned against
+    the pinned boundaries — O(batch) work, one (bin)-keyed exchange —
+    and two epoch-partitioned tables land under ``out_path``:
+
+    * ``counts/epoch=N/``  — the batch's mergeable (bin, cnt) rows:
+      the :func:`operators.profile.psi_bin_counts` state, so ANY
+      window of epochs re-reduces to its PSI without touching raw data;
+    * ``metrics/epoch=N/`` — one row per micro-batch:
+      (epoch_id, n_rows, psi_batch, psi_running, alarm) where
+      ``psi_running`` is PSI of ALL stream rows so far vs the
+      reference (an O(n_bins · epochs) read of the counts dirs — never
+      a raw-data recount) and ``alarm`` flags ``psi_running >= alarm``
+      (0.25 = the conventional retrain threshold).
+
+    Delivery is EXACTLY-ONCE by directory-per-epoch idempotence: a
+    replayed epoch recomputes from the SAME inputs — the running-counts
+    read takes STRICTLY-PRIOR epochs only (not merely "not my own
+    attempt": later epochs' dirs exist during a replay, and counting
+    them would change a replayed epoch's running PSI) — then deletes
+    the previous attempt's dirs and renames fresh ones in (the
+    :func:`stream_clean_crawl` contract; that one can use the weaker
+    exclusion because its fingerprint tables hold SURVIVORS only, which
+    are disjoint from prior epochs' hashes by construction)."""
+    import glob
+    import os
+    import shutil
+
+    from ..operators.profile import psi_bin_counts, psi_from_counts
+
+    ref_c = ref_counts.select("bin", "cnt")
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        eid = int(epoch_id)
+        tmp_root = os.path.join(out_path, "_tmp", f"epoch-{eid}")
+        shutil.rmtree(tmp_root, ignore_errors=True)
+
+        cnts = psi_bin_counts(batch_df, col, bounds)
+        counts_tmp = os.path.join(tmp_root, "counts")
+        cnts.write.mode("overwrite").parquet(counts_tmp)
+        fresh = spark.read.parquet(counts_tmp)
+
+        # STRICTLY-PRIOR epochs only (not just "not my own attempt"):
+        # a replayed epoch must compute the same running PSI as its
+        # first run, and later epochs' dirs exist during a replay
+        prior = [
+            d
+            for d in glob.glob(os.path.join(out_path, "counts", "epoch=*"))
+            if int(os.path.basename(d).split("=", 1)[1]) < eid
+        ]
+        running = fresh
+        if prior:
+            running = fresh.unionByName(
+                spark.read.parquet(*prior).select("bin", "cnt")
+            )
+        psi_batch = psi_from_counts(ref_c, fresh, n_bins=n_bins)
+        psi_run = psi_from_counts(ref_c, running, n_bins=n_bins)
+        b_row = psi_batch.select("psi").limit(1).collect()
+        r_row = psi_run.select("psi").limit(1).collect()
+        pb = float(b_row[0].psi) if b_row else 0.0
+        pr = float(r_row[0].psi) if r_row else 0.0
+        n_rows = fresh.agg(F.sum("cnt")).collect()[0][0] or 0
+        metrics_tmp = os.path.join(tmp_root, "metrics")
+        spark.createDataFrame(
+            [(eid, int(n_rows), pb, pr, pr >= alarm)],
+            "epoch_id int, n_rows long, psi_batch double, "
+            "psi_running double, alarm boolean",
+        ).coalesce(1).write.mode("overwrite").parquet(metrics_tmp)
+
+        for name, tmp in (("counts", counts_tmp), ("metrics", metrics_tmp)):
+            dst = os.path.join(out_path, name, f"epoch={eid}")
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            shutil.rmtree(dst, ignore_errors=True)
+            os.rename(tmp, dst)
+        shutil.rmtree(tmp_root, ignore_errors=True)
+
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
