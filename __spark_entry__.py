@@ -3340,6 +3340,50 @@ def q_psi_drift(spark, sf_dir):
     return psi_drift(ref, cur, "value", n_bins=10)
 
 
+def q_diverse_sample(spark, sf_dir):
+    """Cluster-stratified coreset sampling against the pinned
+    kmeans_cells codebook: ≤25 representatives per embedding-space cell
+    in deterministic md5(id) order — rare modes survive the quota cut
+    that uniform sampling would erase them under.  One exchange."""
+    from time_series_databse_engine_spark.fixtures.kmeans_cells import CELLS
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cells = spark.createDataFrame(
+        [(cid, c) for cid, c in CELLS], "cell_id long, cent array<double>"
+    ).withColumn("cent_n", sim_ops.norm(F.col("cent")))
+    return sim_ops.diverse_sample(emb, cells, per_cell=25)
+
+
+def _diverse_sample_oracle_sql() -> str:
+    """Assignment CTE = the served-SemDeDup oracle's (same centroid
+    literals, same argmax tie rule); pick = row_number over md5 order."""
+    from time_series_databse_engine_spark.fixtures.kmeans_cells import CELLS
+
+    rows = ",\n              ".join(
+        "(%d, [%s]::DOUBLE[])" % (cid, ", ".join(repr(x) for x in c))
+        for cid, c in CELLS
+    )
+    return f"""
+        WITH cents(cell_id, cent) AS (VALUES
+              {rows}),
+        e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+        a AS (SELECT id, cell_id FROM (
+          SELECT id, cell_id,
+                 row_number() OVER (PARTITION BY id
+                                    ORDER BY csim DESC, cell_id ASC) AS r
+          FROM (SELECT id, v, cell_id,
+                       list_dot_product(v, cent) /
+                       (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cent, cent))) AS csim
+                FROM e, cents)) WHERE r = 1)
+        SELECT id AS vec_id, cell_id, pick FROM (
+          SELECT id, cell_id,
+                 row_number() OVER (PARTITION BY cell_id
+                                    ORDER BY md5(CAST(id AS VARCHAR)) ASC,
+                                             id ASC) AS pick
+          FROM a)
+        WHERE pick <= 25"""
+
+
 def q_psi_drift_incremental(spark, sf_dir):
     """The MERGEABLE drift path: pinned reference boundaries, the current
     snapshot arriving as TWO increments (user_id parity) whose per-bin
@@ -3387,7 +3431,9 @@ _R8_WINDOW = [
     "moving_avg", "range_scan_empty", "range_scan_metric", "range_limit",
     "downsample_5m", "metric_stats", "top_customers", "customers_no_orders",
     "customer_order_counts_semi", "order_rollup", "part_cube",
-    "users_intersect", "users_except", "json_props", "range_join",
+    # users_except yielded its slot to diverse_sample (set ops stay
+    # covered in-window by users_intersect; its r1 green row stands)
+    "users_intersect", "json_props", "range_join",
     "value_deltas", "gap_detect", "topk_per_series", "first_last_per_series",
     "doc_fingerprint", "minhash_signatures", "embedding_norms", "text_stats",
     "lang_id", "lang_id_ngram", "sql_supplier_revenue", "asof_join_forward",
@@ -3398,7 +3444,7 @@ _R8_WINDOW = [
     # moving_avg) --------------------------------------------------------
     "dedup_clusters",
     # -- round-8 additions (zero driver history, all oracle-backed) ------
-    "maxsim_topk", "psi_drift", "psi_drift_incremental",
+    "maxsim_topk", "psi_drift", "psi_drift_incremental", "diverse_sample",
     # -- category keepers (driver-green r7) ------------------------------
     "tsdb_roundtrip", "pack_sequences", "column_profile", "ann_index_probe",
     "clean_crawl", "interval_join_bucketed", "skew_profile", "pagerank",
@@ -3744,6 +3790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maxsim_topk": q_maxsim_topk,
         "psi_drift": q_psi_drift,
         "psi_drift_incremental": q_psi_drift_incremental,
+        "diverse_sample": q_diverse_sample,
     }
     missing = [k for k in _R8_WINDOW if k not in base]
     assert not missing and len(set(_R8_WINDOW)) == 50, (
@@ -6679,4 +6726,5 @@ def oracle_sql() -> dict[str, str]:
     # (same floats, same order) — share the oracle verbatim, the
     # profile_incremental discipline
     oracles["psi_drift_incremental"] = oracles["psi_drift"]
+    oracles["diverse_sample"] = _diverse_sample_oracle_sql()
     return oracles

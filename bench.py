@@ -145,6 +145,7 @@ HEADLINE = [
     "maxsim_topk",
     "psi_drift",
     "psi_drift_incremental",
+    "diverse_sample",
 ]
 
 # repeated-run latency distribution for the reference's hot/cold point

@@ -568,3 +568,40 @@ def test_ann_params_scale_rule():
     assert ann_params_for(2_000) == {"num_planes": 4, "n_cells": 16}
     assert ann_params_for(20_000) == {"num_planes": 8, "n_cells": 160}
     assert ann_params_for(200_000) == {"num_planes": 11, "n_cells": 1600}
+
+
+def test_diverse_sample_quota_and_determinism(spark):
+    """Every occupied cell keeps <= per_cell rows picked in md5(id)
+    order; a rare mode (tiny cell) survives a quota that uniform
+    sampling would statistically erase it under."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from time_series_databse_engine_spark.operators.similarity import (
+        diverse_sample,
+        norm,
+    )
+
+    # two well-separated cells on axes 0 and 1; 40 rows near e0, 3 near e1
+    rows = [(i, [1.0, 0.01 * i, 0.0, 0.0]) for i in range(40)]
+    rows += [(100 + i, [0.01 * i, 1.0, 0.0, 0.0]) for i in range(3)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cells = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
+        "cell_id long, cent array<double>",
+    ).withColumn("cent_n", norm(F.col("cent")))
+    out = diverse_sample(emb, cells, per_cell=5).collect()
+    by_cell = {}
+    for r in out:
+        by_cell.setdefault(r.cell_id, []).append(r)
+    assert len(by_cell[0]) == 5  # big cell capped at quota
+    assert len(by_cell[1]) == 3  # rare mode kept whole
+    # picks are 1..n in md5(id) order
+    exp = sorted(
+        (i for i in range(40)),
+        key=lambda i: hashlib.md5(str(i).encode()).hexdigest(),
+    )[:5]
+    got = [r.vec_id for r in sorted(by_cell[0], key=lambda r: r.pick)]
+    assert got == exp
+    assert sorted(r.pick for r in by_cell[1]) == [1, 2, 3]

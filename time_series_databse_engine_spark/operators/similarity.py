@@ -2137,3 +2137,46 @@ def ivf_index_vacuum(path: str) -> int:
             shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
             removed += 1
     return removed
+
+
+def diverse_sample(
+    embeddings: DataFrame,
+    cells: DataFrame,
+    per_cell: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Diversity-aware coreset subsampling: stratify the corpus over the
+    embedding space (nearest pinned cell, the :func:`semantic_dedup`
+    serving codebook) and keep at most ``per_cell`` rows per cell in
+    deterministic ``md5(id)`` order.  Uniform subsampling erases rare
+    modes — a cell holding 0.1% of the corpus keeps ~0.1% of the quota;
+    cluster-stratified selection keeps ``per_cell`` representatives of
+    EVERY occupied region, the scalable stand-in for k-center greedy
+    (which is inherently sequential: each pick depends on all prior
+    picks; cell quotas give the same coverage guarantee at the cell
+    granularity with zero sequential state).
+
+    Scale shape: assignment is the shared broadcast-argmax fold
+    (:func:`assign_nearest_cell` — zero exchanges, rides the scan);
+    the quota is one cell-keyed ``row_number`` window — ONE exchange
+    total, output ≤ k·per_cell rows.  Hash order makes the pick
+    reproducible and unbiased within a cell (id order would bias toward
+    old rows; the hash is the same trick as `deterministic_sample`).
+
+    Returns (id_col, cell_id, pick) with pick ∈ 1..per_cell.
+    """
+    from pyspark.sql import Window as W
+
+    e = embeddings.select(
+        F.col(id_col).alias("id"), as_double(vec_col).alias("v")
+    ).withColumn("nrm", norm(F.col("v")))
+    a = assign_nearest_cell(e, cells, F.col("v"), F.col("nrm"))
+    w = W.partitionBy("cell_id").orderBy(
+        F.md5(F.col("id").cast("string")).asc(), F.col("id").asc()
+    )
+    return (
+        a.withColumn("pick", F.row_number().over(w))
+        .where(F.col("pick") <= per_cell)
+        .select(F.col("id").alias(id_col), "cell_id", "pick")
+    )
