@@ -3340,6 +3340,14 @@ def q_psi_drift(spark, sf_dir):
     return psi_drift(ref, cur, "value", n_bins=10)
 
 
+def q_purge_dup_spans(spark, sf_dir):
+    """Substring-level dedup PURGE (Lee et al. 2021's intervention):
+    cross-doc duplicated 8-token windows removed from every doc except
+    the gram's min-id keeper; text rebuilt.  2 exchanges; window hashes
+    (md5) cross the wire, never text."""
+    return dedup_ops.purge_dup_spans(_t(spark, sf_dir, "documents"), n=8)
+
+
 def q_diverse_sample(spark, sf_dir):
     """Cluster-stratified coreset sampling against the pinned
     kmeans_cells codebook: ≤25 representatives per embedding-space cell
@@ -3435,7 +3443,10 @@ _R8_WINDOW = [
     # covered in-window by users_intersect; its r1 green row stands)
     "users_intersect", "json_props", "range_join",
     "value_deltas", "gap_detect", "topk_per_series", "first_last_per_series",
-    "doc_fingerprint", "minhash_signatures", "embedding_norms", "text_stats",
+    # minhash_signatures yielded its slot to purge_dup_spans (fingerprint
+    # family stays covered in-window by doc_fingerprint +
+    # winnow_fingerprint + dedup_clusters; its r1 green row stands)
+    "doc_fingerprint", "embedding_norms", "text_stats",
     "lang_id", "lang_id_ngram", "sql_supplier_revenue", "asof_join_forward",
     "doc_chunks", "series_trend", "redact_pii", "deterministic_sample",
     "stratified_sample", "winnow_fingerprint", "cosine_near_dup",
@@ -3445,6 +3456,7 @@ _R8_WINDOW = [
     "dedup_clusters",
     # -- round-8 additions (zero driver history, all oracle-backed) ------
     "maxsim_topk", "psi_drift", "psi_drift_incremental", "diverse_sample",
+    "purge_dup_spans",
     # -- category keepers (driver-green r7) ------------------------------
     "tsdb_roundtrip", "pack_sequences", "column_profile", "ann_index_probe",
     "clean_crawl", "interval_join_bucketed", "skew_profile", "pagerank",
@@ -3791,6 +3803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift": q_psi_drift,
         "psi_drift_incremental": q_psi_drift_incremental,
         "diverse_sample": q_diverse_sample,
+        "purge_dup_spans": q_purge_dup_spans,
     }
     missing = [k for k in _R8_WINDOW if k not in base]
     assert not missing and len(set(_R8_WINDOW)) == 50, (
@@ -6727,4 +6740,32 @@ def oracle_sql() -> dict[str, str]:
     # profile_incremental discipline
     oracles["psi_drift_incremental"] = oracles["psi_drift"]
     oracles["diverse_sample"] = _diverse_sample_oracle_sql()
+    oracles["purge_dup_spans"] = """
+        WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+                   FROM documents),
+        pos AS (SELECT doc_id, len(toks) AS L, toks,
+                       unnest(generate_series(0, len(toks) - 1)) AS p
+                FROM t),
+        g AS (SELECT doc_id, p, toks[p + 1] AS tok,
+                     md5(CASE WHEN p <= L - 8
+                              THEN array_to_string(
+                                     list_slice(toks, p + 1, p + 8), ' ')
+                              ELSE doc_id || ':' || p || ':tail' END) AS gram_h
+              FROM pos),
+        d AS (SELECT doc_id, p, tok,
+                     CASE WHEN min(doc_id) OVER (PARTITION BY gram_h)
+                               != max(doc_id) OVER (PARTITION BY gram_h)
+                           AND doc_id != min(doc_id) OVER (PARTITION BY gram_h)
+                          THEN 1 ELSE 0 END AS dup_start
+              FROM g),
+        c AS (SELECT doc_id, p, tok,
+                     max(dup_start) OVER (PARTITION BY doc_id ORDER BY p
+                       ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) = 1 AS covered
+              FROM d)
+        SELECT doc_id,
+               COALESCE(string_agg(CASE WHEN NOT covered THEN tok END,
+                                   ' ' ORDER BY p), '') AS clean_text,
+               sum(CASE WHEN covered THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+               sum(CASE WHEN covered THEN 0 ELSE 1 END)::BIGINT AS n_kept
+        FROM c GROUP BY doc_id"""
     return oracles

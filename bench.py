@@ -146,6 +146,7 @@ HEADLINE = [
     "psi_drift",
     "psi_drift_incremental",
     "diverse_sample",
+    "purge_dup_spans",
 ]
 
 # repeated-run latency distribution for the reference's hot/cold point

@@ -313,3 +313,46 @@ def test_lsh_params_scale_rule():
     assert lsh_params_for(50_000) == {"num_hashes": 16, "bands": 4, "rows_per_band": 4}
     assert lsh_params_for(500_000) == {"num_hashes": 24, "bands": 4, "rows_per_band": 6}
     assert lsh_params_for(100) == lsh_params_for(5_000)  # never below base
+
+
+def test_purge_dup_spans_keeper_and_coverage(spark):
+    """Lee-2021-style purge: the min-id doc sharing a window keeps it;
+    every other doc loses the full covered range (union of overlapping
+    windows), within-doc repetition is untouched, and whitespace
+    normalizes to single spaces."""
+    from time_series_databse_engine_spark.operators.dedup import purge_dup_spans
+
+    base = "a b c d e f g h"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{base} unique one tail"),
+            (2, f"prefix two {base} suffix two"),  # copies doc 1's 8-gram
+            (3, f"{base} i j"),  # copies AND extends: 3 dup starts merge
+            (4, "rep rep rep rep rep rep rep rep rep rep"),  # within-doc only
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in purge_dup_spans(docs, n=8).collect()}
+    assert got[1].clean_text == f"{base} unique one tail"  # keeper untouched
+    assert got[1].n_removed == 0
+    assert got[2].clean_text == "prefix two suffix two"
+    assert got[2].n_removed == 8 and got[2].n_kept == 4
+    # doc 3 shares exactly one window with doc 1 (start 0: "a..h");
+    # its other windows contain "i j" which doc 1 lacks — so coverage
+    # is [0..7] and the extension survives
+    assert got[3].clean_text == "i j" and got[3].n_removed == 8
+    # within-doc repetition is not cross-doc: untouched
+    assert got[4].n_removed == 0 and got[4].n_kept == 10
+
+
+def test_purge_dup_spans_short_docs_no_grams(spark):
+    from time_series_databse_engine_spark.operators.dedup import purge_dup_spans
+
+    docs = spark.createDataFrame(
+        [(1, "same short text"), (2, "same short text")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in purge_dup_spans(docs, n=8).collect()}
+    # both docs are shorter than one window: nothing to purge
+    assert got[1].n_removed == 0 and got[2].n_removed == 0
+    assert got[2].clean_text == "same short text"

@@ -909,3 +909,94 @@ def leakage_safe_split(
     return hash_split(keyed, val_16ths, test_16ths, id_col="split_key").select(
         id_col, "split_key", "split"
     )
+
+
+def purge_dup_spans(
+    df: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Substring-level dedup PURGE — the step past
+    :func:`duplicate_span_ranges` (which reports the ranges) to Lee
+    et al. 2021's actual intervention: REMOVE every cross-document
+    duplicated token window from every doc except a canonical keeper,
+    and rebuild the text.  The keeper rule is gram-granular and
+    deterministic: the smallest ``id_col`` sharing a window keeps it, so
+    every duplicated window survives in exactly its min-id doc
+    (within-doc repetition is untouched — that is
+    ``repetition_stats``' domain).  A position is purged iff ANY
+    duplicated window covers it (union of [s, s+n-1] over duplicated
+    starts s), computed with a rolling n-row window max — no interval
+    join, no island merge needed for the cut itself.
+
+    Scale shape: per-doc array expressions build (token, window-hash)
+    structs riding the scan — ONE posexplode, no distinct; the
+    cross-doc test is min≠max over the md5(gram) partition (grams never
+    carry text payloads through the exchange, the
+    :func:`duplicate_span_ranges` discipline; tail positions get a
+    per-(doc, p) marker key so they form singleton partitions instead
+    of one NULL-key skew partition); then ONE doc-keyed window for
+    coverage and a doc aggregation that reuses its partitioning —
+    2 exchanges total.  Rebuilt text joins kept tokens with single
+    spaces (whitespace normalization documented).
+
+    Returns (id_col, clean_text, n_removed, n_kept).
+    """
+    from pyspark.sql import Window as W
+
+    toks = F.split(F.col(text_col), "\\s+")
+    L = F.size(toks)
+    entries = F.transform(
+        F.sequence(F.lit(0), L - 1),
+        lambda p: F.struct(
+            p.cast("int").alias("p"),
+            F.element_at(toks, p + 1).alias("tok"),
+            F.md5(
+                F.when(
+                    p <= L - n,
+                    F.concat_ws(" ", F.slice(toks, p + 1, n)),
+                ).otherwise(
+                    # tail marker: unique per (doc, p) -> singleton
+                    # partition (never cross-doc); contains no space so
+                    # it cannot collide with a real n>=2-token gram
+                    F.concat_ws(
+                        ":",
+                        F.col(id_col).cast("string"),
+                        p.cast("string"),
+                        F.lit("tail"),
+                    )
+                )
+            ).alias("gram_h"),
+        ),
+    )
+    t = df.select(F.col(id_col).alias("_id"), F.explode(entries).alias("e")).select(
+        "_id", "e.p", "e.tok", "e.gram_h"
+    )
+    wg = W.partitionBy("gram_h")
+    d = t.select(
+        "_id",
+        "p",
+        "tok",
+        (
+            (F.min("_id").over(wg) != F.max("_id").over(wg))
+            & (F.col("_id") != F.min("_id").over(wg))
+        )
+        .cast("int")
+        .alias("dup_start"),
+    )
+    wc = W.partitionBy("_id").orderBy("p").rowsBetween(-(n - 1), 0)
+    c = d.select(
+        "_id", "p", "tok", (F.max("dup_start").over(wc) == 1).alias("covered")
+    )
+    kept = F.filter(
+        F.array_sort(F.collect_list(F.struct("p", "tok", "covered"))),
+        lambda x: ~x["covered"],
+    )
+    return c.groupBy(F.col("_id").alias(id_col)).agg(
+        F.array_join(
+            F.transform(kept, lambda x: x["tok"]), " "
+        ).alias("clean_text"),
+        F.sum(F.when(F.col("covered"), 1).otherwise(0)).alias("n_removed"),
+        F.sum(F.when(F.col("covered"), 0).otherwise(1)).alias("n_kept"),
+    )
