@@ -3340,6 +3340,21 @@ def q_psi_drift(spark, sf_dir):
     return psi_drift(ref, cur, "value", n_bins=10)
 
 
+def q_psi_drift_categorical(spark, sf_dir):
+    """Categorical drift (event-type mix, even vs odd days): reference's
+    top-3 categories + OTHER fold, psi_from_counts finish — the bounded
+    drift table for unbounded live cardinality."""
+    from time_series_databse_engine_spark.operators.profile import (
+        psi_drift_categorical,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    day = F.floor(F.col("ts_ms") / F.lit(86_400_000))
+    return psi_drift_categorical(
+        e.where(day % 2 == 0), e.where(day % 2 == 1), "event_type", top_k=3
+    )
+
+
 def q_purge_dup_spans(spark, sf_dir):
     """Substring-level dedup PURGE (Lee et al. 2021's intervention):
     cross-doc duplicated 8-token windows removed from every doc except
@@ -3447,7 +3462,9 @@ _R8_WINDOW = [
     # family stays covered in-window by doc_fingerprint +
     # winnow_fingerprint + dedup_clusters; its r1 green row stands)
     "doc_fingerprint", "embedding_norms", "text_stats",
-    "lang_id", "lang_id_ngram", "sql_supplier_revenue", "asof_join_forward",
+    # lang_id_ngram yielded its slot to psi_drift_categorical (lang-ID
+    # stays covered in-window by lang_id; its r1 green row stands)
+    "lang_id", "sql_supplier_revenue", "asof_join_forward",
     "doc_chunks", "series_trend", "redact_pii", "deterministic_sample",
     "stratified_sample", "winnow_fingerprint", "cosine_near_dup",
     # -- r2-evidence refresh (oldest oracle-backed; ewma yielded its slot
@@ -3456,7 +3473,7 @@ _R8_WINDOW = [
     "dedup_clusters",
     # -- round-8 additions (zero driver history, all oracle-backed) ------
     "maxsim_topk", "psi_drift", "psi_drift_incremental", "diverse_sample",
-    "purge_dup_spans",
+    "purge_dup_spans", "psi_drift_categorical",
     # -- category keepers (driver-green r7) ------------------------------
     "tsdb_roundtrip", "pack_sequences", "column_profile", "ann_index_probe",
     "clean_crawl", "interval_join_bucketed", "skew_profile", "pagerank",
@@ -3804,6 +3821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift_incremental": q_psi_drift_incremental,
         "diverse_sample": q_diverse_sample,
         "purge_dup_spans": q_purge_dup_spans,
+        "psi_drift_categorical": q_psi_drift_categorical,
     }
     missing = [k for k in _R8_WINDOW if k not in base]
     assert not missing and len(set(_R8_WINDOW)) == 50, (
@@ -6740,6 +6758,38 @@ def oracle_sql() -> dict[str, str]:
     # profile_incremental discipline
     oracles["psi_drift_incremental"] = oracles["psi_drift"]
     oracles["diverse_sample"] = _diverse_sample_oracle_sql()
+    oracles["psi_drift_categorical"] = """
+        WITH v AS (SELECT epoch_ms(ts) AS ms, event_type FROM events
+                   WHERE event_type IS NOT NULL),
+        rs AS (SELECT event_type AS category FROM v
+               WHERE (ms // 86400000) % 2 = 0),
+        cs AS (SELECT event_type AS category FROM v
+               WHERE (ms // 86400000) % 2 = 1),
+        cats AS (SELECT category,
+                        CAST(row_number() OVER (ORDER BY _n DESC,
+                                                category ASC) AS INT) AS bin
+                 FROM (SELECT category, count(*) AS _n FROM rs GROUP BY 1
+                       ORDER BY _n DESC, category ASC LIMIT 3)),
+        rc AS (SELECT COALESCE(cats.bin, 0) AS bin, count(*) AS ref_cnt
+               FROM rs LEFT JOIN cats USING (category) GROUP BY 1),
+        cc AS (SELECT COALESCE(cats.bin, 0) AS bin, count(*) AS cur_cnt
+               FROM cs LEFT JOIN cats USING (category) GROUP BY 1),
+        j AS (SELECT bin, COALESCE(ref_cnt, 0) AS ref_cnt,
+                     COALESCE(cur_cnt, 0) AS cur_cnt
+              FROM rc FULL OUTER JOIN cc USING (bin)),
+        t2 AS (SELECT sum(ref_cnt) AS rt, sum(cur_cnt) AS ct FROM j),
+        pb AS (SELECT bin, ref_cnt, cur_cnt,
+                      round(((ref_cnt + 0.5) / (rt + 2.0)
+                             - (cur_cnt + 0.5) / (ct + 2.0))
+                            * ln(((ref_cnt + 0.5) / (rt + 2.0))
+                                 / ((cur_cnt + 0.5) / (ct + 2.0))),
+                            6) AS contrib
+               FROM j, t2),
+        p2 AS (SELECT CAST(sum(CAST(contrib AS DECIMAL(18,6))) AS DOUBLE)
+                        AS psi FROM pb)
+        SELECT COALESCE(cats.category, '__other__') AS category, pb.bin,
+               ref_cnt, cur_cnt, contrib, psi
+        FROM pb LEFT JOIN cats ON pb.bin = cats.bin, p2"""
     oracles["purge_dup_spans"] = """
         WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
                    FROM documents),

@@ -147,6 +147,7 @@ HEADLINE = [
     "psi_drift_incremental",
     "diverse_sample",
     "purge_dup_spans",
+    "psi_drift_categorical",
 ]
 
 # repeated-run latency distribution for the reference's hot/cold point

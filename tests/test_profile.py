@@ -151,3 +151,29 @@ def test_psi_incremental_matches_fused(spark):
         assert (fused[b].ref_cnt, fused[b].cur_cnt) == (inc[b].ref_cnt, inc[b].cur_cnt)
         assert fused[b].contrib == inc[b].contrib
         assert fused[b].psi == inc[b].psi
+
+
+def test_psi_drift_categorical_other_fold_and_identity(spark):
+    """Top-k + OTHER fold: categories outside the reference's top-k
+    merge into bin 0; identical snapshots give psi exactly 0; a
+    vanished category alarms."""
+    from pyspark.sql import functions as F
+
+    from time_series_databse_engine_spark.operators.profile import (
+        psi_drift_categorical,
+    )
+
+    # 4 categories: a(50) b(30) c(15) d(5); top_k=2 -> c+d fold to OTHER
+    rows = (["a"] * 50 + ["b"] * 30 + ["c"] * 15 + ["d"] * 5)
+    ref = spark.createDataFrame([(x,) for x in rows], "cat string")
+    same = {r.category: r for r in psi_drift_categorical(ref, ref, "cat", top_k=2).collect()}
+    assert set(same) == {"a", "b", "__other__"}
+    assert same["__other__"].ref_cnt == 20 and same["__other__"].cur_cnt == 20
+    assert all(r.contrib == 0.0 and r.psi == 0.0 for r in same.values())
+    assert same["a"].bin == 1 and same["b"].bin == 2 and same["__other__"].bin == 0
+
+    # current snapshot loses category a entirely -> large psi
+    cur = spark.createDataFrame([(x,) for x in rows if x != "a"], "cat string")
+    shifted = {r.category: r for r in psi_drift_categorical(ref, cur, "cat", top_k=2).collect()}
+    assert shifted["a"].cur_cnt == 0
+    assert shifted["a"].psi > 0.25

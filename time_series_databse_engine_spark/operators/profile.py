@@ -426,3 +426,70 @@ def psi_from_counts(
         .cast("double")
         .alias("psi"),
     )
+
+
+def psi_categories(ref: DataFrame, col: str, top_k: int = 20) -> DataFrame:
+    """The pinnable categorical half of the drift monitor: the reference
+    snapshot's ``top_k`` categories by frequency (ties broken by value
+    ascending — fully deterministic) mapped to integer bins 1..k.
+    Categories outside the top-k fold into the implicit OTHER bin 0 at
+    binning time, so the drift table stays ``top_k + 1`` rows no matter
+    how unbounded the live cardinality gets — the guard that makes
+    categorical drift monitoring safe on id-like columns at 100 TB.
+    Selection is a TakeOrderedAndProject (per-partition heaps), never a
+    global sort; the rank window runs on the k-row result."""
+    from pyspark.sql import Window as W
+
+    top = (
+        ref.where(F.col(col).isNotNull())
+        .groupBy(F.col(col).cast("string").alias("category"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .orderBy(F.col("_n").desc(), F.col("category").asc())
+        .limit(top_k)
+    )
+    rk = F.row_number().over(
+        W.partitionBy().orderBy(F.col("_n").desc(), F.col("category").asc())
+    )
+    return top.select("category", rk.cast("int").alias("bin"))
+
+
+def _categorical_bin_counts(df: DataFrame, col: str, cats: DataFrame) -> DataFrame:
+    mapped = (
+        df.where(F.col(col).isNotNull())
+        .select(F.col(col).cast("string").alias("category"))
+        .join(F.broadcast(cats), "category", "left")
+    )
+    return mapped.groupBy(
+        F.coalesce(F.col("bin"), F.lit(0)).cast("int").alias("bin")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def psi_drift_categorical(
+    ref: DataFrame,
+    cur: DataFrame,
+    col: str,
+    top_k: int = 20,
+) -> DataFrame:
+    """Population Stability Index over a CATEGORICAL feature (language
+    mix, source mix, event-type mix — the drift a crawl refresh shows
+    first).  Categories = the reference's top-k (:func:`psi_categories`,
+    pinnable), everything else folds into the OTHER bin, and the finish
+    is :func:`psi_from_counts` — float-for-float the numeric monitor's
+    recipe (Laplace smoothing over top_k+1 bins, 6-dp contribs,
+    DECIMAL-exact psi), so one alarm threshold serves both feature
+    kinds.  Returns (category, bin, ref_cnt, cur_cnt, contrib, psi);
+    the OTHER row carries category '__other__'."""
+    cats = psi_categories(ref, col, top_k)
+    out = psi_from_counts(
+        _categorical_bin_counts(ref, col, cats),
+        _categorical_bin_counts(cur, col, cats),
+        n_bins=top_k + 1,
+    )
+    return out.join(F.broadcast(cats), "bin", "left").select(
+        F.coalesce("category", F.lit("__other__")).alias("category"),
+        "bin",
+        "ref_cnt",
+        "cur_cnt",
+        "contrib",
+        "psi",
+    )
