@@ -6790,22 +6790,33 @@ def oracle_sql() -> dict[str, str]:
         SELECT COALESCE(cats.category, '__other__') AS category, pb.bin,
                ref_cnt, cur_cnt, contrib, psi
         FROM pb LEFT JOIN cats ON pb.bin = cats.bin, p2"""
-    oracles["purge_dup_spans"] = """
+    # token digests once per token (the profile_registers md5 slice,
+    # engine-identical); a window's key is the TUPLE of its 8 token
+    # hashes — mirrors dedup.purge_dup_spans' plan exactly
+    _hs = ", ".join(
+        f"CASE WHEN p <= L - 8 THEN th[p + {i + 1}] "
+        + ("ELSE -1" if i == 0 else ("ELSE doc_id" if i == 1 else ("ELSE p" if i == 2 else "ELSE 0")))
+        + f" END AS h{i}"
+        for i in range(8)
+    )
+    _hkeys = ", ".join(f"h{i}" for i in range(8))
+    oracles["purge_dup_spans"] = f"""
         WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
                    FROM documents),
-        pos AS (SELECT doc_id, len(toks) AS L, toks,
-                       unnest(generate_series(0, len(toks) - 1)) AS p
-                FROM t),
-        g AS (SELECT doc_id, p, toks[p + 1] AS tok,
-                     md5(CASE WHEN p <= L - 8
-                              THEN array_to_string(
-                                     list_slice(toks, p + 1, p + 8), ' ')
-                              ELSE doc_id || ':' || p || ':tail' END) AS gram_h
+        t2 AS (SELECT doc_id, toks, len(toks) AS L,
+                      list_transform(toks,
+                        x -> ('0x' || substring(md5(x), 1, 15))::BIGINT) AS th
+               FROM t),
+        pos AS (SELECT doc_id, L, toks, th,
+                       unnest(generate_series(0, L - 1)) AS p
+                FROM t2),
+        g AS (SELECT doc_id, p, toks[p + 1] AS tok, {_hs}
               FROM pos),
         d AS (SELECT doc_id, p, tok,
-                     CASE WHEN min(doc_id) OVER (PARTITION BY gram_h)
-                               != max(doc_id) OVER (PARTITION BY gram_h)
-                           AND doc_id != min(doc_id) OVER (PARTITION BY gram_h)
+                     CASE WHEN min(doc_id) OVER (PARTITION BY {_hkeys})
+                               != max(doc_id) OVER (PARTITION BY {_hkeys})
+                           AND doc_id != min(doc_id)
+                                 OVER (PARTITION BY {_hkeys})
                           THEN 1 ELSE 0 END AS dup_start
               FROM g),
         c AS (SELECT doc_id, p, tok,
