@@ -3340,6 +3340,31 @@ def q_psi_drift(spark, sf_dir):
     return psi_drift(ref, cur, "value", n_bins=10)
 
 
+_MAXSIM_QUERIES = [
+    (1, "fast hash join"),
+    (2, "window merge sort"),
+    (3, "spark stream query"),
+]
+
+
+def q_maxsim_index_probe(spark, sf_dir):
+    """Late-interaction SERVING path: the corpus chunk vectors persisted
+    as a bucket-partitioned inverted index (text never stored), probes
+    prune to the query tokens' buckets via PartitionFilters — the
+    ivf_index_probe discipline applied to sparse retrieval.  Result-
+    identical to maxsim_topk by construction, so its oracle applies
+    verbatim: the persisted layout must never change answers."""
+    key = sf_dir + "#maxsim"
+    if key not in _ANN_INDEXES:
+        path = tempfile.mkdtemp(prefix="maxsim_index_")
+        text_ops.maxsim_index_write(
+            _t(spark, sf_dir, "documents"), path, dim=64, chunk_size=30
+        )
+        _ANN_INDEXES[key] = path
+    qs = spark.createDataFrame(_MAXSIM_QUERIES, "q_id int, q_text string")
+    return text_ops.maxsim_index_probe(spark, _ANN_INDEXES[key], qs, k=20, dim=64)
+
+
 def q_psi_drift_categorical(spark, sf_dir):
     """Categorical drift (event-type mix, even vs odd days): reference's
     top-3 categories + OTHER fold, psi_from_counts finish — the bounded
@@ -3451,7 +3476,10 @@ def q_psi_drift_incremental(spark, sf_dir):
 _R8_WINDOW = [
     "semantic_dedup_served",
     # -- r1-evidence refresh (34 oracle-backed) --------------------------
-    "moving_avg", "range_scan_empty", "range_scan_metric", "range_limit",
+    # range_scan_metric yielded its slot to maxsim_index_probe (range
+    # scans stay covered in-window by range_scan_empty + range_limit +
+    # tsdb_roundtrip; its r1 green row stands)
+    "moving_avg", "range_scan_empty", "range_limit",
     "downsample_5m", "metric_stats", "top_customers", "customers_no_orders",
     "customer_order_counts_semi", "order_rollup", "part_cube",
     # users_except yielded its slot to diverse_sample (set ops stay
@@ -3473,7 +3501,7 @@ _R8_WINDOW = [
     "dedup_clusters",
     # -- round-8 additions (zero driver history, all oracle-backed) ------
     "maxsim_topk", "psi_drift", "psi_drift_incremental", "diverse_sample",
-    "purge_dup_spans", "psi_drift_categorical",
+    "purge_dup_spans", "psi_drift_categorical", "maxsim_index_probe",
     # -- category keepers (driver-green r7) ------------------------------
     "tsdb_roundtrip", "pack_sequences", "column_profile", "ann_index_probe",
     "clean_crawl", "interval_join_bucketed", "skew_profile", "pagerank",
@@ -3822,6 +3850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diverse_sample": q_diverse_sample,
         "purge_dup_spans": q_purge_dup_spans,
         "psi_drift_categorical": q_psi_drift_categorical,
+        "maxsim_index_probe": q_maxsim_index_probe,
     }
     missing = [k for k in _R8_WINDOW if k not in base]
     assert not missing and len(set(_R8_WINDOW)) == 50, (
@@ -6757,6 +6786,11 @@ def oracle_sql() -> dict[str, str]:
     # (same floats, same order) — share the oracle verbatim, the
     # profile_incremental discipline
     oracles["psi_drift_incremental"] = oracles["psi_drift"]
+    # persisted inverted-index probe is result-identical to the in-memory
+    # maxsim by construction (same vectors, float order, tie rule) — the
+    # ann_index_probe result-identity discipline applied to sparse
+    # retrieval; oracle shared verbatim
+    oracles["maxsim_index_probe"] = oracles["maxsim_topk"]
     oracles["diverse_sample"] = _diverse_sample_oracle_sql()
     oracles["psi_drift_categorical"] = """
         WITH v AS (SELECT epoch_ms(ts) AS ms, event_type FROM events

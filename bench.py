@@ -148,6 +148,7 @@ HEADLINE = [
     "diverse_sample",
     "purge_dup_spans",
     "psi_drift_categorical",
+    "maxsim_index_probe",
 ]
 
 # repeated-run latency distribution for the reference's hot/cold point
@@ -407,9 +408,11 @@ def main():
             base = entry_mod._ANN_INDEXES.get(key)
             if base is None:
                 return None
+            sub = os.path.join(base, "index")
+            root = sub if os.path.isdir(sub) else base
             return sum(
                 1
-                for dp, _, fs in os.walk(os.path.join(base, "index"))
+                for dp, _, fs in os.walk(root)
                 for f in fs
                 if f.endswith(".parquet")
             )
@@ -418,6 +421,10 @@ def main():
             ("ann_index_probe", SF_DIR),
             ("ann_index_append", SF_DIR + "#append"),
             ("ann_index_compacted", SF_DIR + "#compacted"),
+            # bucket-partitioned MaxSim inverted index: same build-once
+            # discipline — pay the build here so the timed row is the
+            # pruned serving probe
+            ("maxsim_index_probe", SF_DIR + "#maxsim"),
         ):
             if nm not in HEADLINE:
                 continue

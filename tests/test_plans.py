@@ -818,3 +818,40 @@ def test_lease_refresh_outlives_ttl(tmp_path):
             with sim._maintenance_lease(path, ttl_sec=0.8):
                 pass
     assert not os.path.exists(os.path.join(path, "index-maintenance.lock"))
+
+
+def test_maxsim_index_probe_prunes_and_matches_in_memory(spark, tmp_path, sf_dir):
+    """The persisted MaxSim inverted index must (a) hold only (id, w)
+    rows at rest — never text; (b) serve probes through bucket
+    PartitionFilters (only the query tokens' buckets are read); and
+    (c) return EXACTLY maxsim_topk's answer over the same corpus —
+    the persisted layout must never change answers."""
+    from time_series_databse_engine_spark.operators.text import (
+        maxsim_index_probe,
+        maxsim_index_write,
+        maxsim_topk,
+    )
+    from time_series_databse_engine_spark.plans import formatted_plan
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    qs = spark.createDataFrame(
+        [(1, "fast hash join"), (2, "window merge sort")],
+        "q_id int, q_text string",
+    )
+    path = str(tmp_path / "msidx")
+    maxsim_index_write(docs, path, dim=64, chunk_size=30)
+
+    at_rest = spark.read.parquet(path)
+    assert set(at_rest.columns) == {"doc_id", "w", "bucket"}
+
+    probe = maxsim_index_probe(spark, path, qs, k=20, dim=64)
+    plan = formatted_plan(probe)
+    assert "PartitionFilters" in plan and "bucket" in plan.split(
+        "PartitionFilters", 1
+    )[1].splitlines()[0]
+
+    expect = sorted(
+        tuple(r) for r in maxsim_topk(docs, qs, k=20, dim=64, chunk_size=30).collect()
+    )
+    got = sorted(tuple(r) for r in probe.collect())
+    assert got == expect

@@ -1172,6 +1172,87 @@ def hashing_vectorize(
     )
 
 
+def _maxsim_bucket(tok_col, dim: int):
+    """md5 first-two-hex-digits bucket — hashing_vectorize's feature map."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(tok_col), 1, 2), 16, 10).cast("int"),
+        F.lit(dim),
+    )
+
+
+def _maxsim_chunk_vectors(
+    docs: DataFrame,
+    dim: int,
+    chunk_size: int,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Chunk-level sparse vectors (id, bucket, w): one per (doc, chunk,
+    bucket), weight = count / per-chunk L2 norm, 6-dp rounded (the
+    hashing_vectorize discipline).  The multi-vector doc representation
+    maxsim scoring and the persisted inverted index share."""
+    from pyspark.sql import Window as W
+
+    chunks = chunk_documents(docs, chunk_size, text_col=text_col, id_col=id_col)
+    ctoks = chunks.select(
+        F.col(id_col),
+        F.col("chunk_idx"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("chunk_text")), "\\s+"), lambda t: t != ""
+            )
+        ).alias("t"),
+    )
+    c = ctoks.groupBy(
+        id_col, "chunk_idx", _maxsim_bucket(F.col("t"), dim).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    norm = W.partitionBy(id_col, "chunk_idx")
+    return c.select(
+        id_col,
+        "bucket",
+        F.round(
+            F.col("n") / F.sqrt(F.sum(F.col("n") * F.col("n")).over(norm)), 6
+        ).alias("w"),
+    )
+
+
+def _maxsim_query_tokens(queries: DataFrame, dim: int) -> DataFrame:
+    """(q_id, bucket, m): hashed query tokens with multiplicity."""
+    qtoks = queries.select(
+        "q_id",
+        F.explode(
+            F.filter(F.split(F.lower(F.col("q_text")), "\\s+"), lambda t: t != "")
+        ).alias("t"),
+    )
+    return qtoks.groupBy("q_id", _maxsim_bucket(F.col("t"), dim).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("m")
+    )
+
+
+def _maxsim_score(w: DataFrame, qt: DataFrame, k: int, id_col: str) -> DataFrame:
+    """MaxSim tail shared by the in-memory operator and the persisted
+    probe: per-(query, doc, bucket) MAX chunk weight, Σ m·max over
+    buckets, deterministic (score DESC, id) top-k."""
+    from pyspark.sql import Window as W
+
+    mx = (
+        w.join(F.broadcast(qt), "bucket")
+        .groupBy("q_id", id_col, "bucket", "m")
+        .agg(F.max("w").alias("mx"))
+    )
+    s = mx.groupBy("q_id", id_col).agg(
+        F.round(F.sum(F.col("m") * F.col("mx")), 6).alias("score")
+    )
+    rank = F.row_number().over(
+        W.partitionBy("q_id").orderBy(F.col("score").desc(), F.col(id_col))
+    )
+    return (
+        s.withColumn("rank", rank)
+        .where(F.col("rank") <= k)
+        .select("q_id", id_col, "score", "rank")
+    )
+
+
 def maxsim_topk(
     docs: DataFrame,
     queries: DataFrame,
@@ -1195,60 +1276,64 @@ def maxsim_topk(
     ``queries`` is a small (q_id, q_text) table: it broadcasts, so the
     corpus-side cost is one chunk-vectorization (explode + one
     (doc, chunk, bucket) count + a per-chunk norm window) regardless of
-    query count — the batch-scoring shape for 100 TB.  Weights round to
-    6 dp (hashing_vectorize's discipline) so scores are reproducible
-    across engines; ranking orders by (rounded score DESC, doc_id) —
-    fully deterministic.
+    query count — the batch-scoring shape for 100 TB.  For SERVING, pay
+    the vectorization once: :func:`maxsim_index_write` persists these
+    vectors bucket-partitioned and :func:`maxsim_index_probe` reads only
+    the query tokens' buckets.  Weights round to 6 dp
+    (hashing_vectorize's discipline) so scores are reproducible across
+    engines; ranking orders by (rounded score DESC, doc_id) — fully
+    deterministic.
 
     Returns (q_id, doc_id, score, rank) with rank ≤ k per query.
     """
-    chunks = chunk_documents(docs, chunk_size, text_col=text_col, id_col=id_col)
-    ctoks = chunks.select(
-        F.col(id_col),
-        F.col("chunk_idx"),
-        F.explode(
-            F.filter(
-                F.split(F.lower(F.col("chunk_text")), "\\s+"), lambda t: t != ""
-            )
-        ).alias("t"),
+    w = _maxsim_chunk_vectors(docs, dim, chunk_size, text_col, id_col)
+    qt = _maxsim_query_tokens(queries, dim)
+    return _maxsim_score(w, qt, k, id_col)
+
+
+def maxsim_index_write(
+    docs: DataFrame,
+    path: str,
+    dim: int = 64,
+    chunk_size: int = 30,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Persist the MaxSim chunk vectors as a BUCKET-PARTITIONED Parquet
+    table — the inverted-index layout for late-interaction serving (the
+    ivf_index_write discipline applied to sparse retrieval): at rest the
+    index holds (id, w) rows only — never text — under ``bucket=N/``
+    directories, so a probe's per-token reads become Catalyst
+    PartitionFilters and touch |query-token buckets| of ``dim``
+    partitions.  Corpus text is scanned exactly once, at build time;
+    within each bucket rows sort by id for run-length-friendly pages."""
+    w = _maxsim_chunk_vectors(docs, dim, chunk_size, text_col, id_col)
+    (
+        w.repartition("bucket")
+        .sortWithinPartitions("bucket", id_col)
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
     )
-    bucket = F.pmod(
-        F.conv(F.substring(F.md5(F.col("t")), 1, 2), 16, 10).cast("int"),
-        F.lit(dim),
-    )
-    c = ctoks.groupBy(id_col, "chunk_idx", bucket.alias("bucket")).agg(
-        F.count(F.lit(1)).alias("n")
-    )
-    norm = W.partitionBy(id_col, "chunk_idx")
-    w = c.select(
-        id_col,
-        "bucket",
-        F.round(
-            F.col("n") / F.sqrt(F.sum(F.col("n") * F.col("n")).over(norm)), 6
-        ).alias("w"),
-    )
-    qtoks = queries.select(
-        "q_id",
-        F.explode(
-            F.filter(F.split(F.lower(F.col("q_text")), "\\s+"), lambda t: t != "")
-        ).alias("t"),
-    )
-    qt = qtoks.groupBy("q_id", bucket.alias("bucket")).agg(
-        F.count(F.lit(1)).alias("m")
-    )
-    mx = (
-        w.join(F.broadcast(qt), "bucket")
-        .groupBy("q_id", id_col, "bucket", "m")
-        .agg(F.max("w").alias("mx"))
-    )
-    s = mx.groupBy("q_id", id_col).agg(
-        F.round(F.sum(F.col("m") * F.col("mx")), 6).alias("score")
-    )
-    rank = F.row_number().over(
-        W.partitionBy("q_id").orderBy(F.col("score").desc(), F.col(id_col))
-    )
-    return (
-        s.withColumn("rank", rank)
-        .where(F.col("rank") <= k)
-        .select("q_id", id_col, "score", "rank")
-    )
+
+
+def maxsim_index_probe(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    dim: int = 64,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Serve MaxSim from the persisted inverted index: hash the query
+    tokens locally (the query table is tiny), collect their bucket ids
+    ONCE as a partition-pruning literal — the ivf_index_probe pattern —
+    and run the shared scoring tail over just those partitions.
+    Result-identical to :func:`maxsim_topk` over the indexed corpus by
+    construction (same vectors, same float order, same tie rule), so
+    the maxsim oracle applies verbatim: the persisted layout must never
+    change answers."""
+    qt = _maxsim_query_tokens(queries, dim)
+    buckets = [r.bucket for r in qt.select("bucket").distinct().collect()]
+    w = spark.read.parquet(path).where(F.col("bucket").isin(buckets))
+    return _maxsim_score(w, qt, k, id_col)
