@@ -201,3 +201,75 @@ def test_equidepth_bins_invariants_property(spark, vals, n_bins):
     assert all(1 <= r.bin <= n_bins for r in out)
     by_val = sorted(out, key=lambda r: (r.x, r.id))
     assert all(a.bin <= b.bin for a, b in zip(by_val, by_val[1:]))
+
+
+# --- round-8 operators: purge invariants vs a Python reference ----------
+
+_word = st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"])
+_doc = st.lists(_word, min_size=1, max_size=12).map(" ".join)
+
+
+def _py_purge(docs: list[tuple[int, str]], n: int):
+    """Reference implementation of purge_dup_spans semantics."""
+    toks = {i: t.split(" ") for i, t in docs}
+    # window -> min doc id containing it
+    owner: dict[tuple, int] = {}
+    for i, ts in toks.items():
+        for p in range(0, max(0, len(ts) - n + 1)):
+            w = tuple(ts[p : p + n])
+            owner[w] = min(owner.get(w, i), i)
+    sharers: dict[tuple, set] = {}
+    for i, ts in toks.items():
+        for p in range(0, max(0, len(ts) - n + 1)):
+            sharers.setdefault(tuple(ts[p : p + n]), set()).add(i)
+    out = {}
+    for i, ts in toks.items():
+        covered = [False] * len(ts)
+        for p in range(0, max(0, len(ts) - n + 1)):
+            w = tuple(ts[p : p + n])
+            if len(sharers[w]) > 1 and owner[w] != i:
+                for j in range(p, p + n):
+                    covered[j] = True
+        kept = [t for t, c in zip(ts, covered) if not c]
+        out[i] = (" ".join(kept), sum(covered), len(ts) - sum(covered))
+    return out
+
+
+@given(texts=st.lists(_doc, min_size=1, max_size=5))
+@fast
+def test_purge_dup_spans_matches_python_reference(spark, texts):
+    from time_series_databse_engine_spark.operators.dedup import purge_dup_spans
+
+    docs = list(enumerate(texts))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.clean_text, r.n_removed, r.n_kept)
+        for r in purge_dup_spans(df, n=3).collect()
+    }
+    assert got == _py_purge(docs, 3)
+
+
+@given(
+    ref_vals=st.lists(
+        st.floats(min_value=-100, max_value=100, allow_nan=False),
+        min_size=20,
+        max_size=60,
+    ),
+    cur_vals=st.lists(
+        st.floats(min_value=-100, max_value=100, allow_nan=False),
+        min_size=20,
+        max_size=60,
+    ),
+)
+@fast
+def test_psi_nonnegative_and_counts_conserved(spark, ref_vals, cur_vals):
+    """PSI is a sum of (p−q)·ln(p/q) terms, each ≥ 0 — the monitor can
+    never report negative drift; bin counts conserve both snapshots."""
+    from time_series_databse_engine_spark.operators.profile import psi_drift
+
+    ref = spark.createDataFrame([(v,) for v in ref_vals], "v double")
+    cur = spark.createDataFrame([(v,) for v in cur_vals], "v double")
+    rows = psi_drift(ref, cur, "v", n_bins=4).collect()
+    assert rows and all(r.psi >= -1e-9 for r in rows)
+    assert sum(r.ref_cnt for r in rows) == len(ref_vals)
+    assert sum(r.cur_cnt for r in rows) == len(cur_vals)
