@@ -1,0 +1,109 @@
+"""Take a BENCH_LOCAL record only when the host cooperates.
+
+This box is a shared host with intermittent multi-minute load bursts
+(SCALE.md "Round-8 environment"); a record whose suite or ingest phase
+catches one is evidence-poisoned.  This wrapper automates the accepted
+protocol:
+
+1. wait until 1-minute loadavg < ``--max-load`` (default 1.5);
+2. run ``bench.py`` with the detail file pointed at a TEMP path;
+3. accept the take only if ``extra.ingest_points_per_sec`` >=
+   ``--min-ingest`` (default 700k — the idle-baseline tell) AND the
+   end-of-run ``ctx_loadavg_5m`` stayed under ``--max-load-after``
+   (default 6.0); on acceptance move the temp detail into place,
+   otherwise retry up to ``--attempts`` times (default 4), keeping the
+   best rejected take's summary on stderr for the post-mortem.
+
+    python tools/record_bench.py BENCH_LOCAL_sf0.1_rN.json \
+        [--sf /root/testdata/sf0.1] [--attempts 4]
+
+Exit 0 = accepted record written; exit 1 = every attempt contended
+(nothing written — keep the previous record and annotate, the round-8
+resolution).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def wait_idle(max_load: float, timeout_s: int = 1800) -> bool:
+    t0 = time.time()
+    while time.time() - t0 < timeout_s:
+        if os.getloadavg()[0] < max_load:
+            return True
+        time.sleep(30)
+    return False
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("out", help="detail-file destination (e.g. BENCH_LOCAL_sf0.1_r9.json)")
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument("--attempts", type=int, default=4)
+    ap.add_argument("--max-load", type=float, default=1.5)
+    ap.add_argument("--max-load-after", type=float, default=6.0)
+    ap.add_argument("--min-ingest", type=float, default=700_000)
+    args = ap.parse_args()
+
+    for attempt in range(1, args.attempts + 1):
+        if not wait_idle(args.max_load):
+            print(f"attempt {attempt}: host never went idle", file=sys.stderr)
+            continue
+        tmp = tempfile.mktemp(prefix="bench_detail_", suffix=".json")
+        env = dict(
+            os.environ,
+            SPARK_GRAFT_SF_DIR=args.sf,
+            SPARK_GRAFT_BENCH_DETAIL=tmp,
+        )
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env,
+            capture_output=True,
+            text=True,
+        )
+        if proc.returncode != 0 or not os.path.exists(tmp):
+            print(
+                f"attempt {attempt}: bench failed rc={proc.returncode}\n"
+                + proc.stderr[-1500:],
+                file=sys.stderr,
+            )
+            continue
+        d = json.load(open(tmp))
+        x = d.get("extra", {})
+        ingest = x.get("ingest_points_per_sec", 0)
+        load5 = x.get("ctx_loadavg_5m", 99.0)
+        verdict = ingest >= args.min_ingest and load5 <= args.max_load_after
+        print(
+            json.dumps(
+                {
+                    "attempt": attempt,
+                    "suite_sec": d.get("value"),
+                    "n_queries": len(d.get("queries", {})),
+                    "ingest_points_per_sec": ingest,
+                    "ctx_loadavg_5m": load5,
+                    "accepted": verdict,
+                }
+            ),
+            file=sys.stderr,
+        )
+        if verdict:
+            shutil.move(tmp, os.path.join(REPO, args.out))
+            print(json.dumps({"accepted": True, "out": args.out, "attempt": attempt}))
+            return 0
+        os.remove(tmp)
+    print(json.dumps({"accepted": False}))
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
