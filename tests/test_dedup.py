@@ -356,3 +356,18 @@ def test_purge_dup_spans_short_docs_no_grams(spark):
     # both docs are shorter than one window: nothing to purge
     assert got[1].n_removed == 0 and got[2].n_removed == 0
     assert got[2].clean_text == "same short text"
+
+
+def test_purge_dup_spans_all_docs_identical(spark):
+    """N identical docs: the min-id doc keeps everything, every other
+    doc is fully purged (empty clean_text, not NULL)."""
+    from time_series_databse_engine_spark.operators.dedup import purge_dup_spans
+
+    text = "a b c d e f g h i j"
+    docs = spark.createDataFrame(
+        [(i, text) for i in range(1, 4)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in purge_dup_spans(docs, n=8).collect()}
+    assert got[1].clean_text == text and got[1].n_removed == 0
+    for i in (2, 3):
+        assert got[i].clean_text == "" and got[i].n_removed == 10 and got[i].n_kept == 0

@@ -177,3 +177,18 @@ def test_psi_drift_categorical_other_fold_and_identity(spark):
     shifted = {r.category: r for r in psi_drift_categorical(ref, cur, "cat", top_k=2).collect()}
     assert shifted["a"].cur_cnt == 0
     assert shifted["a"].psi > 0.25
+
+
+def test_psi_drift_constant_column_collapses_to_one_bin(spark):
+    """All 9 boundaries equal the constant -> every row lands in the
+    top bin (value >= every boundary), honestly uneven; identical
+    snapshots still give psi 0 and full conservation."""
+    from pyspark.sql import functions as F
+
+    from time_series_databse_engine_spark.operators.profile import psi_drift
+
+    const = spark.range(500).select(F.lit(7.5).alias("v"))
+    rows = psi_drift(const, const, "v", n_bins=10).collect()
+    assert len(rows) == 1 and rows[0].bin == 10
+    assert rows[0].ref_cnt == 500 and rows[0].cur_cnt == 500
+    assert rows[0].psi == 0.0
