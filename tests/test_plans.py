@@ -855,3 +855,48 @@ def test_maxsim_index_probe_prunes_and_matches_in_memory(spark, tmp_path, sf_dir
     )
     got = sorted(tuple(r) for r in probe.collect())
     assert got == expect
+
+
+def test_psi_drift_plan_three_exchanges_corpus_never_shuffled(spark, sf_dir):
+    """PLANS.md's psi_drift claim, pinned: 3 static exchanges — the
+    boundary aggregate, the (bin)-keyed count, and the n_bins-row
+    window — and the raw corpus rows reduce map-side before the bin
+    exchange (partial aggregation under the (bin) key)."""
+    from pyspark.sql import functions as F
+
+    from time_series_databse_engine_spark.operators.profile import psi_drift
+    from time_series_databse_engine_spark.plans import (
+        formatted_plan,
+        num_shuffle_exchanges,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    e = e.withColumn("ts_ms", (F.unix_micros("ts") / 1000).cast("long"))
+    day = F.floor(F.col("ts_ms") / F.lit(86_400_000))
+    out = psi_drift(e.where(day % 2 == 0), e.where(day % 2 == 1), "value")
+    assert num_shuffle_exchanges(out) == 3
+    plan = formatted_plan(out)
+    first_shuffle = plan.index("Arguments: hashpartitioning")
+    assert "partial_count" in plan[:first_shuffle] or "partial_sum" in plan[
+        :first_shuffle
+    ], "corpus must reduce map-side before the bin exchange"
+
+
+def test_diverse_sample_plan_two_exchanges(spark, sf_dir):
+    """PLANS.md's diverse_sample claim, pinned: the broadcast-argmax
+    assignment rides the scan; only the cell-quota window (plus the
+    tiny codebook collect) exchange."""
+    from pyspark.sql import functions as F
+
+    from time_series_databse_engine_spark.fixtures.kmeans_cells import CELLS
+    from time_series_databse_engine_spark.operators.similarity import (
+        diverse_sample,
+        norm,
+    )
+    from time_series_databse_engine_spark.plans import num_shuffle_exchanges
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cells = spark.createDataFrame(
+        [(cid, c) for cid, c in CELLS], "cell_id long, cent array<double>"
+    ).withColumn("cent_n", norm(F.col("cent")))
+    assert num_shuffle_exchanges(diverse_sample(emb, cells, per_cell=25)) <= 2
