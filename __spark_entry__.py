@@ -3449,8 +3449,12 @@ def q_psi_drift_incremental(spark, sf_dir):
     cur = e.where(day % 2 == 1)
     bounds = psi_bounds(ref, "value", n_bins=10)
     rc = psi_bin_counts(ref, "value", bounds)
-    cc = psi_bin_counts(cur.where(F.col("user_id") % 2 == 0), "value", bounds).unionByName(
-        psi_bin_counts(cur.where(F.col("user_id") % 2 == 1), "value", bounds)
+    # null-safe half-split: user_id % 2 is NULL for NULL user_id, which
+    # would drop such rows from BOTH halves and break result-identity
+    # with the shared psi_drift oracle (ADVICE r8)
+    half = F.coalesce(F.col("user_id") % 2, F.lit(0))
+    cc = psi_bin_counts(cur.where(half == 0), "value", bounds).unionByName(
+        psi_bin_counts(cur.where(half == 1), "value", bounds)
     )
     return psi_from_counts(rc, cc, n_bins=10)
 

@@ -283,10 +283,13 @@ def psi_drift(
     the boundary array broadcasts, bin assignment is a per-row fold
     (`sampling.equidepth_bins`' discipline), and the corpus reduces in a
     single (bin)-keyed exchange to an n_bins-row count table carrying
-    both snapshots' EXACT-integer counts — each snapshot is scanned once
-    and never shuffled.  Everything after is windows over n_bins rows.
-    At true 100 TB swap `percentile` for `approx_percentile`: same plan,
-    sketch merge instead of exact sort.
+    both snapshots' EXACT-integer counts — raw rows never shuffle under
+    the BIN key.  (The exact-`percentile` boundary aggregate is a
+    buffering TypedImperativeAggregate, so reference VALUES do cross its
+    one boundary exchange inside partial buffers — which is exactly why
+    the 100 TB swap is `approx_percentile`: same plan shape, mergeable
+    sketch registers instead of buffered values.)  Everything after is
+    windows over n_bins rows.
 
     Float discipline: Laplace smoothing (cnt + 0.5) / (total + n_bins/2)
     keeps empty CURRENT bins finite without an arbitrary epsilon; each

@@ -59,7 +59,8 @@ def main() -> int:
         if not wait_idle(args.max_load):
             print(f"attempt {attempt}: host never went idle", file=sys.stderr)
             continue
-        tmp = tempfile.mktemp(prefix="bench_detail_", suffix=".json")
+        fd, tmp = tempfile.mkstemp(prefix="bench_detail_", suffix=".json")
+        os.close(fd)  # bench.py (re)writes the path; mkstemp just claims it
         env = dict(
             os.environ,
             SPARK_GRAFT_SF_DIR=args.sf,
