@@ -841,8 +841,11 @@ def test_maxsim_index_probe_prunes_and_matches_in_memory(spark, tmp_path, sf_dir
     path = str(tmp_path / "msidx")
     maxsim_index_write(docs, path, dim=64, chunk_size=30)
 
-    at_rest = spark.read.parquet(path)
+    at_rest = spark.read.parquet(path + "/index")
     assert set(at_rest.columns) == {"doc_id", "w", "bucket"}
+    # pinned vectorization sidecar (the cells/codebook analogue)
+    params = spark.read.parquet(path + "/params").collect()[0]
+    assert (params.dim, params.chunk_size, params.id_col) == (64, 30, "doc_id")
 
     probe = maxsim_index_probe(spark, path, qs, k=20, dim=64)
     plan = formatted_plan(probe)
@@ -855,6 +858,134 @@ def test_maxsim_index_probe_prunes_and_matches_in_memory(spark, tmp_path, sf_dir
     )
     got = sorted(tuple(r) for r in probe.collect())
     assert got == expect
+
+
+def test_maxsim_index_append_probe_identical_to_fresh_build(spark, tmp_path, sf_dir):
+    """VERDICT r8 #3: the sparse index gets the dense index's append
+    path — vectorize ONLY the batch with the params-sidecar-pinned
+    geometry and land rows in the existing bucket partitions.  The
+    oracle is the ivf_index_append trick: a probe over base+appended
+    batch must be BIT-IDENTICAL to a probe over a fresh build of
+    base ∪ batch (per-chunk norms carry no cross-corpus state, so the
+    appended rows equal build-encoded rows exactly)."""
+    from time_series_databse_engine_spark.operators.text import (
+        maxsim_index_append,
+        maxsim_index_probe,
+        maxsim_index_write,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.filter(F.col("doc_id") < 250)
+    batch = docs.filter(F.col("doc_id") >= 250)
+    qs = spark.createDataFrame(
+        [(1, "fast hash join"), (2, "window merge sort")],
+        "q_id int, q_text string",
+    )
+    path = str(tmp_path / "ms_inc")
+    maxsim_index_write(base, path, dim=64, chunk_size=30)
+    maxsim_index_append(spark, path, batch)
+
+    fresh = str(tmp_path / "ms_full")
+    maxsim_index_write(docs, fresh, dim=64, chunk_size=30)
+
+    got = sorted(map(tuple, maxsim_index_probe(spark, path, qs, k=20).collect()))
+    exp = sorted(map(tuple, maxsim_index_probe(spark, fresh, qs, k=20).collect()))
+    assert got == exp
+    # params sidecar untouched by the append (pin, not re-derivation)
+    p = spark.read.parquet(path + "/params").collect()[0]
+    assert (p.dim, p.chunk_size, p.id_col) == (64, 30, "doc_id")
+    # appends run under the single-owner maintenance lease
+    import pathlib
+
+    from time_series_databse_engine_spark.operators.index_maintenance import (
+        MaintenanceLeaseHeld,
+    )
+
+    pathlib.Path(path, "index-maintenance.lock").write_text("pid=0 token=x\n")
+    with pytest.raises(MaintenanceLeaseHeld):
+        maxsim_index_append(spark, path, batch)
+    pathlib.Path(path, "index-maintenance.lock").unlink()
+
+
+def test_maxsim_index_probe_pinned_params_mismatch_raises(spark, tmp_path, sf_dir):
+    """A probe (or caller) asking for a different hashing geometry than
+    the index's params sidecar must fail loudly — silently hashing query
+    tokens into a different dim would read wrong buckets and return
+    plausible-looking garbage."""
+    from time_series_databse_engine_spark.operators.text import (
+        maxsim_index_probe,
+        maxsim_index_write,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    qs = spark.createDataFrame([(1, "hash join")], "q_id int, q_text string")
+    path = str(tmp_path / "ms_pin")
+    maxsim_index_write(docs, path, dim=64, chunk_size=30)
+    with pytest.raises(ValueError, match="pinned dim=64"):
+        maxsim_index_probe(spark, path, qs, dim=32)
+    with pytest.raises(ValueError, match="pinned id_col"):
+        maxsim_index_probe(spark, path, qs, id_col="vec_id")
+
+
+def test_maxsim_index_compact_shrinks_files_and_preserves_answers(
+    spark, tmp_path, sf_dir
+):
+    """After several epoch appends each bucket holds several small
+    files; compaction rewrites to one id-sorted file per bucket without
+    changing any probe answer, and vacuum sweeps crashed staging dirs —
+    the shared index_maintenance lifecycle on the sparse layout."""
+    import os
+
+    from time_series_databse_engine_spark.operators.text import (
+        maxsim_index_append,
+        maxsim_index_compact,
+        maxsim_index_probe,
+        maxsim_index_vacuum,
+        maxsim_index_write,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    qs = spark.createDataFrame(
+        [(1, "fast hash join"), (2, "window merge sort")],
+        "q_id int, q_text string",
+    )
+    path = str(tmp_path / "ms_cmp")
+    maxsim_index_write(docs.filter(F.col("doc_id") < 200), path, dim=64, chunk_size=30)
+    for e, lo, hi in [(0, 200, 300), (1, 300, 400), (2, 400, 2_000_000)]:
+        maxsim_index_append(
+            spark,
+            path,
+            docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)),
+            epoch_id=e,
+        )
+
+    def n_files():
+        return sum(
+            len([f for f in fs if f.endswith(".parquet")])
+            for _, _, fs in os.walk(path + "/index")
+        )
+
+    def n_buckets():
+        return len(
+            [d for d in os.listdir(path + "/index") if d.startswith("bucket=")]
+        )
+
+    before = sorted(map(tuple, maxsim_index_probe(spark, path, qs, k=20).collect()))
+    files_before = n_files()
+    total = spark.read.parquet(path + "/index").count()
+    assert files_before > n_buckets()  # appends fragmented the buckets
+
+    maxsim_index_compact(spark, path)
+
+    assert n_files() == n_buckets()  # one file per bucket
+    assert spark.read.parquet(path + "/index").count() == total
+    after = sorted(map(tuple, maxsim_index_probe(spark, path, qs, k=20).collect()))
+    assert after == before
+
+    # vacuum: a crashed epoch append leaves its staging dir behind
+    os.makedirs(os.path.join(path, "index-epoch-9-tmp"), exist_ok=True)
+    assert maxsim_index_vacuum(path) == 1
+    assert not os.path.isdir(os.path.join(path, "index-epoch-9-tmp"))
 
 
 def test_psi_drift_plan_three_exchanges_corpus_never_shuffled(spark, sf_dir):

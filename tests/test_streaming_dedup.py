@@ -152,6 +152,57 @@ def test_streaming_ann_index_maintenance_exactly_once(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, q1.collect())) == sorted(map(tuple, q2.collect()))
 
 
+def test_streaming_maxsim_index_maintenance_exactly_once(spark, sf_dir, tmp_path):
+    """The sparse twin of the ANN maintenance stream (VERDICT r8 #3):
+    foreachBatch → epoch-keyed maxsim_index_append with the pinned
+    params-sidecar geometry.  A replayed epoch deletes its previous
+    attempt's files and converges to one copy, and the maintained index
+    probes identically to the batch-API append."""
+    from time_series_databse_engine_spark.operators.text import (
+        maxsim_index_append,
+        maxsim_index_probe,
+    )
+    from time_series_databse_engine_spark.operators.text import maxsim_index_write
+    from time_series_databse_engine_spark.streaming.ingest import (
+        last_committed_epoch,
+        maintain_maxsim_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.filter(F.col("doc_id") < 250)
+    batch = docs.filter(F.col("doc_id") >= 250)
+    qs = spark.createDataFrame(
+        [(1, "fast hash join"), (2, "window merge sort")],
+        "q_id int, q_text string",
+    )
+
+    path = str(tmp_path / "ms")
+    maxsim_index_write(base, path, dim=64, chunk_size=30)
+    n_rows_after = None
+
+    src = str(tmp_path / "src")
+    batch.coalesce(1).write.parquet(src + "/b1")
+    stream = spark.readStream.schema(batch.schema).parquet(src + "/*")
+    q = maintain_maxsim_index(stream, path, str(tmp_path / "ckpt")).start()
+    q.awaitTermination(120)
+    q.stop()
+
+    n_rows_after = spark.read.parquet(path + "/index").count()
+    assert last_committed_epoch(str(tmp_path / "ckpt")) == 0
+
+    # crash replay: same epoch appended again must NOT duplicate
+    maxsim_index_append(spark, path, batch, epoch_id=0)
+    assert spark.read.parquet(path + "/index").count() == n_rows_after
+
+    # maintained index answers == batch-append index answers
+    path2 = str(tmp_path / "ms2")
+    maxsim_index_write(base, path2, dim=64, chunk_size=30)
+    maxsim_index_append(spark, path2, batch)
+    got = sorted(map(tuple, maxsim_index_probe(spark, path, qs, k=20).collect()))
+    exp = sorted(map(tuple, maxsim_index_probe(spark, path2, qs, k=20).collect()))
+    assert got == exp
+
+
 def test_streaming_clean_crawl_exactly_once(spark, tmp_path):
     """VERDICT r7 #3: the crawl cascade as a stream — a MIRROR of an
     epoch-1 page and a boilerplate-only page planted in micro-batch 2

@@ -1768,156 +1768,27 @@ def ivf_index_probe(
     )
 
 
-# a maintenance lease is considered abandoned (crashed owner) after this
-# many seconds without a refresh; takeover is then allowed
-MAINTENANCE_LEASE_TTL_SEC = 3600.0
+# Maintenance machinery (lease, epoch append, crash-safe compaction,
+# vacuum) was built here for the IVF index (VERDICT r6 #8, r7 hardening)
+# and factored into operators/index_maintenance.py in round 9 so the
+# MaxSim inverted index shares the exact same — already-tested —
+# lifecycle.  The original names stay importable from this module.
+from .index_maintenance import (  # noqa: E402
+    MAINTENANCE_LEASE_TTL_SEC,
+    MaintenanceLeaseHeld,
+    compact_partitioned as _compact_partitioned,
+    epoch_append as _epoch_append,
+    leased as _leased,
+    maintenance_lease as _maintenance_lease,
+    recover_compact as _recover_compact_generic,
+    vacuum_index as _vacuum_index,
+)
 
 
-class MaintenanceLeaseHeld(RuntimeError):
-    """Another process holds the index's maintenance lease."""
-
-
-def _maintenance_lease(path: str, ttl_sec: float | None = None):
-    """Single-maintenance-owner guard for a persisted ANN index
-    (VERDICT r6 #8): append/compact/vacuum assume one owner — two
-    concurrent compactions, or an append racing a compaction's swap,
-    can interleave renames on the same cell dirs.  This makes the
-    assumption EXPLICIT and violations loud instead of racy.
-
-    Mechanics: ``<path>/index-maintenance.lock`` is created with
-    O_CREAT|O_EXCL — atomic on POSIX local and NFS, the same primitive
-    Spark's own output committers rely on for staging dirs.  If the
-    file already exists and is younger than the TTL, raise
-    :class:`MaintenanceLeaseHeld`; older means the owner crashed
-    (leases are released in a ``finally``, so only a process death
-    leaves one behind) and is broken — crash RECOVERY itself stays
-    with :func:`_recover_compact`/replay, which need no lease state.
-
-    Takeover protocol (r7 hardening — both ADVICE races closed):
-
-    * A stale lock is broken via ``os.rename`` to a breaker-unique
-      name, never ``unlink``: rename is atomic, so when two processes
-      observe the same stale lock exactly ONE renamer succeeds and the
-      loser retries the create — the old unlink/create interleaving
-      (slow breaker deletes the fast breaker's FRESH lock, both
-      proceed) cannot happen because nobody ever unlinks a path that
-      could have been re-created by someone else.
-    * After creating its lock the owner RE-READS the path and refuses
-      to proceed unless the content is its own unique token.
-    * While held, a daemon thread refreshes the lock mtime every
-      ``ttl/4`` so a legitimately long op (a 100 TB compaction can
-      outlive any fixed TTL) is never usurped mid-run for merely being
-      slow; the refresher stops the moment the content is not ours.
-    * Release re-reads the lock and unlinks ONLY if the token is still
-      ours — a usurped owner's ``finally`` never cascades the lock
-      theft to a third process.
-
-    Object-store caveat: ``O_CREAT|O_EXCL`` is a POSIX/NFS-local
-    primitive with no S3 analogue.  On object stores the same protocol
-    maps to a conditional put (S3 ``If-None-Match: *``, GCS
-    ``x-goog-if-generation-match: 0``) or an external lock row
-    (DynamoDB conditional write); the token-verify, TTL-refresh, and
-    verify-before-release steps carry over unchanged.
-    Contextmanager; release unlinks iff still owned."""
-    import contextlib
-    import os
-    import threading
-    import time
-    import uuid
-
-    @contextlib.contextmanager
-    def _lease():
-        lock = os.path.join(path.rstrip("/"), "index-maintenance.lock")
-        ttl = MAINTENANCE_LEASE_TTL_SEC if ttl_sec is None else ttl_sec
-        token = f"pid={os.getpid()} token={uuid.uuid4().hex}\n".encode()
-        os.makedirs(os.path.dirname(lock), exist_ok=True)
-
-        def _held(age: float):
-            raise MaintenanceLeaseHeld(
-                f"maintenance lease {lock} held by another owner "
-                f"({age:.0f}s old, ttl {ttl:.0f}s); refusing to race "
-                "a concurrent append/compact/vacuum"
-            )
-
-        fd = None
-        for _ in range(4):
-            try:
-                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                break
-            except FileExistsError:
-                try:
-                    age = time.time() - os.stat(lock).st_mtime
-                except FileNotFoundError:
-                    continue  # released between open and stat — retry create
-                if age <= ttl:
-                    _held(age)
-                # stale: owner died without its finally.  Break by atomic
-                # rename — exactly one breaker wins; losers loop back to
-                # the create race and find the winner's FRESH lock.
-                broken = f"{lock}.broken.{uuid.uuid4().hex}"
-                try:
-                    os.rename(lock, broken)
-                except FileNotFoundError:
-                    continue  # another breaker won the rename
-                with contextlib.suppress(FileNotFoundError):
-                    os.unlink(broken)
-        if fd is None:  # create kept losing — someone else holds it
-            _held(0.0)
-        os.write(fd, token)
-        os.fsync(fd)
-        os.close(fd)
-
-        def _owned() -> bool:
-            try:
-                with open(lock, "rb") as fh:
-                    return fh.read() == token
-            except OSError:
-                return False
-
-        if not _owned():  # paranoid re-check: never proceed on a foreign lock
-            _held(0.0)
-
-        stop = threading.Event()
-
-        def _refresh():
-            while not stop.wait(min(ttl / 4.0, 60.0)):
-                if not _owned():
-                    return  # usurped — never touch a foreign lock
-                with contextlib.suppress(OSError):
-                    os.utime(lock)
-
-        refresher = threading.Thread(
-            target=_refresh, name="ann-lease-refresh", daemon=True
-        )
-        refresher.start()
-        try:
-            yield
-        finally:
-            stop.set()
-            refresher.join(timeout=5.0)
-            if _owned():
-                with contextlib.suppress(FileNotFoundError):
-                    os.unlink(lock)
-
-    return _lease()
-
-
-def _leased(path_arg: int):
-    """Run the wrapped maintenance op under the index's single-owner
-    lease (``path`` is positional arg ``path_arg`` or the ``path``
-    kwarg)."""
-    import functools
-
-    def deco(fn):
-        @functools.wraps(fn)
-        def wrapper(*args, **kwargs):
-            path = kwargs["path"] if "path" in kwargs else args[path_arg]
-            with _maintenance_lease(path):
-                return fn(*args, **kwargs)
-
-        return wrapper
-
-    return deco
+def _recover_compact(idx: str) -> None:
+    """Self-heal a crashed IVF compaction swap (see
+    :func:`index_maintenance.recover_compact`)."""
+    _recover_compact_generic(idx, "cell_id")
 
 
 @_leased(1)
@@ -1955,57 +1826,10 @@ def ivf_index_append(
     """
     cents = spark.read.parquet(path + "/cells")
     cb = spark.read.parquet(path + "/codebook")
-    enc = (
-        _assign_and_encode(new_embeddings, cents, cb, m, dim, id_col, vec_col)
-        .select("cand_id", "codes", "cell_id")
-        .repartition("cell_id")
-    )
-    if epoch_id is None:
-        enc.write.mode("append").partitionBy("cell_id").parquet(path + "/index")
-        return
-    import glob
-    import os
-    import shutil
-
-    prefix = f"epoch{int(epoch_id)}-"
-    for leftover in glob.glob(os.path.join(path, "index", "cell_id=*", prefix + "*")):
-        os.remove(leftover)
-    tmp = os.path.join(path, f"index-epoch-{int(epoch_id)}-tmp")
-    shutil.rmtree(tmp, ignore_errors=True)
-    enc.write.mode("overwrite").partitionBy("cell_id").parquet(tmp)
-    for entry in os.listdir(tmp):
-        if not entry.startswith("cell_id="):
-            continue
-        dst_dir = os.path.join(path, "index", entry)
-        os.makedirs(dst_dir, exist_ok=True)
-        for fname in os.listdir(os.path.join(tmp, entry)):
-            if fname.endswith(".parquet"):
-                shutil.move(
-                    os.path.join(tmp, entry, fname),
-                    os.path.join(dst_dir, prefix + fname),
-                )
-    shutil.rmtree(tmp, ignore_errors=True)
-
-
-def _recover_compact(idx: str) -> None:
-    """Self-heal a compaction that crashed mid-swap: any
-    ``.compact-old-cell_id=*`` move-aside dir (invisible to Spark — dot
-    prefix) whose live cell directory is MISSING is moved back; the rest
-    are leftovers of completed swaps and are removed.  Run by
-    :func:`ivf_index_compact` and :func:`ivf_index_vacuum` before doing
-    anything else, so no crash window ever loses data."""
-    import os
-    import shutil
-
-    for entry in os.listdir(idx):
-        if not entry.startswith(".compact-old-"):
-            continue
-        live = os.path.join(idx, entry[len(".compact-old-"):])
-        aside = os.path.join(idx, entry)
-        if os.path.isdir(live):
-            shutil.rmtree(aside, ignore_errors=True)
-        else:
-            os.rename(aside, live)
+    enc = _assign_and_encode(
+        new_embeddings, cents, cb, m, dim, id_col, vec_col
+    ).select("cand_id", "codes", "cell_id")
+    _epoch_append(enc, path, "cell_id", epoch_id)
 
 
 @_leased(1)
@@ -2043,66 +1867,9 @@ def ivf_index_compact(
     stay tight; result-invisible to probes (same rows, same cells) —
     asserted in tests by probe identity before/after.
     """
-    import os
-    import re
-    import shutil
-
-    idx = path.rstrip("/") + "/index"
-    _recover_compact(idx)
-
-    def absorbable(fname: str) -> bool:
-        if not fname.endswith(".parquet"):
-            return False
-        mo = re.match(r"epoch(\d+)-", fname)
-        if mo is None:
-            return True  # build/compact files — always committed
-        return committed_through is not None and int(mo.group(1)) <= committed_through or committed_through is None
-
-    files: list[str] = []
-    for entry in os.listdir(idx):
-        if not entry.startswith("cell_id="):
-            continue
-        for fname in os.listdir(os.path.join(idx, entry)):
-            if absorbable(fname):
-                files.append(os.path.join(idx, entry, fname))
-    if not files:
-        return
-    df = spark.read.option("basePath", idx).parquet(*files)
-    tmp = path.rstrip("/") + "/index-compact-tmp"
-    shutil.rmtree(tmp, ignore_errors=True)
-    (
-        df.repartition("cell_id")
-        .sortWithinPartitions("cell_id", "cand_id")
-        .write.mode("overwrite")
-        .option("parquet.writer.version", "v2")
-        .partitionBy("cell_id")
-        .parquet(tmp)
+    _compact_partitioned(
+        spark, path, "cell_id", ["cell_id", "cand_id"], committed_through
     )
-    swapped = []
-    for entry in os.listdir(tmp):
-        if not entry.startswith("cell_id="):
-            continue
-        src_dir, dst = os.path.join(tmp, entry), os.path.join(idx, entry)
-        if os.path.isdir(dst):
-            aside = os.path.join(idx, ".compact-old-" + entry)
-            os.rename(dst, aside)
-            swapped.append(entry)
-            # carry NON-absorbed (uncommitted-epoch) files into the new
-            # dir by COPY, only after the aside rename: the aside keeps a
-            # complete copy until every swap finishes, so a crash at any
-            # point here leaves the uncommitted bytes recoverable by
-            # _recover_compact (a move into the staging dir before the
-            # rename would make index-compact-tmp — which the next
-            # compact unconditionally clears — the only copy)
-            for fname in os.listdir(aside):
-                if fname.endswith(".parquet") and not absorbable(fname):
-                    shutil.copy2(
-                        os.path.join(aside, fname), os.path.join(src_dir, fname)
-                    )
-        shutil.move(src_dir, dst)
-    for entry in swapped:  # all swaps complete — now the asides may go
-        shutil.rmtree(os.path.join(idx, ".compact-old-" + entry), ignore_errors=True)
-    shutil.rmtree(tmp, ignore_errors=True)
 
 
 @_leased(0)
@@ -2121,22 +1888,7 @@ def ivf_index_vacuum(path: str) -> int:
     (the :meth:`TimeSeriesStore.vacuum` assumption).  O(1) directory
     checks, zero data read; returns the number of staging dirs
     removed."""
-    import os
-    import shutil
-
-    removed = 0
-    base = path.rstrip("/")
-    if os.path.isdir(os.path.join(base, "index")):
-        _recover_compact(os.path.join(base, "index"))
-    for entry in os.listdir(base):
-        if (
-            (entry.startswith("index-epoch-") or entry == "index-compact-tmp")
-            and entry.endswith("-tmp")
-            and os.path.isdir(os.path.join(base, entry))
-        ):
-            shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
-            removed += 1
-    return removed
+    return _vacuum_index(path, "cell_id")
 
 
 def diverse_sample(

@@ -250,6 +250,45 @@ def maintain_ann_index(
     )
 
 
+def maintain_maxsim_index(
+    stream: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+):
+    """Streaming maintenance of a persisted MaxSim inverted index
+    (:func:`operators.text.maxsim_index_write`) — the sparse twin of
+    :func:`maintain_ann_index`: each micro-batch of new documents is
+    vectorized with the index's PINNED ``params`` sidecar geometry
+    (dim, chunk_size, id_col — never re-derived) and appended into its
+    bucket partitions via the epoch-keyed idempotent append, so a crash
+    between the append and the checkpoint commit converges to exactly
+    one copy of the batch.
+
+    Scale shape: per micro-batch work is O(batch tokens) — one
+    chunk-vectorization pass + O(touched buckets) renames; the index
+    and all existing rows are never re-read.  Probes see appended docs
+    on their next file listing (eventually-visible, like the dense
+    index); run :func:`operators.text.maxsim_index_compact` on a
+    maintenance cadence to keep per-bucket file counts bounded."""
+    from ..operators.text import maxsim_index_append
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        maxsim_index_append(
+            batch_df.sparkSession,
+            index_path,
+            batch_df,
+            text_col=text_col,
+            epoch_id=epoch_id,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+
+
 def stream_decode_media(
     stream: DataFrame,
     out_path: str,
