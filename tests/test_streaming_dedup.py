@@ -152,6 +152,87 @@ def test_streaming_ann_index_maintenance_exactly_once(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, q1.collect())) == sorted(map(tuple, q2.collect()))
 
 
+def test_streaming_categorical_drift_vanished_category_alarms_once(spark, tmp_path):
+    """VERDICT r8 #4 — the categorical streaming leg: categories are the
+    PINNED psi_categories artifact; micro-batch 1 repeats the reference
+    mix (no alarm), micro-batch 2 has category 'a' VANISHED (the crawl
+    source that stopped) and the running PSI crosses the alarm.  A full
+    crash replay (checkpoint wiped) converges to bit-identical counts
+    and metrics — the vanished category alarms exactly once per epoch
+    row, never duplicated."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from time_series_databse_engine_spark.operators.profile import (
+        _categorical_bin_counts,
+        psi_categories,
+    )
+    from time_series_databse_engine_spark.streaming.ingest import (
+        stream_psi_drift_categorical,
+    )
+
+    def mix(vanished: bool):
+        # 1000 rows: a=40%, b=30%, c=20%, d=10%; vanished -> a AND c
+        # collapse into b (the dominant sources stop crawling), so the
+        # RUNNING mix over both epochs still clears the 0.25 alarm
+        return spark.range(1000).select(
+            F.when(F.col("id") % 10 < 4, "b" if vanished else "a")
+            .when(F.col("id") % 10 < 7, "b")
+            .when(F.col("id") % 10 < 9, "b" if vanished else "c")
+            .otherwise("d")
+            .alias("category")
+        )
+
+    ref = mix(False)
+    cats = psi_categories(ref, "category", top_k=3)  # a,b,c pinned; d -> OTHER
+    ref_counts = _categorical_bin_counts(ref, "category", cats)
+    # pin both artifacts (training-time persistence)
+    cats.write.parquet(str(tmp_path / "cats"))
+    ref_counts.write.parquet(str(tmp_path / "ref_counts"))
+    cats_p = spark.read.parquet(str(tmp_path / "cats"))
+    ref_p = spark.read.parquet(str(tmp_path / "ref_counts"))
+
+    src = str(tmp_path / "src")
+    mix(False).coalesce(1).write.parquet(src + "/b1")
+    mix(True).coalesce(1).write.parquet(src + "/b2")
+
+    out = str(tmp_path / "drift")
+
+    def run():
+        stream = (
+            spark.readStream.schema("category string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/*")
+        )
+        q = stream_psi_drift_categorical(
+            stream, ref_p, cats_p, out, str(tmp_path / "ckpt"), top_k=3
+        ).start()
+        q.awaitTermination(120)
+        q.stop()
+
+    run()
+    met = {r.epoch_id: r for r in spark.read.parquet(out + "/metrics").collect()}
+    assert set(met) == {0, 1}
+    assert met[0].psi_running < 0.05 and not met[0].alarm
+    assert met[1].psi_batch > 0.25  # the vanished-category batch alone
+    assert met[1].alarm and met[1].psi_running > 0.25
+    # counts stay bounded at top_k+1 bins per epoch and conserve rows
+    cnts = spark.read.parquet(out + "/counts")
+    assert cnts.agg(F.sum("cnt")).collect()[0][0] == 2000
+    assert cnts.select("bin").distinct().count() <= 4
+
+    # crash replay: wipe the checkpoint; every epoch re-runs and must
+    # converge bit-identically — one alarm row, not two
+    shutil.rmtree(str(tmp_path / "ckpt"))
+    run()
+    met2 = {r.epoch_id: r for r in spark.read.parquet(out + "/metrics").collect()}
+    assert {k: tuple(v) for k, v in met2.items()} == {
+        k: tuple(v) for k, v in met.items()
+    }
+    assert spark.read.parquet(out + "/counts").agg(F.sum("cnt")).collect()[0][0] == 2000
+
+
 def test_streaming_maxsim_index_maintenance_exactly_once(spark, sf_dir, tmp_path):
     """The sparse twin of the ANN maintenance stream (VERDICT r8 #3):
     foreachBatch → epoch-keyed maxsim_index_append with the pinned

@@ -582,11 +582,88 @@ def stream_psi_drift(
     :func:`stream_clean_crawl` contract; that one can use the weaker
     exclusion because its fingerprint tables hold SURVIVORS only, which
     are disjoint from prior epochs' hashes by construction)."""
+    from ..operators.profile import psi_bin_counts
+
+    return (
+        stream.writeStream.foreachBatch(
+            _psi_epoch_writer(
+                ref_counts,
+                lambda b: psi_bin_counts(b, col, bounds),
+                out_path,
+                n_bins,
+                alarm,
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+
+
+def stream_psi_drift_categorical(
+    stream: DataFrame,
+    ref_counts: DataFrame,
+    categories: DataFrame,
+    out_path: str,
+    checkpoint_dir: str,
+    col: str = "category",
+    top_k: int = 20,
+    alarm: float = 0.25,
+):
+    """Streaming CATEGORICAL drift — the live leg of
+    :func:`operators.profile.psi_drift_categorical` (VERDICT r8 "Next
+    round" #4): language/source/event-type mix is the drift a crawl
+    monitor actually watches, and a VANISHED category (a source that
+    stops crawling) should alarm exactly once even across crash
+    replays.
+
+    ``categories`` is the PINNED training-time artifact
+    (:func:`operators.profile.psi_categories` on the reference — top-k
+    categories mapped to bins 1..k, persisted beside the model
+    version); everything outside folds into the OTHER bin 0, so the
+    per-epoch state stays ``top_k + 1`` rows no matter how unbounded
+    the live cardinality gets.  ``ref_counts`` is
+    ``_categorical_bin_counts(ref, col, categories)`` persisted the
+    same way — the reference is never rescanned while serving.
+
+    Epoch-state discipline is IDENTICAL to :func:`stream_psi_drift`
+    (shared writer): mergeable (bin, cnt) rows + one metrics row per
+    micro-batch under epoch dirs, strictly-prior running reads,
+    delete-then-rename replay idempotence.  The float recipe is
+    :func:`operators.profile.psi_from_counts` over ``top_k + 1`` bins —
+    bit-identical to the batch monitor, so one alarm threshold serves
+    batch and stream."""
+    from ..operators.profile import _categorical_bin_counts
+
+    return (
+        stream.writeStream.foreachBatch(
+            _psi_epoch_writer(
+                ref_counts,
+                lambda b: _categorical_bin_counts(b, col, categories),
+                out_path,
+                top_k + 1,
+                alarm,
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+
+
+def _psi_epoch_writer(
+    ref_counts: DataFrame, bin_fn, out_path: str, n_bins: int, alarm: float
+):
+    """Shared epoch-state writer for the numeric and categorical
+    streaming drift monitors: ``bin_fn(batch_df)`` produces the
+    mergeable (bin, cnt) increment (pinned-artifact binning — numeric
+    boundaries or categorical top-k map), everything else (strictly-
+    prior running reads, exactly-once epoch dirs, metrics row, alarm)
+    is monitor-independent.  See :func:`stream_psi_drift` for the full
+    delivery contract."""
     import glob
     import os
     import shutil
 
-    from ..operators.profile import psi_bin_counts, psi_from_counts
+    from ..operators.profile import psi_from_counts
 
     ref_c = ref_counts.select("bin", "cnt")
 
@@ -596,7 +673,7 @@ def stream_psi_drift(
         tmp_root = os.path.join(out_path, "_tmp", f"epoch-{eid}")
         shutil.rmtree(tmp_root, ignore_errors=True)
 
-        cnts = psi_bin_counts(batch_df, col, bounds)
+        cnts = bin_fn(batch_df)
         counts_tmp = os.path.join(tmp_root, "counts")
         cnts.write.mode("overwrite").parquet(counts_tmp)
         fresh = spark.read.parquet(counts_tmp)
@@ -635,8 +712,4 @@ def stream_psi_drift(
             os.rename(tmp, dst)
         shutil.rmtree(tmp_root, ignore_errors=True)
 
-    return (
-        stream.writeStream.foreachBatch(write_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-    )
+    return write_batch
