@@ -1030,4 +1030,36 @@ def test_diverse_sample_plan_two_exchanges(spark, sf_dir):
     cells = spark.createDataFrame(
         [(cid, c) for cid, c in CELLS], "cell_id long, cent array<double>"
     ).withColumn("cent_n", norm(F.col("cent")))
-    assert num_shuffle_exchanges(diverse_sample(emb, cells, per_cell=25)) <= 2
+    out = diverse_sample(emb, cells, per_cell=25)
+    assert num_shuffle_exchanges(out) <= 2
+
+    # Pathological-cell guard (VERDICT r8 #8): a single-cell corpus must
+    # not shuffle the whole corpus into one window partition.  The
+    # per-partition reservoir SCALE.md prescribes is Catalyst's own
+    # InferWindowGroupLimit (Spark 3.5+): because diverse_sample filters
+    # pick <= per_cell DIRECTLY on the row_number, the optimizer inserts
+    # a PARTIAL (map-side) WindowGroupLimit before the cell-keyed
+    # exchange — each map partition forwards at most per_cell rows per
+    # cell, so the reducer sees <= per_cell * n_map_partitions rows even
+    # when every row lands in one cell.  Answer-invariant by the top-k
+    # pre-aggregation argument: a row outside its own partition's
+    # per-cell top-k cannot be in the global top-k.  Pinned here so a
+    # refactor that separates the filter from the window (breaking the
+    # inference) fails loudly.
+    from time_series_databse_engine_spark.plans import formatted_plan
+
+    plan = formatted_plan(out)
+    limits = [
+        (n, l)
+        for n, l in enumerate(plan.splitlines())
+        if "row_number(), 25, Partial" in l
+    ]
+    assert limits, "map-side WindowGroupLimit(Partial) missing from plan"
+    lines = plan.splitlines()
+    # the Partial group-limit's detail section precedes the cell-keyed
+    # shuffle's: map-side pre-filter happens before any data moves
+    first_exchange = next(
+        n for n, l in enumerate(lines)
+        if l.startswith("Arguments: hashpartitioning(cell_id")
+    )
+    assert limits[0][0] < first_exchange

@@ -1916,6 +1916,17 @@ def diverse_sample(
     reproducible and unbiased within a cell (id order would bias toward
     old rows; the hash is the same trick as `deterministic_sample`).
 
+    Pathological-cell guard: because the ``pick <= per_cell`` filter
+    sits DIRECTLY on the row_number, Catalyst's InferWindowGroupLimit
+    (Spark 3.5+) inserts a PARTIAL map-side WindowGroupLimit before the
+    cell-keyed exchange — each map partition forwards at most per_cell
+    rows per cell, so even a corpus that collapses into ONE cell
+    shuffles ≤ per_cell·n_map_partitions rows, never the corpus
+    (answer-invariant: a row outside its partition's per-cell top-k
+    cannot be in the global top-k).  Do NOT refactor the filter away
+    from the window — the inference, pinned in test_plans, depends on
+    the adjacency.
+
     Returns (id_col, cell_id, pick) with pick ∈ 1..per_cell.
     """
     from pyspark.sql import Window as W
