@@ -3365,6 +3365,52 @@ def q_maxsim_index_probe(spark, sf_dir):
     return text_ops.maxsim_index_probe(spark, _ANN_INDEXES[key], qs, k=20, dim=64)
 
 
+def q_maxsim_index_append(spark, sf_dir):
+    """Incremental MaxSim index maintenance (text.maxsim_index_append,
+    r9): index built on the base corpus (doc_id < 250), the new batch
+    (doc_id >= 250) vectorized with the PINNED params-sidecar geometry
+    and appended — O(batch) work, existing rows never re-read.  Chunk
+    weights carry no cross-corpus state, so the appended index is
+    bit-identical to a fresh build of the union and the maxsim_topk
+    oracle applies verbatim to the probe."""
+    key = sf_dir + "#maxsim_append"
+    if key not in _ANN_INDEXES:
+        path = tempfile.mkdtemp(prefix="maxsim_index_app_")
+        docs = _t(spark, sf_dir, "documents")
+        text_ops.maxsim_index_write(
+            docs.filter(F.col("doc_id") < 250), path, dim=64, chunk_size=30
+        )
+        text_ops.maxsim_index_append(
+            spark, path, docs.filter(F.col("doc_id") >= 250)
+        )
+        _ANN_INDEXES[key] = path
+    qs = spark.createDataFrame(_MAXSIM_QUERIES, "q_id int, q_text string")
+    return text_ops.maxsim_index_probe(spark, _ANN_INDEXES[key], qs, k=20)
+
+
+def q_maxsim_index_compacted(spark, sf_dir):
+    """Full sparse-index lifecycle under the hash gate (r9): build on
+    the base corpus, epoch-append the rest, COMPACT (one id-sorted file
+    per bucket; the epoch is committed, so committed_through absorbs
+    it), then probe.  Result must equal the maxsim_topk oracle — the
+    same oracle as maxsim_index_append — proving compaction
+    result-invisible end-to-end, not just in unit tests."""
+    key = sf_dir + "#maxsim_compacted"
+    if key not in _ANN_INDEXES:
+        path = tempfile.mkdtemp(prefix="maxsim_index_cpt_")
+        docs = _t(spark, sf_dir, "documents")
+        text_ops.maxsim_index_write(
+            docs.filter(F.col("doc_id") < 250), path, dim=64, chunk_size=30
+        )
+        text_ops.maxsim_index_append(
+            spark, path, docs.filter(F.col("doc_id") >= 250), epoch_id=0
+        )
+        text_ops.maxsim_index_compact(spark, path, committed_through=0)
+        _ANN_INDEXES[key] = path
+    qs = spark.createDataFrame(_MAXSIM_QUERIES, "q_id int, q_text string")
+    return text_ops.maxsim_index_probe(spark, _ANN_INDEXES[key], qs, k=20)
+
+
 def q_psi_drift_categorical(spark, sf_dir):
     """Categorical drift (event-type mix, even vs odd days): reference's
     top-3 categories + OTHER fold, psi_from_counts finish — the bounded
@@ -3459,57 +3505,82 @@ def q_psi_drift_incremental(spark, sf_dir):
     return psi_from_counts(rc, cc, n_bins=10)
 
 
-# Round-8 rotation (VERDICT r7 "Next round" #8): the driver's correctness
-# window is the FIRST 50 keys of queries(); every entry in the dict below
-# already has at least one historical driver row EXCEPT
-# semantic_dedup_served (added late round 7 / early round 8).  This round
-# the window refreshes the OLDEST evidence: semantic_dedup_served plus the
-# 34 oracle-backed entries whose only driver rows date to round 1 and the
-# 4 oldest round-2 rows, with 11 freshly-r7-green keepers retained so
-# every SURVEY §2 category keeps an in-window representative:
-#   tsdb_roundtrip (ingest sink + roundtrip), pack_sequences (packing),
-#   column_profile (one-scan profiler), ann_index_probe (persisted ANN
-#   serving), clean_crawl (crawl-tier cascade), interval_join_bucketed
-#   (keyless interval join, scale path), skew_profile (skew tooling),
-#   pagerank (graph), zorder_key (layout), pca_project (decomposition),
-#   bm25 (retrieval scoring).
-# Rows-only r1 entries (multimodal_features, approx_stats) stay at 51+ —
-# they can never hash-match, so they'd waste a hash-checked slot (policy
-# set round 6).  Everything displaced keeps its historical green rows and
-# stays verified by tools/check_correctness.py each round.
-_R8_WINDOW = [
-    "semantic_dedup_served",
-    # -- r1-evidence refresh (34 oracle-backed) --------------------------
-    # range_scan_metric yielded its slot to maxsim_index_probe (range
-    # scans stay covered in-window by range_scan_empty + range_limit +
-    # tsdb_roundtrip; its r1 green row stands)
-    "moving_avg", "range_scan_empty", "range_limit",
-    "downsample_5m", "metric_stats", "top_customers", "customers_no_orders",
-    "customer_order_counts_semi", "order_rollup", "part_cube",
-    # users_except yielded its slot to diverse_sample (set ops stay
-    # covered in-window by users_intersect; its r1 green row stands)
-    "users_intersect", "json_props", "range_join",
-    "value_deltas", "gap_detect", "topk_per_series", "first_last_per_series",
-    # minhash_signatures yielded its slot to purge_dup_spans (fingerprint
-    # family stays covered in-window by doc_fingerprint +
-    # winnow_fingerprint + dedup_clusters; its r1 green row stands)
-    "doc_fingerprint", "embedding_norms", "text_stats",
-    # lang_id_ngram yielded its slot to psi_drift_categorical (lang-ID
-    # stays covered in-window by lang_id; its r1 green row stands)
-    "lang_id", "sql_supplier_revenue", "asof_join_forward",
-    "doc_chunks", "series_trend", "redact_pii", "deterministic_sample",
-    "stratified_sample", "winnow_fingerprint", "cosine_near_dup",
-    # -- r2-evidence refresh (oldest oracle-backed; ewma yielded its slot
-    # to psi_drift_incremental — smoothing stays covered in-window by
-    # moving_avg) --------------------------------------------------------
-    "dedup_clusters",
-    # -- round-8 additions (zero driver history, all oracle-backed) ------
-    "maxsim_topk", "psi_drift", "psi_drift_incremental", "diverse_sample",
-    "purge_dup_spans", "psi_drift_categorical", "maxsim_index_probe",
-    # -- category keepers (driver-green r7) ------------------------------
+# Round-9 rotation (VERDICT r8 "Next round" #7): the driver's correctness
+# window is the FIRST 50 keys of queries().  After r8's run the previous
+# window's 50 entries are all hash-green at r8, so they rotate OUT (their
+# green rows stand) except 11 category keepers, and the window refreshes
+# the OLDEST remaining evidence: every oracle-backed entry whose newest
+# driver row is r1 (4) or r2 (18), plus 15 r3-vintage picks chosen for
+# family diversity, plus the two round-9 additions with zero driver
+# history (maxsim_index_append / maxsim_index_compacted — the sparse
+# index lifecycle under the hash gate).
+#
+# Keepers (freshly r8-green, one per §2 family that the vintage set does
+# not itself cover): tsdb_roundtrip (ingest sink + roundtrip),
+# pack_sequences (packing), column_profile (one-scan profiler),
+# ann_index_probe (persisted dense-ANN serving), clean_crawl (crawl-tier
+# cascade), interval_join_bucketed (keyless interval join),
+# skew_profile (skew tooling), pagerank (graph), zorder_key (layout),
+# pca_project (decomposition), bm25 (retrieval scoring).
+#
+# Displaced r8-window families stay covered in-window: range scans ->
+# range_scan_metric (r1, rotated in) + tsdb_roundtrip; window functions
+# (moving_avg/value_deltas/gap_detect/topk_per_series/
+# first_last_per_series) -> moving_avg_time + window_first_last +
+# sliding_downsample; downsampling (downsample_5m) -> resample_1m +
+# sliding_downsample + lttb; agg stats (metric_stats) -> corr_stats +
+# autocorr + distinct_aggs + value_histogram; grouping/pivot
+# (order_rollup/part_cube) -> event_pivot + pricing_summary; sort/top-k
+# (top_customers) -> pricing_summary; joins (range_join/
+# customers_no_orders/customer_order_counts_semi) -> shipping_priority +
+# interval_join_bucketed + the as-of family; set ops (users_intersect)
+# -> users_except; as-of (asof_join_forward) -> asof_join +
+# asof_join_nearest; dedup/fingerprints (doc_fingerprint/
+# winnow_fingerprint/cosine_near_dup/dedup_clusters/purge_dup_spans) ->
+# minhash_signatures + minhash_lsh + simhash_md5 + jaccard_pairs +
+# dedup_exact + dedup_clusters_star + cosine_topk; text
+# (text_stats/lang_id/redact_pii) -> lang_id_ngram + unigram_logprob +
+# repetition_stats + contamination + clean_corpus; smoothing
+# (series_trend) -> ewma + time_weighted_avg; sampling
+# (deterministic_sample/stratified_sample) -> weighted_sample (r4,
+# rotated in); embeddings/ANN (embedding_norms/diverse_sample/
+# semantic_dedup_served/maxsim_topk/maxsim_index_probe) ->
+# embedding_centroids + cosine_topk + kmeans + semantic_dedup +
+# maxsim_index_append + maxsim_index_compacted + ann_index_probe.
+# Four displaced entries have NO same-family in-window twin this round —
+# json_props (JSON fns), sql_supplier_revenue (SQL-API path), doc_chunks
+# (chunking), psi_drift/psi_drift_incremental/psi_drift_categorical
+# (drift monitors, profiling family retained via column_profile): each
+# is freshly r8-hash-green, keeps that row, and is re-verified by
+# tools/check_correctness.py every round; they rotate back in r10.
+# Rows-only entries (multimodal_features, approx_stats,
+# hll_distinct_daily, multimodal_decode) stay at 51+ — they can never
+# hash-match, so they'd waste a hash-checked slot (policy set round 6).
+_R9_WINDOW = [
+    # -- round-9 additions (zero driver history, oracle-backed) ----------
+    "maxsim_index_append", "maxsim_index_compacted",
+    # -- category keepers (freshly r8-green) -----------------------------
     "tsdb_roundtrip", "pack_sequences", "column_profile", "ann_index_probe",
     "clean_crawl", "interval_join_bucketed", "skew_profile", "pagerank",
     "zorder_key", "pca_project", "bm25",
+    # -- r1-evidence refresh (all remaining oracle-backed r1 rows) -------
+    "range_scan_metric", "users_except", "lang_id_ngram",
+    "minhash_signatures",
+    # -- r2-evidence refresh (all remaining oracle-backed r2 rows) -------
+    "autocorr", "corr_stats", "date_parts", "distinct_aggs",
+    "embedding_centroids", "event_sequences", "ewma", "jaccard_pairs",
+    "moving_avg_time", "repetition_stats", "resample_1m",
+    "shipping_priority", "simhash_md5", "sliding_downsample",
+    "time_weighted_avg", "unigram_logprob", "value_histogram",
+    "window_first_last",
+    # -- r3/r4-evidence refresh (15 picks for family diversity; funnel's
+    # sessions stay covered by sessionize, near-dup by minhash_lsh +
+    # cosine_topk; event_pivot keeps grouping/pivot in-window and
+    # weighted_sample (r4) keeps sampling in-window) ----------------------
+    "asof_join", "asof_join_nearest", "clean_corpus", "contamination",
+    "cosine_topk", "dedup_exact", "dedup_clusters_star", "event_pivot",
+    "kmeans", "lttb", "mad_anomaly", "minhash_lsh", "pricing_summary",
+    "sessionize", "weighted_sample",
 ]
 
 
@@ -3576,7 +3647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Round 8: the insertion-ordered dict below is the HISTORICAL layout
     (kept so each rotation's rationale stays greppable); the effective
-    window is re-cut by _R8_WINDOW above — see its comment."""
+    window is re-cut by _R9_WINDOW above — see its comment."""
     base = {
         # -- category anchors (driver-green r1/r2/r3) -------------------
         "range_scan": q_range_scan,
@@ -3847,7 +3918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_near_dup": q_cosine_near_dup,
         "multimodal_features": q_multimodal_features,
         "approx_stats": q_approx_stats,
-        # round-8 additions (in-window via _R8_WINDOW)
+        # round-8 additions (in-window via _R9_WINDOW)
         "maxsim_topk": q_maxsim_topk,
         "psi_drift": q_psi_drift,
         "psi_drift_incremental": q_psi_drift_incremental,
@@ -3855,12 +3926,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "purge_dup_spans": q_purge_dup_spans,
         "psi_drift_categorical": q_psi_drift_categorical,
         "maxsim_index_probe": q_maxsim_index_probe,
+        "maxsim_index_append": q_maxsim_index_append,
+        "maxsim_index_compacted": q_maxsim_index_compacted,
     }
-    missing = [k for k in _R8_WINDOW if k not in base]
-    assert not missing and len(set(_R8_WINDOW)) == 50, (
-        f"window misconfigured: {missing or len(set(_R8_WINDOW))}"
+    missing = [k for k in _R9_WINDOW if k not in base]
+    assert not missing and len(set(_R9_WINDOW)) == 50, (
+        f"window misconfigured: {missing or len(set(_R9_WINDOW))}"
     )
-    order = _R8_WINDOW + [k for k in base if k not in _R8_WINDOW]
+    order = _R9_WINDOW + [k for k in base if k not in _R9_WINDOW]
     return {k: base[k] for k in order}
 
 
@@ -6795,6 +6868,11 @@ def oracle_sql() -> dict[str, str]:
     # ann_index_probe result-identity discipline applied to sparse
     # retrieval; oracle shared verbatim
     oracles["maxsim_index_probe"] = oracles["maxsim_topk"]
+    # append/compact are result-invisible lifecycle ops: the appended
+    # (resp. appended-then-compacted) index probes bit-identically to a
+    # fresh build over the union, so the maxsim oracle applies verbatim
+    oracles["maxsim_index_append"] = oracles["maxsim_topk"]
+    oracles["maxsim_index_compacted"] = oracles["maxsim_topk"]
     oracles["diverse_sample"] = _diverse_sample_oracle_sql()
     oracles["psi_drift_categorical"] = """
         WITH v AS (SELECT epoch_ms(ts) AS ms, event_type FROM events

@@ -149,6 +149,10 @@ HEADLINE = [
     "purge_dup_spans",
     "psi_drift_categorical",
     "maxsim_index_probe",
+    # round-9 adds (VERDICT r8 "Next round" #3): the sparse index's
+    # append + append-then-compact lifecycle under the wall clock
+    "maxsim_index_append",
+    "maxsim_index_compacted",
 ]
 
 # repeated-run latency distribution for the reference's hot/cold point
@@ -425,6 +429,8 @@ def main():
             # discipline — pay the build here so the timed row is the
             # pruned serving probe
             ("maxsim_index_probe", SF_DIR + "#maxsim"),
+            ("maxsim_index_append", SF_DIR + "#maxsim_append"),
+            ("maxsim_index_compacted", SF_DIR + "#maxsim_compacted"),
         ):
             if nm not in HEADLINE:
                 continue
