@@ -2746,7 +2746,15 @@ def q_semantic_dedup_served(spark, sf_dir):
     assignment directly — zero training lineage, and because the
     centroids are literals the oracle replays the identical assignment
     + within-cell drop rule, making the served path HASH-GATED (the
-    trained twin keeps the dynamic lifecycle)."""
+    trained twin keeps the dynamic lifecycle).
+
+    Sizing caveat (measured at sf1, SCALE.md round-9 table): within-cell
+    pair cost is quadratic in cell size, so a served codebook must be
+    TRAINED AT THE CORPUS'S SCALE (auto_n_cells — cluster count grows
+    with rows, average cell stays constant).  This query keeps the k=8
+    sf0.01-trained fixture because the oracle SQL enumerates its
+    centroid literals; at 10× data its cells are 10× over-full, which
+    is a property of the pinned fixture, not of serving from a pin."""
     from time_series_databse_engine_spark.fixtures.kmeans_cells import CELLS
 
     emb = _t(spark, sf_dir, "embeddings")
