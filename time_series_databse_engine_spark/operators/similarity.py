@@ -561,6 +561,8 @@ def semantic_dedup(
     vec_col: str = "embedding",
     cells: DataFrame | None = None,
     assign: str = "auto",
+    guard: bool = True,
+    target_cell: int = 128,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space coarsely, then search
@@ -590,9 +592,54 @@ def semantic_dedup(
     Σ|cell|² linearization; Abbas et al. scale cluster count with the
     corpus for the same reason).  Fixed ``n_cells`` is kept for
     oracle-parity queries whose SQL enumerates the sampled cells.
+
+    Served-codebook guard (``guard=True``, VERDICT r9 #1): a PINNED
+    codebook trained at one corpus scale silently turns quadratic when
+    the corpus outgrows it — the measured hazard is a k=8 pin at 10×
+    data costing 8.6× wall (SCALE.md round-9 table), and at 100× the
+    within-cell pair term is 10,000×.  So when ``cells=`` is supplied
+    the mean cell size ``corpus_count / k`` is checked against the same
+    ``target_cell`` that :func:`auto_n_cells` holds constant:
+
+    * mean > 4× target  → ``warnings.warn`` — the pin is drifting; plan
+      a re-train (``auto_n_cells(corpus)`` gives the right k);
+    * mean > 16× target → ``ValueError`` — pair work is ≥256× the
+      designed budget; refusing is cheaper than running.
+
+    The two counts behind the check are one codebook count (tiny) and
+    one id-column corpus count (a pruned scan).  Pass ``guard=False``
+    only when the codebook is FRESHLY trained in the same query at a
+    caller-chosen k (stale-pin drift can't apply) or when the counts
+    themselves would re-trigger an expensive training lineage — both
+    cases should say so in a comment.
     """
     if n_cells == "auto":
-        n_cells = auto_n_cells(embeddings.select(id_col).count())
+        n_cells = auto_n_cells(embeddings.select(id_col).count(), target_cell)
+    if cells is not None and guard:
+        import warnings
+
+        k = cells.count()
+        corpus = embeddings.select(id_col).count()
+        mean_cell = corpus / max(1, k)
+        if mean_cell > 16 * target_cell:
+            raise ValueError(
+                "semantic_dedup: pinned codebook is undersized for this corpus — "
+                f"{corpus} rows / {k} cells = mean cell {mean_cell:.0f} vs target "
+                f"{target_cell} (>16x): within-cell pair work would be "
+                f">{(mean_cell / target_cell) ** 2:.0f}x the designed budget. "
+                f"Re-train with n_cells≈auto_n_cells({corpus})={auto_n_cells(corpus, target_cell)} "
+                "or pass guard=False if you accept the quadratic cost."
+            )
+        if mean_cell > 4 * target_cell:
+            warnings.warn(
+                "semantic_dedup: pinned codebook is drifting undersized — "
+                f"{corpus} rows / {k} cells = mean cell {mean_cell:.0f} vs target "
+                f"{target_cell} (>4x): pair work is ~{(mean_cell / target_cell) ** 2:.0f}x "
+                f"the designed budget; schedule a re-train at "
+                f"n_cells≈auto_n_cells({corpus})={auto_n_cells(corpus, target_cell)}.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     e = embeddings.select(F.col(id_col).alias("id"), as_double(vec_col).alias("v")).withColumn(
         "nrm", norm(F.col("v"))
     )

@@ -1,8 +1,9 @@
 """Regenerate the committed k-means cell codebook fixture.
 
-Trains similarity.kmeans_lloyd (k=8, 2 rounds) on the sf0.01 embeddings
-table and writes the centroids as exact-repr float literals to
-time_series_databse_engine_spark/fixtures/kmeans_cells.py.  The
+Trains similarity.kmeans_lloyd (2 rounds; k from argv, default 32) on
+the sf0.1 embeddings table and writes the centroids as exact-repr float
+literals to time_series_databse_engine_spark/fixtures/kmeans_cells.py.
+The
 committed codebook is what makes the `semantic_dedup_served` entry
 ORACLE-BACKED with a serving-shaped plan (VERDICT r7 #4): at 100 TB you
 train cluster centroids ONCE offline and pin them — re-running Lloyd
@@ -16,7 +17,15 @@ assignment + within-cell drop rule.
 Centroid components are kmeans_lloyd's 6-dp rounded means, so the
 literals are short AND bit-exact round-trips.
 
-Usage:  python tools/gen_kmeans_cells.py [sf_dir]
+SIZING (VERDICT r9 #1): the pinned k must be chosen for the LARGEST
+corpus the pin will serve, or within-cell pair work turns quadratic —
+the r9 sf1 record measured a k=8 pin at 10x data costing 8.6x wall.
+k=32 holds the mean cell at 2000/32=62 rows on the sf0.1 bench corpus
+and 625 at sf1 (inside semantic_dedup's 4x-of-128 warn bound at sf0.1,
+warn-but-run at sf1, raise at 16x); auto_n_cells(corpus) is the
+production formula.
+
+Usage:  python tools/gen_kmeans_cells.py [sf_dir] [k]
 """
 
 import os
@@ -36,10 +45,11 @@ OUT = os.path.join(
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    k = int(sys.argv[2]) if len(sys.argv) > 2 else 32
     spark = get_spark(app_name="gen-kmeans-cells")
     emb = spark.read.parquet(sf_dir + "/embeddings.parquet")
-    out = sim.kmeans_lloyd(emb, k=8, iters=2).collect()
+    out = sim.kmeans_lloyd(emb, k=k, iters=2).collect()
     cents = {}
     for r in out:
         cents.setdefault(int(r.cluster_id), {})[int(r.dim)] = float(r.c)
@@ -48,11 +58,13 @@ def main():
     ]
     with open(OUT, "w") as fh:
         fh.write(
-            '"""k-means cell codebook trained once on %s (k=8, 2 Lloyd\n'
+            '"""k-means cell codebook trained once on %s (k=%d, 2 Lloyd\n'
             "rounds, 6-dp quantized means) — regenerate with\n"
             "tools/gen_kmeans_cells.py.  repr() literals round-trip every\n"
             "float64 bit, so Spark and the SQL oracle assign identical\n"
-            'cells."""\n\n' % sf_dir
+            "cells.  k is sized for the largest corpus the pin serves\n"
+            '(VERDICT r9 #1) — see the module docstring of the generator."""\n\n'
+            % (sf_dir, len(cells))
         )
         fh.write("TRAINED_ON = %r\nK = %d\nDIM = %d\n\n" % (sf_dir, len(cells), len(cells[0][1])))
         fh.write("# [(cell_id, [centroid components]), ...]\nCELLS = [\n")
