@@ -1063,3 +1063,50 @@ def test_diverse_sample_plan_two_exchanges(spark, sf_dir):
         if l.startswith("Arguments: hashpartitioning(cell_id")
     )
     assert limits[0][0] < first_exchange
+
+
+def test_pca_project_expr_compiles_under_codegen_and_matches_unrolled(
+    spark, sf_dir
+):
+    """VERDICT r9 #2: the unrolled 8x64-term PCA projection overflowed
+    janino and silently ran INTERPRETED (an ERROR CodeGenerator line in
+    the gate log; the static plan still said codegen).  The two-level
+    per-dim-column form (similarity.pca_project_expr) must (a) compile — asserted at RUNTIME
+    by disabling codegen fallback, so a janino failure raises instead of
+    degrading — and (b) produce bit-identical values to the unrolled SQL
+    text the oracle still runs."""
+    from time_series_databse_engine_spark.fixtures.pca_basis import COMPS, MEAN
+    from time_series_databse_engine_spark.operators.similarity import (
+        pca_project_expr,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = pca_project_expr(emb, MEAN, COMPS)
+    old = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try:
+        rows = out.collect()  # raises InternalCompilerException on overflow
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", old)
+    assert len(rows) == emb.count() * len(COMPS)
+    # WholeStageCodegen actually covers the projection in the FINAL plan
+    # (executedPlan toString marks codegen'd nodes with a "*(n)" prefix)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert any(
+        line.lstrip("+- ").startswith("*(") and "Project" in line
+        for line in plan.splitlines()
+    ), plan[:400]
+
+    # bit-parity with the unrolled text (what _pca_oracle_sql replays):
+    # same term widening, same left-associated sum — spot-check every
+    # value on the sf0.001/sf0.01 table
+    import __spark_entry__ as entry_mod
+
+    dims = entry_mod._pca_dim_exprs("element_at(embedding, {i})")
+    unrolled = emb.selectExpr(
+        "vec_id",
+        "posexplode(array(%s)) AS (dim_idx, value)" % ", ".join(dims),
+    )
+    got = {(r.vec_id, r.dim_idx): r.value for r in rows}
+    for r in unrolled.collect():
+        assert got[(r.vec_id, r.dim_idx)] == r.value

@@ -1213,6 +1213,57 @@ def pca_project(
     return embeddings.select(F.col(id_col), proj(as_double(vec_col)).alias("proj"))
 
 
+def pca_project_expr(
+    embeddings: DataFrame,
+    mean,
+    components,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 6,
+) -> DataFrame:
+    """Pure-expression twin of :func:`pca_project` for PINNED bases —
+    the oracle-parity serve path: (id, dim_idx, value) scalar rows with
+    value[j] = round(Σ_i (v[i] − mean[i])·comp[j][i], decimals),
+    left-associated in i.
+
+    Codegen shape (VERDICT r9 #2): the obvious form — posexplode over
+    ONE array expression unrolling all k·d multiply-add terms (512 for
+    8×64) — is a single expression tree codegen cannot split, so the
+    generated method blew janino's limits, Spark logged ``ERROR
+    CodeGenerator`` and silently ran the projection INTERPRETED
+    (correct, but a per-row interpreter tax at scale, invisible to
+    static plan audits).  An ``aggregate(zip_with(...))`` fold per
+    component compiles trivially but is WORSE: higher-order functions
+    are ``CodegenFallback`` expressions — always interpreted.  The
+    shape that actually compiles is two-level: a Project computing each
+    output dim as its OWN d-term column (splitExpressions gives every
+    column its own generated method, each far under the 64 KB method
+    limit), then a posexplode over the k tiny attribute refs —
+    CollapseProject does not merge a Project into a Generate's
+    generator, so the split survives optimization and both nodes sit in
+    one WholeStageCodegen stage.  Bit-parity with the unrolled SQL text
+    is exact: same per-term FLOAT→fp64 widening, same left-associated
+    sum (functools.reduce = the SQL parser's associativity).  Runtime
+    compile (fallback disabled) asserted in test_plans.
+    """
+    from functools import reduce
+
+    def dim_col(comp) -> F.Column:
+        terms = [
+            (F.element_at(F.col(vec_col), i + 1) - F.lit(float(m))) * F.lit(float(c))
+            for i, (m, c) in enumerate(zip(mean, comp))
+        ]
+        return F.round(reduce(lambda a, b: a + b, terms), decimals)
+
+    names = [f"_d{j}" for j in range(len(components))]
+    per_dim = embeddings.select(
+        F.col(id_col), *[dim_col(c).alias(n) for n, c in zip(names, components)]
+    )
+    return per_dim.select(
+        F.col(id_col), F.posexplode(F.array(*names)).alias("dim_idx", "value")
+    )
+
+
 def pq_encode_np(
     embeddings: DataFrame,
     codebook: DataFrame,
