@@ -920,13 +920,36 @@ def q_ivf_ann_topk(spark, sf_dir):
 
 
 def q_approx_stats(spark, sf_dir):
-    """Sketch aggregates (HLL distinct, approximate percentile) — engine
-    sketches differ, so rows-only; accuracy is asserted in tests against
-    the exact values."""
+    """Sketch aggregates (HLL++ distinct, approximate percentile) under a
+    BOUNDS ORACLE (VERDICT r9 "What's missing" #3): the engine sketches
+    themselves are engine-private, so instead of emitting raw estimates
+    the query emits each estimate's EXACT twin plus a boolean asserting
+    the estimate sits inside its guarantee band — Spark computes the
+    real sketch and checks it; the oracle recomputes the exact values
+    and asserts TRUE.  A sketch regression (estimate drifting outside
+    ±10% of exact distinct ≈ 2 rsd at the default 0.05, or approx-p50
+    leaving the exact [q45, q55] value band — generous vs its 1e-4 rank
+    guarantee) flips a boolean and fails the hash gate, making this a
+    values-level check, not rows-only."""
     e = _t(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
-        F.round(F.percentile_approx("value", 0.5), 2).alias("approx_p50"),
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id").alias("_au"),
+            F.percentile_approx("value", 0.5).alias("_ap50"),
+            F.countDistinct("user_id").alias("exact_users"),
+            F.expr("percentile(value, 0.45)").alias("_q45"),
+            F.expr("percentile(value, 0.55)").alias("_q55"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("_au") - F.col("exact_users"))
+                <= 0.10 * F.col("exact_users")
+            ).alias("users_ok"),
+            F.col("_ap50").between(F.col("_q45"), F.col("_q55")).alias("p50_ok"),
+        )
     )
 
 
@@ -1233,9 +1256,17 @@ def q_resample_1m(spark, sf_dir):
 
 
 def q_simhash(spark, sf_dir):
-    """64-bit SimHash per doc (xxhash64-based — rows-only check; exact
-    cross-engine anchor is `simhash_md5`)."""
-    return dedup_ops.simhash64(_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200))
+    """64-bit SimHash per doc, one-digest-per-token construction
+    (dedup.simhash64_md5_sliced): all 64 bits sliced from a single md5,
+    so the entry is ORACLE-BACKED (hash-compare of every signature)
+    while keeping the production one-hash-per-token structure of
+    dedup.simhash64 — whose xxhash64 form stays the at-scale choice,
+    pytest-anchored against this twin (the profile_registers
+    md5/xxhash64 twin policy).  `simhash_md5` remains the independent
+    64-streams construction."""
+    return dedup_ops.simhash64_md5_sliced(
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    )
 
 
 def q_simhash_md5(spark, sf_dir):
@@ -2647,13 +2678,20 @@ def q_shipping_priority(spark, sf_dir):
 
 
 def q_hll_distinct_daily(spark, sf_dir):
-    """Mergeable HLL sketch rollup: per-day per-series user sketches unioned
-    into a per-series distinct estimate (DataSketches binary state — not
-    SQL-reproducible → rows-only; accuracy vs exact is asserted in
-    tests/test_sketches_upsert_bucketing.py at <5% error)."""
+    """Mergeable HLL rollup: per-(day, series) user sketches unioned into a
+    per-series distinct estimate — ORACLE-BACKED since r10 via the
+    profiler's deterministic md5-register HLL
+    (sketches.hll_register_daily/_estimate): every register is an
+    integer DuckDB replays bit-for-bit, so the daily-rollup→range-union
+    pattern sits under the value-hash gate instead of rows-only.  The
+    DataSketches binary-sketch variant (hll_daily_sketches/hll_estimate,
+    native mergeable state) remains the at-scale alternative,
+    pytest-anchored at <5% error in test_sketches_upsert_bucketing; the
+    xxhash64 register config is the production hash, same twin policy
+    as column_profile."""
     ev = _t(spark, sf_dir, "events")
-    sk = sketch_ops.hll_daily_sketches(ev, ["event_type"], "user_id")
-    return sketch_ops.hll_estimate(sk, ["event_type"])
+    sk = sketch_ops.hll_register_daily(ev, ["event_type"], "user_id")
+    return sketch_ops.hll_register_estimate(sk, ["event_type"])
 
 
 def q_repetition_stats(spark, sf_dir):
@@ -3576,6 +3614,51 @@ def q_psi_drift_incremental(spark, sf_dir):
 # Rows-only entries (multimodal_features, approx_stats,
 # hll_distinct_daily, multimodal_decode) stay at 51+ — they can never
 # hash-match, so they'd waste a hash-checked slot (policy set round 6).
+#
+# ---- round-10 window (VERDICT r9 "Next round" #5) ----
+# Composition: (a) the three entries CONVERTED to oracle-backed this
+# round (approx_stats — bounds oracle; hll_distinct_daily — md5-register
+# replay; simhash — md5-sliced construction: all have only rows-only
+# history, and simhash's VALUES changed with the new construction);
+# (b) the two whose RESULTS changed with the k=32 codebook re-pin
+# (semantic_dedup_served, diverse_sample — their r8 green rows verified
+# the old k=8 answers); (c) ALL 29 oracle-backed entries whose newest
+# driver row is r3 — the oldest evidence in the repo; (d) the six
+# r8-green entries the r9 comment above promised back (json_props,
+# sql_supplier_revenue, doc_chunks, psi_drift trio); (e) 10 r4-vintage
+# picks for family diversity (left at r4: bigram_logprob, bm25_many,
+# chunk_dedup, dsir_sample, funnel_rates, kmv_overlap,
+# kmv_users_by_type, rolling_median_sketch, rrf_hybrid, stl_anomaly,
+# upsample_mixture — each has a same-family in-window twin: unigram/
+# bm25/dup_spans/dsir_weights/funnel/approx-distinct-via-hll/rolling_
+# median/pq_ann_topk/stl_decompose — and rotates in r11).  Every r9
+# keeper is freshly r9-green, so no keepers are re-spent this round;
+# displaced families stay covered as annotated in the r9 comment.
+_R10_WINDOW = [
+    # (a) conversions from rows-only (VERDICT r9 "What's missing" #3)
+    "approx_stats", "hll_distinct_daily", "simhash",
+    # (b) results changed by the k=32 served-codebook re-pin
+    "semantic_dedup_served", "diverse_sample",
+    # (c) the 29 r3-vintage oracle-backed entries
+    "cosine_near_dup_lsh", "counter_rate_1h", "downsample_1h",
+    "dsir_weights", "dup_span_ranges", "dup_spans", "ewma_chunked",
+    "funnel", "gapfill_locf", "hash_split", "holt_chunked",
+    "holt_smoothing", "ivf_ann_topk", "lsh_ann_topk",
+    "minhash_jaccard_est", "ohlc_1h", "quality_score", "rank_family",
+    "revenue_by_nation", "seasonal_baseline", "semantic_dedup",
+    "sketch_percentile", "string_funcs", "tfidf_top_terms",
+    "token_counts_by_lang", "top_ngrams", "union_all_scans",
+    "value_percentiles", "zscore_anomaly",
+    # (d) the six promised back from the r9 displacement
+    "json_props", "sql_supplier_revenue", "doc_chunks",
+    "psi_drift", "psi_drift_incremental", "psi_drift_categorical",
+    # (e) r4-vintage picks
+    "rolling_median", "stl_decompose", "holt_winters", "cms_topk",
+    "cohort_retention", "fuzzy_join", "cap_events", "c4_rules",
+    "pq_ann_topk", "mixture_sample",
+]
+
+# r9 window kept for greppable history (superseded by _R10_WINDOW):
 _R9_WINDOW = [
     # -- round-9 additions (zero driver history, oracle-backed) ----------
     "maxsim_index_append", "maxsim_index_compacted",
@@ -3667,7 +3750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Round 8: the insertion-ordered dict below is the HISTORICAL layout
     (kept so each rotation's rationale stays greppable); the effective
-    window is re-cut by _R9_WINDOW above — see its comment."""
+    window is re-cut by _R10_WINDOW above — see its comment."""
     base = {
         # -- category anchors (driver-green r1/r2/r3) -------------------
         "range_scan": q_range_scan,
@@ -3949,11 +4032,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maxsim_index_append": q_maxsim_index_append,
         "maxsim_index_compacted": q_maxsim_index_compacted,
     }
-    missing = [k for k in _R9_WINDOW if k not in base]
-    assert not missing and len(set(_R9_WINDOW)) == 50, (
-        f"window misconfigured: {missing or len(set(_R9_WINDOW))}"
+    missing = [k for k in _R10_WINDOW if k not in base]
+    assert not missing and len(set(_R10_WINDOW)) == 50, (
+        f"window misconfigured: {missing or len(set(_R10_WINDOW))}"
     )
-    order = _R9_WINDOW + [k for k in base if k not in _R9_WINDOW]
+    order = _R10_WINDOW + [k for k in base if k not in _R10_WINDOW]
     return {k: base[k] for k in order}
 
 
@@ -5379,6 +5462,43 @@ def oracle_sql() -> dict[str, str]:
                                      ELSE (-9223372036854775807 - 1) END)
                           ELSE 0 END)) AS BIGINT) AS simhash
             FROM counts""",
+        # one md5 per token; bit i<60 from hex[1:15], else hex[16:30] —
+        # the profiler's md5-slice integer parse (see simhash64_md5_sliced)
+        "simhash": """
+            WITH docs AS (
+              SELECT doc_id,
+                     list_filter(list_distinct(string_split_regex(lower(text), '\\s+')),
+                                 x -> x != '') AS toks
+              FROM documents WHERE doc_id < 200
+            ), hs AS (
+              SELECT doc_id,
+                     list_transform(toks, t ->
+                       [('0x' || substring(md5(t), 1, 15))::BIGINT,
+                        ('0x' || substring(md5(t), 16, 15))::BIGINT]) AS hs
+              FROM docs
+            ), counts AS (
+              SELECT doc_id,
+                     list_transform(generate_series(0, 63), i ->
+                       list_sum(list_transform(hs, h ->
+                         CASE WHEN ((CASE WHEN i < 60 THEN h[1] >> i
+                                          ELSE h[2] >> (i - 60) END) & 1) = 1
+                              THEN 1 ELSE -1 END))) AS cnt
+              FROM hs)
+            SELECT doc_id,
+                   CAST(list_sum(list_transform(generate_series(0, 63), i ->
+                     CASE WHEN cnt[i + 1] > 0
+                          THEN (CASE WHEN i < 63 THEN (1::BIGINT << i)
+                                     ELSE (-9223372036854775807 - 1) END)
+                          ELSE 0 END)) AS BIGINT) AS simhash
+            FROM counts""",
+        # bounds oracle: exact twins computed here, the sketch-in-band
+        # booleans asserted TRUE (see q_approx_stats)
+        "approx_stats": """
+            SELECT event_type,
+                   count(DISTINCT user_id) AS exact_users,
+                   TRUE AS users_ok,
+                   TRUE AS p50_ok
+            FROM events GROUP BY event_type""",
         "pack_sequences": _pack_sequences_sql(cap=512, groups=8),
         "lttb": _lttb_sql(n_out=50),
         "lttb_chunked": _lttb_chunked_sql(n_out=48, chunk_ms=21_600_000),
@@ -6408,6 +6528,13 @@ def oracle_sql() -> dict[str, str]:
     oracles["column_profile"] = profile_oracle_sql("orders", _PROFILE_COLS)
     # merged incremental registers must equal the full-scan profile exactly
     oracles["profile_incremental"] = oracles["column_profile"]
+    from time_series_databse_engine_spark.operators.sketches import (
+        hll_register_oracle_sql,
+    )
+
+    oracles["hll_distinct_daily"] = hll_register_oracle_sql(
+        "events", ["event_type"], "user_id"
+    )
     oracles["media_safe_decode"] = """
         SELECT doc_id AS media_id,
                (doc_id % 5) < 3 AS ok,

@@ -52,6 +52,80 @@ def test_hll_range_union_vs_exact(spark, sf_dir):
     assert sk.filter((F.col("day_ms") >= lo_day) & (F.col("day_ms") < hi_day)).count() <= 3 * len(exact)
 
 
+def test_hll_register_daily_accuracy_and_merge(spark, sf_dir):
+    """The md5-register HLL rollup (the oracle-backed twin of the
+    DataSketches path): estimates within 5% of exact per series; register
+    tables from two disjoint ingests UNION + re-estimate to EXACTLY the
+    full-scan answer (semigroup merge — never a rescan); the xxhash64
+    production config lands the same accuracy with the same shapes."""
+    from time_series_databse_engine_spark.operators.sketches import (
+        hll_register_daily,
+        hll_register_estimate,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for hash_fn in ("md5", "xxhash64"):
+        sk = hll_register_daily(ev, ["event_type"], "user_id", hash_fn=hash_fn)
+        est = {
+            r.event_type: r.approx_distinct
+            for r in hll_register_estimate(sk, ["event_type"]).collect()
+        }
+        for k, n in exact.items():
+            assert abs(est[k] - n) / n < 0.05, (hash_fn, k, est[k], n)
+
+    # mergeability: split by user parity, union the register tables,
+    # re-estimate — bit-identical to the one-pass rollup
+    half = F.coalesce(F.col("user_id") % 2, F.lit(0))
+    a = hll_register_daily(ev.where(half == 0), ["event_type"], "user_id")
+    b = hll_register_daily(ev.where(half == 1), ["event_type"], "user_id")
+    merged = hll_register_estimate(a.unionByName(b), ["event_type"])
+    full = hll_register_estimate(
+        hll_register_daily(ev, ["event_type"], "user_id"), ["event_type"]
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, full.collect()))
+
+
+def test_simhash_md5_sliced_near_dup_behavior(spark):
+    """simhash64_md5_sliced keeps SimHash's contract: near-identical docs
+    land within a few bits (hamming), unrelated docs far apart, and the
+    signature is deterministic across evaluations."""
+    from time_series_databse_engine_spark.operators.dedup import (
+        hamming64,
+        simhash64_md5_sliced,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 6
+    docs = spark.createDataFrame(
+        [
+            (0, base),
+            (1, base + "extra token"),
+            (2, "completely different content about spark shuffles and parquet row groups"),
+        ],
+        "doc_id long, text string",
+    )
+    sig = simhash64_md5_sliced(docs)
+    j = (
+        sig.alias("a")
+        .crossJoin(sig.alias("b"))
+        .select(
+            F.col("a.doc_id").alias("i"),
+            F.col("b.doc_id").alias("j"),
+            hamming64("a.simhash", "b.simhash").alias("d"),
+        )
+    )
+    d = {(r.i, r.j): r.d for r in j.collect()}
+    assert d[(0, 0)] == 0
+    assert d[(0, 1)] <= 8, d[(0, 1)]
+    assert d[(0, 2)] >= 16, d[(0, 2)]
+    assert sorted(map(tuple, sig.collect())) == sorted(map(tuple, sig.collect()))
+
+
 # -------------------------------------------------------------------- upsert
 
 def _mk_store(spark, tmp_path):
