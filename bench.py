@@ -320,6 +320,89 @@ def main():
         hh_dt = time.perf_counter() - t0
         extra["stream_stateful_rows_per_sec"] = round(N_POINTS / hh_dt)
 
+        # --- streaming index/corpus maintenance throughput (VERDICT r9
+        # #6): the three foreachBatch maintenance paths have
+        # exactly-once tests but had no recorded rows/sec.  Each drains
+        # an availableNow run of ~4 micro-batches against a PRE-BUILT
+        # index (build paid outside the timing), so the number is the
+        # steady-state maintenance cost — epoch-keyed appends +
+        # checkpoint commits — not a build.  Sizes are the sf tables'
+        # own (small at sf0.1, so these are fixed-cost-per-epoch floors;
+        # per-row work is O(batch) by construction, see the operators'
+        # docstrings).
+        from time_series_databse_engine_spark.operators import (
+            similarity as _sim_m,
+        )
+        from time_series_databse_engine_spark.operators.text import (
+            maxsim_index_write as _ms_write,
+        )
+        from time_series_databse_engine_spark.streaming.ingest import (
+            maintain_ann_index,
+            maintain_maxsim_index,
+            stream_clean_crawl,
+        )
+
+        def _drain(writer) -> float:
+            t0 = time.perf_counter()
+            sq = writer.start()
+            sq.awaitTermination()
+            return time.perf_counter() - t0
+
+        emb_all = spark.read.parquet(SF_DIR + "/embeddings.parquet")
+        ann_base = emb_all.filter(F.col("vec_id") % 2 == 0)
+        ann_batch = emb_all.filter(F.col("vec_id") % 2 == 1)
+        n_ann = ann_batch.count()
+        _sim_m.ivf_index_write(ann_base, tmp + "/maint_ann", n_cells=16)
+        ann_batch.repartition(4).write.parquet(tmp + "/maint_ann_src")
+        dt = _drain(
+            maintain_ann_index(
+                spark.readStream.schema(ann_batch.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(tmp + "/maint_ann_src"),
+                tmp + "/maint_ann",
+                tmp + "/maint_ann_ckpt",
+            )
+        )
+        extra["stream_maintain_ann_rows_per_sec"] = round(n_ann / dt)
+
+        docs_all = spark.read.parquet(SF_DIR + "/documents.parquet")
+        ms_base = docs_all.filter(F.col("doc_id") % 2 == 0)
+        ms_batch = docs_all.filter(F.col("doc_id") % 2 == 1)
+        n_ms = ms_batch.count()
+        _ms_write(ms_base, tmp + "/maint_ms", dim=64, chunk_size=30)
+        ms_batch.repartition(4).write.parquet(tmp + "/maint_ms_src")
+        dt = _drain(
+            maintain_maxsim_index(
+                spark.readStream.schema(ms_batch.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(tmp + "/maint_ms_src"),
+                tmp + "/maint_ms",
+                tmp + "/maint_ms_ckpt",
+            )
+        )
+        extra["stream_maintain_maxsim_rows_per_sec"] = round(n_ms / dt)
+
+        # crawl cascade: the q_clean_crawl planted-page synthesis, as a
+        # 4-epoch stream (each epoch dedups against the accumulated
+        # fingerprint table — the steady-state crawl shape)
+        pages = docs_all.select(
+            "doc_id", F.expr(entry_mod._CRAWL_PLANT).alias("html")
+        )
+        n_pages = pages.count()
+        pages.repartition(4).write.parquet(tmp + "/maint_crawl_src")
+        dt = _drain(
+            stream_clean_crawl(
+                spark.readStream.schema(pages.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(tmp + "/maint_crawl_src"),
+                tmp + "/maint_crawl_out",
+                tmp + "/maint_crawl_ckpt",
+                min_visible_ppm=350_000,
+                quality_threshold=0.5,
+            )
+        )
+        extra["stream_clean_crawl_pages_per_sec"] = round(n_pages / dt)
+
         # --- storage efficiency (reference: ~8.2 B/pt)
         nbytes = sum(
             os.path.getsize(os.path.join(dp, f))

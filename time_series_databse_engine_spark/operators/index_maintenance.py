@@ -190,8 +190,9 @@ def recover_compact(idx: str, part_col: str) -> None:
     import os
     import shutil
 
+    prefix = f".compact-old-{part_col}="
     for entry in os.listdir(idx):
-        if not entry.startswith(".compact-old-"):
+        if not entry.startswith(prefix):
             continue
         live = os.path.join(idx, entry[len(".compact-old-"):])
         aside = os.path.join(idx, entry)

@@ -1295,7 +1295,21 @@ def maxsim_topk(
 
 def _maxsim_params(spark, path: str) -> tuple[int, int, str]:
     """Read the index's pinned vectorization params sidecar."""
-    r = spark.read.parquet(path.rstrip("/") + "/params").collect()[0]
+    sidecar = path.rstrip("/") + "/params"
+    try:
+        rows = spark.read.parquet(sidecar).collect()
+    except Exception as exc:  # AnalysisException: path missing / not parquet
+        raise ValueError(
+            f"no params sidecar at {sidecar} — this index predates the "
+            "<path>/index + <path>/params layout (or the sidecar was "
+            "deleted); rebuild it with maxsim_index_write"
+        ) from exc
+    if not rows:
+        raise ValueError(
+            f"params sidecar at {sidecar} is empty — the index is "
+            "corrupt; rebuild it with maxsim_index_write"
+        )
+    r = rows[0]
     return int(r.dim), int(r.chunk_size), str(r.id_col)
 
 

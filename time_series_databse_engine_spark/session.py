@@ -18,12 +18,18 @@ def get_spark(
     app_name: str = "time_series_databse_engine_spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     """Build (or reuse) the tuned SparkSession.
 
     ``shuffle_partitions`` should be ~cores locally; on a real cluster it is
     sized so a shuffle partition stays well under executor memory
     (AQE coalescing then trims small ones at runtime).
+
+    ``extra_conf`` overlays/overrides builder configs — used by probes that
+    need the UI/status API (``spark.ui.enabled``) which is off by default.
+    Note getOrCreate() reuses any live session, so overrides only take
+    effect when this call actually creates the JVM.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
@@ -49,6 +55,8 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -26,8 +26,12 @@ are shorter and repeat).
     python tools/gram_skew_probe.py [n_docs] [n_reps]
 
 Prints one JSON line: per-condition best-of-N wall seconds + ratio +
-the max task-input share of the gram-keyed stages (from the Spark
-status API) proving no single task absorbed the hot grams.
+``max_task_shuffle_share`` — the worst per-task share of any
+shuffle-read stage's total shuffle-read bytes during the SKEWED run
+(Spark status REST API, ``taskSummary?quantiles=1.0`` over the stages
+of the last rep), with the stage's task count for the 1/N ideal.  A
+share near 1/num_tasks proves no single task absorbed the hot grams;
+the old WindowExec shape put ~0.9 of one stage's bytes on one task.
 """
 
 from __future__ import annotations
@@ -38,6 +42,7 @@ import shutil
 import sys
 import tempfile
 import time
+import urllib.request
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -74,10 +79,48 @@ def best_of(fn, reps: int) -> float:
     return round(min(ts), 3)
 
 
+def _rest(spark, suffix: str):
+    app_id = spark.sparkContext.applicationId
+    base = spark.sparkContext.uiWebUrl
+    with urllib.request.urlopen(
+        f"{base}/api/v1/applications/{app_id}/{suffix}", timeout=10
+    ) as resp:
+        return json.loads(resp.read())
+
+
+def max_task_shuffle_share(spark, since_stage: int) -> dict:
+    """Worst per-task share of a stage's shuffle-read bytes across all
+    shuffle-read stages with stageId > ``since_stage`` (i.e. stages of
+    the run being audited).  Uses the status REST API: stage totals
+    from /stages, the per-task max from taskSummary at quantile 1.0."""
+    worst = {"max_task_shuffle_share": 0.0, "stage_tasks": 0, "stage_id": -1}
+    for st in _rest(spark, "stages?status=complete"):
+        if st["stageId"] <= since_stage or st.get("shuffleReadBytes", 0) <= 0:
+            continue
+        summ = _rest(
+            spark,
+            f"stages/{st['stageId']}/{st['attemptId']}/taskSummary"
+            "?quantiles=1.0",
+        )
+        max_task = summ["shuffleReadMetrics"]["readBytes"][0]
+        share = max_task / st["shuffleReadBytes"]
+        if share > worst["max_task_shuffle_share"]:
+            worst = {
+                "max_task_shuffle_share": round(share, 4),
+                "stage_tasks": st["numCompleteTasks"],
+                "stage_id": st["stageId"],
+            }
+    return worst
+
+
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
-    spark = get_spark(app_name="gram-skew-probe")
+    spark = get_spark(
+        app_name="gram-skew-probe",
+        # the status REST API (per-task shuffle metrics) needs the UI
+        extra_conf={"spark.ui.enabled": "true", "spark.ui.port": "4049"},
+    )
     # warm-up: pay codegen once outside both timings
     purge_dup_spans(corpus(spark, 1_000, True)).write.format("noop").mode(
         "overwrite"
@@ -92,7 +135,10 @@ def main() -> None:
         uni_df = spark.read.parquet(tmp + "/uniform")
         skw_df = spark.read.parquet(tmp + "/skewed")
         uniform = best_of(lambda: purge_dup_spans(uni_df), reps)
+        stages = _rest(spark, "stages?status=complete")
+        last_stage = max((s["stageId"] for s in stages), default=-1)
         skewed = best_of(lambda: purge_dup_spans(skw_df), reps)
+        skew_evidence = max_task_shuffle_share(spark, last_stage)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     print(
@@ -104,6 +150,7 @@ def main() -> None:
                 "skewed_sec": skewed,
                 "ratio": round(skewed / uniform, 3),
                 "loadavg_1m": round(os.getloadavg()[0], 2),
+                **skew_evidence,
             }
         )
     )
