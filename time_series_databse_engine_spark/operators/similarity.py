@@ -1241,19 +1241,31 @@ def pca_project_expr(
     limit), then a posexplode over the k tiny attribute refs —
     CollapseProject does not merge a Project into a Generate's
     generator, so the split survives optimization and both nodes sit in
-    one WholeStageCodegen stage.  Bit-parity with the unrolled SQL text
-    is exact: same per-term FLOAT→fp64 widening, same left-associated
-    sum (functools.reduce = the SQL parser's associativity).  Runtime
-    compile (fallback disabled) asserted in test_plans.
+    one WholeStageCodegen stage.  Runtime compile (fallback disabled)
+    asserted in test_plans.
+
+    Driver-side shape (round 10): each dim column is ONE ``F.expr``
+    over the unrolled SQL text, parsed JVM-side — building the same
+    512-term tree through py4j Column algebra cost ~2,500 gateway
+    round-trips ≈ 2.4 s of rows-independent plan-construction tax per
+    invocation (measured: rep-2 at 200 rows was no faster than rep-2 at
+    20k rows).  Bit-parity with the oracle's unrolled text is exact and
+    now BY CONSTRUCTION: same literal text (repr + explicit exponent so
+    both parsers type DOUBLE, never DECIMAL), same per-term FLOAT→fp64
+    widening, same left-associated sum (" + ".join = the SQL parser's
+    associativity).
     """
-    from functools import reduce
+
+    def flit(v: float) -> str:
+        s = repr(float(v))
+        return s if "e" in s or "E" in s else s + "e0"
 
     def dim_col(comp) -> F.Column:
-        terms = [
-            (F.element_at(F.col(vec_col), i + 1) - F.lit(float(m))) * F.lit(float(c))
+        terms = " + ".join(
+            f"(element_at({vec_col}, {i + 1}) - {flit(m)}) * {flit(c)}"
             for i, (m, c) in enumerate(zip(mean, comp))
-        ]
-        return F.round(reduce(lambda a, b: a + b, terms), decimals)
+        )
+        return F.expr(f"round({terms}, {decimals})")
 
     names = [f"_d{j}" for j in range(len(components))]
     per_dim = embeddings.select(
