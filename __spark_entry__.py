@@ -2933,6 +2933,39 @@ def q_hash_split(spark, sf_dir):
     )
 
 
+def q_epoch_shuffle(spark, sf_dir):
+    """Deterministic seeded global shuffle for training export
+    (sampling.epoch_shuffle, seed=1, 8 shards): order key =
+    md5(seed||'-'||id), shard = first-8-hex int % 8 (one uniform-hash
+    exchange), pos = in-shard rank — the (shard, pos) pair IS the global
+    epoch order, reproducible across retries/engines with no global
+    sort ever materializing."""
+    from time_series_databse_engine_spark.operators import sampling as samp_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    return samp_ops.epoch_shuffle(docs, n_shards=8, seed=1)
+
+
+def q_snapshot_delta(spark, sf_dir):
+    """Corpus snapshot diff (sampling.snapshot_delta): what an
+    incremental pipeline must reprocess after a crawl refresh.  Old
+    snapshot = docs with id % 10 != 0; new = docs with id % 7 != 3 and
+    every id % 5 == 0 doc revised (text + ' rev2') — so all three delta
+    classes (added/removed/changed) are exercised.  Only (id, md5
+    digest) pairs cross the full-outer-join wire, never text."""
+    from time_series_databse_engine_spark.operators import sampling as samp_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 10 != 0)
+    new = docs.filter(F.col("doc_id") % 7 != 3).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" rev2"))
+        ).otherwise(F.col("text")),
+    )
+    return samp_ops.snapshot_delta(old, new, content_cols=["text"])
+
+
 def q_hist_sketch_daily(spark, sf_dir):
     """Mergeable fixed-bin histogram sketch table per (day, series) —
     unlike the HLL binary state these are exact integer bin counts, so
@@ -3638,6 +3671,11 @@ def q_psi_drift_incremental(spark, sf_dir):
 # keeper is freshly r9-green, so no keepers are re-spent this round;
 # displaced families stay covered as annotated in the r9 comment.
 _R10_WINDOW = [
+    # (f) round-10 additions — zero driver history, so they lead
+    # (displacing the (e) picks pq_ann_topk / mixture_sample, each with a
+    # same-family in-window twin: ivf_ann_topk+lsh_ann_topk / hash_split+
+    # dsir_weights; both are r4-green and rotate back in r11)
+    "epoch_shuffle", "snapshot_delta",
     # (a) conversions from rows-only (VERDICT r9 "What's missing" #3)
     "approx_stats", "hll_distinct_daily", "simhash",
     # (b) results changed by the k=32 served-codebook re-pin
@@ -3658,7 +3696,6 @@ _R10_WINDOW = [
     # (e) r4-vintage picks
     "rolling_median", "stl_decompose", "holt_winters", "cms_topk",
     "cohort_retention", "fuzzy_join", "cap_events", "c4_rules",
-    "pq_ann_topk", "mixture_sample",
 ]
 
 # r9 window kept for greppable history (superseded by _R10_WINDOW):
@@ -3926,6 +3963,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # verified by the local checker each round.
         "asof_join": q_asof_join,
         "hash_split": q_hash_split,
+        "epoch_shuffle": q_epoch_shuffle,
+        "snapshot_delta": q_snapshot_delta,
         "holt_smoothing": q_holt,
         "counter_rate_1h": q_counter_rate_1h,
         "ewma_chunked": q_ewma_chunked,
@@ -6674,6 +6713,31 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars
         FROM (SELECT substr(md5(doc_id::VARCHAR), 1, 1) AS d, n_chars FROM documents)
         GROUP BY 1"""
+    oracles["epoch_shuffle"] = """
+        WITH h AS (
+          SELECT doc_id,
+                 md5(concat(CAST(1 AS VARCHAR), '-', CAST(doc_id AS VARCHAR))) AS hx
+          FROM documents)
+        SELECT doc_id,
+               (('0x' || substr(hx, 1, 8))::BIGINT % 8)::INT AS shard,
+               row_number() OVER (
+                 PARTITION BY ('0x' || substr(hx, 1, 8))::BIGINT % 8
+                 ORDER BY hx, doc_id)::BIGINT AS pos
+        FROM h"""
+    oracles["snapshot_delta"] = """
+        WITH o AS (SELECT doc_id AS oid, md5(coalesce(text, chr(0))) AS oh
+                   FROM documents WHERE doc_id % 10 != 0),
+        n AS (SELECT doc_id AS nid,
+                     md5(coalesce(CASE WHEN doc_id % 5 = 0 THEN text || ' rev2'
+                                       ELSE text END, chr(0))) AS nh
+              FROM documents WHERE doc_id % 7 != 3),
+        d AS (SELECT coalesce(nid, oid) AS doc_id,
+                     CASE WHEN oid IS NULL THEN 'added'
+                          WHEN nid IS NULL THEN 'removed'
+                          WHEN oh != nh THEN 'changed'
+                          ELSE 'unchanged' END AS status
+              FROM o FULL OUTER JOIN n ON oid = nid)
+        SELECT doc_id, status FROM d WHERE status != 'unchanged'"""
     oracles["bpe_pairs"] = """
         WITH wds AS (
           SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),

@@ -153,6 +153,9 @@ HEADLINE = [
     # append + append-then-compact lifecycle under the wall clock
     "maxsim_index_append",
     "maxsim_index_compacted",
+    # round-10 adds: training-export shuffle + snapshot diff
+    "epoch_shuffle",
+    "snapshot_delta",
 ]
 
 # repeated-run latency distribution for the reference's hot/cold point

@@ -271,3 +271,88 @@ def test_token_budget_sample_null_text_matches_sql_semantics(spark):
     # real tokens only
     a_kept = [r for r in got if r[1] == "a" and r[2] is not None]
     assert sum(r[2] for r in a_kept) <= 5
+
+
+def test_epoch_shuffle_is_a_permutation_seeded_and_uniform(spark):
+    """(shard, pos) is a bijection over the input ids, different seeds give
+    different orders, the same seed is bit-stable across re-evaluation,
+    and shard sizes are near-uniform (the key is a hash)."""
+    from time_series_databse_engine_spark.operators.sampling import epoch_shuffle
+
+    df = spark.range(400).withColumnRenamed("id", "doc_id")
+    a = epoch_shuffle(df, n_shards=8, seed=1).collect()
+    assert len(a) == 400 and len({r.doc_id for r in a}) == 400
+    # (shard, pos) positions are dense 1..|shard| per shard => global order
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    assert set(by_shard) <= set(range(8))
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # near-uniform shard sizes (400/8 = 50 expected; loose bound)
+    assert all(25 <= len(p) <= 75 for p in by_shard.values())
+    # reproducible; seed-sensitive
+    b = epoch_shuffle(df, n_shards=8, seed=1).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    c = {(r.doc_id): (r.shard, r.pos) for r in epoch_shuffle(df, n_shards=8, seed=2).collect()}
+    moved = sum(1 for r in a if c[r.doc_id] != (r.shard, r.pos))
+    assert moved > 300  # a different seed reorders nearly everything
+    import pytest
+
+    with pytest.raises(ValueError):
+        epoch_shuffle(df, n_shards=0)
+
+
+def test_epoch_shuffle_single_exchange(spark):
+    """The export plan is ONE hash exchange (the shard key) — no global
+    sort, no second shuffle."""
+    from time_series_databse_engine_spark.operators.sampling import epoch_shuffle
+    from time_series_databse_engine_spark.plans import num_shuffle_exchanges
+
+    df = spark.range(1000).withColumnRenamed("id", "doc_id")
+    assert num_shuffle_exchanges(epoch_shuffle(df, n_shards=8, seed=3)) == 1
+
+
+def test_snapshot_delta_classes_and_null_content(spark):
+    """added/removed/changed are each detected; unchanged rows are dropped
+    by default and kept on request; a null->value content transition is a
+    change (the coalesce sentinel), not a silent match."""
+    from time_series_databse_engine_spark.operators.sampling import snapshot_delta
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (4, "d")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (3, "now-set"), (5, "e")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.status for r in snapshot_delta(old, new).collect()}
+    assert got == {2: "changed", 3: "changed", 4: "removed", 5: "added"}
+    full = {
+        r.doc_id: r.status
+        for r in snapshot_delta(old, new, include_unchanged=True).collect()
+    }
+    assert full[1] == "unchanged" and len(full) == 5
+    import pytest
+
+    with pytest.raises(ValueError):
+        snapshot_delta(old.select("doc_id"), new.select("doc_id"))
+
+
+def test_snapshot_delta_multi_column_digest_order_is_name_sorted(spark):
+    """Default content_cols = sorted shared non-id columns: a change in
+    ANY shared column flags the row, and column discovery ignores columns
+    present on only one side."""
+    from time_series_databse_engine_spark.operators.sampling import snapshot_delta
+
+    old = spark.createDataFrame(
+        [(1, "a", "x", 7)], "doc_id long, text string, lang string, extra_old int"
+    )
+    new = spark.createDataFrame(
+        [(1, "a", "y", 1.5)], "doc_id long, text string, lang string, extra_new double"
+    )
+    got = {r.doc_id: r.status for r in snapshot_delta(old, new).collect()}
+    assert got == {1: "changed"}  # lang x->y flags; extra_* ignored
+    same = spark.createDataFrame(
+        [(1, "a", "x", 1.5)], "doc_id long, text string, lang string, extra_new double"
+    )
+    assert snapshot_delta(old, same).count() == 0

@@ -366,3 +366,98 @@ def token_budget_sample(
     out = df.select(F.col(id_col), F.col(group_col), n_tok.alias("n_tokens"))
     out = out.withColumn("cum_tokens", F.sum("n_tokens").over(w))
     return out.filter(F.col("cum_tokens") <= budget)
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    n_shards: int = 8,
+    seed: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic seeded GLOBAL shuffle for training export — the last
+    step before a corpus becomes epoch files: every training run wants the
+    docs in a uniformly random order that is (a) different per epoch/seed
+    and (b) exactly reproducible across retries and engines (a re-run of a
+    crashed export job must produce byte-identical shards).
+
+    The textbook ``ORDER BY rand()`` is both non-reproducible and a single
+    global sort.  Here the order key is ``md5(seed || '-' || id)`` — a
+    seeded hash, so each seed induces an independent uniform permutation —
+    and the global sort is decomposed the way a 100 TB export actually
+    runs: ``shard = int(hash[:8]) % n_shards`` (ONE hash-partitioned
+    exchange), then an in-shard sort (each shard is written in order by
+    its own task; no global merge ever happens because shard boundaries
+    are part of the order).  Returns ``(id, shard, pos)`` — ``pos`` is the
+    doc's 1-based position within its shard, the global order being
+    (shard, pos).
+
+    Scale shape: one exchange on a uniform hash key (no skew possible —
+    the key is a hash), one in-partition sort per shard; the corpus rows
+    carry only ``id`` + 32 hash chars through the exchange.  md5 keeps the
+    DuckDB oracle bit-exact; swap ``xxhash64`` at scale, same algebra.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1 (got {n_shards})")
+    h = F.md5(
+        F.concat_ws("-", F.lit(int(seed)).cast("string"), F.col(id_col).cast("string"))
+    )
+    shard = (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n_shards).cast("int")
+    out = df.select(F.col(id_col), shard.alias("shard"), h.alias("_h"))
+    w = W.partitionBy("shard").orderBy(F.col("_h"), F.col(id_col))
+    return (
+        out.withColumn("pos", F.row_number().over(w).cast("long"))
+        .drop("_h")
+    )
+
+
+def snapshot_delta(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    content_cols: list[str] | None = None,
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """Corpus snapshot diff — ``(id, status)`` with status in
+    ``added | removed | changed`` (+ ``unchanged`` when asked): the
+    change-detection step that decides what an incremental pipeline run
+    must reprocess (re-embed, re-dedup, re-pack) after a crawl refresh,
+    and the audit artifact for "what moved between snapshot A and B".
+
+    Rows are matched on ``id``; content equality is md5 over the
+    ``content_cols`` (default: every non-id column common to both sides,
+    in sorted name order) — so only ``(id, 32-char digest)`` ever crosses
+    the wire, never document payloads.  The diff itself is ONE full outer
+    join on the id key: both sides hash-partition on ``id``, Catalyst
+    prunes every column but the id and digest at the scan.  Default output
+    drops ``unchanged`` rows (the overwhelming majority between adjacent
+    snapshots) so the result is the delta, sized O(changes).
+    """
+    if content_cols is None:
+        shared = set(old.columns) & set(new.columns) - {id_col}
+        content_cols = sorted(shared)
+    if not content_cols:
+        raise ValueError("snapshot_delta needs at least one content column")
+
+    def digest(df: DataFrame) -> F.Column:
+        return F.md5(
+            F.concat_ws(
+                "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in content_cols]
+            )
+        )
+
+    o = old.select(F.col(id_col).alias("_oid"), digest(old).alias("_oh"))
+    n = new.select(F.col(id_col).alias("_nid"), digest(new).alias("_nh"))
+    j = o.join(n, o["_oid"] == n["_nid"], "full_outer")
+    status = (
+        F.when(F.col("_oid").isNull(), F.lit("added"))
+        .when(F.col("_nid").isNull(), F.lit("removed"))
+        .when(F.col("_oh") != F.col("_nh"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    out = j.select(
+        F.coalesce(F.col("_nid"), F.col("_oid")).alias(id_col),
+        status.alias("status"),
+    )
+    if not include_unchanged:
+        out = out.filter(F.col("status") != "unchanged")
+    return out
