@@ -484,10 +484,40 @@ def main():
             o = spark.read.parquet(sf_dir + "/orders.parquet")
             return profile_table(o, entry_mod._PROFILE_COLS, hash_fn="xxhash64")
 
+        def _hilbert_key_fast(spark, sf_dir):
+            # production layout path: Arrow-batched numpy walk
+            # (layout.hilbert_key_pandas) — BIT-IDENTICAL to the
+            # expression form queries() keeps for the oracle (pinned by
+            # test_plans); the expression fold is interpreted-HOF-bound
+            from time_series_databse_engine_spark.operators import (
+                layout as layout_ops,
+            )
+            from time_series_databse_engine_spark.sources import load_table
+
+            ev = load_table(spark, sf_dir, "events")
+            mm = F.broadcast(
+                ev.agg(
+                    F.min("ts_ms").alias("tlo"),
+                    F.max("ts_ms").alias("thi"),
+                    F.min("value").alias("vlo"),
+                    F.max("value").alias("vhi"),
+                )
+            )
+            q = ev.crossJoin(mm).select(
+                "event_id",
+                layout_ops.quantize(F.col("ts_ms"), F.col("tlo"), F.col("thi"), 16).alias("qa"),
+                layout_ops.quantize(F.col("value"), F.col("vlo"), F.col("vhi"), 16).alias("qb"),
+            )
+            return q.select(
+                "event_id",
+                layout_ops.hilbert_key_pandas(F.col("qa"), F.col("qb"), 16).alias("hkey"),
+            )
+
         overrides = {
             "cosine_near_dup_lsh": _near_dup_auto,
             "semantic_dedup": _semantic_dedup_auto,
             "column_profile_fast": _column_profile_fast,
+            "hilbert_key": _hilbert_key_fast,
         }
         # persisted-ANN-index build is a maintenance job (the ingest
         # precedent: stores are built outside the query timings); pay it

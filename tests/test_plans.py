@@ -1110,3 +1110,33 @@ def test_pca_project_expr_compiles_under_codegen_and_matches_unrolled(
     got = {(r.vec_id, r.dim_idx): r.value for r in rows}
     for r in unrolled.collect():
         assert got[(r.vec_id, r.dim_idx)] == r.value
+
+
+def test_hilbert_key_pandas_bit_identical_incl_nulls(spark):
+    """The Arrow fast path equals the expression form value-for-value on
+    a grid sweep plus random 16-bit points, and treats nulls the same
+    way (the expression's when/otherwise fold reads null bits as 0, so
+    the fast path must too — NOT null propagation)."""
+    from time_series_databse_engine_spark.operators.layout import (
+        hilbert_key,
+        hilbert_key_pandas,
+    )
+
+    rows = [(x, y) for x in range(16) for y in range(16)]
+    rows += [((x * 2654435761) % 65536, (x * 40503) % 65536) for x in range(500)]
+    rows += [(None, 3), (7, None), (None, None)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    for bits in (4, 16):
+        sub = df if bits == 16 else df.filter("x < 16 and y < 16 or x is null or y is null")
+        both = sub.select(
+            "x", "y",
+            hilbert_key(F.col("x"), F.col("y"), bits=bits).alias("expr_d"),
+            hilbert_key_pandas(F.col("x"), F.col("y"), bits=bits).alias("fast_d"),
+        ).collect()
+        assert len(both) > 0
+        for r in both:
+            assert r.expr_d == r.fast_d, (r.x, r.y, bits, r.expr_d, r.fast_d)
+    import pytest
+
+    with pytest.raises(ValueError):
+        hilbert_key_pandas(F.col("x"), F.col("y"), bits=0)
