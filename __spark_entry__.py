@@ -2638,6 +2638,21 @@ def q_zscore_anomaly(spark, sf_dir):
     return df.select("event_id", "event_type", "zscore")
 
 
+def q_zscore_chunked(spark, sf_dir):
+    """Scale form of zscore_anomaly for LOW-CARDINALITY series keys
+    (events has 5 event_types — the plain window sorts each on ONE task
+    at 100 TB): timeseries.zscore_anomalies_chunked partitions the heavy
+    window by (key, day-chunk) and feeds cross-boundary frames the
+    previous chunks' tail rows as non-emitting context, exact for thin
+    chunks.  Row-identical to zscore_anomaly by construction — the
+    oracle is shared verbatim, result identity being the check (the
+    ewma_chunked discipline)."""
+    df = ts_ops.zscore_anomalies_chunked(
+        _t(spark, sf_dir, "events"), ["event_type"], ["ts_ms", "event_id"]
+    )
+    return df.select("event_id", "event_type", "zscore")
+
+
 def q_autocorr(spark, sf_dir):
     """Lag-1 autocorrelation per series: corr(value, lag(value))."""
     return ts_ops.autocorrelation(
@@ -3672,10 +3687,11 @@ def q_psi_drift_incremental(spark, sf_dir):
 # displaced families stay covered as annotated in the r9 comment.
 _R10_WINDOW = [
     # (f) round-10 additions — zero driver history, so they lead
-    # (displacing the (e) picks pq_ann_topk / mixture_sample, each with a
-    # same-family in-window twin: ivf_ann_topk+lsh_ann_topk / hash_split+
-    # dsir_weights; both are r4-green and rotate back in r11)
-    "epoch_shuffle", "snapshot_delta",
+    # (displacing the (e) picks pq_ann_topk / mixture_sample / cms_topk,
+    # each with a same-family in-window twin: ivf_ann_topk+lsh_ann_topk /
+    # hash_split+dsir_weights / sketch_percentile; all r4-green, rotate
+    # back in r11)
+    "epoch_shuffle", "snapshot_delta", "zscore_chunked",
     # (a) conversions from rows-only (VERDICT r9 "What's missing" #3)
     "approx_stats", "hll_distinct_daily", "simhash",
     # (b) results changed by the k=32 served-codebook re-pin
@@ -3694,7 +3710,7 @@ _R10_WINDOW = [
     "json_props", "sql_supplier_revenue", "doc_chunks",
     "psi_drift", "psi_drift_incremental", "psi_drift_categorical",
     # (e) r4-vintage picks
-    "rolling_median", "stl_decompose", "holt_winters", "cms_topk",
+    "rolling_median", "stl_decompose", "holt_winters",
     "cohort_retention", "fuzzy_join", "cap_events", "c4_rules",
 ]
 
@@ -3982,6 +3998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts_by_lang": q_token_counts_by_lang,
         "pricing_summary": q_pricing_summary,
         "zscore_anomaly": q_zscore_anomaly,
+        "zscore_chunked": q_zscore_chunked,
         "sketch_percentile": q_sketch_percentile,
         "funnel": q_funnel,
         "dsir_weights": q_dsir_weights,
@@ -6713,6 +6730,11 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars
         FROM (SELECT substr(md5(doc_id::VARCHAR), 1, 1) AS d, n_chars FROM documents)
         GROUP BY 1"""
+    # zscore_chunked is the (key, chunk)-parallel twin of zscore_anomaly;
+    # its contract is ROW-IDENTITY with the plain window, so the oracle
+    # is shared verbatim (the ewma_chunked / psi_drift_incremental
+    # result-identity discipline)
+    oracles["zscore_chunked"] = oracles["zscore_anomaly"]
     oracles["epoch_shuffle"] = """
         WITH h AS (
           SELECT doc_id,

@@ -153,9 +153,11 @@ HEADLINE = [
     # append + append-then-compact lifecycle under the wall clock
     "maxsim_index_append",
     "maxsim_index_compacted",
-    # round-10 adds: training-export shuffle + snapshot diff
+    # round-10 adds: training-export shuffle + snapshot diff + the
+    # (key, chunk)-parallel zscore twin for low-cardinality series keys
     "epoch_shuffle",
     "snapshot_delta",
+    "zscore_chunked",
 ]
 
 # repeated-run latency distribution for the reference's hot/cold point

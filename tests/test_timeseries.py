@@ -768,3 +768,41 @@ def test_hw_backtest_near_zero_error_on_clean_signal(spark):
         assert r.rmse >= r.mae
         # origins: points m+1..139 minus h lead-out minus (m-h) lag-in
         assert r.n == (139 - m) - h - (m - h)
+
+
+def test_zscore_chunked_row_identical_even_with_thin_chunks(spark, sf_dir):
+    """The (key, chunk)-parallel form equals the plain whole-key window
+    row-for-row (zscore values included) at the default day chunks AND
+    at hourly chunks thin enough that every cross-boundary frame must
+    pull context from several chunks back; the heavy window partitions
+    on (key, chunk) — that is the point."""
+    from time_series_databse_engine_spark.operators.timeseries import (
+        zscore_anomalies,
+        zscore_anomalies_chunked,
+    )
+    from time_series_databse_engine_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    cols = ["event_id", "event_type", "zscore"]
+    plain = sorted(
+        map(tuple, zscore_anomalies(ev, ["event_type"], ["ts_ms", "event_id"]).select(*cols).collect())
+    )
+    assert len(plain) > 0
+    for chunk_ms in (86_400_000, 3_600_000):
+        chunked = sorted(
+            map(
+                tuple,
+                zscore_anomalies_chunked(
+                    ev, ["event_type"], ["ts_ms", "event_id"], chunk_ms=chunk_ms
+                ).select(*cols).collect(),
+            )
+        )
+        assert chunked == plain
+    # the heavy window must key on (event_type, chunk), never bare key
+    plan = zscore_anomalies_chunked(
+        ev, ["event_type"], ["ts_ms", "event_id"]
+    )._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    windows = re.findall(r"Window \[.*?windowspecdefinition\(([^)]*)\)", plan)
+    assert windows and all("_tchunk" in w or "_chunk" in w for w in windows), plan[:4000]

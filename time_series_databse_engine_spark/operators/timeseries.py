@@ -286,6 +286,81 @@ def zscore_anomalies(
     )
 
 
+def zscore_anomalies_chunked(
+    df: DataFrame,
+    keys: list[str],
+    order: list[str],
+    value: str = "value",
+    lookback: int = 100,
+    min_points: int = 30,
+    threshold: float = 3.0,
+    ts_ms: str = "ts_ms",
+    chunk_ms: int = 86_400_000,
+) -> DataFrame:
+    """:func:`zscore_anomalies` with the window partitioned by
+    ``(key, time-chunk)`` instead of bare ``key`` — the scale form for
+    LOW-CARDINALITY series keys, completing the chunk-and-chain family
+    (:func:`ewma_chunked`, :func:`holt_chunked`).  The plain version's
+    one-exchange plan is right when keys are plentiful, but a 100 TB
+    table with a handful of series values sorts each series on ONE task;
+    here every heavy window partition holds one (key, chunk) slice, so
+    parallelism = keys × chunks whatever the key cardinality.
+
+    Exactness: a trailing ``lookback``-ROW frame does not compose
+    algebraically across chunks (unlike EWMA's carry), so cross-boundary
+    windows are fed the actual rows instead: per (key, chunk) keep the
+    last ``lookback`` rows (a per-chunk window — these are the only rows
+    ANY later window can reach back to, since a row with ≥ lookback
+    successors inside its own chunk is unreachable from the next chunk),
+    then per target chunk re-rank those tails and prepend the last
+    ``lookback`` as non-emitting CONTEXT rows.  Thin chunks (fewer than
+    ``lookback`` rows) are handled exactly — the re-rank pulls from as
+    many chunks back as needed because every earlier chunk contributed
+    its tail.  Output is row-identical to :func:`zscore_anomalies`
+    (test-pinned): frames see the same rows in the same sort order, so
+    even the float accumulation order matches.
+
+    Cost: the corpus crosses the wire twice (tail-rank window + final
+    window) vs once — the ewma_chunked trade; the tails×chunks re-rank
+    touches ≤ lookback·n_chunks rows per key, never the corpus.
+    """
+    base = df.withColumn("_chunk", F.floor(F.col(ts_ms) / F.lit(int(chunk_ms))))
+    desc = [F.col(o).desc() for o in order]
+    w_tail = W.partitionBy(*keys, "_chunk").orderBy(*desc)
+    tails = (
+        base.withColumn("_rnt", F.row_number().over(w_tail))
+        .filter(F.col("_rnt") <= lookback)
+        .drop("_rnt")
+    )
+    targets = (
+        base.select(*keys, "_chunk").distinct().withColumnRenamed("_chunk", "_tchunk")
+    )
+    w_ctx = W.partitionBy(*keys, "_tchunk").orderBy(*desc)
+    ctx = (
+        tails.join(targets, on=list(keys))
+        .filter(F.col("_chunk") < F.col("_tchunk"))
+        .withColumn("_rnc", F.row_number().over(w_ctx))
+        .filter(F.col("_rnc") <= lookback)
+        .drop("_rnc", "_chunk")
+        .withColumn("_emit", F.lit(False))
+    )
+    own = base.withColumnRenamed("_chunk", "_tchunk").withColumn("_emit", F.lit(True))
+    u = own.unionByName(ctx)
+    w = W.partitionBy(*keys, "_tchunk").orderBy(*order).rowsBetween(-lookback, -1)
+    u = (
+        u.withColumn("_mu", F.avg(value).over(w))
+        .withColumn("_sd", F.stddev_samp(value).over(w))
+        .withColumn("_n", F.count(value).over(w))
+    )
+    z = (F.col(value) - F.col("_mu")) / F.col("_sd")
+    return (
+        u.filter(F.col("_emit") & (F.col("_n") >= min_points) & (F.col("_sd") > 0))
+        .withColumn("zscore", F.round(z, 4))
+        .filter(F.abs(F.col("zscore")) > threshold)
+        .drop("_mu", "_sd", "_n", "_emit", "_tchunk")
+    )
+
+
 def autocorrelation(
     df: DataFrame,
     keys: list[str],
