@@ -2638,6 +2638,17 @@ def q_zscore_anomaly(spark, sf_dir):
     return df.select("event_id", "event_type", "zscore")
 
 
+def q_moving_avg_chunked(spark, sf_dir):
+    """Scale form of moving_avg_time — the RANGE-frame member of the
+    chunk-parallel family (timeseries.moving_avg_time_chunked): rows in
+    the target chunk's trailing window_ms strip copied forward as
+    non-emitting context (≤ window/chunk fan-out, ~0.3% duplicates at
+    the 5min/1day defaults), heavy window re-keyed to (key, day-chunk).
+    Row-identical to moving_avg_time; oracle shared verbatim."""
+    df = ts_ops.moving_avg_time_chunked(_t(spark, sf_dir, "events"), ["event_type"])
+    return df.select("event_id", "event_type", "mov_avg_time", "n_in_window")
+
+
 def q_zscore_chunked(spark, sf_dir):
     """Scale form of zscore_anomaly for LOW-CARDINALITY series keys
     (events has 5 event_types — the plain window sorts each on ONE task
@@ -3687,11 +3698,13 @@ def q_psi_drift_incremental(spark, sf_dir):
 # displaced families stay covered as annotated in the r9 comment.
 _R10_WINDOW = [
     # (f) round-10 additions — zero driver history, so they lead
-    # (displacing the (e) picks pq_ann_topk / mixture_sample / cms_topk,
-    # each with a same-family in-window twin: ivf_ann_topk+lsh_ann_topk /
-    # hash_split+dsir_weights / sketch_percentile; all r4-green, rotate
-    # back in r11)
+    # (displacing the (e) picks pq_ann_topk / mixture_sample / cms_topk /
+    # holt_winters, each with a same-family in-window twin:
+    # ivf_ann_topk+lsh_ann_topk / hash_split+dsir_weights /
+    # sketch_percentile / holt_smoothing+holt_chunked; all r4-green,
+    # rotate back in r11)
     "epoch_shuffle", "snapshot_delta", "zscore_chunked",
+    "moving_avg_chunked",
     # (a) conversions from rows-only (VERDICT r9 "What's missing" #3)
     "approx_stats", "hll_distinct_daily", "simhash",
     # (b) results changed by the k=32 served-codebook re-pin
@@ -3710,7 +3723,7 @@ _R10_WINDOW = [
     "json_props", "sql_supplier_revenue", "doc_chunks",
     "psi_drift", "psi_drift_incremental", "psi_drift_categorical",
     # (e) r4-vintage picks
-    "rolling_median", "stl_decompose", "holt_winters",
+    "rolling_median", "stl_decompose",
     "cohort_retention", "fuzzy_join", "cap_events", "c4_rules",
 ]
 
@@ -3999,6 +4012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "zscore_anomaly": q_zscore_anomaly,
         "zscore_chunked": q_zscore_chunked,
+        "moving_avg_chunked": q_moving_avg_chunked,
         "sketch_percentile": q_sketch_percentile,
         "funnel": q_funnel,
         "dsir_weights": q_dsir_weights,
@@ -6735,6 +6749,8 @@ def oracle_sql() -> dict[str, str]:
     # is shared verbatim (the ewma_chunked / psi_drift_incremental
     # result-identity discipline)
     oracles["zscore_chunked"] = oracles["zscore_anomaly"]
+    # same discipline for the RANGE-frame twin
+    oracles["moving_avg_chunked"] = oracles["moving_avg_time"]
     oracles["epoch_shuffle"] = """
         WITH h AS (
           SELECT doc_id,

@@ -158,6 +158,7 @@ HEADLINE = [
     "epoch_shuffle",
     "snapshot_delta",
     "zscore_chunked",
+    "moving_avg_chunked",
 ]
 
 # repeated-run latency distribution for the reference's hot/cold point

@@ -806,3 +806,43 @@ def test_zscore_chunked_row_identical_even_with_thin_chunks(spark, sf_dir):
 
     windows = re.findall(r"Window \[.*?windowspecdefinition\(([^)]*)\)", plan)
     assert windows and all("_tchunk" in w or "_chunk" in w for w in windows), plan[:4000]
+
+
+def test_moving_avg_time_chunked_row_identical(spark, sf_dir):
+    """The (key, chunk)-parallel RANGE-frame form equals the plain
+    whole-key window row-for-row — at day chunks, hourly chunks, and
+    chunks SMALLER than the 5-min window (multi-chunk forward copy);
+    every window partitions on (key, chunk)."""
+    from time_series_databse_engine_spark.operators.timeseries import (
+        moving_avg_time,
+        moving_avg_time_chunked,
+    )
+    from time_series_databse_engine_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    cols = ["event_id", "event_type", "mov_avg_time", "n_in_window"]
+    plain = sorted(map(tuple, moving_avg_time(ev, ["event_type"]).select(*cols).collect()))
+    for chunk_ms in (86_400_000, 3_600_000, 200_000):
+        chunked = sorted(
+            map(
+                tuple,
+                moving_avg_time_chunked(ev, ["event_type"], chunk_ms=chunk_ms)
+                .select(*cols)
+                .collect(),
+            )
+        )
+        assert chunked == plain
+    import re
+
+    import pytest
+
+    plan = (
+        moving_avg_time_chunked(ev, ["event_type"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    windows = re.findall(r"Window \[.*?windowspecdefinition\(([^)]*)\)", plan)
+    assert windows and all("_tchunk" in w for w in windows), plan[:4000]
+    with pytest.raises(ValueError):
+        moving_avg_time_chunked(ev, ["event_type"], window_ms=10**9, chunk_ms=1000)
