@@ -2431,6 +2431,13 @@ def q_bigram_logprob(spark, sf_dir):
     return text_ops.bigram_logprob(_t(spark, sf_dir, "documents"))
 
 
+def q_kn_bigram_logprob(spark, sf_dir):
+    """Kneser-Ney bigram-LM document score — the KenLM-grade smoothing
+    rung above bigram_logprob's add-one mixture (text.kn_bigram_logprob
+    docstring: absolute discount D=0.75, continuation-count backoff)."""
+    return text_ops.kn_bigram_logprob(_t(spark, sf_dir, "documents"))
+
+
 def q_chunk_dedup(spark, sf_dir):
     """Chunk-level exact dedup + reconstruction (dedup.chunk_dedup):
     20-token chunks, first corpus-wide occurrence survives, documents
@@ -3971,6 +3978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_rates": q_funnel_rates,
         "dsir_sample": q_dsir_sample,
         "bigram_logprob": q_bigram_logprob,
+        "kn_bigram_logprob": q_kn_bigram_logprob,
         "cms_topk": q_cms_topk,
         "mixture_sample": q_mixture_sample,
         "chunk_dedup": q_chunk_dedup,
@@ -6070,6 +6078,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, coalesce(agg.n_bigrams, 0) AS n_bigrams,
                    agg.avg_logprob
             FROM documents d LEFT JOIN agg USING (doc_id)""",
+        # Kneser-Ney bigram LM: generate_series index-zip rebuilds the same
+        # (v, w) stream as Spark's slice/transform; e0 literals keep the
+        # discount arithmetic in DOUBLE and the term order matches the
+        # operator exactly — ((D*fwd)*bwd)/tot, then /c_v — so per-row p is
+        # bit-identical and only the avg's sum order needs the 6-dp round
+        "kn_bigram_logprob": """
+            WITH t AS (
+              SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+                                         x -> x != '') AS tk
+              FROM documents),
+            e AS (
+              SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 1)) AS i
+              FROM t WHERE len(tk) >= 2),
+            big AS (SELECT doc_id, tk[i] AS v, tk[i + 1] AS w FROM e),
+            bc AS (SELECT v, w, count(*) AS c_vw FROM big GROUP BY v, w),
+            ctx AS (SELECT v, sum(c_vw) AS c_v, count(*) AS n1p_fwd
+                    FROM bc GROUP BY v),
+            cont AS (SELECT w, count(*) AS n1p_bwd FROM bc GROUP BY w),
+            tot AS (SELECT count(*) AS n1p_tot FROM bc),
+            model AS (
+              SELECT v, w,
+                     (greatest(c_vw - 0.75e0, 0e0)
+                      + 0.75e0 * n1p_fwd * n1p_bwd / n1p_tot) / c_v AS p
+              FROM bc JOIN ctx USING (v) JOIN cont USING (w) CROSS JOIN tot)
+            SELECT doc_id, count(*) AS n_bigrams,
+                   round(avg(ln(p)), 6) AS kn_logprob
+            FROM big JOIN model USING (v, w)
+            GROUP BY doc_id""",
         # count-min sketch: col_i = conv(8-hex slice of md5, 16, 10) % 256
         # on the Spark side == the value of the slice's LAST TWO hex chars,
         # which is what the strpos fold below computes (width 256 chosen

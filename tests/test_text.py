@@ -515,3 +515,67 @@ def test_maxsim_topk_k_and_tiebreak(spark):
     assert [(r.doc_id, r.rank) for r in sorted(rows, key=lambda r: r.rank)] == [
         (1, 1), (2, 2), (3, 3)
     ]
+
+
+def test_kn_bigram_logprob_matches_reference_and_backoff_semantics(spark):
+    """Exact match vs a literal Python KN implementation, plus the
+    discriminating property vs add-one smoothing: a word that is frequent
+    but occurs after only ONE context ("francisco") gets a LOW
+    continuation probability, while an equally-frequent word spread over
+    many contexts gets a high one."""
+    import math
+
+    from time_series_databse_engine_spark.operators.text import kn_bigram_logprob
+
+    rows = [
+        (1, "san francisco san francisco san francisco"),
+        (2, "go west go east go north go south"),
+        (3, "san francisco go west"),
+        (4, "solo"),  # < 2 tokens: no bigram, dropped
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in kn_bigram_logprob(df).collect()}
+
+    # literal reference (Chen & Goodman 1999 eq. 4.21, D = 0.75)
+    docs = {i: t.split() for i, t in rows}
+    bigs = [(v, w) for t in docs.values() for v, w in zip(t, t[1:])]
+    c_vw: dict = {}
+    for b in bigs:
+        c_vw[b] = c_vw.get(b, 0) + 1
+    c_v: dict = {}
+    fwd: dict = {}
+    bwd: dict = {}
+    for (v, w), c in c_vw.items():
+        c_v[v] = c_v.get(v, 0) + c
+        fwd[v] = fwd.get(v, 0) + 1
+        bwd[w] = bwd.get(w, 0) + 1
+    tot = len(c_vw)
+    D = 0.75
+
+    def p_kn(v, w):
+        return (max(c_vw[(v, w)] - D, 0.0) + D * fwd[v] * bwd[w] / tot) / c_v[v]
+
+    for i, toks in docs.items():
+        pairs = list(zip(toks, toks[1:]))
+        if not pairs:
+            assert i not in got
+            continue
+        want = sum(math.log(p_kn(v, w)) for v, w in pairs) / len(pairs)
+        assert got[i]["n_bigrams"] == len(pairs)
+        assert abs(got[i]["kn_logprob"] - want) < 1e-6
+
+    # continuation backoff: "francisco" only ever follows "san" (bwd=1);
+    # direction words follow "go" but each also appears just once — the
+    # KN point is P_cont ranks by DISTINCT contexts, not raw frequency
+    assert bwd["francisco"] == 1
+    # doc 1 is three repeats of one burned-in collocation; its KN score is
+    # driven by the high c_vw term, yet francisco's backoff mass is minimal:
+    # p_kn("west"|"go") backoff term > p_kn("francisco"|"san") backoff term
+    back_fran = D * fwd["san"] * bwd["francisco"] / tot
+    back_west = D * fwd["go"] * bwd["west"] / tot
+    assert back_west > back_fran
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        kn_bigram_logprob(df, discount=1.5)

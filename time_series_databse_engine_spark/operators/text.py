@@ -538,6 +538,95 @@ def unigram_logprob(
     )
 
 
+def kn_bigram_logprob(
+    df: DataFrame,
+    discount: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM score per document — the
+    smoothing upgrade over :func:`bigram_logprob`'s add-one mixture: KN
+    (Kneser & Ney 1995; Chen & Goodman 1999 eq. 4.21) is what KenLM — and
+    so every CCNet-descended perplexity filter — actually ships.  The
+    difference is the backoff DISTRIBUTION: add-one backs off to raw
+    unigram frequency, so "francisco" (frequent, but only ever after
+    "san") gets a high backoff score in novel contexts; KN backs off to
+    the continuation count N1+(.w) — in how many DISTINCT contexts does
+    w appear — which sends exactly those burned-in collocation tails
+    toward zero.  On a training corpus that means doc rankings differ
+    where it matters: template/boilerplate docs built from a few frozen
+    collocations.
+
+        P_kn(w|v) = (max(c(vw) - D, 0) + D * N1+(v.) * P_cont(w)) / c(v)
+        P_cont(w) = N1+(.w) / N1+(..)
+
+    with c(v) = sum_w c(vw) (context totals), N1+ the distinct-bigram
+    continuation counts, D the absolute discount.  The model is the
+    corpus's own — scoring the training corpus means every bigram is
+    seen, so no <unk> floor is needed and the op is self-contained and
+    exactly SQL-reproducible (held-out scoring would add a backoff
+    floor for unseen w).
+
+    Output: (id, n_bigrams, kn_logprob = mean ln P_kn); docs with < 2
+    tokens have no bigram and are dropped.
+
+    Scale shape: bigrams come from one in-row array zip (no window, no
+    self-join) and aggregate map-side to a distinct-bigram model table;
+    the v- and w-keyed continuation tables are vocab-sized and join the
+    model broadcast.  The corpus's bigram stream joins the model on
+    (v, w) — AQE broadcasts it while it fits; past that it is a plain
+    hash join whose build side is |distinct bigrams|, never the corpus —
+    then shuffles once on doc id for the final mean.
+    """
+    if not 0.0 < discount < 1.0:
+        raise ValueError(f"discount must be in (0, 1), got {discount}")
+    toks = F.filter(F.split(F.lower(F.col(text_col)), "\\s+"), lambda t: t != "")
+    big = (
+        df.select(F.col(id_col), toks.alias("_tk"))
+        .select(
+            id_col,
+            F.explode(
+                F.expr(
+                    "transform(slice(_tk, 1, greatest(size(_tk) - 1, 0)), "
+                    "(v, i) -> struct(v AS v, _tk[i + 1] AS w))"
+                )
+            ).alias("b"),
+        )
+        .select(id_col, F.col("b.v").alias("v"), F.col("b.w").alias("w"))
+    )
+    bc = big.groupBy("v", "w").agg(F.count("*").alias("c_vw"))
+    ctx = bc.groupBy("v").agg(
+        F.sum("c_vw").alias("c_v"), F.count("*").alias("n1p_fwd")
+    )
+    cont = bc.groupBy("w").agg(F.count("*").alias("n1p_bwd"))
+    tot = bc.agg(F.count("*").alias("n1p_tot"))
+    d = F.lit(float(discount))
+    model = (
+        bc.join(F.broadcast(ctx), "v")
+        .join(F.broadcast(cont), "w")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "v",
+            "w",
+            (
+                (
+                    F.greatest(F.col("c_vw") - d, F.lit(0.0))
+                    + d * F.col("n1p_fwd") * F.col("n1p_bwd") / F.col("n1p_tot")
+                )
+                / F.col("c_v")
+            ).alias("p"),
+        )
+    )
+    return (
+        big.join(model, ["v", "w"])
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(F.log("p")), 6).alias("kn_logprob"),
+        )
+    )
+
+
 def dsir_importance_weights(
     df: DataFrame,
     target_pred,
