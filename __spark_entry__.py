@@ -2952,6 +2952,22 @@ def q_bpe_pairs(spark, sf_dir):
     return text_ops.bpe_pair_counts(_t(spark, sf_dir, "documents"), k=20)
 
 
+def q_group_kfold(spark, sf_dir):
+    """Leakage-safe 5-fold CV assignment over events grouped by user —
+    every user's events share one fold (sampling.group_kfold: fold =
+    md5(user) mod k, growth/retry-invariant unlike sklearn GroupKFold).
+    Output is per-(user, fold) event counts: a user straddling folds
+    would split into extra rows and fail the gate's row-count compare."""
+    from time_series_databse_engine_spark.operators import sampling as samp_ops
+
+    ev = _t(spark, sf_dir, "events")
+    return (
+        samp_ops.group_kfold(ev, k=5, group_col="user_id")
+        .groupBy("user_id", "fold")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
 def q_hash_split(spark, sf_dir):
     """Deterministic train/val/test split counts per split — membership
     keyed on md5(doc_id) hex ranges so assignment survives retries and
@@ -3999,6 +4015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-window and their historical green rows stand.  All still
         # verified by the local checker each round.
         "asof_join": q_asof_join,
+        "group_kfold": q_group_kfold,
         "hash_split": q_hash_split,
         "epoch_shuffle": q_epoch_shuffle,
         "snapshot_delta": q_snapshot_delta,
@@ -6773,6 +6790,14 @@ def oracle_sql() -> dict[str, str]:
                round(0.0 + (bin + 0.5) * {500.0 / 64!r}::DOUBLE, 6) AS p95_est
         FROM (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY bin) AS rn
               FROM r WHERE cum >= ceil(0.95 * total)) WHERE rn = 1"""
+    # group_kfold: same hex->int trick as importance_sample's oracle;
+    # conv()'s value is < 2^32 so BIGINT % k == pmod on the Spark side
+    oracles["group_kfold"] = """
+        SELECT user_id,
+               CAST(('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT % 5
+                    AS INTEGER) AS fold,
+               count(*) AS n_events
+        FROM events GROUP BY 1, 2"""
     oracles["hash_split"] = """
         SELECT CASE WHEN d = '0' THEN 'val'
                     WHEN d = '1' THEN 'test'

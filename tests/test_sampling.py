@@ -356,3 +356,31 @@ def test_snapshot_delta_multi_column_digest_order_is_name_sorted(spark):
         [(1, "a", "x", 1.5)], "doc_id long, text string, lang string, extra_new double"
     )
     assert snapshot_delta(old, same).count() == 0
+
+
+def test_group_kfold_one_fold_per_group_and_growth_invariant(spark):
+    """Every group maps to exactly one fold; a group's fold is unchanged
+    by corpus growth (the sklearn-GroupKFold failure mode); folds cover
+    the range and are roughly balanced; k < 2 raises."""
+    import pytest
+
+    from time_series_databse_engine_spark.operators.sampling import group_kfold
+
+    rows = [(i, i % 40) for i in range(400)]  # 40 groups x 10 rows
+    df = spark.createDataFrame(rows, "doc_id long, grp long")
+    out = group_kfold(df, k=5, group_col="grp").collect()
+    by_grp = {}
+    for r in out:
+        by_grp.setdefault(r["grp"], set()).add(r["fold"])
+    assert all(len(s) == 1 for s in by_grp.values())
+    assert all(0 <= next(iter(s)) < 5 for s in by_grp.values())
+    folds = {next(iter(s)) for s in by_grp.values()}
+    assert len(folds) >= 4  # 40 hashed groups cover ~all 5 folds
+
+    # growth invariance: half the corpus assigns identical folds
+    half = group_kfold(df.filter("doc_id < 200"), k=5, group_col="grp").collect()
+    for r in half:
+        assert next(iter(by_grp[r["grp"]])) == r["fold"]
+
+    with pytest.raises(ValueError):
+        group_kfold(df, k=1, group_col="grp")

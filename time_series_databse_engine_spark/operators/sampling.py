@@ -90,6 +90,35 @@ def hash_split(
     return df.withColumn("split", split)
 
 
+def group_kfold(
+    df: DataFrame,
+    k: int = 5,
+    group_col: str = "user_id",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Leakage-safe k-fold cross-validation assignment: every row of a
+    GROUP lands in the same fold, so no fold's validation set contains
+    rows whose group-mates were trained on — the group is the leakage
+    unit (user for behavioral models, host for crawl corpora, dedup
+    cluster id for near-duplicate text; pipe `leakage_safe_split`'s
+    split_key in for the last).
+
+        fold = int(md5(group)[:8], 16) % k
+
+    Hash-gated like every sampler here — a group's fold NEVER changes as
+    the corpus grows or under retries (sklearn's GroupKFold reassigns on
+    any membership change, which silently rotates test sets between
+    pipeline runs), and fold sizes concentrate near n/k by the uniformity
+    of the hash.  Zero shuffles: one codegen'd expression per row.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    h = F.conv(
+        F.substring(F.md5(F.col(group_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    return df.withColumn("fold", F.pmod(h, F.lit(k)).cast("int"))
+
+
 def importance_sample(
     weighted: DataFrame,
     k: int,
