@@ -579,3 +579,41 @@ def test_kn_bigram_logprob_matches_reference_and_backoff_semantics(spark):
 
     with pytest.raises(ValueError):
         kn_bigram_logprob(df, discount=1.5)
+
+
+def test_bpe_oracle_replay_matches_on_adversarial_merges(spark):
+    """The SQL replay oracle (__spark_entry__._bpe_oracle_sql) must agree
+    with bpe_learn+bpe_apply on the two constructions that break naive
+    encodings: back-to-back occurrences of the winning pair ("abab" —
+    a single-separator replace() merges only every second one) and
+    overlapping runs ("aaa" — non-overlap left-to-right must keep the
+    tail)."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entry_mod
+    from time_series_databse_engine_spark.operators.text import bpe_apply, bpe_learn
+
+    rows = [
+        (1, "abab abab ab"),          # back-to-back winning pair
+        (2, "aaa aaaa aa"),           # overlap runs
+        (3, "abab cd cd cd"),         # second-rank pair
+        (4, "x"),                     # single char, nothing to merge
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    merges = bpe_learn(df, num_merges=16)
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in bpe_apply(df, merges).collect()
+    }
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = {
+        int(r.doc_id): (int(r.n_words), int(r.n_bpe_tokens))
+        for r in con.execute(entry_mod._bpe_oracle_sql(16)).df().itertuples()
+    }
+    assert got == want
+    # sanity on the fixture itself: "abab" must compress to ≤ 2 tokens
+    # (a+b -> ab, then ab+ab -> abab requires rank order to hold)
+    assert got[1][1] < got[1][0] * 4

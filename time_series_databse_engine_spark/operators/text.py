@@ -1181,9 +1181,14 @@ def bpe_apply(
     runs as Arrow-batched ``mapInPandas`` with the merge table rides as
     a closure broadcast and a per-worker word cache — Zipf means the
     cache hit rate is extreme, so per-row cost is ~one dict probe per
-    word.  Output: (id, n_words, n_bpe_tokens); no oracle is possible
-    (iterative greedy merge is not SQL-expressible), so correctness is
-    pinned by hand-computed fixtures in test_text.
+    word.  Output: (id, n_words, n_bpe_tokens).  Correctness is pinned
+    by hand-computed fixtures in test_text AND (since round 10) by a
+    full SQL replay oracle: at a fixed merge budget both the training
+    and encode loops unroll into generated CTE stages — see
+    ``__spark_entry__._bpe_oracle_sql`` for the construction and the
+    two equivalence arguments (doubled-separator replace; the
+    min-rank-replace-all ≡ one-pair-at-a-time proof from the BPE rank
+    invariant).
     """
     import pandas as pd
 
