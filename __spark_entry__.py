@@ -2434,6 +2434,24 @@ def q_bigram_logprob(spark, sf_dir):
     return text_ops.bigram_logprob(_t(spark, sf_dir, "documents"))
 
 
+def q_quality_classifier(spark, sf_dir):
+    """Model-based quality filter served from pinned weights
+    (text.classifier_score + fixtures/quality_weights.py): a fastText-
+    style linear classifier over 64-dim hashed BoW features — the
+    GPT-3/LLaMA crawl-filtering step, in the train-once/serve-many shape
+    of semantic_dedup_served.  Serving plan: hashing_vectorize's one
+    explode + (id, bucket) count + norm window, then an array-LITERAL
+    weight lookup (no join) and one id-keyed dot-product aggregate."""
+    from time_series_databse_engine_spark.fixtures.quality_weights import (
+        BIAS,
+        WEIGHTS,
+    )
+
+    return text_ops.classifier_score(
+        _t(spark, sf_dir, "documents"), WEIGHTS, bias=BIAS
+    )
+
+
 def q_kn_bigram_logprob(spark, sf_dir):
     """Kneser-Ney bigram-LM document score — the KenLM-grade smoothing
     rung above bigram_logprob's add-one mixture (text.kn_bigram_logprob
@@ -3737,7 +3755,11 @@ _R10_WINDOW = [
     # stays covered by rolling_median_sketch history, STL by
     # stl_anomaly/holt family, cohort by funnel+cap_events; rotate back
     # in r11)
+    # (quality_classifier also f2: new pinned-weights served classifier,
+    # displacing fuzzy_join — r4-green, join family stays covered by
+    # asof/interval/bucketed-join rows in-window)
     "kn_bigram_logprob", "group_kfold", "bpe_tokenize",
+    "quality_classifier",
     "epoch_shuffle", "snapshot_delta", "zscore_chunked",
     "moving_avg_chunked",
     # (a) conversions from rows-only (VERDICT r9 "What's missing" #3)
@@ -3758,7 +3780,7 @@ _R10_WINDOW = [
     "json_props", "sql_supplier_revenue", "doc_chunks",
     "psi_drift", "psi_drift_incremental", "psi_drift_categorical",
     # (e) r4-vintage picks
-    "fuzzy_join", "cap_events", "c4_rules",
+    "cap_events", "c4_rules",
 ]
 
 # r9 window kept for greppable history (superseded by _R10_WINDOW):
@@ -4006,6 +4028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_sample": q_dsir_sample,
         "bigram_logprob": q_bigram_logprob,
         "kn_bigram_logprob": q_kn_bigram_logprob,
+        "quality_classifier": q_quality_classifier,
         "cms_topk": q_cms_topk,
         "mixture_sample": q_mixture_sample,
         "chunk_dedup": q_chunk_dedup,
@@ -4899,6 +4922,56 @@ def _ivfpq_oracle_sql(quantizer_from: str = "embeddings") -> str:
                                            ORDER BY approx_d2 ASC, cand_id ASC)
                           AS rank
               FROM s) WHERE rank <= 5"""
+
+
+def _quality_classifier_oracle_sql() -> str:
+    """Replay classifier_score with the pinned fixture weights as an
+    integer MICRO-UNIT array literal: hashing_vectors' bucket/weight
+    CTEs, an arr[bucket + 1] lookup, and the exact-integer dot product +
+    half-away division classifier_score's docstring derives (a float sum
+    + round(…, 6) genuinely ties here — products of two 6-dp-quantized
+    factors sit on a 1e-12 grid that intersects the 5e-7 boundary)."""
+    from time_series_databse_engine_spark.fixtures.quality_weights import (
+        BIAS,
+        WEIGHTS,
+    )
+
+    arr = "[" + ", ".join(str(int(round(w * 1e6))) for w in WEIGHTS) + "]"
+    bias_u = int(round(BIAS * 1e6))
+    return f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                    x -> x != '')) AS t
+          FROM documents),
+        c AS (SELECT doc_id,
+                     ((strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1) * 16
+                      + (strpos('0123456789abcdef', substr(md5(t), 2, 1)) - 1))
+                       % 64 AS bucket,
+                     count(*) AS n
+              FROM toks GROUP BY 1, 2),
+        w AS (SELECT doc_id, bucket,
+                     round(n / sqrt(sum(n * n) OVER (PARTITION BY doc_id)), 6)
+                         AS weight
+              FROM c),
+        wu AS (SELECT doc_id, bucket,
+                      CAST(round(weight * 1000000.0e0) AS BIGINT) AS wgt_u
+               FROM w),
+        agg AS (
+          SELECT doc_id,
+                 {bias_u}::BIGINT * 1000000 + sum(({arr})[bucket + 1] * wgt_u)
+                     AS lu
+          FROM wu GROUP BY doc_id),
+        l AS (SELECT doc_id,
+                     CAST(CASE WHEN lu >= 0 THEN (lu + 500000) // 1000000
+                               ELSE -((-lu + 500000) // 1000000) END
+                          AS BIGINT) AS logit_micro
+              FROM agg),
+        p AS (SELECT doc_id, logit_micro,
+                     round(1.0e0 / (1.0e0
+                           + exp(-(logit_micro / 1000000.0e0))), 6) AS prob
+              FROM l)
+        SELECT doc_id, logit_micro, prob, prob >= 0.5e0 AS keep FROM p"""
 
 
 def _bpe_oracle_sql(num_merges: int = 16) -> str:
@@ -6914,6 +6987,7 @@ def oracle_sql() -> dict[str, str]:
     # stages — see _bpe_oracle_sql's docstring for the two equivalence
     # arguments (doubled-separator replace; min-rank replace-all)
     oracles["bpe_tokenize"] = _bpe_oracle_sql(16)
+    oracles["quality_classifier"] = _quality_classifier_oracle_sql()
     oracles["hash_split"] = """
         SELECT CASE WHEN d = '0' THEN 'val'
                     WHEN d = '1' THEN 'test'

@@ -617,3 +617,35 @@ def test_bpe_oracle_replay_matches_on_adversarial_merges(spark):
     # sanity on the fixture itself: "abab" must compress to ≤ 2 tokens
     # (a+b -> ab, then ab+ab -> abab requires rank order to hold)
     assert got[1][1] < got[1][0] * 4
+
+
+def test_classifier_score_planted_weight_bucket(spark):
+    """A weight vector hot on exactly one token's hash bucket separates
+    docs containing that token; logit_micro is the exact integer the
+    micro-unit arithmetic predicts; empty weights raise."""
+    import hashlib
+
+    import pytest
+
+    from time_series_databse_engine_spark.operators.text import classifier_score
+
+    def bucket(t):
+        return int(hashlib.md5(t.encode()).hexdigest()[:2], 16) % 64
+
+    b = bucket("goodtoken")
+    weights = [0.0] * 64
+    weights[b] = 20.0
+    fillers = [t for t in ("w%d" % i for i in range(40)) if bucket(t) != b][:3]
+    rows = [(1, "goodtoken"), (2, " ".join(fillers)), (3, "")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in classifier_score(df, weights, bias=-10.0).collect()}
+
+    # doc 1: phi[b] = 1.0 -> lu = -10e12 + 20e6*1e6 = 10e12 -> 10_000_000
+    assert out[1]["logit_micro"] == 10_000_000
+    assert out[1]["keep"] and out[1]["prob"] > 0.99
+    assert out[2]["logit_micro"] == -10_000_000
+    assert not out[2]["keep"] and out[2]["prob"] < 0.01
+    assert 3 not in out  # zero tokens -> no feature rows -> dropped
+
+    with pytest.raises(ValueError):
+        classifier_score(df, [])

@@ -1268,6 +1268,84 @@ def hashing_vectorize(
     )
 
 
+def classifier_score(
+    df: DataFrame,
+    weights: list[float],
+    bias: float = 0.0,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Model-based quality filter, serving half — the fastText-classifier
+    step (Joulin et al. 2016) that GPT-3/LLaMA-class pipelines run over
+    the whole crawl: a linear model on hashed bag-of-words features,
+    trained ONCE offline on labeled samples and served at corpus scale
+    with pinned weights (`tools/gen_quality_weights.py` trains and pins
+    `fixtures/quality_weights.py` — the kmeans_cells.py train-once/
+    serve-many discipline applied to a classifier).
+
+        logit(doc) = b + w · phi(doc)        phi = hashing_vectorize BoW
+        prob       = sigmoid(logit)          keep = prob >= threshold
+
+    Serving plan: features come from :func:`hashing_vectorize` (one
+    explode + one (id, bucket) count + a per-doc norm window); the weight
+    vector rides as an ARRAY LITERAL indexed by bucket — no join, no
+    broadcast table, pure codegen — and the per-doc dot product is one
+    more id-keyed aggregate.
+
+    The dot product runs in EXACT INTEGER micro-units (the repo's
+    cross-engine float-determinism discipline): both factors are 6-dp
+    quantized — the pinned weights by the trainer, the feature weights
+    by hashing_vectorize — so every product lies on a 1e-12 grid that
+    INTERSECTS the 5e-7 rounding boundary, and a float sum + round(…, 6)
+    genuinely ties (measured: one sf0.01 doc lands logit-sum exactly at
+    0.3189385, and Spark's BigDecimal-of-string round disagrees with
+    DuckDB's binary round on which side it falls).  Integer products,
+    integer sum, integer half-away division define the tie away; the
+    output is ``logit_micro`` (BIGINT, 1e-6 units) with prob computed
+    from it (transcendental, so its own 6-dp round is boundary-safe).
+    Docs with zero tokens have no feature rows and are dropped, as in
+    hashing_vectorize.
+    """
+    dim = len(weights)
+    if dim < 1:
+        raise ValueError("weights must be non-empty")
+    wu = [int(round(float(w) * 1e6)) for w in weights]
+    bias_u = int(round(float(bias) * 1e6))
+    feats = hashing_vectorize(df, dim=dim, text_col=text_col, id_col=id_col)
+    arr = F.array(*[F.lit(w) for w in wu])
+    # 6-dp weight -> exact micro int (error << 0.5, so the round is safe)
+    wgt_u = F.round(F.col("weight") * 1e6, 0).cast("long")
+    contrib = F.element_at(arr, F.col("bucket") + 1).cast("long") * wgt_u
+    prob = F.round(
+        F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.col("logit_micro") / F.lit(1e6)))), 6
+    )
+    return (
+        feats.select(id_col, contrib.alias("c"))
+        .groupBy(id_col)
+        .agg(
+            (F.lit(bias_u).cast("long") * F.lit(1_000_000) + F.sum("c")).alias(
+                "_lu"
+            )
+        )
+        # 1e-12-unit logit -> half-away-from-zero integer division to 1e-6
+        # (DIV truncates toward zero, so both branches see positive args)
+        .withColumn(
+            "logit_micro",
+            F.expr(
+                "CASE WHEN _lu >= 0 THEN (_lu + 500000) DIV 1000000 "
+                "ELSE -((-_lu + 500000) DIV 1000000) END"
+            ),
+        )
+        .select(
+            id_col,
+            "logit_micro",
+            prob.alias("prob"),
+            (prob >= F.lit(float(threshold))).alias("keep"),
+        )
+    )
+
+
 def _maxsim_bucket(tok_col, dim: int):
     """md5 first-two-hex-digits bucket — hashing_vectorize's feature map."""
     return F.pmod(
