@@ -2649,6 +2649,16 @@ def q_counter_rate_1h(spark, sf_dir):
     )
 
 
+def q_decayed_topk(spark, sf_dir):
+    """Exponentially time-decayed trending leaderboard: top-20 users by
+    half-life-weighted event mass (timeseries.decayed_topk, 1-day half
+    life anchored at the corpus max ts) — one map-side partial agg + a
+    k-heap TakeOrderedAndProject on the rounded score."""
+    return ts_ops.decayed_topk(
+        _t(spark, sf_dir, "events"), ["user_id"], half_life_ms=86_400_000, k=20
+    )
+
+
 def q_time_weighted_avg(spark, sf_dir):
     """Time-weighted (LOCF step-integration) average per series over the
     first week — the TimescaleDB time_weight('LOCF') semantics."""
@@ -3330,6 +3340,19 @@ def q_host_profile(spark, sf_dir):
     )
 
 
+def q_domain_cap(spark, sf_dir):
+    """Per-registered-domain page cap (web.domain_cap_sample): the
+    RefinedWeb/C4 rebalancing step — ≤5 pages per eTLD+1 in md5(id)
+    order, subdomains (www./cdn.) collapsing to one publisher via the
+    pinned public-suffix snapshot.  One domain-keyed exchange; the
+    rn<=cap filter rides the map-side WindowGroupLimit."""
+    from time_series_databse_engine_spark.operators import web
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    planted = docs.select("doc_id", F.expr(_URL_PLANT).alias("url"))
+    return web.domain_cap_sample(planted, cap=5)
+
+
 def q_clean_crawl(spark, sf_dir):
     """End-to-end crawl→corpus composition (pipeline.clean_crawl):
     strip_html → integer boilerplate-ppm gate → rounded quality gate →
@@ -3758,8 +3781,12 @@ _R10_WINDOW = [
     # (quality_classifier also f2: new pinned-weights served classifier,
     # displacing fuzzy_join — r4-green, join family stays covered by
     # asof/interval/bucketed-join rows in-window)
+    # (decayed_topk / domain_cap also f2 — new this session; they
+    # displace the last two (e) picks cap_events / c4_rules, both
+    # r4-green with their categories covered by value_percentiles/
+    # rank_family and quality_score/clean-corpus rows; rotate back r11)
     "kn_bigram_logprob", "group_kfold", "bpe_tokenize",
-    "quality_classifier",
+    "quality_classifier", "decayed_topk", "domain_cap",
     "epoch_shuffle", "snapshot_delta", "zscore_chunked",
     "moving_avg_chunked",
     # (a) conversions from rows-only (VERDICT r9 "What's missing" #3)
@@ -3779,8 +3806,6 @@ _R10_WINDOW = [
     # (d) the six promised back from the r9 displacement
     "json_props", "sql_supplier_revenue", "doc_chunks",
     "psi_drift", "psi_drift_incremental", "psi_drift_categorical",
-    # (e) r4-vintage picks
-    "cap_events", "c4_rules",
 ]
 
 # r9 window kept for greppable history (superseded by _R10_WINDOW):
@@ -3930,6 +3955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_strip": q_html_strip,
         "url_normalize": q_url_normalize,
         "host_profile": q_host_profile,
+        "domain_cap": q_domain_cap,
         # clean_crawl (the composed crawl->corpus cascade, oracle-backed)
         # displaces mmr_topk (driver-green r6; similarity/rerank stays
         # covered in-window by ivfpq_topk, ivf_recall, hamming_topk and
@@ -4080,6 +4106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_md5": q_simhash_md5,
         "date_parts": q_date_parts,
         "time_weighted_avg": q_time_weighted_avg,
+        "decayed_topk": q_decayed_topk,
         "moving_avg_time": q_moving_avg_time,
         "shipping_priority": q_shipping_priority,
         "repetition_stats": q_repetition_stats,
@@ -5607,6 +5634,19 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(inc), 4) / 3600.0 AS rate_per_sec,
                    count(*) AS n_samples
             FROM d GROUP BY 1, 2""",
+        # decayed trending: pow/round term order matches the operator;
+        # ties at the k boundary break on user_id in BOTH engines and the
+        # rank runs on the ROUNDED score so the cut is identical
+        "decayed_topk": f"""
+            WITH now AS (SELECT max({_EV_MS}) AS now_ms FROM events),
+            s AS (SELECT user_id,
+                         round(sum(power(0.5e0,
+                               (now_ms - {_EV_MS}) / 86400000.0e0)), 6)
+                             AS decayed_score,
+                         count(*) AS n_events
+                  FROM events CROSS JOIN now GROUP BY user_id)
+            SELECT user_id, decayed_score, n_events FROM s
+            ORDER BY decayed_score DESC, user_id LIMIT 20""",
         "time_weighted_avg": f"""
             WITH s AS (
               SELECT event_type, {_EV_MS} AS ts_ms, event_id, value
@@ -6886,6 +6926,29 @@ def oracle_sql() -> dict[str, str]:
     oracles["url_normalize"] = f"""
         WITH {_url_parts_cte(500)}
         SELECT doc_id, url_norm, host, path, n_params FROM urls"""
+    # domain_cap: eTLD+1 from the SAME pinned suffix snapshot the
+    # operator broadcasts (imported, not re-typed — no drift), then the
+    # md5-order per-domain row_number cap
+    from time_series_databse_engine_spark.operators.web import (
+        MULTI_LABEL_SUFFIXES as _PSL,
+    )
+
+    _psl_list = ", ".join(f"'{s}'" for s in _PSL)
+    oracles["domain_cap"] = f"""
+        WITH {_url_parts_cte(2000)},
+        d AS (SELECT doc_id, host,
+                     CASE WHEN len(string_split(host, '.')) <= 2 THEN host
+                          WHEN array_to_string(string_split(host, '.')[-2:], '.')
+                               IN ({_psl_list})
+                          THEN array_to_string(string_split(host, '.')[-3:], '.')
+                          ELSE array_to_string(string_split(host, '.')[-2:], '.')
+                     END AS domain
+              FROM urls),
+        r AS (SELECT doc_id, host, domain,
+                     row_number() OVER (PARTITION BY domain
+                         ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+              FROM d)
+        SELECT doc_id, host, domain FROM r WHERE rn <= 5"""
     oracles["host_profile"] = f"""
         WITH {_url_parts_cte(2000)}
         SELECT host,

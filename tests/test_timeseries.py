@@ -846,3 +846,38 @@ def test_moving_avg_time_chunked_row_identical(spark, sf_dir):
     assert windows and all("_tchunk" in w for w in windows), plan[:4000]
     with pytest.raises(ValueError):
         moving_avg_time_chunked(ev, ["event_type"], window_ms=10**9, chunk_ms=1000)
+
+
+def test_decayed_topk_recency_beats_raw_count(spark):
+    """An item with fewer but fresher events outranks one with more but
+    stale events once the age gap spans enough half-lives; the mergeable
+    identity score(t2) = score(t1)*decay + fresh holds exactly; the
+    half-life guard raises."""
+    import pytest
+
+    from time_series_databse_engine_spark.operators.timeseries import decayed_topk
+
+    hl = 1000  # 1s half-life
+    now = 100_000
+    rows = (
+        # "stale": 8 events, 10 half-lives old -> mass 8 * 2^-10 ~ 0.0078
+        [(i, "stale", now - 10_000) for i in range(8)]
+        # "fresh": 2 events at now -> mass 2.0
+        + [(100 + i, "fresh", now) for i in range(2)]
+    )
+    df = spark.createDataFrame(rows, "event_id long, item string, ts_ms long")
+    out = decayed_topk(df, ["item"], half_life_ms=hl, k=2, now_ms=now).collect()
+    assert [r["item"] for r in out] == ["fresh", "stale"]
+    got = {r["item"]: r for r in out}
+    assert got["fresh"]["decayed_score"] == 2.0
+    assert abs(got["stale"]["decayed_score"] - 8 * 2**-10) < 1e-6
+    assert got["stale"]["n_events"] == 8
+
+    # mergeability: yesterday's score decayed to `now` + fresh events
+    old = decayed_topk(
+        df.filter("ts_ms < 100000"), ["item"], half_life_ms=hl, k=10, now_ms=now - 10_000
+    ).collect()[0]
+    assert abs(old["decayed_score"] * 2**-10 - got["stale"]["decayed_score"]) < 1e-6
+
+    with pytest.raises(ValueError):
+        decayed_topk(df, ["item"], half_life_ms=0)

@@ -185,3 +185,56 @@ def test_host_profile_skew_absorbed_map_side(spark):
     assert hot.n_pages == sum(1 for i in range(n) if i % 10 < 9)
     assert hot.n_paths == hot.n_pages  # unique paths by construction
     assert len(rows) == 1 + 97
+
+
+def test_registered_domain_and_domain_cap(spark):
+    """eTLD+1: multi-label public suffixes keep three labels, plain TLDs
+    two, bare suffixes/single labels pass through; the cap counts ALL
+    subdomains of a publisher against ONE budget; order is md5(id)
+    deterministic; cap < 1 raises."""
+    import pytest
+
+    from time_series_databse_engine_spark.operators.web import (
+        domain_cap_sample,
+        registered_domain,
+    )
+
+    hosts = spark.createDataFrame(
+        [
+            ("www.example.co.uk",), ("cdn.example.co.uk",), ("example.co.uk",),
+            ("deep.a.b.example.com",), ("example.com",), ("co.uk",),
+            ("localhost",),
+        ],
+        ["host"],
+    )
+    got = {
+        r["host"]: r["d"]
+        for r in hosts.select("host", registered_domain("host").alias("d")).collect()
+    }
+    assert got["www.example.co.uk"] == "example.co.uk"
+    assert got["cdn.example.co.uk"] == "example.co.uk"
+    assert got["example.co.uk"] == "example.co.uk"
+    assert got["deep.a.b.example.com"] == "example.com"
+    assert got["example.com"] == "example.com"
+    assert got["co.uk"] == "co.uk"
+    assert got["localhost"] == "localhost"
+
+    # 12 pages spread over www./cdn./bare subdomains of ONE publisher
+    # plus 2 pages of another: cap=3 keeps 3 + 2
+    subs = ["www.", "cdn.", ""]
+    rows = [(i, f"https://{subs[i % 3]}pub.com/p{i}") for i in range(12)]
+    rows += [(100, "https://other.org/x"), (101, "https://www.other.org/y")]
+    df = spark.createDataFrame(rows, ["doc_id", "url"])
+    out = domain_cap_sample(df, cap=3)
+    picked = out.collect()
+    by_dom = {}
+    for r in picked:
+        by_dom.setdefault(r["domain"], []).append(r["doc_id"])
+    assert len(by_dom["pub.com"]) == 3
+    assert sorted(by_dom["other.org"]) == [100, 101]
+    # determinism: rerun picks the identical ids
+    again = {r["doc_id"] for r in domain_cap_sample(df, cap=3).collect()}
+    assert again == {r["doc_id"] for r in picked}
+
+    with pytest.raises(ValueError):
+        domain_cap_sample(df, cap=0)

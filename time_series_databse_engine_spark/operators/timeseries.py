@@ -199,6 +199,54 @@ def topk_per_group(
     return df.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
 
 
+def decayed_topk(
+    df: DataFrame,
+    keys: list[str],
+    half_life_ms: int,
+    k: int = 20,
+    ts_ms: str = "ts_ms",
+    now_ms: int | None = None,
+) -> DataFrame:
+    """Trending top-k with exponential time decay — the "what's hot NOW"
+    leaderboard (Hacker News / Reddit ranking shape): each event
+    contributes ``0.5 ** ((now - ts) / half_life)``, so an item needs
+    twice the events per half-life of age to outrank a fresh one, and
+    plain all-time top-k (what a bare count gives) stops burying
+    yesterday's viral spike.
+
+    ``now_ms`` defaults to the corpus max timestamp so the statistic is
+    deterministic and backtestable; pass wall-clock at serving time.
+
+    Scale shape: one map-side partial aggregate on the item keys (sum of
+    per-row decay weights + count), then a k-heap
+    ``TakeOrderedAndProject`` on the ROUNDED score with the keys as
+    tiebreak — no global sort, no per-item history.  The decayed sum is
+    also mergeable across time-partitioned increments the same way the
+    sketch rollups are: ``score(t2) = score(t1) * 0.5^((t2-t1)/hl) +
+    new_events`` — a daily-increment serving layer needs only the
+    previous day's scores, never a rescan.
+    """
+    if half_life_ms <= 0:
+        raise ValueError(f"half_life_ms must be positive, got {half_life_ms}")
+    if now_ms is None:
+        now_ms = df.agg(F.max(ts_ms)).collect()[0][0]
+    w = F.pow(
+        F.lit(0.5), (F.lit(int(now_ms)) - F.col(ts_ms)) / F.lit(float(half_life_ms))
+    )
+    scored = (
+        df.groupBy(*keys)
+        .agg(
+            F.round(F.sum(w), 6).alias("decayed_score"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy(
+            F.col("decayed_score").desc(), *[F.col(c).asc() for c in keys]
+        )
+        .limit(k)
+    )
+    return scored
+
+
 def ohlc_bars(
     df: DataFrame,
     bucket_ms: int,

@@ -35,7 +35,7 @@ quality/dedup signals.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window as W, functions as F
 
 # Block-level elements whose *content* is invisible, not just the tags.
 # One pattern per element — NO backreferences, so the identical pattern
@@ -176,4 +176,82 @@ def host_profile(urls: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 F.avg(F.when(F.col("n_params") > 0, 1.0).otherwise(0.0)), 6
             ).alias("with_query_frac"),
         )
+    )
+
+
+# Pinned snapshot of the multi-label entries a crawl pipeline actually
+# hits — the registrable-domain boundary is NOT "last two labels" for
+# these registries (publicsuffix.org; swap in the full PSL table at
+# production scale, the expression shape is unchanged: the list rides
+# as a broadcast literal either way).
+MULTI_LABEL_SUFFIXES = [
+    "co.uk", "ac.uk", "org.uk", "gov.uk", "me.uk", "net.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.br", "net.br", "org.br", "com.cn", "net.cn", "org.cn",
+    "com.mx", "co.in", "net.in", "org.in", "co.kr", "or.kr",
+    "com.tw", "co.za", "org.za", "com.sg", "com.hk", "com.ar",
+]
+
+
+def registered_domain(host_col) -> F.Column:
+    """eTLD+1 (registrable domain) of an already-lowercased host — the
+    unit domain-level curation actually caps on: ``www.example.co.uk``,
+    ``cdn.example.co.uk`` and ``example.co.uk`` are one publisher, and a
+    per-HOST cap would hand a subdomain farm cap × |subdomains| slots.
+
+    Pure column expression: split on dots, take the last 3 labels when
+    the last 2 are a pinned multi-label public suffix, else the last 2;
+    bare suffixes and single labels pass through unchanged.
+    """
+    host = F.col(host_col) if isinstance(host_col, str) else host_col
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    last2 = F.concat_ws(
+        ".", F.element_at(labels, -2), F.element_at(labels, -1)
+    )
+    last3 = F.concat_ws(
+        ".", F.element_at(labels, -3), F.element_at(labels, -2),
+        F.element_at(labels, -1),
+    )
+    return (
+        F.when(n <= 2, host)
+        .when(last2.isin(*MULTI_LABEL_SUFFIXES), last3)
+        .otherwise(last2)
+    )
+
+
+def domain_cap_sample(
+    df: DataFrame,
+    cap: int = 100,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-registered-domain page cap — the RefinedWeb/C4 rebalancing
+    step between URL canonicalization and text dedup: without it a
+    handful of template-heavy domains (forums, e-commerce listings)
+    dominate the token budget.  Keeps at most ``cap`` pages per eTLD+1
+    in deterministic md5(id) order (growth/retry-invariant, uniform
+    within each domain).
+
+    Output: (id, host, domain).  Shape: the URL parse and the domain
+    expression ride the scan; ONE domain-keyed exchange for the
+    row_number, and the ``rn <= cap`` filter rides Spark's map-side
+    WindowGroupLimit so each map task forwards at most ``cap`` rows per
+    domain before the shuffle — a hot domain never concentrates its
+    full page list on one task (the diverse_sample guard, re-used).
+    """
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    urls = normalize_urls(df, url_col=url_col, id_col=id_col)
+    keyed = urls.select(
+        id_col, "host", registered_domain("host").alias("domain")
+    )
+    w = W.partitionBy("domain").orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        keyed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
     )
