@@ -159,6 +159,11 @@ HEADLINE = [
     "snapshot_delta",
     "zscore_chunked",
     "moving_avg_chunked",
+    "kn_bigram_logprob",
+    "group_kfold",
+    "quality_classifier",
+    "decayed_topk",
+    "domain_cap",
 ]
 
 # repeated-run latency distribution for the reference's hot/cold point
@@ -408,6 +413,33 @@ def main():
             )
         )
         extra["stream_clean_crawl_pages_per_sec"] = round(n_pages / dt)
+
+        # trending leaderboard maintenance: events as a 4-epoch stream,
+        # each epoch merging strictly-prior decayed state (steady-state
+        # leaderboard serving; the number is epoch merge + commit cost)
+        from time_series_databse_engine_spark.sources import load_table
+        from time_series_databse_engine_spark.streaming.ingest import (
+            stream_decayed_topk,
+        )
+
+        ev_src = load_table(spark, SF_DIR, "events").select(
+            "event_id", "user_id", "ts_ms"
+        )
+        n_ev = ev_src.count()
+        ev_src.repartition(4).write.parquet(tmp + "/trend_src")
+        dt = _drain(
+            stream_decayed_topk(
+                spark.readStream.schema(ev_src.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(tmp + "/trend_src"),
+                tmp + "/trend_out",
+                tmp + "/trend_ckpt",
+                keys=["user_id"],
+                half_life_ms=86_400_000,
+                k=20,
+            )
+        )
+        extra["stream_decayed_topk_rows_per_sec"] = round(n_ev / dt)
 
         # --- storage efficiency (reference: ~8.2 B/pt)
         nbytes = sum(

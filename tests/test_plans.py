@@ -1140,3 +1140,31 @@ def test_hilbert_key_pandas_bit_identical_incl_nulls(spark):
 
     with pytest.raises(ValueError):
         hilbert_key_pandas(F.col("x"), F.col("y"), bits=0)
+
+
+def test_domain_cap_map_side_window_group_limit(spark):
+    """domain_cap_sample's rn <= cap filter must ride the map-side
+    WindowGroupLimit(Partial) before the domain-keyed exchange — the
+    diverse_sample hot-cell guard applied to hot domains: a domain with
+    10^9 pages forwards <= cap rows per map task, never its full page
+    list.  Pinned so a refactor separating the filter from the window
+    (breaking InferWindowGroupLimit) fails loudly."""
+    from time_series_databse_engine_spark.operators.web import domain_cap_sample
+    from time_series_databse_engine_spark.plans import formatted_plan
+
+    df = spark.createDataFrame(
+        [(i, f"https://www.pub{i % 7}.com/p{i}") for i in range(200)],
+        ["doc_id", "url"],
+    )
+    out = domain_cap_sample(df, cap=5)
+    plan = formatted_plan(out)
+    lines = plan.splitlines()
+    limits = [
+        n for n, l in enumerate(lines) if "row_number(), 5, Partial" in l
+    ]
+    assert limits, "map-side WindowGroupLimit(Partial) missing from plan"
+    first_exchange = next(
+        n for n, l in enumerate(lines)
+        if l.startswith("Arguments: hashpartitioning(domain")
+    )
+    assert limits[0] < first_exchange

@@ -503,3 +503,87 @@ def test_streaming_psi_drift_exactly_once(spark, tmp_path):
     met2 = {r.epoch_id: r for r in spark.read.parquet(out + "/metrics").collect()}
     assert {k: tuple(v) for k, v in met2.items()} == {k: tuple(v) for k, v in met.items()}
     assert spark.read.parquet(out + "/counts").agg(F.sum("cnt")).collect()[0][0] == 2000
+
+
+def test_streaming_decayed_topk_matches_batch_and_replays_exactly_once(
+    spark, tmp_path
+):
+    """The trending leaderboard's live leg: two micro-batches of events
+    whose merged leaderboard must equal the BATCH decayed_topk over the
+    union (scores within float tolerance of the rescale identity, rank
+    order exact); a full crash replay converges to identical state and
+    leaderboards."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from time_series_databse_engine_spark.operators.timeseries import decayed_topk
+    from time_series_databse_engine_spark.streaming.ingest import (
+        stream_decayed_topk,
+    )
+
+    hl = 60_000
+    # batch 1 (old): "stale" piles up 30 events at t=0..30k
+    b1 = [(i, "stale", i * 1_000) for i in range(30)]
+    # batch 2 (fresh, 10 half-lives later): "fresh" gets 4 recent events
+    b2 = [(100 + i, "fresh", 600_000 + i * 1_000) for i in range(4)] + [
+        (200, "stale", 601_000)
+    ]
+    src = str(tmp_path / "src")
+    schema = "event_id long, item string, ts_ms long"
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(src + "/b1")
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(src + "/b2")
+    out = str(tmp_path / "trend")
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/*")
+        )
+        q = stream_decayed_topk(
+            stream,
+            out,
+            str(tmp_path / "ckpt"),
+            keys=["item"],
+            half_life_ms=hl,
+            k=5,
+        ).start()
+        q.awaitTermination(120)
+        q.stop()
+
+    run()
+    # epoch 1's leaderboard is the final one; compare vs the batch op
+    # (file order into epochs isn't guaranteed, so anchor on max epoch)
+    import glob as g
+
+    last = max(
+        int(d.split("=")[-1]) for d in g.glob(out + "/topk/epoch=*")
+    )
+    live = spark.read.parquet(f"{out}/topk/epoch={last}").orderBy(
+        F.desc("decayed_score")
+    ).collect()
+    full = spark.createDataFrame(b1 + b2, schema)
+    want = decayed_topk(full, ["item"], half_life_ms=hl, k=5).collect()
+    assert [r["item"] for r in live] == [r["item"] for r in want]
+    assert [r["n_events"] for r in live] == [r["n_events"] for r in want]
+    for lr, wr in zip(live, want):
+        assert abs(lr["decayed_score"] - wr["decayed_score"]) < 1e-6
+    # recency won: 4 fresh events outrank 30 stale + 1 recent
+    assert live[0]["item"] == "fresh"
+
+    # crash replay: wipe checkpoint, re-run, state + topk bit-identical
+    before_state = sorted(
+        tuple(r) for r in spark.read.parquet(out + "/state").collect()
+    )
+    before_top = sorted(
+        tuple(r) for r in spark.read.parquet(out + "/topk").collect()
+    )
+    shutil.rmtree(str(tmp_path / "ckpt"))
+    run()
+    assert sorted(
+        tuple(r) for r in spark.read.parquet(out + "/state").collect()
+    ) == before_state
+    assert sorted(
+        tuple(r) for r in spark.read.parquet(out + "/topk").collect()
+    ) == before_top

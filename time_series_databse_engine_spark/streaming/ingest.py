@@ -649,6 +649,113 @@ def stream_psi_drift_categorical(
     )
 
 
+def stream_decayed_topk(
+    stream: DataFrame,
+    out_path: str,
+    checkpoint_dir: str,
+    keys: list[str] | None = None,
+    half_life_ms: int = 86_400_000,
+    k: int = 20,
+    ts_ms: str = "ts_ms",
+):
+    """Streaming trending leaderboard — the live leg of
+    :func:`operators.timeseries.decayed_topk`, completing the
+    batch+streaming pair the way the drift monitors have one.  The key
+    is the batch operator's MERGE IDENTITY: a decayed mass anchored at
+    time ``a`` rescales to any later anchor ``A`` by the per-anchor
+    scalar ``0.5^((A-a)/hl)``, so per-epoch state needs only (key,
+    mass, anchor_ms) — never the events — and ranking is
+    anchor-invariant (the rescale multiplies every key by the same
+    positive factor).  Anchors ride WITH the state instead of a global
+    "now" so exponents stay ≤ 0 (no overflow at epoch-ms scale).
+
+    Two epoch-partitioned tables land under ``out_path``:
+
+    * ``state/epoch=N/`` — the batch's per-key (mass, anchor_ms,
+      n_events), anchored at the batch's own max timestamp;
+    * ``topk/epoch=N/``  — the merged leaderboard after this epoch:
+      all strictly-prior states rescaled to the newest anchor, summed,
+      rounded to 6 dp, top-k with the keys as tiebreak — the batch
+      operator's exact output shape.
+
+    Exactly-once by the :func:`stream_psi_drift` contract: strictly-
+    prior state reads (later epochs' dirs exist during a replay) and
+    delete-then-rename epoch dirs, so a crash replay converges to
+    bit-identical state and leaderboards.
+    """
+    import glob
+    import os
+    import shutil
+
+    keys = keys or ["user_id"]
+    if half_life_ms <= 0:
+        raise ValueError(f"half_life_ms must be positive, got {half_life_ms}")
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        eid = int(epoch_id)
+        tmp_root = os.path.join(out_path, "_tmp", f"epoch-{eid}")
+        shutil.rmtree(tmp_root, ignore_errors=True)
+
+        anchor = batch_df.agg(F.max(ts_ms)).collect()[0][0]
+        if anchor is None:
+            return  # empty batch: no state, leaderboard unchanged
+        w = F.pow(
+            F.lit(0.5),
+            (F.lit(int(anchor)) - F.col(ts_ms)) / F.lit(float(half_life_ms)),
+        )
+        state = (
+            batch_df.groupBy(*keys)
+            .agg(F.sum(w).alias("mass"), F.count("*").alias("n_events"))
+            .withColumn("anchor_ms", F.lit(int(anchor)))
+        )
+        state_tmp = os.path.join(tmp_root, "state")
+        state.write.mode("overwrite").parquet(state_tmp)
+        fresh = spark.read.parquet(state_tmp)
+
+        prior = [
+            d
+            for d in glob.glob(os.path.join(out_path, "state", "epoch=*"))
+            if int(os.path.basename(d).split("=", 1)[1]) < eid
+        ]
+        allst = fresh
+        if prior:
+            allst = fresh.unionByName(
+                spark.read.parquet(*prior).select(fresh.columns)
+            )
+        amax = allst.agg(F.max("anchor_ms")).collect()[0][0]
+        rescale = F.pow(
+            F.lit(0.5),
+            (F.lit(int(amax)) - F.col("anchor_ms")) / F.lit(float(half_life_ms)),
+        )
+        topk = (
+            allst.groupBy(*keys)
+            .agg(
+                F.round(F.sum(F.col("mass") * rescale), 6).alias("decayed_score"),
+                F.sum("n_events").alias("n_events"),
+            )
+            .orderBy(
+                F.col("decayed_score").desc(), *[F.col(c).asc() for c in keys]
+            )
+            .limit(k)
+        )
+        topk_tmp = os.path.join(tmp_root, "topk")
+        topk.coalesce(1).write.mode("overwrite").parquet(topk_tmp)
+
+        for name, tmp in (("state", state_tmp), ("topk", topk_tmp)):
+            dst = os.path.join(out_path, name, f"epoch={eid}")
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            shutil.rmtree(dst, ignore_errors=True)
+            os.rename(tmp, dst)
+        shutil.rmtree(tmp_root, ignore_errors=True)
+
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+
+
 def _psi_epoch_writer(
     ref_counts: DataFrame, bin_fn, out_path: str, n_bins: int, alarm: float
 ):
