@@ -6334,7 +6334,9 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 1)) AS i
               FROM t WHERE len(tk) >= 2),
             big AS (SELECT doc_id, tk[i] AS v, tk[i + 1] AS w FROM e),
-            bc AS (SELECT v, w, count(*) AS c_vw FROM big GROUP BY v, w),
+            db AS (SELECT doc_id, v, w, count(*) AS cnt
+                   FROM big GROUP BY doc_id, v, w),
+            bc AS (SELECT v, w, sum(cnt)::BIGINT AS c_vw FROM db GROUP BY v, w),
             ctx AS (SELECT v, sum(c_vw) AS c_v, count(*) AS n1p_fwd
                     FROM bc GROUP BY v),
             cont AS (SELECT w, count(*) AS n1p_bwd FROM bc GROUP BY w),
@@ -6344,9 +6346,9 @@ def oracle_sql() -> dict[str, str]:
                      (greatest(c_vw - 0.75e0, 0e0)
                       + 0.75e0 * n1p_fwd * n1p_bwd / n1p_tot) / c_v AS p
               FROM bc JOIN ctx USING (v) JOIN cont USING (w) CROSS JOIN tot)
-            SELECT doc_id, count(*) AS n_bigrams,
-                   round(avg(ln(p)), 6) AS kn_logprob
-            FROM big JOIN model USING (v, w)
+            SELECT doc_id, sum(cnt)::BIGINT AS n_bigrams,
+                   round(sum(cnt * ln(p)) / sum(cnt), 6) AS kn_logprob
+            FROM db JOIN model USING (v, w)
             GROUP BY doc_id""",
         # count-min sketch: col_i = conv(8-hex slice of md5, 16, 10) % 256
         # on the Spark side == the value of the slice's LAST TWO hex chars,
