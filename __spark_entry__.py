@@ -2434,6 +2434,16 @@ def q_bigram_logprob(spark, sf_dir):
     return text_ops.bigram_logprob(_t(spark, sf_dir, "documents"))
 
 
+def q_vocab_coverage(spark, sf_dir):
+    """Tokenizer-vocab OOV report per source (text.vocab_coverage,
+    vocab_size=16 of the corpus's ~31 types so the OOV tail is real):
+    token/type coverage of the deterministic top-k vocab — one corpus
+    explode, k-heap vocab, broadcast tag join, source-keyed finish."""
+    return text_ops.vocab_coverage(
+        _t(spark, sf_dir, "documents"), vocab_size=16
+    )
+
+
 def q_quality_classifier(spark, sf_dir):
     """Model-based quality filter served from pinned weights
     (text.classifier_score + fixtures/quality_weights.py): a fastText-
@@ -4055,6 +4065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logprob": q_bigram_logprob,
         "kn_bigram_logprob": q_kn_bigram_logprob,
         "quality_classifier": q_quality_classifier,
+        "vocab_coverage": q_vocab_coverage,
         "cms_topk": q_cms_topk,
         "mixture_sample": q_mixture_sample,
         "chunk_dedup": q_chunk_dedup,
@@ -6320,6 +6331,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, coalesce(agg.n_bigrams, 0) AS n_bigrams,
                    agg.avg_logprob
             FROM documents d LEFT JOIN agg USING (doc_id)""",
+        # vocab coverage: deterministic top-k vocab (count DESC, token ASC)
+        # then a left tag join; all counts exact integers, the rate is the
+        # one float and both engines divide double by the same bigint
+        "vocab_coverage": """
+            WITH toks AS (
+              SELECT source,
+                     unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                        x -> x != '')) AS t
+              FROM documents),
+            freq AS (SELECT t, count(*) AS c FROM toks GROUP BY t),
+            vocab AS (SELECT t FROM freq ORDER BY c DESC, t LIMIT 16),
+            tagged AS (SELECT source, toks.t AS t,
+                              (vocab.t IS NOT NULL) AS iv
+                       FROM toks LEFT JOIN vocab ON toks.t = vocab.t)
+            SELECT source, count(*) AS n_tokens,
+                   sum(CASE WHEN NOT iv THEN 1 ELSE 0 END)::BIGINT AS oov_tokens,
+                   round(sum(CASE WHEN NOT iv THEN 1.0e0 ELSE 0.0e0 END)
+                         / count(*), 6) AS oov_rate,
+                   count(DISTINCT t) AS n_types,
+                   count(DISTINCT CASE WHEN NOT iv THEN t END) AS oov_types
+            FROM tagged GROUP BY source""",
         # Kneser-Ney bigram LM: generate_series index-zip rebuilds the same
         # (v, w) stream as Spark's slice/transform; e0 literals keep the
         # discount arithmetic in DOUBLE and the term order matches the

@@ -649,3 +649,32 @@ def test_classifier_score_planted_weight_bucket(spark):
 
     with pytest.raises(ValueError):
         classifier_score(df, [])
+
+
+def test_vocab_coverage_planted_oov(spark):
+    """Top-k vocab covers the frequent types; the rare token is OOV with
+    exact counts/rate; tiebreak at the boundary is (count DESC, token
+    ASC); vocab_size guard raises."""
+    import pytest
+
+    from time_series_databse_engine_spark.operators.text import vocab_coverage
+
+    rows = [
+        (1, "aa aa aa bb bb rare1", "s1"),
+        (2, "aa bb cc cc zz", "s2"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    # freq: aa=4, bb=3, cc=2, rare1=1, zz=1 -> vocab_size=3 keeps aa,bb,cc
+    got = {r["source"]: r for r in vocab_coverage(df, vocab_size=3).collect()}
+    assert got["s1"]["n_tokens"] == 6 and got["s1"]["oov_tokens"] == 1
+    assert abs(got["s1"]["oov_rate"] - 1 / 6) < 1e-6
+    assert got["s1"]["n_types"] == 3 and got["s1"]["oov_types"] == 1
+    assert got["s2"]["oov_tokens"] == 1 and got["s2"]["oov_types"] == 1
+
+    # boundary tie: vocab_size=4 must pick rare1 over zz (token ASC)
+    got4 = {r["source"]: r for r in vocab_coverage(df, vocab_size=4).collect()}
+    assert got4["s1"]["oov_tokens"] == 0
+    assert got4["s2"]["oov_tokens"] == 1  # zz still out
+
+    with pytest.raises(ValueError):
+        vocab_coverage(df, vocab_size=0)

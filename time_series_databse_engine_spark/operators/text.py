@@ -1284,6 +1284,55 @@ def hashing_vectorize(
     )
 
 
+def vocab_coverage(
+    df: DataFrame,
+    vocab_size: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Tokenizer-vocabulary coverage report — the OOV-rate table that
+    sizes a vocab before training a tokenizer (and the per-source
+    breakdown that shows WHICH corpus slice pays when it is too small:
+    code and non-Latin sources blow up first).  The vocab is the top
+    ``vocab_size`` types by corpus frequency with the deterministic
+    (count DESC, token ASC) tiebreak; per group the report counts token
+    OCCURRENCES outside it, the rate, and the distinct-type split.
+
+    Scale shape: one corpus explode -> map-side partial (token) count;
+    the vocab is a k-heap ``TakeOrderedAndProject`` over that table and
+    broadcasts back onto the token stream (vocab_size rows, never the
+    frequency table); one group-keyed finish aggregate.  Distinct-type
+    counts are per-group distincts — Catalyst expands them map-side —
+    so nothing in the plan holds per-group state.
+    """
+    if vocab_size < 1:
+        raise ValueError(f"vocab_size must be >= 1, got {vocab_size}")
+    toks = df.select(
+        F.col(group_col),
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), "\\s+"), lambda t: t != "")
+        ).alias("t"),
+    )
+    freq = toks.groupBy("t").agg(F.count("*").alias("c"))
+    vocab = (
+        freq.orderBy(F.col("c").desc(), F.col("t").asc())
+        .limit(vocab_size)
+        .select("t", F.lit(1).alias("_in_vocab"))
+    )
+    tagged = toks.join(F.broadcast(vocab), "t", "left")
+    oov = F.col("_in_vocab").isNull()
+    return tagged.groupBy(group_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.when(oov, 1).otherwise(0)).alias("oov_tokens"),
+        F.round(
+            F.sum(F.when(oov, 1.0).otherwise(0.0)) / F.count("*"), 6
+        ).alias("oov_rate"),
+        F.countDistinct("t").alias("n_types"),
+        F.countDistinct(F.when(oov, F.col("t"))).alias("oov_types"),
+    )
+
+
 def classifier_score(
     df: DataFrame,
     weights: list[float],
