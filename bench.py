@@ -164,6 +164,7 @@ HEADLINE = [
     "quality_classifier",
     "decayed_topk",
     "domain_cap",
+    "vocab_coverage",
 ]
 
 # repeated-run latency distribution for the reference's hot/cold point
