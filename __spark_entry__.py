@@ -2059,6 +2059,22 @@ def q_pagerank(spark, sf_dir):
     return pr.select(F.col("id").alias("doc_id"), "pagerank")
 
 
+def q_triangle_count(spark, sf_dir):
+    """Per-node triangle count + local clustering coefficient over the
+    LSH near-dup candidate graph (graph.triangle_count, Schank & Wagner
+    2005 degree-ordered orientation): separates TIGHT template families
+    (high lcc — every member near-dups every other, keep one canonical)
+    from loose pairwise chains that connected components over-merge.
+    Oracle is the brute-force symmetric triple-join per corner — exact
+    on both engines, so counts match bit for bit."""
+    from time_series_databse_engine_spark.operators import graph as graph_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = _scaled_banded_pairs(docs)
+    tc = graph_ops.triangle_count(pairs)
+    return tc.select(F.col("id").alias("doc_id"), "degree", "triangles", "lcc")
+
+
 def q_minhash_containment(spark, sf_dir):
     """Asymmetric containment estimate C(A,B)=|A∩B|/|A| per LSH candidate
     pair — the quote/boilerplate-subset signal symmetric Jaccard hides
@@ -3795,10 +3811,20 @@ _R10_WINDOW = [
     # displace the last two (e) picks cap_events / c4_rules, both
     # r4-green with their categories covered by value_percentiles/
     # rank_family and quality_score/clean-corpus rows; rotate back r11)
+    # (f3, this session) vocab_coverage / hilbert_key landed after the
+    # first window cut, so they join the zero-history lead, displacing
+    # the (d) picks json_props / doc_chunks (both r8-green; JSON funcs
+    # stay covered by string_funcs+date_parts rows in-window, chunking
+    # by pack_sequences/chunk_dedup history; rotate back in r11)
     "kn_bigram_logprob", "group_kfold", "bpe_tokenize",
     "quality_classifier", "decayed_topk", "domain_cap",
     "epoch_shuffle", "snapshot_delta", "zscore_chunked",
-    "moving_avg_chunked",
+    # (f4, this session) triangle_count is brand-new (LSH-graph triangle
+    # census); it displaces the (d) pick sql_supplier_revenue (r8-green;
+    # the SQL-API path stays covered by revenue_by_nation + string_funcs
+    # rows in-window; rotate back in r11)
+    "moving_avg_chunked", "vocab_coverage", "hilbert_key",
+    "triangle_count",
     # (a) conversions from rows-only (VERDICT r9 "What's missing" #3)
     "approx_stats", "hll_distinct_daily", "simhash",
     # (b) results changed by the k=32 served-codebook re-pin
@@ -3813,8 +3839,8 @@ _R10_WINDOW = [
     "sketch_percentile", "string_funcs", "tfidf_top_terms",
     "token_counts_by_lang", "top_ngrams", "union_all_scans",
     "value_percentiles", "zscore_anomaly",
-    # (d) the six promised back from the r9 displacement
-    "json_props", "sql_supplier_revenue", "doc_chunks",
+    # (d) promised back from the r9 displacement (json_props/doc_chunks/
+    # sql_supplier_revenue re-displaced by f3/f4 above)
     "psi_drift", "psi_drift_incremental", "psi_drift_categorical",
 ]
 
@@ -3974,6 +4000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokenize": q_bpe_tokenize,
         "pca_project": q_pca_project,
         "pagerank": q_pagerank,
+        "triangle_count": q_triangle_count,
         "bloom_semijoin": q_bloom_semijoin,
         "ivfpq_topk": q_ivfpq_topk,
         "ann_index_probe": q_ann_index_probe,
@@ -4525,6 +4552,35 @@ def _pagerank_sql(iters: int = 5) -> str:
                      GROUP BY dst) c ON c.id = nodes.id
           CROSS JOIN nn)"""
     return body + f"\nSELECT id AS doc_id, round(rank, 6) AS pagerank FROM r{iters}"
+
+
+def _triangle_sql() -> str:
+    """Brute-force per-corner triangle count over the LSH pair graph:
+    for each node u, count out-neighbor pairs (v, w), v < w, whose
+    closing edge exists — each triangle lands once per corner.  Exact
+    integer counts, so it matches graph.triangle_count's degree-ordered
+    orientation plan exactly; the only float op is the one lcc
+    division, rounded 6 dp on both engines."""
+    return (
+        "\nWITH "
+        + _minhash_lsh_ctes()
+        + """,
+        sym AS (SELECT id1 AS s, id2 AS d FROM pairs
+                UNION SELECT id2, id1 FROM pairs),
+        deg AS (SELECT s, count(*) AS degree FROM sym GROUP BY s),
+        tri AS (SELECT e1.s AS id, count(*) AS triangles
+                FROM sym e1
+                JOIN sym e2 ON e1.s = e2.s AND e1.d < e2.d
+                JOIN sym e3 ON e3.s = e1.d AND e3.d = e2.d
+                GROUP BY e1.s)
+        SELECT deg.s AS doc_id, degree,
+               coalesce(triangles, 0) AS triangles,
+               CASE WHEN degree >= 2
+                    THEN round(2e0 * coalesce(triangles, 0)
+                               / (degree * (degree - 1)), 6)
+                    ELSE 0e0 END AS lcc
+        FROM deg LEFT JOIN tri ON tri.id = deg.s"""
+    )
 
 
 def _bucket_sql(num_planes=4, dim=64, seed=42) -> str:
@@ -5933,6 +5989,7 @@ def oracle_sql() -> dict[str, str]:
             + " JOIN sig b ON p.id2 = b.doc_id"
         ),
         "pagerank": _pagerank_sql(iters=5),
+        "triangle_count": _triangle_sql(),
         "zorder_key": _zorder_sql(bits=16),
         "interval_join_bucketed": f'''
             WITH w AS (SELECT CAST(id AS BIGINT) AS window_id,

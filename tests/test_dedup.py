@@ -246,6 +246,30 @@ def test_pagerank_star_graph_center_wins(spark):
     assert out[10] == out[11]
 
 
+def test_triangle_count_known_graph(spark):
+    from time_series_databse_engine_spark.operators.graph import triangle_count
+
+    # K4 on 0..3 (4 triangles, each corner in 3), a pendant node 4 on 0,
+    # a triangle 10-11-12, and an isolated edge (20, 21).
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    pairs = spark.createDataFrame(
+        k4 + [(0, 4), (10, 11), (10, 12), (11, 12), (20, 21)],
+        "id1 int, id2 int",
+    )
+    out = {r.id: r for r in triangle_count(pairs).collect()}
+    assert len(out) == 10
+    assert all(out[i].triangles == 3 for i in range(4))  # K4 corners
+    assert out[0].degree == 4 and out[1].degree == 3
+    # lcc: node 1 sees all 3 of its neighbor pairs closed; node 0's
+    # pendant edge dilutes it to 3 closed of C(4,2)=6
+    assert out[1].lcc == 1.0 and out[0].lcc == 0.5
+    assert out[4].triangles == 0 and out[4].lcc == 0.0 and out[4].degree == 1
+    assert all(out[i].triangles == 1 and out[i].lcc == 1.0 for i in (10, 11, 12))
+    assert out[20].triangles == 0 and out[21].lcc == 0.0
+    # global triangle count: corner sum / 3
+    assert sum(r.triangles for r in out.values()) == 3 * 5
+
+
 def test_dedup_incremental_planted(spark):
     """New batch vs corpus: an exact copy of a corpus doc is dropped, a
     within-batch duplicate pair keeps only the lower id, and fresh text

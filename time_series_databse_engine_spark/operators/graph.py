@@ -82,3 +82,100 @@ def pagerank(
             .localCheckpoint()
         )
     return ranks.select("id", F.round("rank", 6).alias("pagerank"))
+
+
+def triangle_count(
+    pairs: DataFrame,
+    src_col: str = "id1",
+    dst_col: str = "id2",
+) -> DataFrame:
+    """Per-node triangle count + local clustering coefficient over an
+    undirected pair list (the LSH candidate-pair contract: id1 < id2,
+    distinct).  Triangle density separates TIGHT template families
+    (every member near-dups every other — safe to keep one canonical
+    doc) from loose chains of pairwise matches that connected
+    components glue together but that are NOT mutually similar — the
+    classic over-merge failure of CC-based dedup.
+
+    Scale shape (Schank & Wagner 2005 degree ordering): every edge is
+    oriented from its lower-(degree, id) endpoint to the higher one,
+    so out-degree is bounded by sqrt(2|E|) regardless of skew; wedges
+    are generated per oriented source (sum of outdeg^2, the theoretical
+    minimum for exact counting) and closed with ONE equi-join back
+    against the oriented edge list.  A hub with degree d contributes
+    d^2 wedges to a naive corner-join but only O(|E|) here because the
+    hub sorts LAST in the order and receives edges instead of fanning
+    them out.  All joins are equi-joins on (node) or (node, node) keys
+    — no cross product at any step.
+
+    Returns (id, degree, triangles, lcc) for every node in the pair
+    list; lcc = 2*tri / (deg*(deg-1)), 0.0 for degree-1 nodes, rounded
+    6 dp (grouped-sum-order-proof: counts are exact integers, the only
+    float op is one division).
+    """
+    edges = (
+        pairs.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .union(pairs.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
+        .distinct()
+    )
+    deg = edges.groupBy("a").agg(F.count("*").alias("deg")).localCheckpoint()
+
+    # Orient each undirected edge from lower (deg, id) to higher — a
+    # total order, so exactly one direction survives per edge.
+    da = deg.select(F.col("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("a").alias("b"), F.col("deg").alias("deg_b"))
+    lower = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        edges.join(da, "a")
+        .join(db, "b")
+        .where(lower)
+        .select(
+            F.col("a").alias("u"),
+            F.col("b").alias("v"),
+            F.col("deg_b").alias("ord_v"),
+        )
+        .localCheckpoint()  # reused by the wedge self-join AND the closure probe
+    )
+
+    # Wedges at u: unordered out-neighbor pairs (v, w), ordered by the
+    # same (deg, id) key so the closing edge, if present, is oriented
+    # v -> w.  Closure = one equi-join on the composite key.
+    o1 = oriented.select("u", F.col("v"), F.col("ord_v"))
+    o2 = oriented.select(
+        F.col("u"), F.col("v").alias("w"), F.col("ord_v").alias("ord_w")
+    )
+    wedge_ord = (F.col("ord_v") < F.col("ord_w")) | (
+        (F.col("ord_v") == F.col("ord_w")) & (F.col("v") < F.col("w"))
+    )
+    wedges = o1.join(o2, "u").where(wedge_ord).select("u", "v", "w")
+    closing = oriented.select(F.col("u").alias("v"), F.col("v").alias("w"))
+    triangles = wedges.join(closing, ["v", "w"]).select("u", "v", "w")
+
+    # Redistribute each closed triangle to all three corners.
+    corners = triangles.select(
+        F.explode(F.array("u", "v", "w")).alias("id")
+    ).groupBy("id").agg(F.count("*").alias("triangles"))
+
+    out = (
+        deg.select(F.col("a").alias("id"), "deg")
+        .join(corners, "id", "left")
+        .select(
+            "id",
+            F.col("deg").alias("degree"),
+            F.coalesce(F.col("triangles"), F.lit(0)).cast("bigint").alias("triangles"),
+            F.when(
+                F.col("deg") >= 2,
+                F.round(
+                    2.0
+                    * F.coalesce(F.col("triangles"), F.lit(0))
+                    / (F.col("deg") * (F.col("deg") - F.lit(1))),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("lcc"),
+        )
+    )
+    return out
