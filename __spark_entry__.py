@@ -2685,6 +2685,19 @@ def q_decayed_topk(spark, sf_dir):
     )
 
 
+def q_xcorr_lagged(spark, sf_dir):
+    """Lead/lag dependency probe (timeseries.xcorr_lagged): cross-
+    correlation between every ordered pair of event_type series on
+    hourly buckets at lags -3h..+3h — does one metric's spike lead
+    another's?  Raw rows collapse to (series, hour) map-side FIRST, so
+    the pair-lag fan-out runs on a table whose size is invariant to the
+    raw row count.  Oracle replays bucket-avg -> lag-shifted equi-join
+    -> corr in SQL, both engines rounding 6 dp."""
+    return ts_ops.xcorr_lagged(
+        _t(spark, sf_dir, "events"), "event_type", MS_H, max_lag=3, min_overlap=24
+    )
+
+
 def q_time_weighted_avg(spark, sf_dir):
     """Time-weighted (LOCF step-integration) average per series over the
     first week — the TimescaleDB time_weight('LOCF') semantics."""
@@ -4001,6 +4014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_project": q_pca_project,
         "pagerank": q_pagerank,
         "triangle_count": q_triangle_count,
+        "xcorr_lagged": q_xcorr_lagged,
         "bloom_semijoin": q_bloom_semijoin,
         "ivfpq_topk": q_ivfpq_topk,
         "ann_index_probe": q_ann_index_probe,
@@ -5714,6 +5728,20 @@ def oracle_sql() -> dict[str, str]:
                   FROM events CROSS JOIN now GROUP BY user_id)
             SELECT user_id, decayed_score, n_events FROM s
             ORDER BY decayed_score DESC, user_id LIMIT 20""",
+        "xcorr_lagged": f"""
+            WITH b AS (
+              SELECT event_type AS k,
+                     {_EV_MS} - {_EV_MS} % 3600000 AS bucket,
+                     avg(value) AS v
+              FROM events GROUP BY 1, 2),
+            l AS (SELECT unnest(generate_series(-3, 3)) AS lag)
+            SELECT a.k AS key_a, b2.k AS key_b, l.lag,
+                   round(corr(a.v, b2.v), 6) AS xcorr,
+                   count(*) AS n_buckets
+            FROM b a CROSS JOIN l
+            JOIN b b2 ON b2.bucket = a.bucket + l.lag * 3600000
+                     AND a.k < b2.k
+            GROUP BY 1, 2, 3 HAVING count(*) >= 24""",
         "time_weighted_avg": f"""
             WITH s AS (
               SELECT event_type, {_EV_MS} AS ts_ms, event_id, value

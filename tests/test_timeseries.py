@@ -881,3 +881,31 @@ def test_decayed_topk_recency_beats_raw_count(spark):
 
     with pytest.raises(ValueError):
         decayed_topk(df, ["item"], half_life_ms=0)
+
+
+def test_xcorr_lagged_planted_shift(spark):
+    """B is A shifted 2 buckets later: xcorr(A,B) peaks at lag +2 with
+    corr ~1.0, and the peak beats every other lag."""
+    from time_series_databse_engine_spark.operators.timeseries import xcorr_lagged
+
+    import math
+
+    rows = []
+    for t in range(60):
+        v = math.sin(t / 3.0) + 0.1 * t
+        rows.append(("a", t * 1000, v))
+        rows.append(("b", (t + 2) * 1000, v))  # same value, 2 buckets later
+    df = spark.createDataFrame(rows, "k string, ts_ms long, value double")
+    out = {
+        r.lag: r
+        for r in xcorr_lagged(
+            df, "k", bucket_ms=1000, max_lag=3, min_overlap=2
+        ).collect()
+    }
+    assert set(out) == set(range(-3, 4))
+    assert all(r.key_a == "a" and r.key_b == "b" for r in out.values())
+    assert abs(out[2].xcorr - 1.0) < 1e-6
+    # at the true lag the windows align fully; at lag 0 the 2-bucket
+    # offset costs 2 overlap buckets
+    assert out[2].n_buckets == 60 and out[0].n_buckets == 58
+    assert all(out[lag].xcorr < out[2].xcorr for lag in out if lag != 2)

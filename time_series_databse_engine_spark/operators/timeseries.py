@@ -1919,3 +1919,64 @@ def stl_anomalies(
         .filter(F.col("dev") > F.lit(n_sigmas) * F.lit(1.4826) * F.col("mad"))
         .select(*keys, "bucket", "y", "residual", "med", "mad")
     )
+
+
+def xcorr_lagged(
+    df: DataFrame,
+    key: str,
+    bucket_ms: int,
+    max_lag: int,
+    value: str = "value",
+    ts_ms: str = "ts_ms",
+    min_overlap: int = 2,
+) -> DataFrame:
+    """Lagged cross-correlation between every ordered pair of series:
+    corr(a(t), b(t + lag)) for lag in [-max_lag, +max_lag] bucket steps
+    — the lead/lag dependency probe of a TSDB's analytics tier (does
+    `error` rise N hours AFTER `purchase` spikes?).  The sign
+    convention: positive lag means b is SHIFTED LATER, i.e. a leads b.
+
+    Scale shape: the raw table collapses FIRST to one row per (series,
+    bucket) via a map-side partial average — everything after runs on
+    |series| x |buckets| rows, invariant to the raw row count, so the
+    pair-lag fan-out ((2*max_lag+1) x |pairs|) never touches raw data.
+    The bucketed table self-joins on the equi-key (bucket + lag offset)
+    after an explode of the 2*max_lag+1 lag values — no range join, no
+    cross product; Spark broadcasts the smaller side automatically at
+    real-world series counts.
+
+    Returns (key_a, key_b, lag, xcorr, n_buckets) for key_a < key_b,
+    xcorr rounded 6 dp, pairs with fewer than ``min_overlap``
+    overlapping buckets dropped (corr undefined).
+    """
+    b = (
+        df.select(
+            F.col(key).alias("k"),
+            (F.col(ts_ms) - F.col(ts_ms) % F.lit(bucket_ms)).alias("bucket"),
+            F.col(value).alias("v"),
+        )
+        .groupBy("k", "bucket")
+        .agg(F.avg("v").alias("v"))
+    )
+    lags = F.explode(
+        F.sequence(F.lit(-max_lag), F.lit(max_lag))
+    ).alias("lag")
+    a = b.select(
+        F.col("k").alias("key_a"), F.col("bucket").alias("ba"), F.col("v").alias("va")
+    ).select("*", lags)
+    bb = b.select(
+        F.col("k").alias("key_b"), F.col("bucket").alias("bb"), F.col("v").alias("vb")
+    )
+    joined = a.join(
+        bb,
+        (F.col("bb") == F.col("ba") + F.col("lag") * F.lit(bucket_ms))
+        & (F.col("key_a") < F.col("key_b")),
+    )
+    return (
+        joined.groupBy("key_a", "key_b", "lag")
+        .agg(
+            F.round(F.corr("va", "vb"), 6).alias("xcorr"),
+            F.count("*").alias("n_buckets"),
+        )
+        .where(F.col("n_buckets") >= F.lit(min_overlap))
+    )
