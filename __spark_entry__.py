@@ -2698,6 +2698,17 @@ def q_xcorr_lagged(spark, sf_dir):
     )
 
 
+def q_scd2_build(spark, sf_dir):
+    """Kimball SCD type-2 dimension build (timeseries.scd2_build): each
+    user's event_type run history as [valid_from, valid_to) rows with
+    is_current + version — the warehouse dimension pattern done as two
+    key-partitioned window passes (boundary detect on the raw log,
+    validity/version on change rows only) instead of MERGE loops."""
+    return ts_ops.scd2_build(
+        _t(spark, sf_dir, "events"), "user_id", "event_type", ["ts_ms", "event_id"]
+    )
+
+
 def q_time_weighted_avg(spark, sf_dir):
     """Time-weighted (LOCF step-integration) average per series over the
     first week — the TimescaleDB time_weight('LOCF') semantics."""
@@ -3836,8 +3847,12 @@ _R10_WINDOW = [
     # census); it displaces the (d) pick sql_supplier_revenue (r8-green;
     # the SQL-API path stays covered by revenue_by_nation + string_funcs
     # rows in-window; rotate back in r11)
+    # (f5, this session) xcorr_lagged / scd2_build are brand-new; they
+    # displace the (d) picks psi_drift + psi_drift_incremental (both
+    # r8-green; psi_drift_categorical stays in-window covering the
+    # drift family; rotate back r11) — the window stays at exactly 50
     "moving_avg_chunked", "vocab_coverage", "hilbert_key",
-    "triangle_count",
+    "triangle_count", "xcorr_lagged", "scd2_build",
     # (a) conversions from rows-only (VERDICT r9 "What's missing" #3)
     "approx_stats", "hll_distinct_daily", "simhash",
     # (b) results changed by the k=32 served-codebook re-pin
@@ -3853,8 +3868,9 @@ _R10_WINDOW = [
     "token_counts_by_lang", "top_ngrams", "union_all_scans",
     "value_percentiles", "zscore_anomaly",
     # (d) promised back from the r9 displacement (json_props/doc_chunks/
-    # sql_supplier_revenue re-displaced by f3/f4 above)
-    "psi_drift", "psi_drift_incremental", "psi_drift_categorical",
+    # sql_supplier_revenue/psi_drift/psi_drift_incremental re-displaced
+    # by f3/f4/f5 above)
+    "psi_drift_categorical",
 ]
 
 # r9 window kept for greppable history (superseded by _R10_WINDOW):
@@ -4015,6 +4031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "triangle_count": q_triangle_count,
         "xcorr_lagged": q_xcorr_lagged,
+        "scd2_build": q_scd2_build,
         "bloom_semijoin": q_bloom_semijoin,
         "ivfpq_topk": q_ivfpq_topk,
         "ann_index_probe": q_ann_index_probe,
@@ -5728,6 +5745,22 @@ def oracle_sql() -> dict[str, str]:
                   FROM events CROSS JOIN now GROUP BY user_id)
             SELECT user_id, decayed_score, n_events FROM s
             ORDER BY decayed_score DESC, user_id LIMIT 20""",
+        "scd2_build": f"""
+            WITH s AS (
+              SELECT user_id, event_type, {_EV_MS} AS ts_ms, event_id,
+                     row_number() OVER w AS rn,
+                     lag(event_type) OVER w AS prev
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY {_EV_MS}, event_id)),
+            c AS (SELECT user_id, event_type, ts_ms, event_id FROM s
+                  WHERE rn = 1 OR event_type IS DISTINCT FROM prev)
+            SELECT user_id, event_type,
+                   ts_ms AS valid_from_ms,
+                   lead(ts_ms) OVER w2 AS valid_to_ms,
+                   lead(ts_ms) OVER w2 IS NULL AS is_current,
+                   row_number() OVER w2 AS version
+            FROM c
+            WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_ms, event_id)""",
         "xcorr_lagged": f"""
             WITH b AS (
               SELECT event_type AS k,

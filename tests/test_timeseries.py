@@ -909,3 +909,31 @@ def test_xcorr_lagged_planted_shift(spark):
     # offset costs 2 overlap buckets
     assert out[2].n_buckets == 60 and out[0].n_buckets == 58
     assert all(out[lag].xcorr < out[2].xcorr for lag in out if lag != 2)
+
+
+def test_scd2_build_runs_and_validity(spark):
+    from time_series_databse_engine_spark.operators.timeseries import scd2_build
+
+    rows = [
+        # user 1: A A B A  -> runs A[0,2) v1, B[2,3) v2, A[3,-) v3
+        (1, "A", 0, 0), (1, "A", 1, 1), (1, "B", 2, 2), (1, "A", 3, 3),
+        # user 2: single row -> one current run
+        (2, "X", 5, 4),
+        # user 3: null attr then value -> null run closes at the change
+        (3, None, 0, 5), (3, "C", 4, 6),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, attr string, ts_ms long, event_id long")
+    out = scd2_build(df, "user_id", "attr", ["ts_ms", "event_id"]).collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r.user_id, []).append(r)
+    u1 = sorted(by_user[1], key=lambda r: r.version)
+    assert [(r.attr, r.valid_from_ms, r.valid_to_ms, r.is_current) for r in u1] == [
+        ("A", 0, 2, False), ("B", 2, 3, False), ("A", 3, None, True)
+    ]
+    assert [r.version for r in u1] == [1, 2, 3]
+    (u2,) = by_user[2]
+    assert u2.attr == "X" and u2.is_current and u2.version == 1
+    u3 = sorted(by_user[3], key=lambda r: r.version)
+    assert u3[0].attr is None and u3[0].valid_to_ms == 4 and not u3[0].is_current
+    assert u3[1].attr == "C" and u3[1].is_current

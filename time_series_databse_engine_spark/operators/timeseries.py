@@ -1980,3 +1980,43 @@ def xcorr_lagged(
         )
         .where(F.col("n_buckets") >= F.lit(min_overlap))
     )
+
+
+def scd2_build(
+    df: DataFrame,
+    key: str,
+    attr: str,
+    order: list[str],
+    ts_ms: str = "ts_ms",
+) -> DataFrame:
+    """Collapse an append-only event log into a slowly-changing-dimension
+    type-2 history: one row per (key, consecutive run of ``attr``), with
+    [valid_from_ms, valid_to_ms) half-open validity, is_current on the
+    open run, and a 1-based version counter — the standard warehouse
+    dimension build (Kimball SCD type 2), done declaratively instead of
+    with per-key MERGE loops.
+
+    Scale shape: ONE key-partitioned window pass over the raw log
+    detects run boundaries (lag + null-safe inequality); the second
+    window pass (lead + row_number for validity/version) runs on the
+    collapsed change rows only — for a dimension with c changes per key
+    that is c/|log| of the data, and both passes share the same
+    partitioning key so the second shuffle moves only change rows.
+    No driver-side loop, no MERGE-per-batch.
+    """
+    w = W.partitionBy(key).orderBy(*order)
+    changes = (
+        df.select(key, attr, ts_ms, *[c for c in order if c not in (key, attr, ts_ms)])
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("_prev", F.lag(attr).over(w))
+        .where((F.col("_rn") == 1) | ~F.col(attr).eqNullSafe(F.col("_prev")))
+    )
+    w2 = W.partitionBy(key).orderBy(*order)
+    return changes.select(
+        F.col(key),
+        F.col(attr),
+        F.col(ts_ms).alias("valid_from_ms"),
+        F.lead(ts_ms).over(w2).alias("valid_to_ms"),
+        F.lead(ts_ms).over(w2).isNull().alias("is_current"),
+        F.row_number().over(w2).cast("long").alias("version"),
+    )
