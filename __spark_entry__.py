@@ -2059,6 +2059,23 @@ def q_pagerank(spark, sf_dir):
     return pr.select(F.col("id").alias("doc_id"), "pagerank")
 
 
+def q_assoc_rules(spark, sf_dir):
+    """Pairwise association rules over order baskets (baskets.assoc_rules,
+    Agrawal 1994): which part brand's presence in an order predicts
+    another's, priced as support/confidence/lift with the apriori
+    frequent-item prune BEFORE pair generation (broadcast semi-join), so
+    the basket self-join fans out only over frequent items.  Top-100 by
+    lift with a full deterministic tiebreak."""
+    from time_series_databse_engine_spark.operators import baskets as basket_ops
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = F.broadcast(_t(spark, sf_dir, "part").select("p_partkey", "p_brand"))
+    b = li.join(part, li.l_partkey == part.p_partkey)
+    return basket_ops.assoc_rules(
+        b, "l_orderkey", "p_brand", min_support=0.01, k=100
+    )
+
+
 def q_triangle_count(spark, sf_dir):
     """Per-node triangle count + local clustering coefficient over the
     LSH near-dup candidate graph (graph.triangle_count, Schank & Wagner
@@ -3852,7 +3869,10 @@ _R10_WINDOW = [
     # r8-green; psi_drift_categorical stays in-window covering the
     # drift family; rotate back r11) — the window stays at exactly 50
     "moving_avg_chunked", "vocab_coverage", "hilbert_key",
-    "triangle_count", "xcorr_lagged", "scd2_build",
+    # (f6, this session) assoc_rules is brand-new; it displaces the last
+    # (d) pick psi_drift_categorical (freshly r9-green, so its evidence
+    # is current; rotate back r11)
+    "triangle_count", "xcorr_lagged", "scd2_build", "assoc_rules",
     # (a) conversions from rows-only (VERDICT r9 "What's missing" #3)
     "approx_stats", "hll_distinct_daily", "simhash",
     # (b) results changed by the k=32 served-codebook re-pin
@@ -3867,10 +3887,11 @@ _R10_WINDOW = [
     "sketch_percentile", "string_funcs", "tfidf_top_terms",
     "token_counts_by_lang", "top_ngrams", "union_all_scans",
     "value_percentiles", "zscore_anomaly",
-    # (d) promised back from the r9 displacement (json_props/doc_chunks/
-    # sql_supplier_revenue/psi_drift/psi_drift_incremental re-displaced
-    # by f3/f4/f5 above)
-    "psi_drift_categorical",
+    # (d) the r9-displacement promises (json_props, doc_chunks,
+    # sql_supplier_revenue, psi trio) are all re-displaced by the f3-f6
+    # zero-history additions above; every one is r8- or r9-green, so
+    # nothing in the repo has driver evidence older than r4.  Queries
+    # added after this 50-cut lead the r11 window as zero-history.
 ]
 
 # r9 window kept for greppable history (superseded by _R10_WINDOW):
@@ -4032,6 +4053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": q_triangle_count,
         "xcorr_lagged": q_xcorr_lagged,
         "scd2_build": q_scd2_build,
+        "assoc_rules": q_assoc_rules,
         "bloom_semijoin": q_bloom_semijoin,
         "ivfpq_topk": q_ivfpq_topk,
         "ann_index_probe": q_ann_index_probe,
@@ -5745,6 +5767,40 @@ def oracle_sql() -> dict[str, str]:
                   FROM events CROSS JOIN now GROUP BY user_id)
             SELECT user_id, decayed_score, n_events FROM s
             ORDER BY decayed_score DESC, user_id LIMIT 20""",
+        "assoc_rules": """
+            WITH it AS (
+              SELECT DISTINCT l.l_orderkey AS b, p.p_brand AS i
+              FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+            nb AS (SELECT count(DISTINCT b) AS n_baskets FROM it),
+            cnt AS (SELECT i, count(*) AS n_i FROM it GROUP BY i),
+            freq AS (SELECT i, n_i FROM cnt CROSS JOIN nb
+                     WHERE n_i >= n_baskets * 0.01),
+            kept AS (SELECT it.b, it.i FROM it JOIN freq ON freq.i = it.i),
+            pairs AS (
+              SELECT a.i AS ia, c.i AS ib, count(*) AS n_ab
+              FROM kept a JOIN kept c ON a.b = c.b AND a.i < c.i
+              GROUP BY 1, 2),
+            priced AS (
+              SELECT ia, ib, n_ab, fa.n_i AS n_a, fb.n_i AS n_b2, n_baskets
+              FROM pairs
+              JOIN freq fa ON fa.i = ia
+              JOIN freq fb ON fb.i = ib
+              CROSS JOIN nb
+              WHERE n_ab >= n_baskets * 0.01),
+            rules AS (
+              SELECT ia AS antecedent, ib AS consequent, n_ab AS pair_n,
+                     round(n_ab * 1e0 / n_baskets, 6) AS support,
+                     round(n_ab * 1e0 / n_a, 6) AS confidence,
+                     round(n_ab * 1e0 * n_baskets / (n_a * n_b2), 6) AS lift
+              FROM priced
+              UNION ALL
+              SELECT ib, ia, n_ab,
+                     round(n_ab * 1e0 / n_baskets, 6),
+                     round(n_ab * 1e0 / n_b2, 6),
+                     round(n_ab * 1e0 * n_baskets / (n_a * n_b2), 6)
+              FROM priced)
+            SELECT * FROM rules
+            ORDER BY lift DESC, antecedent, consequent LIMIT 100""",
         "scd2_build": f"""
             WITH s AS (
               SELECT user_id, event_type, {_EV_MS} AS ts_ms, event_id,

@@ -384,3 +384,30 @@ def test_group_kfold_one_fold_per_group_and_growth_invariant(spark):
 
     with pytest.raises(ValueError):
         group_kfold(df, k=1, group_col="grp")
+
+
+def test_assoc_rules_planted_affinity(spark):
+    """x and y co-occur always (lift > 1), z is independent filler, and a
+    below-min-support item never reaches pair generation."""
+    from time_series_databse_engine_spark.operators.baskets import assoc_rules
+
+    rows = []
+    for b in range(10):
+        rows += [(b, "x"), (b, "y")]          # perfect pair
+        if b % 2 == 0:
+            rows.append((b, "z"))             # half the baskets
+    rows.append((0, "rare"))                  # 1/10 < min_support=0.2
+    df = spark.createDataFrame(rows, "b int, i string")
+    out = assoc_rules(df, "b", "i", min_support=0.2, k=10).collect()
+    rules = {(r.antecedent, r.consequent): r for r in out}
+    assert not any("rare" in k for r in rules for k in r)
+    xy = rules[("x", "y")]
+    assert xy.support == 1.0 and xy.confidence == 1.0 and xy.lift == 1.0
+    xz = rules[("x", "z")]
+    # z in 5 of 10 baskets, always with x: conf(x->z)=0.5, lift=1.0
+    assert xz.support == 0.5 and xz.confidence == 0.5 and xz.lift == 1.0
+    zx = rules[("z", "x")]
+    assert zx.confidence == 1.0 and zx.pair_n == 5
+    # both directions of every pair emitted
+    assert set(rules) == {("x", "y"), ("y", "x"), ("x", "z"), ("z", "x"),
+                          ("y", "z"), ("z", "y")}

@@ -1,0 +1,94 @@
+"""Market-basket affinity mining over (basket, item) pair lists.
+
+Association rules (Agrawal & Srikant 1994, the pairwise tier) answer the
+curation question the co-occurrence counts alone do not: which item's
+presence PREDICTS another's, normalized for both items' base rates
+(lift), not just raw co-frequency.  The same shape mines tag/topic
+affinity in a document corpus or co-fired-rule affinity in a quality
+pipeline.
+
+Scale shape: the classic apriori prune is load-bearing — items below
+min-support are dropped BEFORE pair generation (a broadcast semi-join),
+so a basket of size b contributes C(b',2) pairs only over its b'
+frequent items, and the pair space is bounded by the frequent-item
+vocabulary squared, not the raw item vocabulary.  Pair generation is a
+basket-keyed self equi-join (shuffle key = basket id, never a cross
+product); the per-item count tables that price confidence/lift ride
+along as broadcast joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def assoc_rules(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: float = 0.01,
+    k: int = 100,
+) -> DataFrame:
+    """Top-``k`` pairwise association rules by lift.
+
+    ``support(a,b)`` = |baskets containing both| / |baskets|;
+    ``confidence(a->b)`` = support(a,b) / support(a);
+    ``lift`` = support(a,b) / (support(a) * support(b)).
+    Every qualifying unordered pair emits BOTH rule directions (same
+    support/lift, different confidence).  Rules are rounded 6 dp and
+    ordered (lift desc, antecedent, consequent) with a deterministic
+    limit — the tiebreak makes the top-k reproducible across shuffle
+    orders.
+    """
+    items = (
+        baskets.select(
+            F.col(basket_col).alias("b"), F.col(item_col).alias("i")
+        )
+        .where(F.col(item_col).isNotNull())
+        .distinct()
+    )
+    n_b = F.broadcast(items.agg(F.countDistinct("b").alias("n_baskets")))
+
+    counts = items.groupBy("i").agg(F.count("*").alias("n_i"))
+    frequent = F.broadcast(
+        counts.crossJoin(n_b).where(
+            F.col("n_i") >= F.col("n_baskets") * F.lit(min_support)
+        )
+    )
+    kept = items.join(frequent.select("i"), "i")
+
+    left = kept.select("b", F.col("i").alias("ia"))
+    right = kept.select("b", F.col("i").alias("ib"))
+    pair_n = (
+        left.join(right, "b")
+        .where(F.col("ia") < F.col("ib"))
+        .groupBy("ia", "ib")
+        .agg(F.count("*").alias("n_ab"))
+    )
+
+    ca = frequent.select(F.col("i").alias("ia"), F.col("n_i").alias("n_a"))
+    cb = frequent.select(F.col("i").alias("ib"), F.col("n_i").alias("n_b2"))
+    priced = (
+        pair_n.join(ca, "ia")
+        .join(cb, "ib")
+        .crossJoin(n_b)
+        .where(F.col("n_ab") >= F.col("n_baskets") * F.lit(min_support))
+    )
+
+    def _rule(ant, cons, n_ant):
+        return priced.select(
+            F.col(ant).alias("antecedent"),
+            F.col(cons).alias("consequent"),
+            F.col("n_ab").alias("pair_n"),
+            F.round(F.col("n_ab") / F.col("n_baskets"), 6).alias("support"),
+            F.round(F.col("n_ab") / F.col(n_ant), 6).alias("confidence"),
+            F.round(
+                F.col("n_ab") * F.col("n_baskets") / (F.col("n_a") * F.col("n_b2")),
+                6,
+            ).alias("lift"),
+        )
+
+    rules = _rule("ia", "ib", "n_a").union(_rule("ib", "ia", "n_b2"))
+    return rules.orderBy(
+        F.col("lift").desc(), "antecedent", "consequent"
+    ).limit(k)
