@@ -2715,6 +2715,19 @@ def q_xcorr_lagged(spark, sf_dir):
     )
 
 
+def q_burn_rate(spark, sf_dir):
+    """Multi-window SLO burn-rate alerting (timeseries.slo_burn_rate, the
+    SRE-workbook fast+slow window rule): hourly error-budget burn with a
+    trailing-6h confirmation window, alert only when both exceed 1.2x —
+    treating event_type='error' as the failed request marker against a
+    75% SLO.  Raw rows collapse map-side to the hourly table before the
+    (deliberately tiny) unpartitioned trailing window."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "is_err", F.col("event_type") == F.lit("error")
+    )
+    return ts_ops.slo_burn_rate(ev, "is_err", slo=0.75, long_buckets=6)
+
+
 def q_scd2_build(spark, sf_dir):
     """Kimball SCD type-2 dimension build (timeseries.scd2_build): each
     user's event_type run history as [valid_from, valid_to) rows with
@@ -4054,6 +4067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xcorr_lagged": q_xcorr_lagged,
         "scd2_build": q_scd2_build,
         "assoc_rules": q_assoc_rules,
+        "burn_rate": q_burn_rate,
         "bloom_semijoin": q_bloom_semijoin,
         "ivfpq_topk": q_ivfpq_topk,
         "ann_index_probe": q_ann_index_probe,
@@ -5767,6 +5781,28 @@ def oracle_sql() -> dict[str, str]:
                   FROM events CROSS JOIN now GROUP BY user_id)
             SELECT user_id, decayed_score, n_events FROM s
             ORDER BY decayed_score DESC, user_id LIMIT 20""",
+        "burn_rate": f"""
+            WITH h AS (
+              SELECT {_EV_MS} - {_EV_MS} % 3600000 AS bucket_ms,
+                     count(*) AS n,
+                     CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_err
+              FROM events GROUP BY 1),
+            r AS (
+              SELECT bucket_ms, n, n_err,
+                     n_err * 1e0 / n AS sr,
+                     sum(n_err) OVER w * 1e0 / sum(n) OVER w AS lr
+              FROM h
+              WINDOW w AS (ORDER BY bucket_ms
+                           RANGE BETWEEN 18000000 PRECEDING AND CURRENT ROW))
+            SELECT bucket_ms, n, n_err,
+                   round(sr, 6) AS err_rate_short,
+                   round(lr, 6) AS err_rate_long,
+                   round(sr / 0.25e0, 6) AS burn_short,
+                   round(lr / 0.25e0, 6) AS burn_long,
+                   (round(sr / 0.25e0, 6) > 1.2 AND round(lr / 0.25e0, 6) > 1.2)
+                       AS alert
+            FROM r""",
         "assoc_rules": """
             WITH it AS (
               SELECT DISTINCT l.l_orderkey AS b, p.p_brand AS i

@@ -937,3 +937,38 @@ def test_scd2_build_runs_and_validity(spark):
     u3 = sorted(by_user[3], key=lambda r: r.version)
     assert u3[0].attr is None and u3[0].valid_to_ms == 4 and not u3[0].is_current
     assert u3[1].attr == "C" and u3[1].is_current
+
+
+def test_slo_burn_rate_multiwindow_alert(spark):
+    """A one-bucket error spike trips the short window but NOT the long
+    confirmation window; a sustained burn trips both."""
+    from time_series_databse_engine_spark.operators.timeseries import slo_burn_rate
+
+    B = 1000
+    rows = []
+    # buckets 0-9: clean (10 ok each); bucket 10: pure spike (10 err);
+    # buckets 11-13: clean again; buckets 20-25: sustained 100% errors
+    for t in range(10):
+        rows += [(t * B + i, False) for i in range(10)]
+    rows += [(10 * B + i, True) for i in range(10)]
+    for t in range(11, 14):
+        rows += [(t * B + i, False) for i in range(10)]
+    for t in range(20, 26):
+        rows += [(t * B + i, True) for i in range(10)]
+    df = spark.createDataFrame(rows, "ts_ms long, is_err boolean")
+    out = {
+        r.bucket_ms // B: r
+        for r in slo_burn_rate(
+            df, "is_err", slo=0.75, bucket_ms=B, long_buckets=6, alert_burn=1.2
+        ).collect()
+    }
+    spike = out[10]
+    assert spike.burn_short == 4.0          # 100% errors / 25% budget
+    assert spike.err_rate_long == round(10 / 60, 6)
+    assert not spike.alert                   # long window holds it back
+    assert not out[9].alert and not out[11].alert
+    # sustained burn: by bucket 25 the whole 6-bucket window is errors
+    assert out[25].burn_long == 4.0 and out[25].alert
+    # bucket 20 alerts too: gap before it means the long window only
+    # contains the (all-error) buckets that exist in range
+    assert out[20].alert

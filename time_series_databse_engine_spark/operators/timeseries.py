@@ -2020,3 +2020,65 @@ def scd2_build(
         F.lead(ts_ms).over(w2).isNull().alias("is_current"),
         F.row_number().over(w2).cast("long").alias("version"),
     )
+
+
+def slo_burn_rate(
+    df: DataFrame,
+    error_col: str,
+    slo: float,
+    bucket_ms: int = 3_600_000,
+    long_buckets: int = 6,
+    alert_burn: float = 1.2,
+    ts_ms: str = "ts_ms",
+) -> DataFrame:
+    """Multi-window SLO burn-rate alerting (the Google SRE workbook
+    pattern, batch form): per time bucket, the error-budget burn rate
+    over the SHORT window (one bucket) and the LONG window (trailing
+    ``long_buckets``), alerting only when BOTH exceed ``alert_burn`` —
+    the short window gives fast reset, the long window suppresses
+    one-bucket blips.
+
+    burn = error_rate / (1 - slo); burn 1.0 means spending budget
+    exactly at the rate that exhausts it by period end.
+
+    Scale shape: the raw log collapses to one row per bucket via a
+    map-side partial sum FIRST; the trailing-window pass runs on the
+    collapsed hourly table (|period| / bucket_ms rows — hundreds, not
+    billions), so the unpartitioned RANGE window at the end is the same
+    deliberately-tiny finish window as the PSI operators
+    (profile.psi_drift), never a skew hazard.
+
+    ``error_col`` is a boolean column (or SQL expression string) marking
+    failed requests.  Returns (bucket_ms, n, n_err, err_rate_short,
+    err_rate_long, burn_short, burn_long, alert), rates/burns rounded
+    6 dp.
+    """
+    err = F.expr(error_col) if isinstance(error_col, str) else F.col(error_col)
+    hourly = (
+        df.select(
+            (F.col(ts_ms) - F.col(ts_ms) % F.lit(bucket_ms)).alias("bucket_ms"),
+            err.cast("int").alias("e"),
+        )
+        .groupBy("bucket_ms")
+        .agg(F.count("*").alias("n"), F.sum("e").alias("n_err"))
+    )
+    lw = (
+        W.orderBy("bucket_ms")
+        .rangeBetween(-(long_buckets - 1) * bucket_ms, 0)
+    )
+    budget = F.lit(1.0 - slo)
+    short_rate = F.col("n_err") / F.col("n")
+    long_rate = F.sum("n_err").over(lw) / F.sum("n").over(lw)
+    return hourly.select(
+        "bucket_ms",
+        "n",
+        F.col("n_err").cast("long").alias("n_err"),
+        F.round(short_rate, 6).alias("err_rate_short"),
+        F.round(long_rate, 6).alias("err_rate_long"),
+        F.round(short_rate / budget, 6).alias("burn_short"),
+        F.round(long_rate / budget, 6).alias("burn_long"),
+        (
+            (F.round(short_rate / budget, 6) > F.lit(alert_burn))
+            & (F.round(long_rate / budget, 6) > F.lit(alert_burn))
+        ).alias("alert"),
+    )
