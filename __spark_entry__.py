@@ -2453,6 +2453,17 @@ def q_kmeans(spark, sf_dir):
     return sim_ops.kmeans_lloyd(_t(spark, sf_dir, "embeddings"), k=8, iters=2)
 
 
+def q_pmi_collocations(spark, sf_dir):
+    """Top bigram collocations by pointwise mutual information
+    (text.pmi_collocations): the statistically-bound pairs raw frequency
+    buries under stopword bigrams — tokenizer merge candidates and
+    frozen-collocation boilerplate markers.  min_count=5 kills PMI's
+    rare-pair explosion; ln of exact-integer ratios rounded 6 dp."""
+    return text_ops.pmi_collocations(
+        _t(spark, sf_dir, "documents"), min_count=5, k=50
+    )
+
+
 def q_unigram_logprob(spark, sf_dir):
     """Unigram-LM document quality score (perplexity-proxy filter): mean
     add-one-smoothed token log-probability under the corpus's own unigram
@@ -4068,6 +4079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_build": q_scd2_build,
         "assoc_rules": q_assoc_rules,
         "burn_rate": q_burn_rate,
+        "pmi_collocations": q_pmi_collocations,
         "bloom_semijoin": q_bloom_semijoin,
         "ivfpq_topk": q_ivfpq_topk,
         "ann_index_probe": q_ann_index_probe,
@@ -5781,6 +5793,26 @@ def oracle_sql() -> dict[str, str]:
                   FROM events CROSS JOIN now GROUP BY user_id)
             SELECT user_id, decayed_score, n_events FROM s
             ORDER BY decayed_score DESC, user_id LIMIT 20""",
+        "pmi_collocations": r"""
+            WITH d AS (SELECT string_split_regex(lower(text), '\s+') AS w
+                       FROM documents),
+            toks AS (SELECT unnest(w) AS t FROM d),
+            uni AS (SELECT t, count(*) AS c_t FROM toks GROUP BY t),
+            nt AS (SELECT CAST(sum(c_t) AS DOUBLE) AS n_tok FROM uni),
+            bi AS (SELECT w[i] AS w1, w[i + 1] AS w2
+                   FROM (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+                         FROM d)),
+            bc AS (SELECT w1, w2, count(*) AS c_ab FROM bi GROUP BY 1, 2),
+            nb AS (SELECT CAST(sum(c_ab) AS DOUBLE) AS n_bi FROM bc)
+            SELECT bc.w1, bc.w2, c_ab AS pair_count,
+                   round(ln((c_ab / n_bi)
+                            / ((ua.c_t / n_tok) * (ub.c_t / n_tok))), 6) AS pmi
+            FROM bc
+            JOIN uni ua ON ua.t = bc.w1
+            JOIN uni ub ON ub.t = bc.w2
+            CROSS JOIN nt CROSS JOIN nb
+            WHERE c_ab >= 5
+            ORDER BY pmi DESC, w1, w2 LIMIT 50""",
         "burn_rate": f"""
             WITH h AS (
               SELECT {_EV_MS} - {_EV_MS} % 3600000 AS bucket_ms,

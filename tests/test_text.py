@@ -678,3 +678,30 @@ def test_vocab_coverage_planted_oov(spark):
 
     with pytest.raises(ValueError):
         vocab_coverage(df, vocab_size=0)
+
+
+def test_pmi_collocations_planted_pair(spark):
+    """'san francisco' always co-occurs (high PMI); 'the the' is frequent
+    but statistically independent filler (PMI ~ 0); sub-min_count pairs
+    are dropped."""
+    from time_series_databse_engine_spark.operators.text import pmi_collocations
+
+    # 20 docs: filler words rotate so no filler bigram repeats enough to
+    # bind, while 'san francisco' is frozen in every doc
+    fill = ["alpha", "beta", "gamma", "delta", "eps"]
+    docs = []
+    for i in range(20):
+        a, b, c = fill[i % 5], fill[(i + 1) % 5], fill[(i + 2) % 5]
+        docs.append((i, f"the {a} the {b} san francisco the {c}"))
+    docs.append((100, "rare pair"))  # 1 occurrence < min_count
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = pmi_collocations(df, min_count=5, k=100).collect()
+    pmi = {(r.w1, r.w2): r for r in out}
+    assert ("rare", "pair") not in pmi
+    sf = pmi[("san", "francisco")]
+    assert sf.pair_count == 20
+    # P(san)=P(francisco)=20/N_tok; P(pair)=20/N_bi -> strongly positive
+    assert sf.pmi > 2.0
+    # frozen pair outranks every filler pair
+    assert out[0].w1 == "san" and out[0].w2 == "francisco"
+    assert all(sf.pmi >= r.pmi for r in out)

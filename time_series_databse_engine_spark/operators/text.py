@@ -1679,3 +1679,79 @@ def maxsim_index_vacuum(path: str) -> int:
     MaxSim index; recovers any interrupted compaction swap first.  See
     ``index_maintenance.vacuum_index``.  Returns dirs removed."""
     return _im.vacuum_index(path, "bucket")
+
+
+def pmi_collocations(
+    df: DataFrame,
+    min_count: int = 5,
+    k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` bigram collocations by pointwise mutual information —
+    the statistically-bound word pairs ("san francisco") that raw
+    frequency ranking (``top_ngrams``) buries under stopword pairs.
+    PMI(a,b) = ln( P(ab) / (P(a)·P(b)) ) with P(ab) over the bigram
+    population and P(a), P(b) over the token population; pairs below
+    ``min_count`` occurrences are dropped first (PMI's classic
+    rare-pair explosion).
+
+    The standard vocab-curation companion: high-PMI pairs are merge
+    candidates for a tokenizer and fixed-collocation indicators for
+    boilerplate detection.
+
+    Scale shape: bigrams come from the same in-row array zip as
+    ``kn_bigram_logprob`` — no window, no self-join — and collapse
+    map-side to the distinct-bigram count table (vocab²-bounded); the
+    unigram table (vocab-sized) broadcasts onto it twice, the two
+    1-row totals ride along broadcast, and the finish is a k-heap
+    TakeOrderedAndProject on (pmi DESC, w1, w2).
+    """
+    toks = df.select(
+        F.split(F.lower(F.col(text_col)), "\\s+").alias("_tk")
+    )
+    uni = (
+        toks.select(F.explode("_tk").alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("c_t"))
+        .localCheckpoint()
+    )
+    n_tok = F.broadcast(uni.agg(F.sum("c_t").cast("double").alias("n_tok")))
+    bi = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "transform(slice(_tk, 1, greatest(size(_tk) - 1, 0)), "
+                    "(v, i) -> struct(v AS w1, _tk[i + 1] AS w2))"
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c_ab"))
+        .localCheckpoint()  # reused by the total AND the scored output
+    )
+    n_bi = F.broadcast(bi.agg(F.sum("c_ab").cast("double").alias("n_bi")))
+    ua = F.broadcast(uni.select(F.col("t").alias("w1"), F.col("c_t").alias("c_a")))
+    ub = F.broadcast(uni.select(F.col("t").alias("w2"), F.col("c_t").alias("c_b")))
+    return (
+        bi.where(F.col("c_ab") >= F.lit(min_count))
+        .join(ua, "w1")
+        .join(ub, "w2")
+        .crossJoin(n_tok)
+        .crossJoin(n_bi)
+        .select(
+            "w1",
+            "w2",
+            F.col("c_ab").cast("long").alias("pair_count"),
+            F.round(
+                F.log(
+                    (F.col("c_ab") / F.col("n_bi"))
+                    / ((F.col("c_a") / F.col("n_tok")) * (F.col("c_b") / F.col("n_tok")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(k)
+    )
