@@ -2059,6 +2059,21 @@ def q_pagerank(spark, sf_dir):
     return pr.select(F.col("id").alias("doc_id"), "pagerank")
 
 
+def q_label_propagation(spark, sf_dir):
+    """Synchronous label-propagation communities over the LSH near-dup
+    graph (graph.label_propagation, Raghavan 2007; 3 fixed rounds,
+    min-label ties): the majority-rule refinement of dedup_clusters'
+    connected components — weakly-bridged clumps keep distinct
+    communities.  Oracle unrolls the rounds as chained CTEs with the
+    identical (count DESC, label ASC) argmax."""
+    from time_series_databse_engine_spark.operators import graph as graph_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = _scaled_banded_pairs(docs)
+    lp = graph_ops.label_propagation(pairs, iters=3)
+    return lp.select(F.col("id").alias("doc_id"), "community")
+
+
 def q_assoc_rules(spark, sf_dir):
     """Pairwise association rules over order baskets (baskets.assoc_rules,
     Agrawal 1994): which part brand's presence in an order predicts
@@ -4075,6 +4090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_project": q_pca_project,
         "pagerank": q_pagerank,
         "triangle_count": q_triangle_count,
+        "label_propagation": q_label_propagation,
         "xcorr_lagged": q_xcorr_lagged,
         "scd2_build": q_scd2_build,
         "assoc_rules": q_assoc_rules,
@@ -4660,6 +4676,34 @@ def _triangle_sql() -> str:
                     ELSE 0e0 END AS lcc
         FROM deg LEFT JOIN tri ON tri.id = deg.s"""
     )
+
+
+def _label_prop_sql(iters: int = 3) -> str:
+    """Unrolled synchronous LPA over the LSH pair graph: per round one
+    grouped count of neighbor-plus-self labels + a (count DESC, label
+    ASC) row_number argmax — the same deterministic tie rule and
+    self-vote damping as the engine."""
+    body = (
+        "\nWITH "
+        + _minhash_lsh_ctes()
+        + """,
+        edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+                  UNION SELECT id2, id1 FROM pairs),
+        l0 AS (SELECT DISTINCT src AS id, src AS label FROM edges)"""
+    )
+    for i in range(iters):
+        body += f""",
+        m{i + 1} AS (SELECT id, label, count(*) AS c FROM (
+                       SELECT e.dst AS id, l.label
+                       FROM edges e JOIN l{i} l ON l.id = e.src
+                       UNION ALL SELECT id, label FROM l{i})
+                     GROUP BY 1, 2),
+        l{i + 1} AS (SELECT id, label FROM (
+                       SELECT id, label,
+                              row_number() OVER (PARTITION BY id
+                                 ORDER BY c DESC, label ASC) AS rn
+                       FROM m{i + 1}) WHERE rn = 1)"""
+    return body + f"\nSELECT id AS doc_id, label AS community FROM l{iters}"
 
 
 def _bucket_sql(num_planes=4, dim=64, seed=42) -> str:
@@ -6175,6 +6219,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pagerank": _pagerank_sql(iters=5),
         "triangle_count": _triangle_sql(),
+        "label_propagation": _label_prop_sql(iters=3),
         "zorder_key": _zorder_sql(bits=16),
         "interval_join_bucketed": f'''
             WITH w AS (SELECT CAST(id AS BIGINT) AS window_id,

@@ -435,3 +435,24 @@ def test_purge_dup_spans_no_gram_keyed_window(spark):
         "per-gram min/max must be a partial-aggregating groupBy"
     )
     assert plan.index("partial_min(_id") < plan.index("[min(_id")
+
+
+def test_label_propagation_communities(spark):
+    from time_series_databse_engine_spark.operators.graph import label_propagation
+
+    # two K3 cliques bridged by one edge, plus an isolated pair
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (10, 11), (10, 12), (11, 12), (2, 10),
+         (20, 21)],
+        "id1 int, id2 int",
+    )
+    out = {r.id: r.community for r in label_propagation(pairs, iters=4).collect()}
+    assert len(out) == 8
+    # each clique converges to its own min label despite the bridge
+    assert out[0] == out[1] == out[2] == 0
+    assert out[11] == out[12]
+    # the isolated pair: the self-vote breaks the swap oscillation and
+    # both converge to the min label
+    assert out[20] == out[21] == 20
+    # cliques never merge across the bridge
+    assert out[0] != out[11]

@@ -179,3 +179,58 @@ def triangle_count(
         )
     )
     return out
+
+
+def label_propagation(
+    pairs: DataFrame,
+    iters: int = 3,
+    src_col: str = "id1",
+    dst_col: str = "id2",
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan 2007) over an undirected
+    pair list: each node adopts the most frequent label among its
+    neighbors PLUS its own current label (one self-vote), ties to the
+    SMALLEST label — with init label = id and a fixed iteration count,
+    the whole run is deterministic and declaratively replayable (no
+    async sweep order).  The self-vote is the standard damping that
+    stops synchronous LPA's label oscillation on bipartite structures
+    (an isolated pair swaps labels forever without it).
+
+    Where connected components (``dedup.dedup_clusters``) glue any
+    pairwise chain together, LPA's majority rule keeps densely-linked
+    template families while letting weakly-bridged clumps keep distinct
+    communities — the finer-grained view the triangle census motivates.
+
+    Scale shape mirrors ``pagerank``: per iteration ONE edge-keyed
+    equi-join delivering (dst, label) messages + one grouped count +
+    one dst-keyed argmax window, nothing wider than (id, label) ever
+    shuffles, and each round ends in a ``localCheckpoint`` lineage cut.
+    The argmax window partitions on dst, so hub nodes cost their
+    in-degree, never a global sort.
+    """
+    edges = (
+        pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .union(pairs.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().select(
+        "id", F.col("id").alias("label")
+    )
+    from pyspark.sql import Window as W
+
+    for _ in range(iters):
+        msgs = (
+            edges.join(labels.withColumnRenamed("id", "src"), "src")
+            .select(F.col("dst").alias("id"), "label")
+            .unionAll(labels)  # the self-vote
+        )
+        counts = msgs.groupBy("id", "label").agg(F.count("*").alias("c"))
+        w = W.partitionBy("id").orderBy(F.col("c").desc(), F.col("label").asc())
+        labels = (
+            counts.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("id", "label")
+            .localCheckpoint()
+        )
+    return labels.select("id", F.col("label").alias("community"))
