@@ -2074,6 +2074,41 @@ def q_label_propagation(spark, sf_dir):
     return lp.select(F.col("id").alias("doc_id"), "community")
 
 
+def q_adamic_adar(spark, sf_dir):
+    """Adamic-Adar link prediction (graph.adamic_adar): top non-edges by
+    shared-neighbor evidence, 1/ln(deg) weighted so rare shared
+    neighbors dominate.  The graph: users co-active in the same
+    (event_type, hour) bucket during the first 48 h — open structure at
+    every SF, unlike the LSH graph whose band collisions close into
+    cliques (AA on it returns no non-edges at sf0.01; triangle_count's
+    lcc=1 rows are that fact).  Oracle replays the co-activity edge
+    derivation, wedge counting, the NOT EXISTS anti-join, and the
+    deterministic top-k."""
+    from time_series_databse_engine_spark.operators import graph as graph_ops
+
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("ts_ms") < F.lit(T1 + 48 * MS_H)
+    )
+    ub = ev.select(
+        "event_type",
+        (F.col("ts_ms") - F.col("ts_ms") % F.lit(MS_H)).alias("bucket"),
+        F.col("user_id").alias("u"),
+    ).distinct()
+    pairs = (
+        ub.alias("a")
+        .join(ub.alias("b"), ["event_type", "bucket"])
+        .where(F.col("a.u") < F.col("b.u"))
+        .select(F.col("a.u").alias("id1"), F.col("b.u").alias("id2"))
+        .distinct()
+    )
+    return graph_ops.adamic_adar(pairs, k=100).select(
+        F.col("v").alias("user_a"),
+        F.col("w").alias("user_b"),
+        "aa_score",
+        "common_neighbors",
+    )
+
+
 def q_assoc_rules(spark, sf_dir):
     """Pairwise association rules over order baskets (baskets.assoc_rules,
     Agrawal 1994): which part brand's presence in an order predicts
@@ -4091,6 +4126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "triangle_count": q_triangle_count,
         "label_propagation": q_label_propagation,
+        "adamic_adar": q_adamic_adar,
         "xcorr_lagged": q_xcorr_lagged,
         "scd2_build": q_scd2_build,
         "assoc_rules": q_assoc_rules,
@@ -4704,6 +4740,44 @@ def _label_prop_sql(iters: int = 3) -> str:
                                  ORDER BY c DESC, label ASC) AS rn
                        FROM m{i + 1}) WHERE rn = 1)"""
     return body + f"\nSELECT id AS doc_id, label AS community FROM l{iters}"
+
+
+def _adamic_adar_sql(k: int = 100) -> str:
+    """Wedge-sum AA over the 48 h user co-activity graph: centers joined
+    with their degree (always >= 2 for a wedge, so ln is finite),
+    non-edges kept via NOT EXISTS on the canonical (id1 < id2) pair
+    list."""
+    return (
+        f"""
+        WITH ub AS (
+          SELECT DISTINCT event_type,
+                 {_EV_MS} - {_EV_MS} % 3600000 AS bucket,
+                 user_id AS u
+          FROM events WHERE {_EV_MS} < {T1 + 48 * MS_H}),
+        pairs AS (
+          SELECT DISTINCT a.u AS id1, b.u AS id2
+          FROM ub a JOIN ub b
+            ON a.event_type = b.event_type AND a.bucket = b.bucket
+           AND a.u < b.u),
+        sym AS (SELECT id1 AS s, id2 AS d FROM pairs
+                UNION SELECT id2, id1 FROM pairs),
+        deg AS (SELECT s, count(*) AS deg FROM sym GROUP BY s),
+        wedge AS (
+          SELECT e1.d AS v, e2.d AS w, deg.deg
+          FROM sym e1
+          JOIN sym e2 ON e1.s = e2.s AND e1.d < e2.d
+          JOIN deg ON deg.s = e1.s),
+        aa AS (
+          SELECT v, w,
+                 round(sum(1e0 / ln(deg)), 6) AS aa_score,
+                 count(*) AS common_neighbors
+          FROM wedge GROUP BY 1, 2)
+        SELECT v AS user_a, w AS user_b, aa_score, common_neighbors
+        FROM aa
+        WHERE NOT EXISTS (SELECT 1 FROM pairs p
+                          WHERE p.id1 = aa.v AND p.id2 = aa.w)
+        ORDER BY aa_score DESC, v, w LIMIT {k}"""
+    )
 
 
 def _bucket_sql(num_planes=4, dim=64, seed=42) -> str:
@@ -6220,6 +6294,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _pagerank_sql(iters=5),
         "triangle_count": _triangle_sql(),
         "label_propagation": _label_prop_sql(iters=3),
+        "adamic_adar": _adamic_adar_sql(k=100),
         "zorder_key": _zorder_sql(bits=16),
         "interval_join_bucketed": f'''
             WITH w AS (SELECT CAST(id AS BIGINT) AS window_id,

@@ -456,3 +456,28 @@ def test_label_propagation_communities(spark):
     assert out[20] == out[21] == 20
     # cliques never merge across the bridge
     assert out[0] != out[11]
+
+
+def test_adamic_adar_rare_neighbor_wins(spark):
+    from time_series_databse_engine_spark.operators.graph import adamic_adar
+
+    import math
+
+    # (1, 2) share a degree-2 neighbor 0; (3, 4) share hub 10 (degree 5)
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 2), (10, 3), (10, 4), (10, 5), (10, 6), (10, 7)],
+        "id1 int, id2 int",
+    )
+    out = {(r.v, r.w): r for r in adamic_adar(pairs, k=100).collect()}
+    # existing edges are never predicted
+    assert (0, 1) not in out and (10, 3) not in out
+    rare = out[(1, 2)]
+    assert rare.common_neighbors == 1
+    assert abs(rare.aa_score - round(1 / math.log(2), 6)) < 1e-9
+    hub = out[(3, 4)]
+    assert abs(hub.aa_score - round(1 / math.log(5), 6)) < 1e-9
+    # rare shared neighbor beats hub co-membership
+    assert rare.aa_score > hub.aa_score
+    # center cap drops the hub's evidence entirely
+    capped = {(r.v, r.w) for r in adamic_adar(pairs, k=100, max_center_degree=4).collect()}
+    assert (1, 2) in capped and (3, 4) not in capped

@@ -234,3 +234,60 @@ def label_propagation(
             .localCheckpoint()
         )
     return labels.select("id", F.col("label").alias("community"))
+
+
+def adamic_adar(
+    pairs: DataFrame,
+    k: int = 100,
+    max_center_degree: int | None = None,
+    src_col: str = "id1",
+    dst_col: str = "id2",
+) -> DataFrame:
+    """Adamic-Adar link prediction (Adamic & Adar 2003) over an
+    undirected pair list: for every NON-edge (v, w) sharing at least one
+    neighbor, score = sum over common neighbors u of 1/ln(deg(u)) —
+    rare shared neighbors are strong evidence, hub co-membership is
+    weak.  On the LSH candidate graph this recovers near-dup pairs the
+    banding missed: two docs that each collide with the same third doc
+    but never with each other.
+
+    Scale shape: wedge enumeration at each center u costs deg(u)² — the
+    honest quadratic of ALL common-neighbor methods — so
+    ``max_center_degree`` (when set) drops super-hub CENTERS from
+    evidence entirely, the standard production cap; dropping a hub
+    center only removes its (weak, 1/ln(deg)) contributions.  Every
+    join is an equi-join (center key, then the canonical (v, w) key for
+    the known-edge anti-join); a center's wedges never leave its
+    partition before the grouped sum.  deg(u) >= 2 for any wedge
+    center, so 1/ln(deg) is always finite.
+
+    Returns the top-``k`` non-edges by (aa_score DESC, v, w) with the
+    common-neighbor count, score rounded 6 dp.
+    """
+    edges = (
+        pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .union(pairs.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    centers = deg if max_center_degree is None else deg.where(
+        F.col("deg") <= F.lit(max_center_degree)
+    )
+    e1 = edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    e2 = edges.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    wedges = (
+        e1.join(e2, "u")
+        .where(F.col("v") < F.col("w"))
+        .join(centers.withColumnRenamed("src", "u"), "u")
+    )
+    scored = wedges.groupBy("v", "w").agg(
+        F.round(F.sum(F.lit(1.0) / F.log(F.col("deg"))), 6).alias("aa_score"),
+        F.count("*").alias("common_neighbors"),
+    )
+    known = pairs.select(F.col(src_col).alias("v"), F.col(dst_col).alias("w"))
+    return (
+        scored.join(known, ["v", "w"], "left_anti")
+        .orderBy(F.col("aa_score").desc(), "v", "w")
+        .limit(k)
+    )
