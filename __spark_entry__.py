@@ -2503,6 +2503,43 @@ def q_kmeans(spark, sf_dir):
     return sim_ops.kmeans_lloyd(_t(spark, sf_dir, "embeddings"), k=8, iters=2)
 
 
+def q_quantile_normalize(spark, sf_dir):
+    """Cross-source score calibration (sampling.quantile_normalize): each
+    doc's n_chars becomes its percent-rank WITHIN its source — the step
+    that makes per-source quality thresholds comparable.  Rank is
+    computed on the (source, value) distinct-value table and joined
+    back, so the row table never sorts; oracle is plain SQL
+    percent_rank."""
+    from time_series_databse_engine_spark.operators import sampling as samp_ops
+
+    return samp_ops.quantile_normalize(
+        _t(spark, sf_dir, "documents"), "source", "n_chars"
+    )
+
+
+def q_rolling_corr(spark, sf_dir):
+    """Trailing-24h correlation between the error and purchase series on
+    hourly buckets (timeseries.rolling_corr) — the time-local coupling
+    monitor; both series collapse map-side before the calendar-bounded
+    RANGE finish window."""
+    return ts_ops.rolling_corr(
+        _t(spark, sf_dir, "events"),
+        "event_type",
+        "error",
+        "purchase",
+        MS_H,
+        window_buckets=24,
+        min_overlap=12,
+    )
+
+
+def q_token_entropy(spark, sf_dir):
+    """Per-doc token-distribution Shannon entropy + type/token ratio
+    (text.token_entropy): the repetitiveness quality feature — looping
+    machine text scores low entropy for its length."""
+    return text_ops.token_entropy(_t(spark, sf_dir, "documents"))
+
+
 def q_pmi_collocations(spark, sf_dir):
     """Top bigram collocations by pointwise mutual information
     (text.pmi_collocations): the statistically-bound pairs raw frequency
@@ -4132,6 +4169,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assoc_rules": q_assoc_rules,
         "burn_rate": q_burn_rate,
         "pmi_collocations": q_pmi_collocations,
+        "quantile_normalize": q_quantile_normalize,
+        "rolling_corr": q_rolling_corr,
+        "token_entropy": q_token_entropy,
         "bloom_semijoin": q_bloom_semijoin,
         "ivfpq_topk": q_ivfpq_topk,
         "ann_index_probe": q_ann_index_probe,
@@ -5911,6 +5951,39 @@ def oracle_sql() -> dict[str, str]:
                   FROM events CROSS JOIN now GROUP BY user_id)
             SELECT user_id, decayed_score, n_events FROM s
             ORDER BY decayed_score DESC, user_id LIMIT 20""",
+        "quantile_normalize": """
+            SELECT doc_id, source, n_chars,
+                   round(percent_rank() OVER (PARTITION BY source
+                                              ORDER BY n_chars), 6) AS q
+            FROM documents""",
+        "rolling_corr": f"""
+            WITH a AS (SELECT {_EV_MS} - {_EV_MS} % 3600000 AS bucket,
+                              avg(value) AS va
+                       FROM events WHERE event_type = 'error' GROUP BY 1),
+            b AS (SELECT {_EV_MS} - {_EV_MS} % 3600000 AS bucket,
+                         avg(value) AS vb
+                  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+            j AS (SELECT a.bucket, va, vb FROM a JOIN b ON a.bucket = b.bucket)
+            SELECT bucket,
+                   CASE WHEN count(va) OVER w >= 12
+                        THEN round(corr(va, vb) OVER w, 6) END AS rolling_corr,
+                   count(va) OVER w AS n_in_window
+            FROM j
+            WINDOW w AS (ORDER BY bucket
+                         RANGE BETWEEN 82800000 PRECEDING AND CURRENT ROW)""",
+        "token_entropy": r"""
+            WITH tc AS (
+              SELECT doc_id, t, count(*) AS c
+              FROM (SELECT doc_id,
+                           unnest(string_split_regex(lower(text), '\s+')) AS t
+                    FROM documents)
+              GROUP BY 1, 2)
+            SELECT doc_id,
+                   CAST(sum(c) AS BIGINT) AS n_tokens,
+                   count(*) AS n_types,
+                   round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy,
+                   round(count(*) * 1e0 / sum(c), 6) AS type_token_ratio
+            FROM tc GROUP BY doc_id""",
         "pmi_collocations": r"""
             WITH d AS (SELECT string_split_regex(lower(text), '\s+') AS w
                        FROM documents),

@@ -411,3 +411,20 @@ def test_assoc_rules_planted_affinity(spark):
     # both directions of every pair emitted
     assert set(rules) == {("x", "y"), ("y", "x"), ("x", "z"), ("z", "x"),
                           ("y", "z"), ("z", "y")}
+
+
+def test_quantile_normalize_percent_rank_semantics(spark):
+    from time_series_databse_engine_spark.operators.sampling import quantile_normalize
+
+    rows = [
+        # source a: values 10, 20, 20, 40 -> ranks 1, 2, 2, 4 of n=4
+        (1, "a", 10), (2, "a", 20), (3, "a", 20), (4, "a", 40),
+        # source b: single row -> q = 0
+        (5, "b", 99),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    out = {r.doc_id: r.q for r in quantile_normalize(df, "source", "n_chars").collect()}
+    assert out[1] == 0.0
+    assert out[2] == out[3] == round(1 / 3, 6)  # ties share first rank
+    assert out[4] == 1.0
+    assert out[5] == 0.0

@@ -705,3 +705,21 @@ def test_pmi_collocations_planted_pair(spark):
     # frozen pair outranks every filler pair
     assert out[0].w1 == "san" and out[0].w2 == "francisco"
     assert all(sf.pmi >= r.pmi for r in out)
+
+
+def test_token_entropy_repetition_vs_prose(spark):
+    import math
+
+    from time_series_databse_engine_spark.operators.text import token_entropy
+
+    docs = [
+        (1, "spam spam spam spam"),              # entropy 0, TTR 1/4
+        (2, "alpha beta gamma delta"),           # uniform: entropy ln(4)
+        (3, "a a b b"),                          # ln(4) - (2ln2+2ln2)/4 = ln2
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in token_entropy(df).collect()}
+    assert out[1].entropy == 0.0 and out[1].type_token_ratio == 0.25
+    assert out[2].entropy == round(math.log(4), 6) and out[2].n_types == 4
+    assert out[3].entropy == round(math.log(2), 6)
+    assert out[1].n_tokens == 4

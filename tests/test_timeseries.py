@@ -972,3 +972,27 @@ def test_slo_burn_rate_multiwindow_alert(spark):
     # bucket 20 alerts too: gap before it means the long window only
     # contains the (all-error) buckets that exist in range
     assert out[20].alert
+
+
+def test_rolling_corr_coupling_break(spark):
+    """Series b tracks a for 30 buckets then flips sign: trailing-10
+    correlation decays from +1 after the break; early windows below
+    min_overlap return NULL."""
+    from time_series_databse_engine_spark.operators.timeseries import rolling_corr
+
+    rows = []
+    for t in range(60):
+        va = float(t % 7) + 0.5 * t
+        vb = va if t < 30 else -va
+        rows += [("a", t * 1000, va), ("b", t * 1000, vb)]
+    df = spark.createDataFrame(rows, "k string, ts_ms long, value double")
+    out = {
+        r.bucket // 1000: r
+        for r in rolling_corr(
+            df, "k", "a", "b", 1000, window_buckets=10, min_overlap=5
+        ).collect()
+    }
+    assert out[2].rolling_corr is None and out[2].n_in_window == 3
+    assert out[20].rolling_corr == 1.0
+    assert out[45].rolling_corr == -1.0
+    assert out[31].rolling_corr < 1.0  # the break is visible immediately

@@ -490,3 +490,47 @@ def snapshot_delta(
     if not include_unchanged:
         out = out.filter(F.col("status") != "unchanged")
     return out
+
+
+def quantile_normalize(
+    df: DataFrame,
+    key: str,
+    value: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-key empirical-CDF normalization: each row's value becomes its
+    percent-rank WITHIN its key group — the cross-source score
+    calibration step of a curation pipeline (a quality score of 12 means
+    nothing across sources; "85th percentile of its own source" does).
+    Ties share the rank of their first member, exactly SQL
+    percent_rank; single-row groups get 0.0.
+
+    Scale shape: percent_rank is computed on the (key, value)
+    DISTINCT-VALUE table, not the row table — count per (key, value),
+    one key-partitioned running sum over distinct values, rank joined
+    back on the (key, value) equi-key.  A source with 10^10 rows but
+    10^5 distinct scores sorts 10^5 rows in its window partition, and
+    the row table itself never sorts.  Exact integer arithmetic until
+    the one final division (rounded 6 dp).
+    """
+    vc = df.groupBy(key, value).agg(F.count("*").alias("_c"))
+    w = (
+        W.partitionBy(key)
+        .orderBy(value)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wk = W.partitionBy(key)
+    ranked = vc.select(
+        key,
+        value,
+        (F.sum("_c").over(w) - F.col("_c") + 1).alias("_rank"),
+        F.sum("_c").over(wk).alias("_n"),
+    ).select(
+        key,
+        value,
+        F.when(F.col("_n") > 1,
+               F.round((F.col("_rank") - 1) / (F.col("_n") - 1), 6))
+        .otherwise(F.lit(0.0))
+        .alias("q"),
+    )
+    return df.select(id_col, key, value).join(ranked, [key, value])

@@ -1755,3 +1755,39 @@ def pmi_collocations(
         .orderBy(F.col("pmi").desc(), "w1", "w2")
         .limit(k)
     )
+
+
+def token_entropy(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution + type/
+    token ratio — the repetitiveness features of the Gopher/C4 quality
+    tier that length and punctuation ratios miss: keyword-stuffed or
+    looping machine text has LOW entropy for its length, natural prose
+    sits near ln(n_types).
+
+    entropy = ln(n) - (1/n)·Σ c·ln(c) over per-token counts c — the
+    algebraic form keeps everything but one final division in exact
+    integers times ln of exact integers, so grouped-sum order noise is
+    ~1e-13 against the 5e-7 rounding boundary.
+
+    Scale shape: one explode into (doc, token) counts (map-side
+    combinable), one doc-keyed reduce — the token_counts shape; nothing
+    is corpus-global, so it composes with any per-doc gate.
+    """
+    toks = df.select(
+        id_col, F.explode(F.split(F.lower(F.col(text_col)), "\\s+")).alias("t")
+    )
+    tc = toks.groupBy(id_col, "t").agg(F.count("*").alias("c"))
+    return tc.groupBy(id_col).agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+        F.round(
+            F.log(F.sum("c"))
+            - F.sum(F.col("c") * F.log("c")) / F.sum("c"),
+            6,
+        ).alias("entropy"),
+        F.round(F.count("*") / F.sum("c"), 6).alias("type_token_ratio"),
+    )

@@ -2082,3 +2082,52 @@ def slo_burn_rate(
             & (F.round(long_rate / budget, 6) > F.lit(alert_burn))
         ).alias("alert"),
     )
+
+
+def rolling_corr(
+    df: DataFrame,
+    key: str,
+    key_a: str,
+    key_b: str,
+    bucket_ms: int,
+    window_buckets: int,
+    value: str = "value",
+    ts_ms: str = "ts_ms",
+    min_overlap: int = 2,
+) -> DataFrame:
+    """Trailing-window correlation between two named series — the
+    TIME-LOCAL companion of :func:`xcorr_lagged` (which scores the whole
+    period at once): did the error/purchase coupling BREAK last Tuesday?
+
+    Both series collapse map-side to (bucket, mean); one bucket-keyed
+    equi-join aligns them into (bucket, va, vb) rows — |period/bucket|
+    of them, invariant to raw volume — and corr runs over a trailing
+    RANGE frame on that calendar-bounded table (the psi_drift /
+    slo_burn_rate tiny-finish-window discipline).  Buckets where either
+    series is absent contribute nothing (inner alignment); windows with
+    fewer than ``min_overlap`` aligned buckets return NULL corr.
+    """
+    def series(k, out):
+        return (
+            df.where(F.col(key) == F.lit(k))
+            .select(
+                (F.col(ts_ms) - F.col(ts_ms) % F.lit(bucket_ms)).alias("bucket"),
+                F.col(value).alias(out),
+            )
+            .groupBy("bucket")
+            .agg(F.avg(out).alias(out))
+        )
+
+    aligned = series(key_a, "va").join(series(key_b, "vb"), "bucket")
+    w = (
+        W.orderBy("bucket")
+        .rangeBetween(-(window_buckets - 1) * bucket_ms, 0)
+    )
+    return aligned.select(
+        "bucket",
+        F.when(
+            F.count("va").over(w) >= F.lit(min_overlap),
+            F.round(F.corr("va", "vb").over(w), 6),
+        ).alias("rolling_corr"),
+        F.count("va").over(w).alias("n_in_window"),
+    )
