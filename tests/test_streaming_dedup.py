@@ -587,3 +587,73 @@ def test_streaming_decayed_topk_matches_batch_and_replays_exactly_once(
     assert sorted(
         tuple(r) for r in spark.read.parquet(out + "/topk").collect()
     ) == before_top
+
+
+def test_streaming_burn_rate_matches_batch_and_replays_exactly_once(
+    spark, tmp_path
+):
+    """Live SLO burn: epoch 1 is healthy (no alert), epoch 2 is a
+    sustained error burst (alert fires); the merged burn table equals
+    the batch operator on the union of all rows seen; a full crash
+    replay converges bit-identically."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from time_series_databse_engine_spark.operators.timeseries import slo_burn_rate
+    from time_series_databse_engine_spark.streaming.ingest import stream_burn_rate
+
+    B = 3_600_000
+    # batch 1: 6 healthy hours (10 ok each); batch 2: 6 all-error hours
+    rows1 = [(h * B + i, False) for h in range(6) for i in range(10)]
+    rows2 = [((6 + h) * B + i, True) for h in range(6) for i in range(10)]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows1, "ts_ms long, is_err boolean").coalesce(1).write.parquet(
+        src + "/b1"
+    )
+    spark.createDataFrame(rows2, "ts_ms long, is_err boolean").coalesce(1).write.parquet(
+        src + "/b2"
+    )
+    out = str(tmp_path / "burn")
+
+    def run():
+        stream = (
+            spark.readStream.schema("ts_ms long, is_err boolean")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/*")
+        )
+        q = stream_burn_rate(stream, out, str(tmp_path / "ckpt")).start()
+        q.awaitTermination(120)
+        q.stop()
+
+    run()
+    met = {r.epoch_id: r for r in spark.read.parquet(out + "/metrics").collect()}
+    assert set(met) == {0, 1}
+    assert not met[0].alert
+    assert met[1].alert and met[1].burn_short == 4.0 and met[1].burn_long == 4.0
+
+    # merge identity: re-pricing the merged counts == batch op on the union
+    from time_series_databse_engine_spark.operators.timeseries import burn_from_counts
+
+    merged = (
+        spark.read.parquet(out + "/counts")
+        .groupBy("bucket_ms")
+        .agg(F.sum("n").alias("n"), F.sum("n_err").alias("n_err"))
+    )
+    stream_burn = {
+        r.bucket_ms: tuple(r) for r in burn_from_counts(merged, slo=0.75).collect()
+    }
+    union = spark.createDataFrame(rows1 + rows2, "ts_ms long, is_err boolean")
+    batch_burn = {
+        r.bucket_ms: tuple(r) for r in slo_burn_rate(union, "is_err", slo=0.75).collect()
+    }
+    assert stream_burn == batch_burn
+
+    # crash replay: wipe the checkpoint; metrics and counts converge
+    shutil.rmtree(str(tmp_path / "ckpt"))
+    run()
+    met2 = {r.epoch_id: r for r in spark.read.parquet(out + "/metrics").collect()}
+    assert {k: tuple(v) for k, v in met2.items()} == {k: tuple(v) for k, v in met.items()}
+    assert (
+        spark.read.parquet(out + "/counts").agg(F.sum("n")).collect()[0][0] == 120
+    )

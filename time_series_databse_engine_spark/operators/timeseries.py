@@ -2062,6 +2062,28 @@ def slo_burn_rate(
         .groupBy("bucket_ms")
         .agg(F.count("*").alias("n"), F.sum("e").alias("n_err"))
     )
+    return burn_from_counts(
+        hourly,
+        slo=slo,
+        bucket_ms=bucket_ms,
+        long_buckets=long_buckets,
+        alert_burn=alert_burn,
+    )
+
+
+def burn_from_counts(
+    hourly: DataFrame,
+    slo: float,
+    bucket_ms: int = 3_600_000,
+    long_buckets: int = 6,
+    alert_burn: float = 1.2,
+) -> DataFrame:
+    """Price burn rates from MERGEABLE per-bucket (bucket_ms, n, n_err)
+    counts — the finish stage of :func:`slo_burn_rate`, factored out so
+    the streaming leg (``streaming.ingest.stream_burn_rate``) re-prices
+    its merged epoch state with the IDENTICAL float recipe: stream
+    output == batch op on the union of all rows seen (the
+    psi_from_counts / decayed_topk merge-identity discipline)."""
     lw = (
         W.orderBy("bucket_ms")
         .rangeBetween(-(long_buckets - 1) * bucket_ms, 0)

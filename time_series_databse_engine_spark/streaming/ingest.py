@@ -820,3 +820,110 @@ def _psi_epoch_writer(
         shutil.rmtree(tmp_root, ignore_errors=True)
 
     return write_batch
+
+
+def stream_burn_rate(
+    stream: DataFrame,
+    out_path: str,
+    checkpoint_dir: str,
+    error_col: str = "is_err",
+    slo: float = 0.75,
+    bucket_ms: int = 3_600_000,
+    long_buckets: int = 6,
+    alert_burn: float = 1.2,
+    ts_ms: str = "ts_ms",
+):
+    """Live SLO burn-rate monitor — the streaming leg of
+    :func:`operators.timeseries.slo_burn_rate`, which is the op whose
+    real home IS a stream (paging on budget burn minutes after it
+    starts, not at the nightly batch).
+
+    State is the op's own mergeable form: per-bucket (bucket_ms, n,
+    n_err) counts land under ``counts/epoch=N``; each epoch merges the
+    STRICTLY-PRIOR epochs' counts with its own (one grouped sum — raw
+    rows are never recounted), re-prices via
+    :func:`operators.timeseries.burn_from_counts` (the identical float
+    recipe, so the stream's burn table == the batch op on the union of
+    all rows seen), and writes ``metrics/epoch=N`` with the newest
+    bucket's burn pair + alert.  Exactly-once by the
+    :func:`stream_psi_drift` contract: strictly-prior running reads
+    (later epochs' dirs exist during a replay), delete-then-rename
+    epoch dirs, so a replayed epoch is attempt-independent."""
+    import glob
+    import os
+    import shutil
+
+    from ..operators.timeseries import burn_from_counts
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        eid = int(epoch_id)
+        tmp_root = os.path.join(out_path, "_tmp", f"epoch-{eid}")
+        shutil.rmtree(tmp_root, ignore_errors=True)
+
+        err = F.expr(error_col)
+        cnts = (
+            batch_df.select(
+                (F.col(ts_ms) - F.col(ts_ms) % F.lit(bucket_ms)).alias(
+                    "bucket_ms"
+                ),
+                err.cast("int").alias("e"),
+            )
+            .groupBy("bucket_ms")
+            .agg(F.count("*").alias("n"), F.sum("e").cast("long").alias("n_err"))
+        )
+        counts_tmp = os.path.join(tmp_root, "counts")
+        cnts.write.mode("overwrite").parquet(counts_tmp)
+        fresh = spark.read.parquet(counts_tmp)
+
+        prior = [
+            d
+            for d in glob.glob(os.path.join(out_path, "counts", "epoch=*"))
+            if int(os.path.basename(d).split("=", 1)[1]) < eid
+        ]
+        merged = fresh
+        if prior:
+            merged = fresh.unionByName(
+                spark.read.parquet(*prior).select("bucket_ms", "n", "n_err")
+            )
+        merged = merged.groupBy("bucket_ms").agg(
+            F.sum("n").alias("n"), F.sum("n_err").alias("n_err")
+        )
+        burn = burn_from_counts(
+            merged,
+            slo=slo,
+            bucket_ms=bucket_ms,
+            long_buckets=long_buckets,
+            alert_burn=alert_burn,
+        )
+        latest = burn.orderBy(F.col("bucket_ms").desc()).limit(1).collect()
+        n_rows = fresh.agg(F.sum("n")).collect()[0][0] or 0
+        row = latest[0] if latest else None
+        metrics_tmp = os.path.join(tmp_root, "metrics")
+        spark.createDataFrame(
+            [
+                (
+                    eid,
+                    int(n_rows),
+                    int(row.bucket_ms) if row else None,
+                    float(row.burn_short) if row else None,
+                    float(row.burn_long) if row else None,
+                    bool(row.alert) if row else False,
+                )
+            ],
+            "epoch_id int, n_rows long, latest_bucket_ms long, "
+            "burn_short double, burn_long double, alert boolean",
+        ).coalesce(1).write.mode("overwrite").parquet(metrics_tmp)
+
+        for name, tmp in (("counts", counts_tmp), ("metrics", metrics_tmp)):
+            dst = os.path.join(out_path, name, f"epoch={eid}")
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            shutil.rmtree(dst, ignore_errors=True)
+            os.rename(tmp, dst)
+        shutil.rmtree(tmp_root, ignore_errors=True)
+
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
