@@ -2813,6 +2813,16 @@ def q_xcorr_lagged(spark, sf_dir):
     )
 
 
+def q_theil_sen(spark, sf_dir):
+    """Theil-Sen robust trend per series (timeseries.theil_sen_trend):
+    median-of-pairwise-slopes on hourly bucket means — 29% breakdown
+    point, so outlier bursts cannot swing the trend OLS-style.
+    Quadratic in calendar buckets, never in raw rows."""
+    return ts_ops.theil_sen_trend(
+        _t(spark, sf_dir, "events"), ["event_type"], MS_H
+    )
+
+
 def q_burn_rate(spark, sf_dir):
     """Multi-window SLO burn-rate alerting (timeseries.slo_burn_rate, the
     SRE-workbook fast+slow window rule): hourly error-budget burn with a
@@ -4168,6 +4178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_build": q_scd2_build,
         "assoc_rules": q_assoc_rules,
         "burn_rate": q_burn_rate,
+        "theil_sen": q_theil_sen,
         "pmi_collocations": q_pmi_collocations,
         "quantile_normalize": q_quantile_normalize,
         "rolling_corr": q_rolling_corr,
@@ -6004,6 +6015,27 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN nt CROSS JOIN nb
             WHERE c_ab >= 5
             ORDER BY pmi DESC, w1, w2 LIMIT 50""",
+        "theil_sen": f"""
+            WITH b AS (
+              SELECT event_type,
+                     (({_EV_MS} - {_EV_MS} % 3600000) / 3600000e0) AS t,
+                     avg(value) AS v
+              FROM events GROUP BY 1, 2),
+            s AS (
+              SELECT a.event_type, (b2.v - a.v) / (b2.t - a.t) AS s
+              FROM b a JOIN b b2
+                ON a.event_type = b2.event_type AND a.t < b2.t),
+            est AS (
+              SELECT event_type,
+                     round(quantile_cont(s, 0.5), 6) AS slope_per_hour,
+                     count(*) AS n_pairs
+              FROM s GROUP BY 1)
+            SELECT b.event_type, slope_per_hour,
+                   round(quantile_cont(v - slope_per_hour * t, 0.5), 6)
+                       AS intercept,
+                   count(*) AS n_buckets, n_pairs
+            FROM b JOIN est ON est.event_type = b.event_type
+            GROUP BY 1, 2, 5""",
         "burn_rate": f"""
             WITH h AS (
               SELECT {_EV_MS} - {_EV_MS} % 3600000 AS bucket_ms,

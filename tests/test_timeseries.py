@@ -996,3 +996,19 @@ def test_rolling_corr_coupling_break(spark):
     assert out[20].rolling_corr == 1.0
     assert out[45].rolling_corr == -1.0
     assert out[31].rolling_corr < 1.0  # the break is visible immediately
+
+
+def test_theil_sen_outlier_robust(spark):
+    """A clean slope-2 line with 3 wild outliers: Theil-Sen recovers
+    slope 2 exactly; OLS on the same data would not."""
+    from time_series_databse_engine_spark.operators.timeseries import theil_sen_trend
+
+    B = 1000
+    rows = [("m", t * B, 2.0 * t + 5.0) for t in range(30)]
+    rows += [("m", t * B, 500.0) for t in (30, 31, 32)]  # burst
+    df = spark.createDataFrame(rows, "event_type string, ts_ms long, value double")
+    # express ts in bucket units: bucket_ms=B means t = ts/B
+    r = theil_sen_trend(df, ["event_type"], B).collect()[0]
+    assert r.slope_per_hour == 2.0
+    assert r.intercept == 5.0
+    assert r.n_buckets == 33 and r.n_pairs == 33 * 32 // 2

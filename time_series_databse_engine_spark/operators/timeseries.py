@@ -2153,3 +2153,66 @@ def rolling_corr(
         ).alias("rolling_corr"),
         F.count("va").over(w).alias("n_in_window"),
     )
+
+
+def theil_sen_trend(
+    df: DataFrame,
+    keys: list[str],
+    bucket_ms: int,
+    value: str = "value",
+    ts_ms: str = "ts_ms",
+) -> DataFrame:
+    """Theil-Sen robust trend per series (Theil 1950 / Sen 1968): slope =
+    median of all pairwise bucket-to-bucket slopes, intercept = median
+    of (v - slope·t) — breakdown point 29%, so a burst of outlier hours
+    cannot swing the trend the way OLS (``series_trend``) lets it.
+
+    Scale shape: the estimator is quadratic IN BUCKETS, not rows — raw
+    data collapses map-side to (key, bucket, mean) first, and the pair
+    self-join runs on the calendar-bounded bucketed table (720 hourly
+    buckets/month → ≤ C(720,2) ≈ 259k slope rows per series regardless
+    of raw volume).  Slopes never leave their key partition before the
+    median (Spark `percentile` ↔ DuckDB `quantile_cont`, the
+    value_percentiles pairing).  Time enters in HOURS-from-epoch so
+    slope magnitudes stay in a well-conditioned float range.
+
+    Returns (keys..., slope_per_hour, intercept, n_buckets, n_pairs),
+    slope/intercept rounded 6 dp.
+    """
+    b = (
+        df.select(
+            *keys,
+            ((F.col(ts_ms) - F.col(ts_ms) % F.lit(bucket_ms)) / F.lit(bucket_ms))
+            .cast("double")
+            .alias("t"),
+            F.col(value).alias("v"),
+        )
+        .groupBy(*keys, "t")
+        .agg(F.avg("v").alias("v"))
+        .localCheckpoint()  # reused by the pair join AND the intercept pass
+    )
+    b1 = b.select(*keys, F.col("t").alias("t1"), F.col("v").alias("v1"))
+    b2 = b.select(*keys, F.col("t").alias("t2"), F.col("v").alias("v2"))
+    slopes = (
+        b1.join(b2, keys)
+        .where(F.col("t1") < F.col("t2"))
+        .select(
+            *keys,
+            ((F.col("v2") - F.col("v1")) / (F.col("t2") - F.col("t1"))).alias("s"),
+        )
+    )
+    est = slopes.groupBy(*keys).agg(
+        F.round(F.expr("percentile(s, 0.5)"), 6).alias("slope_per_hour"),
+        F.count("*").alias("n_pairs"),
+    )
+    return (
+        b.join(est, keys)
+        .groupBy(*keys, "slope_per_hour", "n_pairs")
+        .agg(
+            F.round(
+                F.expr("percentile(v - slope_per_hour * t, 0.5)"), 6
+            ).alias("intercept"),
+            F.count("*").alias("n_buckets"),
+        )
+        .select(*keys, "slope_per_hour", "intercept", "n_buckets", "n_pairs")
+    )
