@@ -165,6 +165,21 @@ HEADLINE = [
     "decayed_topk",
     "domain_cap",
     "vocab_coverage",
+    # round-10 session-3 adds: graph census/communities/link prediction,
+    # lead-lag + rolling coupling, SCD2, baskets, SLO burn, calibration,
+    # entropy, robust trend
+    "triangle_count",
+    "label_propagation",
+    "adamic_adar",
+    "xcorr_lagged",
+    "rolling_corr",
+    "scd2_build",
+    "assoc_rules",
+    "burn_rate",
+    "pmi_collocations",
+    "quantile_normalize",
+    "token_entropy",
+    "theil_sen",
 ]
 
 # repeated-run latency distribution for the reference's hot/cold point
