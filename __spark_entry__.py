@@ -2081,10 +2081,15 @@ def q_adamic_adar(spark, sf_dir):
     (event_type, hour) bucket during the first 48 h — open structure at
     every SF, unlike the LSH graph whose band collisions close into
     cliques (AA on it returns no non-edges at sf0.01; triangle_count's
-    lcc=1 rows are that fact).  Oracle replays the co-activity edge
-    derivation, wedge counting, the NOT EXISTS anti-join, and the
-    deterministic top-k."""
+    lcc=1 rows are that fact).  Bucket participants are capped at 20 in
+    md5 order (co-occurrence graphs densify quadratically with bucket
+    occupancy — the sf1 bench caught the uncapped form) and hub centers
+    above degree 200 are dropped from evidence.  Oracle replays the
+    capped edge derivation, wedge counting, the NOT EXISTS anti-join,
+    and the deterministic top-k."""
     from time_series_databse_engine_spark.operators import graph as graph_ops
+
+    from pyspark.sql import Window as _W
 
     ev = _t(spark, sf_dir, "events").where(
         F.col("ts_ms") < F.lit(T1 + 48 * MS_H)
@@ -2094,14 +2099,27 @@ def q_adamic_adar(spark, sf_dir):
         (F.col("ts_ms") - F.col("ts_ms") % F.lit(MS_H)).alias("bucket"),
         F.col("user_id").alias("u"),
     ).distinct()
+    # Co-occurrence graphs densify with per-bucket occupancy (10x the
+    # events at a fixed calendar = ~10x the users per bucket = ~100x
+    # the pairs), so the bucket's participants are CAPPED at 20 in
+    # deterministic md5(u) order before pair generation — the
+    # cap_events/domain_cap recipe; pairs per bucket are then <= C(20,2)
+    # whatever the corpus size, and the sampled-participant graph is
+    # SF-reproducible for the oracle.
+    wcap = _W.partitionBy("event_type", "bucket").orderBy(
+        F.md5(F.col("u").cast("string")), F.col("u")
+    )
+    capped = ub.withColumn("_rn", F.row_number().over(wcap)).where(
+        F.col("_rn") <= 20
+    )
     pairs = (
-        ub.alias("a")
-        .join(ub.alias("b"), ["event_type", "bucket"])
+        capped.alias("a")
+        .join(capped.alias("b"), ["event_type", "bucket"])
         .where(F.col("a.u") < F.col("b.u"))
         .select(F.col("a.u").alias("id1"), F.col("b.u").alias("id2"))
         .distinct()
     )
-    return graph_ops.adamic_adar(pairs, k=100).select(
+    return graph_ops.adamic_adar(pairs, k=100, max_center_degree=200).select(
         F.col("v").alias("user_a"),
         F.col("w").alias("user_b"),
         "aa_score",
@@ -4805,9 +4823,15 @@ def _adamic_adar_sql(k: int = 100) -> str:
                  {_EV_MS} - {_EV_MS} % 3600000 AS bucket,
                  user_id AS u
           FROM events WHERE {_EV_MS} < {T1 + 48 * MS_H}),
+        capped AS (
+          SELECT event_type, bucket, u FROM (
+            SELECT event_type, bucket, u,
+                   row_number() OVER (PARTITION BY event_type, bucket
+                      ORDER BY md5(CAST(u AS VARCHAR)), u) AS rn
+            FROM ub) WHERE rn <= 20),
         pairs AS (
           SELECT DISTINCT a.u AS id1, b.u AS id2
-          FROM ub a JOIN ub b
+          FROM capped a JOIN capped b
             ON a.event_type = b.event_type AND a.bucket = b.bucket
            AND a.u < b.u),
         sym AS (SELECT id1 AS s, id2 AS d FROM pairs
@@ -4817,7 +4841,7 @@ def _adamic_adar_sql(k: int = 100) -> str:
           SELECT e1.d AS v, e2.d AS w, deg.deg
           FROM sym e1
           JOIN sym e2 ON e1.s = e2.s AND e1.d < e2.d
-          JOIN deg ON deg.s = e1.s),
+          JOIN deg ON deg.s = e1.s AND deg.deg <= 200),
         aa AS (
           SELECT v, w,
                  round(sum(1e0 / ln(deg)), 6) AS aa_score,

@@ -40,12 +40,17 @@ def assoc_rules(
     limit — the tiebreak makes the top-k reproducible across shuffle
     orders.
     """
+    # Materialized once: its four consumers (the basket total, the item
+    # counts, and both sides of the pair self-join) are separate jobs —
+    # without the cut each replays the corpus-sized distinct.  This IS
+    # the operator's working set (the dedup'd basket-item list).
     items = (
         baskets.select(
             F.col(basket_col).alias("b"), F.col(item_col).alias("i")
         )
         .where(F.col(item_col).isNotNull())
         .distinct()
+        .localCheckpoint()
     )
     n_b = F.broadcast(items.agg(F.countDistinct("b").alias("n_baskets")))
 

@@ -274,13 +274,16 @@ def adamic_adar(
     centers = deg if max_center_degree is None else deg.where(
         F.col("deg") <= F.lit(max_center_degree)
     )
-    e1 = edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
-    e2 = edges.select(F.col("src").alias("u"), F.col("dst").alias("w"))
-    wedges = (
-        e1.join(e2, "u")
-        .where(F.col("v") < F.col("w"))
-        .join(centers.withColumnRenamed("src", "u"), "u")
-    )
+    # The center prune must land BEFORE wedge enumeration (not as a
+    # post-join filter Catalyst may or may not reorder): kept is the
+    # capped center's adjacency, so the self-join fans out at most
+    # cap² wedges per center by construction.
+    kept = edges.join(
+        centers.select("src", "deg"), "src"
+    ).select(F.col("src").alias("u"), F.col("dst").alias("v"), "deg")
+    e1 = kept.select("u", "v", "deg")
+    e2 = kept.select("u", F.col("v").alias("w"))
+    wedges = e1.join(e2, "u").where(F.col("v") < F.col("w"))
     scored = wedges.groupBy("v", "w").agg(
         F.round(F.sum(F.lit(1.0) / F.log(F.col("deg"))), 6).alias("aa_score"),
         F.count("*").alias("common_neighbors"),
