@@ -273,3 +273,79 @@ def test_psi_nonnegative_and_counts_conserved(spark, ref_vals, cur_vals):
     assert rows and all(r.psi >= -1e-9 for r in rows)
     assert sum(r.ref_cnt for r in rows) == len(ref_vals)
     assert sum(r.cur_cnt for r in rows) == len(cur_vals)
+
+
+@given(
+    edges=st.sets(
+        st.tuples(st.integers(0, 17), st.integers(0, 17)).filter(
+            lambda e: e[0] != e[1]
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@fast
+def test_triangle_count_matches_bruteforce_property(spark, edges):
+    """Degree-ordered wedge counting == brute-force triangle enumeration
+    on random graphs, node for node, including degrees and lcc."""
+    from itertools import combinations
+
+    from time_series_databse_engine_spark.operators.graph import triangle_count
+
+    und = sorted({(min(a, b), max(a, b)) for a, b in edges})
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    truth = {
+        v: sum(1 for x, y in combinations(sorted(nbrs), 2) if y in adj[x])
+        for v, nbrs in adj.items()
+    }
+    df = spark.createDataFrame(und, "id1 int, id2 int")
+    out = {r.id: r for r in triangle_count(df).collect()}
+    assert set(out) == set(truth)
+    for v, t in truth.items():
+        assert out[v].triangles == t, (v, und)
+        assert out[v].degree == len(adj[v])
+        d = len(adj[v])
+        want = round(2.0 * t / (d * (d - 1)), 6) if d >= 2 else 0.0
+        assert out[v].lcc == want
+
+
+@given(
+    edges=st.sets(
+        st.tuples(st.integers(0, 13), st.integers(0, 13)).filter(
+            lambda e: e[0] != e[1]
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@fast
+def test_adamic_adar_matches_bruteforce_property(spark, edges):
+    """AA scores == brute-force over all non-edges with >=1 common
+    neighbor (k large enough to keep everything)."""
+    import math
+    from itertools import combinations
+
+    from time_series_databse_engine_spark.operators.graph import adamic_adar
+
+    und = sorted({(min(a, b), max(a, b)) for a, b in edges})
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    truth = {}
+    for v, w in combinations(sorted(adj), 2):
+        if w in adj[v]:
+            continue
+        common = adj[v] & adj[w]
+        if common:
+            truth[(v, w)] = (
+                round(sum(1.0 / math.log(len(adj[u])) for u in common), 6),
+                len(common),
+            )
+    df = spark.createDataFrame(und, "id1 int, id2 int")
+    out = {(r.v, r.w): (r.aa_score, r.common_neighbors)
+           for r in adamic_adar(df, k=10_000).collect()}
+    assert out == truth, und
