@@ -457,6 +457,28 @@ def main():
         )
         extra["stream_decayed_topk_rows_per_sec"] = round(n_ev / dt)
 
+        # live SLO burn monitoring: the same events as a 4-epoch stream,
+        # each epoch merging strictly-prior per-bucket counts and
+        # re-pricing burn (steady-state alerting cost)
+        from time_series_databse_engine_spark.streaming.ingest import (
+            stream_burn_rate,
+        )
+
+        burn_src = load_table(spark, SF_DIR, "events").select(
+            "ts_ms", (F.col("event_type") == "error").alias("is_err")
+        )
+        burn_src.repartition(4).write.parquet(tmp + "/burn_src")
+        dt = _drain(
+            stream_burn_rate(
+                spark.readStream.schema(burn_src.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(tmp + "/burn_src"),
+                tmp + "/burn_out",
+                tmp + "/burn_ckpt",
+            )
+        )
+        extra["stream_burn_rate_rows_per_sec"] = round(n_ev / dt)
+
         # --- storage efficiency (reference: ~8.2 B/pt)
         nbytes = sum(
             os.path.getsize(os.path.join(dp, f))
