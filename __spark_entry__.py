@@ -2521,6 +2521,14 @@ def q_kmeans(spark, sf_dir):
     return sim_ops.kmeans_lloyd(_t(spark, sf_dir, "embeddings"), k=8, iters=2)
 
 
+def q_corpus_report(spark, sf_dir):
+    """Per-source corpus data card (text.corpus_report): volume, exact-
+    duplicate rate, dominant language — one row per source, the
+    curator's first table on a new crawl; composes the profiling
+    primitives in two grouped passes."""
+    return text_ops.corpus_report(_t(spark, sf_dir, "documents"))
+
+
 def q_quantile_normalize(spark, sf_dir):
     """Cross-source score calibration (sampling.quantile_normalize): each
     doc's n_chars becomes its percent-rank WITHIN its source — the step
@@ -4199,6 +4207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theil_sen": q_theil_sen,
         "pmi_collocations": q_pmi_collocations,
         "quantile_normalize": q_quantile_normalize,
+        "corpus_report": q_corpus_report,
         "rolling_corr": q_rolling_corr,
         "token_entropy": q_token_entropy,
         "bloom_semijoin": q_bloom_semijoin,
@@ -5986,6 +5995,25 @@ def oracle_sql() -> dict[str, str]:
                   FROM events CROSS JOIN now GROUP BY user_id)
             SELECT user_id, decayed_score, n_events FROM s
             ORDER BY decayed_score DESC, user_id LIMIT 20""",
+        "corpus_report": r"""
+            WITH base AS (
+              SELECT source, count(*) AS n_docs,
+                     CAST(sum(len(string_split_regex(lower(text), '\s+')))
+                          AS BIGINT) AS n_tokens,
+                     CAST(sum(length(text)) AS BIGINT) AS n_chars,
+                     count(DISTINCT md5(text)) AS uniq
+              FROM documents GROUP BY source),
+            lm AS (
+              SELECT source, lang AS top_lang FROM (
+                SELECT source, lang,
+                       row_number() OVER (PARTITION BY source
+                          ORDER BY count(*) DESC, lang ASC) AS rn
+                FROM documents GROUP BY source, lang)
+              WHERE rn = 1)
+            SELECT base.source, n_docs, n_tokens, n_chars,
+                   round(1e0 - uniq * 1e0 / n_docs, 6) AS exact_dup_frac,
+                   top_lang
+            FROM base JOIN lm ON lm.source = base.source""",
         "quantile_normalize": """
             SELECT doc_id, source, n_chars,
                    round(percent_rank() OVER (PARTITION BY source

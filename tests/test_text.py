@@ -723,3 +723,22 @@ def test_token_entropy_repetition_vs_prose(spark):
     assert out[2].entropy == round(math.log(4), 6) and out[2].n_types == 4
     assert out[3].entropy == round(math.log(2), 6)
     assert out[1].n_tokens == 4
+
+
+def test_corpus_report_dup_rate_and_lang_mode(spark):
+    from time_series_databse_engine_spark.operators.text import corpus_report
+
+    docs = [
+        (1, "web", "same text", "en"),
+        (2, "web", "same text", "en"),      # exact dup
+        (3, "web", "other text", "de"),
+        (4, "web", "third text", "en"),     # en wins 3-1
+        (5, "book", "unique here", "fr"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, source string, text string, lang string")
+    out = {r.source: r for r in corpus_report(df).collect()}
+    web = out["web"]
+    assert web.n_docs == 4 and web.exact_dup_frac == 0.25
+    assert web.top_lang == "en" and web.n_tokens == 8
+    book = out["book"]
+    assert book.exact_dup_frac == 0.0 and book.top_lang == "fr"

@@ -1791,3 +1791,57 @@ def token_entropy(
         ).alias("entropy"),
         F.round(F.count("*") / F.sum("c"), 6).alias("type_token_ratio"),
     )
+
+
+def corpus_report(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-source corpus data card — the first table a curator asks for
+    when a new crawl lands: volume (docs/tokens/chars), exact-duplicate
+    rate, and the dominant language, one row per source.  The
+    one-stop composition of the profiling primitives; for depth, each
+    column has a dedicated operator (dedup_exact, lang_id, text_stats,
+    vocab_coverage) this report's columns agree with.
+
+    Scale shape: two grouped passes over the corpus — one source-keyed
+    aggregate carrying (count, token-size sum, char sum, distinct
+    md5(text) for the dup rate) and one (source, lang)-keyed count
+    whose argmax window runs on the collapsed language table (sources ×
+    langs rows).  Exact integers everywhere except the one dup-frac
+    division, rounded 6 dp.
+    """
+    from pyspark.sql import Window as W
+
+    base = df.groupBy(source_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split(F.lower(F.col(text_col)), "\\s+")))
+        .cast("long")
+        .alias("n_tokens"),
+        F.sum(F.length(text_col)).cast("long").alias("n_chars"),
+        F.countDistinct(F.md5(F.col(text_col))).alias("_uniq"),
+    )
+    lang_mode = (
+        df.groupBy(source_col, lang_col)
+        .agg(F.count("*").alias("_c"))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                W.partitionBy(source_col).orderBy(
+                    F.col("_c").desc(), F.col(lang_col).asc()
+                )
+            ),
+        )
+        .where(F.col("_rn") == 1)
+        .select(source_col, F.col(lang_col).alias("top_lang"))
+    )
+    return base.join(lang_mode, source_col).select(
+        source_col,
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        F.round(1.0 - F.col("_uniq") / F.col("n_docs"), 6).alias("exact_dup_frac"),
+        "top_lang",
+    )
