@@ -657,3 +657,75 @@ def test_streaming_burn_rate_matches_batch_and_replays_exactly_once(
     assert (
         spark.read.parquet(out + "/counts").agg(F.sum("n")).collect()[0][0] == 120
     )
+
+
+def test_streaming_scd2_merge_identity_and_replay(spark, tmp_path):
+    """Live SCD2: the merged output (all closed epochs + latest current
+    snapshot) is row-identical to the batch scd2_build on all events
+    seen — versions included; a full crash replay converges."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from time_series_databse_engine_spark.operators.timeseries import scd2_build
+    from time_series_databse_engine_spark.streaming.ingest import stream_scd2
+
+    schema = "user_id long, event_type string, ts_ms long, event_id long"
+    # epoch 0: A X->Y (one run closes), B single row
+    b1 = [(1, "X", 0, 0), (1, "Y", 10, 1), (2, "P", 5, 2)]
+    # epoch 1: A Y (no change!) then Z; B closes P with Q; C appears
+    b2 = [(1, "Y", 20, 3), (1, "Z", 30, 4), (2, "Q", 25, 5), (3, "R", 40, 6)]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(src + "/b1")
+    import time as _t
+
+    _t.sleep(1.1)  # distinct mtimes pin micro-batch order
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(src + "/b2")
+    out = str(tmp_path / "scd")
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/*")
+        )
+        q = stream_scd2(
+            stream, out, str(tmp_path / "ckpt"),
+            order=["ts_ms", "event_id"],
+        ).start()
+        q.awaitTermination(120)
+        q.stop()
+
+    def merged():
+        closed = spark.read.parquet(out + "/closed").select(
+            "user_id", "event_type", "valid_from_ms", "valid_to_ms", "version"
+        )
+        cur = spark.read.parquet(out + "/current/epoch=1").select(
+            "user_id",
+            "event_type",
+            "valid_from_ms",
+            F.lit(None).cast("long").alias("valid_to_ms"),
+            "version",
+        )
+        return sorted(map(tuple, closed.unionByName(cur).collect()))
+
+    run()
+    got = merged()
+    union = spark.createDataFrame(b1 + b2, schema)
+    want = sorted(
+        map(
+            tuple,
+            scd2_build(union, "user_id", "event_type", ["ts_ms", "event_id"])
+            .select("user_id", "event_type", "valid_from_ms", "valid_to_ms", "version")
+            .collect(),
+        )
+    )
+    assert got == want
+    # the no-change Y event must NOT have split A's Y run
+    a_runs = [r for r in got if r[0] == 1]
+    assert len(a_runs) == 3  # X, Y, Z
+
+    # crash replay: wipe the checkpoint, re-fire both epochs
+    shutil.rmtree(str(tmp_path / "ckpt"))
+    run()
+    assert merged() == want

@@ -927,3 +927,151 @@ def stream_burn_rate(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
     )
+
+
+def stream_scd2(
+    stream: DataFrame,
+    out_path: str,
+    checkpoint_dir: str,
+    key: str = "user_id",
+    attr: str = "event_type",
+    ts_ms: str = "ts_ms",
+    order: list[str] | None = None,
+):
+    """Live SCD type-2 dimension maintenance — the streaming leg of
+    :func:`operators.timeseries.scd2_build` (the CDC shape: the
+    dimension stays current as events arrive, instead of a nightly
+    rebuild).
+
+    State per epoch, both dimension-sized (never event-history-sized):
+
+    * ``current/epoch=N`` — the full open-row snapshot (one row per key:
+      attr, valid_from_ms, version, plus the order columns of the run's
+      opening event so later ties replay identically);
+    * ``closed/epoch=N``  — the runs CLOSED by this epoch's events.
+
+    Each epoch reads the NEWEST strictly-prior ``current`` snapshot,
+    restricts to the batch's touched keys, replays each touched key's
+    open row as the pseudo-first event in front of the batch's events,
+    and reruns the batch operator's own run-collapse on that union —
+    so the merged output (all ``closed`` epochs ∪ latest ``current``)
+    is ROW-IDENTICAL to :func:`scd2_build` on all events seen, version
+    numbers included (the recompute's versions are re-based onto the
+    prior open row's version).  Untouched keys' rows are copied forward
+    into the new snapshot unchanged.
+
+    Exactly-once by the :func:`stream_psi_drift` contract: strictly-
+    prior state reads and delete-then-rename epoch dirs make a replayed
+    epoch attempt-independent.
+    """
+    import glob
+    import os
+    import shutil
+
+    from ..operators.timeseries import scd2_build
+
+    order = order or [ts_ms]
+
+    def _latest_prior(eid: int) -> str | None:
+        dirs = glob.glob(os.path.join(out_path, "current", "epoch=*"))
+        prior = [
+            d for d in dirs
+            if int(os.path.basename(d).split("=", 1)[1]) < eid
+        ]
+        return max(prior, key=lambda d: int(d.rsplit("=", 1)[1])) if prior else None
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        eid = int(epoch_id)
+        tmp_root = os.path.join(out_path, "_tmp", f"epoch-{eid}")
+        shutil.rmtree(tmp_root, ignore_errors=True)
+
+        ev_cols = [key, attr, ts_ms] + [
+            c for c in order if c not in (key, attr, ts_ms)
+        ]
+        batch = batch_df.select(*ev_cols)
+        prior_dir = _latest_prior(eid)
+        if prior_dir:
+            cur = spark.read.parquet(prior_dir)
+        else:
+            cur = spark.createDataFrame(
+                [],
+                batch.schema.add("version", "long").add("valid_from_ms", "long"),
+            ).select(
+                *[F.col(c) for c in ev_cols], "version", "valid_from_ms"
+            )
+
+        touched = batch.select(key).distinct()
+        base = cur.join(touched, key)
+        # the open row replayed as the run's opening event (its original
+        # ts and order columns), remembering the version to re-base on
+        base_ev = base.select(*ev_cols, F.col("version").alias("_vbase"))
+        merged = base_ev.unionByName(
+            batch.withColumn("_vbase", F.lit(None).cast("long"))
+        )
+        vbase = merged.groupBy(key).agg(
+            F.coalesce(F.max("_vbase"), F.lit(1)).alias("_vb")
+        )
+        hist = scd2_build(merged.drop("_vbase"), key, attr, order).join(
+            vbase, key
+        ).select(
+            key,
+            attr,
+            "valid_from_ms",
+            "valid_to_ms",
+            "is_current",
+            (F.col("version") + F.col("_vb") - 1).alias("version"),
+        )
+
+        # runs closed in PRIOR epochs never reappear here: hist derives
+        # only from the prior OPEN row forward, so everything non-open
+        # in it was closed by THIS batch
+        closed_now = hist.where(~F.col("is_current"))
+
+        new_open = hist.where(F.col("is_current")).select(
+            key, attr, "valid_from_ms", "version"
+        )
+        # order columns of the opening event ride along for tie replay;
+        # opener columns renamed wholesale — hist and merged share
+        # lineage, and an unaliased self-join trips Spark's ambiguity
+        # check
+        tie_cols = [c for c in ev_cols if c not in (key, attr, ts_ms)]
+        opener = merged.select(
+            F.col(key).alias("_ok"),
+            F.col(ts_ms).alias("_ots"),
+            *[F.col(c).alias(f"_o_{c}") for c in tie_cols],
+        )
+        new_cur_touched = new_open.join(
+            opener,
+            (new_open[key] == opener["_ok"])
+            & (new_open["valid_from_ms"] == opener["_ots"]),
+        ).select(
+            key,
+            attr,
+            *[F.col(f"_o_{c}").alias(c) for c in tie_cols],
+            F.col("valid_from_ms").alias(ts_ms),
+            "version",
+            "valid_from_ms",
+        )
+        untouched = cur.join(touched, key, "left_anti")
+        new_cur = untouched.unionByName(new_cur_touched)
+
+        closed_tmp = os.path.join(tmp_root, "closed")
+        cur_tmp = os.path.join(tmp_root, "current")
+        closed_now.select(
+            key, attr, "valid_from_ms", "valid_to_ms", "version"
+        ).write.mode("overwrite").parquet(closed_tmp)
+        new_cur.write.mode("overwrite").parquet(cur_tmp)
+
+        for name, tmp in (("closed", closed_tmp), ("current", cur_tmp)):
+            dst = os.path.join(out_path, name, f"epoch={eid}")
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            shutil.rmtree(dst, ignore_errors=True)
+            os.rename(tmp, dst)
+        shutil.rmtree(tmp_root, ignore_errors=True)
+
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
