@@ -697,10 +697,12 @@ def test_streaming_scd2_merge_identity_and_replay(spark, tmp_path):
         q.stop()
 
     def merged():
+        from time_series_databse_engine_spark.streaming.ingest import scd2_current
+
         closed = spark.read.parquet(out + "/closed").select(
             "user_id", "event_type", "valid_from_ms", "valid_to_ms", "version"
         )
-        cur = spark.read.parquet(out + "/current/epoch=1").select(
+        cur = scd2_current(spark, out).select(
             "user_id",
             "event_type",
             "valid_from_ms",
@@ -729,3 +731,101 @@ def test_streaming_scd2_merge_identity_and_replay(spark, tmp_path):
     shutil.rmtree(str(tmp_path / "ckpt"))
     run()
     assert merged() == want
+
+
+def test_streaming_scd2_opening_ts_tie(spark, tmp_path):
+    """ADVICE r10 (high) regression: two same-key events sharing the ts
+    of the run's opening event must NOT fan out the opener join — the
+    snapshot keeps exactly one row per key, carrying the order columns
+    of the TRUE opening event (last run-start in `order`), and the
+    merged output stays identical to the batch scd2_build."""
+    from pyspark.sql import functions as F
+
+    from time_series_databse_engine_spark.operators.timeseries import scd2_build
+    from time_series_databse_engine_spark.streaming.ingest import (
+        scd2_current,
+        stream_scd2,
+    )
+
+    schema = "user_id long, event_type string, ts_ms long, event_id long"
+    # the ADVICE repro, plus the earlier-run-same-attr-same-ts corner:
+    # key 2's events all share ts=10 — runs Y[id0], X[id1], Y[id2 open];
+    # the opener must be id2 (last run start), not id0 (same attr+ts)
+    rows = [
+        (1, "X", 10, 1), (1, "Y", 10, 2),
+        (2, "Y", 10, 0), (2, "X", 10, 1), (2, "Y", 10, 2),
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src + "/b1")
+    out = str(tmp_path / "scd")
+    q = stream_scd2(
+        spark.readStream.schema(schema).parquet(src + "/*"),
+        out, str(tmp_path / "ckpt"), order=["ts_ms", "event_id"],
+    ).start()
+    q.awaitTermination(120)
+    q.stop()
+
+    cur = scd2_current(spark, out)
+    # exactly one open row per key, with the true opener's event_id
+    got = {r.user_id: (r.event_type, r.event_id) for r in cur.collect()}
+    assert cur.count() == 2
+    assert got == {1: ("Y", 2), 2: ("Y", 2)}
+
+    closed = spark.read.parquet(out + "/closed").select(
+        "user_id", "event_type", "valid_from_ms", "valid_to_ms", "version"
+    )
+    skey = lambda t: tuple((x is None, x) for x in t)  # noqa: E731
+    merged = sorted(map(tuple, closed.unionByName(
+        cur.select(
+            "user_id", "event_type", "valid_from_ms",
+            F.lit(None).cast("long").alias("valid_to_ms"), "version",
+        )
+    ).collect()), key=skey)
+    want = sorted(map(tuple, scd2_build(
+        spark.createDataFrame(rows, schema),
+        "user_id", "event_type", ["ts_ms", "event_id"],
+    ).select(
+        "user_id", "event_type", "valid_from_ms", "valid_to_ms", "version"
+    ).collect()), key=skey)
+    assert merged == want
+
+
+def test_streaming_scd2_touched_partition_writes(spark, tmp_path):
+    """VERDICT r10 #3: an epoch rewrites only the snapshot partitions its
+    batch touched — per-epoch bytes written scale with touched keys, not
+    dimension size."""
+    import glob
+    import time as _t
+
+    from time_series_databse_engine_spark.streaming.ingest import (
+        scd2_current,
+        stream_scd2,
+    )
+
+    schema = "user_id long, event_type string, ts_ms long, event_id long"
+    # epoch 0: a 64-key dimension spread across all 8 hash partitions
+    b1 = [(k, "A", 0, k) for k in range(64)]
+    # epoch 1: a single key changes
+    b2 = [(7, "B", 100, 1000)]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(src + "/b1")
+    _t.sleep(1.1)
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(src + "/b2")
+    out = str(tmp_path / "scd")
+    q = stream_scd2(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*"),
+        out, str(tmp_path / "ckpt"), order=["ts_ms", "event_id"],
+    ).start()
+    q.awaitTermination(120)
+    q.stop()
+
+    # epoch 0 touched all 8 partitions; epoch 1 exactly one
+    e0 = glob.glob(out + "/current/part=*/epoch=0")
+    e1 = glob.glob(out + "/current/part=*/epoch=1")
+    assert len(e0) == 8 and len(e1) == 1
+
+    # the snapshot is still the complete dimension with key 7 updated
+    cur = {r.user_id: r.event_type for r in scd2_current(spark, out).collect()}
+    assert len(cur) == 64 and cur[7] == "B" and cur[6] == "A"

@@ -929,6 +929,24 @@ def stream_burn_rate(
     )
 
 
+def scd2_current(spark: SparkSession, out_path: str) -> DataFrame:
+    """Read the latest :func:`stream_scd2` dimension snapshot: for each
+    hash partition ``current/part=K``, the newest ``epoch=N`` dir.
+
+    Partitions are versioned independently (an epoch only rewrites the
+    partitions its batch touched), so "the snapshot" is the union of
+    per-partition latest epochs, not a single epoch dir."""
+    import glob
+    import os
+
+    latest = []
+    for pdir in sorted(glob.glob(os.path.join(out_path, "current", "part=*"))):
+        dirs = glob.glob(os.path.join(pdir, "epoch=*"))
+        if dirs:
+            latest.append(max(dirs, key=lambda d: int(d.rsplit("=", 1)[1])))
+    return spark.read.parquet(*latest)
+
+
 def stream_scd2(
     stream: DataFrame,
     out_path: str,
@@ -937,32 +955,42 @@ def stream_scd2(
     attr: str = "event_type",
     ts_ms: str = "ts_ms",
     order: list[str] | None = None,
+    n_parts: int = 8,
 ):
     """Live SCD type-2 dimension maintenance — the streaming leg of
     :func:`operators.timeseries.scd2_build` (the CDC shape: the
     dimension stays current as events arrive, instead of a nightly
     rebuild).
 
-    State per epoch, both dimension-sized (never event-history-sized):
+    State, dimension-sized (never event-history-sized) and — per epoch —
+    write-bounded by the keys the batch touches, not the dimension:
 
-    * ``current/epoch=N`` — the full open-row snapshot (one row per key:
-      attr, valid_from_ms, version, plus the order columns of the run's
-      opening event so later ties replay identically);
+    * ``current/part=K/epoch=N`` — the open-row snapshot (one row per
+      key: attr, valid_from_ms, version, plus the order columns of the
+      run's opening event so later ties replay identically),
+      hash-partitioned by key into ``n_parts`` fixed partitions.  An
+      epoch rewrites ONLY the partitions containing its batch's keys
+      (the ``tsdb.upsert`` touched-partition discipline); untouched
+      partitions keep their previous epoch dir and are neither read nor
+      written, so per-epoch bytes written scale with touched keys —
+      O(|dimension| / n_parts × touched_parts) — not dimension size.
     * ``closed/epoch=N``  — the runs CLOSED by this epoch's events.
 
-    Each epoch reads the NEWEST strictly-prior ``current`` snapshot,
-    restricts to the batch's touched keys, replays each touched key's
-    open row as the pseudo-first event in front of the batch's events,
-    and reruns the batch operator's own run-collapse on that union —
-    so the merged output (all ``closed`` epochs ∪ latest ``current``)
-    is ROW-IDENTICAL to :func:`scd2_build` on all events seen, version
+    Each epoch reads the NEWEST strictly-prior epoch of each TOUCHED
+    partition, restricts to the batch's touched keys, replays each
+    touched key's open row as the pseudo-first event in front of the
+    batch's events, and reruns the batch operator's own run-collapse on
+    that union — so the merged output (all ``closed`` epochs ∪ latest
+    per-partition ``current``, see :func:`scd2_current`) is
+    ROW-IDENTICAL to :func:`scd2_build` on all events seen, version
     numbers included (the recompute's versions are re-based onto the
-    prior open row's version).  Untouched keys' rows are copied forward
-    into the new snapshot unchanged.
+    prior open row's version).
 
     Exactly-once by the :func:`stream_psi_drift` contract: strictly-
-    prior state reads and delete-then-rename epoch dirs make a replayed
-    epoch attempt-independent.
+    prior state reads and delete-then-rename epoch dirs (now per
+    partition) make a replayed epoch attempt-independent — a crash
+    between partition renames is healed because the replay re-derives
+    every touched partition from strictly-prior epochs only.
     """
     import glob
     import os
@@ -971,9 +999,12 @@ def stream_scd2(
     from ..operators.timeseries import scd2_build
 
     order = order or [ts_ms]
+    pcol = F.pmod(F.xxhash64(F.col(key)), F.lit(n_parts))
 
-    def _latest_prior(eid: int) -> str | None:
-        dirs = glob.glob(os.path.join(out_path, "current", "epoch=*"))
+    def _latest_prior(part: int, eid: int) -> str | None:
+        dirs = glob.glob(
+            os.path.join(out_path, "current", f"part={part}", "epoch=*")
+        )
         prior = [
             d for d in dirs
             if int(os.path.basename(d).split("=", 1)[1]) < eid
@@ -990,9 +1021,15 @@ def stream_scd2(
             c for c in order if c not in (key, attr, ts_ms)
         ]
         batch = batch_df.select(*ev_cols)
-        prior_dir = _latest_prior(eid)
-        if prior_dir:
-            cur = spark.read.parquet(prior_dir)
+        # ≤ n_parts values — a driver-sized collect by construction
+        parts_touched = sorted(
+            r[0] for r in batch.select(pcol.alias("_p")).distinct().collect()
+        )
+        prior_dirs = [
+            d for d in (_latest_prior(p, eid) for p in parts_touched) if d
+        ]
+        if prior_dirs:
+            cur = spark.read.parquet(*prior_dirs)
         else:
             cur = spark.createDataFrame(
                 [],
@@ -1031,20 +1068,34 @@ def stream_scd2(
         new_open = hist.where(F.col("is_current")).select(
             key, attr, "valid_from_ms", "version"
         )
-        # order columns of the opening event ride along for tie replay;
-        # opener columns renamed wholesale — hist and merged share
-        # lineage, and an unaliased self-join trips Spark's ambiguity
-        # check
+        # Order columns of the OPENING EVENT of each key's open run ride
+        # along for tie replay.  The opener is re-derived with the batch
+        # operator's own boundary detection (lag + null-safe inequality,
+        # scd2_build's first window pass) and is the LAST run-start in
+        # `order` — exactly one row per key.  A (key, ts)-only join fans
+        # out when several events share the opening ts and can pick a
+        # same-ts event from an EARLIER run (ADVICE r10, high).
         tie_cols = [c for c in ev_cols if c not in (key, attr, ts_ms)]
-        opener = merged.select(
-            F.col(key).alias("_ok"),
-            F.col(ts_ms).alias("_ots"),
-            *[F.col(c).alias(f"_o_{c}") for c in tie_cols],
+        wo = W.partitionBy(key).orderBy(*order)
+        opener = (
+            merged.drop("_vbase")
+            .withColumn("_rn", F.row_number().over(wo))
+            .withColumn("_prev", F.lag(attr).over(wo))
+            .where((F.col("_rn") == 1) | ~F.col(attr).eqNullSafe(F.col("_prev")))
+            .withColumn(
+                "_lastrn",
+                F.row_number().over(
+                    W.partitionBy(key).orderBy(F.col("_rn").desc())
+                ),
+            )
+            .where(F.col("_lastrn") == 1)
+            .select(
+                F.col(key).alias("_ok"),
+                *[F.col(c).alias(f"_o_{c}") for c in tie_cols],
+            )
         )
         new_cur_touched = new_open.join(
-            opener,
-            (new_open[key] == opener["_ok"])
-            & (new_open["valid_from_ms"] == opener["_ots"]),
+            opener, new_open[key] == opener["_ok"]
         ).select(
             key,
             attr,
@@ -1053,6 +1104,8 @@ def stream_scd2(
             "version",
             "valid_from_ms",
         )
+        # untouched keys WITHIN touched partitions carry forward; keys in
+        # untouched partitions are never read or rewritten
         untouched = cur.join(touched, key, "left_anti")
         new_cur = untouched.unionByName(new_cur_touched)
 
@@ -1061,13 +1114,23 @@ def stream_scd2(
         closed_now.select(
             key, attr, "valid_from_ms", "valid_to_ms", "version"
         ).write.mode("overwrite").parquet(closed_tmp)
-        new_cur.write.mode("overwrite").parquet(cur_tmp)
+        new_cur.withColumn("part", pcol).write.mode("overwrite").partitionBy(
+            "part"
+        ).parquet(cur_tmp)
 
-        for name, tmp in (("closed", closed_tmp), ("current", cur_tmp)):
-            dst = os.path.join(out_path, name, f"epoch={eid}")
-            os.makedirs(os.path.dirname(dst), exist_ok=True)
-            shutil.rmtree(dst, ignore_errors=True)
-            os.rename(tmp, dst)
+        dst = os.path.join(out_path, "closed", f"epoch={eid}")
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        shutil.rmtree(dst, ignore_errors=True)
+        os.rename(closed_tmp, dst)
+        # per-partition rename: only touched partitions get a new epoch
+        for p in parts_touched:
+            # every touched key ends the batch with an open run, so each
+            # touched partition always has ≥1 row and Spark wrote its dir
+            src = os.path.join(cur_tmp, f"part={p}")
+            pdst = os.path.join(out_path, "current", f"part={p}", f"epoch={eid}")
+            os.makedirs(os.path.dirname(pdst), exist_ok=True)
+            shutil.rmtree(pdst, ignore_errors=True)
+            os.rename(src, pdst)
         shutil.rmtree(tmp_root, ignore_errors=True)
 
     return (
