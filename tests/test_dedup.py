@@ -481,3 +481,16 @@ def test_adamic_adar_rare_neighbor_wins(spark):
     # center cap drops the hub's evidence entirely
     capped = {(r.v, r.w) for r in adamic_adar(pairs, k=100, max_center_degree=4).collect()}
     assert (1, 2) in capped and (3, 4) not in capped
+
+
+def test_adamic_adar_reversed_known_edge_suppressed(spark):
+    """ADVICE r10: an input edge given as (big, small) must still
+    suppress the canonical (small, big) scored pair."""
+    from time_series_databse_engine_spark.operators.graph import adamic_adar
+
+    # triangle legs via center 0, with the known edge (2, 1) REVERSED
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 2), (2, 1)], "id1 int, id2 int"
+    )
+    out = {(r.v, r.w) for r in adamic_adar(pairs, k=100).collect()}
+    assert (1, 2) not in out

@@ -428,3 +428,15 @@ def test_quantile_normalize_percent_rank_semantics(spark):
     assert out[2] == out[3] == round(1 / 3, 6)  # ties share first rank
     assert out[4] == 1.0
     assert out[5] == 0.0
+
+
+def test_quantile_normalize_null_values_excluded(spark):
+    """ADVICE r10: NULL values are excluded explicitly (documented), not
+    silently lost at the join back — and they don't perturb the ranks of
+    the non-NULL rows."""
+    from time_series_databse_engine_spark.operators.sampling import quantile_normalize
+
+    rows = [(1, "a", 10), (2, "a", None), (3, "a", 40)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    out = {r.doc_id: r.q for r in quantile_normalize(df, "source", "n_chars").collect()}
+    assert out == {1: 0.0, 3: 1.0}

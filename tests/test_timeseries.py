@@ -1007,8 +1007,9 @@ def test_theil_sen_outlier_robust(spark):
     rows = [("m", t * B, 2.0 * t + 5.0) for t in range(30)]
     rows += [("m", t * B, 500.0) for t in (30, 31, 32)]  # burst
     df = spark.createDataFrame(rows, "event_type string, ts_ms long, value double")
-    # express ts in bucket units: bucket_ms=B means t = ts/B
+    # value rises 2.0 per 1000 ms bucket -> 7200.0 per hour (t is in
+    # hours-from-epoch for every bucket size, ADVICE r10)
     r = theil_sen_trend(df, ["event_type"], B).collect()[0]
-    assert r.slope_per_hour == 2.0
+    assert r.slope_per_hour == 7200.0
     assert r.intercept == 5.0
     assert r.n_buckets == 33 and r.n_pairs == 33 * 32 // 2

@@ -288,7 +288,14 @@ def adamic_adar(
         F.round(F.sum(F.lit(1.0) / F.log(F.col("deg"))), 6).alias("aa_score"),
         F.count("*").alias("common_neighbors"),
     )
-    known = pairs.select(F.col(src_col).alias("v"), F.col(dst_col).alias("w"))
+    # canonicalize to (least, greatest): scored pairs are canonical
+    # (v < w), so an input edge given as (big, small) must still be
+    # suppressed — matching the symmetrization tolerance of the other
+    # graph ops (ADVICE r10)
+    known = pairs.select(
+        F.least(F.col(src_col), F.col(dst_col)).alias("v"),
+        F.greatest(F.col(src_col), F.col(dst_col)).alias("w"),
+    )
     return (
         scored.join(known, ["v", "w"], "left_anti")
         .orderBy(F.col("aa_score").desc(), "v", "w")

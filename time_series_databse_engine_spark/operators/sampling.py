@@ -503,7 +503,10 @@ def quantile_normalize(
     calibration step of a curation pipeline (a quality score of 12 means
     nothing across sources; "85th percentile of its own source" does).
     Ties share the rank of their first member, exactly SQL
-    percent_rank; single-row groups get 0.0.
+    percent_rank; single-row groups get 0.0.  Rows whose ``value`` is
+    NULL are excluded up front — a NULL score has no rank, and leaving
+    them in would silently vanish at the equi-join back anyway
+    (null != null in Spark joins; ADVICE r10).
 
     Scale shape: percent_rank is computed on the (key, value)
     DISTINCT-VALUE table, not the row table — count per (key, value),
@@ -513,6 +516,7 @@ def quantile_normalize(
     the row table itself never sorts.  Exact integer arithmetic until
     the one final division (rounded 6 dp).
     """
+    df = df.where(F.col(value).isNotNull())
     vc = df.groupBy(key, value).agg(F.count("*").alias("_c"))
     w = (
         W.partitionBy(key)

@@ -1686,7 +1686,6 @@ def pmi_collocations(
     min_count: int = 5,
     k: int = 50,
     text_col: str = "text",
-    id_col: str = "doc_id",
 ) -> DataFrame:
     """Top-``k`` bigram collocations by pointwise mutual information —
     the statistically-bound word pairs ("san francisco") that raw

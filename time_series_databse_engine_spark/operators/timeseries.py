@@ -2173,8 +2173,10 @@ def theil_sen_trend(
     buckets/month → ≤ C(720,2) ≈ 259k slope rows per series regardless
     of raw volume).  Slopes never leave their key partition before the
     median (Spark `percentile` ↔ DuckDB `quantile_cont`, the
-    value_percentiles pairing).  Time enters in HOURS-from-epoch so
-    slope magnitudes stay in a well-conditioned float range.
+    value_percentiles pairing).  Time enters in HOURS-from-epoch for
+    EVERY bucket size (bucket start ms / 3.6e6, not the bucket index —
+    ADVICE r10), so ``slope_per_hour`` is honestly per-hour and slope
+    magnitudes stay in a well-conditioned float range.
 
     Returns (keys..., slope_per_hour, intercept, n_buckets, n_pairs),
     slope/intercept rounded 6 dp.
@@ -2182,7 +2184,7 @@ def theil_sen_trend(
     b = (
         df.select(
             *keys,
-            ((F.col(ts_ms) - F.col(ts_ms) % F.lit(bucket_ms)) / F.lit(bucket_ms))
+            ((F.col(ts_ms) - F.col(ts_ms) % F.lit(bucket_ms)) / F.lit(3_600_000.0))
             .cast("double")
             .alias("t"),
             F.col(value).alias("v"),
