@@ -2133,14 +2133,18 @@ def q_assoc_rules(spark, sf_dir):
     another's, priced as support/confidence/lift with the apriori
     frequent-item prune BEFORE pair generation (broadcast semi-join), so
     the basket self-join fans out only over frequent items.  Top-100 by
-    lift with a full deterministic tiebreak."""
+    lift with a full deterministic tiebreak.  max_basket_size=20 is the
+    mega-basket cap (VERDICT r10 #4): a basket touching more than 20
+    frequent brands is dropped from pair evidence before the self-join
+    (the oracle replays the identical drop)."""
     from time_series_databse_engine_spark.operators import baskets as basket_ops
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = F.broadcast(_t(spark, sf_dir, "part").select("p_partkey", "p_brand"))
     b = li.join(part, li.l_partkey == part.p_partkey)
     return basket_ops.assoc_rules(
-        b, "l_orderkey", "p_brand", min_support=0.01, k=100
+        b, "l_orderkey", "p_brand", min_support=0.01, k=100,
+        max_basket_size=20,
     )
 
 
@@ -3977,6 +3981,55 @@ def q_psi_drift_incremental(spark, sf_dir):
 # median/pq_ann_topk/stl_decompose — and rotates in r11).  Every r9
 # keeper is freshly r9-green, so no keepers are re-spent this round;
 # displaced families stay covered as annotated in the r9 comment.
+# ---- round-11 window (VERDICT r10 "Next round" #1) ----
+# Oldest-evidence-first, computed from all ten CORRECTNESS_r*.json:
+# (a) the 9 oracle-backed entries with ZERO driver history (the session-3
+#     additions that landed after the r10 cut) — they lead;
+# (b) ALL 21 entries whose newest driver row is r4 (the oldest oracle-
+#     backed evidence in the repo; the r10 comment promised every one of
+#     them back: the (e) picks and the f/f2 displacements);
+# (c) ALL 14 r5-vintage entries (incl. the r10-promised rotate-backs
+#     whose families were covered by twins: unpivot, resample_1m_expr,
+#     semantic_dedup_trained, minhash_containment, lttb_chunked, the
+#     hamming/sq8 recall quartet, lsh multiprobe pair, bpe_pairs,
+#     full_outer_join, hashing_vectors);
+# (d) the 3 r6-vintage entries (mmr_topk, salted_join, sq8_topk);
+# (e) 3 r7 picks for family diversity (ann_index_append — persisted-index
+#     lifecycle under the hash gate; asof_join_tolerance — as-of family;
+#     cusum — changepoint family).
+# After this window runs, no oracle-backed entry's newest driver row is
+# older than r7 (beats the r10 done-bar of r5).  Rows-only entries stay
+# at 51+ (policy set round 6: they can never hash-match, so they'd waste
+# a hash-checked slot).  The r8/r9/r10-promised rotate-backs json_props /
+# doc_chunks / sql_supplier_revenue / psi trio are all r8-green — younger
+# than every entry above — so oldest-first defers them to r12.
+# NOTE: theil_sen / quantile_normalize / pmi_collocations had behavior
+# fixes this round (ADVICE r10) and adamic_adar a canonicalization fix —
+# all four sit in-window so their first driver rows check the FIXED
+# semantics.
+_R11_WINDOW = [
+    # (a) zero driver history
+    "adamic_adar", "burn_rate", "corpus_report", "label_propagation",
+    "pmi_collocations", "quantile_normalize", "rolling_corr", "theil_sen",
+    "token_entropy",
+    # (b) all 21 r4-vintage
+    "bigram_logprob", "bm25_many", "c4_rules", "cap_events", "chunk_dedup",
+    "cms_topk", "cohort_retention", "dsir_sample", "funnel_rates",
+    "fuzzy_join", "holt_winters", "kmv_overlap", "kmv_users_by_type",
+    "mixture_sample", "pq_ann_topk", "rolling_median",
+    "rolling_median_sketch", "rrf_hybrid", "stl_anomaly", "stl_decompose",
+    "upsample_mixture",
+    # (c) all 14 r5-vintage
+    "bpe_pairs", "full_outer_join", "hamming_bits", "hamming_recall",
+    "hashing_vectors", "lsh_ann_topk_multi", "lsh_multiprobe_topk",
+    "lttb_chunked", "minhash_containment", "resample_1m_expr",
+    "semantic_dedup_trained", "sq8_codes", "sq8_recall", "unpivot",
+    # (d) the 3 r6-vintage
+    "mmr_topk", "salted_join", "sq8_topk",
+    # (e) r7 family-diversity picks
+    "ann_index_append", "asof_join_tolerance", "cusum",
+]
+
 _R10_WINDOW = [
     # (f) round-10 additions — zero driver history, so they lead
     # (displacing the (e) picks pq_ann_topk / mixture_sample / cms_topk /
@@ -4438,11 +4491,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maxsim_index_append": q_maxsim_index_append,
         "maxsim_index_compacted": q_maxsim_index_compacted,
     }
-    missing = [k for k in _R10_WINDOW if k not in base]
-    assert not missing and len(set(_R10_WINDOW)) == 50, (
-        f"window misconfigured: {missing or len(set(_R10_WINDOW))}"
+    missing = [k for k in _R11_WINDOW if k not in base]
+    assert not missing and len(set(_R11_WINDOW)) == 50, (
+        f"window misconfigured: {missing or len(set(_R11_WINDOW))}"
     )
-    order = _R10_WINDOW + [k for k in base if k not in _R10_WINDOW]
+    order = _R11_WINDOW + [k for k in base if k not in _R11_WINDOW]
     return {k: base[k] for k in order}
 
 
@@ -6118,7 +6171,13 @@ def oracle_sql() -> dict[str, str]:
             cnt AS (SELECT i, count(*) AS n_i FROM it GROUP BY i),
             freq AS (SELECT i, n_i FROM cnt CROSS JOIN nb
                      WHERE n_i >= n_baskets * 0.01),
-            kept AS (SELECT it.b, it.i FROM it JOIN freq ON freq.i = it.i),
+            kept0 AS (SELECT it.b, it.i FROM it JOIN freq ON freq.i = it.i),
+            -- mega-basket cap replay: drop baskets with > 20 frequent
+            -- items from pair evidence (denominators unchanged)
+            kept AS (
+              SELECT b, i FROM kept0
+              WHERE b NOT IN (SELECT b FROM kept0
+                              GROUP BY b HAVING count(*) > 20)),
             pairs AS (
               SELECT a.i AS ia, c.i AS ib, count(*) AS n_ab
               FROM kept a JOIN kept c ON a.b = c.b AND a.i < c.i

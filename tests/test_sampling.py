@@ -413,6 +413,50 @@ def test_assoc_rules_planted_affinity(spark):
                           ("y", "z"), ("z", "y")}
 
 
+def test_assoc_rules_mega_basket_cap(spark):
+    """VERDICT r10 #4: a basket exceeding max_basket_size frequent items
+    is dropped from pair EVIDENCE before the self-join (warning raised),
+    while the basket universe and item base rates keep counting it."""
+    import warnings
+
+    from time_series_databse_engine_spark.operators.baskets import assoc_rules
+
+    rows = []
+    for b in range(10):
+        rows += [(b, "x"), (b, "y")]
+    # basket 99: a bot touching x, y AND five otherwise-absent items —
+    # with the cap at 3 its evidence must vanish entirely
+    rows += [(99, i) for i in ("x", "y", "p", "q", "r", "s", "t")]
+    df = spark.createDataFrame(rows, "b int, i string")
+
+    uncapped = {(r.antecedent, r.consequent)
+                for r in assoc_rules(df, "b", "i", min_support=0.0, k=1000).collect()}
+    assert ("p", "q") in uncapped  # the bot's pairs exist uncapped
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        capped = {(r.antecedent, r.consequent): r
+                  for r in assoc_rules(df, "b", "i", min_support=0.0,
+                                       k=1000, max_basket_size=3).collect()}
+    assert any("mega-basket cap" in str(x.message) for x in w)
+    # bot-only pairs gone; (x, y) survives from the 10 honest baskets
+    assert not any(a in "pqrst" or c in "pqrst" for a, c in capped)
+    xy = capped[("x", "y")]
+    # denominators unchanged: 11 baskets, x in 11 of them — the bot
+    # basket still counts in support/confidence denominators
+    assert xy.pair_n == 10
+    assert xy.support == round(10 / 11, 6)
+    assert xy.confidence == round(10 / 11, 6)
+
+    # a cap no basket exceeds is a no-op (entry/oracle parity shape)
+    loose = {(r.antecedent, r.consequent): (r.pair_n, r.support)
+             for r in assoc_rules(df, "b", "i", min_support=0.0,
+                                  k=1000, max_basket_size=100).collect()}
+    base = {(r.antecedent, r.consequent): (r.pair_n, r.support)
+            for r in assoc_rules(df, "b", "i", min_support=0.0, k=1000).collect()}
+    assert loose == base
+
+
 def test_quantile_normalize_percent_rank_semantics(spark):
     from time_series_databse_engine_spark.operators.sampling import quantile_normalize
 

