@@ -3073,41 +3073,48 @@ def q_semantic_dedup_served(spark, sf_dir):
     100 TB you run Lloyd ONCE offline and pin the centroids;
     re-training inside every dedup query (the `semantic_dedup_trained`
     lifecycle demo) drags ~34 shuffles of training lineage through each
-    run.  Here the committed fixtures/kmeans_cells.py codebook (k=32,
-    trained on sf0.1 by tools/gen_kmeans_cells.py, 6-dp-quantized
-    exact-repr literals) feeds semantic_dedup's broadcast-argmax
-    assignment directly — zero training lineage, and because the
-    centroids are literals the oracle replays the identical assignment
-    + within-cell drop rule, making the served path HASH-GATED (the
-    trained twin keeps the dynamic lifecycle).
+    run.  The committed fixtures/kmeans_cells.py codebook feeds
+    semantic_dedup's assignment directly — zero training lineage, and
+    because the centroids are literals the oracle replays the identical
+    assignment + within-cell drop rule, making the served path
+    HASH-GATED (the trained twin keeps the dynamic lifecycle).
 
-    Sizing (VERDICT r9 #1, fixed r10): within-cell pair cost is
-    quadratic in cell size, so the pin is SIZED FOR THE LARGEST CORPUS
-    IT SERVES — k=32 holds mean cell at 62 rows on the 2000-row sf0.1
-    bench corpus and 625 at the 20k-row sf1 scale corpus (Σ|cell|²
-    measured near-uniform: 126k / 12.5M pairs, 4× below the old k=8
-    pin at sf1).  semantic_dedup's guard (on here, by design) enforces
-    the discipline at run time: a corpus that outgrows the pin past 4×
-    the 128-row target warns with the auto_n_cells re-train k; past
-    16× it refuses."""
-    from time_series_databse_engine_spark.fixtures.kmeans_cells import CELLS
+    Sizing (VERDICT r9 #1 → re-scoped r10 #2): within-cell pair cost is
+    quadratic in cell size, and NO single pinned k is right at every
+    scale — so the fixture now carries ONE CODEBOOK PER SERVED CORPUS
+    SIZE (k = auto_n_cells(|corpus|): 8 at the 500-row gate scale, 16
+    at sf0.1, 157 at sf1, 469 at sf3), selected here by sf_dir.  Mean
+    cell stays at the 128-row target everywhere, so the bench measures
+    the CORRECT production recipe at each scale instead of a drifting
+    pin.  Past k=32 assignment switches to the BLAS pandas_udf path
+    (the interpreted fold is O(N·k·d)); the hash-gated scales keep the
+    fold for bit-exact oracle parity.  semantic_dedup's guard stays on:
+    a corpus outgrowing ANY pin past 4× the target warns with the
+    auto_n_cells re-train k; past 16× it refuses."""
+    from time_series_databse_engine_spark.fixtures.kmeans_cells import cells_for
 
+    book = cells_for(sf_dir)
     emb = _t(spark, sf_dir, "embeddings")
     cells = spark.createDataFrame(
-        [(cid, c) for cid, c in CELLS], "cell_id long, cent array<double>"
+        [(cid, c) for cid, c in book], "cell_id long, cent array<double>"
     ).withColumn("cent_n", sim_ops.norm(F.col("cent")))
-    return sim_ops.semantic_dedup(emb, threshold=0.3, cells=cells)
+    return sim_ops.semantic_dedup(
+        emb, threshold=0.3, cells=cells,
+        assign="auto" if len(book) <= 32 else "numpy",
+    )
 
 
 def _semantic_dedup_served_oracle_sql() -> str:
     """Same assignment/drop CTEs as the semantic_dedup oracle, with the
     cents CTE built from the committed centroid literals (VALUES rows),
-    so the SQL replays exactly what the pinned codebook serves."""
-    from time_series_databse_engine_spark.fixtures.kmeans_cells import CELLS
+    so the SQL replays exactly what the pinned codebook serves.  The
+    literals are the GATE-SCALE book (cells_for(sf0.01)) — the driver
+    compares at sf0.01, where the Spark side selects the same book."""
+    from time_series_databse_engine_spark.fixtures.kmeans_cells import cells_for
 
     rows = ",\n              ".join(
         "(%d, [%s]::DOUBLE[])" % (cid, ", ".join(repr(x) for x in c))
-        for cid, c in CELLS
+        for cid, c in cells_for("/root/testdata/sf0.01")
     )
     return f"""
         WITH cents(cell_id, cent) AS (VALUES
@@ -3841,26 +3848,35 @@ def q_purge_dup_spans(spark, sf_dir):
 
 def q_diverse_sample(spark, sf_dir):
     """Cluster-stratified coreset sampling against the pinned
-    kmeans_cells codebook: ≤25 representatives per embedding-space cell
-    in deterministic md5(id) order — rare modes survive the quota cut
-    that uniform sampling would erase them under.  One exchange."""
-    from time_series_databse_engine_spark.fixtures.kmeans_cells import CELLS
+    kmeans_cells codebook sized for THIS corpus (cells_for(sf_dir),
+    VERDICT r10 #2): ≤25 representatives per embedding-space cell in
+    deterministic md5(id) order — rare modes survive the quota cut
+    that uniform sampling would erase them under.  One exchange; BLAS
+    assignment past k=32 (hash-gated scales keep the fold)."""
+    from time_series_databse_engine_spark.fixtures.kmeans_cells import cells_for
 
+    book = cells_for(sf_dir)
     emb = _t(spark, sf_dir, "embeddings")
     cells = spark.createDataFrame(
-        [(cid, c) for cid, c in CELLS], "cell_id long, cent array<double>"
+        [(cid, c) for cid, c in book], "cell_id long, cent array<double>"
     ).withColumn("cent_n", sim_ops.norm(F.col("cent")))
-    return sim_ops.diverse_sample(emb, cells, per_cell=25)
+    return sim_ops.diverse_sample(
+        emb, cells, per_cell=25,
+        assign="fold" if len(book) <= 32 else "numpy",
+    )
 
 
 def _diverse_sample_oracle_sql() -> str:
     """Assignment CTE = the served-SemDeDup oracle's (same centroid
-    literals, same argmax tie rule); pick = row_number over md5 order."""
-    from time_series_databse_engine_spark.fixtures.kmeans_cells import CELLS
+    literals, same argmax tie rule); pick = row_number over md5 order.
+    Literals are the GATE-SCALE codebook (cells_for(sf0.01)): the
+    driver compares at sf0.01, where the Spark side selects the same
+    book."""
+    from time_series_databse_engine_spark.fixtures.kmeans_cells import cells_for
 
     rows = ",\n              ".join(
         "(%d, [%s]::DOUBLE[])" % (cid, ", ".join(repr(x) for x in c))
-        for cid, c in CELLS
+        for cid, c in cells_for("/root/testdata/sf0.01")
     )
     return f"""
         WITH cents(cell_id, cent) AS (VALUES
@@ -4026,8 +4042,13 @@ _R11_WINDOW = [
     "semantic_dedup_trained", "sq8_codes", "sq8_recall", "unpivot",
     # (d) the 3 r6-vintage
     "mmr_topk", "salted_join", "sq8_topk",
-    # (e) r7 family-diversity picks
-    "ann_index_append", "asof_join_tolerance", "cusum",
+    # (e) the two serve-codebook entries whose RESULTS changed with the
+    # per-scale re-pin (VERDICT r10 #2: the gate scale now selects the
+    # k=8 sf0.01 book; their r10 green rows verified the old k=32
+    # values), plus one r7 family-diversity pick (persisted-index
+    # lifecycle).  The other r7 candidates (asof_join_tolerance, cusum)
+    # defer to r12 — their r7 evidence already beats the done-bar.
+    "semantic_dedup_served", "diverse_sample", "ann_index_append",
 ]
 
 _R10_WINDOW = [

@@ -685,6 +685,7 @@ def kmeans_lloyd(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assign: str = "auto",
 ) -> DataFrame:
     """Spherical k-means, ``iters`` Lloyd rounds, fully deterministic:
     initial centroids are the ``k`` vectors with the smallest
@@ -716,25 +717,28 @@ def kmeans_lloyd(
         .select(F.col("id").alias("cid"), F.col("v").alias("c"))
     )
 
-    def assign(points, centroids):
+    def assign_round(points, centroids):
         # same (sim DESC, cid ASC) argmax the old rank-1 window computed,
-        # as a broadcast-array fold: one row in, one row out
+        # as a broadcast-array fold: one row in, one row out.  Past k≈32
+        # the interpreted fold dominates the whole pipeline (O(N·k·d)
+        # interpreter steps — see assign_nearest_cell_np), so "auto"
+        # switches to the BLAS pandas_udf there; training is offline
+        # (never hash-gated), and the 6-dp centroid quantization absorbs
+        # the two paths' float-summation-order difference except at
+        # ~1e-15 argmax ties.
         codebook = centroids.select(
             F.col("cid").alias("cell_id"), F.col("c").alias("cent")
         ).withColumn("cent_n", norm(F.col("cent")))
-        return (
-            assign_nearest_cell(
-                points.withColumn("_vn", norm(F.col("v"))),
-                codebook,
-                F.col("v"),
-                F.col("_vn"),
-            )
-            .select("id", "v", F.col("cell_id").alias("cid"))
-        )
+        pts = points.withColumn("_vn", norm(F.col("v")))
+        if assign == "numpy" or (assign == "auto" and k > 32):
+            out = assign_nearest_cell_np(pts, codebook, "v")
+        else:
+            out = assign_nearest_cell(pts, codebook, F.col("v"), F.col("_vn"))
+        return out.select("id", "v", F.col("cell_id").alias("cid"))
 
     assigned = None
     for _ in range(iters):
-        assigned = assign(e, cents)
+        assigned = assign_round(e, cents)
         means = (
             assigned.select("cid", F.posexplode("v").alias("dim", "x"))
             .groupBy("cid", "dim")
@@ -2007,6 +2011,7 @@ def diverse_sample(
     per_cell: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assign: str = "fold",
 ) -> DataFrame:
     """Diversity-aware coreset subsampling: stratify the corpus over the
     embedding space (nearest pinned cell, the :func:`semantic_dedup`
@@ -2038,13 +2043,21 @@ def diverse_sample(
     the adjacency.
 
     Returns (id_col, cell_id, pick) with pick ∈ 1..per_cell.
+
+    ``assign="numpy"`` swaps the fold for the BLAS pandas_udf
+    (:func:`assign_nearest_cell_np`) — the production path for trained
+    codebooks past k≈32, where the interpreted fold dominates; keep the
+    default fold for hash-gated oracle parity (small codebooks).
     """
     from pyspark.sql import Window as W
 
     e = embeddings.select(
         F.col(id_col).alias("id"), as_double(vec_col).alias("v")
     ).withColumn("nrm", norm(F.col("v")))
-    a = assign_nearest_cell(e, cells, F.col("v"), F.col("nrm"))
+    if assign == "numpy":
+        a = assign_nearest_cell_np(e, cells, "v")
+    else:
+        a = assign_nearest_cell(e, cells, F.col("v"), F.col("nrm"))
     w = W.partitionBy("cell_id").orderBy(
         F.md5(F.col("id").cast("string")).asc(), F.col("id").asc()
     )
