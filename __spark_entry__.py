@@ -2086,7 +2086,14 @@ def q_adamic_adar(spark, sf_dir):
     occupancy — the sf1 bench caught the uncapped form) and hub centers
     above degree 200 are dropped from evidence.  Oracle replays the
     capped edge derivation, wedge counting, the NOT EXISTS anti-join,
-    and the deterministic top-k."""
+    and the deterministic top-k.
+
+    Cost anatomy (measured r11, sf0.1): pairs derivation 1.4 s; the op
+    itself is dominated by the HONEST wedge term — Σdeg² ≈ 15.5 M wedge
+    rows over 1 367 nodes (max deg 265, so the 200-cap trims only 29
+    centers here) — not fixed overhead; a localCheckpoint-partitioning
+    experiment measured neutral (localCheckpoint does NOT preserve
+    partitioning into LogicalRDD, probed r11)."""
     from time_series_databse_engine_spark.operators import graph as graph_ops
 
     from pyspark.sql import Window as _W
