@@ -2554,6 +2554,69 @@ def q_quantile_normalize(spark, sf_dir):
     )
 
 
+def q_temperature_mix(spark, sf_dir):
+    """α-temperature source re-balancing (sampling.temperature_mix, the
+    XLM-R multilingual sampling rule, α=0.3): sampling shares q ∝ p^0.3
+    derived from the corpus itself lift low-resource sources toward
+    uniform without per-source configuration.  Hash-gated membership;
+    rate rounded 9 dp before the integer gate so pow() last-ulp noise
+    can't flip a boundary doc.  Aggregated per source for the gate."""
+    from time_series_databse_engine_spark.operators import sampling as samp_ops
+
+    kept = samp_ops.temperature_mix(
+        _t(spark, sf_dir, "documents"), alpha=0.3, target_total=200
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"), F.sum("n_chars").alias("total_chars")
+    )
+
+
+def q_winsorize(spark, sf_dir):
+    """Per-type winsorization of the event value column
+    (sampling.winsorize): clip to the exact [p01, p99] group
+    percentiles — the outlier-robust prep step before any mean-based
+    metric.  Exact percentile ↔ quantile_cont, bounds broadcast back,
+    rows never sort."""
+    from time_series_databse_engine_spark.operators import sampling as samp_ops
+
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    return samp_ops.winsorize(
+        ev, "event_type", "value", p_lo=0.01, p_hi=0.99, id_col="event_id"
+    )
+
+
+def q_ks_drift(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov drift per event_type
+    (profile.ks_drift): first-week values as the reference, the rest of
+    the month as current — the exact sup-distance companion to the PSI
+    monitors (catches within-bin shape drift, carries the classic
+    1.358·sqrt((n+m)/nm) 5% threshold).  ECDFs computed on the
+    (key, value) distinct-count table; raw rows never sort."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts_ms", "value")
+    ref = ev.where(F.col("ts_ms") < F.lit(T1 + 7 * 24 * MS_H))
+    cur = ev.where(F.col("ts_ms") >= F.lit(T1 + 7 * 24 * MS_H))
+    from time_series_databse_engine_spark.operators import profile as profile_ops
+
+    return profile_ops.ks_drift(ref, cur, "event_type", "value")
+
+
+def q_kanon_suppress(spark, sf_dir):
+    """k-anonymity release gate (profile.kanon_suppress, Sweeney 2002)
+    over the per-(user, event_type) activity report: cells observed in
+    fewer than 5 events collapse into one '*' residual row, so the
+    published table isolates no small cohort while keeping the grand
+    total invariant.  One group-keyed aggregate + a tiny re-aggregate
+    of the suppressed side."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("user_id"), "event_type", "value"
+    )
+    from time_series_databse_engine_spark.operators import profile as profile_ops
+
+    return profile_ops.kanon_suppress(
+        ev, ["user_id", "event_type"], k=5, agg_col="value"
+    )
+
+
 def q_rolling_corr(spark, sf_dir):
     """Trailing-24h correlation between the error and purchase series on
     hourly buckets (timeseries.rolling_corr) — the time-local coupling
@@ -4047,15 +4110,22 @@ _R11_WINDOW = [
     "hashing_vectors", "lsh_ann_topk_multi", "lsh_multiprobe_topk",
     "lttb_chunked", "minhash_containment", "resample_1m_expr",
     "semantic_dedup_trained", "sq8_codes", "sq8_recall", "unpivot",
-    # (d) the 3 r6-vintage
-    "mmr_topk", "salted_join", "sq8_topk",
+    # (d) the round-11 additions — zero driver history, so they lead
+    # like every prior round's newcomers: temperature_mix (α-temperature
+    # source re-balancing), winsorize (per-key percentile clipping),
+    # ks_drift (exact two-sample KS, the PSI monitors' distribution-free
+    # companion), kanon_suppress (k-anonymity release gate — a NEW §2
+    # family: privacy/release).  They displace the r6-vintage trio
+    # (mmr_topk, salted_join, sq8_topk) and the r7 pick
+    # ann_index_append — all r6/r7-green, above the done-bar; rotate
+    # back r12.
+    "temperature_mix", "winsorize", "ks_drift", "kanon_suppress",
     # (e) the two serve-codebook entries whose RESULTS changed with the
     # per-scale re-pin (VERDICT r10 #2: the gate scale now selects the
     # k=8 sf0.01 book; their r10 green rows verified the old k=32
-    # values), plus one r7 family-diversity pick (persisted-index
-    # lifecycle).  The other r7 candidates (asof_join_tolerance, cusum)
+    # values).  The other r7 candidates (asof_join_tolerance, cusum)
     # defer to r12 — their r7 evidence already beats the done-bar.
-    "semantic_dedup_served", "diverse_sample", "ann_index_append",
+    "semantic_dedup_served", "diverse_sample",
 ]
 
 _R10_WINDOW = [
@@ -4291,6 +4361,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_report": q_corpus_report,
         "rolling_corr": q_rolling_corr,
         "token_entropy": q_token_entropy,
+        # round-11 additions (in-window via _R11_WINDOW)
+        "temperature_mix": q_temperature_mix,
+        "winsorize": q_winsorize,
+        "ks_drift": q_ks_drift,
+        "kanon_suppress": q_kanon_suppress,
         "bloom_semijoin": q_bloom_semijoin,
         "ivfpq_topk": q_ivfpq_topk,
         "ann_index_probe": q_ann_index_probe,
@@ -6100,6 +6175,86 @@ def oracle_sql() -> dict[str, str]:
                    round(percent_rank() OVER (PARTITION BY source
                                               ORDER BY n_chars), 6) AS q
             FROM documents""",
+        # α=0.3 temperature mixture: shares derived from the corpus, the
+        # same md5 gate as mixture_sample, rate rounded 9 dp pre-gate
+        "temperature_mix": """
+            WITH counts AS (
+              SELECT source, count(*) AS n_grp FROM documents GROUP BY source),
+            tot AS (SELECT sum(n_grp) AS n_tot FROM counts),
+            q AS (SELECT source, n_grp,
+                         pow(n_grp * 1e0 / n_tot, 0.3e0) AS q_raw
+                  FROM counts CROSS JOIN tot),
+            z AS (SELECT sum(q_raw) AS z FROM q),
+            rates AS (SELECT source, n_grp,
+                        CAST(floor(round(least(1.0e0,
+                              200.0e0 * (q_raw / z) / n_grp), 9)
+                             * 1048576.0e0) AS BIGINT) AS gate
+                      FROM q CROSS JOIN z),
+            kept AS (
+              SELECT d.source, d.n_chars
+              FROM documents d JOIN rates USING (source)
+              WHERE (('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT
+                     % 1048576) < gate)
+            SELECT source, count(*) AS n_kept,
+                   sum(n_chars)::BIGINT AS total_chars
+            FROM kept GROUP BY source""",
+        "winsorize": """
+            WITH e AS (SELECT event_id, event_type, value FROM events
+                       WHERE value IS NOT NULL),
+            b AS (SELECT event_type,
+                         round(quantile_cont(value, 0.01), 6) AS p_lo_bound,
+                         round(quantile_cont(value, 0.99), 6) AS p_hi_bound
+                  FROM e GROUP BY 1)
+            SELECT e.event_id, e.event_type, e.value,
+                   round(CASE WHEN e.value < p_lo_bound THEN p_lo_bound
+                              WHEN e.value > p_hi_bound THEN p_hi_bound
+                              ELSE e.value END, 6) AS value_winsorized,
+                   p_lo_bound, p_hi_bound
+            FROM e JOIN b USING (event_type)""",
+        # exact two-sample KS on the (key, value) distinct-count table;
+        # ref = first week, cur = the rest (the psi_drift split family)
+        "ks_drift": f"""
+            WITH u AS (
+              SELECT event_type AS k, value AS v,
+                     CASE WHEN {_EV_MS} < {T1 + 7 * 24 * MS_H} THEN 1
+                          ELSE 0 END AS r
+              FROM events WHERE value IS NOT NULL),
+            vc AS (SELECT k, v, sum(r) AS cr, sum(1 - r) AS cc
+                   FROM u GROUP BY 1, 2),
+            s AS (SELECT k,
+                    sum(cr) OVER (PARTITION BY k ORDER BY v
+                                  ROWS UNBOUNDED PRECEDING) AS fr,
+                    sum(cc) OVER (PARTITION BY k ORDER BY v
+                                  ROWS UNBOUNDED PRECEDING) AS fc,
+                    sum(cr) OVER (PARTITION BY k) AS n,
+                    sum(cc) OVER (PARTITION BY k) AS m
+                  FROM vc),
+            d AS (SELECT k AS event_type, n::BIGINT AS n_ref,
+                         m::BIGINT AS n_cur,
+                         round(max(abs(fr / n - fc / m)), 6) AS ks_stat
+                  FROM s WHERE n > 0 AND m > 0 GROUP BY 1, 2, 3)
+            SELECT event_type, n_ref, n_cur, ks_stat,
+                   round(1.358e0 * sqrt((n_ref + n_cur) / (n_ref * n_cur)),
+                         6) AS threshold_05,
+                   ks_stat > round(1.358e0 * sqrt((n_ref + n_cur)
+                                                  / (n_ref * n_cur)), 6)
+                       AS drifted
+            FROM d""",
+        # k-anonymity: cells under k=5 collapse into one '*' residual;
+        # the residual re-sums the ROUNDED group sums (as the op does)
+        "kanon_suppress": """
+            WITH g AS (SELECT user_id::VARCHAR AS user_id, event_type,
+                              count(*) AS n, round(sum(value), 6) AS sum_value
+                       FROM events GROUP BY 1, 2),
+            keep AS (SELECT user_id, event_type, n, sum_value,
+                            1::BIGINT AS n_groups
+                     FROM g WHERE n >= 5),
+            resid AS (SELECT '*' AS user_id, '*' AS event_type,
+                             sum(n)::BIGINT AS n,
+                             round(sum(sum_value), 6) AS sum_value,
+                             count(*) AS n_groups
+                      FROM g WHERE n < 5 HAVING count(*) > 0)
+            SELECT * FROM keep UNION ALL SELECT * FROM resid""",
         "rolling_corr": f"""
             WITH a AS (SELECT {_EV_MS} - {_EV_MS} % 3600000 AS bucket,
                               avg(value) AS va

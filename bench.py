@@ -180,6 +180,12 @@ HEADLINE = [
     "quantile_normalize",
     "token_entropy",
     "theil_sen",
+    # round-11 adds: temperature mixing, robust clipping, exact KS
+    # drift, k-anonymity release gate
+    "temperature_mix",
+    "winsorize",
+    "ks_drift",
+    "kanon_suppress",
 ]
 
 # repeated-run latency distribution for the reference's hot/cold point

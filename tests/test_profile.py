@@ -192,3 +192,58 @@ def test_psi_drift_constant_column_collapses_to_one_bin(spark):
     assert len(rows) == 1 and rows[0].bin == 10
     assert rows[0].ref_cnt == 500 and rows[0].cur_cnt == 500
     assert rows[0].psi == 0.0
+
+
+def test_ks_drift_detects_shift(spark):
+    """A mean shift in one key group produces D ~= shift detection with
+    the classic threshold; an identical group stays under it.  Values
+    verified against scipy-free closed form on a small grid."""
+    from time_series_databse_engine_spark.operators.profile import ks_drift
+
+    ref_rows = [("stable", float(v)) for v in range(100)]
+    cur_rows = [("stable", float(v)) for v in range(100)]
+    ref_rows += [("shifted", float(v)) for v in range(100)]
+    cur_rows += [("shifted", float(v) + 50.0) for v in range(100)]
+    ref = spark.createDataFrame(ref_rows, "k string, v double")
+    cur = spark.createDataFrame(cur_rows, "k string, v double")
+    out = {r.k: r for r in ks_drift(ref, cur, "k", "v").collect()}
+    assert out["stable"].ks_stat == 0.0 and not out["stable"].drifted
+    # 50-unit shift of a 100-wide uniform: D = 0.5 exactly
+    assert out["shifted"].ks_stat == 0.5 and out["shifted"].drifted
+    assert out["shifted"].n_ref == 100 and out["shifted"].n_cur == 100
+
+
+def test_ks_drift_nulls_excluded(spark):
+    from time_series_databse_engine_spark.operators.profile import ks_drift
+
+    ref = spark.createDataFrame([("a", 1.0), ("a", None)], "k string, v double")
+    cur = spark.createDataFrame([("a", 1.0), ("a", None)], "k string, v double")
+    r = ks_drift(ref, cur, "k", "v").collect()[0]
+    assert r.n_ref == 1 and r.n_cur == 1 and r.ks_stat == 0.0
+
+
+def test_kanon_suppress_residual_invariant_total(spark):
+    """Groups under k collapse into one '*' row; the grand total (rows
+    and value mass) is invariant; no surviving group is smaller than k."""
+    from pyspark.sql import functions as F
+
+    from time_series_databse_engine_spark.operators.profile import kanon_suppress
+
+    rows = [("u1", "click", 1.0)] * 7 + [("u2", "click", 2.0)] * 2 + [
+        ("u3", "buy", 3.0)
+    ] * 1
+    df = spark.createDataFrame(rows, "user_id string, event_type string, value double")
+    out = kanon_suppress(df, ["user_id", "event_type"], k=5, agg_col="value").collect()
+    by_key = {(r.user_id, r.event_type): r for r in out}
+    assert ("u1", "click") in by_key and by_key[("u1", "click")].n == 7
+    # u2 and u3 are suppressed into the single residual
+    assert ("u2", "click") not in by_key and ("u3", "buy") not in by_key
+    resid = by_key[("*", "*")]
+    assert resid.n == 3 and resid.n_groups == 2 and resid.sum_value == 7.0
+    assert sum(r.n for r in out) == 10
+    assert all(r.n >= 5 or r.user_id == "*" for r in out)
+
+    # no suppressed groups -> no residual row
+    out2 = kanon_suppress(df.where(F.col("user_id") == "u1"),
+                          ["user_id", "event_type"], k=5, agg_col="value").collect()
+    assert len(out2) == 1 and out2[0].user_id == "u1"

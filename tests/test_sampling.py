@@ -484,3 +484,45 @@ def test_quantile_normalize_null_values_excluded(spark):
     df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
     out = {r.doc_id: r.q for r in quantile_normalize(df, "source", "n_chars").collect()}
     assert out == {1: 0.0, 3: 1.0}
+
+
+def test_temperature_mix_lifts_minority(spark):
+    """α<1 lifts the minority source's keep share above its natural
+    proportion; α=1 reproduces natural proportions (rates equal across
+    groups when budget scales); membership is deterministic."""
+    from time_series_databse_engine_spark.operators.sampling import temperature_mix
+
+    rows = [(i, "big") for i in range(900)] + [(900 + i, "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    out = temperature_mix(df, alpha=0.3, target_total=200, id_col="doc_id")
+    kept = {r[0]: r[1] for r in out.groupBy("source").count().collect()}
+    # natural shares are 0.9/0.1; alpha=0.3 shares are ~0.66/0.34 — the
+    # small source must keep a far larger fraction of its docs
+    assert kept["small"] / 100 > kept["big"] / 900
+    # expected kept ~ 200*0.34 = 68 of 100 for small; tolerate hash noise
+    assert 45 <= kept["small"] <= 90
+
+    # determinism: same call, same membership
+    a = sorted(r.doc_id for r in temperature_mix(df, 0.3, 200).collect())
+    b = sorted(r.doc_id for r in temperature_mix(df, 0.3, 200).collect())
+    assert a == b
+
+    # alpha=1: rates proportional to n/N -> equal keep RATE across groups
+    out1 = temperature_mix(df, alpha=1.0, target_total=500, id_col="doc_id")
+    k1 = {r[0]: r[1] for r in out1.groupBy("source").count().collect()}
+    assert abs(k1["big"] / 900 - k1["small"] / 100) < 0.15
+
+
+def test_winsorize_clips_to_group_bounds(spark):
+    from time_series_databse_engine_spark.operators.sampling import winsorize
+
+    rows = [(i, "a", float(i)) for i in range(101)]  # 0..100
+    rows.append((999, "a", 10_000.0))  # the blow-up
+    df = spark.createDataFrame(rows, "doc_id long, k string, v double")
+    out = {r.doc_id: r for r in winsorize(df, "k", "v", 0.01, 0.99).collect()}
+    # the outlier is clipped to the group's p99, interior values pass
+    assert out[999].value_winsorized == out[999].p_hi_bound < 10_000.0
+    assert out[50].value_winsorized == 50.0
+    # row count preserved (clip, not trim)
+    assert len(out) == 102

@@ -496,3 +496,147 @@ def psi_drift_categorical(
         "contrib",
         "psi",
     )
+
+
+def ks_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    key: str,
+    col: str,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift statistic per ``key`` group —
+    the distribution-free companion to :func:`psi_drift`: PSI needs bin
+    boundaries and a smoothing rule; KS is the exact supremum distance
+    between the two empirical CDFs, so it catches shape drift PSI's ten
+    bins blur (a variance change within one bin) and has a standard
+    significance table.
+
+        D = max over observed v of |ECDF_ref(v) − ECDF_cur(v)|
+
+    evaluated at step points (right-continuous ECDFs attain the sup at
+    observed values).  NULLs are excluded (no rank).  Rounded 6 dp, with
+    the classic two-sided asymptotic threshold
+    c(α)·sqrt((n+m)/(n·m)), c(0.05)=1.358, alongside for the alarm
+    column — all exact integer arithmetic until the final divisions.
+
+    Scale shape (the quantile_normalize discipline): both snapshots
+    collapse map-side to the per-(key, value) DISTINCT count table
+    before any window; the cumulative-count pass runs key-partitioned
+    over distinct values (a 10^10-row group with 10^5 distinct scores
+    windows 10^5 rows), and the finish is a key-grouped max over the
+    same — raw rows never sort, never shuffle beyond the one count
+    exchange.
+    """
+    from pyspark.sql import Window as W
+
+    u = (
+        ref.select(F.col(key).alias("_k"), F.col(col).alias("_v"), F.lit(1).alias("_r"))
+        .unionByName(
+            cur.select(
+                F.col(key).alias("_k"), F.col(col).alias("_v"), F.lit(0).alias("_r")
+            )
+        )
+        .where(F.col("_v").isNotNull())
+    )
+    vc = u.groupBy("_k", "_v").agg(
+        F.sum("_r").alias("_cr"),
+        F.sum(F.lit(1) - F.col("_r")).alias("_cc"),
+    )
+    wcum = (
+        W.partitionBy("_k")
+        .orderBy("_v")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wk = W.partitionBy("_k")
+    stepped = vc.select(
+        "_k",
+        F.sum("_cr").over(wcum).alias("_fr"),
+        F.sum("_cc").over(wcum).alias("_fc"),
+        F.sum("_cr").over(wk).alias("_n"),
+        F.sum("_cc").over(wk).alias("_m"),
+    )
+    return (
+        stepped.where((F.col("_n") > 0) & (F.col("_m") > 0))
+        .groupBy(F.col("_k").alias(key), F.col("_n").alias("n_ref"), F.col("_m").alias("n_cur"))
+        .agg(
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("_fr") / F.col("_n") - F.col("_fc") / F.col("_m")
+                    )
+                ),
+                6,
+            ).alias("ks_stat")
+        )
+        .select(
+            key,
+            "n_ref",
+            "n_cur",
+            "ks_stat",
+            F.round(
+                F.lit(1.358)
+                * F.sqrt(
+                    (F.col("n_ref") + F.col("n_cur"))
+                    / (F.col("n_ref") * F.col("n_cur"))
+                ),
+                6,
+            ).alias("threshold_05"),
+        )
+        .withColumn("drifted", F.col("ks_stat") > F.col("threshold_05"))
+    )
+
+
+def kanon_suppress(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int = 5,
+    agg_col: str | None = None,
+) -> DataFrame:
+    """k-anonymity release gate for a grouped report (Sweeney 2002): any
+    quasi-identifier combination observed in fewer than ``k`` rows is
+    SUPPRESSED — its groups collapse into one ``(*, *, …)`` residual row
+    — so no published cell isolates fewer than ``k`` individuals.  The
+    standard pre-release step for sharing event/usage aggregates outside
+    the trust boundary; composes with the profiler (run this before
+    publishing any per-segment table).
+
+    Output: one row per surviving group plus at most ONE residual row
+    (quasi columns all ``'*'``), with ``n`` (row count), ``n_groups``
+    (1, or the number of suppressed groups folded into the residual) and
+    — when ``agg_col`` is given — the group's ``sum_value`` (suppressed
+    groups' masses merge into the residual, so the report's grand total
+    is invariant; rounded 6 dp).
+
+    Scale shape: ONE group-keyed aggregate (map-side partial) builds the
+    per-group table; the suppression split is a filter over that
+    group-cardinality-sized result plus a single-row re-aggregate of the
+    suppressed side — raw rows shuffle once, under the group key.
+    """
+    aggs = [F.count("*").alias("n")]
+    if agg_col is not None:
+        aggs.append(F.round(F.sum(agg_col), 6).alias("sum_value"))
+    g = df.groupBy(*quasi_cols).agg(*aggs)
+    keep = g.where(F.col("n") >= k).withColumn("n_groups", F.lit(1).cast("long"))
+    sup_aggs = [
+        F.sum("n").alias("n"),
+        F.count("*").alias("n_groups"),
+    ]
+    if agg_col is not None:
+        sup_aggs.insert(1, F.round(F.sum("sum_value"), 6).alias("sum_value"))
+    residual = (
+        g.where(F.col("n") < k)
+        .agg(*sup_aggs)
+        .where(F.col("n_groups") > 0)
+        .select(
+            *[F.lit("*").alias(c) for c in quasi_cols],
+            "n",
+            *(["sum_value"] if agg_col is not None else []),
+            "n_groups",
+        )
+    )
+    cols = [F.col(c).cast("string").alias(c) for c in quasi_cols] + [
+        "n",
+        *(["sum_value"] if agg_col is not None else []),
+        "n_groups",
+    ]
+    return keep.select(*cols).unionByName(residual.select(*cols))

@@ -538,3 +538,110 @@ def quantile_normalize(
         .alias("q"),
     )
     return df.select(id_col, key, value).join(ranked, [key, value])
+
+
+def temperature_mix(
+    df: DataFrame,
+    alpha: float = 0.3,
+    target_total: int = 100_000,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """α-temperature source re-balancing — the multilingual-pretraining
+    mixture rule (XLM-R, Conneau et al. 2020 §3.1; mBERT's exponential
+    smoothing): sampling share q_g ∝ p_g^α where p_g is the group's
+    corpus mass.  α=1 keeps natural proportions, α→0 approaches uniform
+    across groups — the standard dial for keeping low-resource sources
+    from drowning under web-scale majorities.  Unlike
+    :func:`mixture_sample` (user-specified shares) the target mixture
+    here is DERIVED from the corpus itself, so the same call re-balances
+    any corpus without per-source configuration.
+
+    keep_rate(g) = min(1, target_total · q_g / n_g), rounded 9 dp before
+    the integer gate (absorbing pow() last-ulp noise, the kmeans oracle
+    discipline); membership is the shared hash gate
+    ``int(md5(id)[:8]) mod 2^20 < floor(rate · 2^20)`` — reproducible
+    across retries, engines, and AQE re-planning.
+
+    Scale shape: the group-count table (group-cardinality-sized) makes
+    two tiny broadcast passes (mass total, q normalizer) and broadcasts
+    back onto the corpus; the corpus itself is filtered in place — ONE
+    aggregate shuffle of group keys, zero corpus shuffles.
+    """
+    counts = df.groupBy(group_col).agg(F.count("*").alias("_n_grp"))
+    n_tot = F.broadcast(counts.agg(F.sum("_n_grp").alias("_n_tot")))
+    qraw = counts.crossJoin(n_tot).withColumn(
+        "_q_raw", F.pow(F.col("_n_grp") / F.col("_n_tot"), F.lit(float(alpha)))
+    )
+    z = F.broadcast(qraw.agg(F.sum("_q_raw").alias("_z")))
+    rates = qraw.crossJoin(z).select(
+        group_col,
+        F.floor(
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.lit(float(target_total))
+                    * (F.col("_q_raw") / F.col("_z"))
+                    / F.col("_n_grp"),
+                ),
+                9,
+            )
+            * F.lit(1048576.0)
+        )
+        .cast("bigint")
+        .alias("_gate"),
+    )
+    h = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
+            "bigint"
+        )
+        % 1048576
+    )
+    return df.join(F.broadcast(rates), group_col).filter(h < F.col("_gate")).drop("_gate")
+
+
+def winsorize(
+    df: DataFrame,
+    key: str,
+    value: str,
+    p_lo: float = 0.01,
+    p_hi: float = 0.99,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-key winsorization: clip ``value`` to its key-group
+    [``p_lo``, ``p_hi``] exact percentiles — the outlier-robust
+    preparation step for any metric that feeds a mean (a single bot
+    session or OCR blow-up drags an average; winsorized means don't).
+    Clipping (replace with the boundary) rather than trimming (drop)
+    keeps row counts — downstream joins stay total.
+
+    Exact ``percentile`` (Spark) ↔ ``quantile_cont`` (DuckDB), the
+    value_percentiles pairing; bounds and the clipped value rounded
+    6 dp.  NULL values pass through unclipped (no rank to clip to).
+
+    Scale shape: ONE key-grouped percentile aggregate (map-side partial
+    sketch, key-cardinality-sized result) broadcast back onto the
+    corpus; the row table never sorts or shuffles.
+    """
+    bounds = df.groupBy(key).agg(
+        F.round(F.expr(f"percentile({value}, {p_lo!r})"), 6).alias("_lo"),
+        F.round(F.expr(f"percentile({value}, {p_hi!r})"), 6).alias("_hi"),
+    )
+    clipped = (
+        F.when(F.col(value) < F.col("_lo"), F.col("_lo"))
+        .when(F.col(value) > F.col("_hi"), F.col("_hi"))
+        .otherwise(F.col(value))
+    )
+    return (
+        df.select(id_col, key, value)
+        .join(F.broadcast(bounds), key)
+        .select(
+            id_col,
+            key,
+            value,
+            F.round(clipped, 6).alias("value_winsorized"),
+            "_lo",
+            "_hi",
+        )
+        .withColumnsRenamed({"_lo": "p_lo_bound", "_hi": "p_hi_bound"})
+    )
