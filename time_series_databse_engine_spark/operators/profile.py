@@ -615,7 +615,9 @@ def kanon_suppress(
     aggs = [F.count("*").alias("n")]
     if agg_col is not None:
         aggs.append(F.round(F.sum(agg_col), 6).alias("sum_value"))
-    g = df.groupBy(*quasi_cols).agg(*aggs)
+    # group-cardinality-sized; materialized once so the keep filter and
+    # the residual re-aggregate never replay the corpus-sized groupBy
+    g = df.groupBy(*quasi_cols).agg(*aggs).localCheckpoint()
     keep = g.where(F.col("n") >= k).withColumn("n_groups", F.lit(1).cast("long"))
     sup_aggs = [
         F.sum("n").alias("n"),

@@ -568,7 +568,12 @@ def temperature_mix(
     back onto the corpus; the corpus itself is filtered in place — ONE
     aggregate shuffle of group keys, zero corpus shuffles.
     """
-    counts = df.groupBy(group_col).agg(F.count("*").alias("_n_grp"))
+    # group-cardinality-sized; materialized once so its three consumers
+    # (the mass total, the q normalizer, the rate table) never replay
+    # the corpus-sized groupBy — one corpus exchange total
+    counts = (
+        df.groupBy(group_col).agg(F.count("*").alias("_n_grp")).localCheckpoint()
+    )
     n_tot = F.broadcast(counts.agg(F.sum("_n_grp").alias("_n_tot")))
     qraw = counts.crossJoin(n_tot).withColumn(
         "_q_raw", F.pow(F.col("_n_grp") / F.col("_n_tot"), F.lit(float(alpha)))
