@@ -2189,6 +2189,19 @@ def q_minhash_containment(spark, sf_dir):
     )
 
 
+def q_lsh_recall(spark, sf_dir):
+    """Measured banding recall/precision vs EXACT shingle-set Jaccard
+    (dedup.lsh_recall) — the dedup twin of ivf_recall, and the evidence
+    op behind lsh_params_for's escalation rule: ground truth is exact
+    Jaccard over the same 3-token shingles MinHash samples, computed on
+    a deterministic md5-gated 4/16 doc sample so the truth join stays
+    bounded; candidates come from the production signature + banding
+    operators unchanged.  One summary row."""
+    return dedup_ops.lsh_recall(
+        _t(spark, sf_dir, "documents"), threshold=0.5, sample_16ths=4
+    )
+
+
 def q_salted_join(spark, sf_dir):
     """Skew-scattered equi-join (skew.salted_join): lineitem ⋈ supplier
     on suppkey with 8-way deterministic key salting, then revenue per
@@ -4109,7 +4122,7 @@ _R11_WINDOW = [
     "bpe_pairs", "full_outer_join", "hamming_bits", "hamming_recall",
     "hashing_vectors", "lsh_ann_topk_multi", "lsh_multiprobe_topk",
     "lttb_chunked", "minhash_containment", "resample_1m_expr",
-    "semantic_dedup_trained", "sq8_codes", "sq8_recall", "unpivot",
+    "semantic_dedup_trained", "sq8_codes", "sq8_recall",
     # (d) the round-11 additions — zero driver history, so they lead
     # like every prior round's newcomers: temperature_mix (α-temperature
     # source re-balancing), winsorize (per-key percentile clipping),
@@ -4120,6 +4133,10 @@ _R11_WINDOW = [
     # ann_index_append — all r6/r7-green, above the done-bar; rotate
     # back r12.
     "temperature_mix", "winsorize", "ks_drift", "kanon_suppress",
+    # lsh_recall is also a round-11 zero-history addition; it displaces
+    # the r5 pick unpivot (pivot/unpivot family covered by event_pivot's
+    # r8-green row; rotates back r12)
+    "lsh_recall",
     # (e) the two serve-codebook entries whose RESULTS changed with the
     # per-scale re-pin (VERDICT r10 #2: the gate scale now selects the
     # k=8 sf0.01 book; their r10 green rows verified the old k=32
@@ -4362,6 +4379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_corr": q_rolling_corr,
         "token_entropy": q_token_entropy,
         # round-11 additions (in-window via _R11_WINDOW)
+        "lsh_recall": q_lsh_recall,
         "temperature_mix": q_temperature_mix,
         "winsorize": q_winsorize,
         "ks_drift": q_ks_drift,
@@ -4659,6 +4677,50 @@ def _minhash_lsh_ctes() -> str:
 
 def _minhash_lsh_sql() -> str:
     return "\nWITH " + _minhash_lsh_ctes() + "\nSELECT id1, id2 FROM pairs"
+
+
+def _lsh_recall_sql() -> str:
+    """Truth = exact shingle Jaccard >= 0.5 on the md5-gated 4/16 doc
+    sample; candidates = the minhash_lsh banding replay over the same
+    sample; one summary row of counts + recall/precision."""
+    flt = " WHERE substr(md5(doc_id::VARCHAR), 1, 1) IN ('0','1','2','3')"
+    bands_sql = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, mh_{2*b} || '|' || mh_{2*b+1} AS band_hash FROM sig"
+        for b in range(4)
+    )
+    return (
+        "\nWITH "
+        + _SHINGLE_CTE_BODY.format(flt=flt)
+        + f""",
+        sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        truth AS (
+          SELECT id1, id2 FROM inter
+          JOIN sizes za ON za.doc_id = id1
+          JOIN sizes zb ON zb.doc_id = id2
+          WHERE i / (za.set_size + zb.set_size - i) >= 0.5e0),
+        sig AS ({_minhash_sig_select(8)}),
+        banded AS ({bands_sql}),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.band_hash = b.band_hash
+               AND a.doc_id < b.doc_id),
+        hit AS (SELECT t.id1, t.id2 FROM truth t JOIN cand c
+                USING (id1, id2)),
+        m AS (SELECT (SELECT count(*) FROM truth) AS n_true,
+                     (SELECT count(*) FROM cand) AS n_cand,
+                     (SELECT count(*) FROM hit) AS n_hit)
+        SELECT n_true, n_cand, n_hit,
+               CASE WHEN n_true > 0
+                    THEN round(n_hit / n_true, 6) END AS recall,
+               CASE WHEN n_cand > 0
+                    THEN round(n_hit / n_cand, 6) END AS precision
+        FROM m"""
+    )
 
 
 def _dedup_clusters_sql() -> str:
@@ -5873,6 +5935,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(inter / (s1.sz + s2.sz - inter), 6) >= 0.8""",
         "minhash_signatures": _minhash_sig_sql(4, " WHERE doc_id < 100"),
         "minhash_lsh": _minhash_lsh_sql(),
+        "lsh_recall": _lsh_recall_sql(),
         "cosine_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
                        FROM embeddings WHERE vec_id < 5),

@@ -186,6 +186,7 @@ HEADLINE = [
     "winsorize",
     "ks_drift",
     "kanon_suppress",
+    "lsh_recall",
 ]
 
 # repeated-run latency distribution for the reference's hot/cold point

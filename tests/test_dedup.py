@@ -494,3 +494,35 @@ def test_adamic_adar_reversed_known_edge_suppressed(spark):
     )
     out = {(r.v, r.w) for r in adamic_adar(pairs, k=100).collect()}
     assert (1, 2) not in out
+
+
+def test_lsh_recall_planted_pairs(spark):
+    """Planted near-identical docs: banding at base params catches the
+    true >=0.5 shingle-Jaccard pairs (recall 1.0 on an easy corpus);
+    unrelated docs contribute no truth; counts are consistent."""
+    from time_series_databse_engine_spark.operators.dedup import lsh_recall
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = []
+    for i in range(40):
+        if i % 4 == 0:
+            rows.append((i, base))                       # replica family
+        else:
+            rows.append((i, f"doc {i} " + " ".join(f"u{i}w{j}" for j in range(12))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # sample everything (16/16) so the planted family is fully in truth
+    r = lsh_recall(df, threshold=0.5, sample_16ths=16).collect()[0]
+    # 10 replicas -> C(10,2)=45 true pairs, identical docs band together
+    assert r.n_true == 45
+    assert r.n_hit == 45 and r.recall == 1.0
+    assert r.n_cand >= 45
+    assert 0.0 < r.precision <= 1.0
+
+
+def test_lsh_recall_empty_truth_null_recall(spark):
+    from time_series_databse_engine_spark.operators.dedup import lsh_recall
+
+    rows = [(i, " ".join(f"u{i}w{j}" for j in range(12))) for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = lsh_recall(df, threshold=0.5, sample_16ths=16).collect()[0]
+    assert r.n_true == 0 and r.recall is None

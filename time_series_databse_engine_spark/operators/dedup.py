@@ -1125,3 +1125,95 @@ def purge_dup_spans(
             F.size(kept).cast("long").alias("n_kept"),
         )
     )
+
+
+def lsh_recall(
+    df: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 8,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    shingle_n: int = 3,
+    sample_16ths: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Measured recall/precision of the LSH banding against EXACT
+    shingle-set Jaccard — the dedup twin of the ANN family's
+    ``ivf_recall``: banding parameters are a recall/cost dial
+    (``lsh_params_for`` escalates rows-per-band with corpus growth to
+    kill chance collisions), and this op is the evidence that a chosen
+    configuration still catches the true ≥ ``threshold`` pairs.
+
+    Ground truth is exact Jaccard over the same ``shingle_n``-token
+    shingle sets MinHash approximates (not whole-token ``jaccard_pairs``
+    sets — recall must be measured against the signal the signatures
+    sample), computed on a deterministic md5-gated doc sample
+    (``sample_16ths``/16) so the truth's inverted-index pair join is
+    run on a bounded subset — the production recipe at 100 TB, where
+    exact truth over the full corpus is the very n² the banding avoids.
+
+    Returns ONE row: (n_true, n_cand, n_hit, recall, precision) —
+    recall = hit/true (NULL when the sample holds no true pair),
+    precision = hit/candidates (the chance-collision complement).
+
+    Scale shape: the truth join is shingle-keyed (never a cross join)
+    over the sampled docs; candidates reuse the production signature +
+    banding operators unchanged; the three one-row counts combine via
+    crossJoin (broadcast, 1 row each).
+    """
+    from .sampling import deterministic_sample
+
+    sample = deterministic_sample(df, sample_16ths, id_col)
+
+    sh = shingles(sample, shingle_n, text_col, id_col)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("set_size"))
+    s1 = sh.select(F.col(id_col).alias("id1"), "shingle")
+    s2 = sh.select(F.col(id_col).alias("id2"), "shingle")
+    inter = (
+        s1.join(s2, "shingle")
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count("*").alias("inter"))
+    )
+    z1 = sizes.select(F.col(id_col).alias("id1"), F.col("set_size").alias("size1"))
+    z2 = sizes.select(F.col(id_col).alias("id2"), F.col("set_size").alias("size2"))
+    truth = (
+        inter.join(F.broadcast(z1), "id1")
+        .join(F.broadcast(z2), "id2")
+        .filter(
+            F.col("inter")
+            / (F.col("size1") + F.col("size2") - F.col("inter"))
+            >= F.lit(threshold)
+        )
+        .select("id1", "id2")
+    )
+
+    cand = lsh_candidate_pairs(
+        minhash_signatures(sample, num_hashes, shingle_n, text_col, id_col),
+        bands,
+        rows_per_band,
+        id_col,
+    )
+    hit = truth.join(cand, ["id1", "id2"])
+
+    t = truth.agg(F.count("*").alias("n_true"))
+    c = cand.agg(F.count("*").alias("n_cand"))
+    h = hit.agg(F.count("*").alias("n_hit"))
+    return (
+        t.crossJoin(c)
+        .crossJoin(h)
+        .select(
+            "n_true",
+            "n_cand",
+            "n_hit",
+            F.when(
+                F.col("n_true") > 0,
+                F.round(F.col("n_hit") / F.col("n_true"), 6),
+            ).alias("recall"),
+            F.when(
+                F.col("n_cand") > 0,
+                F.round(F.col("n_hit") / F.col("n_cand"), 6),
+            ).alias("precision"),
+        )
+    )
