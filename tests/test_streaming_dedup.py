@@ -829,3 +829,67 @@ def test_streaming_scd2_touched_partition_writes(spark, tmp_path):
     # the snapshot is still the complete dimension with key 7 updated
     cur = {r.user_id: r.event_type for r in scd2_current(spark, out).collect()}
     assert len(cur) == 64 and cur[7] == "B" and cur[6] == "A"
+
+
+def test_streaming_ks_drift_merge_identity_and_replay(spark, tmp_path):
+    """Live KS: each epoch's running stats (pinned reference vs all
+    stream rows so far, via ks_from_counts) are row-identical to the
+    batch ks_drift on the union of rows seen; crash replay converges."""
+    import shutil
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from time_series_databse_engine_spark.operators.profile import ks_drift
+    from time_series_databse_engine_spark.streaming.ingest import stream_ks_drift
+
+    schema = "event_type string, value double"
+    ref_rows = [("a", float(v)) for v in range(50)] + [("b", float(v)) for v in range(50)]
+    ref = spark.createDataFrame(ref_rows, schema)
+    ref_vc = ref.select("event_type", F.col("value").alias("v")).groupBy(
+        "event_type", "v"
+    ).agg(F.count("*").alias("cnt"))
+
+    # epoch 0: key a drifts (+25 shift); epoch 1: key b matches reference
+    b1 = [("a", float(v) + 25.0) for v in range(50)]
+    b2 = [("b", float(v)) for v in range(50)]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(src + "/b1")
+    _t.sleep(1.1)
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(src + "/b2")
+    out = str(tmp_path / "ks")
+
+    def run():
+        q = stream_ks_drift(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/*"),
+            ref_vc, out, str(tmp_path / "ckpt"),
+        ).start()
+        q.awaitTermination(120)
+        q.stop()
+
+    run()
+    met = {(r.epoch_id, r.event_type): r
+           for r in spark.read.parquet(out + "/metrics").collect()}
+    # epoch-1 running == batch op on union of both epochs
+    want = {r.event_type: r for r in ks_drift(
+        ref, spark.createDataFrame(b1 + b2, schema), "event_type", "value"
+    ).collect()}
+    for k in ("a", "b"):
+        got = met[(1, k)]
+        w = want[k]
+        assert (got.ks_stat, got.n_ref, got.n_cur, got.drifted) == (
+            w.ks_stat, w.n_ref, w.n_cur, w.drifted)
+    # the shifted key alarms, the matching key does not
+    assert met[(1, "a")].drifted and not met[(1, "b")].drifted
+    # 25-unit shift of a 50-wide uniform: D = 0.5 exactly
+    assert met[(1, "a")].ks_stat == 0.5
+
+    # crash replay: wipe the checkpoint; metrics converge bit-identically
+    snap = {k: tuple(v) for k, v in met.items()}
+    shutil.rmtree(str(tmp_path / "ckpt"))
+    run()
+    met2 = {(r.epoch_id, r.event_type): tuple(r)
+            for r in spark.read.parquet(out + "/metrics").collect()}
+    assert met2 == snap

@@ -527,8 +527,6 @@ def ks_drift(
     same — raw rows never sort, never shuffle beyond the one count
     exchange.
     """
-    from pyspark.sql import Window as W
-
     u = (
         ref.select(F.col(key).alias("_k"), F.col(col).alias("_v"), F.lit(1).alias("_r"))
         .unionByName(
@@ -542,6 +540,42 @@ def ks_drift(
         F.sum("_r").alias("_cr"),
         F.sum(F.lit(1) - F.col("_r")).alias("_cc"),
     )
+    return _ks_from_vc(vc, key)
+
+
+def ks_from_counts(ref_vc: DataFrame, cur_vc: DataFrame, key: str) -> DataFrame:
+    """Counts-based core of :func:`ks_drift`, shared with the streaming
+    leg (``streaming.ingest.stream_ks_drift``) so both price the
+    IDENTICAL float recipe — the ``burn_from_counts`` factoring.
+    Inputs are per-(key, v) distinct-value count tables
+    ``(key, v, cnt)``; NULL values must already be excluded."""
+    vc = (
+        ref_vc.select(
+            F.col(key).alias("_k"),
+            F.col("v").alias("_v"),
+            F.col("cnt").alias("_cr"),
+            F.lit(0).cast("long").alias("_cc"),
+        )
+        .unionByName(
+            cur_vc.select(
+                F.col(key).alias("_k"),
+                F.col("v").alias("_v"),
+                F.lit(0).cast("long").alias("_cr"),
+                F.col("cnt").alias("_cc"),
+            )
+        )
+        .groupBy("_k", "_v")
+        .agg(F.sum("_cr").alias("_cr"), F.sum("_cc").alias("_cc"))
+    )
+    return _ks_from_vc(vc, key)
+
+
+def _ks_from_vc(vc: DataFrame, key: str) -> DataFrame:
+    """Shared finish: cumulative ECDF windows over the per-(key, value)
+    count table, per-key sup-distance + threshold.  ``vc`` columns:
+    (_k, _v, _cr, _cc)."""
+    from pyspark.sql import Window as W
+
     wcum = (
         W.partitionBy("_k")
         .orderBy("_v")

@@ -1138,3 +1138,97 @@ def stream_scd2(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
     )
+
+
+def stream_ks_drift(
+    stream: DataFrame,
+    ref_vc: DataFrame,
+    out_path: str,
+    checkpoint_dir: str,
+    key: str = "event_type",
+    col: str = "value",
+):
+    """Streaming two-sample KS drift — the live leg of
+    :func:`operators.profile.ks_drift`, completing the drift family's
+    distribution-free member the way the PSI monitor has
+    :func:`stream_psi_drift`.
+
+    ``ref_vc`` is the PINNED training-time artifact: the reference
+    snapshot's per-(key, value) distinct count table
+    (``(key, v, cnt)`` — build once with a groupBy-count and persist
+    beside the model version); the reference is never rescanned while
+    serving.
+
+    Per epoch, two epoch-partitioned tables land under ``out_path``:
+
+    * ``counts/epoch=N/``  — the batch's mergeable (key, v, cnt)
+      distinct-value counts: any window of epochs re-reduces to its KS
+      without touching raw data, and the state is distinct-value-sized
+      (a 10^10-row key with 10^5 distinct scores stores 10^5 rows),
+      never raw-row-sized;
+    * ``metrics/epoch=N/`` — one row PER KEY:
+      (epoch_id, key, n_ref, n_cur, ks_stat, threshold_05, drifted)
+      where the stats price ALL stream rows so far vs the reference via
+      :func:`operators.profile.ks_from_counts` — the identical float
+      recipe as the batch op, so the merged stream state's KS is
+      row-identical to ``ks_drift`` on the union of all rows seen
+      (asserted in-test).
+
+    Exactly-once by the :func:`stream_psi_drift` contract: the running
+    read takes STRICTLY-PRIOR epochs only, then delete-then-rename
+    epoch dirs make a replayed epoch attempt-independent.
+    """
+    import glob
+    import os
+    import shutil
+
+    from ..operators.profile import ks_from_counts
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        eid = int(epoch_id)
+        tmp_root = os.path.join(out_path, "_tmp", f"epoch-{eid}")
+        shutil.rmtree(tmp_root, ignore_errors=True)
+
+        cnts = (
+            batch_df.select(F.col(key), F.col(col).alias("v"))
+            .where(F.col("v").isNotNull())
+            .groupBy(key, "v")
+            .agg(F.count("*").alias("cnt"))
+        )
+        counts_tmp = os.path.join(tmp_root, "counts")
+        cnts.write.mode("overwrite").parquet(counts_tmp)
+        fresh = spark.read.parquet(counts_tmp)
+
+        prior = [
+            d
+            for d in glob.glob(os.path.join(out_path, "counts", "epoch=*"))
+            if int(os.path.basename(d).split("=", 1)[1]) < eid
+        ]
+        running = fresh
+        if prior:
+            running = (
+                fresh.unionByName(
+                    spark.read.parquet(*prior).select(key, "v", "cnt")
+                )
+                .groupBy(key, "v")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+        metrics = ks_from_counts(ref_vc, running, key).withColumn(
+            "epoch_id", F.lit(eid)
+        )
+        metrics_tmp = os.path.join(tmp_root, "metrics")
+        metrics.coalesce(1).write.mode("overwrite").parquet(metrics_tmp)
+
+        for name, tmp in (("counts", counts_tmp), ("metrics", metrics_tmp)):
+            dst = os.path.join(out_path, name, f"epoch={eid}")
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            shutil.rmtree(dst, ignore_errors=True)
+            os.rename(tmp, dst)
+        shutil.rmtree(tmp_root, ignore_errors=True)
+
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
