@@ -521,6 +521,40 @@ def main():
         )
         extra["stream_scd2_rows_per_sec"] = round(n_scd / dt)
 
+        # live KS drift: first-week reference pinned as a distinct-count
+        # artifact, the rest of the month as a 4-epoch stream — each
+        # epoch re-prices the running KS from mergeable counts
+        from time_series_databse_engine_spark.streaming.ingest import (
+            stream_ks_drift,
+        )
+
+        ks_ev = load_table(spark, SF_DIR, "events").select(
+            "event_type", "ts_ms", "value"
+        )
+        ks_cut = ks_ev.agg(F.min("ts_ms")).collect()[0][0] + 7 * 86_400_000
+        ks_ref_vc = (
+            ks_ev.where(F.col("ts_ms") < ks_cut)
+            .select("event_type", F.col("value").alias("v"))
+            .where(F.col("v").isNotNull())
+            .groupBy("event_type", "v")
+            .agg(F.count("*").alias("cnt"))
+            .localCheckpoint()
+        )
+        ks_cur = ks_ev.where(F.col("ts_ms") >= ks_cut)
+        n_ks = ks_cur.count()
+        ks_cur.repartition(4).write.parquet(tmp + "/ks_src")
+        dt = _drain(
+            stream_ks_drift(
+                spark.readStream.schema(ks_cur.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(tmp + "/ks_src"),
+                ks_ref_vc,
+                tmp + "/ks_out",
+                tmp + "/ks_ckpt",
+            )
+        )
+        extra["stream_ks_drift_rows_per_sec"] = round(n_ks / dt)
+
         def _ep_bytes(ep: int) -> int:
             import glob as _g
 
