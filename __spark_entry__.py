@@ -2189,6 +2189,27 @@ def q_minhash_containment(spark, sf_dir):
     )
 
 
+def q_pruning_report(spark, sf_dir):
+    """Parquet-footer pruning audit (layout.parquet_pruning_report):
+    per-(file, column, row-group) min/max statistics + skippability for
+    a probe predicate — read distributed through pyarrow footers only,
+    replayed by DuckDB's parquet_metadata() on the SAME file, so the
+    hash gate checks that both engines see identical pruning evidence.
+    The report's subject is pinned to the GATE-SCALE events file (the
+    oracle must name a literal path; the operator itself takes any file
+    list — its multi-file behavior over the hour-partitioned store is
+    pinned in test_plans)."""
+    from time_series_databse_engine_spark.operators import layout as layout_ops
+
+    return layout_ops.parquet_pruning_report(
+        spark,
+        ["/root/testdata/sf0.01/events.parquet"],
+        ["event_id", "user_id"],
+        probe_lo=0,
+        probe_hi=9,
+    )
+
+
 def q_lsh_recall(spark, sf_dir):
     """Measured banding recall/precision vs EXACT shingle-set Jaccard
     (dedup.lsh_recall) — the dedup twin of ivf_recall, and the evidence
@@ -4121,7 +4142,7 @@ _R11_WINDOW = [
     # (c) all 14 r5-vintage
     "bpe_pairs", "full_outer_join", "hamming_bits", "hamming_recall",
     "hashing_vectors", "lsh_ann_topk_multi", "lsh_multiprobe_topk",
-    "lttb_chunked", "minhash_containment", "resample_1m_expr",
+    "lttb_chunked", "minhash_containment",
     "semantic_dedup_trained", "sq8_codes", "sq8_recall",
     # (d) the round-11 additions — zero driver history, so they lead
     # like every prior round's newcomers: temperature_mix (α-temperature
@@ -4133,10 +4154,11 @@ _R11_WINDOW = [
     # ann_index_append — all r6/r7-green, above the done-bar; rotate
     # back r12.
     "temperature_mix", "winsorize", "ks_drift", "kanon_suppress",
-    # lsh_recall is also a round-11 zero-history addition; it displaces
-    # the r5 pick unpivot (pivot/unpivot family covered by event_pivot's
-    # r8-green row; rotates back r12)
-    "lsh_recall",
+    # lsh_recall and pruning_report are also round-11 zero-history
+    # additions; they displace the r5 picks unpivot and resample_1m_expr
+    # (pivot/unpivot family covered by event_pivot's r8-green row, grid
+    # resampling by resample_1m's r9-green row; both rotate back r12)
+    "lsh_recall", "pruning_report",
     # (e) the two serve-codebook entries whose RESULTS changed with the
     # per-scale re-pin (VERDICT r10 #2: the gate scale now selects the
     # k=8 sf0.01 book; their r10 green rows verified the old k=32
@@ -4380,6 +4402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_entropy": q_token_entropy,
         # round-11 additions (in-window via _R11_WINDOW)
         "lsh_recall": q_lsh_recall,
+        "pruning_report": q_pruning_report,
         "temperature_mix": q_temperature_mix,
         "winsorize": q_winsorize,
         "ks_drift": q_ks_drift,
@@ -5936,6 +5959,18 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": _minhash_sig_sql(4, " WHERE doc_id < 100"),
         "minhash_lsh": _minhash_lsh_sql(),
         "lsh_recall": _lsh_recall_sql(),
+        # pruning audit replay: DuckDB reads the same footer stats off
+        # the same (gate-scale, literal-path) file
+        "pruning_report": """
+            SELECT regexp_extract(file_name, '[^/\\\\]+$', 0) AS file_name,
+                   path_in_schema AS column, row_group_id AS row_group,
+                   row_group_num_rows AS n_rows,
+                   stats_min_value::BIGINT AS col_min,
+                   stats_max_value::BIGINT AS col_max,
+                   (stats_min_value::BIGINT > 9 OR stats_max_value::BIGINT < 0)
+                       AS skippable
+            FROM parquet_metadata('/root/testdata/sf0.01/events.parquet')
+            WHERE path_in_schema IN ('event_id', 'user_id')""",
         "cosine_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
                        FROM embeddings WHERE vec_id < 5),

@@ -187,6 +187,7 @@ HEADLINE = [
     "ks_drift",
     "kanon_suppress",
     "lsh_recall",
+    "pruning_report",
 ]
 
 # repeated-run latency distribution for the reference's hot/cold point

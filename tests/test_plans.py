@@ -1168,3 +1168,39 @@ def test_domain_cap_map_side_window_group_limit(spark):
         if l.startswith("Arguments: hashpartitioning(domain")
     )
     assert limits[0] < first_exchange
+
+
+def test_pruning_report_store_hour_files_skippable(spark, tmp_path):
+    """layout.parquet_pruning_report over the hour-partitioned store:
+    hour files carry disjoint ts_ms footer ranges, so a one-hour probe
+    marks every other hour's row groups skippable — the footer-level
+    proof behind the store's partition pruning; row counts reconcile."""
+    from pyspark.sql import functions as F
+
+    from time_series_databse_engine_spark import TimeSeriesStore
+    from time_series_databse_engine_spark.operators.layout import (
+        parquet_pruning_report,
+    )
+
+    H = 3_600_000
+    rows = [("m", h * H + i * 1000, float(i)) for h in range(6) for i in range(50)]
+    src = spark.createDataFrame(rows, "metric string, ts_ms long, value double")
+    store = TimeSeriesStore(spark, str(tmp_path / "points"))
+    store.ingest(src)
+
+    import glob
+
+    files = glob.glob(str(tmp_path / "points") + "/**/*.parquet", recursive=True)
+    assert len(files) >= 6  # one file per hour partition at least
+    rep = parquet_pruning_report(
+        spark, files, ["ts_ms"], probe_lo=2 * H, probe_hi=3 * H - 1
+    )
+    got = rep.collect()
+    # every source row is accounted for by exactly one row group
+    assert sum(r.n_rows for r in got) == len(rows)
+    # the probed hour's row groups are NOT skippable; all others are
+    probed = [r for r in got if not r.skippable]
+    assert sum(r.n_rows for r in probed) == 50
+    assert all(2 * H <= r.col_min and r.col_max < 3 * H for r in probed)
+    skipped = [r for r in got if r.skippable]
+    assert sum(r.n_rows for r in skipped) == 250
