@@ -2195,15 +2195,18 @@ def q_pruning_report(spark, sf_dir):
     a probe predicate — read distributed through pyarrow footers only,
     replayed by DuckDB's parquet_metadata() on the SAME file, so the
     hash gate checks that both engines see identical pruning evidence.
-    The report's subject is pinned to the GATE-SCALE events file (the
-    oracle must name a literal path; the operator itself takes any file
-    list — its multi-file behavior over the hour-partitioned store is
-    pinned in test_plans)."""
+    The audited file is keyed off sf_dir (ADVICE r11: a pinned literal
+    made the sf1/sf3 HEADLINE rows time a constant gate-size footer
+    read); at the sf0.01 gate the path equals the oracle SQL's literal.
+    The operator itself takes any file list — its multi-file behavior
+    over the hour-partitioned store is pinned in test_plans."""
+    import os
+
     from time_series_databse_engine_spark.operators import layout as layout_ops
 
     return layout_ops.parquet_pruning_report(
         spark,
-        ["/root/testdata/sf0.01/events.parquet"],
+        [os.path.join(sf_dir, "events.parquet")],
         ["event_id", "user_id"],
         probe_lo=0,
         probe_hi=9,

@@ -1204,3 +1204,48 @@ def test_pruning_report_store_hour_files_skippable(spark, tmp_path):
     assert all(2 * H <= r.col_min and r.col_max < 3 * H for r in probed)
     skipped = [r for r in got if r.skippable]
     assert sum(r.n_rows for r in skipped) == 250
+
+
+def test_pruning_report_guards(spark, tmp_path):
+    """ADVICE r11 (low): (a) an empty path list fails fast instead of
+    repartition(0); (b) a non-integer column fails with a message naming
+    the column and its physical type instead of int(float_str)
+    ValueError; (c) a stat-less column chunk surfaces as a NULL-min/max
+    row with skippable=false rather than silently vanishing from the
+    audit."""
+    import pytest as _pt
+
+    from time_series_databse_engine_spark.operators.layout import (
+        parquet_pruning_report,
+    )
+
+    with _pt.raises(ValueError, match="empty path list"):
+        parquet_pruning_report(spark, [], ["ts_ms"])
+
+    p = str(tmp_path / "f.parquet")
+    spark.createDataFrame(
+        [(1, 2.5, "x")], "a long, b double, c string"
+    ).coalesce(1).write.parquet(p)
+    import glob
+
+    f = glob.glob(p + "/*.parquet")[0]
+    with _pt.raises(Exception, match="physical type DOUBLE"):
+        parquet_pruning_report(spark, [f], ["b"], probe_lo=0, probe_hi=1).collect()
+
+    # a chunk with statistics disabled: write through pyarrow directly
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    nostat = str(tmp_path / "nostat.parquet")
+    pq.write_table(
+        pa.table({"a": pa.array([1, 2, 3], pa.int64())}),
+        nostat,
+        write_statistics=False,
+    )
+    got = parquet_pruning_report(
+        spark, [nostat], ["a"], probe_lo=100, probe_hi=200
+    ).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.col_min is None and r.col_max is None and r.n_rows == 3
+    assert r.skippable is False  # no stats => the engine can never skip it

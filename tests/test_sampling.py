@@ -526,3 +526,55 @@ def test_winsorize_clips_to_group_bounds(spark):
     assert out[50].value_winsorized == 50.0
     # row count preserved (clip, not trim)
     assert len(out) == 102
+
+
+def test_winsorize_approx_matches_exact_within_sketch_tolerance(spark):
+    """approx=True (percentile_approx, the mergeable-sketch 100 TB form
+    SCALE.md:1438 prescribes) produces clip boundaries within sketch
+    tolerance of the exact path on the same data, and clips the same
+    blow-up row.  percentile_approx returns an ACTUAL data value (no
+    interpolation), so the bound must land on one of the group's values
+    near the exact quantile — we allow one rank of slack per side."""
+    from time_series_databse_engine_spark.operators.sampling import winsorize
+
+    rows = [(i, "a", float(i)) for i in range(101)]  # 0..100
+    rows.append((999, "a", 10_000.0))
+    df = spark.createDataFrame(rows, "doc_id long, k string, v double")
+    exact = {r.doc_id: r for r in winsorize(df, "k", "v", 0.01, 0.99).collect()}
+    appr = {r.doc_id: r for r in
+            winsorize(df, "k", "v", 0.01, 0.99, approx=True).collect()}
+    assert len(appr) == len(exact) == 102
+    # boundaries agree within 2.0 (≈ two ranks of this integer grid —
+    # generous vs the default-accuracy sketch's guarantee)
+    assert abs(appr[50].p_lo_bound - exact[50].p_lo_bound) <= 2.0
+    assert abs(appr[50].p_hi_bound - exact[50].p_hi_bound) <= 2.0
+    # the blow-up row is clipped to the (approx) hi bound either way
+    assert appr[999].value_winsorized == appr[999].p_hi_bound < 10_000.0
+    assert appr[50].value_winsorized == 50.0
+
+
+def test_temperature_mix_and_winsorize_exclude_null_keys(spark):
+    """ADVICE r11 (medium): NULL group rows used to distort
+    temperature_mix's mass total / q normalizer and then vanish at the
+    equi-join back (null != null).  Both ops now exclude NULL-key rows
+    up front — the non-NULL groups' rates must be IDENTICAL to running
+    on a corpus that never had the NULL rows."""
+    from time_series_databse_engine_spark.operators.sampling import (
+        temperature_mix,
+        winsorize,
+    )
+
+    clean = [(i, "big") for i in range(900)] + [(900 + i, "small") for i in range(100)]
+    noisy = clean + [(2000 + i, None) for i in range(400)]
+    df_c = spark.createDataFrame(clean, "doc_id long, source string")
+    df_n = spark.createDataFrame(noisy, "doc_id long, source string")
+    a = sorted(r.doc_id for r in temperature_mix(df_c, 0.3, 200).collect())
+    b = sorted(r.doc_id for r in temperature_mix(df_n, 0.3, 200).collect())
+    assert a == b  # NULL mass no longer under-scales non-NULL keep rates
+
+    rows = [(i, "a", float(i)) for i in range(101)] + [(500, None, 1e9)]
+    dfw = spark.createDataFrame(rows, "doc_id long, k string, v double")
+    out = winsorize(dfw, "k", "v", 0.01, 0.99)
+    got = {r.doc_id: r for r in out.collect()}
+    assert 500 not in got and len(got) == 101  # excluded, not silently joined away
+    assert got[99].value_winsorized == got[99].p_hi_bound  # bounds from non-NULL only

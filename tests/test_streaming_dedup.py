@@ -831,6 +831,62 @@ def test_streaming_scd2_touched_partition_writes(spark, tmp_path):
     assert len(cur) == 64 and cur[7] == "B" and cur[6] == "A"
 
 
+def test_streaming_scd2_n_parts_marker_and_empty_snapshot_guard(spark, tmp_path):
+    """ADVICE r11 (low ×2): (a) n_parts is pinned in a marker file on
+    first epoch — restarting the stream over the same out_path with a
+    different n_parts must raise instead of silently re-hashing keys to
+    new partitions while stale ones stay 'latest'; (b) scd2_current on
+    an out_path with no snapshot dirs yet raises a descriptive error
+    naming the path, not a cryptic zero-path read error."""
+    import pytest as _pt
+
+    from time_series_databse_engine_spark.streaming.ingest import (
+        scd2_current,
+        stream_scd2,
+    )
+
+    out = str(tmp_path / "scd")
+    with _pt.raises(FileNotFoundError, match="scd2_current.*no current"):
+        scd2_current(spark, out)
+
+    schema = "user_id long, event_type string, ts_ms long, event_id long"
+    src = str(tmp_path / "src")
+    spark.createDataFrame([(1, "A", 0, 1)], schema).coalesce(1).write.parquet(
+        src + "/b1"
+    )
+    q = stream_scd2(
+        spark.readStream.schema(schema).parquet(src + "/*"),
+        out, str(tmp_path / "ck1"), order=["ts_ms", "event_id"], n_parts=8,
+    ).start()
+    q.awaitTermination(120)
+    q.stop()
+    with open(out + "/_n_parts") as fh:
+        assert fh.read().strip() == "8"
+
+    # restart with a mismatched n_parts: the epoch must fail loudly
+    spark.createDataFrame([(2, "B", 10, 2)], schema).coalesce(1).write.parquet(
+        src + "/b2"
+    )
+    q2 = stream_scd2(
+        spark.readStream.schema(schema).parquet(src + "/*"),
+        out, str(tmp_path / "ck2"), order=["ts_ms", "event_id"], n_parts=4,
+    ).start()
+    with _pt.raises(Exception, match="n_parts=8"):
+        q2.awaitTermination(120)
+        raise AssertionError("mismatched n_parts restart did not fail")
+    q2.stop()
+
+    # matching n_parts restarts fine and the snapshot is intact
+    q3 = stream_scd2(
+        spark.readStream.schema(schema).parquet(src + "/*"),
+        out, str(tmp_path / "ck3"), order=["ts_ms", "event_id"], n_parts=8,
+    ).start()
+    q3.awaitTermination(120)
+    q3.stop()
+    cur = {r.user_id: r.event_type for r in scd2_current(spark, out).collect()}
+    assert cur == {1: "A", 2: "B"}
+
+
 def test_streaming_ks_drift_merge_identity_and_replay(spark, tmp_path):
     """Live KS: each epoch's running stats (pinned reference vs all
     stream rows so far, via ks_from_counts) are row-identical to the

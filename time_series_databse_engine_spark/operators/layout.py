@@ -212,10 +212,18 @@ def parquet_pruning_report(
     round-robin repartition) and each task reads ONLY the footer through
     pyarrow — data pages are never touched, so auditing a 100 TB table
     costs one metadata round-trip per file.  Columns are restricted to
-    integer-statistics types (int32/int64 — ts_ms, ids, bucketed keys);
-    float stats have engine-specific string formats and belong to the
-    profiler, not the pruning audit.
+    integer-statistics types (int32/int64 — ts_ms, ids, bucketed keys)
+    and the restriction is ENFORCED: a requested column whose physical
+    type is not INT32/INT64 fails fast with a message naming it (float
+    stats have engine-specific string formats and belong to the
+    profiler, not the pruning audit; ADVICE r11).  Column chunks WITHOUT
+    statistics are surfaced as rows with NULL min/max and
+    ``skippable = false`` — a stat-less row group is exactly the row
+    group the engine can never skip, so dropping it would overstate the
+    layout (ADVICE r11).
     """
+    if not paths:
+        raise ValueError("parquet_pruning_report: empty path list")
     files_df = spark.createDataFrame(
         [(p,) for p in paths], "path string"
     ).repartition(len(paths))
@@ -235,17 +243,28 @@ def parquet_pruning_report(
                     rg = md.row_group(i)
                     for j in range(rg.num_columns):
                         c = rg.column(j)
-                        if c.path_in_schema in cols and c.statistics is not None:
-                            rows.append(
-                                (
-                                    os.path.basename(p),
-                                    c.path_in_schema,
-                                    i,
-                                    rg.num_rows,
-                                    int(c.statistics.min),
-                                    int(c.statistics.max),
-                                )
+                        if c.path_in_schema not in cols:
+                            continue
+                        if c.physical_type not in ("INT32", "INT64"):
+                            raise ValueError(
+                                f"parquet_pruning_report: column "
+                                f"{c.path_in_schema!r} in {p!r} has physical "
+                                f"type {c.physical_type} — only INT32/INT64 "
+                                f"statistics are audited (float/byte-array "
+                                f"stats belong to the profiler)"
                             )
+                        st = c.statistics
+                        has = st is not None and st.has_min_max
+                        rows.append(
+                            (
+                                os.path.basename(p),
+                                c.path_in_schema,
+                                i,
+                                rg.num_rows,
+                                int(st.min) if has else None,
+                                int(st.max) if has else None,
+                            )
+                        )
             yield pd.DataFrame(
                 rows,
                 columns=[
@@ -262,7 +281,10 @@ def parquet_pruning_report(
     if probe_lo is not None and probe_hi is not None:
         out = out.withColumn(
             "skippable",
-            (F.col("col_min") > F.lit(probe_hi))
-            | (F.col("col_max") < F.lit(probe_lo)),
+            F.coalesce(
+                (F.col("col_min") > F.lit(probe_hi))
+                | (F.col("col_max") < F.lit(probe_lo)),
+                F.lit(False),
+            ),
         )
     return out

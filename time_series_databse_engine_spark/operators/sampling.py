@@ -567,7 +567,14 @@ def temperature_mix(
     two tiny broadcast passes (mass total, q normalizer) and broadcasts
     back onto the corpus; the corpus itself is filtered in place — ONE
     aggregate shuffle of group keys, zero corpus shuffles.
+
+    Rows with a NULL ``group_col`` are excluded up front and documented
+    here as such: a NULL source has no mixture share, and leaving them
+    in would distort the mass total / q normalizer while the equi-join
+    back silently dropped them anyway (null != null in Spark joins —
+    the quantile_normalize ADVICE-r10 trap, closed r12 for this op).
     """
+    df = df.where(F.col(group_col).isNotNull())
     # group-cardinality-sized; materialized once so its three consumers
     # (the mass total, the q normalizer, the rate table) never replay
     # the corpus-sized groupBy — one corpus exchange total
@@ -612,6 +619,7 @@ def winsorize(
     p_lo: float = 0.01,
     p_hi: float = 0.99,
     id_col: str = "doc_id",
+    approx: bool = False,
 ) -> DataFrame:
     """Per-key winsorization: clip ``value`` to its key-group
     [``p_lo``, ``p_hi``] exact percentiles — the outlier-robust
@@ -622,15 +630,30 @@ def winsorize(
 
     Exact ``percentile`` (Spark) ↔ ``quantile_cont`` (DuckDB), the
     value_percentiles pairing; bounds and the clipped value rounded
-    6 dp.  NULL values pass through unclipped (no rank to clip to).
+    6 dp.  NULL values pass through unclipped (no rank to clip to);
+    rows with a NULL ``key`` are excluded up front (they have no group
+    to clip within, and the equi-join back would silently drop them
+    anyway — null != null in Spark joins), so the "keeps row counts"
+    guarantee is per NON-NULL key group.
+
+    ``approx=True`` swaps the exact ``percentile`` for
+    ``percentile_approx`` (the mergeable GK sketch) with the same 6-dp
+    rounding — the 100 TB form SCALE.md prescribes: exact percentile
+    keeps per-key distinct-value-sized aggregate state, which for a
+    continuous double column is unbounded; the sketch is
+    accuracy-bounded constant state per key.  The exact path stays the
+    default because it is the oracle-matching (quantile_cont) choice at
+    benched scales.
 
     Scale shape: ONE key-grouped percentile aggregate (map-side partial
     sketch, key-cardinality-sized result) broadcast back onto the
     corpus; the row table never sorts or shuffles.
     """
+    df = df.where(F.col(key).isNotNull())
+    pct = "percentile_approx" if approx else "percentile"
     bounds = df.groupBy(key).agg(
-        F.round(F.expr(f"percentile({value}, {p_lo!r})"), 6).alias("_lo"),
-        F.round(F.expr(f"percentile({value}, {p_hi!r})"), 6).alias("_hi"),
+        F.round(F.expr(f"{pct}({value}, {p_lo!r})"), 6).alias("_lo"),
+        F.round(F.expr(f"{pct}({value}, {p_hi!r})"), 6).alias("_hi"),
     )
     clipped = (
         F.when(F.col(value) < F.col("_lo"), F.col("_lo"))

@@ -944,6 +944,14 @@ def scd2_current(spark: SparkSession, out_path: str) -> DataFrame:
         dirs = glob.glob(os.path.join(pdir, "epoch=*"))
         if dirs:
             latest.append(max(dirs, key=lambda d: int(d.rsplit("=", 1)[1])))
+    if not latest:
+        # ADVICE r11: spark.read.parquet(*[]) raises a cryptic "path not
+        # specified" — name the actual problem and location instead
+        raise FileNotFoundError(
+            f"scd2_current: no current/part=*/epoch=* snapshot dirs under "
+            f"{out_path!r} — has stream_scd2 completed at least one epoch "
+            f"against this out_path?"
+        )
     return spark.read.parquet(*latest)
 
 
@@ -1014,6 +1022,27 @@ def stream_scd2(
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
         eid = int(epoch_id)
+        # n_parts is baked into the on-disk current/part=K layout: a
+        # restart with a different value would re-hash keys to new
+        # partitions while stale partitions stayed each key's "latest
+        # epoch" — silent duplicate/stale snapshots (ADVICE r11).  Pin
+        # it in a marker file on first epoch and refuse mismatches.
+        marker = os.path.join(out_path, "_n_parts")
+        if os.path.exists(marker):
+            with open(marker) as fh:
+                pinned = int(fh.read().strip())
+            if pinned != n_parts:
+                raise ValueError(
+                    f"stream_scd2: out_path {out_path!r} was written with "
+                    f"n_parts={pinned} but this stream was started with "
+                    f"n_parts={n_parts}; the current/part=K layout is keyed "
+                    f"by the original value — restart with n_parts={pinned} "
+                    f"or use a fresh out_path"
+                )
+        else:
+            os.makedirs(out_path, exist_ok=True)
+            with open(marker, "w") as fh:
+                fh.write(str(n_parts))
         tmp_root = os.path.join(out_path, "_tmp", f"epoch-{eid}")
         shutil.rmtree(tmp_root, ignore_errors=True)
 
