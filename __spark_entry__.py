@@ -1717,20 +1717,20 @@ def q_pca_project(spark, sf_dir):
 
 def q_pca_fit_project(spark, sf_dir):
     """Full PCA lifecycle 64→8 over the embeddings table
-    (similarity.pca_train + pca_project): one mapInPandas moment pass +
-    driver eigensolve of the 64×64 Gramian (the Spark MLlib
-    RowMatrix.computePrincipalComponents shape), then a BLAS-batch
-    projection.  Rows-only: the eigensolve is not SQL-replayable;
-    determinism, planted-direction recovery, and variance bookkeeping
-    are pinned in test_similarity.  Output flattened to scalar rows
-    (vec_id, dim_idx, value) for the driver canonicalizer; the
-    pinned-basis application path is the oracle-backed pca_project."""
-    emb = _t(spark, sf_dir, "embeddings")
-    mean, comps, _ = sim_ops.pca_train(emb, k=8)
-    proj = sim_ops.pca_project(emb, mean, comps)
-    return proj.select(
-        "vec_id", F.posexplode("proj").alias("dim_idx", "_v")
-    ).select("vec_id", "dim_idx", F.round("_v", 6).alias("value"))
+    (similarity.pca_train + pca_project), ORACLE-BACKED since round 12
+    via the invariant (bounds) oracle `similarity.pca_fit_invariants`
+    (VERDICT r11 "Next round" #3): the eigensolve is driver-side numpy
+    with no SQL twin, but a correct PCA's bookkeeping is checkable —
+    one row of (exact corpus count, k) + booleans pinning component
+    orthonormality, descending eigenvalues, zero projected means,
+    per-dim E[proj²] == eigenvalue, and captured ≤ total variance
+    (the approx_stats bounds-oracle pattern).  The oracle recomputes
+    n_vecs exactly and asserts the booleans TRUE, so any train/apply
+    regression fails the hash gate.  The data-sized application path
+    stays separately hash-checked via the pinned-basis pca_project;
+    planted-direction recovery and determinism stay pinned in
+    test_similarity."""
+    return sim_ops.pca_fit_invariants(_t(spark, sf_dir, "embeddings"), k=8)
 
 
 def q_bpe_tokenize(spark, sf_dir):
@@ -4744,7 +4744,8 @@ def _lsh_recall_sql() -> str:
                CASE WHEN n_true > 0
                     THEN round(n_hit / n_true, 6) END AS recall,
                CASE WHEN n_cand > 0
-                    THEN round(n_hit / n_cand, 6) END AS precision
+                    THEN round(n_hit / n_cand, 6) END AS precision,
+               0::BIGINT AS n_dropped_shingles
         FROM m"""
     )
 
@@ -6692,6 +6693,18 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS users_ok,
                    TRUE AS p50_ok
             FROM events GROUP BY event_type""",
+        # invariant (bounds) oracle for the train+apply PCA lifecycle:
+        # exact corpus count recomputed here, the numpy-side bookkeeping
+        # booleans asserted TRUE (see similarity.pca_fit_invariants)
+        "pca_fit_project": """
+            SELECT count(*) AS n_vecs,
+                   8 AS k,
+                   TRUE AS orthonormal_ok,
+                   TRUE AS var_descending_ok,
+                   TRUE AS proj_mean_zero_ok,
+                   TRUE AS proj_var_matches_eigs_ok,
+                   TRUE AS captured_le_total_ok
+            FROM embeddings""",
         "pack_sequences": _pack_sequences_sql(cap=512, groups=8),
         "lttb": _lttb_sql(n_out=50),
         "lttb_chunked": _lttb_chunked_sql(n_out=48, chunk_ms=21_600_000),

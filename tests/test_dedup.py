@@ -526,3 +526,45 @@ def test_lsh_recall_empty_truth_null_recall(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     r = lsh_recall(df, threshold=0.5, sample_16ths=16).collect()[0]
     assert r.n_true == 0 and r.recall is None
+
+
+def test_lsh_recall_shingle_df_cap(spark):
+    """The truth-join hot-shingle cap: at the default (no cap) the truth
+    set is invariant (n_dropped_shingles == 0, identical summary row to
+    the pre-cap operator); with a planted stop-shingle shared by every
+    doc and a low cap, the hot shingle is dropped from the truth index
+    (n_dropped_shingles > 0) and the boilerplate-only "true" pairs it
+    manufactured disappear."""
+    from time_series_databse_engine_spark.operators.dedup import lsh_recall
+
+    # every doc shares the same 5-token boilerplate prefix (3 shingles of
+    # it appear in ALL docs); bodies are unique -> without the prefix no
+    # pair reaches 0.5 Jaccard
+    boiler = "terms of service apply here"
+    rows = [
+        (i, boiler + " " + " ".join(f"u{i}w{j}" for j in range(4)))
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = lsh_recall(df, threshold=0.2, sample_16ths=16).collect()[0]
+    assert uncapped.n_dropped_shingles == 0
+    assert uncapped.n_true > 0  # boilerplate manufactures "true" pairs
+
+    # cap below the corpus size: the all-doc shingles get cut
+    capped = lsh_recall(
+        df, threshold=0.2, sample_16ths=16, max_shingle_df=6
+    ).collect()[0]
+    assert capped.n_dropped_shingles > 0
+    assert capped.n_true < uncapped.n_true
+
+    # a cap no shingle reaches is a no-op: same row as uncapped
+    high = lsh_recall(
+        df, threshold=0.2, sample_16ths=16, max_shingle_df=1000
+    ).collect()[0]
+    assert (high.n_true, high.n_cand, high.n_hit) == (
+        uncapped.n_true,
+        uncapped.n_cand,
+        uncapped.n_hit,
+    )
+    assert high.n_dropped_shingles == 0

@@ -433,6 +433,35 @@ def test_pca_recovers_planted_dominant_direction(spark):
     assert np.allclose(p.var(axis=0), ev, rtol=0.05)
 
 
+def test_pca_fit_invariants_all_green(spark):
+    """The bounds-oracle row (pca_fit_invariants): every invariant
+    boolean holds on a well-conditioned corpus, and the exact twin
+    n_vecs matches the corpus count; the booleans are tight enough to
+    catch a corrupted basis (a de-normalized component flips
+    orthonormal_ok and the variance bookkeeping)."""
+    import math
+
+    import numpy as np
+
+    from time_series_databse_engine_spark.operators.similarity import (
+        pca_fit_invariants,
+    )
+
+    def vec(i):
+        v = [0.1 * math.sin(i * 1.7 + d) for d in range(64)]
+        v[3] += 10.0 * math.sin(i * 0.37)
+        return [round(x, 6) for x in v]
+
+    emb = spark.createDataFrame(
+        [(i, vec(i)) for i in range(300)], "vec_id long, embedding array<double>"
+    )
+    r = pca_fit_invariants(emb, k=4).collect()[0]
+    assert r.n_vecs == 300 and r.k == 4
+    assert r.orthonormal_ok and r.var_descending_ok
+    assert r.proj_mean_zero_ok and r.proj_var_matches_eigs_ok
+    assert r.captured_le_total_ok
+
+
 def test_pq_encode_np_matches_exact_fold(spark, sf_dir):
     from time_series_databse_engine_spark.sources import load_table
     from time_series_databse_engine_spark.operators.similarity import (

@@ -949,3 +949,48 @@ def test_streaming_ks_drift_merge_identity_and_replay(spark, tmp_path):
     met2 = {(r.epoch_id, r.event_type): tuple(r)
             for r in spark.read.parquet(out + "/metrics").collect()}
     assert met2 == snap
+
+
+def test_streaming_ks_drift_quantize_bounds_state(spark, tmp_path):
+    """The continuous-column resolution dial (SCALE.md's prescribed
+    remedy for unbounded distinct-value state, made executable): a
+    2000-distinct-double stream quantized at 1e-3 stores at most
+    range/q + 2 state rows per key per epoch (vs 2000 raw), and the
+    quantized KS stays within one-cell tolerance of the unquantized
+    batch statistic."""
+    from pyspark.sql import functions as F
+
+    from time_series_databse_engine_spark.operators.profile import ks_drift
+    from time_series_databse_engine_spark.streaming.ingest import stream_ks_drift
+
+    schema = "event_type string, value double"
+    # 2000 distinct raw doubles in [0, 0.02); current shifted +0.004
+    ref_rows = [("a", i * 1e-5) for i in range(2000)]
+    cur_rows = [("a", i * 1e-5 + 0.004) for i in range(2000)]
+    ref = spark.createDataFrame(ref_rows, schema)
+    ref_vc = ref.select("event_type", F.col("value").alias("v")).groupBy(
+        "event_type", "v"
+    ).agg(F.count("*").alias("cnt"))
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(cur_rows, schema).coalesce(1).write.parquet(src + "/b1")
+    out = str(tmp_path / "ksq")
+    q = stream_ks_drift(
+        spark.readStream.schema(schema).parquet(src + "/*"),
+        ref_vc, out, str(tmp_path / "ckpt"), quantize=1e-3,
+    ).start()
+    q.awaitTermination(120)
+    q.stop()
+
+    # state bound: values span [0, 0.024) -> at most 26 cells, not 2000
+    state_rows = spark.read.parquet(out + "/counts/epoch=0").count()
+    assert state_rows <= 26
+
+    # KS within one-cell tolerance of the exact (unquantized) batch stat:
+    # a 0.004 shift of a 0.02-wide uniform -> D = 0.2
+    got = spark.read.parquet(out + "/metrics").collect()[0]
+    exact = ks_drift(
+        ref, spark.createDataFrame(cur_rows, schema), "event_type", "value"
+    ).collect()[0]
+    assert abs(got.ks_stat - exact.ks_stat) <= 0.05
+    assert got.n_ref == 2000 and got.n_cur == 2000

@@ -1137,6 +1137,7 @@ def lsh_recall(
     sample_16ths: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Measured recall/precision of the LSH banding against EXACT
     shingle-set Jaccard — the dedup twin of the ANN family's
@@ -1153,13 +1154,27 @@ def lsh_recall(
     run on a bounded subset — the production recipe at 100 TB, where
     exact truth over the full corpus is the very n² the banding avoids.
 
-    Returns ONE row: (n_true, n_cand, n_hit, recall, precision) —
-    recall = hit/true (NULL when the sample holds no true pair),
-    precision = hit/candidates (the chance-collision complement).
+    Returns ONE row: (n_true, n_cand, n_hit, recall, precision,
+    n_dropped_shingles) — recall = hit/true (NULL when the sample holds
+    no true pair), precision = hit/candidates (the chance-collision
+    complement), n_dropped_shingles the hot-shingle audit below.
+
+    ``max_shingle_df`` is the ``jaccard_pairs`` stopword discipline
+    applied to the TRUTH inverted index: without it, one boilerplate
+    shingle shared by most sampled docs still quadratics the sampled
+    truth join even though the sample is bounded.  Shingles appearing in
+    more than ``max_shingle_df`` sampled docs are dropped from the truth
+    index (both the intersection join AND the set sizes, so the measured
+    "exact" Jaccard is over the df-capped shingle sets — documented, not
+    silent), and the count of dropped DISTINCT shingles is surfaced as
+    ``n_dropped_shingles`` (0 under the default no-cap path, where the
+    truth set is bit-identical to the uncapped form).  The hot set is
+    size-bounded by n_shingle_rows / cap, so it broadcasts; the cut is a
+    broadcast anti-join, never a second shuffle of the index.
 
     Scale shape: the truth join is shingle-keyed (never a cross join)
     over the sampled docs; candidates reuse the production signature +
-    banding operators unchanged; the three one-row counts combine via
+    banding operators unchanged; the one-row counts combine via
     crossJoin (broadcast, 1 row each).
     """
     from .sampling import deterministic_sample
@@ -1167,6 +1182,18 @@ def lsh_recall(
     sample = deterministic_sample(df, sample_16ths, id_col)
 
     sh = shingles(sample, shingle_n, text_col, id_col)
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > max_shingle_df)
+            .select("shingle")
+            .localCheckpoint()
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+        dropped = hot.agg(F.count("*").cast("long").alias("n_dropped_shingles"))
+    else:
+        dropped = None
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("set_size"))
     s1 = sh.select(F.col(id_col).alias("id1"), "shingle")
     s2 = sh.select(F.col(id_col).alias("id2"), "shingle")
@@ -1200,20 +1227,22 @@ def lsh_recall(
     t = truth.agg(F.count("*").alias("n_true"))
     c = cand.agg(F.count("*").alias("n_cand"))
     h = hit.agg(F.count("*").alias("n_hit"))
-    return (
-        t.crossJoin(c)
-        .crossJoin(h)
-        .select(
-            "n_true",
-            "n_cand",
-            "n_hit",
-            F.when(
-                F.col("n_true") > 0,
-                F.round(F.col("n_hit") / F.col("n_true"), 6),
-            ).alias("recall"),
-            F.when(
-                F.col("n_cand") > 0,
-                F.round(F.col("n_hit") / F.col("n_cand"), 6),
-            ).alias("precision"),
-        )
+    out = t.crossJoin(c).crossJoin(h)
+    if dropped is not None:
+        out = out.crossJoin(dropped)
+    else:
+        out = out.withColumn("n_dropped_shingles", F.lit(0).cast("long"))
+    return out.select(
+        "n_true",
+        "n_cand",
+        "n_hit",
+        F.when(
+            F.col("n_true") > 0,
+            F.round(F.col("n_hit") / F.col("n_true"), 6),
+        ).alias("recall"),
+        F.when(
+            F.col("n_cand") > 0,
+            F.round(F.col("n_hit") / F.col("n_cand"), 6),
+        ).alias("precision"),
+        "n_dropped_shingles",
     )

@@ -1187,6 +1187,85 @@ def pca_train(
     return mean, comps, w[order]
 
 
+def pca_fit_invariants(
+    embeddings: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Full train+apply PCA lifecycle under an INVARIANT (bounds) oracle —
+    the :func:`pca_train` eigensolve is driver-side numpy and not
+    SQL-replayable, but everything a correct PCA must satisfy IS
+    checkable, so instead of raw projections this emits ONE row of exact
+    twins + booleans (the ``approx_stats`` bounds-oracle pattern):
+
+    * ``n_vecs`` — exact corpus count (the oracle recomputes it);
+    * ``orthonormal_ok`` — C·Cᵀ = I_k within 1e-8 (eigh output audit);
+    * ``var_descending_ok`` — eigenvalues non-increasing;
+    * ``proj_mean_zero_ok`` — every projected dim has |sample mean| ≤
+      tol: the training mean IS the sample mean, so centered projections
+      average to 0 up to fp accumulation;
+    * ``proj_var_matches_eigs_ok`` — per-dim E[proj_j²] equals its
+      eigenvalue (cᵀΣc = λ for the POPULATION covariance pca_train
+      fits) within relative tolerance — a bug in the mean, the
+      components, or the projection matmul breaks this bookkeeping;
+    * ``captured_le_total_ok`` — Σ_j E[proj_j²] ≤ avg‖v−mean‖²
+      (captured variance can't exceed total; their gap is the exact
+      mean reconstruction error for an orthonormal basis).
+
+    Any regression flips a boolean and fails the driver's hash gate —
+    a values-level check for an operator whose training step has no SQL
+    twin.  Scale shape: one mapInPandas moment pass (pca_train), one
+    BLAS-batch projection, one explode-aggregate over n·k projected
+    scalars, one fold for the centered norms; no corpus shuffle beyond
+    the k-row stats aggregate.
+    """
+    import numpy as np
+
+    mean, comps, w = pca_train(embeddings, k, id_col, vec_col)
+    orth = bool(np.allclose(comps @ comps.T, np.eye(len(comps)), atol=1e-8))
+    desc = bool(np.all(np.diff(w) <= 1e-10))
+    scale = 1.0 + float(w[0])
+
+    proj = pca_project(embeddings, mean, comps, id_col, vec_col)
+    stats = (
+        proj.select(F.posexplode("proj").alias("j", "p"))
+        .groupBy("j")
+        .agg(
+            F.avg("p").alias("_mu"),
+            F.avg(F.col("p") * F.col("p")).alias("_p2"),
+        )
+    )
+    spark = embeddings.sparkSession
+    eigs = spark.createDataFrame(
+        [(int(j), float(w[j])) for j in range(len(w))], "j int, eig double"
+    )
+    checks = stats.join(F.broadcast(eigs), "j").agg(
+        F.max(F.abs("_mu")).alias("_max_mu"),
+        F.max(F.abs(F.col("_p2") - F.col("eig"))).alias("_max_dv"),
+        F.sum("_p2").alias("_cap"),
+    )
+    mean_lit = F.array(*[F.lit(float(x)) for x in mean])
+    totals = embeddings.select(
+        F.aggregate(
+            F.zip_with(as_double(vec_col), mean_lit, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("_sq")
+    ).agg(F.count("*").alias("n_vecs"), F.avg("_sq").alias("_s2"))
+    return totals.crossJoin(checks).select(
+        "n_vecs",
+        F.lit(int(len(w))).alias("k"),
+        F.lit(orth).alias("orthonormal_ok"),
+        F.lit(desc).alias("var_descending_ok"),
+        (F.col("_max_mu") <= F.lit(1e-6 * scale)).alias("proj_mean_zero_ok"),
+        (F.col("_max_dv") <= F.lit(1e-5 * scale)).alias("proj_var_matches_eigs_ok"),
+        (F.col("_cap") <= F.col("_s2") * F.lit(1.0 + 1e-9) + F.lit(1e-9)).alias(
+            "captured_le_total_ok"
+        ),
+    )
+
+
 def pca_project(
     embeddings: DataFrame,
     mean,

@@ -1176,6 +1176,7 @@ def stream_ks_drift(
     checkpoint_dir: str,
     key: str = "event_type",
     col: str = "value",
+    quantize: float | None = None,
 ):
     """Streaming two-sample KS drift — the live leg of
     :func:`operators.profile.ks_drift`, completing the drift family's
@@ -1206,6 +1207,20 @@ def stream_ks_drift(
     Exactly-once by the :func:`stream_psi_drift` contract: the running
     read takes STRICTLY-PRIOR epochs only, then delete-then-rename
     epoch dirs make a replayed epoch attempt-independent.
+
+    ``quantize`` is the monitor's resolution dial for CONTINUOUS
+    columns: values snap to the nearest multiple of ``quantize``
+    (``round(v / q) * q``) on BOTH sides — the batch's counts AND the
+    pinned reference table — before counting, so per-epoch state rows
+    per key are bounded by value_range / quantize + 1 regardless of how
+    many raw distinct doubles arrive.  KS on the quantized grid differs
+    from the exact statistic by at most the CDF mass inside one cell
+    (≤ q · peak density per side); the snap is the same Spark
+    expression on both sides, so engine float noise can't split a cell.
+    Without it (the default), distinct-value state is exact — correct
+    for categorical/discrete columns, unbounded for continuous ones
+    (the hazard SCALE.md states; this dial is its remedy, exercised in
+    test_streaming_ks_drift_quantize_bounds_state).
     """
     import glob
     import os
@@ -1213,14 +1228,25 @@ def stream_ks_drift(
 
     from ..operators.profile import ks_from_counts
 
+    if quantize is not None:
+        qlit = F.lit(float(quantize))
+        ref_vc = (
+            ref_vc.withColumn("v", F.round(F.col("v") / qlit) * qlit)
+            .groupBy(key, "v")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
         eid = int(epoch_id)
         tmp_root = os.path.join(out_path, "_tmp", f"epoch-{eid}")
         shutil.rmtree(tmp_root, ignore_errors=True)
 
+        v_expr = F.col(col)
+        if quantize is not None:
+            v_expr = F.round(v_expr / F.lit(float(quantize))) * F.lit(float(quantize))
         cnts = (
-            batch_df.select(F.col(key), F.col(col).alias("v"))
+            batch_df.select(F.col(key), v_expr.alias("v"))
             .where(F.col("v").isNotNull())
             .groupBy(key, "v")
             .agg(F.count("*").alias("cnt"))
