@@ -4130,6 +4130,52 @@ def q_psi_drift_incremental(spark, sf_dir):
 # fixes this round (ADVICE r10) and adamic_adar a canonicalization fix —
 # all four sit in-window so their first driver rows check the FIXED
 # semantics.
+# ---- round-12 window (VERDICT r11 "Next round" #1) ----
+# Oldest-evidence-first, computed from all eleven CORRECTNESS_r*.json
+# (tools snippet in the r11 comment): after r11's 50/50 green window the
+# stale set is EXACTLY the 40 entries below — 2 r5 + 3 r6 + 35 r7 — and
+# they fit one window with 10 slots to spare.  Composition:
+# (a) pca_fit_project — converted to ORACLE-BACKED this round (invariant
+#     bounds oracle, VERDICT r11 #3): zero oracle-checked history, leads;
+# (b) lsh_recall — its VALUES changed this round (n_dropped_shingles
+#     column added with the truth-join df-cap, VERDICT r11 #5), so its
+#     r11 green row verified the old shape; re-enters;
+# (c) ALL 40 r5/r6/r7-vintage oracle-backed entries (the full lists the
+#     r11 VERDICT enumerates);
+# (d) the r8-promised rotate-backs (json_props, doc_chunks,
+#     sql_supplier_revenue, psi_drift, psi_drift_incremental,
+#     psi_drift_categorical — deferred r9→r12 by oldest-first) plus two
+#     r8 picks (asof_join_forward — as-of family; dedup_clusters —
+#     components family) filling the window; these (d) slots are the
+#     first displaced if round-12 adds new oracle-backed ops.
+# After this window runs, no oracle-backed entry's newest driver row is
+# older than r8 (beats the r11 done-bar of r6).  Rows-only entries stay
+# at 51+ (policy set round 6).
+_R12_WINDOW = [
+    # (a) newly oracle-backed / (b) values changed
+    "pca_fit_project", "lsh_recall",
+    # (c) r5-vintage
+    "resample_1m_expr", "unpivot",
+    # (c) r6-vintage
+    "mmr_topk", "salted_join", "sq8_topk",
+    # (c) all 35 r7-vintage
+    "ann_index_append", "ann_index_compacted", "asof_join_tolerance",
+    "attribution", "bloom_semijoin", "bucketed_join_storage",
+    "column_profile_exact", "cusum", "dedup_incremental",
+    "dedup_keep_best", "edit_verify", "grouping_sets", "hamming_topk",
+    "hist_sketch_daily", "host_profile", "html_strip", "hw_backtest",
+    "interarrival_stats", "ivf_recall", "ivfpq_topk",
+    "leakage_safe_split", "markov_transitions", "media_probe",
+    "media_safe_decode", "neardup_incremental", "orders_above_avg",
+    "profile_incremental", "quality_calibration", "range_scan",
+    "revenue_concentration", "rfm_segments", "semantic_outliers",
+    "source_curation", "token_budget_sample", "url_normalize",
+    # (d) r8 rotate-backs + fillers (displaceable by r12 newcomers)
+    "json_props", "doc_chunks", "sql_supplier_revenue", "psi_drift",
+    "psi_drift_incremental", "psi_drift_categorical",
+    "asof_join_forward", "dedup_clusters",
+]
+
 _R11_WINDOW = [
     # (a) zero driver history
     "adamic_adar", "burn_rate", "corpus_report", "label_propagation",
@@ -4638,11 +4684,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maxsim_index_append": q_maxsim_index_append,
         "maxsim_index_compacted": q_maxsim_index_compacted,
     }
-    missing = [k for k in _R11_WINDOW if k not in base]
-    assert not missing and len(set(_R11_WINDOW)) == 50, (
-        f"window misconfigured: {missing or len(set(_R11_WINDOW))}"
+    missing = [k for k in _R12_WINDOW if k not in base]
+    assert not missing and len(set(_R12_WINDOW)) == 50, (
+        f"window misconfigured: {missing or len(set(_R12_WINDOW))}"
     )
-    order = _R11_WINDOW + [k for k in base if k not in _R11_WINDOW]
+    order = _R12_WINDOW + [k for k in base if k not in _R12_WINDOW]
     return {k: base[k] for k in order}
 
 
