@@ -2226,6 +2226,48 @@ def q_lsh_recall(spark, sf_dir):
     )
 
 
+def q_k_core(spark, sf_dir):
+    """2-core of the LSH near-dup graph (graph.k_core, Seidman 1983):
+    8 synchronous peeling rounds drop every node that cannot keep >= 2
+    within-subgraph neighbors — separating genuinely clustered template
+    families from the dangling one-off pairs connected components
+    over-credit.  All-integer state; the oracle unrolls the SAME 8
+    rounds as chained CTEs, so even a hypothetically non-converged
+    intermediate hash-matches.  Returns (doc_id, core_degree)."""
+    from time_series_databse_engine_spark.operators import graph as graph_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = _scaled_banded_pairs(docs)
+    return graph_ops.k_core(pairs, k=2, rounds=8).select(
+        F.col("id").alias("doc_id"), "core_degree"
+    )
+
+
+def q_source_overlap(spark, sf_dir):
+    """Cross-source content-overlap matrix (dedup.source_overlap): for
+    every source pair, the count of distinct shared word 3-grams plus a
+    containment-style coefficient — the "which feeds mirror each other"
+    curation signal that sets dedup order and licensing-risk review
+    priority.  Gram-keyed inverted-index join (fan-out bounded by
+    sources-per-gram, never doc count); per-source totals broadcast."""
+    return dedup_ops.source_overlap(_t(spark, sf_dir, "documents"), n=3)
+
+
+def q_mutual_info(spark, sf_dir):
+    """Exact categorical mutual information (profile.mutual_info):
+    I(event_type; hour-of-day) in nats with marginal entropies and
+    normalized MI — the dependence screen profiling adds on top of
+    per-column entropy (is activity type time-of-day dependent?  an NMI
+    near 1 flags a leaking feature, near 0 a useless stratifier).  ONE
+    joint-key exchange; marginals re-reduce from the cell table."""
+    from time_series_databse_engine_spark.operators import profile as profile_ops
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type", F.expr("(ts_ms div 3600000) % 24").alias("hour_of_day")
+    )
+    return profile_ops.mutual_info(e, "event_type", "hour_of_day")
+
+
 def q_salted_join(spark, sf_dir):
     """Skew-scattered equi-join (skew.salted_join): lineitem ⋈ supplier
     on suppkey with 8-way deterministic key salting, then revenue per
@@ -4170,10 +4212,19 @@ _R12_WINDOW = [
     "profile_incremental", "quality_calibration", "range_scan",
     "revenue_concentration", "rfm_segments", "semantic_outliers",
     "source_curation", "token_budget_sample", "url_normalize",
-    # (d) r8 rotate-backs + fillers (displaceable by r12 newcomers)
+    # (e) round-12 additions — zero driver history leads (k_core:
+    # graph family; source_overlap: cross-source curation matrix;
+    # mutual_info: profiling dependence screen).  They displace the two
+    # r8 fillers (asof_join_forward — as-of family covered in-window by
+    # asof_join_tolerance; dedup_clusters — components covered by
+    # neardup_incremental + the k_core/LPA graph rows) and
+    # psi_drift_categorical (PSI family keeps psi_drift +
+    # psi_drift_incremental in-window); all three displaced are
+    # r8-green, rotate back r13.
+    "k_core", "source_overlap", "mutual_info",
+    # (d) r8 rotate-backs (the r9/r10/r11-promised set)
     "json_props", "doc_chunks", "sql_supplier_revenue", "psi_drift",
-    "psi_drift_incremental", "psi_drift_categorical",
-    "asof_join_forward", "dedup_clusters",
+    "psi_drift_incremental",
 ]
 
 _R11_WINDOW = [
@@ -4439,6 +4490,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": q_triangle_count,
         "label_propagation": q_label_propagation,
         "adamic_adar": q_adamic_adar,
+        # round-12 additions (in-window via _R12_WINDOW)
+        "k_core": q_k_core,
+        "source_overlap": q_source_overlap,
+        "mutual_info": q_mutual_info,
         "xcorr_lagged": q_xcorr_lagged,
         "scd2_build": q_scd2_build,
         "assoc_rules": q_assoc_rules,
@@ -5109,6 +5164,91 @@ def _label_prop_sql(iters: int = 3) -> str:
                                  ORDER BY c DESC, label ASC) AS rn
                        FROM m{i + 1}) WHERE rn = 1)"""
     return body + f"\nSELECT id AS doc_id, label AS community FROM l{iters}"
+
+
+def _k_core_sql(k: int = 2, rounds: int = 8) -> str:
+    """Unrolled synchronous k-core peeling over the LSH pair graph: per
+    round one grouped-degree HAVING filter + an edge semi-restriction to
+    surviving endpoints — the identical all-integer state machine as
+    graph.k_core, so the final (or even a non-converged intermediate)
+    edge set matches exactly."""
+    body = (
+        "\nWITH "
+        + _minhash_lsh_ctes()
+        + """,
+        e0 AS MATERIALIZED (SELECT id1 AS src, id2 AS dst FROM pairs
+               UNION SELECT id2, id1 FROM pairs)"""
+    )
+    # each e{i} is referenced three times by round i+1; without
+    # MATERIALIZED DuckDB re-inlines every reference and the unroll
+    # re-evaluates the whole minhash pipeline ~3^rounds times (the
+    # bpe_tokenize oracle's materialized-stage discipline)
+    for i in range(rounds):
+        body += f""",
+        k{i + 1} AS MATERIALIZED (SELECT src FROM e{i} GROUP BY src
+                     HAVING count(*) >= {k}),
+        e{i + 1} AS MATERIALIZED (SELECT e.src, e.dst FROM e{i} e
+                     JOIN k{i + 1} a ON e.src = a.src
+                     JOIN k{i + 1} b ON e.dst = b.src)"""
+    return (
+        body
+        + f"\nSELECT src AS doc_id, count(*) AS core_degree"
+        + f"\nFROM e{rounds} GROUP BY src"
+    )
+
+
+def _source_overlap_sql(n: int = 3) -> str:
+    """Distinct (source, gram) inverted index -> gram-keyed pair join ->
+    per-pair counts with per-source totals; same 3-token gram builder as
+    the dup_spans oracle, containment coefficient off the rounded
+    division."""
+    return f"""
+        WITH sg AS (
+          SELECT DISTINCT source,
+                 unnest(CASE WHEN len(w) >= {n}
+                   THEN list_transform(generate_series(1, len(w) - {n - 1}),
+                                       i -> array_to_string(w[i:i+{n - 1}], ' '))
+                   ELSE [] END) AS g
+          FROM (SELECT source, string_split_regex(lower(text), '\\s+') AS w
+                FROM documents)),
+        tot AS (SELECT source, count(*) AS t FROM sg GROUP BY source),
+        sh AS (SELECT a.source AS source_a, b.source AS source_b,
+                      count(*) AS shared_grams
+               FROM sg a JOIN sg b ON a.g = b.g AND a.source < b.source
+               GROUP BY 1, 2)
+        SELECT source_a, source_b, shared_grams,
+               ta.t AS grams_a, tb.t AS grams_b,
+               round(shared_grams / least(ta.t, tb.t), 6) AS overlap_coef
+        FROM sh JOIN tot ta ON ta.source = source_a
+                JOIN tot tb ON tb.source = source_b"""
+
+
+def _mutual_info_sql() -> str:
+    """Exact categorical MI from the joint cell table; marginals
+    re-reduce from cells, NMI computed from the ROUNDED h_x/h_y/mi
+    exactly as profile.mutual_info does (so engine ln() last-ulp noise
+    is absorbed before the normalization)."""
+    return f"""
+        WITH base AS (
+          SELECT event_type AS x, ({_EV_MS} // 3600000) % 24 AS y
+          FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+        cells AS (SELECT x, y, count(*) AS c FROM base GROUP BY 1, 2),
+        mx AS (SELECT x, sum(c)::BIGINT AS cx FROM cells GROUP BY x),
+        my AS (SELECT y, sum(c)::BIGINT AS cy FROM cells GROUP BY y),
+        nt AS (SELECT sum(c)::BIGINT AS n FROM cells),
+        mi AS (SELECT max(nt.n) AS n,
+                      count(DISTINCT cells.x) AS n_x,
+                      count(DISTINCT cells.y) AS n_y,
+                      round(sum((c / nt.n) * ln(c * nt.n / (cx * cy))), 6) AS mi
+               FROM cells JOIN mx USING (x) JOIN my USING (y) CROSS JOIN nt),
+        hx AS (SELECT round(-sum((cx / nt.n) * ln(cx / nt.n)), 6) AS h_x
+               FROM mx CROSS JOIN nt),
+        hy AS (SELECT round(-sum((cy / nt.n) * ln(cy / nt.n)), 6) AS h_y
+               FROM my CROSS JOIN nt)
+        SELECT n, n_x, n_y, h_x, h_y, mi,
+               CASE WHEN h_x > 0 AND h_y > 0
+                    THEN round(mi / sqrt(h_x * h_y), 6) END AS nmi
+        FROM mi CROSS JOIN hx CROSS JOIN hy"""
 
 
 def _adamic_adar_sql(k: int = 100) -> str:
@@ -6854,6 +6994,9 @@ def oracle_sql() -> dict[str, str]:
         "triangle_count": _triangle_sql(),
         "label_propagation": _label_prop_sql(iters=3),
         "adamic_adar": _adamic_adar_sql(k=100),
+        "k_core": _k_core_sql(k=2, rounds=8),
+        "source_overlap": _source_overlap_sql(n=3),
+        "mutual_info": _mutual_info_sql(),
         "zorder_key": _zorder_sql(bits=16),
         "interval_join_bucketed": f'''
             WITH w AS (SELECT CAST(id AS BIGINT) AS window_id,

@@ -568,3 +568,79 @@ def test_lsh_recall_shingle_df_cap(spark):
         uncapped.n_hit,
     )
     assert high.n_dropped_shingles == 0
+
+
+def test_k_core_matches_bruteforce_peeling(spark):
+    """k_core vs a Python reference peel on random graphs; plus the
+    canonical shapes: a chain's 2-core is empty, a triangle with a tail
+    keeps exactly the triangle (degree 2 each)."""
+    import random
+
+    from time_series_databse_engine_spark.operators.graph import k_core
+
+    def brute(edges, k):
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        changed = True
+        while changed:
+            changed = False
+            for v in list(adj):
+                if len(adj[v]) < k:
+                    for u in adj[v]:
+                        adj[u].discard(v)
+                    del adj[v]
+                    changed = True
+        return {v: len(ns) for v, ns in adj.items()}
+
+    rng = random.Random(12)
+    for trial in range(3):
+        n = 30
+        edges = sorted(
+            {tuple(sorted(rng.sample(range(n), 2))) for _ in range(30 + 10 * trial)}
+        )
+        df = spark.createDataFrame(edges, "id1 long, id2 long")
+        got = {r.id: r.core_degree for r in k_core(df, k=2, rounds=12).collect()}
+        assert got == brute(edges, 2), f"trial {trial}"
+
+    chain = spark.createDataFrame([(i, i + 1) for i in range(12)], "id1 long, id2 long")
+    assert k_core(chain, k=2, rounds=12).count() == 0
+
+    tri_tail = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4)], "id1 long, id2 long"
+    )
+    got = {r.id: r.core_degree for r in k_core(tri_tail, k=2, rounds=6).collect()}
+    assert got == {0: 2, 1: 2, 2: 2}
+
+
+def test_source_overlap_planted_mirror(spark):
+    """Two sources share a 10-token passage (8 shared 3-grams); a third
+    source is disjoint; the coefficient is containment-style (shared /
+    smaller side); the hot-gram cap drops universal boilerplate."""
+    from time_series_databse_engine_spark.operators.dedup import source_overlap
+
+    passage = "p1 p2 p3 p4 p5 p6 p7 p8 p9 p10"
+    rows = [
+        (1, passage + " a1 a2 a3", "mirror_a"),
+        (2, "b0 " + passage, "mirror_b"),
+        (3, "c1 c2 c3 c4 c5 c6 c7 c8", "clean"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {(r.source_a, r.source_b): r for r in source_overlap(df, n=3).collect()}
+    assert set(out) == {("mirror_a", "mirror_b")}
+    r = out[("mirror_a", "mirror_b")]
+    # mirror_a: 13 tokens -> 11 grams; mirror_b: 11 tokens -> 9 grams;
+    # shared = the 8 grams fully inside the passage
+    assert (r.shared_grams, r.grams_a, r.grams_b) == (8, 11, 9)
+    assert r.overlap_coef == round(8 / 9, 6)
+
+    # universal boilerplate in all three sources pairs everything; the
+    # source-df cap cuts it back to the true mirror pair
+    rows_b = [(i, "terms of service apply " + t, s) for i, (_, t, s) in enumerate(rows)]
+    df_b = spark.createDataFrame(rows_b, "doc_id long, text string, source string")
+    assert source_overlap(df_b, n=3).count() == 3
+    capped = source_overlap(df_b, n=3, max_gram_sources=2)
+    pairs = {(r.source_a, r.source_b) for r in capped.collect()}
+    # grams in >2 sources dropped; only true-shared content remains
+    assert ("mirror_a", "mirror_b") in pairs and ("clean", "mirror_a") not in pairs

@@ -247,3 +247,42 @@ def test_kanon_suppress_residual_invariant_total(spark):
     out2 = kanon_suppress(df.where(F.col("user_id") == "u1"),
                           ["user_id", "event_type"], k=5, agg_col="value").collect()
     assert len(out2) == 1 and out2[0].user_id == "u1"
+
+
+def test_mutual_info_independent_and_functional(spark):
+    """MI = 0 for independent columns (balanced product design); for a
+    functional dependency Y = f(X), MI == H(Y); NMI bounds; NULLs and
+    constant columns handled."""
+    import math
+
+    from time_series_databse_engine_spark.operators.profile import mutual_info
+
+    # balanced independent design: every (x, y) cell equally likely
+    rows = [(f"x{i % 4}", f"y{j % 3}") for i in range(4) for j in range(3) for _ in range(5)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = mutual_info(df, "a", "b").collect()[0]
+    assert r.n == 60 and r.n_x == 4 and r.n_y == 3
+    assert r.mi == 0.0
+    assert r.h_x == round(math.log(4), 6) and r.h_y == round(math.log(3), 6)
+    assert r.nmi == 0.0
+
+    # functional: y determined by x -> MI == H(Y)
+    rows2 = [(f"x{i}", f"y{i % 2}") for i in range(4) for _ in range(10)]
+    r2 = mutual_info(
+        spark.createDataFrame(rows2, "a string, b string"), "a", "b"
+    ).collect()[0]
+    assert r2.mi == r2.h_y and 0.0 < r2.nmi <= 1.0
+
+    # constant column: zero entropy -> NULL nmi, zero mi
+    rows3 = [("k", f"y{i % 3}") for i in range(9)]
+    r3 = mutual_info(
+        spark.createDataFrame(rows3, "a string, b string"), "a", "b"
+    ).collect()[0]
+    assert r3.h_x == 0.0 and r3.mi == 0.0 and r3.nmi is None
+
+    # NULLs excluded
+    rows4 = [("x", "y")] * 5 + [(None, "y"), ("x", None)]
+    r4 = mutual_info(
+        spark.createDataFrame(rows4, "a string, b string"), "a", "b"
+    ).collect()[0]
+    assert r4.n == 5

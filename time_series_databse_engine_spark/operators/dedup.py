@@ -1246,3 +1246,84 @@ def lsh_recall(
         ).alias("precision"),
         "n_dropped_shingles",
     )
+
+
+def source_overlap(
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    source_col: str = "source",
+    max_gram_sources: int | None = None,
+) -> DataFrame:
+    """Cross-source content-overlap matrix: for every pair of sources,
+    how many DISTINCT word ``n``-grams they share — the curation signal
+    behind "which feeds copy from each other" (mirror detection,
+    licensing risk, dedup-order priority: dedup the high-overlap pair
+    first and the cheap wins compound).  Doc-level exact dedup misses
+    this entirely when mirrors edit titles/boilerplate; gram-level
+    overlap is the same Lee-2021 window signal ``duplicate_spans`` uses,
+    aggregated to the source level.
+
+    Returns one row per unordered source pair (source_a < source_b):
+    (source_a, source_b, shared_grams, grams_a, grams_b, overlap_coef)
+    with overlap_coef = shared / min(grams_a, grams_b) rounded 6 dp —
+    the containment-style coefficient, so a small source fully copied
+    into a large one scores 1.0.
+
+    Scale shape: docs explode to distinct (source, gram) rows (the
+    per-source distinct cut happens IN the first exchange's aggregation,
+    so the widest table is per-source-distinct, not per-doc); the pair
+    join is gram-keyed with fan-out bounded by sources-per-gram
+    (<= n_sources, never n_docs); per-source totals are a
+    source-cardinality-sized broadcast.  ``max_gram_sources`` drops
+    grams present in more than that many sources (universal boilerplate
+    carries no pairing information and quadratics the widest gram) —
+    the ``jaccard_pairs`` stopword discipline at source granularity.
+    """
+    words = F.split(F.lower(F.col(text_col)), "\\s+")
+    g = F.when(
+        F.size("ws") >= n,
+        F.expr(
+            f"transform(sequence(1, size(ws) - {n} + 1),"
+            f" i -> array_join(slice(ws, i, {n}), ' '))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sg = (
+        _parallelize(df)
+        .select(source_col, words.alias("ws"))
+        .select(source_col, F.explode(F.array_distinct(g)).alias("g"))
+        .distinct()
+    )
+    if max_gram_sources is not None:
+        hot = (
+            sg.groupBy("g")
+            .agg(F.count("*").alias("_ns"))
+            .where(F.col("_ns") > max_gram_sources)
+            .select("g")
+        )
+        sg = sg.join(F.broadcast(hot), "g", "left_anti")
+    totals = sg.groupBy(source_col).agg(F.count("*").alias("_tot"))
+    a = sg.select(F.col(source_col).alias("source_a"), "g")
+    b = sg.select(F.col(source_col).alias("source_b"), "g")
+    shared = (
+        a.join(b, "g")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("shared_grams"))
+    )
+    ta = totals.select(F.col(source_col).alias("source_a"), F.col("_tot").alias("grams_a"))
+    tb = totals.select(F.col(source_col).alias("source_b"), F.col("_tot").alias("grams_b"))
+    return (
+        shared.join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "shared_grams",
+            "grams_a",
+            "grams_b",
+            F.round(
+                F.col("shared_grams") / F.least(F.col("grams_a"), F.col("grams_b")), 6
+            ).alias("overlap_coef"),
+        )
+    )

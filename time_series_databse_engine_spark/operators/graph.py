@@ -301,3 +301,59 @@ def adamic_adar(
         .orderBy(F.col("aa_score").desc(), "v", "w")
         .limit(k)
     )
+
+
+def k_core(
+    pairs: DataFrame,
+    k: int = 2,
+    rounds: int = 8,
+    src_col: str = "id1",
+    dst_col: str = "id2",
+) -> DataFrame:
+    """k-core decomposition at a FIXED k (Seidman 1983 "Network
+    structure and minimum degree"): iteratively peel nodes of degree
+    < k until fixpoint; the survivors are the maximal subgraph where
+    every node keeps >= k neighbors INSIDE the subgraph.  On the LSH
+    near-dup graph the 2-core separates genuinely clustered template
+    families from the dangling one-off pairs that connected components
+    and even triangle counts over-credit (a chain has edges but no
+    core); higher k is the standard graph-sparsification pre-filter.
+
+    Synchronous peeling with a FIXED round count (``rounds``), the
+    pagerank/label_propagation discipline — no driver-side convergence
+    collect; a converged graph makes the remaining rounds no-ops, and
+    the SQL oracle unrolls the SAME number of rounds so even a
+    not-yet-converged intermediate state hash-matches (all-integer
+    states; no float noise anywhere).  Peeling removes at least one
+    node per non-converged round, so ``rounds`` >= the fixture
+    diameter bound covers the gate corpus; at 100 TB pick rounds ~
+    log-ish in practice (real graphs converge in a handful of sweeps;
+    the honest worst case is a path, which a 2-core peels end-inward).
+
+    Scale shape per round: ONE grouped degree count over surviving
+    directed edges + one broadcast-eligible semi-join back (the
+    surviving-node table only ever shrinks); lineage cut with
+    localCheckpoint per round like the other iterative graph ops.
+    Returns (id, core_degree) for k-core members — core_degree is the
+    node's degree within the final core.
+    """
+    edges = (
+        pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .union(pairs.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(rounds):
+        deg = edges.groupBy("src").agg(F.count("*").alias("_deg"))
+        keep = deg.where(F.col("_deg") >= k).select("src")
+        edges = (
+            edges.join(keep, "src", "left_semi")
+            .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
+            .select("src", "dst")
+            .localCheckpoint()
+        )
+    return (
+        edges.groupBy("src")
+        .agg(F.count("*").alias("core_degree"))
+        .select(F.col("src").alias("id"), "core_degree")
+    )

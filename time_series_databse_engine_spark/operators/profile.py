@@ -676,3 +676,78 @@ def kanon_suppress(
         "n_groups",
     ]
     return keep.select(*cols).unionByName(residual.select(*cols))
+
+
+def mutual_info(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Exact mutual information between two categorical columns (Cover &
+    Thomas ch. 2), the profiling family's dependence member: entropies
+    answer "how diverse is this column", MI answers "does column X
+    predict column Y" — the feature-redundancy / leakage-screen signal
+    (an MI near min(H_x, H_y) means one column is a function of the
+    other; near 0 means stratifying by X tells you nothing about Y).
+
+        I(X;Y)  = Σ_xy p(x,y) · ln( p(x,y) / (p(x)·p(y)) )   [nats]
+        NMI     = I / sqrt(H(X)·H(Y))                          [0..1]
+
+    NULL in either column is excluded (no cell).  Returns ONE row:
+    (n, n_x, n_y, h_x, h_y, mi, nmi), entropies/MI in nats rounded
+    6 dp; NMI is NULL when either marginal entropy is 0 (a constant
+    column carries no information to normalize by).
+
+    Scale shape (the temperature_mix discipline): ONE exchange on the
+    (x, y) joint key producing the cell-cardinality-sized count table;
+    both marginals re-reduce FROM the cells (never rescanning the
+    corpus) and the total rides along — everything after the first
+    groupBy is cell-sized.  Exact integer counts until the final
+    p·ln(...) terms.
+    """
+    cells = (
+        df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .groupBy(F.col(x_col).alias("_x"), F.col(y_col).alias("_y"))
+        .agg(F.count("*").alias("_c"))
+        .localCheckpoint()
+    )
+    mx = cells.groupBy("_x").agg(F.sum("_c").alias("_cx"))
+    my = cells.groupBy("_y").agg(F.sum("_c").alias("_cy"))
+    n = F.broadcast(cells.agg(F.sum("_c").alias("_n")))
+    joined = (
+        cells.join(F.broadcast(mx), "_x")
+        .join(F.broadcast(my), "_y")
+        .crossJoin(n)
+    )
+    # p ln(p...) terms; counts are exact ints so the only floats are the
+    # final per-cell terms, summed grouped and rounded 6 dp
+    p_xy = F.col("_c") / F.col("_n")
+    mi_term = p_xy * F.log(F.col("_c") * F.col("_n") / (F.col("_cx") * F.col("_cy")))
+    agg = joined.agg(
+        F.max("_n").alias("n"),
+        F.count_distinct("_x").alias("n_x"),
+        F.count_distinct("_y").alias("n_y"),
+        F.round(F.sum(mi_term), 6).alias("mi"),
+    )
+    hx = mx.crossJoin(n).agg(
+        F.round(-F.sum((F.col("_cx") / F.col("_n")) * F.log(F.col("_cx") / F.col("_n"))), 6).alias("h_x")
+    )
+    hy = my.crossJoin(n).agg(
+        F.round(-F.sum((F.col("_cy") / F.col("_n")) * F.log(F.col("_cy") / F.col("_n"))), 6).alias("h_y")
+    )
+    return (
+        agg.crossJoin(F.broadcast(hx))
+        .crossJoin(F.broadcast(hy))
+        .select(
+            "n",
+            "n_x",
+            "n_y",
+            "h_x",
+            "h_y",
+            "mi",
+            F.when(
+                (F.col("h_x") > 0) & (F.col("h_y") > 0),
+                F.round(F.col("mi") / F.sqrt(F.col("h_x") * F.col("h_y")), 6),
+            ).alias("nmi"),
+        )
+    )
