@@ -188,6 +188,11 @@ HEADLINE = [
     "kanon_suppress",
     "lsh_recall",
     "pruning_report",
+    # round-12 adds: k-core graph peeling, cross-source overlap matrix,
+    # categorical mutual information
+    "k_core",
+    "source_overlap",
+    "mutual_info",
 ]
 
 # repeated-run latency distribution for the reference's hot/cold point
