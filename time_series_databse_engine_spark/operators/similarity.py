@@ -2145,3 +2145,70 @@ def diverse_sample(
         .where(F.col("pick") <= per_cell)
         .select(F.col("id").alias(id_col), "cell_id", "pick")
     )
+
+
+def embedding_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space drift between two corpus snapshots, per group —
+    the representation-level companion of the value-level monitors
+    (psi_drift / ks_drift watch scalar columns; a re-embedded corpus or
+    an upstream encoder change moves the VECTORS while every scalar
+    stays calm).  Per group: cosine between the two per-dim centroid
+    vectors (1.0 = no directional drift) and the centroid norm ratio
+    (magnitude drift), plus both counts.
+
+    Determinism discipline: per-dim means are rounded 6 dp FIRST (the
+    grouped float-sum boundary), then the cross-dim reductions run as
+    left-to-right folds over dim-sorted arrays — identical evaluation
+    order on both engines, so cosine/norm agree bit-for-bit after their
+    own 6-dp round.
+
+    Scale shape: ONE exchange keyed on (group, dim) collapses both
+    snapshots to the centroid table (groups × dims rows — corpus-size
+    independent); everything after is centroid-table-sized.  Raw
+    vectors are never joined or sorted.
+    """
+    tagged = ref.select(
+        F.col(group_col).alias("_g"), as_double(vec_col).alias("_v"), F.lit(1).alias("_r")
+    ).unionByName(
+        cur.select(
+            F.col(group_col).alias("_g"), as_double(vec_col).alias("_v"), F.lit(0).alias("_r")
+        )
+    ).where(F.col("_g").isNotNull() & F.col("_v").isNotNull())
+    per_dim = (
+        tagged.select("_g", "_r", F.posexplode("_v").alias("_d", "_x"))
+        .groupBy("_g", "_d")
+        .agg(
+            F.round(F.avg(F.when(F.col("_r") == 1, F.col("_x"))), 6).alias("_mr"),
+            F.round(F.avg(F.when(F.col("_r") == 0, F.col("_x"))), 6).alias("_mc"),
+            F.sum(F.when(F.col("_r") == 1, 1).otherwise(0)).alias("_nr"),
+            F.sum(F.when(F.col("_r") == 0, 1).otherwise(0)).alias("_nc"),
+        )
+    )
+    folded = per_dim.groupBy("_g").agg(
+        F.array_sort(F.collect_list(F.struct("_d", "_mr", "_mc"))).alias("_a"),
+        F.max("_nr").cast("long").alias("n_ref"),
+        F.max("_nc").cast("long").alias("n_cur"),
+    )
+    dot_rc = F.aggregate(
+        "_a", F.lit(0.0), lambda acc, s: acc + s["_mr"] * s["_mc"]
+    )
+    nrm_r = F.sqrt(
+        F.aggregate("_a", F.lit(0.0), lambda acc, s: acc + s["_mr"] * s["_mr"])
+    )
+    nrm_c = F.sqrt(
+        F.aggregate("_a", F.lit(0.0), lambda acc, s: acc + s["_mc"] * s["_mc"])
+    )
+    return folded.select(
+        F.col("_g").alias(group_col),
+        "n_ref",
+        "n_cur",
+        F.when(
+            (nrm_r > 0) & (nrm_c > 0), F.round(dot_rc / (nrm_r * nrm_c), 6)
+        ).alias("centroid_cosine"),
+        F.when(nrm_r > 0, F.round(nrm_c / nrm_r, 6)).alias("norm_ratio"),
+    )
