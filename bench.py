@@ -189,10 +189,16 @@ HEADLINE = [
     "lsh_recall",
     "pruning_report",
     # round-12 adds: k-core graph peeling, cross-source overlap matrix,
-    # categorical mutual information
+    # categorical mutual information, embedding drift.  prefix_jaccard
+    # is deliberately NOT benched beyond the sf0.01 gate: on this
+    # synthetic near-homogeneous corpus the TRUE J>=0.8 answer is
+    # output-quadratic (~3.0M pairs at sf0.1, measured) — timing it at
+    # sf1/sf3 would record answer-size growth, not operator scaling
+    # (SCALE.md round-12 section).
     "k_core",
     "source_overlap",
     "mutual_info",
+    "embedding_drift",
 ]
 
 # repeated-run latency distribution for the reference's hot/cold point
