@@ -567,6 +567,38 @@ def main():
         )
         extra["stream_ks_drift_rows_per_sec"] = round(n_ks / dt)
 
+        # live embedding drift: even-id half pinned as per-dim centroid
+        # artifact, odd-id half streamed in 4 epochs — each epoch
+        # re-prices running centroid cosine/norm vs the pin from
+        # (group x dim)-sized mergeable moments
+        from time_series_databse_engine_spark.streaming.ingest import (
+            stream_embedding_drift,
+        )
+
+        ed_emb = load_table(spark, SF_DIR, "embeddings")
+        ed_ref_cent = (
+            ed_emb.where(F.col("vec_id") % 2 == 0)
+            .select("label", F.posexplode("embedding").alias("d", "_x"))
+            .groupBy("label", "d")
+            .agg(F.round(F.avg(F.col("_x").cast("double")), 6).alias("mr"))
+            .localCheckpoint()
+        )
+        ed_cur = ed_emb.where(F.col("vec_id") % 2 == 1)
+        n_ed = ed_cur.count()
+        ed_cur.repartition(4).write.parquet(tmp + "/ed_src")
+        dt = _drain(
+            stream_embedding_drift(
+                spark.readStream.schema(ed_cur.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(tmp + "/ed_src"),
+                ed_ref_cent,
+                tmp + "/ed_out",
+                tmp + "/ed_ckpt",
+                group_col="label",
+            )
+        )
+        extra["stream_embedding_drift_rows_per_sec"] = round(n_ed / dt)
+
         def _ep_bytes(ep: int) -> int:
             import glob as _g
 

@@ -994,3 +994,76 @@ def test_streaming_ks_drift_quantize_bounds_state(spark, tmp_path):
     ).collect()[0]
     assert abs(got.ks_stat - exact.ks_stat) <= 0.05
     assert got.n_ref == 2000 and got.n_cur == 2000
+
+
+def test_streaming_embedding_drift_merge_identity_and_replay(spark, tmp_path):
+    """Live embedding drift: each epoch's running metrics (pinned
+    per-dim reference centroids vs all stream rows so far) match the
+    batch embedding_drift on the union of rows seen; crash replay
+    converges bit-identically; state is (group x dim)-sized."""
+    import shutil
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from time_series_databse_engine_spark.operators.similarity import (
+        embedding_drift,
+    )
+    from time_series_databse_engine_spark.streaming.ingest import (
+        stream_embedding_drift,
+    )
+
+    schema = "vec_id long, embedding array<double>, label string"
+
+    def vec(i, shift=0.0):
+        return [1.0 + 0.01 * (i % 5) + shift, 0.5, 0.25, 0.125]
+
+    ref_rows = [(i, vec(i), "g") for i in range(40)]
+    ref = spark.createDataFrame(ref_rows, schema)
+    # the pinned artifact: per-(group, dim) 6-dp means of the reference
+    ref_cent = (
+        ref.select(F.col("label"), F.posexplode("embedding").alias("d", "x"))
+        .groupBy("label", "d")
+        .agg(F.round(F.avg("x"), 6).alias("mr"))
+    )
+
+    b1 = [(100 + i, vec(i, shift=0.5), "g") for i in range(20)]
+    b2 = [(200 + i, vec(i, shift=0.5), "g") for i in range(20)]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(src + "/b1")
+    _t.sleep(1.1)
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(src + "/b2")
+    out = str(tmp_path / "edrift")
+
+    def run():
+        q = stream_embedding_drift(
+            spark.readStream.schema(spark.createDataFrame([], schema).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/*"),
+            ref_cent, out, str(tmp_path / "ckpt"), group_col="label",
+        ).start()
+        q.awaitTermination(120)
+        q.stop()
+
+    run()
+    met = {(r.epoch_id, r.label): r
+           for r in spark.read.parquet(out + "/metrics").collect()}
+    want = embedding_drift(
+        ref, spark.createDataFrame(b1 + b2, schema), group_col="label"
+    ).collect()[0]
+    got = met[(1, "g")]
+    assert got.n_cur == want.n_cur == 40
+    assert got.centroid_cosine == want.centroid_cosine
+    assert got.norm_ratio == want.norm_ratio
+    # the +0.5 dim-0 shift is a real directional drift
+    assert got.centroid_cosine < 1.0 and got.norm_ratio > 1.0
+    # state is (group x dim)-sized: 4 rows per epoch, not 20
+    assert spark.read.parquet(out + "/state/epoch=0").count() == 4
+
+    # crash replay: wipe the checkpoint; metrics converge bit-identically
+    snap = {k: tuple(v) for k, v in met.items()}
+    shutil.rmtree(str(tmp_path / "ckpt"))
+    run()
+    met2 = {(r.epoch_id, r.label): tuple(r)
+            for r in spark.read.parquet(out + "/metrics").collect()}
+    assert met2 == snap

@@ -1287,3 +1287,119 @@ def stream_ks_drift(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
     )
+
+
+def stream_embedding_drift(
+    stream: DataFrame,
+    ref_centroids: DataFrame,
+    out_path: str,
+    checkpoint_dir: str,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+):
+    """Streaming embedding-space drift — the live leg of
+    :func:`operators.similarity.embedding_drift`, completing the drift
+    family's representation-level member (PSI and KS watch scalar
+    columns; this watches the VECTORS a re-embedding or encoder change
+    moves while every scalar stays calm).
+
+    ``ref_centroids`` is the PINNED training-time artifact: the
+    reference snapshot's per-(group, dim) table ``(group, d, mr)`` with
+    the 6-dp-rounded per-dim means (build once with
+    ``embedding_drift``-style aggregation or persist the batch op's
+    ``per_dim`` table beside the model version); the reference corpus is
+    never rescanned while serving.
+
+    Per epoch, two epoch-partitioned tables land under ``out_path``:
+
+    * ``state/epoch=N/``   — the batch's mergeable per-(group, dim)
+      moment rows ``(group, d, sx, n)`` (sum and count): any window of
+      epochs re-reduces to its centroid without raw vectors, and the
+      state is groups × dims-sized, never row-sized;
+    * ``metrics/epoch=N/`` — one row PER GROUP:
+      (epoch_id, group, n_ref(=NULL, the pin carries no count), n_cur,
+      centroid_cosine, norm_ratio) pricing ALL stream rows so far vs
+      the pinned reference with the batch op's identical
+      round-means-6dp-then-dim-ordered-fold finish, so the merged
+      stream state's metrics match the batch op on the union of rows
+      seen (asserted in-test, 6-dp equality).
+
+    Exactly-once by the :func:`stream_psi_drift` contract:
+    strictly-prior running reads + delete-then-rename epoch dirs.
+    """
+    import glob
+    import os
+    import shutil
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        eid = int(epoch_id)
+        tmp_root = os.path.join(out_path, "_tmp", f"epoch-{eid}")
+        shutil.rmtree(tmp_root, ignore_errors=True)
+
+        moments = (
+            batch_df.where(
+                F.col(group_col).isNotNull() & F.col(vec_col).isNotNull()
+            )
+            .select(
+                F.col(group_col).alias("g"),
+                F.posexplode(F.transform(F.col(vec_col), lambda x: x.cast("double"))).alias(
+                    "d", "x"
+                ),
+            )
+            .groupBy("g", "d")
+            .agg(F.sum("x").alias("sx"), F.count("*").alias("n"))
+        )
+        state_tmp = os.path.join(tmp_root, "state")
+        moments.write.mode("overwrite").parquet(state_tmp)
+        fresh = spark.read.parquet(state_tmp)
+
+        prior = [
+            p
+            for p in glob.glob(os.path.join(out_path, "state", "epoch=*"))
+            if int(os.path.basename(p).split("=", 1)[1]) < eid
+        ]
+        running = fresh
+        if prior:
+            running = (
+                fresh.unionByName(spark.read.parquet(*prior).select("g", "d", "sx", "n"))
+                .groupBy("g", "d")
+                .agg(F.sum("sx").alias("sx"), F.sum("n").alias("n"))
+            )
+        cur = running.select(
+            "g", "d", F.round(F.col("sx") / F.col("n"), 6).alias("mc"), "n"
+        )
+        ref = ref_centroids.select(
+            F.col(group_col).alias("g"), F.col("d"), F.col("mr")
+        )
+        per_dim = cur.join(ref, ["g", "d"], "inner")
+        folded = per_dim.groupBy("g").agg(
+            F.array_sort(F.collect_list(F.struct("d", "mr", "mc"))).alias("_a"),
+            F.max("n").cast("long").alias("n_cur"),
+        )
+        dot_rc = F.aggregate("_a", F.lit(0.0), lambda acc, s: acc + s["mr"] * s["mc"])
+        nrm_r = F.sqrt(F.aggregate("_a", F.lit(0.0), lambda acc, s: acc + s["mr"] * s["mr"]))
+        nrm_c = F.sqrt(F.aggregate("_a", F.lit(0.0), lambda acc, s: acc + s["mc"] * s["mc"]))
+        metrics = folded.select(
+            F.col("g").alias(group_col),
+            "n_cur",
+            F.when((nrm_r > 0) & (nrm_c > 0), F.round(dot_rc / (nrm_r * nrm_c), 6)).alias(
+                "centroid_cosine"
+            ),
+            F.when(nrm_r > 0, F.round(nrm_c / nrm_r, 6)).alias("norm_ratio"),
+        ).withColumn("epoch_id", F.lit(eid))
+        metrics_tmp = os.path.join(tmp_root, "metrics")
+        metrics.coalesce(1).write.mode("overwrite").parquet(metrics_tmp)
+
+        for name, tmp in (("state", state_tmp), ("metrics", metrics_tmp)):
+            dst = os.path.join(out_path, name, f"epoch={eid}")
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            shutil.rmtree(dst, ignore_errors=True)
+            os.rename(tmp, dst)
+        shutil.rmtree(tmp_root, ignore_errors=True)
+
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
