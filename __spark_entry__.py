@@ -2255,6 +2255,50 @@ def q_embedding_drift(spark, sf_dir):
     )
 
 
+def q_label_agreement(spark, sf_dir):
+    """Cohen's kappa between the stopword-profile language guess and the
+    stored lang column (profile.cohen_kappa, Cohen 1960) — the label-QA
+    gate a pipeline runs before trusting a heuristic labeler: po/pe/kappa
+    over the lang_id × lang confusion table.  mutual_info's
+    calibration-aware sibling: ONE joint-key exchange to the
+    confusion-cell table, marginals and diagonal re-reduce from cells,
+    finish is label-squared-sized."""
+    from time_series_databse_engine_spark.operators import profile as profile_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    pred = text_ops.lang_id(docs).select("doc_id", "lang_guess")
+    joined = docs.select("doc_id", "lang").join(pred, "doc_id")
+    return profile_ops.cohen_kappa(joined, "lang", "lang_guess")
+
+
+def q_ranking_eval(spark, sf_dir):
+    """Rank-aware retrieval eval (similarity.ranking_eval, NDCG per
+    Järvelin 2002): recall@5 / MRR / NDCG@5 of the 8-bit asymmetric
+    quantized ranking against exact cosine truth — the eval-harness
+    upgrade of sq8_recall from set overlap to list ORDER quality, run
+    whenever an index or quantizer changes.  Both rankings are
+    deterministic (cand-id tiebreaks); the eval joins two
+    n_queries × k tables — no corpus scan of its own."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5)
+    truth = sim_ops.cosine_topk(emb, qs, k=5)
+    cand = sim_ops.sq8_topk(emb, qs, k=5, dim=64)
+    return sim_ops.ranking_eval(truth, cand)
+
+
+def q_survival_km(spark, sf_dir):
+    """Kaplan-Meier survival over user lifetimes in events
+    (timeseries.survival_km, Kaplan & Meier 1958): lifetime = whole days
+    first→last event, right-censored when the last event is within 3
+    days of the table's max timestamp — the churn curve that does NOT
+    count still-active users as dead (cohort_retention's bias).  ONE
+    per-user exchange; the KM product-limit finish windows only distinct
+    lifetimes (≤ observation-span days at any corpus size)."""
+    return ts_ops.survival_km(
+        _t(spark, sf_dir, "events"), id_col="user_id", ts_col="ts", horizon_days=3
+    )
+
+
 def q_k_core(spark, sf_dir):
     """2-core of the LSH near-dup graph (graph.k_core, Seidman 1983):
     8 synchronous peeling rounds drop every node that cannot keep >= 2
@@ -4257,8 +4301,16 @@ _R12_WINDOW = [
     # displaced are r8-green, rotate back r13 with the other deferrals)
     "k_core", "source_overlap", "mutual_info",
     "prefix_jaccard", "embedding_drift",
-    # (d) r8 rotate-backs (the r9/r10/r11-promised set)
-    "doc_chunks", "sql_supplier_revenue", "psi_drift",
+    # (label_agreement / survival_km landed last in round 12, zero
+    # history; they displace two of the three r8 rotate-back fillers —
+    # doc_chunks and sql_supplier_revenue, both r8-green, rotate back
+    # r13 with the other deferrals)
+    "label_agreement", "survival_km",
+    # (ranking_eval also landed last in round 12 with zero history; it
+    # displaces the final r8 rotate-back filler psi_drift — PSI family
+    # r8-green, rotates back r13 with doc_chunks/sql_supplier_revenue
+    # and the other deferrals)
+    "ranking_eval",
 ]
 
 _R11_WINDOW = [
@@ -4530,6 +4582,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mutual_info": q_mutual_info,
         "prefix_jaccard": q_prefix_jaccard,
         "embedding_drift": q_embedding_drift,
+        "label_agreement": q_label_agreement,
+        "survival_km": q_survival_km,
+        "ranking_eval": q_ranking_eval,
         "xcorr_lagged": q_xcorr_lagged,
         "scd2_build": q_scd2_build,
         "assoc_rules": q_assoc_rules,
@@ -5347,6 +5402,47 @@ def _mutual_info_sql() -> str:
                CASE WHEN h_x > 0 AND h_y > 0
                     THEN round(mi / sqrt(h_x * h_y), 6) END AS nmi
         FROM mi CROSS JOIN hx CROSS JOIN hy"""
+
+
+def _survival_km_sql(horizon_days: int = 3) -> str:
+    """KM product-limit replay: per-user first/last epoch-seconds reduce,
+    censor flag vs the global max, strata counts, at-risk via
+    total-minus-cumulative, survival = exp(Σ ln(1 − d/n)) with the
+    zero-factor guard — the identical float recipe survival_km prices
+    (integer counts until the final ln/exp chain)."""
+    return f"""
+        WITH pts AS (
+          SELECT user_id, epoch_ms(ts) // 1000 AS es
+          FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        g AS (SELECT max(es) AS gmax FROM pts),
+        per AS (SELECT user_id, min(es) AS f, max(es) AS l FROM pts GROUP BY 1),
+        life AS (
+          SELECT (l - f) // 86400 AS duration_days,
+                 CASE WHEN g.gmax - l > {horizon_days} * 86400 THEN 1 ELSE 0 END AS ev
+          FROM per CROSS JOIN g),
+        strata AS (
+          SELECT duration_days, sum(ev)::BIGINT AS n_events,
+                 sum(1 - ev)::BIGINT AS n_censored
+          FROM life GROUP BY 1),
+        ar AS (
+          SELECT duration_days, n_events, n_censored,
+                 (sum(n_events + n_censored) OVER ()
+                  - sum(n_events + n_censored) OVER w
+                  + n_events + n_censored)::BIGINT AS n_risk
+          FROM strata
+          WINDOW w AS (ORDER BY duration_days
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        SELECT duration_days, n_risk, n_events, n_censored,
+               CASE WHEN max(CASE WHEN n_events >= n_risk THEN 1 ELSE 0 END)
+                         OVER w = 1 THEN 0.0e0
+                    ELSE round(exp(sum(CASE WHEN n_events < n_risk
+                                            THEN ln(1 - n_events / n_risk)
+                                            ELSE 0.0e0 END) OVER w), 6)
+               END AS survival
+        FROM ar
+        WINDOW w AS (ORDER BY duration_days
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ORDER BY duration_days"""
 
 
 def _adamic_adar_sql(k: int = 100) -> str:
@@ -7097,6 +7193,33 @@ def oracle_sql() -> dict[str, str]:
         "mutual_info": _mutual_info_sql(),
         "prefix_jaccard": _prefix_jaccard_sql(threshold=0.8),
         "embedding_drift": _embedding_drift_sql(),
+        "label_agreement": f"""
+            WITH pred AS (
+              SELECT doc_id, {guess_case} AS lang_guess
+              FROM (SELECT doc_id, {lang_scores} FROM documents)),
+            pairs AS (
+              SELECT d.lang AS a, p.lang_guess AS b
+              FROM documents d JOIN pred p USING (doc_id)
+              WHERE d.lang IS NOT NULL AND p.lang_guess IS NOT NULL),
+            cells AS (SELECT a, b, count(*) AS c FROM pairs GROUP BY 1, 2),
+            ma AS (SELECT a, sum(c)::BIGINT AS ca FROM cells GROUP BY a),
+            mb AS (SELECT b, sum(c)::BIGINT AS cb FROM cells GROUP BY b),
+            pe AS (SELECT coalesce(sum(ca * cb), 0)::BIGINT AS pe_num
+                   FROM ma JOIN mb ON ma.a = mb.b),
+            ag AS (SELECT sum(c)::BIGINT AS n,
+                          sum(CASE WHEN a = b THEN c ELSE 0 END)::BIGINT AS diag,
+                          count(DISTINCT a) AS n_labels_a,
+                          count(DISTINCT b) AS n_labels_b
+                   FROM cells)
+            SELECT n, n_labels_a, n_labels_b,
+                   round(diag / n, 6) AS po,
+                   round(pe_num / (n * n), 6) AS pe,
+                   CASE WHEN pe_num < n * n
+                        THEN round((diag / n - pe_num / (n * n))
+                                   / (1 - pe_num / (n * n)), 6)
+                   END AS kappa
+            FROM ag CROSS JOIN pe""",
+        "survival_km": _survival_km_sql(horizon_days=3),
         "zorder_key": _zorder_sql(bits=16),
         "interval_join_bucketed": f'''
             WITH w AS (SELECT CAST(id AS BIGINT) AS window_id,
@@ -8003,6 +8126,25 @@ def oracle_sql() -> dict[str, str]:
                  row_number() OVER (PARTITION BY query_id
                                     ORDER BY sc DESC, cand_id ASC) AS rank
           FROM s) WHERE rank <= 5"""
+    # rank-aware eval composed from the two ranking oracles it judges —
+    # truth side drives (LEFT JOIN), binary relevance = truth membership,
+    # identical 1/log2 chain to similarity.ranking_eval
+    oracles["ranking_eval"] = f"""
+        WITH t AS (SELECT query_id, cand_id, rank AS tr
+                   FROM ({oracles["cosine_topk"]})),
+        c AS (SELECT query_id, cand_id, rank AS cr
+              FROM ({oracles["sq8_topk"]})),
+        j AS (SELECT t.query_id, t.tr, c.cr
+              FROM t LEFT JOIN c
+                ON t.query_id = c.query_id AND t.cand_id = c.cand_id)
+        SELECT query_id, count(*) AS k,
+               count(cr) AS hits,
+               round(count(cr) / count(*), 6) AS recall,
+               coalesce(round(1.0e0 / min(cr), 6), 0.0e0) AS mrr,
+               round(sum(CASE WHEN cr IS NOT NULL
+                              THEN 1.0e0 / log2(cr + 1) ELSE 0.0e0 END)
+                     / sum(1.0e0 / log2(tr + 1)), 6) AS ndcg
+        FROM j GROUP BY query_id"""
     oracles["leakage_safe_split"] = (
         "\nWITH RECURSIVE "
         + _minhash_lsh_ctes()

@@ -199,6 +199,9 @@ HEADLINE = [
     "source_overlap",
     "mutual_info",
     "embedding_drift",
+    "label_agreement",
+    "survival_km",
+    "ranking_eval",
 ]
 
 # repeated-run latency distribution for the reference's hot/cold point

@@ -286,3 +286,36 @@ def test_mutual_info_independent_and_functional(spark):
         spark.createDataFrame(rows4, "a string, b string"), "a", "b"
     ).collect()[0]
     assert r4.n == 5
+
+
+def test_cohen_kappa_hand_computed_and_chance_level(spark):
+    from time_series_databse_engine_spark.operators.profile import cohen_kappa
+
+    # classic 2x2: a=(y,y,y,n,n,y,n,y,y,n), b=(y,n,y,n,n,y,y,y,y,n)
+    rows = list(zip("yyynnynyyn", "ynynnyyyyn"))
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = cohen_kappa(df, "a", "b").collect()[0]
+    # confusion: yy=5, yn=1, ny=1, nn=3 -> po=0.8
+    # pe = (6*6 + 4*4)/100 = 0.52 -> kappa = 0.28/0.48
+    assert r.n == 10 and r.po == 0.8 and r.pe == 0.52
+    assert abs(r.kappa - 0.28 / 0.48) < 1e-6
+    assert r.n_labels_a == 2 and r.n_labels_b == 2
+
+
+def test_cohen_kappa_edges(spark):
+    from time_series_databse_engine_spark.operators.profile import cohen_kappa
+
+    # perfect agreement -> kappa 1; NULLs excluded
+    df = spark.createDataFrame(
+        [("x", "x"), ("y", "y"), (None, "x"), ("y", None)], "a string, b string"
+    )
+    r = cohen_kappa(df, "a", "b").collect()[0]
+    assert r.n == 2 and r.po == 1.0 and r.kappa == 1.0
+    # both raters constant and identical -> pe=1 -> kappa NULL (0/0)
+    df2 = spark.createDataFrame([("x", "x")] * 4, "a string, b string")
+    r2 = cohen_kappa(df2, "a", "b").collect()[0]
+    assert r2.pe == 1.0 and r2.kappa is None
+    # disjoint label sets -> po=0, pe=0, kappa=0
+    df3 = spark.createDataFrame([("x", "y"), ("x", "y")], "a string, b string")
+    r3 = cohen_kappa(df3, "a", "b").collect()[0]
+    assert r3.po == 0.0 and r3.pe == 0.0 and r3.kappa == 0.0

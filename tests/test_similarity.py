@@ -707,3 +707,49 @@ def test_embedding_drift_identity_shift_and_scale(spark):
     )
     r3 = embedding_drift(ref, shifted).collect()[0]
     assert r3.centroid_cosine is not None and r3.centroid_cosine < 1.0
+
+
+def test_ranking_eval_hand_computed(spark):
+    from time_series_databse_engine_spark.operators.similarity import ranking_eval
+
+    # truth q1: docs a,b,c at ranks 1,2,3.  cand q1: b,a,x at 1,2,3.
+    # hits = {a@2, b@1} -> recall 2/3, mrr = 1/1
+    # dcg = 1/log2(2) + 1/log2(3) ; idcg = 1/log2(2)+1/log2(3)+1/log2(4)
+    import math
+
+    truth = spark.createDataFrame(
+        [(1, "a", 1), (1, "b", 2), (1, "c", 3)], "query_id long, cand_id string, rank int"
+    )
+    cand = spark.createDataFrame(
+        [(1, "b", 1), (1, "a", 2), (1, "x", 3)], "query_id long, cand_id string, rank int"
+    )
+    r = ranking_eval(truth, cand).collect()[0]
+    assert r.k == 3 and r.hits == 2
+    assert r.recall == round(2 / 3, 6) and r.mrr == 1.0
+    dcg = 1 / math.log2(3) + 1 / math.log2(2)  # a hit at cand rank 2, b at 1
+    idcg = 1 / math.log2(2) + 1 / math.log2(3) + 1 / math.log2(4)
+    assert abs(r.ndcg - dcg / idcg) < 1e-6
+
+
+def test_ranking_eval_edges(spark):
+    from time_series_databse_engine_spark.operators.similarity import ranking_eval
+
+    truth = spark.createDataFrame(
+        [(1, "a", 1), (1, "b", 2), (2, "z", 1)], "query_id long, cand_id string, rank int"
+    )
+    # q1 perfect in truth order -> all metrics 1; q2 total miss -> all 0
+    cand = spark.createDataFrame(
+        [(1, "a", 1), (1, "b", 2), (2, "y", 1)], "query_id long, cand_id string, rank int"
+    )
+    out = {r.query_id: r for r in ranking_eval(truth, cand).collect()}
+    assert out[1].recall == 1.0 and out[1].mrr == 1.0 and out[1].ndcg == 1.0
+    assert out[2].recall == 0.0 and out[2].mrr == 0.0 and out[2].ndcg == 0.0
+    # a hit pushed DOWN the list (a at cand rank 3, filler at 2):
+    # recall/mrr unchanged, ndcg strictly drops — rank-awareness
+    cand_low = spark.createDataFrame(
+        [(1, "b", 1), (1, "x", 2), (1, "a", 3), (2, "z", 1)],
+        "query_id long, cand_id string, rank int",
+    )
+    out2 = {r.query_id: r for r in ranking_eval(truth, cand_low).collect()}
+    assert out2[1].recall == 1.0 and out2[1].mrr == 1.0
+    assert out2[1].ndcg < 1.0 and out2[2].ndcg == 1.0

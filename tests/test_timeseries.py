@@ -1013,3 +1013,59 @@ def test_theil_sen_outlier_robust(spark):
     assert r.slope_per_hour == 7200.0
     assert r.intercept == 5.0
     assert r.n_buckets == 33 and r.n_pairs == 33 * 32 // 2
+
+
+def test_survival_km_hand_computed(spark):
+    from datetime import datetime
+
+    from time_series_databse_engine_spark.operators.timeseries import survival_km
+
+    def ts(d, h=0):
+        return datetime(2024, 1, d, h)
+
+    # global max = Jan 20.  horizon 3 days: last event before Jan 17 -> event.
+    # u1: lifetime 1d, churned.  u2: lifetime 1d, churned.
+    # u3: lifetime 2d, churned.  u4: lifetime 2d, censored (last=Jan 19).
+    # u5: lifetime 5d, censored (last=Jan 20 = gmax).
+    rows = []
+    for uid, pairs in [
+        (1, [ts(2), ts(3)]),
+        (2, [ts(5), ts(6)]),
+        (3, [ts(4), ts(6)]),
+        (4, [ts(17), ts(19)]),
+        (5, [ts(15), ts(20)]),
+    ]:
+        rows += [(uid, p) for p in pairs]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {r.duration_days: r for r in survival_km(df, horizon_days=3).collect()}
+    # t=1: n_risk=5, d=2 -> S=0.6 ; t=2: n_risk=3, d=1, c=1 -> S=0.6*(2/3)=0.4
+    # t=5: n_risk=1, d=0, c=1 -> S stays 0.4
+    assert out[1].n_risk == 5 and out[1].n_events == 2 and out[1].survival == 0.6
+    assert out[2].n_risk == 3 and out[2].n_events == 1 and out[2].n_censored == 1
+    assert out[2].survival == 0.4
+    assert out[5].n_risk == 1 and out[5].n_events == 0 and out[5].survival == 0.4
+
+
+def test_survival_km_all_die_reaches_zero_and_censor_bias(spark):
+    from datetime import datetime
+
+    from time_series_databse_engine_spark.operators.timeseries import survival_km
+
+    def ts(d):
+        return datetime(2024, 1, d)
+
+    # everyone churned well before the horizon: last stratum d=n -> S=0 exactly
+    rows = []
+    for uid, span in [(1, 1), (2, 1), (3, 2)]:
+        rows += [(uid, ts(1)), (uid, ts(1 + span))]
+    rows += [(99, ts(28)), (99, ts(28))]  # anchor gmax far out; lifetime 0, censored? no: churn..
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {r.duration_days: r for r in survival_km(df, horizon_days=3).collect()}
+    # lifetimes: u1=1,u2=1,u3=2 churned; u99=0 censored(last=Jan28=gmax)
+    assert out[0].n_risk == 4 and out[0].n_censored == 1 and out[0].n_events == 0
+    assert out[0].survival == 1.0
+    assert out[1].n_risk == 3 and out[1].survival == round(1 / 3, 6)
+    # t=2: n_risk=1, d=1 -> zero factor -> survival exactly 0.0
+    assert out[2].n_risk == 1 and out[2].n_events == 1 and out[2].survival == 0.0
+    # censoring vs naive: the censored user never counts as a death
+    assert sum(r.n_events for r in out.values()) == 3

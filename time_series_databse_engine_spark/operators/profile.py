@@ -751,3 +751,73 @@ def mutual_info(
             ).alias("nmi"),
         )
     )
+
+
+def cohen_kappa(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Cohen's kappa agreement between two categorical labelings of the
+    same rows (Cohen 1960) — the label-QA member of the profiling
+    family and :func:`mutual_info`'s calibration-aware sibling: MI asks
+    "does A predict B at all"; kappa asks "do A and B AGREE beyond what
+    their marginals would produce by chance" — the standard check
+    between a heuristic labeler and a stored/ground-truth label, or two
+    annotators, before a label column is trusted for training.
+
+        p_o   = Σ_k n_kk / n              (observed agreement)
+        p_e   = Σ_k (n_k· · n_·k) / n²     (chance agreement)
+        kappa = (p_o − p_e) / (1 − p_e)
+
+    NULL in either column is excluded (no judgment).  Returns ONE row:
+    (n, n_labels_a, n_labels_b, po, pe, kappa), 6 dp; kappa is NULL
+    when p_e = 1 (both raters constant and identical — agreement is
+    vacuous, the undefined 0/0 case in Cohen's formula).
+
+    Scale shape (the mutual_info discipline): ONE exchange on the
+    (a, b) joint key producing the confusion-cell count table; both
+    marginals and the diagonal re-reduce FROM the cells, never
+    rescanning the corpus — everything after the first groupBy is
+    |labels_a|·|labels_b|-sized.  Exact integer counts until the two
+    final divisions.
+    """
+    cells = (
+        df.where(F.col(a_col).isNotNull() & F.col(b_col).isNotNull())
+        .groupBy(F.col(a_col).alias("_a"), F.col(b_col).alias("_b"))
+        .agg(F.count("*").alias("_c"))
+        .localCheckpoint()
+    )
+    ma = cells.groupBy("_a").agg(F.sum("_c").alias("_ca"))
+    mb = cells.groupBy("_b").agg(F.sum("_c").alias("_cb"))
+    # chance-agreement mass: join the two marginals on label equality
+    # (inner — a label seen by only one rater contributes no n_k··n_·k
+    # term), then one-row reduce.  Every post-cell table is label-sized.
+    pe_num = (
+        ma.join(F.broadcast(mb), F.col("_a") == F.col("_b"))
+        .agg(F.coalesce(F.sum(F.col("_ca") * F.col("_cb")), F.lit(0)).alias("_pe_num"))
+    )
+    agg = cells.agg(
+        F.sum("_c").alias("_n"),
+        F.sum(F.when(F.col("_a") == F.col("_b"), F.col("_c")).otherwise(F.lit(0))).alias("_diag"),
+        F.countDistinct("_a").alias("n_labels_a"),
+        F.countDistinct("_b").alias("n_labels_b"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(pe_num))
+        .select(
+            F.col("_n").alias("n"),
+            "n_labels_a",
+            "n_labels_b",
+            F.round(F.col("_diag") / F.col("_n"), 6).alias("po"),
+            F.round(F.col("_pe_num") / (F.col("_n") * F.col("_n")), 6).alias("pe"),
+            F.when(
+                F.col("_pe_num") < F.col("_n") * F.col("_n"),
+                F.round(
+                    (F.col("_diag") / F.col("_n") - F.col("_pe_num") / (F.col("_n") * F.col("_n")))
+                    / (F.lit(1) - F.col("_pe_num") / (F.col("_n") * F.col("_n"))),
+                    6,
+                ),
+            ).alias("kappa"),
+        )
+    )

@@ -2212,3 +2212,69 @@ def embedding_drift(
         ).alias("centroid_cosine"),
         F.when(nrm_r > 0, F.round(nrm_c / nrm_r, 6)).alias("norm_ratio"),
     )
+
+
+def ranking_eval(
+    truth: DataFrame,
+    cand: DataFrame,
+    query_col: str = "query_id",
+    doc_col: str = "cand_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Rank-aware retrieval quality of a candidate ranking against a
+    ground-truth ranking (Järvelin & Kekäläinen 2002 for NDCG) — the
+    eval harness a retrieval stack runs whenever an index, quantizer,
+    or fusion rule changes: recall@k says WHETHER the truth came back,
+    MRR says how high the FIRST hit landed, NDCG@k says how well the
+    WHOLE list is ordered (graded by binary truth membership).
+
+    Per query (truth side drives, so queries the candidate ranking
+    missed entirely still appear):
+
+        recall = |truth ∩ cand| / |truth|
+        mrr    = 1 / min candidate rank among hits     (0 if no hit)
+        dcg    = Σ_hits 1 / log2(cand_rank + 1)
+        idcg   = Σ_truth 1 / log2(truth_rank + 1)      (ideal: all hit,
+                                                        truth order)
+        ndcg   = dcg / idcg
+
+    rounded 6 dp.  Both inputs are (query, doc, rank) tables with
+    deterministic ranks (row_number with doc-id tiebreak, the
+    cosine_topk contract).
+
+    Scale shape: ONE equi-join on (query, doc) — both sides are
+    top-k-sized (n_queries × k rows), never corpus-sized; the per-query
+    reduce groups k-row groups.  Everything here is downstream of the
+    rankers being evaluated; the eval itself adds no corpus scan.
+    """
+    t = truth.select(
+        F.col(query_col).alias("_q"),
+        F.col(doc_col).alias("_d"),
+        F.col(rank_col).alias("_tr"),
+    )
+    c = cand.select(
+        F.col(query_col).alias("_q"),
+        F.col(doc_col).alias("_d"),
+        F.col(rank_col).alias("_cr"),
+    )
+    j = t.join(c, ["_q", "_d"], "left")
+    return (
+        j.groupBy("_q")
+        .agg(
+            F.count("*").alias("k"),
+            F.count("_cr").alias("hits"),
+            F.round(F.count("_cr") / F.count("*"), 6).alias("recall"),
+            F.coalesce(F.round(F.lit(1.0) / F.min("_cr"), 6), F.lit(0.0)).alias("mrr"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("_cr").isNotNull(),
+                        F.lit(1.0) / F.log2(F.col("_cr") + F.lit(1)),
+                    ).otherwise(F.lit(0.0))
+                )
+                / F.sum(F.lit(1.0) / F.log2(F.col("_tr") + F.lit(1))),
+                6,
+            ).alias("ndcg"),
+        )
+        .select(F.col("_q").alias(query_col), "k", "hits", "recall", "mrr", "ndcg")
+    )

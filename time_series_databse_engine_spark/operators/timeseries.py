@@ -2218,3 +2218,95 @@ def theil_sen_trend(
         )
         .select(*keys, "slope_per_hour", "intercept", "n_buckets", "n_pairs")
     )
+
+
+def survival_km(
+    df: DataFrame,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    horizon_days: int = 3,
+) -> DataFrame:
+    """Kaplan-Meier survival curve over entity lifetimes (Kaplan & Meier
+    1958) — the censoring-aware churn member of the warehouse tier:
+    :func:`cohort_retention` reports the fraction active per period;
+    KM answers "what fraction of users SURVIVE past lifetime t" while
+    correctly treating still-active users as right-censored instead of
+    counting them as churned (the bias naive retention curves carry).
+
+    Lifetime per entity = whole days between its first and last event.
+    An entity whose last event is within ``horizon_days`` of the
+    table's global max timestamp is CENSORED (still alive at the
+    observation edge); otherwise its lifetime ended (event).  NULL
+    entity ids and NULL timestamps are excluded up front (no lifetime —
+    the quantile_normalize NULL-key discipline).  At each
+    distinct lifetime t with d_t events among n_t entities still at
+    risk:
+
+        S(t) = Π_{t_i ≤ t} (1 − d_i / n_i)
+
+    computed as exp(Σ ln(1 − d/n)) with an any-zero-factor guard
+    (d = n on the last stratum → S exactly 0, no ln(0)).  Returns one
+    row per distinct lifetime: (duration_days, n_risk, n_events,
+    n_censored, survival), survival rounded 6 dp.
+
+    Scale shape: ONE exchange — the per-entity first/last reduce
+    (partial map-side min/max, then n_entities-sized state).  The
+    global max rides a one-row broadcast crossJoin; the KM finish
+    windows only DISTINCT lifetimes (bounded by the observation span
+    in days — ~30 rows for a month of events at any corpus size), so
+    the unpartitioned window never sees raw rows.  All counts exact
+    integers; the only floats are the final ln/exp chain.
+    """
+    pts = df.where(F.col(id_col).isNotNull() & F.col(ts_col).isNotNull())
+    per = pts.groupBy(F.col(id_col).alias("_id")).agg(
+        F.min(ts_col).alias("_first"),
+        F.max(ts_col).alias("_last"),
+    )
+    gmax = F.broadcast(pts.agg(F.max(ts_col).alias("_gmax")))
+    life = per.crossJoin(gmax).select(
+        F.floor(
+            (F.unix_timestamp("_last") - F.unix_timestamp("_first")) / F.lit(86400)
+        ).alias("duration_days"),
+        F.when(
+            F.unix_timestamp("_gmax") - F.unix_timestamp("_last")
+            > F.lit(int(horizon_days) * 86400),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("_event"),
+    )
+    strata = life.groupBy("duration_days").agg(
+        F.sum("_event").alias("n_events"),
+        F.sum(F.lit(1) - F.col("_event")).alias("n_censored"),
+    )
+    w_all = W.orderBy("duration_days").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    w_cum = W.orderBy("duration_days").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    at_risk = strata.select(
+        "duration_days",
+        "n_events",
+        "n_censored",
+        (
+            F.sum(F.col("n_events") + F.col("n_censored")).over(w_all)
+            - F.sum(F.col("n_events") + F.col("n_censored")).over(w_cum)
+            + F.col("n_events")
+            + F.col("n_censored")
+        ).alias("n_risk"),
+    )
+    factor_ln = F.when(
+        F.col("n_events") < F.col("n_risk"),
+        F.log(F.lit(1) - F.col("n_events") / F.col("n_risk")),
+    ).otherwise(F.lit(0.0))
+    dead = F.when(F.col("n_events") >= F.col("n_risk"), F.lit(1)).otherwise(F.lit(0))
+    return at_risk.select(
+        "duration_days",
+        "n_risk",
+        "n_events",
+        "n_censored",
+        F.when(F.max(dead).over(w_cum) == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp(F.sum(factor_ln).over(w_cum)), 6))
+        .alias("survival"),
+    ).orderBy("duration_days")
