@@ -2271,6 +2271,32 @@ def q_label_agreement(spark, sf_dir):
     return profile_ops.cohen_kappa(joined, "lang", "lang_guess")
 
 
+def q_cuped(spark, sf_dir):
+    """CUPED variance-reduced A/B readout (experiment.cuped_readout,
+    Deng et al. WSDM 2013): arms = user_id % 2, pre-period covariate =
+    value-sum before Jan 15, metric = value-sum after; pooled
+    θ = cov/var from exact integer-cent sums, per-arm raw vs adjusted
+    mean/variance + the variance-reduction share.  ONE per-user
+    exchange; θ and the finals are one-row closed forms."""
+    from time_series_databse_engine_spark.operators import experiment as exp_ops
+
+    return exp_ops.cuped_readout(
+        _t(spark, sf_dir, "events"), split_ms=1705276800000
+    )
+
+
+def q_ab_ztest(spark, sf_dir):
+    """Two-proportion conversion z-test (experiment.ab_ztest): did the
+    odd-user arm purchase more?  Pooled standard error, exact integer
+    counts until the one-row closed form, NULL z at degenerate pooled
+    variance.  ONE per-user any-conversion reduce."""
+    from time_series_databse_engine_spark.operators import experiment as exp_ops
+
+    return exp_ops.ab_ztest(
+        _t(spark, sf_dir, "events"), "event_type = 'purchase'"
+    )
+
+
 def q_ranking_eval(spark, sf_dir):
     """Rank-aware retrieval eval (similarity.ranking_eval, NDCG per
     Järvelin 2002): recall@5 / MRR / NDCG@5 of the 8-bit asymmetric
@@ -4585,6 +4611,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_agreement": q_label_agreement,
         "survival_km": q_survival_km,
         "ranking_eval": q_ranking_eval,
+        # (cuped / ab_ztest landed after the r12 window was full at 50
+        # with the 40-vintage rotation + zero-history leads; they join
+        # the r13 window with the r8 rotate-backs)
+        "cuped": q_cuped,
+        "ab_ztest": q_ab_ztest,
         "xcorr_lagged": q_xcorr_lagged,
         "scd2_build": q_scd2_build,
         "assoc_rules": q_assoc_rules,
@@ -5402,6 +5433,85 @@ def _mutual_info_sql() -> str:
                CASE WHEN h_x > 0 AND h_y > 0
                     THEN round(mi / sqrt(h_x * h_y), 6) END AS nmi
         FROM mi CROSS JOIN hx CROSS JOIN hy"""
+
+
+def _cuped_sql(split_ms: int = 1705276800000) -> str:
+    """CUPED replay: per-user integer-cent (x, y) sums, pooled θ and
+    per-arm finals in the IDENTICAL double-precision op order as
+    experiment.cuped_readout (left-assoc products, cents→units last)."""
+    return f"""
+        WITH per AS (
+          SELECT user_id % 2 AS arm,
+                 sum(CASE WHEN epoch_ms(ts) < {split_ms}
+                          THEN CAST(round(value * 100) AS BIGINT)
+                          ELSE 0 END)::BIGINT AS x,
+                 sum(CASE WHEN epoch_ms(ts) >= {split_ms}
+                          THEN CAST(round(value * 100) AS BIGINT)
+                          ELSE 0 END)::BIGINT AS y
+          FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          GROUP BY user_id),
+        g AS (SELECT count(*)::BIGINT AS gn, sum(x)::BIGINT AS gsx,
+                     sum(y)::BIGINT AS gsy, sum(x * x)::BIGINT AS gsxx,
+                     sum(x * y)::BIGINT AS gsxy
+              FROM per),
+        th AS (SELECT CASE WHEN (gsxx::DOUBLE - gsx::DOUBLE * gsx::DOUBLE / gn::DOUBLE) > 0
+                           THEN (gsxy::DOUBLE - gsx::DOUBLE * gsy::DOUBLE / gn::DOUBLE)
+                                / (gsxx::DOUBLE - gsx::DOUBLE * gsx::DOUBLE / gn::DOUBLE)
+                           ELSE 0.0e0 END AS theta,
+                      gsx::DOUBLE / gn::DOUBLE AS xbar
+               FROM g),
+        arms AS (SELECT arm, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+                        sum(y)::BIGINT AS sy, sum(x * x)::BIGINT AS sxx,
+                        sum(y * y)::BIGINT AS syy, sum(x * y)::BIGINT AS sxy
+                 FROM per GROUP BY arm),
+        fin AS (SELECT arm, n,
+                       sy::DOUBLE / n::DOUBLE AS my,
+                       sx::DOUBLE / n::DOUBLE AS mx,
+                       (syy::DOUBLE - sy::DOUBLE * sy::DOUBLE / n::DOUBLE) / n::DOUBLE AS vy,
+                       (sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE / n::DOUBLE) / n::DOUBLE AS vx,
+                       (sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE / n::DOUBLE) / n::DOUBLE AS cxy
+                FROM arms)
+        SELECT arm, n,
+               round(my / 100.0e0, 6) AS mean_y,
+               round((my - th.theta * (mx - th.xbar)) / 100.0e0, 6) AS mean_y_adj,
+               round(vy / 10000.0e0, 6) AS var_y,
+               round((vy - 2.0e0 * th.theta * cxy + th.theta * th.theta * vx)
+                     / 10000.0e0, 6) AS var_y_adj,
+               CASE WHEN vy > 0
+                    THEN round(1.0e0 - (vy - 2.0e0 * th.theta * cxy
+                                        + th.theta * th.theta * vx) / vy, 6)
+               END AS var_reduction
+        FROM fin CROSS JOIN th
+        ORDER BY arm"""
+
+
+def _ab_ztest_sql() -> str:
+    """Two-proportion z replay: per-user any-conversion flag, four
+    integer counts, the identical pooled-SE closed form."""
+    return """
+        WITH per AS (
+          SELECT user_id % 2 AS arm,
+                 max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c
+          FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+        a AS (SELECT sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n0,
+                     sum(CASE WHEN arm = 0 THEN c ELSE 0 END)::BIGINT AS c0,
+                     sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+                     sum(CASE WHEN arm = 1 THEN c ELSE 0 END)::BIGINT AS c1
+              FROM per WHERE arm < 2),
+        f AS (SELECT n0, c0, n1, c1,
+                     c0::DOUBLE / n0::DOUBLE AS p0,
+                     c1::DOUBLE / n1::DOUBLE AS p1,
+                     (c0::DOUBLE + c1::DOUBLE) / (n0::DOUBLE + n1::DOUBLE) AS pp
+              FROM a),
+        s AS (SELECT *, pp * (1.0e0 - pp) * (1.0e0 / n0::DOUBLE + 1.0e0 / n1::DOUBLE) AS se2
+              FROM f)
+        SELECT n0, c0, round(p0, 6) AS p0,
+               n1, c1, round(p1, 6) AS p1,
+               round(p1 - p0, 6) AS lift,
+               CASE WHEN se2 > 0 THEN round((p1 - p0) / sqrt(se2), 6) END AS z,
+               CASE WHEN se2 > 0 THEN abs((p1 - p0) / sqrt(se2)) > 1.96 END
+                   AS significant
+        FROM s"""
 
 
 def _survival_km_sql(horizon_days: int = 3) -> str:
@@ -7220,6 +7330,8 @@ def oracle_sql() -> dict[str, str]:
                    END AS kappa
             FROM ag CROSS JOIN pe""",
         "survival_km": _survival_km_sql(horizon_days=3),
+        "cuped": _cuped_sql(split_ms=1705276800000),
+        "ab_ztest": _ab_ztest_sql(),
         "zorder_key": _zorder_sql(bits=16),
         "interval_join_bucketed": f'''
             WITH w AS (SELECT CAST(id AS BIGINT) AS window_id,

@@ -202,6 +202,8 @@ HEADLINE = [
     "label_agreement",
     "survival_km",
     "ranking_eval",
+    "cuped",
+    "ab_ztest",
 ]
 
 # repeated-run latency distribution for the reference's hot/cold point
