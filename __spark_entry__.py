@@ -2297,6 +2297,40 @@ def q_ab_ztest(spark, sf_dir):
     )
 
 
+# shared by q_expect_rules and its oracle so both engines evaluate the
+# IDENTICAL rule expressions (the quality_cte named-variable lesson)
+_EXPECT_RULES = [
+    ("totalprice_positive", "o_totalprice > 0"),
+    ("status_known", "o_orderstatus IN ('O', 'F', 'P')"),
+    ("orderdate_present", "o_orderdate IS NOT NULL"),
+    ("custkey_positive", "o_custkey > 0"),
+    ("priority_nonempty", "length(o_orderpriority) > 0"),
+]
+
+
+def q_expect_rules(spark, sf_dir):
+    """Declarative data-quality rule audit (profile.expect_rules, the
+    Great-Expectations/dbt-test shape engine-native): five rules over
+    orders, each a SQL boolean; NULL verdicts count as violations.
+    ONE scan, ZERO data shuffles — every rule folds into the same
+    global aggregate and the long format is a stack() of the one
+    result row."""
+    from time_series_databse_engine_spark.operators import profile as profile_ops
+
+    return profile_ops.expect_rules(_t(spark, sf_dir, "orders"), _EXPECT_RULES)
+
+
+def q_srm_check(spark, sf_dir):
+    """Sample-ratio-mismatch guardrail (experiment.srm_check): the
+    chi-square goodness-of-fit check on the user_id % 2 arm split that
+    validates randomization health BEFORE any experiment readout is
+    trusted — missing cells still count against the expected share.
+    ONE per-entity distinct reduce; the χ² is a k-row combine."""
+    from time_series_databse_engine_spark.operators import experiment as exp_ops
+
+    return exp_ops.srm_check(_t(spark, sf_dir, "events"))
+
+
 def q_ranking_eval(spark, sf_dir):
     """Rank-aware retrieval eval (similarity.ranking_eval, NDCG per
     Järvelin 2002): recall@5 / MRR / NDCG@5 of the 8-bit asymmetric
@@ -4616,6 +4650,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the r13 window with the r8 rotate-backs)
         "cuped": q_cuped,
         "ab_ztest": q_ab_ztest,
+        "srm_check": q_srm_check,
+        "expect_rules": q_expect_rules,
         "xcorr_lagged": q_xcorr_lagged,
         "scd2_build": q_scd2_build,
         "assoc_rules": q_assoc_rules,
@@ -5483,6 +5519,49 @@ def _cuped_sql(split_ms: int = 1705276800000) -> str:
                END AS var_reduction
         FROM fin CROSS JOIN th
         ORDER BY arm"""
+
+
+def _srm_sql() -> str:
+    """SRM χ² replay: distinct (arm, id) reduce, Σn_a² closed form over
+    ALL k expected cells in the identical left-assoc double order."""
+    return """
+        WITH per AS (SELECT user_id % 2 AS arm, user_id
+                     FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+        pa AS (SELECT arm, count(*)::BIGINT AS na FROM per GROUP BY arm),
+        t AS (SELECT sum(na)::BIGINT AS n, count(*)::BIGINT AS n_arms,
+                     sum(na * na)::BIGINT AS sq
+              FROM pa),
+        t2 AS (SELECT n, n_arms, sq, n::DOUBLE / 2.0e0 AS e FROM t)
+        SELECT n, n_arms,
+               round((sq::DOUBLE - 2.0e0 * e * n::DOUBLE + 2.0e0 * e * e) / e,
+                     6) AS chi2,
+               ((sq::DOUBLE - 2.0e0 * e * n::DOUBLE + 2.0e0 * e * e) / e)
+                   > 3.841 AS srm
+        FROM t2"""
+
+
+def _expect_rules_sql(rules) -> str:
+    """Rule-audit replay: the same single-aggregate + per-rule UNION
+    unroll, NULL verdicts counted as violations via the same
+    NOT coalesce(expr, FALSE)."""
+    vs = ",\n                 ".join(
+        f"sum(CASE WHEN NOT coalesce({expr}, FALSE) THEN 1 ELSE 0 END)::BIGINT AS v{i}"
+        for i, (_n, expr) in enumerate(rules)
+    )
+    union = "\n          UNION ALL ".join(
+        f"SELECT '{name}' AS rule, n, v{i} AS violations FROM a"
+        for i, (name, _e) in enumerate(rules)
+    )
+    return f"""
+        WITH a AS (
+          SELECT count(*)::BIGINT AS n,
+                 {vs}
+          FROM orders),
+        u AS ({union})
+        SELECT rule, n, violations,
+               round((n - violations) / n, 6) AS pass_rate,
+               violations = 0 AS passed
+        FROM u"""
 
 
 def _ab_ztest_sql() -> str:
@@ -7332,6 +7411,8 @@ def oracle_sql() -> dict[str, str]:
         "survival_km": _survival_km_sql(horizon_days=3),
         "cuped": _cuped_sql(split_ms=1705276800000),
         "ab_ztest": _ab_ztest_sql(),
+        "srm_check": _srm_sql(),
+        "expect_rules": _expect_rules_sql(_EXPECT_RULES),
         "zorder_key": _zorder_sql(bits=16),
         "interval_join_bucketed": f'''
             WITH w AS (SELECT CAST(id AS BIGINT) AS window_id,

@@ -204,6 +204,8 @@ HEADLINE = [
     "ranking_eval",
     "cuped",
     "ab_ztest",
+    "srm_check",
+    "expect_rules",
 ]
 
 # repeated-run latency distribution for the reference's hot/cold point

@@ -100,3 +100,29 @@ def test_ab_ztest_degenerate_pooled_variance(spark):
     r = ab_ztest(df, "event_type = 'purchase'").collect()[0]
     assert r.p0 == 1.0 and r.p1 == 1.0
     assert r.z is None and r.significant is None
+
+
+def test_srm_check_balanced_and_broken(spark):
+    # perfectly balanced 2-arm split -> chi2 = 0, no SRM
+    rows = [(uid, POST, 1.0) for uid in range(100) for _ in range(2)]
+    df = _events(spark, rows)
+    from time_series_databse_engine_spark.operators.experiment import srm_check
+
+    r = srm_check(df).collect()[0]
+    assert r.n == 100 and r.n_arms == 2 and r.chi2 == 0.0 and r.srm is False
+    # drop 80% of arm 1's users -> strong SRM
+    rows2 = [(uid, POST, 1.0) for uid in range(100) if uid % 2 == 0 or uid < 20]
+    r2 = srm_check(_events(spark, rows2)).collect()[0]
+    # n0=50, n1=10, n=60, e=30: chi2 = (400+400)/30 = 26.67
+    assert r2.n == 60 and abs(r2.chi2 - 800 / 30) < 1e-6 and r2.srm is True
+
+
+def test_srm_check_missing_arm_counts_against_expectation(spark):
+    from time_series_databse_engine_spark.operators.experiment import srm_check
+
+    # all entities land in arm 0 (ids all even): arm 1 has ZERO rows but
+    # still contributes (0-e)^2/e -> chi2 = n
+    rows = [(uid * 2, POST, 1.0) for uid in range(10)]
+    r = srm_check(_events(spark, rows)).collect()[0]
+    assert r.n == 10 and r.n_arms == 1
+    assert abs(r.chi2 - 10.0) < 1e-6 and r.srm is True

@@ -319,3 +319,35 @@ def test_cohen_kappa_edges(spark):
     df3 = spark.createDataFrame([("x", "y"), ("x", "y")], "a string, b string")
     r3 = cohen_kappa(df3, "a", "b").collect()[0]
     assert r3.po == 0.0 and r3.pe == 0.0 and r3.kappa == 0.0
+
+
+def test_expect_rules_single_scan_audit(spark):
+    from time_series_databse_engine_spark.operators.profile import expect_rules
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "O"), (2, -5.0, "F"), (3, 7.0, "X"), (4, None, "O")],
+        "id long, price double, status string",
+    )
+    rules = [
+        ("price_positive", "price > 0"),
+        ("status_known", "status IN ('O', 'F')"),
+        ("id_positive", "id > 0"),
+    ]
+    out = {r.rule: r for r in expect_rules(df, rules).collect()}
+    # NULL price -> rule cannot pass -> violation
+    assert out["price_positive"].violations == 2
+    assert out["price_positive"].pass_rate == 0.5
+    assert out["price_positive"].passed is False
+    assert out["status_known"].violations == 1
+    assert out["id_positive"].violations == 0 and out["id_positive"].passed is True
+    assert all(r.n == 4 for r in out.values())
+
+
+def test_expect_rules_empty_rules_rejected(spark):
+    import pytest
+
+    from time_series_databse_engine_spark.operators.profile import expect_rules
+
+    df = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError):
+        expect_rules(df, [])

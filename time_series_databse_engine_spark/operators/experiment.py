@@ -195,3 +195,55 @@ def ab_ztest(
         F.round(z, 6).alias("z"),
         F.when(z.isNotNull(), F.abs(z) > F.lit(float(z_crit))).alias("significant"),
     )
+
+
+def srm_check(
+    df: DataFrame,
+    id_col: str = "user_id",
+    arm_mod: int = 2,
+    chi2_crit: float = 3.841,
+) -> DataFrame:
+    """Sample-ratio-mismatch guardrail (the chi-square goodness-of-fit
+    check every experimentation platform runs before reading a single
+    metric): with deterministic ``id % arm_mod`` assignment the arms
+    must split the entity population evenly — a skewed split means the
+    exposure/logging pipeline is dropping one arm's entities, and every
+    downstream readout (including :func:`ab_ztest`) is invalid.
+
+        χ² = Σ_arms (n_a − n/k)² / (n/k)     (k = arm_mod, df = k−1)
+
+    Returns ONE row: (n, n_arms, chi2, srm) — χ² rounded 6 dp, ``srm``
+    true when χ² > ``chi2_crit`` (default 3.841 = χ²₀.₀₅ at 1 df, the
+    two-arm case; pass the right critical value for more arms).  NULL
+    ids are excluded.  Arms with zero entities still count against the
+    expected share (n_arms is DISTINCT OBSERVED arms; the χ² sum runs
+    over all ``arm_mod`` expected cells).
+
+    Scale shape: ONE exchange — the per-entity distinct reduce; the χ²
+    is a k-row combine.  Exact integer counts until the final division.
+    """
+    per = (
+        df.where(F.col(id_col).isNotNull())
+        .select((F.col(id_col) % F.lit(int(arm_mod))).alias("_arm"), F.col(id_col).alias("_id"))
+        .distinct()
+        .groupBy("_arm")
+        .agg(F.count("*").alias("_na"))
+    )
+    k = float(int(arm_mod))
+    tot = per.agg(
+        F.sum("_na").alias("n"),
+        F.count("*").alias("n_arms"),
+        # Σ n_a² lets χ² close over observed cells only: missing cells
+        # contribute (0 − n/k)²/(n/k) = n/k each, folded in below
+        F.sum(F.col("_na") * F.col("_na")).alias("_sq"),
+    )
+    n = F.col("n").cast("double")
+    exp_ = n / F.lit(k)
+    # Σ_a (n_a − e)²/e over ALL k cells = (Σn_a² − 2eΣn_a + k·e²)/e
+    chi2 = (F.col("_sq").cast("double") - F.lit(2.0) * exp_ * n + F.lit(k) * exp_ * exp_) / exp_
+    return tot.select(
+        "n",
+        "n_arms",
+        F.round(chi2, 6).alias("chi2"),
+        (chi2 > F.lit(float(chi2_crit))).alias("srm"),
+    )

@@ -821,3 +821,49 @@ def cohen_kappa(
             ).alias("kappa"),
         )
     )
+
+
+def expect_rules(df: DataFrame, rules) -> DataFrame:
+    """Declarative data-quality rule audit (the Great-Expectations /
+    dbt-test shape, engine-native): each rule is a ``(name, sql_bool)``
+    pair over the table's columns; the audit reports, per rule, how
+    many rows VIOLATE it — where a NULL verdict counts as a violation
+    (a rule that cannot be evaluated on a row has not passed on it).
+
+    Returns one row per rule: (rule, n, violations, pass_rate, passed),
+    pass_rate rounded 6 dp, ``passed`` = zero violations.  Rule order
+    follows the input list (rows are keyed by name; the driver compare
+    is order-insensitive anyway).
+
+    Scale shape: ONE scan, ZERO data shuffles — every rule folds into
+    the same single global aggregate (a sum(CASE...) per rule, combined
+    map-side), and the per-rule long format is a stack() over the ONE
+    result row.  Adding a rule adds a column to the partial aggregate,
+    not a pass over the data.  Exact integer counts until the
+    pass-rate division.
+    """
+    if not rules:
+        raise ValueError("expect_rules: at least one (name, sql_bool) rule required")
+    aggs = [
+        F.sum(
+            F.when(
+                ~F.coalesce(F.expr(expr).cast("boolean"), F.lit(False)),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        ).alias(f"_v{i}")
+        for i, (_name, expr) in enumerate(rules)
+    ]
+    row = df.agg(F.count("*").alias("_n"), *aggs)
+    pairs = ", ".join(f"'{name}', _v{i}" for i, (name, _expr) in enumerate(rules))
+    long = row.selectExpr(
+        "_n", f"stack({len(rules)}, {pairs}) AS (rule, violations)"
+    )
+    return long.select(
+        "rule",
+        F.col("_n").alias("n"),
+        "violations",
+        F.round((F.col("_n") - F.col("violations")) / F.col("_n"), 6).alias(
+            "pass_rate"
+        ),
+        (F.col("violations") == 0).alias("passed"),
+    )
