@@ -1215,10 +1215,12 @@ def pca_fit_invariants(
 
     Any regression flips a boolean and fails the driver's hash gate —
     a values-level check for an operator whose training step has no SQL
-    twin.  Scale shape: one mapInPandas moment pass (pca_train), one
-    BLAS-batch projection, one explode-aggregate over n·k projected
-    scalars, one fold for the centered norms; no corpus shuffle beyond
-    the k-row stats aggregate.
+    twin.  Scale shape: one mapInPandas moment pass (pca_train), then
+    ONE verification scan — the BLAS-batch projection and the centered
+    squared-norm fold evaluate in the same projection and feed a single
+    partial aggregate of 2k+2 columns (k is 8; no posexplode of n·k
+    scalar rows, no second corpus pass, no join) — a 1-row exchange is
+    the only shuffle.
     """
     import numpy as np
 
@@ -1226,34 +1228,43 @@ def pca_fit_invariants(
     orth = bool(np.allclose(comps @ comps.T, np.eye(len(comps)), atol=1e-8))
     desc = bool(np.all(np.diff(w) <= 1e-10))
     scale = 1.0 + float(w[0])
+    kk = len(w)
 
-    proj = pca_project(embeddings, mean, comps, id_col, vec_col)
-    stats = (
-        proj.select(F.posexplode("proj").alias("j", "p"))
-        .groupBy("j")
-        .agg(
-            F.avg("p").alias("_mu"),
-            F.avg(F.col("p") * F.col("p")).alias("_p2"),
-        )
-    )
-    spark = embeddings.sparkSession
-    eigs = spark.createDataFrame(
-        [(int(j), float(w[j])) for j in range(len(w))], "j int, eig double"
-    )
-    checks = stats.join(F.broadcast(eigs), "j").agg(
-        F.max(F.abs("_mu")).alias("_max_mu"),
-        F.max(F.abs(F.col("_p2") - F.col("eig"))).alias("_max_dv"),
-        F.sum("_p2").alias("_cap"),
-    )
     mean_lit = F.array(*[F.lit(float(x)) for x in mean])
-    totals = embeddings.select(
-        F.aggregate(
-            F.zip_with(as_double(vec_col), mean_lit, lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ).alias("_sq")
-    ).agg(F.count("*").alias("n_vecs"), F.avg("_sq").alias("_s2"))
-    return totals.crossJoin(checks).select(
+    base = pca_project(
+        embeddings.withColumn(
+            "_sq",
+            F.aggregate(
+                F.zip_with(
+                    as_double(vec_col), mean_lit, lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        ),
+        mean,
+        comps,
+        id_col="_sq",
+        vec_col=vec_col,
+    )
+    aggs = [F.count("*").alias("n_vecs"), F.avg("_sq").alias("_s2")]
+    for j in range(kk):
+        pj = F.col("proj")[j]
+        aggs.append(F.avg(pj).alias(f"_mu{j}"))
+        aggs.append(F.avg(pj * pj).alias(f"_p2{j}"))
+    row = base.agg(*aggs)
+    mus = [F.abs(F.col(f"_mu{j}")) for j in range(kk)]
+    dvs = [F.abs(F.col(f"_p2{j}") - F.lit(float(w[j]))) for j in range(kk)]
+    p2s = [F.col(f"_p2{j}") for j in range(kk)]
+    _sum = lambda cols: cols[0] if len(cols) == 1 else sum(cols[1:], cols[0])
+    totals = row.select(
+        "n_vecs",
+        "_s2",
+        (F.greatest(*mus) if kk > 1 else mus[0]).alias("_max_mu"),
+        (F.greatest(*dvs) if kk > 1 else dvs[0]).alias("_max_dv"),
+        _sum(p2s).alias("_cap"),
+    )
+    return totals.select(
         "n_vecs",
         F.lit(int(len(w))).alias("k"),
         F.lit(orth).alias("orthonormal_ok"),
