@@ -2331,6 +2331,146 @@ def q_srm_check(spark, sf_dir):
     return exp_ops.srm_check(_t(spark, sf_dir, "events"))
 
 
+def q_mann_whitney(spark, sf_dir):
+    """Mann-Whitney U rank-sum readout (experiment.mann_whitney, Mann &
+    Whitney 1947): the nonparametric arm test on per-user revenue —
+    zero-inflated heavy-tailed metrics where ab_ztest/cuped's normal
+    theory is whale-dominated.  Midranks from the per-distinct-value
+    count table carried in exact half-units, tie-corrected σ, no
+    continuity correction.  ONE per-user exchange; the rank finish
+    windows the distinct-cent-value table only (KS discipline)."""
+    from time_series_databse_engine_spark.operators import experiment as exp_ops
+
+    return exp_ops.mann_whitney(_t(spark, sf_dir, "events"))
+
+
+def q_chi2_independence(spark, sf_dir):
+    """Pearson χ² independence + Cramér's V (profile.chi2_independence)
+    between a document's language and its source — the curation
+    question "is the language mix uniform across crawl sources" with a
+    sample-size-free effect size; mutual_info's significance-scaled
+    sibling over the same cell-table shape.  Unobserved cells enter via
+    the Σn²/e − n closure; critical value pinned at χ²₀.₀₅ for the
+    fixture table's dof (the dof column reports it).  ONE joint-key
+    exchange; marginals re-reduce from cells."""
+    from time_series_databse_engine_spark.operators import profile as profile_ops
+
+    return profile_ops.chi2_independence(
+        _t(spark, sf_dir, "documents"), "lang", "source", chi2_crit=97.351
+    )
+
+
+def q_calibration_report(spark, sf_dir):
+    """Reliability diagram + ECE decomposition (profile.calibration_report,
+    Naeini 2015 / Brier 1950) of the pinned-weights quality classifier
+    against the heuristic it was distilled from: score = served
+    sigmoid prob, label = quality ≥ corpus median (exact percentile,
+    6 dp).  Per occupied decile bin: mean score vs positive rate,
+    |gap| (Σ weight·gap = ECE), bin Brier — the readout that decides
+    whether the classifier's probabilities can budget tokens or only
+    rank.  All sums exact micro-unit BIGINTs; the report adds one
+    ≤ n_bins-row aggregate on top of the classifier's own plan."""
+    from time_series_databse_engine_spark.fixtures.quality_weights import (
+        BIAS,
+        WEIGHTS,
+    )
+    from time_series_databse_engine_spark.operators import profile as profile_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    scores = text_ops.classifier_score(docs, WEIGHTS, bias=BIAS).select(
+        "doc_id", "prob"
+    )
+    q = text_ops.quality_score(docs).select("doc_id", "quality")
+    med = q.agg(F.round(F.expr("percentile(quality, 0.5)"), 6).alias("_med"))
+    lab = q.crossJoin(F.broadcast(med)).select(
+        "doc_id", (F.col("quality") >= F.col("_med")).cast("int").alias("label")
+    )
+    return profile_ops.calibration_report(
+        scores.join(lab, "doc_id"), "prob", "label", n_bins=10
+    )
+
+
+def q_pareto_front(spark, sf_dir):
+    """2-D data-selection skyline (sampling.pareto_front, Börzsönyi
+    2001): documents not dominated under "maximize quality, minimize
+    token cost" — the efficient frontier a budgeted curation pass
+    selects from.  NO global sort: per-distinct-quality min-token
+    reduce, one distinct-value-sized strict-prefix-min window,
+    broadcast filter back; the corpus is scanned once.  Oracle is the
+    literal NOT EXISTS pairwise-dominance definition, so the hash match
+    proves the decomposition exact."""
+    from time_series_databse_engine_spark.operators import sampling as samp_ops
+
+    q = text_ops.quality_score(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "quality", "n_tokens"
+    )
+    return samp_ops.pareto_front(q, "quality", "n_tokens")
+
+
+def q_benford_audit(spark, sf_dir):
+    """First-digit Benford conformity per event_type
+    (profile.benford_audit, Nigrini 2012 MAD cutoffs): the forensic
+    tripwire for fabricated / capped / unit-mangled numeric feeds.
+    Digits from exact integer cents (BIGINT→string never goes
+    scientific — no float log₁₀ flooring for two engines to disagree
+    on); never-seen digits charge their expected mass via the 9-row
+    literal rectangle.  ONE (group, digit) exchange, ≤ 9·|groups|
+    cells."""
+    from time_series_databse_engine_spark.operators import profile as profile_ops
+
+    return profile_ops.benford_audit(
+        _t(spark, sf_dir, "events"), "value", "event_type"
+    )
+
+
+def q_did_readout(spark, sf_dir):
+    """Difference-in-differences readout (experiment.did_readout, the
+    Card-Krueger 1994 shape): the causal estimate under parallel
+    trends when assignment is NOT randomized — per-entity pre/post
+    integer-cent sums split at the cuped boundary, SE priced from the
+    per-entity deltas (absorbing within-entity covariance), one-row
+    closed form.  ONE per-entity exchange; corpus never sorts."""
+    from time_series_databse_engine_spark.operators import experiment as exp_ops
+
+    return exp_ops.did_readout(
+        _t(spark, sf_dir, "events"), split_ms=1705276800000
+    )
+
+
+def q_modularity(spark, sf_dir):
+    """Partition quality of the dedup components over the LSH near-dup
+    graph (graph.modularity, Newman 2004): Q = Σ_c [m_c/m −
+    (d_c/2m)²] — the number that says whether the cluster purge list
+    carves the graph at its joints.  Labels ARE dedup_clusters'
+    connected components, so the oracle composes the recursive-
+    reachability CTE with the modularity aggregates.  Node-keyed
+    degree/label joins, then community-sized finish."""
+    from time_series_databse_engine_spark.operators import graph as graph_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = _scaled_banded_pairs(docs)
+    labels = dedup_ops.dedup_clusters(pairs)
+    return graph_ops.modularity(
+        pairs, labels, id_col="doc_id", community_col="cluster_id"
+    )
+
+
+def q_conformal_threshold(spark, sf_dir):
+    """Split-conformal auto-threshold (sampling.conformal_threshold,
+    Vovk 2005): per event_type, the ⌈(n+1)(1−α)⌉-th smallest value at
+    α = 0.1 — the distribution-free alarm cutoff guaranteeing ≤ 10 %
+    false-alarm mass on exchangeable traffic, NULL (not clamped) when
+    the group is too small to certify the level.  Exact order
+    statistic, never an interpolating percentile; scores reduce to the
+    per-(type, value) count table before the group-partitioned rank
+    window (KS discipline)."""
+    from time_series_databse_engine_spark.operators import sampling as samp_ops
+
+    return samp_ops.conformal_threshold(
+        _t(spark, sf_dir, "events"), "value", group_col="event_type", alpha=0.1
+    )
+
+
 def q_ranking_eval(spark, sf_dir):
     """Rank-aware retrieval eval (similarity.ranking_eval, NDCG per
     Järvelin 2002): recall@5 / MRR / NDCG@5 of the 8-bit asymmetric
@@ -4333,15 +4473,27 @@ _R12_WINDOW = [
     "resample_1m_expr", "unpivot",
     # (c) r6-vintage
     "mmr_topk", "salted_join", "sq8_topk",
-    # (c) all 35 r7-vintage
-    "ann_index_append", "ann_index_compacted", "asof_join_tolerance",
+    # (c) 27 of the 35 r7-vintage (8 displaced by the (f) second-wave
+    # round-12 additions below — each with an in-window or r11-green
+    # family twin: ann_index_compacted → ann_index_append stays;
+    # html_strip → url_normalize + host_profile stay; media_probe →
+    # media_safe_decode stays; hamming_topk → hamming_bits +
+    # hamming_recall are r11-green; orders_above_avg → the join/
+    # subquery family keeps bucketed_join_storage + attribution;
+    # hist_sketch_daily → sketch_percentile r9-green +
+    # rolling_median_sketch r11-green; edit_verify → fuzzy_join
+    # r11-green; hw_backtest → holt_smoothing/holt_chunked r9/r10 +
+    # holt_winters r11-green.  All eight displaced are r7-green and
+    # rotate back r13 — they are the only oracle-backed entries whose
+    # newest driver row stays r7 after this window.)
+    "ann_index_append", "asof_join_tolerance",
     "attribution", "bloom_semijoin", "bucketed_join_storage",
     "column_profile_exact", "cusum", "dedup_incremental",
-    "dedup_keep_best", "edit_verify", "grouping_sets", "hamming_topk",
-    "hist_sketch_daily", "host_profile", "html_strip", "hw_backtest",
+    "dedup_keep_best", "grouping_sets",
+    "host_profile",
     "interarrival_stats", "ivf_recall", "ivfpq_topk",
-    "leakage_safe_split", "markov_transitions", "media_probe",
-    "media_safe_decode", "neardup_incremental", "orders_above_avg",
+    "leakage_safe_split", "markov_transitions",
+    "media_safe_decode", "neardup_incremental",
     "profile_incremental", "quality_calibration", "range_scan",
     "revenue_concentration", "rfm_segments", "semantic_outliers",
     "source_curation", "token_budget_sample", "url_normalize",
@@ -4371,6 +4523,21 @@ _R12_WINDOW = [
     # r8-green, rotates back r13 with doc_chunks/sql_supplier_revenue
     # and the other deferrals)
     "ranking_eval",
+    # (f) second-wave round-12 additions, zero driver history:
+    # mann_whitney (rank-sum test — the experimentation tier's
+    # nonparametric leg), chi2_independence (categorical dependence
+    # significance + Cramér's V), calibration_report (classifier
+    # ECE/reliability — the eval-tier calibration leg),
+    # pareto_front (2-D data-selection skyline), conformal_threshold
+    # (split-conformal auto-threshold).  They displace the five r7
+    # entries documented at (c) above.
+    "mann_whitney", "chi2_independence", "calibration_report",
+    "pareto_front", "conformal_threshold",
+    # (f continued) benford_audit (forensic first-digit conformity),
+    # did_readout (diff-in-diff causal readout), modularity (partition
+    # quality of the dedup components) — zero driver history; they
+    # displace the final three r7 entries documented at (c).
+    "benford_audit", "did_readout", "modularity",
 ]
 
 _R11_WINDOW = [
@@ -4652,6 +4819,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ab_ztest": q_ab_ztest,
         "srm_check": q_srm_check,
         "expect_rules": q_expect_rules,
+        "mann_whitney": q_mann_whitney,
+        "chi2_independence": q_chi2_independence,
+        "calibration_report": q_calibration_report,
+        "pareto_front": q_pareto_front,
+        "conformal_threshold": q_conformal_threshold,
+        "benford_audit": q_benford_audit,
+        "did_readout": q_did_readout,
+        "modularity": q_modularity,
         "xcorr_lagged": q_xcorr_lagged,
         "scd2_build": q_scd2_build,
         "assoc_rules": q_assoc_rules,
@@ -5591,6 +5766,293 @@ def _ab_ztest_sql() -> str:
                CASE WHEN se2 > 0 THEN abs((p1 - p0) / sqrt(se2)) > 1.96 END
                    AS significant
         FROM s"""
+
+
+def _mann_whitney_sql() -> str:
+    """Rank-sum replay: per-user integer-cent metric, midranks in exact
+    half-units from the distinct-value count table (2·midrank =
+    2·cum_before + t + 1), tie term Σ(t³−t) as BIGINT, then the
+    identical double-precision closed forms in the same op order as
+    experiment.mann_whitney."""
+    return """
+        WITH per AS (
+          SELECT user_id % 2 AS arm,
+                 sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS y
+          FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+        vc AS (SELECT y, count(*)::BIGINT AS t,
+                      sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS t1
+               FROM per WHERE arm < 2 GROUP BY y),
+        r AS (SELECT t, t1,
+                     COALESCE(sum(t) OVER (ORDER BY y
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0)::BIGINT AS cb
+              FROM vc),
+        a AS (SELECT sum(t)::BIGINT AS nn, sum(t1)::BIGINT AS n1,
+                     sum(t1 * (2 * cb + t + 1))::BIGINT AS r1x2,
+                     sum(t * t * t - t)::BIGINT AS ties
+              FROM r),
+        f AS (SELECT nn, n1,
+                     r1x2::DOUBLE / 2.0e0
+                       - n1::DOUBLE * (n1::DOUBLE + 1.0e0) / 2.0e0 AS u1,
+                     (nn::DOUBLE - n1::DOUBLE) * n1::DOUBLE / 2.0e0 AS mu,
+                     (nn::DOUBLE - n1::DOUBLE) * n1::DOUBLE / 12.0e0
+                       * ((nn::DOUBLE + 1.0e0)
+                          - ties::DOUBLE
+                            / (nn::DOUBLE * (nn::DOUBLE - 1.0e0))) AS sig2
+              FROM a)
+        SELECT nn - n1 AS n0, n1,
+               round(u1, 6) AS u1,
+               CASE WHEN sig2 > 0 THEN round((u1 - mu) / sqrt(sig2), 6) END AS z,
+               CASE WHEN sig2 > 0 THEN abs((u1 - mu) / sqrt(sig2)) > 1.96 END
+                   AS significant
+        FROM f"""
+
+
+def _chi2_independence_sql(chi2_crit: float = 97.351) -> str:
+    """χ²/Cramér's-V replay: joint cell table, broadcast marginals, the
+    Σn²/e − n missing-cell closure and the identical double op order as
+    profile.chi2_independence."""
+    return f"""
+        WITH cells AS (
+          SELECT lang AS x, source AS y, count(*)::BIGINT AS c
+          FROM documents
+          WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2),
+        mx AS (SELECT x, sum(c)::BIGINT AS cx FROM cells GROUP BY x),
+        my AS (SELECT y, sum(c)::BIGINT AS cy FROM cells GROUP BY y),
+        a AS (SELECT sum(c)::BIGINT AS n,
+                     count(DISTINCT cells.x) AS n_x,
+                     count(DISTINCT cells.y) AS n_y,
+                     sum(c::DOUBLE * c::DOUBLE / (cx::DOUBLE * cy::DOUBLE))
+                         AS ratio
+              FROM cells JOIN mx USING (x) JOIN my USING (y)),
+        f AS (SELECT n, n_x, n_y,
+                     (n_x - 1) * (n_y - 1) AS dof,
+                     n::DOUBLE * ratio - n::DOUBLE AS c2,
+                     least(n_x - 1, n_y - 1)::DOUBLE AS ms
+              FROM a)
+        SELECT n, n_x, n_y, dof,
+               round(c2, 6) AS chi2,
+               CASE WHEN dof > 0
+                    THEN round(sqrt(greatest(c2, 0.0e0) / (n::DOUBLE * ms)), 6)
+               END AS cramers_v,
+               c2 > {chi2_crit} AS significant
+        FROM f"""
+
+
+def _calibration_sql(n_bins: int = 10) -> str:
+    """Reliability-diagram replay: classifier probs from the pinned-
+    weights oracle (subquery form so its WITH nests), heuristic-quality
+    median label, micro-unit BIGINT bin sums, identical final
+    divisions as profile.calibration_report."""
+    return f"""
+        WITH cls AS (SELECT doc_id, prob FROM (
+            {_quality_classifier_oracle_sql()}
+        )),
+        q AS (SELECT doc_id, {_quality_expr()} AS quality FROM documents),
+        med AS (SELECT round(quantile_cont(quality, 0.5), 6) AS m FROM q),
+        lab AS (SELECT doc_id,
+                       CASE WHEN quality >= med.m THEN 1 ELSE 0 END AS label
+                FROM q CROSS JOIN med),
+        j AS (SELECT least(greatest(prob, 0.0e0), 1.0e0) AS s, label
+              FROM cls JOIN lab USING (doc_id)),
+        b AS (SELECT least(CAST(floor(s * {n_bins}) AS INT), {n_bins - 1})
+                         AS bin,
+                     CAST(round(s * 1000000.0e0) AS BIGINT) AS su,
+                     label::BIGINT AS yu
+              FROM j),
+        per AS (SELECT bin, count(*)::BIGINT AS n, sum(su)::BIGINT AS ss,
+                       sum(yu)::BIGINT AS sy,
+                       sum((su - yu * 1000000)
+                           * (su - yu * 1000000))::BIGINT AS sq
+                FROM b GROUP BY bin),
+        tot AS (SELECT sum(n)::BIGINT AS t FROM per)
+        SELECT bin, n,
+               round(ss::DOUBLE / n::DOUBLE / 1000000.0e0, 6) AS mean_score,
+               round(sy::DOUBLE / n::DOUBLE, 6) AS frac_pos,
+               round(abs(ss::DOUBLE / n::DOUBLE / 1000000.0e0
+                         - sy::DOUBLE / n::DOUBLE), 6) AS abs_gap,
+               round(n::DOUBLE / t::DOUBLE, 6) AS weight,
+               round(sq::DOUBLE / n::DOUBLE / 1000000000000.0e0, 6) AS brier
+        FROM per CROSS JOIN tot ORDER BY bin"""
+
+
+def _pareto_front_sql() -> str:
+    """Skyline oracle: the LITERAL pairwise NOT EXISTS dominance
+    definition over the quality/token table — the hash match against
+    the operator's prefix-min decomposition proves the decomposition
+    exact (sampling.pareto_front's equivalence argument)."""
+    return f"""
+        WITH q AS (
+          SELECT doc_id,
+                 len(regexp_extract_all(text, '[^\\s]+')) AS n_tokens,
+                 {_quality_expr()} AS quality
+          FROM documents)
+        SELECT d.doc_id, d.quality, d.n_tokens
+        FROM q d
+        WHERE NOT EXISTS (
+          SELECT 1 FROM q e
+          WHERE e.quality >= d.quality AND e.n_tokens <= d.n_tokens
+            AND (e.quality > d.quality OR e.n_tokens < d.n_tokens))
+        ORDER BY d.doc_id"""
+
+
+def _conformal_sql(alpha: float = 0.1) -> str:
+    """Split-conformal replay: per-(group, distinct value) counts,
+    group-partitioned cumulative rank, the ⌈(n+1)(1−α)⌉-th order
+    statistic — exact ranks, no interpolating quantile."""
+    return f"""
+        WITH vc AS (
+          SELECT event_type AS g, value AS v, count(*)::BIGINT AS c
+          FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        r AS (SELECT g, v,
+                     sum(c) OVER (PARTITION BY g ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       ::BIGINT AS cum,
+                     sum(c) OVER (PARTITION BY g)::BIGINT AS n
+              FROM vc),
+        k AS (SELECT g, n,
+                     CAST(ceil((n + 1) * {1.0 - alpha}) AS BIGINT) AS k
+              FROM r GROUP BY g, n),
+        pick AS (SELECT r.g, k.n, k.k,
+                        min(CASE WHEN r.cum >= k.k THEN r.v END) AS thr
+                 FROM r JOIN k ON r.g = k.g
+                 GROUP BY r.g, k.n, k.k)
+        SELECT g AS event_type, n, k,
+               CASE WHEN k <= n THEN round(thr, 6) END AS threshold
+        FROM pick ORDER BY event_type"""
+
+
+def _benford_sql(mad_crit: float = 0.015) -> str:
+    """Benford replay: integer-cent first digit via BIGINT→string
+    substr, 9-row expected-share rectangle per group (missing digits
+    charged), identical double op order as profile.benford_audit."""
+    import math
+
+    exp_rows = " UNION ALL ".join(
+        f"SELECT {d} AS d, {math.log10(1.0 + 1.0 / d)!r}::DOUBLE AS e"
+        for d in range(1, 10)
+    )
+    return f"""
+        WITH base AS (
+          SELECT event_type AS g,
+                 CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events WHERE event_type IS NOT NULL),
+        cells AS (
+          SELECT g, CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS d,
+                 count(*)::BIGINT AS c
+          FROM base WHERE cents > 0 GROUP BY 1, 2),
+        ex AS ({exp_rows}),
+        gt AS (SELECT g, sum(c)::BIGINT AS n FROM cells GROUP BY g),
+        rect AS (
+          SELECT gt.g, gt.n, ex.e, COALESCE(cells.c, 0)::BIGINT AS c
+          FROM gt CROSS JOIN ex
+          LEFT JOIN cells ON cells.g = gt.g AND cells.d = ex.d),
+        per AS (
+          SELECT g, n,
+                 sum((c::DOUBLE / n::DOUBLE - e) * (c::DOUBLE / n::DOUBLE - e)
+                     / e) AS x2,
+                 sum(abs(c::DOUBLE / n::DOUBLE - e)) AS sad
+          FROM rect GROUP BY g, n)
+        SELECT g AS event_type, n,
+               round(n::DOUBLE * x2, 6) AS chi2,
+               round(sad / 9.0e0, 6) AS mad,
+               sad / 9.0e0 <= {mad_crit} AS conforming
+        FROM per ORDER BY event_type"""
+
+
+def _did_sql(split_ms: int = 1705276800000) -> str:
+    """DiD replay: the cuped per-entity integer-cent (x, y) reduce,
+    per-arm sums incl. the delta moments, identical double-precision
+    closed forms (delta variance absorbs within-entity covariance)."""
+    return f"""
+        WITH per AS (
+          SELECT user_id % 2 AS arm,
+                 sum(CASE WHEN epoch_ms(ts) < {split_ms}
+                          THEN CAST(round(value * 100) AS BIGINT)
+                          ELSE 0 END)::BIGINT AS x,
+                 sum(CASE WHEN epoch_ms(ts) >= {split_ms}
+                          THEN CAST(round(value * 100) AS BIGINT)
+                          ELSE 0 END)::BIGINT AS y
+          FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          GROUP BY user_id),
+        arms AS (SELECT arm, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+                        sum(y)::BIGINT AS sy, sum(y - x)::BIGINT AS sd,
+                        sum((y - x) * (y - x))::BIGINT AS sdd
+                 FROM per WHERE arm < 2 GROUP BY arm),
+        w AS (SELECT
+                max(CASE WHEN arm = 0 THEN n END) AS n0,
+                max(CASE WHEN arm = 1 THEN n END) AS n1,
+                max(CASE WHEN arm = 0 THEN sx END) AS sx0,
+                max(CASE WHEN arm = 1 THEN sx END) AS sx1,
+                max(CASE WHEN arm = 0 THEN sy END) AS sy0,
+                max(CASE WHEN arm = 1 THEN sy END) AS sy1,
+                max(CASE WHEN arm = 0 THEN sd END) AS sd0,
+                max(CASE WHEN arm = 1 THEN sd END) AS sd1,
+                max(CASE WHEN arm = 0 THEN sdd END) AS sdd0,
+                max(CASE WHEN arm = 1 THEN sdd END) AS sdd1
+              FROM arms),
+        f AS (SELECT n0, n1, sx0, sx1, sy0, sy1,
+                     (sdd0::DOUBLE - sd0::DOUBLE * sd0::DOUBLE / n0::DOUBLE)
+                         / n0::DOUBLE AS vd0,
+                     (sdd1::DOUBLE - sd1::DOUBLE * sd1::DOUBLE / n1::DOUBLE)
+                         / n1::DOUBLE AS vd1,
+                     (sd1::DOUBLE / n1::DOUBLE - sd0::DOUBLE / n0::DOUBLE)
+                         / 100.0e0 AS did
+              FROM w),
+        s AS (SELECT *,
+                     sqrt(vd0 / n0::DOUBLE + vd1 / n1::DOUBLE) / 100.0e0 AS se
+              FROM f)
+        SELECT n0 AS n_ctrl, n1 AS n_treat,
+               round(sx0::DOUBLE / n0::DOUBLE / 100.0e0, 6) AS pre_ctrl,
+               round(sy0::DOUBLE / n0::DOUBLE / 100.0e0, 6) AS post_ctrl,
+               round(sx1::DOUBLE / n1::DOUBLE / 100.0e0, 6) AS pre_treat,
+               round(sy1::DOUBLE / n1::DOUBLE / 100.0e0, 6) AS post_treat,
+               round(did, 6) AS did,
+               round(se, 6) AS se,
+               CASE WHEN se > 0 THEN round(did / se, 6) END AS z,
+               CASE WHEN se > 0 THEN abs(did / se) > 1.96 END AS significant
+        FROM s"""
+
+
+def _modularity_sql() -> str:
+    """Modularity replay: the dedup_clusters recursive-reachability
+    labels composed with degree/within-edge aggregates — exact BIGINTs
+    until the per-community term, same op order as graph.modularity."""
+    return (
+        "\nWITH RECURSIVE "
+        + _minhash_lsh_ctes()
+        + """,
+        edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+                  UNION SELECT id2, id1 FROM pairs),
+        reach AS (
+          SELECT src AS id, src AS r FROM edges
+          UNION
+          SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+        ),
+        lab AS (SELECT id, min(r) AS c FROM reach GROUP BY id),
+        deg AS (SELECT src AS id, count(*)::BIGINT AS deg
+                FROM edges GROUP BY src),
+        dc AS (SELECT lab.c, sum(deg.deg)::BIGINT AS dc,
+                      count(*)::BIGINT AS nn
+               FROM deg JOIN lab USING (id) GROUP BY lab.c),
+        mc AS (SELECT la.c, count(*)::BIGINT AS mc
+               FROM pairs p
+               JOIN lab la ON p.id1 = la.id
+               JOIN lab lb ON p.id2 = lb.id
+               WHERE la.c = lb.c GROUP BY la.c),
+        m AS (SELECT count(*)::BIGINT AS m FROM pairs),
+        comm AS (SELECT dc.c, dc.dc, dc.nn,
+                        COALESCE(mc.mc, 0)::BIGINT AS mc, m.m
+                 FROM dc LEFT JOIN mc ON dc.c = mc.c CROSS JOIN m)
+        SELECT sum(nn)::BIGINT AS n_nodes,
+               max(m)::BIGINT AS n_edges,
+               count(*)::BIGINT AS n_communities,
+               round(sum(mc::DOUBLE / m::DOUBLE
+                         - (dc::DOUBLE / (2.0e0 * m::DOUBLE))
+                           * (dc::DOUBLE / (2.0e0 * m::DOUBLE))), 6)
+                   AS modularity
+        FROM comm"""
+    )
 
 
 def _survival_km_sql(horizon_days: int = 3) -> str:
@@ -7413,6 +7875,14 @@ def oracle_sql() -> dict[str, str]:
         "ab_ztest": _ab_ztest_sql(),
         "srm_check": _srm_sql(),
         "expect_rules": _expect_rules_sql(_EXPECT_RULES),
+        "mann_whitney": _mann_whitney_sql(),
+        "chi2_independence": _chi2_independence_sql(chi2_crit=97.351),
+        "calibration_report": _calibration_sql(n_bins=10),
+        "pareto_front": _pareto_front_sql(),
+        "conformal_threshold": _conformal_sql(alpha=0.1),
+        "benford_audit": _benford_sql(mad_crit=0.015),
+        "did_readout": _did_sql(split_ms=1705276800000),
+        "modularity": _modularity_sql(),
         "zorder_key": _zorder_sql(bits=16),
         "interval_join_bucketed": f'''
             WITH w AS (SELECT CAST(id AS BIGINT) AS window_id,

@@ -206,6 +206,17 @@ HEADLINE = [
     "ab_ztest",
     "srm_check",
     "expect_rules",
+    # round-12 second wave: nonparametric test, categorical dependence
+    # significance, classifier calibration, selection skyline,
+    # conformal auto-threshold
+    "mann_whitney",
+    "chi2_independence",
+    "calibration_report",
+    "pareto_front",
+    "conformal_threshold",
+    "benford_audit",
+    "did_readout",
+    "modularity",
 ]
 
 # repeated-run latency distribution for the reference's hot/cold point

@@ -696,3 +696,55 @@ def test_prefix_filter_jaccard_prunes_candidates(spark):
     from time_series_databse_engine_spark.operators.dedup import jaccard_pairs
 
     assert jaccard_pairs(df, threshold=0.5).count() == 0
+
+
+def test_modularity_two_cliques_vs_brute_force(spark):
+    from time_series_databse_engine_spark.operators.graph import modularity
+
+    # two triangles joined by one bridge edge; communities = the triangles
+    edges = [(0, 1), (0, 2), (1, 2), (3, 4), (3, 5), (4, 5), (2, 3)]
+    labs = [(i, 0) for i in range(3)] + [(i, 1) for i in range(3, 6)]
+    pairs = spark.createDataFrame(edges, "id1 long, id2 long")
+    labels = spark.createDataFrame(labs, "id long, community long")
+    r = modularity(pairs, labels).collect()[0]
+    m = len(edges)
+    deg = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    com = dict(labs)
+    q = 0.0
+    for c in (0, 1):
+        mc = sum(1 for a, b in edges if com[a] == c and com[b] == c)
+        dc = sum(d for i, d in deg.items() if com[i] == c)
+        q += mc / m - (dc / (2 * m)) ** 2
+    assert r.n_nodes == 6 and r.n_edges == 7 and r.n_communities == 2
+    assert abs(r.modularity - q) < 1e-6
+    assert r.modularity > 0.3  # real structure
+
+
+def test_modularity_single_community_is_zero(spark):
+    from time_series_databse_engine_spark.operators.graph import modularity
+
+    # everything in one community: Q = m/m - (2m/2m)^2 = 0 exactly
+    edges = [(0, 1), (1, 2), (0, 3)]
+    pairs = spark.createDataFrame(edges, "id1 long, id2 long")
+    labels = spark.createDataFrame(
+        [(i, 7) for i in range(4)], "id long, community long"
+    )
+    r = modularity(pairs, labels).collect()[0]
+    assert r.modularity == 0.0 and r.n_communities == 1
+
+
+def test_modularity_anti_correlated_partition_negative(spark):
+    from time_series_databse_engine_spark.operators.graph import modularity
+
+    # bipartite-style labels that cut every edge -> Q < 0
+    edges = [(0, 1), (2, 3), (4, 5)]
+    labels = spark.createDataFrame(
+        [(0, 0), (1, 1), (2, 0), (3, 1), (4, 0), (5, 1)],
+        "id long, community long",
+    )
+    pairs = spark.createDataFrame(edges, "id1 long, id2 long")
+    r = modularity(pairs, labels).collect()[0]
+    assert r.modularity < 0.0

@@ -126,3 +126,90 @@ def test_srm_check_missing_arm_counts_against_expectation(spark):
     r = srm_check(_events(spark, rows)).collect()[0]
     assert r.n == 10 and r.n_arms == 1
     assert abs(r.chi2 - 10.0) < 1e-6 and r.srm is True
+
+
+def test_mann_whitney_hand_computed_with_ties(spark):
+    from time_series_databse_engine_spark.operators.experiment import mann_whitney
+
+    # per-user metric (cents after *100): arm0 = users 0,2,4 -> 1.00, 2.00, 2.00
+    #                                     arm1 = users 1,3   -> 2.00, 3.00
+    rows = [
+        (0, POST, 1.0), (2, POST, 2.0), (4, POST, 2.0),
+        (1, POST, 2.0), (3, POST, 3.0),
+    ]
+    r = mann_whitney(_events(spark, rows)).collect()[0]
+    # combined sorted: 100(r1), 200,200,200 (midrank 3), 300 (r5)
+    # R1 = 3 + 5 = 8 ; U1 = 8 - 2*3/2 = 5 ; mu = 3*2/2 = 3
+    # ties: t=3 group -> (27-3)=24 ; sigma2 = (6/12)*((5+1) - 24/(5*4)) = 2.4
+    assert r.n0 == 3 and r.n1 == 2
+    assert abs(r.u1 - 5.0) < 1e-9
+    assert abs(r.z - (5.0 - 3.0) / math.sqrt(2.4)) < 1e-6
+    assert r.significant is False
+
+
+def test_mann_whitney_all_tied_null_z(spark):
+    from time_series_databse_engine_spark.operators.experiment import mann_whitney
+
+    rows = [(u, POST, 7.0) for u in range(6)]
+    r = mann_whitney(_events(spark, rows)).collect()[0]
+    # one distinct value: sigma2 = 0 -> z NULL, significant NULL
+    assert r.z is None and r.significant is None
+    assert r.n0 == 3 and r.n1 == 3
+
+
+def test_mann_whitney_matches_brute_force_ranks(spark):
+    from time_series_databse_engine_spark.operators.experiment import mann_whitney
+
+    vals = {u: float((u * 7) % 5 + (u % 3)) for u in range(20)}
+    rows = [(u, POST, v) for u, v in vals.items()]
+    r = mann_whitney(_events(spark, rows)).collect()[0]
+    # brute-force midranks
+    cents = {u: round(v * 100) for u, v in vals.items()}
+    allv = sorted(cents.values())
+    def midrank(c):
+        lo = sum(1 for x in allv if x < c)
+        t = sum(1 for x in allv if x == c)
+        return lo + (t + 1) / 2.0
+    r1 = sum(midrank(c) for u, c in cents.items() if u % 2 == 1)
+    n1 = sum(1 for u in cents if u % 2 == 1)
+    u1 = r1 - n1 * (n1 + 1) / 2.0
+    assert abs(r.u1 - u1) < 1e-9
+
+
+def test_did_readout_hand_computed(spark):
+    from time_series_databse_engine_spark.operators.experiment import did_readout
+
+    # ctrl (even ids): u0 (2 -> 5), u2 (4 -> 7)   delta 3, 3
+    # treat (odd ids): u1 (3 -> 10), u3 (5 -> 14) delta 7, 9
+    data = {0: (2.0, 5.0), 2: (4.0, 7.0), 1: (3.0, 10.0), 3: (5.0, 14.0)}
+    rows = []
+    for uid, (x, y) in data.items():
+        rows += [(uid, PRE, x), (uid, POST, y)]
+    r = did_readout(_events(spark, rows), SPLIT_MS).collect()[0]
+    assert r.n_ctrl == 2 and r.n_treat == 2
+    assert abs(r.pre_ctrl - 3.0) < 1e-9 and abs(r.post_ctrl - 6.0) < 1e-9
+    assert abs(r.pre_treat - 4.0) < 1e-9 and abs(r.post_treat - 12.0) < 1e-9
+    # did = (12-4) - (6-3) = 5 ; var(delta ctrl)=0, var(delta treat)=1
+    assert abs(r.did - 5.0) < 1e-9
+    assert abs(r.se - math.sqrt(0.0 / 2 + 1.0 / 2)) < 1e-6
+    assert r.significant is True
+
+
+def test_did_readout_parallel_trends_zero(spark):
+    from time_series_databse_engine_spark.operators.experiment import did_readout
+
+    # both arms shift by exactly +4 -> did = 0, se = 0 -> NULL z
+    rows = []
+    for uid, x in [(0, 2.0), (1, 3.0), (2, 5.0), (3, 6.0)]:
+        rows += [(uid, PRE, x), (uid, POST, x + 4.0)]
+    r = did_readout(_events(spark, rows), SPLIT_MS).collect()[0]
+    assert r.did == 0.0 and r.z is None and r.significant is None
+
+
+def test_did_readout_silent_period_counts_as_zero(spark):
+    from time_series_databse_engine_spark.operators.experiment import did_readout
+
+    # u0 has no pre-period rows -> x = 0, not excluded
+    rows = [(0, POST, 6.0), (1, PRE, 2.0), (1, POST, 5.0)]
+    r = did_readout(_events(spark, rows), SPLIT_MS).collect()[0]
+    assert r.n_ctrl == 1 and r.pre_ctrl == 0.0 and r.post_ctrl == 6.0

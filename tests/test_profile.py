@@ -351,3 +351,121 @@ def test_expect_rules_empty_rules_rejected(spark):
     df = spark.createDataFrame([(1,)], "id long")
     with pytest.raises(ValueError):
         expect_rules(df, [])
+
+
+def test_chi2_independence_hand_computed_2x2(spark):
+    from time_series_databse_engine_spark.operators.profile import chi2_independence
+
+    # contingency: (a,p)=10 (a,q)=20 (b,p)=30 (b,q)=40
+    rows = (
+        [("a", "p")] * 10 + [("a", "q")] * 20 + [("b", "p")] * 30 + [("b", "q")] * 40
+    )
+    df = spark.createDataFrame(rows, "x string, y string")
+    r = chi2_independence(df, "x", "y", chi2_crit=3.841).collect()[0]
+    n = 100
+    exp = {("a", "p"): 30 * 40 / 100, ("a", "q"): 30 * 60 / 100,
+           ("b", "p"): 70 * 40 / 100, ("b", "q"): 70 * 60 / 100}
+    obs = {("a", "p"): 10, ("a", "q"): 20, ("b", "p"): 30, ("b", "q"): 40}
+    chi2 = sum((obs[k] - e) ** 2 / e for k, e in exp.items())
+    assert r.n == n and r.dof == 1
+    assert abs(r.chi2 - chi2) < 1e-6
+    assert abs(r.cramers_v - (chi2 / (n * 1)) ** 0.5) < 1e-6
+    assert r.significant == (chi2 > 3.841)
+
+
+def test_chi2_independence_independent_table_near_zero(spark):
+    from time_series_databse_engine_spark.operators.profile import chi2_independence
+
+    # perfectly proportional rows -> chi2 exactly 0
+    rows = [("a", "p")] * 6 + [("a", "q")] * 12 + [("b", "p")] * 3 + [("b", "q")] * 6
+    df = spark.createDataFrame(rows, "x string, y string")
+    r = chi2_independence(df, "x", "y").collect()[0]
+    assert abs(r.chi2) < 1e-6
+    assert r.significant is None  # no critical value passed
+
+
+def test_chi2_independence_degenerate_single_row(spark):
+    from time_series_databse_engine_spark.operators.profile import chi2_independence
+
+    df = spark.createDataFrame([("a", "p"), ("a", "q")], "x string, y string")
+    r = chi2_independence(df, "x", "y").collect()[0]
+    assert r.dof == 0 and r.cramers_v is None
+
+
+def test_calibration_report_hand_computed(spark):
+    from time_series_databse_engine_spark.operators.profile import calibration_report
+
+    # bin 1 (scores .10-.15): 4 rows, 1 positive ; bin 9: s=1.0 joins top bin
+    rows = [
+        (0, 0.10, 0), (1, 0.12, 0), (2, 0.14, 1), (3, 0.15, 0),
+        (4, 0.95, 1), (5, 1.00, 1),
+    ]
+    df = spark.createDataFrame(rows, "id long, s double, y int")
+    out = {r.bin: r for r in calibration_report(df, "s", "y", n_bins=10).collect()}
+    assert set(out) == {1, 9}
+    b1 = out[1]
+    assert b1.n == 4 and abs(b1.frac_pos - 0.25) < 1e-9
+    ms = (0.10 + 0.12 + 0.14 + 0.15) / 4
+    assert abs(b1.mean_score - ms) < 1e-6
+    assert abs(b1.abs_gap - abs(ms - 0.25)) < 1e-6
+    assert abs(b1.weight - 4 / 6) < 1e-6
+    brier1 = ((0.10 - 0) ** 2 + (0.12 - 0) ** 2 + (0.14 - 1) ** 2 + (0.15 - 0) ** 2) / 4
+    assert abs(b1.brier - brier1) < 1e-6
+    b9 = out[9]
+    assert b9.n == 2 and b9.frac_pos == 1.0
+    # perfectly confident correct top bin: brier = avg((.95-1)^2, (1-1)^2)
+    assert abs(b9.brier - (0.05 ** 2) / 2) < 1e-6
+
+
+def test_calibration_report_clips_out_of_range_scores(spark):
+    from time_series_databse_engine_spark.operators.profile import calibration_report
+
+    df = spark.createDataFrame(
+        [(0, -0.2, 0), (1, 1.7, 1)], "id long, s double, y int"
+    )
+    out = {r.bin: r for r in calibration_report(df, "s", "y").collect()}
+    assert set(out) == {0, 9}
+    assert out[0].mean_score == 0.0 and out[9].mean_score == 1.0
+
+
+def test_benford_audit_conforming_vs_uniform(spark):
+    import math
+
+    from time_series_databse_engine_spark.operators.profile import benford_audit
+
+    # group "b": exact Benford multiset (digit d appears round(1000*P(d)))
+    # group "u": uniform digits 1..9 — MAD = (1/9)Σ|1/9 - P(d)| ≈ 0.049
+    rows = []
+    for d in range(1, 10):
+        n_b = round(1000 * math.log10(1 + 1 / d))
+        rows += [("b", float(d))] * n_b
+        rows += [("u", float(d))] * 100
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r.g: r for r in benford_audit(df, "v", "g").collect()}
+    assert out["b"].conforming is True and out["b"].mad < 0.001
+    assert out["u"].conforming is False and out["u"].mad > 0.04
+    # hand-check the uniform MAD
+    exp_mad = sum(abs(1 / 9 - math.log10(1 + 1 / d)) for d in range(1, 10)) / 9
+    assert abs(out["u"].mad - exp_mad) < 1e-4
+
+
+def test_benford_audit_missing_digits_charged_and_cents_digit(spark):
+    from time_series_databse_engine_spark.operators.profile import benford_audit
+
+    # only digit 9 observed; digits 1-8 still charge expected mass:
+    # chi2 = n * [ (1-e9)^2/e9 + Σ_{d<9} e_d ] ; also 0.99 -> cents 99 -> digit 9
+    import math
+
+    df = spark.createDataFrame(
+        [("g", 0.99)] * 50, "g string, v double"
+    )
+    r = benford_audit(df, "v", "g").collect()[0]
+    e9 = math.log10(1 + 1 / 9)
+    chi2 = 50 * ((1 - e9) ** 2 / e9 + sum(math.log10(1 + 1 / d) for d in range(1, 9)))
+    assert abs(r.chi2 - chi2) < 1e-4
+    assert r.conforming is False
+    # non-positive and NULL-group rows excluded
+    df2 = spark.createDataFrame(
+        [("g", 0.0), ("g", -5.0), (None, 3.0), ("g", 3.0)], "g string, v double"
+    )
+    assert benford_audit(df2, "v", "g").collect()[0].n == 1

@@ -578,3 +578,67 @@ def test_temperature_mix_and_winsorize_exclude_null_keys(spark):
     got = {r.doc_id: r for r in out.collect()}
     assert 500 not in got and len(got) == 101  # excluded, not silently joined away
     assert got[99].value_winsorized == got[99].p_hi_bound  # bounds from non-NULL only
+
+
+def test_pareto_front_matches_brute_force(spark):
+    from time_series_databse_engine_spark.operators.sampling import pareto_front
+
+    # (id, q, t): mixed frontier with q-ties and an exact duplicate point
+    pts = [
+        (0, 0.9, 100), (1, 0.9, 80), (2, 0.8, 80), (3, 0.8, 50),
+        (4, 0.7, 50), (5, 0.7, 40), (6, 0.5, 200), (7, 0.5, 40),
+        (8, 0.7, 40),  # duplicate of id 5 on both axes -> both kept
+    ]
+    df = spark.createDataFrame(pts, "doc_id long, q double, t long")
+    got = sorted(r.doc_id for r in pareto_front(df, "q", "t").collect())
+
+    def dominated(d):
+        return any(
+            e[1] >= d[1] and e[2] <= d[2] and (e[1] > d[1] or e[2] < d[2])
+            for e in pts if e[0] != d[0]
+        )
+
+    want = sorted(p[0] for p in pts if not dominated(p))
+    assert got == want
+    # sanity on the fixture: q-tie loser (0), strict losers (2,4,6) are out
+    assert 0 not in got and 6 not in got and 5 in got and 8 in got
+
+
+def test_pareto_front_single_point_and_nulls(spark):
+    from time_series_databse_engine_spark.operators.sampling import pareto_front
+
+    df = spark.createDataFrame(
+        [(0, 0.5, 10), (1, None, 5), (2, 0.4, None)],
+        "doc_id long, q double, t long",
+    )
+    got = [r.doc_id for r in pareto_front(df, "q", "t").collect()]
+    assert got == [0]  # NULL on either axis is excluded, not dominant
+
+
+def test_conformal_threshold_exact_order_statistic(spark):
+    from time_series_databse_engine_spark.operators.sampling import (
+        conformal_threshold,
+    )
+
+    # group A: scores 1..9 ; n=9, alpha=0.1 -> k = ceil(10*0.9) = 9 -> 9th
+    # smallest = 9.0 ; group B: n=3 -> k = ceil(4*0.9) = 4 > 3 -> NULL
+    rows = [("A", float(i)) for i in range(1, 10)] + [
+        ("B", 1.0), ("B", 2.0), ("B", 3.0)
+    ]
+    df = spark.createDataFrame(rows, "g string, s double")
+    out = {r.g: r for r in conformal_threshold(df, "s", group_col="g", alpha=0.1).collect()}
+    assert out["A"].k == 9 and out["A"].threshold == 9.0
+    assert out["B"].k == 4 and out["B"].threshold is None
+
+
+def test_conformal_threshold_ties_and_global(spark):
+    from time_series_databse_engine_spark.operators.sampling import (
+        conformal_threshold,
+    )
+
+    # global (no group): 10 scores, four tied at 5.0 ; alpha=0.5 ->
+    # k = ceil(11*0.5) = 6 -> 6th smallest; sorted: 1,2,5,5,5,5,7,8,9,10
+    rows = [(v,) for v in [1.0, 2.0, 5.0, 5.0, 5.0, 5.0, 7.0, 8.0, 9.0, 10.0]]
+    df = spark.createDataFrame(rows, "s double")
+    r = conformal_threshold(df, "s", alpha=0.5).collect()[0]
+    assert r.n == 10 and r.k == 6 and r.threshold == 5.0

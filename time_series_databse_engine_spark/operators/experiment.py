@@ -1,7 +1,7 @@
 """Experimentation readouts — the A/B-test tier a warehouse runs on the
 same event stream the rest of the engine ingests.
 
-Two members, both built on the fixed-point discipline the time-series
+All members are built on the fixed-point discipline the time-series
 tier uses everywhere (exact integer micro-unit sums until closed-form
 finals), so the DuckDB oracle replays every float bit-for-bit:
 
@@ -14,11 +14,20 @@ finals), so the DuckDB oracle replays every float bit-for-bit:
 * :func:`ab_ztest` — classic two-proportion conversion z-test with the
   pooled standard error, the go/no-go number behind every conversion
   experiment.
+* :func:`srm_check` — sample-ratio-mismatch guardrail (chi-square
+  goodness of fit on the arm split).
+* :func:`mann_whitney` — rank-sum test (Mann & Whitney 1947) for the
+  revenue-shaped metrics where the t/z normal theory fails: per-entity
+  spend is zero-inflated and heavy-tailed, and a single whale can move
+  a mean test; the rank statistic is outlier-robust and its tie-
+  corrected normal approximation is standard at experiment sizes.
 
-Scale shape (shared): ONE exchange — the per-entity reduce (map-side
-partial sums; state = n_entities rows of a few integers).  Everything
-after is a handful of per-arm integer sums combined in one-row
-closed-form finals; the corpus is scanned once and never sorted.
+Scale shape (shared): ONE data-sized exchange — the per-entity reduce
+(map-side partial sums; state = n_entities rows of a few integers).
+Everything after is a handful of per-arm integer sums combined in
+one-row closed-form finals; the corpus is scanned once and never
+sorted (mann_whitney adds a distinct-metric-value finish window, the
+PSI/KS discipline).
 """
 
 from __future__ import annotations
@@ -246,4 +255,204 @@ def srm_check(
         "n_arms",
         F.round(chi2, 6).alias("chi2"),
         (chi2 > F.lit(float(chi2_crit))).alias("srm"),
+    )
+
+def mann_whitney(
+    df: DataFrame,
+    id_col: str = "user_id",
+    value_col: str = "value",
+    arm_mod: int = 2,
+    z_crit: float = 1.96,
+) -> DataFrame:
+    """Mann-Whitney U rank-sum test on the per-entity metric — the
+    nonparametric companion to :func:`ab_ztest`/:func:`cuped_readout`
+    for heavy-tailed metrics (per-user revenue: mostly zeros + a long
+    tail) where a mean-based z/t readout is whale-dominated.
+
+    Entities are ``id % arm_mod`` arms (only arms 0/1 tested, the
+    ab_ztest convention); per-entity metric y = Σ value in exact
+    integer cents.  With combined midranks (ties averaged):
+
+        R1 = Σ ranks of arm-1 entities
+        U1 = R1 − n1(n1+1)/2
+        μ  = n0·n1/2
+        σ² = (n0·n1/12)·((N+1) − Σ(t³−t)/(N(N−1)))   (tie-corrected)
+        z  = (U1 − μ)/σ                    (no continuity correction)
+
+    Returns ONE row: (n0, n1, u1, z, significant) — u1/z rounded 6 dp,
+    NULL z when σ² = 0 (every entity tied — one distinct value).
+    Everything stays exact integers until the final closed form: ranks
+    are carried in HALF-units (2·midrank = 2·cum_before + t + 1 is
+    always integral), so R1 and the tie term Σ(t³−t) are exact BIGINTs
+    in both engines.
+
+    Scale shape: the per-entity reduce is the one data-sized exchange;
+    ranks come from the per-distinct-metric-value count table (the
+    :func:`~..profile.ks_drift` discipline — integer-cent metrics keep
+    the distinct-value table far below entity count; quantize first for
+    genuinely continuous metrics), and the cumulative-count finish
+    window runs over THAT table only.  The corpus never sorts.
+    """
+    from pyspark.sql import Window as W
+
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    per = (
+        df.where(F.col(id_col).isNotNull())
+        .groupBy(F.col(id_col).alias("_id"))
+        .agg(F.sum(cents).alias("_y"))
+        .select((F.col("_id") % F.lit(int(arm_mod))).alias("_arm"), "_y")
+        .where(F.col("_arm") < 2)
+    )
+    vc = per.groupBy("_y").agg(
+        F.count("*").alias("_t"),
+        F.sum(F.when(F.col("_arm") == 1, 1).otherwise(0)).alias("_t1"),
+    )
+    wb = W.orderBy("_y").rowsBetween(W.unboundedPreceding, -1)
+    ranked = vc.select(
+        "_t",
+        "_t1",
+        F.coalesce(F.sum("_t").over(wb), F.lit(0)).alias("_cb"),
+    )
+    agg = ranked.agg(
+        F.sum("_t").alias("_n"),
+        F.sum("_t1").alias("n1"),
+        # Σ over arm-1 entities of 2·midrank, exact integer
+        F.sum(
+            F.col("_t1") * (F.lit(2) * F.col("_cb") + F.col("_t") + F.lit(1))
+        ).alias("_r1x2"),
+        F.sum(
+            F.col("_t") * F.col("_t") * F.col("_t") - F.col("_t")
+        ).alias("_ties"),
+    )
+    n = F.col("_n").cast("double")
+    n1 = F.col("n1").cast("double")
+    n0 = n - n1
+    u1 = F.col("_r1x2").cast("double") / F.lit(2.0) - n1 * (n1 + F.lit(1.0)) / F.lit(2.0)
+    mu = n0 * n1 / F.lit(2.0)
+    sig2 = (
+        n0
+        * n1
+        / F.lit(12.0)
+        * (
+            (n + F.lit(1.0))
+            - F.col("_ties").cast("double") / (n * (n - F.lit(1.0)))
+        )
+    )
+    z = F.when(sig2 > 0, (u1 - mu) / F.sqrt(sig2))
+    return agg.select(
+        (F.col("_n") - F.col("n1")).alias("n0"),
+        "n1",
+        F.round(u1, 6).alias("u1"),
+        F.round(z, 6).alias("z"),
+        F.when(z.isNotNull(), F.abs(z) > F.lit(float(z_crit))).alias("significant"),
+    )
+
+
+def did_readout(
+    df: DataFrame,
+    split_ms: int,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    arm_mod: int = 2,
+    z_crit: float = 1.96,
+) -> DataFrame:
+    """Difference-in-differences readout (Card & Krueger 1994 shape):
+    the causal estimate when assignment is NOT randomized — a staged
+    rollout, a geo launch, a policy change — where :func:`ab_ztest`/
+    :func:`cuped_readout`'s exchangeability assumption fails but the
+    parallel-trends assumption (both groups drift alike absent
+    treatment) is defensible:
+
+        DiD = (ȳ_t,post − ȳ_t,pre) − (ȳ_c,post − ȳ_c,pre)
+
+    Per entity: pre/post period sums of ``value_col`` in exact integer
+    cents split at ``split_ms`` (the cuped_readout covariate recipe);
+    groups are ``id % arm_mod`` (0 = control, 1 = treated).  Standard
+    error treats the four cell means as independent across entities
+    (each entity contributes one pre and one post value, and the
+    difference-of-differences variance is priced from the per-entity
+    DELTA y − x, which absorbs the within-entity pre/post covariance):
+
+        se² = s²_Δ,c/n_c + s²_Δ,t/n_t      (population variances of Δ)
+
+    Returns ONE row: (n_ctrl, n_treat, pre_ctrl, post_ctrl, pre_treat,
+    post_treat, did, se, z, significant) — means in original units,
+    6 dp, NULL z when se = 0.  NULL ids/timestamps are excluded;
+    entities silent in a period carry 0 for it (the standard
+    balanced-panel convention for sum metrics).
+
+    Scale shape: identical to cuped_readout — ONE per-entity exchange,
+    then per-group integer sums (n, Σx, Σy, ΣΔ, ΣΔ²) combined in a
+    one-row closed form; the corpus never sorts.
+    """
+    ms = F.unix_millis(F.col(ts_col))
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    per = (
+        df.where(F.col(id_col).isNotNull() & F.col(ts_col).isNotNull())
+        .groupBy(F.col(id_col).alias("_id"))
+        .agg(
+            F.sum(
+                F.when(ms < F.lit(int(split_ms)), cents).otherwise(F.lit(0))
+            ).alias("_x"),
+            F.sum(
+                F.when(ms >= F.lit(int(split_ms)), cents).otherwise(F.lit(0))
+            ).alias("_y"),
+        )
+        .select(
+            (F.col("_id") % F.lit(int(arm_mod))).alias("_arm"), "_x", "_y"
+        )
+        .where(F.col("_arm") < 2)
+    )
+    dlt = F.col("_y") - F.col("_x")
+    agg = per.groupBy("_arm").agg(
+        F.count("*").alias("_n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(dlt).alias("_sd"),
+        F.sum(dlt * dlt).alias("_sdd"),
+    )
+    # pivot the two arm rows into one via conditional one-row aggregation
+    row = agg.agg(
+        *[
+            F.max(F.when(F.col("_arm") == a, F.col(c))).alias(f"{c}{a}")
+            for a in (0, 1)
+            for c in ("_n", "_sx", "_sy", "_sd", "_sdd")
+        ]
+    )
+    out_cols = []
+    means = {}
+    for a in (0, 1):
+        n = F.col(f"_n{a}").cast("double")
+        means[(a, "pre")] = F.col(f"_sx{a}").cast("double") / n / F.lit(100.0)
+        means[(a, "post")] = F.col(f"_sy{a}").cast("double") / n / F.lit(100.0)
+    n0 = F.col("_n0").cast("double")
+    n1 = F.col("_n1").cast("double")
+    # population variance of the per-entity delta, in cents²
+    vd0 = (
+        F.col("_sdd0").cast("double")
+        - F.col("_sd0").cast("double") * F.col("_sd0").cast("double") / n0
+    ) / n0
+    vd1 = (
+        F.col("_sdd1").cast("double")
+        - F.col("_sd1").cast("double") * F.col("_sd1").cast("double") / n1
+    ) / n1
+    did = (
+        F.col("_sd1").cast("double") / n1 - F.col("_sd0").cast("double") / n0
+    ) / F.lit(100.0)
+    se = F.sqrt(vd0 / n0 + vd1 / n1) / F.lit(100.0)
+    z = F.when(se > 0, did / se)
+    return row.select(
+        F.col("_n0").alias("n_ctrl"),
+        F.col("_n1").alias("n_treat"),
+        F.round(means[(0, "pre")], 6).alias("pre_ctrl"),
+        F.round(means[(0, "post")], 6).alias("post_ctrl"),
+        F.round(means[(1, "pre")], 6).alias("pre_treat"),
+        F.round(means[(1, "post")], 6).alias("post_treat"),
+        F.round(did, 6).alias("did"),
+        F.round(se, 6).alias("se"),
+        F.round(z, 6).alias("z"),
+        F.when(z.isNotNull(), F.abs(z) > F.lit(float(z_crit))).alias(
+            "significant"
+        ),
     )

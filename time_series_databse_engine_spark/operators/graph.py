@@ -357,3 +357,84 @@ def k_core(
         .agg(F.count("*").alias("core_degree"))
         .select(F.col("src").alias("id"), "core_degree")
     )
+
+
+def modularity(
+    pairs: DataFrame,
+    labels: DataFrame,
+    src_col: str = "id1",
+    dst_col: str = "id2",
+    id_col: str = "id",
+    community_col: str = "community",
+) -> DataFrame:
+    """Newman modularity of a node partition over an undirected pair
+    list (Newman & Girvan 2004) — the number that says whether a
+    community assignment (label_propagation, dedup_clusters) actually
+    carves the graph at its joints or just relabels noise:
+
+        Q = Σ_c [ m_c/m − (d_c/(2m))² ]
+
+    with m = |edges|, m_c = within-community edges, d_c = total degree
+    of community c.  Q ≈ 0 means no better than random for those
+    degrees; real cluster structure typically lands 0.3–0.7; Q < 0
+    means the partition is ANTI-correlated with the topology (e.g.
+    labels leaked from some non-graph feature).
+
+    ``pairs`` is the undirected candidate-pair contract (id1 < id2,
+    distinct); ``labels`` maps every node to its community (nodes
+    missing a label are excluded — inner join — and isolated labeled
+    nodes contribute a zero term, so either convention leaves Q
+    unchanged).  Returns ONE row: (n_nodes, n_edges, n_communities,
+    modularity), Q rounded 6 dp.
+
+    Scale shape: degree reduce (node-keyed), two node-keyed joins of
+    the edge list onto the label map, then everything is
+    community-sized — m_c and d_c re-reduce per community and Q is a
+    one-row sum of per-community float terms (exact BIGINTs until the
+    final divisions, the mutual_info discipline).
+    """
+    e = pairs.select(F.col(src_col).alias("_a"), F.col(dst_col).alias("_b"))
+    lab = labels.select(
+        F.col(id_col).alias("_id"), F.col(community_col).alias("_c")
+    )
+    deg = (
+        e.select(F.col("_a").alias("_id"))
+        .union(e.select(F.col("_b").alias("_id")))
+        .groupBy("_id")
+        .agg(F.count("*").alias("_deg"))
+    )
+    dc = (
+        deg.join(lab, "_id")
+        .groupBy("_c")
+        .agg(F.sum("_deg").alias("_dc"), F.count("*").alias("_nn"))
+    )
+    ej = e.join(
+        lab.select(F.col("_id").alias("_a"), F.col("_c").alias("_ca")), "_a"
+    ).join(
+        lab.select(F.col("_id").alias("_b"), F.col("_c").alias("_cb")), "_b"
+    )
+    mc = (
+        ej.where(F.col("_ca") == F.col("_cb"))
+        .groupBy(F.col("_ca").alias("_c"))
+        .agg(F.count("*").alias("_mc"))
+    )
+    m_row = F.broadcast(e.agg(F.count("*").alias("_m")))
+    comm = (
+        dc.join(mc, "_c", "left")
+        .select(
+            "_c",
+            "_dc",
+            "_nn",
+            F.coalesce(F.col("_mc"), F.lit(0)).alias("_mc"),
+        )
+        .crossJoin(m_row)
+    )
+    md = F.col("_m").cast("double")
+    frac = F.col("_dc").cast("double") / (F.lit(2.0) * md)
+    term = F.col("_mc").cast("double") / md - frac * frac
+    return comm.agg(
+        F.sum("_nn").alias("n_nodes"),
+        F.max("_m").alias("n_edges"),
+        F.count("*").alias("n_communities"),
+        F.round(F.sum(term), 6).alias("modularity"),
+    )

@@ -867,3 +867,231 @@ def expect_rules(df: DataFrame, rules) -> DataFrame:
         ),
         (F.col("violations") == 0).alias("passed"),
     )
+
+
+def chi2_independence(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    chi2_crit: float | None = None,
+) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns (Pearson 1900) + Cramér's V effect size — the
+    significance-scaled sibling of :func:`mutual_info`: MI measures HOW
+    MUCH one column tells you about the other in nats; χ² asks whether
+    the observed dependence exceeds sampling noise, and V rescales it
+    to a sample-size-free [0, 1] so two tables of different sizes
+    compare (the categorical-drift / segment-dependence screen).
+
+        χ²  = Σ_ij (n_ij − e_ij)² / e_ij,   e_ij = r_i·c_j / n
+        V   = sqrt( χ² / (n · min(R−1, C−1)) )        (Cramér 1946)
+
+    NULL in either column is excluded (no cell).  Returns ONE row:
+    (n, n_x, n_y, dof, chi2, cramers_v, significant) — χ²/V rounded
+    6 dp.  Cells never observed still contribute: Σ over ALL R×C cells
+    of (n_ij−e_ij)²/e_ij = Σ_observed n_ij²/e_ij − n exactly (the
+    missing-cell closure the srm_check χ² uses), so the statistic is
+    over the full contingency rectangle.  ``significant`` compares
+    against ``chi2_crit`` when given and is NULL otherwise (the
+    critical value depends on dof — pass the χ²_{0.05, dof} for your
+    table; no incomplete-gamma in either SQL engine).  V is NULL for a
+    degenerate 1×C / R×1 table (dof = 0).
+
+    Scale shape (the mutual_info discipline): ONE exchange on the
+    (x, y) joint key producing the cell-count table; marginals join
+    broadcast FROM the cells, never rescanning the corpus.  Exact
+    integer counts until the final divisions.
+    """
+    cells = (
+        df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .groupBy(F.col(x_col).alias("_x"), F.col(y_col).alias("_y"))
+        .agg(F.count("*").alias("_c"))
+        .localCheckpoint()
+    )
+    mx = cells.groupBy("_x").agg(F.sum("_c").alias("_cx"))
+    my = cells.groupBy("_y").agg(F.sum("_c").alias("_cy"))
+    joined = cells.join(F.broadcast(mx), "_x").join(F.broadcast(my), "_y")
+    # Σ n_ij²/e_ij = n · Σ n_ij²/(r_i·c_j); carried as the exact-count
+    # ratio sum, scaled by n in the final row
+    agg = joined.agg(
+        F.sum("_c").alias("_n"),
+        F.count_distinct("_x").alias("n_x"),
+        F.count_distinct("_y").alias("n_y"),
+        F.sum(
+            F.col("_c").cast("double") * F.col("_c").cast("double")
+            / (F.col("_cx").cast("double") * F.col("_cy").cast("double"))
+        ).alias("_ratio"),
+    )
+    n = F.col("_n").cast("double")
+    chi2 = n * F.col("_ratio") - n
+    dof = (F.col("n_x") - 1) * (F.col("n_y") - 1)
+    minside = F.least(F.col("n_x") - 1, F.col("n_y") - 1).cast("double")
+    v = F.when(dof > 0, F.round(F.sqrt(F.greatest(chi2, F.lit(0.0)) / (n * minside)), 6))
+    sig = (
+        F.lit(None).cast("boolean")
+        if chi2_crit is None
+        else (chi2 > F.lit(float(chi2_crit)))
+    )
+    return agg.select(
+        F.col("_n").alias("n"),
+        "n_x",
+        "n_y",
+        dof.alias("dof"),
+        F.round(chi2, 6).alias("chi2"),
+        v.alias("cramers_v"),
+        sig.alias("significant"),
+    )
+
+
+def calibration_report(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram + expected-calibration-error decomposition of
+    a probabilistic classifier against binary outcomes (Naeini 2015 for
+    ECE; Brier 1950) — the eval that decides whether a quality/filter
+    model's scores can be USED as probabilities (threshold picking,
+    expected-token budgeting) or only as a ranking:
+    :func:`~..similarity.ranking_eval` grades the ordering; this grades
+    the calibration.
+
+    Scores are clipped to [0, 1] and binned into ``n_bins`` equal-width
+    bins by floor(score·B) (score = 1 joins the top bin); per bin:
+
+        (bin, n, mean_score, frac_pos, abs_gap, weight, brier)
+
+    where ``abs_gap`` = |mean_score − frac_pos| (the bin's reliability
+    deviation; Σ weight·abs_gap over bins is the ECE), ``weight`` =
+    n_bin/n, and ``brier`` = avg((score − label)²) within the bin (the
+    bin-sliced Brier score).  6 dp; one row per OCCUPIED bin, bin
+    ascending.  NULL score or label rows are excluded.
+
+    Fixed-point discipline (the cuped/srm recipe): scores quantize to
+    integer MICRO-units (round(s·10⁶), the classifier's own 6-dp score
+    grid) so every per-bin sum — Σs, Σy, Σ(s−y)² in micro² — is an
+    exact BIGINT in both engines and only the final divisions are
+    floats.  (Σ(s−y)² ≤ n·10¹²: overflow needs ~9·10⁶ rows PER BIN
+    times 10¹² — switch the squares column to DECIMAL(38,0) beyond
+    ~10¹⁸, noted rather than silently saturated.)
+
+    Scale shape: ONE exchange — the bin-keyed reduce (≤ n_bins groups,
+    map-side partials carry 4 integers).  Scores come in from the
+    classifier's own plan; the report adds no corpus shuffle beyond
+    the ≤ n_bins-row aggregate.
+    """
+    s = F.least(F.greatest(F.col(score_col).cast("double"), F.lit(0.0)), F.lit(1.0))
+    su = F.round(s * F.lit(1000000.0)).cast("long")
+    yu = F.col(label_col).cast("long")
+    b = F.least(F.floor(s * F.lit(int(n_bins))).cast("int"), F.lit(int(n_bins) - 1))
+    binned = df.where(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(b.alias("bin"), su.alias("_su"), yu.alias("_yu"))
+    d = F.col("_su") - F.col("_yu") * F.lit(1000000)
+    per = binned.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.sum("_su").alias("_ss"),
+        F.sum("_yu").alias("_sy"),
+        F.sum(d * d).alias("_sq"),
+    )
+    tot = F.broadcast(per.agg(F.sum("n").alias("_tot")))
+    nn = F.col("n").cast("double")
+    ms = F.col("_ss").cast("double") / nn / F.lit(1000000.0)
+    fp = F.col("_sy").cast("double") / nn
+    return (
+        per.crossJoin(tot)
+        .select(
+            "bin",
+            "n",
+            F.round(ms, 6).alias("mean_score"),
+            F.round(fp, 6).alias("frac_pos"),
+            F.round(F.abs(ms - fp), 6).alias("abs_gap"),
+            F.round(nn / F.col("_tot").cast("double"), 6).alias("weight"),
+            F.round(
+                F.col("_sq").cast("double") / nn / F.lit(1.0e12), 6
+            ).alias("brier"),
+        )
+        .orderBy("bin")
+    )
+
+
+def benford_audit(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    mad_crit: float = 0.015,
+) -> DataFrame:
+    """First-significant-digit Benford conformity audit per group
+    (Newcomb 1881 / Benford 1938; MAD cutoffs per Nigrini 2012) — the
+    forensic data-quality screen for "naturally grown" numeric columns:
+    organic transaction amounts follow P(d) = log₁₀(1 + 1/d), while
+    fabricated, capped, defaulted, or unit-mangled feeds don't — a
+    cheap per-source tripwire that catches generator bugs and upstream
+    truncation no schema check sees.
+
+        χ²  = n · Σ_d (obs_d − exp_d)² / exp_d      (8 dof)
+        MAD = (1/9) Σ_d |obs_d − exp_d|             (Nigrini's measure)
+
+    The digit comes from the value in exact integer CENTS
+    (round(v·100), the house fixed-point): BIGINT→string never goes
+    scientific in either engine, so ``substr(cast(cents), 1, 1)`` is
+    deterministic where float log₁₀-of-a-power-of-ten flooring is not.
+    Rows with cents ≤ 0 are excluded (Benford is defined on positive
+    magnitudes).  Returns one row per group: (group, n, chi2, mad,
+    conforming) — 6 dp, ``conforming`` = MAD ≤ ``mad_crit`` (0.015 is
+    Nigrini's first-digit nonconformity bound).  Digits a group never
+    produced still contribute their full expected share to both
+    statistics (the srm_check missing-cell charge, via a 9-row
+    digit-literal cross join).
+
+    Scale shape: ONE exchange on the (group, digit) key — ≤ 9·|groups|
+    cells regardless of row count; the expected-share table is a 9-row
+    literal broadcast and the finish is a per-group 9-row reduce.
+    Exact integer counts until the final shares.
+    """
+    import math
+
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    d = F.substring(cents.cast("string"), 1, 1).cast("int")
+    cells = (
+        df.where(F.col(group_col).isNotNull() & (cents > 0))
+        .groupBy(F.col(group_col).alias("_g"), d.alias("_d"))
+        .agg(F.count("*").alias("_c"))
+    )
+    spark = df.sparkSession
+    exp = spark.createDataFrame(
+        [(dd, math.log10(1.0 + 1.0 / dd)) for dd in range(1, 10)],
+        "_d int, _e double",
+    )
+    # full 9-digit rectangle per group: groups × the digit literal, so
+    # never-seen digits charge their expected mass
+    groups = cells.groupBy("_g").agg(F.sum("_c").alias("_n"))
+    rect = (
+        groups.crossJoin(F.broadcast(exp))
+        .join(cells, ["_g", "_d"], "left")
+        .select(
+            "_g",
+            "_n",
+            "_e",
+            F.coalesce(F.col("_c"), F.lit(0)).alias("_c"),
+        )
+    )
+    obs = F.col("_c").cast("double") / F.col("_n").cast("double")
+    e = F.col("_e")
+    per = rect.groupBy(F.col("_g"), F.col("_n")).agg(
+        F.sum((obs - e) * (obs - e) / e).alias("_x2"),
+        F.sum(F.abs(obs - e)).alias("_sad"),
+    )
+    chi2 = F.col("_n").cast("double") * F.col("_x2")
+    mad = F.col("_sad") / F.lit(9.0)
+    return (
+        per.select(
+            F.col("_g").alias(group_col),
+            F.col("_n").alias("n"),
+            F.round(chi2, 6).alias("chi2"),
+            F.round(mad, 6).alias("mad"),
+            (mad <= F.lit(float(mad_crit))).alias("conforming"),
+        )
+        .orderBy(group_col)
+    )

@@ -673,3 +673,127 @@ def winsorize(
         )
         .withColumnsRenamed({"_lo": "p_lo_bound", "_hi": "p_hi_bound"})
     )
+
+
+def pareto_front(
+    df: DataFrame,
+    max_col: str,
+    min_col: str,
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """2-D skyline (Börzsönyi 2001): the rows NOT dominated under
+    "maximize ``max_col``, minimize ``min_col``" — the multi-objective
+    data-selection frontier (e.g. quality vs token cost: a doc is off
+    the frontier iff some other doc is at least as good on both axes
+    and strictly better on one).  Returns the non-dominated rows as
+    (id, max_col, min_col), id ascending for determinism; duplicate
+    frontier points (equal on both axes) are all kept — neither
+    dominates the other.
+
+    Scale shape — the naive plan (global sort + running min) funnels
+    the corpus through ONE partition, so instead:
+
+    1. per-(distinct ``max_col`` value) min of ``min_col`` — a
+       distinct-value-sized count-table reduce (the ks_drift
+       discipline; 6-dp-quantized scores keep it bounded);
+    2. the strictly-descending prefix min over that table (the only
+       window — distinct-value-sized, never corpus-sized);
+    3. broadcast-join the (value → group-min, strict-higher-prefix-min)
+       table back and filter: a row survives iff its ``min_col`` equals
+       its value-group's min AND beats every strictly-higher value's
+       min.  The corpus is scanned once and never sorted or shuffled
+       (``n_buckets`` reserved for a quantile-bucketed step-1 when
+       ``max_col`` is continuous and unquantized).
+
+    Equivalence to pairwise dominance: a dominator with the SAME
+    ``max_col`` exists iff min_col > group-min; one with strictly
+    higher ``max_col`` exists iff min_col ≥ some higher group's min,
+    i.e. ≥ the strict prefix min — together exactly NOT EXISTS
+    (q' ≥ q ∧ t' ≤ t ∧ (q' > q ∨ t' < t)).
+    """
+    q = F.col(max_col)
+    t = F.col(min_col)
+    base = df.where(q.isNotNull() & t.isNotNull())
+    gm = base.groupBy(q.alias("_q")).agg(F.min(t).alias("_gmin"))
+    wb = W.orderBy(F.col("_q").desc()).rowsBetween(W.unboundedPreceding, -1)
+    marks = gm.select(
+        "_q",
+        "_gmin",
+        F.min("_gmin").over(wb).alias("_pmin"),
+    )
+    return (
+        base.join(F.broadcast(marks), q == F.col("_q"))
+        .where(
+            (t == F.col("_gmin"))
+            & (F.col("_pmin").isNull() | (t < F.col("_pmin")))
+        )
+        .select(id_col, max_col, min_col)
+        .orderBy(id_col)
+    )
+
+
+def conformal_threshold(
+    df: DataFrame,
+    score_col: str,
+    group_col: str | None = None,
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Split-conformal calibration threshold (Vovk 2005; Angelopoulos &
+    Bates 2021 §2): given held-out nonconformity scores, the cutoff
+
+        q̂ = the ⌈(n+1)(1−α)⌉-th smallest score
+
+    guarantees P(new score ≤ q̂) ≥ 1 − α for an exchangeable draw —
+    the distribution-free prediction-set radius, and for a data
+    pipeline the principled "auto-threshold": flag any incoming row
+    whose outlier/novelty score exceeds q̂ and at most α of clean
+    traffic alarms.  Per group (or one global row when ``group_col``
+    is None): (group?, n, k, threshold) with threshold rounded 6 dp and
+    NULL when k > n (n < ⌈1/α⌉ − 1 scores can't certify the level —
+    the standard finite-sample failure, surfaced instead of clamped).
+    NULL scores are excluded; the (n+1) in the rank is what
+    distinguishes the conformal quantile from a naive empirical one.
+
+    Scale shape: scores reduce map-side to the per-(group, distinct
+    value) count table (the ks_drift discipline), the cumulative rank
+    runs group-partitioned over THAT table, and the threshold pick is
+    one filter + min per group.  Exact integer ranks — no interpolating
+    percentile; the k-th order statistic is what the guarantee is
+    proved for.
+    """
+    import math
+
+    g = F.col(group_col) if group_col else F.lit(0)
+    vc = (
+        df.where(F.col(score_col).isNotNull())
+        .groupBy(g.alias("_g"), F.col(score_col).alias("_v"))
+        .agg(F.count("*").alias("_c"))
+    )
+    wcum = (
+        W.partitionBy("_g").orderBy("_v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    ranked = vc.select(
+        "_g",
+        "_v",
+        F.sum("_c").over(wcum).alias("_cum"),
+        F.sum("_c").over(W.partitionBy("_g")).alias("_n"),
+    )
+    a = float(alpha)
+    k = F.ceil((F.col("_n") + 1) * F.lit(1.0 - a)).cast("long")
+    picked = (
+        ranked.withColumn("_k", k)
+        .groupBy("_g", "_n", "_k")
+        .agg(
+            F.min(F.when(F.col("_cum") >= F.col("_k"), F.col("_v"))).alias("_thr")
+        )
+    )
+    out = picked.select(
+        F.col("_g").alias(group_col if group_col else "group"),
+        F.col("_n").alias("n"),
+        F.col("_k").alias("k"),
+        F.when(F.col("_k") <= F.col("_n"), F.round(F.col("_thr"), 6)).alias(
+            "threshold"
+        ),
+    )
+    return out.orderBy(out.columns[0]) if group_col else out.drop("group")
