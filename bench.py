@@ -585,6 +585,25 @@ def main():
         )
         extra["stream_ks_drift_rows_per_sec"] = round(n_ks / dt)
 
+        # live conformal threshold: the same events stream re-used as a
+        # 4-epoch calibration-score feed — each epoch re-picks every
+        # group's ceil((n+1)(1-alpha)) cutoff from mergeable counts
+        from time_series_databse_engine_spark.streaming.ingest import (
+            stream_conformal,
+        )
+
+        dt = _drain(
+            stream_conformal(
+                spark.readStream.schema(ks_cur.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(tmp + "/ks_src"),
+                tmp + "/conf_out",
+                tmp + "/conf_ckpt",
+                alpha=0.1,
+            )
+        )
+        extra["stream_conformal_rows_per_sec"] = round(n_ks / dt)
+
         # live embedding drift: even-id half pinned as per-dim centroid
         # artifact, odd-id half streamed in 4 epochs — each epoch
         # re-prices running centroid cosine/norm vs the pin from

@@ -1067,3 +1067,68 @@ def test_streaming_embedding_drift_merge_identity_and_replay(spark, tmp_path):
     met2 = {(r.epoch_id, r.label): tuple(r)
             for r in spark.read.parquet(out + "/metrics").collect()}
     assert met2 == snap
+
+
+def test_streaming_conformal_merge_identity_and_replay(spark, tmp_path):
+    """Live conformal threshold: each epoch's running pick (all stream
+    rows so far, via conformal_from_counts) is row-identical to the
+    batch conformal_threshold on the union of rows seen; growing n
+    flips the too-small group from NULL to a certified cutoff; crash
+    replay converges bit-identically."""
+    import shutil
+    import time as _t
+
+    from time_series_databse_engine_spark.operators.sampling import (
+        conformal_threshold,
+    )
+    from time_series_databse_engine_spark.streaming.ingest import stream_conformal
+
+    schema = "event_type string, value double"
+    # epoch 0: group A has only 5 scores (k = ceil(6*0.9) = 6 > 5 -> NULL)
+    # epoch 1: 15 more -> n = 20, k = ceil(21*0.9) = 19 -> certified
+    b1 = [("A", float(i)) for i in range(1, 6)]
+    b2 = [("A", float(i)) for i in range(6, 21)]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(src + "/b1")
+    _t.sleep(1.1)
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(src + "/b2")
+    out = str(tmp_path / "conf")
+
+    def run():
+        q = stream_conformal(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/*"),
+            out,
+            str(tmp_path / "ckpt"),
+            alpha=0.1,
+        ).start()
+        q.awaitTermination(120)
+        q.stop()
+
+    run()
+    met = {
+        r.epoch_id: r for r in spark.read.parquet(out + "/metrics").collect()
+    }
+    # epoch 0: under-sized group surfaces NULL, not a clamped cutoff
+    assert met[0].n == 5 and met[0].k == 6 and met[0].threshold is None
+    # epoch 1 running == batch op on the union
+    want = conformal_threshold(
+        spark.createDataFrame(b1 + b2, schema),
+        "value",
+        group_col="event_type",
+        alpha=0.1,
+    ).collect()[0]
+    got = met[1]
+    assert (got.n, got.k, got.threshold) == (want.n, want.k, want.threshold)
+    assert got.threshold == 19.0  # 19th smallest of 1..20
+
+    # crash replay: wipe the checkpoint; metrics converge bit-identically
+    snap = {k: tuple(v) for k, v in met.items()}
+    shutil.rmtree(str(tmp_path / "ckpt"))
+    run()
+    met2 = {
+        r.epoch_id: tuple(r)
+        for r in spark.read.parquet(out + "/metrics").collect()
+    }
+    assert met2 == snap

@@ -762,38 +762,56 @@ def conformal_threshold(
     percentile; the k-th order statistic is what the guarantee is
     proved for.
     """
-    import math
-
     g = F.col(group_col) if group_col else F.lit(0)
     vc = (
         df.where(F.col(score_col).isNotNull())
         .groupBy(g.alias("_g"), F.col(score_col).alias("_v"))
         .agg(F.count("*").alias("_c"))
     )
+    out = conformal_from_counts(
+        vc.select(F.col("_g").alias("g"), F.col("_v").alias("v"), F.col("_c").alias("cnt")),
+        alpha=alpha,
+        group_out_col=group_col if group_col else "group",
+    )
+    return out.orderBy(out.columns[0]) if group_col else out.drop("group")
+
+
+def conformal_from_counts(
+    vc: DataFrame,
+    alpha: float = 0.1,
+    group_out_col: str = "group",
+) -> DataFrame:
+    """Counts-based core of :func:`conformal_threshold`, shared with the
+    streaming leg (``streaming.ingest.stream_conformal``) so both price
+    the IDENTICAL pick (the ``ks_from_counts`` factoring).  Input is a
+    per-(group, distinct value) count table ``(g, v, cnt)``; NULL
+    scores must already be excluded.  Count tables from separate
+    increments UNION + re-reduce before calling — every component is a
+    semigroup, so the threshold over any epoch window never touches
+    raw rows."""
     wcum = (
-        W.partitionBy("_g").orderBy("_v").rowsBetween(W.unboundedPreceding, W.currentRow)
+        W.partitionBy("g").orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     ranked = vc.select(
-        "_g",
-        "_v",
-        F.sum("_c").over(wcum).alias("_cum"),
-        F.sum("_c").over(W.partitionBy("_g")).alias("_n"),
+        "g",
+        "v",
+        F.sum("cnt").over(wcum).alias("_cum"),
+        F.sum("cnt").over(W.partitionBy("g")).alias("_n"),
     )
     a = float(alpha)
     k = F.ceil((F.col("_n") + 1) * F.lit(1.0 - a)).cast("long")
     picked = (
         ranked.withColumn("_k", k)
-        .groupBy("_g", "_n", "_k")
+        .groupBy("g", "_n", "_k")
         .agg(
-            F.min(F.when(F.col("_cum") >= F.col("_k"), F.col("_v"))).alias("_thr")
+            F.min(F.when(F.col("_cum") >= F.col("_k"), F.col("v"))).alias("_thr")
         )
     )
-    out = picked.select(
-        F.col("_g").alias(group_col if group_col else "group"),
+    return picked.select(
+        F.col("g").alias(group_out_col),
         F.col("_n").alias("n"),
         F.col("_k").alias("k"),
         F.when(F.col("_k") <= F.col("_n"), F.round(F.col("_thr"), 6)).alias(
             "threshold"
         ),
     )
-    return out.orderBy(out.columns[0]) if group_col else out.drop("group")

@@ -1403,3 +1403,105 @@ def stream_embedding_drift(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
     )
+
+
+def stream_conformal(
+    stream: DataFrame,
+    out_path: str,
+    checkpoint_dir: str,
+    group_col: str = "event_type",
+    score_col: str = "value",
+    alpha: float = 0.1,
+    quantize: float | None = None,
+):
+    """Streaming split-conformal threshold maintenance — the live leg
+    of :func:`operators.sampling.conformal_threshold`: as calibration
+    scores stream in, keep each group's ⌈(n+1)(1−α)⌉-th-smallest
+    cutoff current so the serving tier always reads a threshold backed
+    by ALL scores seen (growing n tightens the quantile toward the
+    true level — a stale pinned threshold slowly drifts off its
+    coverage guarantee as traffic shifts).
+
+    Per epoch, two epoch-partitioned tables land under ``out_path``:
+
+    * ``counts/epoch=N/``  — the batch's mergeable per-(group, value)
+      distinct-score counts (the stream_ks_drift state shape:
+      distinct-value-sized, never raw-row-sized; every component a
+      semigroup);
+    * ``metrics/epoch=N/`` — one row PER GROUP:
+      (epoch_id, group, n, k, threshold) pricing ALL stream rows so
+      far via :func:`operators.sampling.conformal_from_counts` — the
+      identical pick as the batch op, so the merged stream state's
+      threshold is row-identical to ``conformal_threshold`` on the
+      union of all rows seen (asserted in-test).
+
+    Exactly-once by the :func:`stream_ks_drift` contract: running
+    reads take STRICTLY-PRIOR epochs only, delete-then-rename epoch
+    dirs make a replayed epoch attempt-independent.
+
+    ``quantize`` is the same continuous-column state dial as
+    :func:`stream_ks_drift` — scores snap to the nearest multiple
+    before counting, bounding state rows per group by
+    range/quantize + 1.  A quantized threshold is conservative-safe
+    only if you snap UP at serve time (threshold + q/2 covers the
+    cell); the exact default is correct for discrete scores.
+    """
+    import glob
+    import os
+    import shutil
+
+    from ..operators.sampling import conformal_from_counts
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        eid = int(epoch_id)
+        tmp_root = os.path.join(out_path, "_tmp", f"epoch-{eid}")
+        shutil.rmtree(tmp_root, ignore_errors=True)
+
+        v_expr = F.col(score_col)
+        if quantize is not None:
+            v_expr = F.round(v_expr / F.lit(float(quantize))) * F.lit(
+                float(quantize)
+            )
+        cnts = (
+            batch_df.select(F.col(group_col).alias("g"), v_expr.alias("v"))
+            .where(F.col("v").isNotNull() & F.col("g").isNotNull())
+            .groupBy("g", "v")
+            .agg(F.count("*").alias("cnt"))
+        )
+        counts_tmp = os.path.join(tmp_root, "counts")
+        cnts.write.mode("overwrite").parquet(counts_tmp)
+        fresh = spark.read.parquet(counts_tmp)
+
+        prior = [
+            d
+            for d in glob.glob(os.path.join(out_path, "counts", "epoch=*"))
+            if int(os.path.basename(d).split("=", 1)[1]) < eid
+        ]
+        running = fresh
+        if prior:
+            running = (
+                fresh.unionByName(
+                    spark.read.parquet(*prior).select("g", "v", "cnt")
+                )
+                .groupBy("g", "v")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+        metrics = conformal_from_counts(
+            running, alpha=alpha, group_out_col=group_col
+        ).withColumn("epoch_id", F.lit(eid))
+        metrics_tmp = os.path.join(tmp_root, "metrics")
+        metrics.coalesce(1).write.mode("overwrite").parquet(metrics_tmp)
+
+        for name, tmp in (("counts", counts_tmp), ("metrics", metrics_tmp)):
+            dst = os.path.join(out_path, name, f"epoch={eid}")
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            shutil.rmtree(dst, ignore_errors=True)
+            os.rename(tmp, dst)
+        shutil.rmtree(tmp_root, ignore_errors=True)
+
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
