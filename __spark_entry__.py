@@ -2407,6 +2407,18 @@ def q_pareto_front(spark, sf_dir):
     return samp_ops.pareto_front(q, "quality", "n_tokens")
 
 
+def q_power_mde(spark, sf_dir):
+    """MDE planning table (experiment.power_mde): per-arm sample sizes
+    → minimum detectable effect at 5 %/80 % from the pilot window's
+    per-user variance — the design half of the experimentation tier
+    (size the NEXT test from THIS corpus).  ONE per-entity exchange;
+    σ̂/mean are a one-row closed form and the grid is a 7-row literal
+    broadcast."""
+    from time_series_databse_engine_spark.operators import experiment as exp_ops
+
+    return exp_ops.power_mde(_t(spark, sf_dir, "events"))
+
+
 def q_benford_audit(spark, sf_dir):
     """First-digit Benford conformity per event_type
     (profile.benford_audit, Nigrini 2012 MAD cutoffs): the forensic
@@ -2448,7 +2460,11 @@ def q_modularity(spark, sf_dir):
     from time_series_databse_engine_spark.operators import graph as graph_ops
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = _scaled_banded_pairs(docs)
+    # the pair list feeds THREE plan branches (component labels, the
+    # degree table, the within-community edge count) — cut the lineage
+    # once so the minhash+banding pipeline runs once, not per branch
+    # (pair-list-sized state, the dedup_clusters iteration discipline)
+    pairs = _scaled_banded_pairs(docs).localCheckpoint()
     labels = dedup_ops.dedup_clusters(pairs)
     return graph_ops.modularity(
         pairs, labels, id_col="doc_id", community_col="cluster_id"
@@ -4486,12 +4502,16 @@ _R12_WINDOW = [
     # holt_winters r11-green.  All eight displaced are r7-green and
     # rotate back r13 — they are the only oracle-backed entries whose
     # newest driver row stays r7 after this window.)
+    # (interarrival_stats is the ninth r7 displacement — power_mde
+    # landed after the first batch-2 cut; gap/interval timing stays
+    # covered by gap_detect + sessionize r9-green rows; r7-green,
+    # rotates back r13 with the other eight)
     "ann_index_append", "asof_join_tolerance",
     "attribution", "bloom_semijoin", "bucketed_join_storage",
     "column_profile_exact", "cusum", "dedup_incremental",
     "dedup_keep_best", "grouping_sets",
     "host_profile",
-    "interarrival_stats", "ivf_recall", "ivfpq_topk",
+    "ivf_recall", "ivfpq_topk",
     "leakage_safe_split", "markov_transitions",
     "media_safe_decode", "neardup_incremental",
     "profile_incremental", "quality_calibration", "range_scan",
@@ -4538,6 +4558,9 @@ _R12_WINDOW = [
     # quality of the dedup components) — zero driver history; they
     # displace the final three r7 entries documented at (c).
     "benford_audit", "did_readout", "modularity",
+    # (f continued) power_mde — the experiment-DESIGN readout, zero
+    # driver history; displaces interarrival_stats (documented at (c)).
+    "power_mde",
 ]
 
 _R11_WINDOW = [
@@ -4827,6 +4850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_audit": q_benford_audit,
         "did_readout": q_did_readout,
         "modularity": q_modularity,
+        "power_mde": q_power_mde,
         "xcorr_lagged": q_xcorr_lagged,
         "scd2_build": q_scd2_build,
         "assoc_rules": q_assoc_rules,
@@ -5920,6 +5944,38 @@ def _conformal_sql(alpha: float = 0.1) -> str:
         SELECT g AS event_type, n, k,
                CASE WHEN k <= n THEN round(thr, 6) END AS threshold
         FROM pick ORDER BY event_type"""
+
+
+def _power_mde_sql() -> str:
+    """MDE replay: per-user integer-cent reduce, population σ closed
+    form, the literal size grid, identical double op order."""
+    sizes = ", ".join(
+        f"({x})" for x in (1_000, 5_000, 10_000, 50_000, 100_000, 500_000, 1_000_000)
+    )
+    return f"""
+        WITH per AS (
+          SELECT user_id, sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS y
+          FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+        g AS (SELECT count(*)::BIGINT AS n, sum(y)::BIGINT AS s,
+                     sum(y * y)::BIGINT AS ss
+              FROM per),
+        st AS (SELECT n AS n_pilot,
+                      sqrt(greatest((ss::DOUBLE - s::DOUBLE * s::DOUBLE
+                                     / n::DOUBLE) / n::DOUBLE, 0.0e0))
+                          AS sigma_c,
+                      s::DOUBLE / n::DOUBLE AS mean_c
+               FROM g),
+        grid(n_per_arm) AS (VALUES {sizes})
+        SELECT n_per_arm::BIGINT AS n_per_arm, n_pilot,
+               round(sigma_c / 100.0e0, 6) AS sigma,
+               round((1.96e0 + 0.8416e0) * sigma_c
+                     * sqrt(2.0e0 / n_per_arm::DOUBLE) / 100.0e0, 6) AS mde,
+               CASE WHEN abs(mean_c) > 0
+                    THEN round((1.96e0 + 0.8416e0) * sigma_c
+                               * sqrt(2.0e0 / n_per_arm::DOUBLE)
+                               / abs(mean_c), 6)
+               END AS mde_rel
+        FROM grid CROSS JOIN st ORDER BY n_per_arm"""
 
 
 def _benford_sql(mad_crit: float = 0.015) -> str:
@@ -7883,6 +7939,7 @@ def oracle_sql() -> dict[str, str]:
         "benford_audit": _benford_sql(mad_crit=0.015),
         "did_readout": _did_sql(split_ms=1705276800000),
         "modularity": _modularity_sql(),
+        "power_mde": _power_mde_sql(),
         "zorder_key": _zorder_sql(bits=16),
         "interval_join_bucketed": f'''
             WITH w AS (SELECT CAST(id AS BIGINT) AS window_id,

@@ -217,6 +217,7 @@ HEADLINE = [
     "benford_audit",
     "did_readout",
     "modularity",
+    "power_mde",
 ]
 
 # repeated-run latency distribution for the reference's hot/cold point

@@ -213,3 +213,33 @@ def test_did_readout_silent_period_counts_as_zero(spark):
     rows = [(0, POST, 6.0), (1, PRE, 2.0), (1, POST, 5.0)]
     r = did_readout(_events(spark, rows), SPLIT_MS).collect()[0]
     assert r.n_ctrl == 1 and r.pre_ctrl == 0.0 and r.post_ctrl == 6.0
+
+
+def test_power_mde_closed_form_and_scaling(spark):
+    from time_series_databse_engine_spark.operators.experiment import power_mde
+
+    # four users, metrics 1, 3, 5, 7 units -> mean 4, pop sigma sqrt(5)
+    rows = [(u, POST, float(2 * u + 1)) for u in range(4)]
+    out = {
+        r.n_per_arm: r
+        for r in power_mde(
+            _events(spark, rows), sizes=[100, 400]
+        ).collect()
+    }
+    sigma = math.sqrt(5.0)
+    for n in (100, 400):
+        want = (1.96 + 0.8416) * sigma * math.sqrt(2.0 / n)
+        assert abs(out[n].mde - want) < 1e-6
+        assert abs(out[n].sigma - sigma) < 1e-6
+        assert abs(out[n].mde_rel - want / 4.0) < 1e-6
+        assert out[n].n_pilot == 4
+    # 4x the sample halves the MDE (sqrt law)
+    assert abs(out[100].mde / out[400].mde - 2.0) < 1e-9
+
+
+def test_power_mde_constant_metric_zero_sigma(spark):
+    from time_series_databse_engine_spark.operators.experiment import power_mde
+
+    rows = [(u, POST, 5.0) for u in range(3)]
+    r = power_mde(_events(spark, rows), sizes=[1000]).collect()[0]
+    assert r.sigma == 0.0 and r.mde == 0.0 and r.mde_rel == 0.0

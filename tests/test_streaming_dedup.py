@@ -1132,3 +1132,65 @@ def test_streaming_conformal_merge_identity_and_replay(spark, tmp_path):
         for r in spark.read.parquet(out + "/metrics").collect()
     }
     assert met2 == snap
+
+
+def test_streaming_benford_merge_identity_and_replay(spark, tmp_path):
+    """Live Benford: each epoch's running conformity row (all stream
+    rows so far, via benford_from_counts) is row-identical to the batch
+    benford_audit on the union of rows seen; a unit-mangled epoch flips
+    the group to nonconforming; crash replay converges."""
+    import math
+    import shutil
+    import time as _t
+
+    from time_series_databse_engine_spark.operators.profile import benford_audit
+    from time_series_databse_engine_spark.streaming.ingest import stream_benford
+
+    schema = "event_type string, value double"
+    # epoch 0: exact-Benford digit multiset (conforming);
+    # epoch 1: a capped feed stuck at 9.xx (digit 9 only) swamps it
+    b1 = []
+    for d in range(1, 10):
+        b1 += [("g", float(d))] * round(200 * math.log10(1 + 1 / d))
+    b2 = [("g", 9.99)] * 400
+    src = str(tmp_path / "src")
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(src + "/b1")
+    _t.sleep(1.1)
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(src + "/b2")
+    out = str(tmp_path / "ben")
+
+    def run():
+        q = stream_benford(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/*"),
+            out,
+            str(tmp_path / "ckpt"),
+        ).start()
+        q.awaitTermination(120)
+        q.stop()
+
+    run()
+    met = {
+        r.epoch_id: r for r in spark.read.parquet(out + "/metrics").collect()
+    }
+    assert met[0].conforming is True and met[0].mad < 0.005
+    assert met[1].conforming is False
+    # epoch-1 running == batch op on the union
+    want = benford_audit(
+        spark.createDataFrame(b1 + b2, schema), "value", "event_type"
+    ).collect()[0]
+    got = met[1]
+    assert (got.n, got.chi2, got.mad, got.conforming) == (
+        want.n, want.chi2, want.mad, want.conforming
+    )
+
+    # crash replay converges bit-identically
+    snap = {k: tuple(v) for k, v in met.items()}
+    shutil.rmtree(str(tmp_path / "ckpt"))
+    run()
+    met2 = {
+        r.epoch_id: tuple(r)
+        for r in spark.read.parquet(out + "/metrics").collect()
+    }
+    assert met2 == snap

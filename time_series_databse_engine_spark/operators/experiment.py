@@ -456,3 +456,71 @@ def did_readout(
             "significant"
         ),
     )
+
+
+def power_mde(
+    df: DataFrame,
+    id_col: str = "user_id",
+    value_col: str = "value",
+    sizes: list[int] | None = None,
+    z_alpha: float = 1.96,
+    z_beta: float = 0.8416,
+) -> DataFrame:
+    """Minimum-detectable-effect planning table from pilot variance —
+    the experiment-DESIGN member of the tier (the others read results;
+    this one sizes the next test): given the per-entity metric variance
+    observed in a pilot window, the two-sample MDE at per-arm size n is
+
+        MDE(n) = (z_{α/2} + z_β) · σ̂ · sqrt(2/n)
+
+    (two-sided α = 0.05 and power 80 % at the defaults — pass other
+    z's for other levels).  Per-entity metric in exact integer cents
+    (the cuped recipe); σ̂ is the population σ of the per-entity sums.
+    Returns one row per requested size: (n_per_arm, n_pilot, sigma,
+    mde, mde_rel) in original units, 6 dp — mde_rel = MDE/mean is the
+    relative lift the test can see, NULL for a zero-mean metric.
+    Default grid: 1k/5k/10k/50k/100k/500k/1M per arm.
+
+    Scale shape: ONE per-entity exchange; σ̂ and the mean are a one-row
+    closed form from BIGINT sums, and the grid is a size-literal
+    broadcast cross join — |sizes| output rows total.
+    """
+    if sizes is None:
+        sizes = [1_000, 5_000, 10_000, 50_000, 100_000, 500_000, 1_000_000]
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    per = (
+        df.where(F.col(id_col).isNotNull())
+        .groupBy(F.col(id_col).alias("_id"))
+        .agg(F.sum(cents).alias("_y"))
+    )
+    g = per.agg(
+        F.count("*").alias("_n"),
+        F.sum("_y").alias("_s"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_ss"),
+    )
+    n = F.col("_n").cast("double")
+    s = F.col("_s").cast("double")
+    var = (F.col("_ss").cast("double") - s * s / n) / n
+    stats = g.select(
+        F.col("_n").alias("n_pilot"),
+        F.sqrt(F.greatest(var, F.lit(0.0))).alias("_sigma_c"),
+        (s / n).alias("_mean_c"),
+    )
+    spark = df.sparkSession
+    grid = spark.createDataFrame([(int(x),) for x in sizes], "n_per_arm long")
+    zsum = F.lit(float(z_alpha) + float(z_beta))
+    mde_c = zsum * F.col("_sigma_c") * F.sqrt(F.lit(2.0) / F.col("n_per_arm").cast("double"))
+    return (
+        grid.crossJoin(F.broadcast(stats))
+        .select(
+            "n_per_arm",
+            "n_pilot",
+            F.round(F.col("_sigma_c") / F.lit(100.0), 6).alias("sigma"),
+            F.round(mde_c / F.lit(100.0), 6).alias("mde"),
+            F.when(
+                F.abs(F.col("_mean_c")) > 0,
+                F.round(mde_c / F.abs(F.col("_mean_c")), 6),
+            ).alias("mde_rel"),
+        )
+        .orderBy("n_per_arm")
+    )

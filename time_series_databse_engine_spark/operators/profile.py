@@ -1050,36 +1050,50 @@ def benford_audit(
     literal broadcast and the finish is a per-group 9-row reduce.
     Exact integer counts until the final shares.
     """
-    import math
-
     cents = F.round(F.col(value_col) * 100).cast("long")
     d = F.substring(cents.cast("string"), 1, 1).cast("int")
     cells = (
         df.where(F.col(group_col).isNotNull() & (cents > 0))
-        .groupBy(F.col(group_col).alias("_g"), d.alias("_d"))
-        .agg(F.count("*").alias("_c"))
+        .groupBy(F.col(group_col).alias("g"), d.alias("d"))
+        .agg(F.count("*").alias("cnt"))
     )
-    spark = df.sparkSession
+    return benford_from_counts(cells, mad_crit=mad_crit, group_out_col=group_col)
+
+
+def benford_from_counts(
+    cells: DataFrame,
+    mad_crit: float = 0.015,
+    group_out_col: str = "group",
+) -> DataFrame:
+    """Counts-based core of :func:`benford_audit`, shared with the
+    streaming leg (``streaming.ingest.stream_benford``) so both price
+    the IDENTICAL statistics (the ``ks_from_counts`` factoring).
+    Input is a per-(group, first digit) count table ``(g, d, cnt)``
+    with non-positive rows already excluded; count tables from separate
+    increments UNION + re-reduce before calling."""
+    import math
+
+    spark = cells.sparkSession
     exp = spark.createDataFrame(
         [(dd, math.log10(1.0 + 1.0 / dd)) for dd in range(1, 10)],
-        "_d int, _e double",
+        "d int, _e double",
     )
     # full 9-digit rectangle per group: groups × the digit literal, so
     # never-seen digits charge their expected mass
-    groups = cells.groupBy("_g").agg(F.sum("_c").alias("_n"))
+    groups = cells.groupBy("g").agg(F.sum("cnt").alias("_n"))
     rect = (
         groups.crossJoin(F.broadcast(exp))
-        .join(cells, ["_g", "_d"], "left")
+        .join(cells, ["g", "d"], "left")
         .select(
-            "_g",
+            "g",
             "_n",
             "_e",
-            F.coalesce(F.col("_c"), F.lit(0)).alias("_c"),
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("_c"),
         )
     )
     obs = F.col("_c").cast("double") / F.col("_n").cast("double")
     e = F.col("_e")
-    per = rect.groupBy(F.col("_g"), F.col("_n")).agg(
+    per = rect.groupBy(F.col("g"), F.col("_n")).agg(
         F.sum((obs - e) * (obs - e) / e).alias("_x2"),
         F.sum(F.abs(obs - e)).alias("_sad"),
     )
@@ -1087,11 +1101,11 @@ def benford_audit(
     mad = F.col("_sad") / F.lit(9.0)
     return (
         per.select(
-            F.col("_g").alias(group_col),
+            F.col("g").alias(group_out_col),
             F.col("_n").alias("n"),
             F.round(chi2, 6).alias("chi2"),
             F.round(mad, 6).alias("mad"),
             (mad <= F.lit(float(mad_crit))).alias("conforming"),
         )
-        .orderBy(group_col)
+        .orderBy(group_out_col)
     )

@@ -1505,3 +1505,92 @@ def stream_conformal(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
     )
+
+
+def stream_benford(
+    stream: DataFrame,
+    out_path: str,
+    checkpoint_dir: str,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    mad_crit: float = 0.015,
+):
+    """Streaming Benford conformity monitor — the live leg of
+    :func:`operators.profile.benford_audit`, completing the forensic
+    tripwire the way every other monitor in the drift family has one
+    (PSI, KS, embedding centroids, conformal): a generator bug, an
+    upstream cap, or a unit change in a live feed shifts the
+    first-digit distribution within an epoch or two, long before
+    volume or schema alarms notice.
+
+    Per epoch, two epoch-partitioned tables land under ``out_path``:
+
+    * ``counts/epoch=N/``  — the batch's mergeable per-(group, first
+      digit) counts — at most 9·|groups| rows per epoch, the cheapest
+      state in the family;
+    * ``metrics/epoch=N/`` — one row PER GROUP:
+      (epoch_id, group, n, chi2, mad, conforming) pricing ALL stream
+      rows so far via :func:`operators.profile.benford_from_counts` —
+      the identical statistics as the batch op, so the merged stream
+      state's row is row-identical to ``benford_audit`` on the union
+      of all rows seen (asserted in-test).
+
+    Exactly-once by the :func:`stream_ks_drift` contract: running
+    reads take STRICTLY-PRIOR epochs only, delete-then-rename epoch
+    dirs make a replayed epoch attempt-independent.
+    """
+    import glob
+    import os
+    import shutil
+
+    from ..operators.profile import benford_from_counts
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        eid = int(epoch_id)
+        tmp_root = os.path.join(out_path, "_tmp", f"epoch-{eid}")
+        shutil.rmtree(tmp_root, ignore_errors=True)
+
+        cents = F.round(F.col(value_col) * 100).cast("long")
+        d = F.substring(cents.cast("string"), 1, 1).cast("int")
+        cnts = (
+            batch_df.where(F.col(group_col).isNotNull() & (cents > 0))
+            .groupBy(F.col(group_col).alias("g"), d.alias("d"))
+            .agg(F.count("*").alias("cnt"))
+        )
+        counts_tmp = os.path.join(tmp_root, "counts")
+        cnts.write.mode("overwrite").parquet(counts_tmp)
+        fresh = spark.read.parquet(counts_tmp)
+
+        prior = [
+            p
+            for p in glob.glob(os.path.join(out_path, "counts", "epoch=*"))
+            if int(os.path.basename(p).split("=", 1)[1]) < eid
+        ]
+        running = fresh
+        if prior:
+            running = (
+                fresh.unionByName(
+                    spark.read.parquet(*prior).select("g", "d", "cnt")
+                )
+                .groupBy("g", "d")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+        metrics = benford_from_counts(
+            running, mad_crit=mad_crit, group_out_col=group_col
+        ).withColumn("epoch_id", F.lit(eid))
+        metrics_tmp = os.path.join(tmp_root, "metrics")
+        metrics.coalesce(1).write.mode("overwrite").parquet(metrics_tmp)
+
+        for name, tmp in (("counts", counts_tmp), ("metrics", metrics_tmp)):
+            dst = os.path.join(out_path, name, f"epoch={eid}")
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            shutil.rmtree(dst, ignore_errors=True)
+            os.rename(tmp, dst)
+        shutil.rmtree(tmp_root, ignore_errors=True)
+
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
