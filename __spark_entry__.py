@@ -1398,7 +1398,7 @@ def q_revenue_concentration(spark, sf_dir):
             ).alias("cents")
         )
         .withColumn("monetary", F.round(F.col("cents") / F.lit(100.0), 2))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)  # lineage cut; materialized in-job
     )
     b = samp_ops.equidepth_bins(u, "monetary", n_bins=10, out="decile")
     per = b.groupBy("decile").agg(
@@ -1512,7 +1512,7 @@ def q_rfm_segments(spark, sf_dir):
         # static plan re-derives the events scan+shuffle per dimension
         # (measured: 13 exchanges → 8, all remaining ones over the tiny
         # user table)
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     u = samp_ops.equidepth_bins(u, "recency", n_bins=3, out="rb")
     u = samp_ops.equidepth_bins(u, "frequency", n_bins=3, out="fb")
@@ -2464,7 +2464,7 @@ def q_modularity(spark, sf_dir):
     # degree table, the within-community edge count) — cut the lineage
     # once so the minhash+banding pipeline runs once, not per branch
     # (pair-list-sized state, the dedup_clusters iteration discipline)
-    pairs = _scaled_banded_pairs(docs).localCheckpoint()
+    pairs = _scaled_banded_pairs(docs).localCheckpoint(eager=False)
     labels = dedup_ops.dedup_clusters(pairs)
     return graph_ops.modularity(
         pairs, labels, id_col="doc_id", community_col="cluster_id"

@@ -63,7 +63,7 @@ def assoc_rules(
         )
         .where(F.col(item_col).isNotNull())
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)  # lineage cut; materialized in-job
     )
     n_b = F.broadcast(items.agg(F.countDistinct("b").alias("n_baskets")))
 
@@ -75,7 +75,7 @@ def assoc_rules(
     frequent = F.broadcast(
         counts.crossJoin(n_b)
         .where(F.col("n_i") >= F.col("n_baskets") * F.lit(min_support))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     kept = items.join(frequent.select("i"), "i")
     if max_basket_size is not None:
@@ -87,7 +87,7 @@ def assoc_rules(
             .agg(F.count("*").alias("_bs"))
             .where(F.col("_bs") > F.lit(max_basket_size))
             .select("b")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)  # n_big.count() materializes it
         )
         n_big = big.count()
         if n_big:
@@ -121,7 +121,7 @@ def assoc_rules(
         pair_n.join(ca, "ia")
         .join(cb, "ib")
         .where(F.col("n_ab") >= F.col("n_baskets") * F.lit(min_support))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     def _rule(ant, cons, n_ant):

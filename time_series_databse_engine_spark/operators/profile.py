@@ -651,7 +651,7 @@ def kanon_suppress(
         aggs.append(F.round(F.sum(agg_col), 6).alias("sum_value"))
     # group-cardinality-sized; materialized once so the keep filter and
     # the residual re-aggregate never replay the corpus-sized groupBy
-    g = df.groupBy(*quasi_cols).agg(*aggs).localCheckpoint()
+    g = df.groupBy(*quasi_cols).agg(*aggs).localCheckpoint(eager=False)
     keep = g.where(F.col("n") >= k).withColumn("n_groups", F.lit(1).cast("long"))
     sup_aggs = [
         F.sum("n").alias("n"),
@@ -709,7 +709,7 @@ def mutual_info(
         df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
         .groupBy(F.col(x_col).alias("_x"), F.col(y_col).alias("_y"))
         .agg(F.count("*").alias("_c"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)  # lineage cut; materialized in-job
     )
     mx = cells.groupBy("_x").agg(F.sum("_c").alias("_cx"))
     my = cells.groupBy("_y").agg(F.sum("_c").alias("_cy"))
@@ -786,7 +786,7 @@ def cohen_kappa(
         df.where(F.col(a_col).isNotNull() & F.col(b_col).isNotNull())
         .groupBy(F.col(a_col).alias("_a"), F.col(b_col).alias("_b"))
         .agg(F.count("*").alias("_c"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)  # lineage cut; materialized in-job
     )
     ma = cells.groupBy("_a").agg(F.sum("_c").alias("_ca"))
     mb = cells.groupBy("_b").agg(F.sum("_c").alias("_cb"))
@@ -906,7 +906,7 @@ def chi2_independence(
         df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
         .groupBy(F.col(x_col).alias("_x"), F.col(y_col).alias("_y"))
         .agg(F.count("*").alias("_c"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)  # lineage cut; materialized in-job
     )
     mx = cells.groupBy("_x").agg(F.sum("_c").alias("_cx"))
     my = cells.groupBy("_y").agg(F.sum("_c").alias("_cy"))

@@ -579,7 +579,7 @@ def temperature_mix(
     # (the mass total, the q normalizer, the rate table) never replay
     # the corpus-sized groupBy — one corpus exchange total
     counts = (
-        df.groupBy(group_col).agg(F.count("*").alias("_n_grp")).localCheckpoint()
+        df.groupBy(group_col).agg(F.count("*").alias("_n_grp")).localCheckpoint(eager=False)
     )
     n_tot = F.broadcast(counts.agg(F.sum("_n_grp").alias("_n_tot")))
     qraw = counts.crossJoin(n_tot).withColumn(

@@ -1713,7 +1713,7 @@ def pmi_collocations(
         toks.select(F.explode("_tk").alias("t"))
         .groupBy("t")
         .agg(F.count("*").alias("c_t"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     n_tok = F.broadcast(uni.agg(F.sum("c_t").cast("double").alias("n_tok")))
     bi = (
@@ -1728,7 +1728,7 @@ def pmi_collocations(
         .select("b.w1", "b.w2")
         .groupBy("w1", "w2")
         .agg(F.count("*").alias("c_ab"))
-        .localCheckpoint()  # reused by the total AND the scored output
+        .localCheckpoint(eager=False)  # reused by the total AND the scored output
     )
     n_bi = F.broadcast(bi.agg(F.sum("c_ab").cast("double").alias("n_bi")))
     ua = F.broadcast(uni.select(F.col("t").alias("w1"), F.col("c_t").alias("c_a")))

@@ -2191,7 +2191,7 @@ def theil_sen_trend(
         )
         .groupBy(*keys, "t")
         .agg(F.avg("v").alias("v"))
-        .localCheckpoint()  # reused by the pair join AND the intercept pass
+        .localCheckpoint(eager=False)  # reused by the pair join AND the intercept pass
     )
     b1 = b.select(*keys, F.col("t").alias("t1"), F.col("v").alias("v1"))
     b2 = b.select(*keys, F.col("t").alias("t2"), F.col("v").alias("v2"))
