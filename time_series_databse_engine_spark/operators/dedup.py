@@ -1183,7 +1183,12 @@ def lsh_recall(
 
     sample = deterministic_sample(df, sample_16ths, id_col)
 
-    sh = shingles(sample, shingle_n, text_col, id_col)
+    # the truth side's shingle+md5 expression work is as heavy as the
+    # signature side's, and the sampled scan arrives as ONE partition
+    # from a single local file — the candidate side already spreads via
+    # minhash_signatures' internal _parallelize; without this the truth
+    # branch serializes ~850 ms stages on one core (no-op at scale)
+    sh = shingles(_parallelize(sample), shingle_n, text_col, id_col)
     if max_shingle_df is not None:
         hot = (
             sh.groupBy("shingle")

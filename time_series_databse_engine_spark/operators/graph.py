@@ -125,6 +125,11 @@ def triangle_count(
         pairs.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
         .union(pairs.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
         .distinct()
+        # cut HERE, not only on deg/oriented: those two lazy checkpoints
+        # convert separate physical plans, so without this cut each one
+        # replays the whole upstream pair pipeline (measured: the minhash
+        # stage ran twice per triangle_count run)
+        .localCheckpoint(eager=False)
     )
     deg = edges.groupBy("a").agg(F.count("*").alias("deg")).localCheckpoint(
         eager=False  # lineage cut only; materialized by the final action
@@ -297,6 +302,10 @@ def adamic_adar(
     kept = edges.join(
         centers.select("src", "deg"), "src"
     ).select(F.col("src").alias("u"), F.col("dst").alias("v"), "deg")
+    # r12 opt note: pinning this self-join's width (repartition(N, "u"),
+    # also at 2× the session width) was implemented and MEASURED NEUTRAL
+    # (3.32 vs 3.25 s min-of-4 at sf0.1) — the wedge term is honest
+    # Σdeg² work, confirming the r11 anatomy probe; left unpinned.
     e1 = kept.select("u", "v", "deg")
     e2 = kept.select("u", F.col("v").alias("w"))
     wedges = e1.join(e2, "u").where(F.col("v") < F.col("w"))

@@ -194,6 +194,14 @@ def profile_table_exact(df: DataFrame, cols: list[str]) -> DataFrame:
     """Exact profile via one wide aggregate (n_cols ``countDistinct`` →
     Catalyst Expand ×(n_cols+1)) unpivoted to per-column rows.  The
     oracle/cross-check twin of :func:`profile_table`."""
+    from .dedup import _parallelize
+
+    # the Expand ×(n_cols+1) multiplies every input row before the
+    # partial aggregate; a single-file local table arrives as ONE scan
+    # partition and serializes that CPU on one core (measured 2.4 s on
+    # one task at sf0.1) — _parallelize is a no-op once the input has
+    # ≥ default-parallelism partitions (the 100 TB case)
+    df = _parallelize(df)
     aggs = []
     for c in cols:
         aggs += [
@@ -536,6 +544,11 @@ def ks_drift(
         )
         .where(F.col("_v").isNotNull())
     )
+    # note (r12 opt): spreading the 2-task map-side partial aggregate via
+    # a round-robin repartition was MEASURED SLOWER (0.64 → 0.94 s at
+    # sf0.1) — the keyless repartition pays sort-before-repartition over
+    # every raw row, more than the 450 ms of serialized hash-map build it
+    # recovers; left as the one-exchange plan
     vc = u.groupBy("_k", "_v").agg(
         F.sum("_r").alias("_cr"),
         F.sum(F.lit(1) - F.col("_r")).alias("_cc"),

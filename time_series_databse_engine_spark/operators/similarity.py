@@ -658,8 +658,13 @@ def semantic_dedup(
     # repartition ONLY the pair-join input: both self-join sides then share
     # one cell-keyed exchange (AQE ReusedExchange), while the final
     # anti-join consumes `a` without inheriting an extra cell shuffle in
-    # the output lineage
-    ar = a.repartition("cell_id")
+    # the output lineage.  numPartitions is EXPLICIT because the
+    # within-cell self-join fans out quadratically per cell — a blow-up
+    # AQE's byte-based coalescing cannot see (measured: the ~0.8 MB
+    # assignment table coalesced to ONE task carrying the whole Σ|cell|²
+    # pair term, ~1.3 s serialized at sf0.1)
+    width = int(a.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    ar = a.repartition(width, "cell_id")
     l = ar.select(
         F.col("id").alias("id1"), F.col("v").alias("v1"), F.col("nrm").alias("n1"), "cell_id"
     )

@@ -447,6 +447,15 @@ def zscore_anomalies_chunked(
     )
     own = base.withColumnRenamed("_chunk", "_tchunk").withColumn("_emit", F.lit(True))
     u = own.unionByName(ctx)
+    # Pin the heavy window's exchange width: the whole point of chunking
+    # is parallelism = keys × chunks, but the corpus is small in BYTES at
+    # bench scale and AQE's byte-based coalescing collapses the window
+    # exchange to 1-2 tasks, re-serializing exactly the work this
+    # operator exists to spread (measured 2.35 s → 0.87 s at sf0.1).  An
+    # explicit numPartitions disables coalescing; the window's
+    # partitionBy matches, so no second exchange appears.
+    width = int(u.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    u = u.repartition(width, *keys, "_tchunk")
     w = W.partitionBy(*keys, "_tchunk").orderBy(*order).rowsBetween(-lookback, -1)
     u = (
         u.withColumn("_mu", F.avg(value).over(w))
