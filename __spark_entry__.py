@@ -2380,7 +2380,13 @@ def q_calibration_report(spark, sf_dir):
     scores = text_ops.classifier_score(docs, WEIGHTS, bias=BIAS).select(
         "doc_id", "prob"
     )
-    q = text_ops.quality_score(docs).select("doc_id", "quality")
+    # q feeds the median aggregate AND the label projection — cut it so
+    # the quality heuristics run once, not once per consumer (r12 opt)
+    q = (
+        text_ops.quality_score(docs)
+        .select("doc_id", "quality")
+        .localCheckpoint(eager=False)
+    )
     med = q.agg(F.round(F.expr("percentile(quality, 0.5)"), 6).alias("_med"))
     lab = q.crossJoin(F.broadcast(med)).select(
         "doc_id", (F.col("quality") >= F.col("_med")).cast("int").alias("label")
@@ -2401,8 +2407,14 @@ def q_pareto_front(spark, sf_dir):
     proves the decomposition exact."""
     from time_series_databse_engine_spark.operators import sampling as samp_ops
 
-    q = text_ops.quality_score(_t(spark, sf_dir, "documents")).select(
-        "doc_id", "quality", "n_tokens"
+    # the skyline consumes q twice (value-group reduce + filter-back) —
+    # cut after the heavy quality heuristics so they run once (r12 opt;
+    # the cached table is 3 narrow columns, far cheaper than re-running
+    # the regex passes at any scale)
+    q = (
+        text_ops.quality_score(_t(spark, sf_dir, "documents"))
+        .select("doc_id", "quality", "n_tokens")
+        .localCheckpoint(eager=False)
     )
     return samp_ops.pareto_front(q, "quality", "n_tokens")
 

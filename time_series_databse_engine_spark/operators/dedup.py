@@ -1031,6 +1031,10 @@ def purge_dup_spans(
     """
     from pyspark.sql import Window as W
 
+    # a single-file local scan serializes the per-token md5 transform and
+    # the per-position explode on one core (measured 1.6 s + 1.2 s
+    # single-task stages at sf0.1); no-op at scale
+    df = _parallelize(df)
     hcols = [f"h{i}" for i in range(n)]
     base = df.select(
         F.col(id_col).alias("_id"), F.split(F.col(text_col), "\\s+").alias("_toks")
@@ -1305,6 +1309,10 @@ def source_overlap(
         .select(source_col, words.alias("ws"))
         .select(source_col, F.explode(F.array_distinct(g)).alias("g"))
         .distinct()
+        # three consumers (totals, both pair-join sides) — without the
+        # cut the gram explode+distinct replays per consumer (measured:
+        # the 32-task gram stage ran twice per run at sf0.1)
+        .localCheckpoint(eager=False)
     )
     if max_gram_sources is not None:
         hot = (

@@ -1078,8 +1078,13 @@ def ivfpq_topk(
     """
     cents = hash_sampled_cells(embeddings, n_cells, id_col, vec_col)
     cb = pq_codebook(embeddings, ks, id_col, vec_col)
+    # the assign+encode fold is interpreted (HOF, no codegen) and a
+    # single-file local scan serializes it on one core (measured ~1.3 s
+    # single-task at sf0.1); guarded repartition, no-op at scale
+    from .dedup import _parallelize
+
     enc = _assign_and_encode(
-        embeddings, cents, cb, m, dim, id_col, vec_col, encode, ks=ks
+        _parallelize(embeddings), cents, cb, m, dim, id_col, vec_col, encode, ks=ks
     )
     q_probes = _probe_cells(queries, cents, n_probe, id_col, vec_col)
 

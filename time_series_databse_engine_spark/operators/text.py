@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W, functions as F
 
 from . import index_maintenance as _im
+from .dedup import _parallelize
 
 TOKEN_RE = "[^\\s]+"          # whitespace tokens
 WORD_RE = "[A-Za-z]+"          # alphabetic words
@@ -146,7 +147,11 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     """Composite document-quality heuristic (training-data filtering):
     length signal (saturating at 100 tokens), low-punctuation signal, and
     stopword-density signal, weighted 0.4/0.3/0.3.  Pure built-in
-    expressions — one scan, no shuffle."""
+    expressions — one scan; the guarded repartition below only fires when
+    the scan has fewer partitions than cores (a single local file
+    serialized the three regex passes on one task, ~0.7 s at sf0.1,
+    replayed in every consumer query; a no-op at scale)."""
+    df = _parallelize(df)
     t = F.col(text_col)
     n_tok = F.size(F.regexp_extract_all(t, F.lit(TOKEN_RE), 0))
     n_punct = F.size(F.regexp_extract_all(t, F.lit("[^A-Za-z0-9\\s]"), 0))
@@ -593,7 +598,7 @@ def kn_bigram_logprob(
         raise ValueError(f"discount must be in (0, 1), got {discount}")
     toks = F.filter(F.split(F.lower(F.col(text_col)), "\\s+"), lambda t: t != "")
     big = (
-        df.select(F.col(id_col), toks.alias("_tk"))
+        _parallelize(df).select(F.col(id_col), toks.alias("_tk"))
         .select(
             id_col,
             F.explode(
@@ -605,7 +610,12 @@ def kn_bigram_logprob(
         )
         .select(id_col, F.col("b.v").alias("v"), F.col("b.w").alias("w"))
     )
-    db = big.groupBy(id_col, "v", "w").agg(F.count("*").alias("cnt"))
+    # db feeds the model chain (via bc) AND the scoring join below —
+    # without its own cut the bigram explode+count replays once per
+    # consumer (measured: two duplicate map stages per run at sf0.1)
+    db = big.groupBy(id_col, "v", "w").agg(F.count("*").alias("cnt")).localCheckpoint(
+        eager=False
+    )
     bc = (
         db.groupBy("v", "w").agg(F.sum("cnt").alias("c_vw")).localCheckpoint()
     )
@@ -1265,7 +1275,7 @@ def hashing_vectorize(
     window — norms from EXACT integer Σn², so the only float is one
     division per entry.
     """
-    toks = df.select(
+    toks = _parallelize(df).select(
         F.col(id_col),
         F.explode(
             F.filter(F.split(F.lower(F.col(text_col)), "\\s+"), lambda t: t != "")
@@ -1432,7 +1442,10 @@ def _maxsim_chunk_vectors(
     maxsim scoring and the persisted inverted index share."""
     from pyspark.sql import Window as W
 
-    chunks = chunk_documents(docs, chunk_size, text_col=text_col, id_col=id_col)
+    # a single-file local scan serializes the chunk+token explode and the
+    # per-token md5 bucketing on one core (measured ~1.1 s single-task at
+    # sf0.1); no-op at scale
+    chunks = chunk_documents(_parallelize(docs), chunk_size, text_col=text_col, id_col=id_col)
     ctoks = chunks.select(
         F.col(id_col),
         F.col("chunk_idx"),
