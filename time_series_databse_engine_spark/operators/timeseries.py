@@ -2202,10 +2202,33 @@ def theil_sen_trend(
         .agg(F.avg("v").alias("v"))
         .localCheckpoint(eager=False)  # reused by the pair join AND the intercept pass
     )
-    b1 = b.select(*keys, F.col("t").alias("t1"), F.col("v").alias("v1"))
-    b2 = b.select(*keys, F.col("t").alias("t2"), F.col("v").alias("v2"))
+    # SALTED pair self-join (guide-§2.5 shape): the join key is the bare
+    # series key, so parallelism is capped by key cardinality — and with
+    # a handful of series AQE byte-coalescing puts the whole C(buckets,2)
+    # pair fan-out plus the partial percentile on ONE task (measured
+    # 1.9 s serialized at sf0.1).  Salting t1 deterministically
+    # (xxhash64, never rand — retry-safe) and replicating the
+    # calendar-bounded bucket table across salts spreads pair generation
+    # over keys × width groups; every (t1, t2) pair still appears exactly
+    # once, so the slope multiset per key — and the median — is
+    # unchanged.  The replicated side is ≤ buckets × width rows (tiny by
+    # the operator's own quadratic-in-buckets contract).
+    width = int(b.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    b1 = b.select(
+        *keys,
+        F.col("t").alias("t1"),
+        F.col("v").alias("v1"),
+        F.pmod(F.xxhash64(F.col("t")), F.lit(width)).alias("_salt"),
+    ).repartition(width, *keys, "_salt")
+    # the explicit-width repartition matters twice: locally the planner
+    # broadcasts the replicated side (BHJ preserves b1's partitioning, so
+    # without it pair generation runs on the checkpointed table's 1-2
+    # partitions), and at scale an SMJ on (keys, salt) reuses it directly
+    b2 = b.select(*keys, F.col("t").alias("t2"), F.col("v").alias("v2")).withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0).cast("long"), F.lit(width - 1).cast("long")))
+    )
     slopes = (
-        b1.join(b2, keys)
+        b1.join(b2, [*keys, "_salt"])
         .where(F.col("t1") < F.col("t2"))
         .select(
             *keys,
