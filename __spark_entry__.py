@@ -1669,7 +1669,12 @@ def q_edit_verify(spark, sf_dir):
     footer-metadata pass, not a scan; at the driver's sf0.01 the rule
     resolves to the base (8, 4, 2) the oracle replays."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = _scaled_banded_pairs(docs)
+    # pin the candidate list's width before attaching text: the pair
+    # table is tiny in BYTES so AQE coalesces it to one task, but each
+    # row then pays an O(len²) Levenshtein DP — a per-row cost byte-based
+    # coalescing cannot see (measured ~0.65 s serialized at sf0.1)
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    pairs = _scaled_banded_pairs(docs).repartition(width, "id1")
     a = docs.select(F.col("doc_id").alias("id1"), F.col("text").alias("_t1"))
     b = docs.select(F.col("doc_id").alias("id2"), F.col("text").alias("_t2"))
     d = F.levenshtein("_t1", "_t2")
@@ -3128,7 +3133,11 @@ def q_cms_topk(spark, sf_dir):
     rows, top-20 by estimate with the true count beside it).  width=256
     keeps the oracle's hex->int at a 2-hex-char strpos fold."""
     docs = _t(spark, sf_dir, "documents")
-    toks = docs.select(
+    # spread the doc scan BEFORE the token explode (cheap: doc rows) so
+    # the counter build and the distinct-item count run wide — inside
+    # cms_topk the stream is already exploded and a repartition there
+    # would sort-shuffle every token row (measured slower)
+    toks = dedup_ops._parallelize(docs).select(
         F.explode(
             F.filter(F.split(F.lower(F.col("text")), "\\s+"), lambda t: t != "")
         ).alias("item")

@@ -541,7 +541,11 @@ def cosine_near_dup_lsh(
     )
     # Pre-shuffle on the join key so both sides of the self-join share one
     # Exchange and the bucket pipeline is computed once (ReusedExchange).
-    e = e.repartition("bucket")
+    # numPartitions is EXPLICIT so AQE byte-coalescing cannot put the
+    # quadratic within-bucket pair term on one task (the semantic_dedup
+    # lesson; measured ~0.8 s single-task at sf0.1 without it)
+    width = int(e.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    e = e.repartition(width, "bucket")
     a = e.select(F.col("id").alias("id1"), F.col("v").alias("v1"), F.col("nrm").alias("n1"), "bucket")
     b = e.select(F.col("id").alias("id2"), F.col("v").alias("v2"), F.col("nrm").alias("n2"), "bucket")
     sim = F.round(dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2")), 6)

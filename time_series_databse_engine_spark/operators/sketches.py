@@ -375,7 +375,16 @@ def cms_topk(
     onto the distinct-item table — ``depth`` broadcast joins, no
     corpus-sized shuffle beyond the distinct itself.
     """
-    counters = cms_counters(df, item_col, depth=depth, width=width)
+    # one counter pass instead of depth single-task replays: the counter
+    # grid feeds ``depth`` broadcast builds that AQE materializes
+    # CONCURRENTLY — racing futures each find a lazy cut un-materialized
+    # and replay the corpus explode+md5, so the checkpoint here must be
+    # EAGER (measured: 4 × ~1.4 s serialized stages → one shared build);
+    # the grid is ≤ depth·width rows, so the blocking job is trivial.
+    # (No repartition here: the input is often an already-exploded token
+    # stream — round-robin would sort-shuffle every token row, measured
+    # slower; parallelize the DOC side before exploding instead.)
+    counters = cms_counters(df, item_col, depth=depth, width=width).localCheckpoint()
     items = df.groupBy(F.col(item_col).alias("item")).agg(
         F.count("*").alias("true_cnt")
     )

@@ -60,7 +60,11 @@ def token_count(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Stopword-profile language guess: count profile hits per language,
-    argmax (ties → lexicographically first language, deterministic)."""
+    argmax (ties → lexicographically first language, deterministic).
+    Guarded repartition: the per-language profile scans are CPU-dense
+    per-row work a single-file scan serializes on one core (no-op at
+    scale)."""
+    df = _parallelize(df)
     t = F.lower(F.col(text_col))
     scores = [
         F.size(

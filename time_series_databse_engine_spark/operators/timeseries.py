@@ -373,8 +373,15 @@ def zscore_anomalies(
     cost O(rows), not O(rows·lookback).
     """
     w = W.partitionBy(*keys).orderBy(*order).rowsBetween(-lookback, -1)
+    # pin the window exchange's width: with a handful of series AQE
+    # byte-coalescing collapses it to ONE task (measured 1.2 s serialized
+    # at sf0.1); the explicit numPartitions keeps up to |keys| tasks —
+    # zscore_anomalies_chunked remains the true scale form for
+    # low-cardinality keys (its parallelism is keys x chunks)
+    width = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     df = (
-        df.withColumn("_mu", F.avg(value).over(w))
+        df.repartition(width, *keys)
+        .withColumn("_mu", F.avg(value).over(w))
         .withColumn("_sd", F.stddev_samp(value).over(w))
         .withColumn("_n", F.count(value).over(w))
     )

@@ -101,7 +101,13 @@ def clean_crawl(
     Returns (id, n_tokens, quality, visible_ppm) for survivors.
     """
     from .operators import web as web_ops
+    from .operators.dedup import _parallelize
 
+    # strip_html's per-row expression work replays once per downstream
+    # branch (quality, survivors, keepers) — a single-file scan would
+    # serialize every replay on one core (4 × ~0.45 s at sf0.1); the
+    # guarded repartition spreads each replay, and is a no-op at scale
+    pages = _parallelize(pages)
     stripped = web_ops.strip_html(pages, html_col, id_col).withColumn(
         "visible_ppm",
         F.expr("CAST(visible_len * 1000000 div raw_len AS BIGINT)"),
