@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window as W, functions as F, types as T
 
+from .dedup import _parallelize
+
 
 def as_double(col) -> F.Column:
     c = F.col(col) if isinstance(col, str) else col
@@ -52,7 +54,10 @@ def cosine_topk(
             F.col(id_col).alias("query_id"), as_double(vec_col).alias("qvec")
         ).withColumn("qn", norm(F.col("qvec")))
     )
-    c = embeddings.select(
+    # corpus side spread: the per-candidate dot/norm folds are
+    # interpreted (no codegen) and a single-file scan serializes the
+    # whole brute-force pass on one core (no-op at scale)
+    c = _parallelize(embeddings).select(
         F.col(id_col).alias("cand_id"), as_double(vec_col).alias("cvec")
     ).withColumn("cn", norm(F.col("cvec")))
     scored = (
@@ -232,7 +237,9 @@ def ivf_topk(
     # per-vector norms hoisted out of the per-pair scoring (see cosine_topk)
     cents = cells if cells is not None else hash_sampled_cells(embeddings, n_cells, id_col, vec_col)
 
-    c = embeddings.select(
+    # corpus side spread (the cosine_topk rationale: the assignment
+    # fold is interpreted and would serialize on a single-file scan)
+    c = _parallelize(embeddings).select(
         F.col(id_col).alias("cand_id"), as_double(vec_col).alias("cvec")
     ).withColumn("cn", norm(F.col("cvec")))
     c_assigned = assign_nearest_cell(c, cents, F.col("cvec"), F.col("cn"))
@@ -1085,8 +1092,6 @@ def ivfpq_topk(
     # the assign+encode fold is interpreted (HOF, no codegen) and a
     # single-file local scan serializes it on one core (measured ~1.3 s
     # single-task at sf0.1); guarded repartition, no-op at scale
-    from .dedup import _parallelize
-
     enc = _assign_and_encode(
         _parallelize(embeddings), cents, cb, m, dim, id_col, vec_col, encode, ks=ks
     )
@@ -1600,6 +1605,9 @@ def binarize_embeddings(
     mean's own reduce.  Returns (id, bits array<long>).
     """
     n_words = (dim + word_bits - 1) // word_bits
+    # the packing fold below is interpreted per row — spread a
+    # single-file scan before it (no-op at scale)
+    df = _parallelize(df)
     v = as_double(vec_col)
     # per-dimension means as ONE broadcast array row (64 per-column aggs
     # would also work, but the array keeps the downstream expression tree
@@ -1830,6 +1838,7 @@ def sq8_topk(
     the identical result with integer multiplies when even the dequantize
     is too hot.  Returns (query_id, cand_id, score, rank) with the same
     (score DESC, cand_id) determinism as the exact operator."""
+    embeddings = _parallelize(embeddings)  # quantize/dequantize folds are interpreted
     st = sq8_stats(embeddings, dim, vec_col)
     codes = sq8_quantize(embeddings, dim, id_col, vec_col, stats=st)
     cal = _sq8_cal_row(st, dim)
