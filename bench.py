@@ -279,6 +279,21 @@ def machine_context(start: tuple[int, int] | None) -> dict[str, float]:
     return ctx
 
 
+def session_context(spark) -> dict[str, object]:
+    """The LIVE session's core count and master (VERDICT r12 "Next
+    round" #2): ``ctx_n_cpus`` is the machine's ``os.cpu_count()`` (32
+    regardless of ``$SPARK_GRAFT_CPUS``), which made the driver's
+    core-scaling probe read as if the contract were ignored.  The
+    session honors it (session.py: master ``local[$SPARK_GRAFT_CPUS]``,
+    shuffle partitions likewise); report that from the SparkContext
+    itself so an 8-core run *shows* 8."""
+    sc = spark.sparkContext
+    return {
+        "session_cores": sc.defaultParallelism,
+        "session_master": sc.master,
+    }
+
+
 def main():
     cpu_start = _cpu_jiffies()
     spark = get_spark(app_name="bench")
@@ -816,6 +831,7 @@ def main():
         shutil.rmtree(tmp, ignore_errors=True)
 
     extra.update({f"ctx_{k}": v for k, v in machine_context(cpu_start).items()})
+    extra.update({f"ctx_{k}": v for k, v in session_context(spark).items()})
     emit(times, extra)
 
 

@@ -71,11 +71,17 @@ def assoc_rules(
     # Vocab-sized; materialized once so its three consumers (the prune
     # semi-join and both pricing joins) never replay the corpus count,
     # and n_baskets rides along instead of re-deriving via a second
-    # corpus pass.
+    # corpus pass.  With a mega-basket cap the big.count() below is an
+    # early blocking action that materializes this cut (and ``items``)
+    # before any broadcast build; WITHOUT the cap there is no such
+    # anchor, and AQE's concurrently-materialized broadcast futures
+    # (kept's semi-join plus ca/cb) would each find a lazy cut empty and
+    # replay the corpus-sized distinct — the cms_topk race — so that
+    # path checkpoints eagerly.
     frequent = F.broadcast(
         counts.crossJoin(n_b)
         .where(F.col("n_i") >= F.col("n_baskets") * F.lit(min_support))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=max_basket_size is None)
     )
     kept = items.join(frequent.select("i"), "i")
     if max_basket_size is not None:

@@ -12,32 +12,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window as W, functions as F
 
-
-def _parallelize(df: DataFrame) -> DataFrame:
-    """Ensure the doc table has ≥ default parallelism before CPU-heavy
-    shingling/hashing.  A small local parquet file arrives as one partition
-    and would serialize the whole pipeline on one core; at scale the input
-    already has more partitions than cores and this is a no-op.
-
-    Width probe order matters: ``inputFiles()`` is a pure file-listing
-    (the production path — parquet files only get SPLIT further by
-    maxPartitionBytes, never merged below file count pre-AQE), so file
-    scans never touch ``.rdd``; only non-file sources (in-memory test
-    frames) fall back to ``rdd.getNumPartitions()``, which forces
-    logical→RDD plan conversion on every operator build — no job, but
-    measurable on wide pipelines (the round-3 advisor nit)."""
-    if df.isStreaming:  # micro-batch width is the source's concern
-        return df
-    target = df.sparkSession.sparkContext.defaultParallelism
-    try:
-        files = df.inputFiles()
-    except Exception:
-        files = []
-    if files:
-        return df if len(files) >= target else df.repartition(target)
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+from ._util import _parallelize  # noqa: F401  (canonical home: _util; re-exported
+# here because similarity/text/profile/pipeline and tests import it from dedup)
 
 
 def fingerprint(col, normalize: bool = False) -> F.Column:

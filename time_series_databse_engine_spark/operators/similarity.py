@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window as W, functions as F, types as T
 
-from .dedup import _parallelize
+from ._util import _parallelize, _shuffle_width
 
 
 def as_double(col) -> F.Column:
@@ -551,7 +551,7 @@ def cosine_near_dup_lsh(
     # numPartitions is EXPLICIT so AQE byte-coalescing cannot put the
     # quadratic within-bucket pair term on one task (the semantic_dedup
     # lesson; measured ~0.8 s single-task at sf0.1 without it)
-    width = int(e.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    width = _shuffle_width(e.sparkSession)
     e = e.repartition(width, "bucket")
     a = e.select(F.col("id").alias("id1"), F.col("v").alias("v1"), F.col("nrm").alias("n1"), "bucket")
     b = e.select(F.col("id").alias("id2"), F.col("v").alias("v2"), F.col("nrm").alias("n2"), "bucket")
@@ -674,7 +674,7 @@ def semantic_dedup(
     # AQE's byte-based coalescing cannot see (measured: the ~0.8 MB
     # assignment table coalesced to ONE task carrying the whole Σ|cell|²
     # pair term, ~1.3 s serialized at sf0.1)
-    width = int(a.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    width = _shuffle_width(a.sparkSession)
     ar = a.repartition(width, "cell_id")
     l = ar.select(
         F.col("id").alias("id1"), F.col("v").alias("v1"), F.col("nrm").alias("n1"), "cell_id"

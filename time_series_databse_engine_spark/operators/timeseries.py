@@ -10,6 +10,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window as W, functions as F, types as T
 
+from ._util import _shuffle_width
+
 MS_PER_HOUR = 3_600_000
 
 
@@ -375,10 +377,12 @@ def zscore_anomalies(
     w = W.partitionBy(*keys).orderBy(*order).rowsBetween(-lookback, -1)
     # pin the window exchange's width: with a handful of series AQE
     # byte-coalescing collapses it to ONE task (measured 1.2 s serialized
-    # at sf0.1); the explicit numPartitions keeps up to |keys| tasks —
-    # zscore_anomalies_chunked remains the true scale form for
-    # low-cardinality keys (its parallelism is keys x chunks)
-    width = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    # at sf0.1); the explicit numPartitions keeps up to (distinct key
+    # combinations) non-empty tasks — hash partitioning cannot spread
+    # wider than the key cardinality, so zscore_anomalies_chunked remains
+    # the true scale form for low-cardinality keys (its parallelism is
+    # keys x chunks)
+    width = _shuffle_width(df.sparkSession)
     df = (
         df.repartition(width, *keys)
         .withColumn("_mu", F.avg(value).over(w))
@@ -461,7 +465,7 @@ def zscore_anomalies_chunked(
     # operator exists to spread (measured 2.35 s → 0.87 s at sf0.1).  An
     # explicit numPartitions disables coalescing; the window's
     # partitionBy matches, so no second exchange appears.
-    width = int(u.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    width = _shuffle_width(u.sparkSession)
     u = u.repartition(width, *keys, "_tchunk")
     w = W.partitionBy(*keys, "_tchunk").orderBy(*order).rowsBetween(-lookback, -1)
     u = (
@@ -2220,7 +2224,7 @@ def theil_sen_trend(
     # once, so the slope multiset per key — and the median — is
     # unchanged.  The replicated side is ≤ buckets × width rows (tiny by
     # the operator's own quadratic-in-buckets contract).
-    width = int(b.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    width = _shuffle_width(b.sparkSession)
     b1 = b.select(
         *keys,
         F.col("t").alias("t1"),

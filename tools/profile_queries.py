@@ -27,7 +27,7 @@ from time_series_databse_engine_spark import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 REPS = int(os.environ.get("PROFILE_REPS", "3"))
-PLANS_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r12")
+PLANS_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", os.environ.get("PROFILE_PLANS_TAG", "r13"))
 
 
 def plan_shape(plan: str) -> dict:
@@ -62,30 +62,37 @@ def main() -> None:
 
     out = {}
     for name in names:
-        fn = queries[name]
-        ts = []
-        for _ in range(REPS):
-            spark.sparkContext.setJobDescription(f"profile:{name}")
-            t0 = time.perf_counter()
-            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            ts.append(time.perf_counter() - t0)
-        spark.sparkContext.setJobDescription(None)
-        df = fn(spark, SF_DIR)
-        plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
-        if tag != "none":
-            with open(os.path.join(PLANS_DIR, f"{name}_{tag}.txt"), "w") as fh:
-                fh.write(plan)
-        rec = {
-            "query": name,
-            "min_sec": round(min(ts), 3),
-            "mean_sec": round(sum(ts) / len(ts), 3),
-            "runs": [round(t, 3) for t in ts],
-            **plan_shape(plan),
-        }
+        # one failing query must not abort the batch or lose collected
+        # timings (advisor r12): record the error, write incrementally
+        try:
+            fn = queries[name]
+            ts = []
+            for _ in range(REPS):
+                spark.sparkContext.setJobDescription(f"profile:{name}")
+                t0 = time.perf_counter()
+                fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+                ts.append(time.perf_counter() - t0)
+            spark.sparkContext.setJobDescription(None)
+            df = fn(spark, SF_DIR)
+            plan = df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
+            if tag != "none":
+                with open(os.path.join(PLANS_DIR, f"{name}_{tag}.txt"), "w") as fh:
+                    fh.write(plan)
+            rec = {
+                "query": name,
+                "min_sec": round(min(ts), 3),
+                "mean_sec": round(sum(ts) / len(ts), 3),
+                "runs": [round(t, 3) for t in ts],
+                **plan_shape(plan),
+            }
+        except Exception as e:  # noqa: BLE001
+            rec = {"query": name, "error": str(e)[:500]}
         out[name] = rec
         print(json.dumps(rec), flush=True)
-    with open(f"/tmp/profile_{tag}.json", "w") as fh:
-        json.dump(out, fh, indent=1)
+        with open(f"/tmp/profile_{tag}.json", "w") as fh:
+            json.dump(out, fh, indent=1)
 
 
 if __name__ == "__main__":
