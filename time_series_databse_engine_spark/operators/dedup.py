@@ -531,33 +531,62 @@ def dedup_clusters(
     # (measured ~1.5 s extra at sf0.1).
     p = pairs.select(F.col(id1).alias("src"), F.col(id2).alias("dst")).localCheckpoint(eager=False)
     edges = p.union(p.select(F.col("dst"), F.col("src")))
-    labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("label", F.col("id"))
-        .localCheckpoint(eager=False)  # materialized by round 1's count
-    )
+    # r13 (VERDICT #4): two structural cuts vs the r12 shape, results
+    # byte-identical.  (a) Round 1's join against identity labels is a
+    # no-op — with label(id)=id the propagated multiset IS the mirrored
+    # edge list (dst receives src) and the self-label branch is
+    # (src, src); min() is duplicate-insensitive so the old
+    # distinct()+checkpoint label seed is dropped entirely (one exchange
+    # + one cached table fewer).  (b) Convergence by the label-sum
+    # monotone: labels only ever DECREASE (new = min(old, incoming)), so
+    # Σlabel is unchanged iff NO label changed — one partial-aggregate
+    # on the already-id-partitioned table replaces the old-vs-new join
+    # per round (decimal(38,0) keeps the sum exact at any id magnitude).
+    from pyspark.sql.types import NumericType
+
+    numeric_ids = isinstance(p.schema["src"].dataType, NumericType)
+    labels = None
+    _UNSET = object()
+    prev_sum: object = _UNSET
     for _ in range(max_iters):
-        prop = edges.join(labels, edges["src"] == labels["id"]).select(
-            F.col("dst").alias("id"), "label"
-        )
+        if labels is None:
+            cand = edges.select(
+                F.col("dst").alias("id"), F.col("src").alias("label")
+            ).union(edges.select(F.col("src").alias("id"), F.col("src").alias("label")))
+        else:
+            prop = edges.join(labels, edges["src"] == labels["id"]).select(
+                F.col("dst").alias("id"), "label"
+            )
+            cand = prop.union(labels.select("id", "label"))
         new_labels = (
-            prop.union(labels.select("id", "label"))
-            .groupBy("id")
+            cand.groupBy("id")
             .agg(F.min("label").alias("label"))
-            # eager=False: the convergence count below materializes it in
-            # the SAME job (r12 opt: one job per round instead of two)
+            # eager=False: the convergence action below materializes it
+            # in the SAME job (r12 opt: one job per round instead of two)
             .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.join(
-                labels.select("id", F.col("label").alias("old")), "id"
+        if numeric_ids:
+            label_sum = new_labels.agg(
+                F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+            ).first()["s"]
+            converged = prev_sum is not _UNSET and label_sum == prev_sum
+            prev_sum = label_sum
+        elif labels is not None:
+            # non-numeric ids (string doc keys): Σlabel has no monotone —
+            # keep the exact old-vs-new comparison for them
+            converged = (
+                new_labels.join(
+                    labels.select("id", F.col("label").alias("old")), "id"
+                )
+                .filter(F.col("label") < F.col("old"))
+                .count()
+                == 0
             )
-            .filter(F.col("label") < F.col("old"))
-            .count()
-        )
+        else:
+            new_labels.count()  # materialize round 1's cut
+            converged = False
         labels = new_labels
-        if changed == 0:
+        if converged:
             break
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
 
