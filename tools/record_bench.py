@@ -10,7 +10,10 @@ protocol:
 3. accept the take only if ``extra.ingest_points_per_sec`` >=
    ``--min-ingest`` (default 700k — the idle-baseline tell) AND the
    end-of-run ``ctx_loadavg_5m`` stayed under ``--max-load-after``
-   (default 6.0); on acceptance move the temp detail into place,
+   (default 6.0) AND the run's hypervisor-steal fraction
+   ``ctx_steal_frac`` stayed under ``--max-steal`` (default 0.004 —
+   r13: the first two gates miss a steal burst that starts after the
+   ingest phase); on acceptance move the temp detail into place,
    otherwise retry up to ``--attempts`` times (default 4), keeping the
    best rejected take's summary on stderr for the post-mortem.
 
@@ -51,8 +54,15 @@ def main() -> int:
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--attempts", type=int, default=4)
     ap.add_argument("--max-load", type=float, default=1.5)
-    ap.add_argument("--max-load-after", type=float, default=6.0)
+    # r13: the end-of-run loadavg gate was the only contention proxy
+    # before ctx_steal_frac existed; this box reports phantom loadavg
+    # (D-state/virtio workers) of 4-7 while CPUs sit idle and steal is
+    # ~0.001, so with the direct steal gate in place the loadavg bound
+    # is relaxed to a sanity backstop (it rejected a clean
+    # steal_frac=0.0014 take in the r13 retake, attempt 3).
+    ap.add_argument("--max-load-after", type=float, default=12.0)
     ap.add_argument("--min-ingest", type=float, default=700_000)
+    ap.add_argument("--max-steal", type=float, default=0.004)
     args = ap.parse_args()
 
     for attempt in range(1, args.attempts + 1):
@@ -83,7 +93,18 @@ def main() -> int:
         x = d.get("extra", {})
         ingest = x.get("ingest_points_per_sec", 0)
         load5 = x.get("ctx_loadavg_5m", 99.0)
-        verdict = ingest >= args.min_ingest and load5 <= args.max_load_after
+        # r13: reject steal-poisoned takes.  The loadavg/ingest gates miss
+        # a hypervisor steal burst that starts AFTER the ingest phase (the
+        # r13 attempt-2 take: ingest 807k yet steal_frac 0.0247 ≈ 0.8 of
+        # 32 cores stolen on average — suite 159 s vs ~131 s clean).
+        # 0.004 ≈ an eighth of one core over the run; idle takes measure
+        # ~0.000-0.001.
+        steal = x.get("ctx_steal_frac", 0.0)
+        verdict = (
+            ingest >= args.min_ingest
+            and load5 <= args.max_load_after
+            and steal <= args.max_steal
+        )
         print(
             json.dumps(
                 {
@@ -92,6 +113,7 @@ def main() -> int:
                     "n_queries": len(d.get("queries", {})),
                     "ingest_points_per_sec": ingest,
                     "ctx_loadavg_5m": load5,
+                    "ctx_steal_frac": steal,
                     "accepted": verdict,
                 }
             ),
